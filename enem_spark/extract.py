@@ -1,0 +1,496 @@
+"""The core extraction pipeline: `pages` DataFrame -> `questions` DataFrame.
+
+Plan shape (SURVEY.md §3.2/§4.3) — declarative everywhere Catalyst can help,
+one Arrow crossing for the per-page string state machines:
+
+    scan pages(url, warc_ts, html, text, lang)
+     -> filter lang / filename-contract quarantine          [codegen]
+     -> project url-derived metadata (regexp_extract)       [codegen]
+     -> PAGE_UDF: layout reconstruction + preprocessing +
+        segmentation + alternative parsing                  [ArrowEvalPython, 1 pass]
+     -> window running question-count (plain or salted)     [shuffle by doc_id]
+     -> posexplode(question candidates)                     [Generate]
+     -> broadcast join answer keys                          [no shuffle]
+     -> subject routing + number remap + templates          [codegen]
+
+The per-page Python work mirrors enem_pdf_extractor.py:230-334 (preprocess),
+:432-447 (segmentation), :106-148 (alternative parsing); the semantics are
+delegated to enem_spark.oracle so the Spark engine and the byte-identity
+oracle share one implementation of the quirky string logic.
+
+Scale notes (100 TB / 10^12 docs):
+  * the only wide shuffle before the sink is the numbering window, keyed by
+    doc_id; a pathological document with 10^5 pages skews one partition, so
+    `salt_chunk_size` switches to a two-level running sum (per-chunk partial
+    + broadcast per-doc chunk offsets) — AQE cannot split a single window
+    partition, this can.
+  * the answer-key table is ~180 rows/exam — always broadcast.
+  * filters (lang, kind, page_idx>=1, has_marker) are plain Catalyst filters
+    and push below the UDF projection where possible; column pruning drops
+    `html` as soon as the UDF has consumed it.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
+
+from . import oracle
+from .layout import reconstruct_page
+
+TXT_FMT = "(Enem/%s)  %s\n(RESPOSTA CORRETA): %s\n\n"
+MD_FMT = "# Ano: (Enem/%s) \n# texto da questão: \n %s \n # (RESPOSTA CORRETA): %s\n\n"
+
+
+@dataclass(frozen=True)
+class ExtractorConfig:
+    """Session-level config (reference constructor, enem_pdf_extractor.py:60-77)."""
+
+    output_type: str = "json"  # txt | json | markdown
+    process_images: bool = False
+    salt_chunk_size: int = 0  # 0 = plain window; >0 = two-level salted numbering
+    keep_unparsed: bool = False  # keep F6-dropped candidates (debug/lineage)
+
+    def __post_init__(self):
+        if self.output_type not in ("txt", "json", "markdown"):
+            raise ValueError(f"unsupported output_type: {self.output_type}")
+
+
+# ---------------------------------------------------------------------------
+# metadata projection + contract filter (F1/F2, J2 keys)
+# ---------------------------------------------------------------------------
+
+def with_url_metadata(pages: DataFrame) -> DataFrame:
+    """Derive the INEP filename-contract columns from the url (codegen-only).
+
+    Mirrors enem_pdf_extractor.py:40-50,966-969: year = first 20\\d{2}; day by
+    'D1' substring; kind by PV/GB substring; color = CD\\d digit."""
+    url = F.col("url")
+    # regexp_extract yields "" on no match; try_cast maps that to NULL instead
+    # of an ANSI cast error, so contract violations flow to quarantine (F1)
+    return (
+        pages.withColumn("doc_id", F.regexp_extract(url, r"^(.*)/page/\d+$", 1))
+        .withColumn(
+            "page_idx", F.regexp_extract(url, r"/page/(\d+)$", 1).try_cast("int")
+        )
+        .withColumn("year", F.regexp_extract(url, r"(20\d{2})", 1).try_cast("int"))
+        .withColumn("day", F.when(url.contains("D1"), "D1").otherwise("D2"))
+        .withColumn(
+            "kind",
+            F.when(url.contains("PV"), "PV").when(url.contains("GB"), "GB"),
+        )
+        .withColumn("color", F.regexp_extract(url, r"CD(\d)", 1))
+    )
+
+
+def split_quarantine(pages_meta: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """F1: rows violating the filename contract go to a quarantine table
+    instead of raising IOError (enem_pdf_extractor.py:81-100)."""
+    ok = (
+        F.col("kind").isNotNull()
+        & (F.col("color") != "")
+        & (F.col("year").isNotNull())
+        & F.col("page_idx").isNotNull()
+    )
+    return pages_meta.filter(ok), pages_meta.filter(~ok)
+
+
+# ---------------------------------------------------------------------------
+# the one Arrow crossing: layout + preprocess + segment + parse per page
+# ---------------------------------------------------------------------------
+
+_QUESTION_FIELDS = T.StructType(
+    [
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("question_text", T.StringType()),
+        T.StructField("alternatives", T.ArrayType(T.StringType())),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+PAGE_STRUCT = T.StructType(
+    [
+        T.StructField("page_text", T.StringType()),
+        T.StructField("has_images", T.BooleanType()),
+        T.StructField("image_refs", T.ArrayType(T.StringType())),
+        T.StructField("q_count", T.IntegerType()),
+        T.StructField("questions", T.ArrayType(_QUESTION_FIELDS)),
+    ]
+)
+
+
+def _process_one_page(url, html, text, cfg: ExtractorConfig) -> dict:
+    """Pure per-page function shared by the pandas UDF and unit tests."""
+    if text is None or html is not None:
+        rec_text, n_images = reconstruct_page(html)
+        if text is None:
+            text = rec_text
+    else:
+        n_images = 0
+    image_refs = [f"{url}#img{k}" for k in range(n_images)]
+    has_images = n_images > 0
+
+    page = oracle.preprocess_page(
+        text, has_images, 0, cfg.process_images, image_refs
+    )
+    if page is None:
+        return {
+            "page_text": text,
+            "has_images": has_images,
+            "image_refs": image_refs,
+            "q_count": 0,
+            "questions": [],
+        }
+    questions = []
+    if page.text:  # empty when image page in no-images mode (F4)
+        positions = list(oracle.iter_marker_positions(page.text))
+        seg_start, seq = 0, 0
+        for pos in positions:
+            if pos == 0:
+                continue
+            raw = page.text[seg_start:pos]
+            parsed = oracle.parse_alternatives(raw, cfg.output_type)
+            if isinstance(parsed, tuple):
+                q_text, alts = parsed
+            else:
+                q_text, alts = parsed, []
+            if cfg.output_type == "markdown":
+                q_text = oracle.md_insert_alternatives_header(q_text)
+            ok = q_text != oracle.NON_STANDARD
+            questions.append(
+                {
+                    "seq": seq,
+                    "question_text": q_text if ok else None,
+                    "alternatives": alts if ok else [],
+                    "ok": ok,
+                }
+            )
+            seg_start = pos
+            seq += 1
+    return {
+        "page_text": text,
+        "has_images": has_images,
+        "image_refs": image_refs,
+        "q_count": page.total_question_number,
+        "questions": questions,
+    }
+
+
+def make_page_udf(cfg: ExtractorConfig):
+    """Scalar pandas UDF (Arrow-vectorized): (url, html, text) -> PAGE_STRUCT."""
+
+    def _page_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        out = [
+            _process_one_page(u, h, t, cfg)
+            for u, h, t in zip(batch["url"], batch["html"], batch["text"])
+        ]
+        return pd.DataFrame(out)
+
+    @F.pandas_udf(PAGE_STRUCT)
+    def page_udf(url: pd.Series, html: pd.Series, text: pd.Series) -> pd.DataFrame:
+        return _page_batch(pd.DataFrame({"url": url, "html": html, "text": text}))
+
+    return page_udf
+
+
+# ---------------------------------------------------------------------------
+# X3: running question counter as a window (plain and skew-salted)
+# ---------------------------------------------------------------------------
+
+def with_page_numbering(pages: DataFrame, salt_chunk_size: int = 0) -> DataFrame:
+    """page_first_question = 1 + questions on earlier pages of the document.
+
+    Plain: one window over (doc_id, page_idx). Salted: pages are grouped into
+    chunks of `salt_chunk_size`; a per-chunk running sum plus broadcast
+    per-doc chunk offsets reproduce the same value without ever sorting a
+    whole pathological document inside one task."""
+    if salt_chunk_size <= 0:
+        w = (
+            W.partitionBy("doc_id")
+            .orderBy("page_idx")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        return pages.withColumn(
+            "page_first_question",
+            (F.coalesce(F.sum("q_count").over(w), F.lit(0)) + 1).cast("int"),
+        )
+    chunk = F.floor(F.col("page_idx") / salt_chunk_size).alias("chunk_id")
+    pages = pages.withColumn("chunk_id", chunk)
+    w_in = (
+        W.partitionBy("doc_id", "chunk_id")
+        .orderBy("page_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum("q_count").over(w_in), F.lit(0))
+    w_chunks = (
+        W.partitionBy("doc_id")
+        .orderBy("chunk_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        pages.groupBy("doc_id", "chunk_id")
+        .agg(F.sum("q_count").alias("_chunk_total"))
+        .withColumn(
+            "_chunk_offset",
+            F.coalesce(F.sum("_chunk_total").over(w_chunks), F.lit(0)),
+        )
+        .drop("_chunk_total")
+    )
+    return (
+        pages.join(F.broadcast(offsets), ["doc_id", "chunk_id"])
+        .withColumn(
+            "page_first_question",
+            (F.col("_chunk_offset") + within + 1).cast("int"),
+        )
+        .drop("_chunk_offset", "chunk_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: answer-key dimension table from GB documents (broadcast build side)
+# ---------------------------------------------------------------------------
+
+ANSWER_KEY_SCHEMA = T.StructType(
+    [
+        T.StructField("year", T.IntegerType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("color", T.StringType()),
+        T.StructField("exam_num", T.IntegerType()),
+        T.StructField("answer", T.StringType()),
+    ]
+)
+
+
+def answer_key_rows(year: int, day: str, color: str, raw_text: str) -> list[dict]:
+    """Expand one GB page-0 text into (exam_num -> answer) rows by evaluating
+    the reference probe for every exam number, so positional-offset semantics
+    (enem_pdf_extractor.py:189-226) survive the join-based rewrite exactly."""
+    filtered = oracle.filter_answer_key_text(raw_text)
+    day_one = day == "D1"
+    rows = []
+    for n in range(1, 96 if day_one else 92):
+        ans = oracle.find_correct_answer(
+            filtered, n, day_one, is_spanish=day_one and 5 < n < 11
+        )
+        if ans != oracle.MISSING_ANSWER:
+            rows.append(
+                {"year": year, "day": day, "color": color, "exam_num": n, "answer": ans}
+            )
+    return rows
+
+
+def build_answer_keys(pages_meta: DataFrame) -> DataFrame:
+    """GB page-0 rows -> broadcastable key table, built distributed
+    (applyInPandas per exam; each group is one tiny text)."""
+    gb = pages_meta.filter((F.col("kind") == "GB") & (F.col("page_idx") == 0)).select(
+        "year", "day", "color", "text"
+    )
+
+    def expand(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        year, day, color = key
+        rows = []
+        for raw in pdf["text"]:
+            rows.extend(answer_key_rows(int(year), day, color, raw))
+        return pd.DataFrame(
+            rows, columns=["year", "day", "color", "exam_num", "answer"]
+        )
+
+    return gb.groupBy("year", "day", "color").applyInPandas(expand, ANSWER_KEY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+def extract_pages(pages: DataFrame, cfg: ExtractorConfig) -> DataFrame:
+    """Per-page stage: metadata, quarantine, layout+parse UDF, numbering.
+
+    Returns one row per kept PV page with page_text (the per-url extracted
+    main content — the byte-identity invariant), q_count, candidate
+    questions, page_first_question."""
+    meta = with_url_metadata(pages.filter(F.col("lang") == "pt"))
+    valid, _ = split_quarantine(meta)
+    pv = valid.filter((F.col("kind") == "PV") & (F.col("page_idx") >= 1))  # F2
+    page_udf = make_page_udf(cfg)
+    paged = (
+        pv.withColumn("page", page_udf("url", "html", "text"))
+        .select(
+            "url",
+            "doc_id",
+            "page_idx",
+            "year",
+            "day",
+            "color",
+            "page.*",
+        )
+    )
+    # numbering needs every marker-bearing page (image pages included: their
+    # count advances numbering even though they emit nothing — F4)
+    counted = with_page_numbering(
+        paged.filter(F.col("q_count") > 0), cfg.salt_chunk_size
+    )
+    return counted
+
+
+def extract_questions(pages: DataFrame, cfg: ExtractorConfig) -> DataFrame:
+    """pages -> questions table (SURVEY.md §1.4 / FIXTURES.md §3)."""
+    counted = extract_pages(pages, cfg)
+    exploded = (
+        counted.select(
+            "url",
+            "doc_id",
+            "page_idx",
+            "year",
+            "day",
+            "color",
+            "image_refs",
+            "page_first_question",
+            F.explode("questions").alias("q"),
+        )
+        .withColumn("abs_num", F.col("page_first_question") + F.col("q.seq"))
+        .withColumn("question_text", F.col("q.question_text"))
+        .withColumn("alternatives", F.col("q.alternatives"))
+        .withColumn("parse_ok", F.col("q.ok"))
+        .drop("q", "page_first_question")
+    )
+    if not cfg.keep_unparsed:
+        exploded = exploded.filter(F.col("parse_ok"))  # F6 (numbering already fixed)
+
+    keys = build_answer_keys(with_url_metadata(pages))
+    joined = exploded.join(
+        F.broadcast(keys),
+        on=(
+            (exploded["year"] == keys["year"])
+            & (exploded["day"] == keys["day"])
+            & (exploded["color"] == keys["color"])
+            & (exploded["abs_num"] == keys["exam_num"])
+        ),
+        how="left",
+    ).select(
+        exploded["*"],
+        F.coalesce(keys["answer"], F.lit(oracle.MISSING_ANSWER)).alias(
+            "correct_answer"
+        ),
+    )
+
+    n = F.col("abs_num")
+    day_one = F.col("day") == "D1"
+    subject = (
+        F.when(day_one & n.between(1, 5), "eng")
+        .when(day_one & n.between(6, 10), "spani")
+        .when(day_one & n.between(11, 50), "lang")
+        .when(day_one & n.between(51, 95), "huma")
+        .when(~day_one & n.between(1, 45), "natu")
+        .when(~day_one & n.between(46, 91), "math")
+    )
+    out_num = F.when(day_one, F.when(n < 6, n).otherwise(n - 5)).otherwise(n + 90)
+    result = (
+        joined.withColumn("subject", subject)
+        .filter(F.col("subject").isNotNull())  # beyond-range numbers are dropped
+        .withColumn("question_num", out_num.cast("int"))
+        .withColumn(
+            "ID",
+            F.format_string("%d_%s_N%d", F.col("year"), F.col("day"), F.col("question_num")),
+        )
+        .withColumnRenamed("abs_num", "seq")
+    )
+    return result.select(
+        "url",
+        "doc_id",
+        "page_idx",
+        "year",
+        "day",
+        "color",
+        "seq",
+        "subject",
+        "question_num",
+        "ID",
+        "question_text",
+        "alternatives",
+        "correct_answer",
+        "image_refs",
+        "parse_ok",
+    )
+
+
+def render_payloads(questions: DataFrame, cfg: ExtractorConfig) -> DataFrame:
+    """Attach the rendered per-question payload.
+
+    txt/markdown render JVM-side (format_string, codegen); json payloads are
+    serialized in the sink (oracle.question_json via applyInPandas) because
+    byte-exact indent-4 JSON is not expressible with to_json."""
+    if cfg.output_type == "txt":
+        payload = F.format_string(
+            TXT_FMT, F.col("year"), F.col("question_text"), F.col("correct_answer")
+        )
+    elif cfg.output_type == "markdown":
+        payload = F.format_string(
+            MD_FMT, F.col("year"), F.col("question_text"), F.col("correct_answer")
+        )
+    else:
+        payload = F.lit(None).cast("string")
+    return questions.withColumn("payload", payload)
+
+
+def render_sink_files(questions: DataFrame, cfg: ExtractorConfig) -> DataFrame:
+    """A2/S5/S6: ordered group-concat into one row per output file, byte-
+    identical to the reference sinks. Groups are (doc_id, year, day) — one
+    exam each; subjects with no questions still emit (empty string / [])."""
+    ext = {"txt": "txt", "markdown": "md", "json": "json"}[cfg.output_type]
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("year", T.IntegerType()),
+            T.StructField("day", T.StringType()),
+            T.StructField("subject", T.StringType()),
+            T.StructField("filename", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    output_type = cfg.output_type
+    process_images = cfg.process_images
+
+    def render_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id, year, day = key
+        year = int(year)
+        day_one = day == "D1"
+        ranges = oracle.DAY1_RANGES if day_one else oracle.DAY2_RANGES
+        pdf = pdf.sort_values("seq")
+        rows = []
+        for subj, _, _ in ranges:
+            sub = pdf[pdf["subject"] == subj]
+            if output_type == "json":
+                payloads = [
+                    oracle.question_json(
+                        r.question_text,
+                        day_one,
+                        year,
+                        r.correct_answer,
+                        int(r.seq),
+                        list(r.alternatives),
+                        list(r.image_refs) if process_images else None,
+                    )
+                    for r in sub.itertuples()
+                ]
+                content = json.dumps(payloads, indent=4, ensure_ascii=False)
+            else:
+                content = "".join(sub["payload"])
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "year": year,
+                    "day": day,
+                    "subject": subj,
+                    "filename": f"{year}_{subj}_questions.{ext}",
+                    "content": content,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    prepared = render_payloads(questions, cfg)
+    return prepared.groupBy("doc_id", "year", "day").applyInPandas(
+        render_group, out_schema
+    )

@@ -1,0 +1,203 @@
+"""Spark pipeline vs pure-Python oracle: byte-identity on the synthetic corpus.
+
+This is the engine's primary correctness gate (north_rule: byte-identical
+extracted text + question records per url). The oracle itself is validated
+against the reference's golden fixtures in test_oracle_golden.py, closing the
+loop reference -> oracle -> Spark.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from enem_spark import corpus, oracle
+from enem_spark.extract import (
+    ExtractorConfig,
+    extract_pages,
+    extract_questions,
+    render_sink_files,
+)
+from enem_spark.layout import reconstruct_page
+
+CFG = corpus.CorpusConfig(seed=7, n_exams=6, pages_per_exam=8, questions_per_page=3)
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return corpus.generate(CFG)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, docs):
+    return corpus.pages_dataframe(spark, CFG)
+
+
+def oracle_rows(docs, output_type, process_images):
+    """Expected question rows per document, via the oracle."""
+    keys = {
+        (d.year, d.day, d.color): d.page_texts[0]
+        for d in docs
+        if d.kind == "GB"
+    }
+    expected = {}
+    for d in docs:
+        if d.kind != "PV" or d.lang != "pt":
+            continue
+        raw_answers = keys.get((d.year, d.day, d.color), "")
+        image_names = [
+            [f"{d.url_prefix}/page/{p}#img0"] if has else []
+            for p, has in enumerate(d.page_has_images)
+        ]
+        rows = oracle.extract_document(
+            d.page_texts,
+            d.page_has_images,
+            raw_answers,
+            d.year,
+            day_one=d.day_one,
+            output_type=output_type,
+            process_images=process_images,
+            page_image_names=image_names,
+        )
+        expected[d.url_prefix] = rows
+    return expected
+
+
+def test_layout_reconstruction_matches_text(docs):
+    """The bbox-clustering reconstruction reproduces every page text byte-
+    for-byte, and image spans are detected."""
+    rows = corpus.to_rows(docs, CFG.seed)
+    assert len(rows) > 30
+    doc_imgs = {d.url_prefix: d.page_has_images for d in docs}
+    for r in rows:
+        text, n_img = reconstruct_page(r["html"])
+        assert text == r["text"], f"layout mismatch for {r['url']}"
+        prefix, idx = r["url"].rsplit("/page/", 1)
+        assert (n_img > 0) == doc_imgs[prefix][int(idx)]
+
+
+@pytest.mark.parametrize("output_type", ["json", "txt", "markdown"])
+def test_questions_match_oracle(spark, docs, pages_df, output_type):
+    cfg = ExtractorConfig(output_type=output_type, process_images=False)
+    got = extract_questions(pages_df, cfg).collect()
+    expected = oracle_rows(docs, output_type, process_images=False)
+
+    got_by_doc = {}
+    for r in got:
+        got_by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in got_by_doc.items():
+        rows.sort(key=lambda r: r["seq"])
+
+    exp_docs = {k: v for k, v in expected.items() if v}
+    assert set(got_by_doc) == set(exp_docs)
+    for doc_id, exp in exp_docs.items():
+        rows = got_by_doc[doc_id]
+        assert [r["seq"] for r in rows] == [e.seq for e in exp], doc_id
+        for r, e in zip(rows, exp):
+            assert r["subject"] == e.subject
+            if output_type == "json":
+                p = e.payload
+                assert r["question_text"] == p["question_text"], (doc_id, e.seq)
+                assert r["correct_answer"] == p["correct_answer"]
+                assert list(r["alternatives"]) == p["alternatives"]
+                assert r["question_num"] == p["question_num"]
+                assert r["ID"] == p["ID"]
+
+
+@pytest.mark.parametrize("output_type", ["json", "txt"])
+def test_sink_files_byte_identical(spark, docs, pages_df, output_type):
+    cfg = ExtractorConfig(output_type=output_type, process_images=False)
+    questions = extract_questions(pages_df, cfg)
+    files = render_sink_files(questions, cfg).collect()
+    expected = oracle_rows(docs, output_type, process_images=False)
+
+    by_doc = {}
+    for f in files:
+        by_doc.setdefault(f["doc_id"], {})[f["filename"]] = f["content"]
+    for d in docs:
+        if d.kind != "PV" or d.lang != "pt" or not expected[d.url_prefix]:
+            continue
+        exp_files = oracle.render_sink_files(
+            expected[d.url_prefix], d.year, d.day_one, output_type
+        )
+        got_files = by_doc[d.url_prefix]
+        assert set(got_files) == set(exp_files), d.url_prefix
+        for name, content in exp_files.items():
+            assert got_files[name] == content, f"{d.url_prefix}/{name} bytes differ"
+
+
+def test_images_mode_matches_oracle(spark, docs, pages_df):
+    """process_images=True: image pages are kept and page_images appears."""
+    cfg = ExtractorConfig(output_type="json", process_images=True)
+    questions = extract_questions(pages_df, cfg)
+    files = render_sink_files(questions, cfg).collect()
+    expected = oracle_rows(docs, "json", process_images=True)
+    by_doc = {}
+    for f in files:
+        by_doc.setdefault(f["doc_id"], {})[f["filename"]] = f["content"]
+    checked = 0
+    for d in docs:
+        if d.kind != "PV" or d.lang != "pt" or not expected[d.url_prefix]:
+            continue
+        exp_files = oracle.render_sink_files(
+            expected[d.url_prefix], d.year, d.day_one, "json"
+        )
+        for name, content in exp_files.items():
+            assert by_doc[d.url_prefix][name] == content, f"{d.url_prefix}/{name}"
+            if '"page_images"' in content:
+                checked += 1
+    assert checked > 0, "corpus produced no image-page questions to verify"
+
+
+def test_salted_numbering_equals_plain(spark, pages_df):
+    plain = ExtractorConfig(output_type="json", salt_chunk_size=0)
+    salted = ExtractorConfig(output_type="json", salt_chunk_size=3)
+    a = extract_pages(pages_df, plain).select(
+        "url", "page_first_question"
+    ).collect()
+    b = extract_pages(pages_df, salted).select(
+        "url", "page_first_question"
+    ).collect()
+    assert sorted((r["url"], r["page_first_question"]) for r in a) == sorted(
+        (r["url"], r["page_first_question"]) for r in b
+    )
+
+
+def test_extracted_page_text_per_url(spark, docs, pages_df):
+    """north_rule per-row invariant: byte-identical extracted text per url."""
+    cfg = ExtractorConfig()
+    got = {
+        r["url"]: r["page_text"]
+        for r in extract_pages(pages_df, cfg).select("url", "page_text").collect()
+    }
+    checked = 0
+    for d in docs:
+        if d.kind != "PV" or d.lang != "pt":
+            continue
+        for p, text in enumerate(d.page_texts):
+            url = f"{d.url_prefix}/page/{p}"
+            if url in got:  # only marker-bearing pages flow through
+                assert got[url] == text
+                checked += 1
+    assert checked > 10
+
+
+def test_contract_violations_quarantined_not_crash(spark, pages_df):
+    """F1: rows with urls outside the naming contract must not crash the
+    pipeline (ANSI cast on regexp_extract('') regression) nor emit rows."""
+    import pandas as pd
+
+    bad = pd.DataFrame(
+        [
+            {
+                "url": "cc://junk/nometa/page/1",
+                "warc_ts": pd.Timestamp("2024-01-01"),
+                "html": None,
+                "text": "QUESTÃO 1 x",
+                "lang": "pt",
+            }
+        ]
+    )
+    bad_df = spark.createDataFrame(bad, schema=pages_df.schema)
+    assert extract_questions(bad_df, ExtractorConfig()).count() == 0
