@@ -1,38 +1,586 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: full extraction pipeline over pages synthesized
+                deterministically from /root/testdata/sf0.001/documents.parquet.
+queries()     — one entry per implemented operator (SURVEY.md §2 + the
+                training-data operator set); each callable (spark, sf_dir) -> DF.
+oracle_sql()  — ANSI-SQL twins runnable by DuckDB on the same parquet views.
+                Omitted only for the full extraction pipeline (stateful
+                cross-page string machine, not SQL-expressible) and the
+                SRP-recall probe; everything else is hash-checked.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from enem_spark import simsearch, textops
+from enem_spark.extract import ExtractorConfig, extract_questions
+from enem_spark.sources.documents_bridge import pages_from_documents
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+def q_extract_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(_t(spark, sf_dir, "documents"))
+    cfg = ExtractorConfig(output_type="json", process_images=False)
+    return extract_questions(pages, cfg).select(
+        "url",
+        "seq",
+        "subject",
+        "question_num",
+        "ID",
+        "correct_answer",
+        "question_text",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_extract_questions(spark, SF001)
+
+
+# ---------------------------------------------------------------------------
+# reference relational operators (SURVEY.md §2) on the driver testdata
+# ---------------------------------------------------------------------------
+
+def q_route_case(spark, sf_dir):
+    """A1 subject routing: static-range CASE + aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_quantity").between(1, 5), "eng")
+        .when(F.col("l_quantity").between(6, 10), "spa")
+        .when(F.col("l_quantity").between(11, 50), "lang")
+        .otherwise("other")
+    )
+    return (
+        li.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q_lookup_join(spark, sf_dir):
+    """J1 answer-key lookup: broadcast left equi-join + coalesce miss default."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .withColumn(
+            "segment", F.coalesce(F.col("c_mktsegment"), F.lit("não achou a questão"))
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
+
+
+def q_running_window(spark, sf_dir):
+    """X3 running counter: sum over rows BEFORE the current one."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.coalesce(F.sum("value").over(w), F.lit(0.0)), 4).alias("prior_sum"),
+    )
+
+
+def q_ordered_concat(spark, sf_dir):
+    """A2 ordered group-concat: in-order string accumulation per group."""
+    ev = _t(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s.event_type), ""
+        ).alias("event_seq")
+    )
+
+
+def q_segment_explode(spark, sf_dir):
+    """X2 segmentation: one-to-many explode with positional sequence."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("seq", "token")
+    )
+
+
+def q_numbering_gaps(spark, sf_dir):
+    """F6 numbering-with-gaps: sequence assigned before filtering."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("seq", F.row_number().over(w))
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", "seq")
+    )
+
+
+def q_filter_normalize(spark, sf_dir):
+    """P1/P3/F3: normalize marker case, strip a pattern, filter on marker."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.replace(F.col("text"), F.lit("Spark"), F.lit("spark"))
+    cleaned = F.regexp_replace(norm, r"\bvalue\b", "")
+    return docs.filter(
+        F.instr(norm, "spark") > 0
+    ).select(
+        "doc_id",
+        F.length(cleaned).alias("clean_len"),
+        F.instr(norm, "spark").alias("first_marker"),
+    )
+
+
+def q_tpch_q1_like(spark, sf_dir):
+    """Partial-aggregatable scan-heavy aggregate (map-side combine showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data operators on documents/embeddings
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return textops.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return textops.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return textops.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    return textops.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_langid(spark, sf_dir):
+    return textops.langid(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    return textops.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    return textops.token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textops.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return simsearch.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ann_srp_bucket(spark, sf_dir):
+    return simsearch.srp_bucket_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    return simsearch.embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.8)
+
+
+def q_media_featurize(spark, sf_dir):
+    from enem_spark.multimodal import featurize_media
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return featurize_media(docs).select(
+        "media_id", "media_type", "n_bytes", "content_md5"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_questions": q_extract_questions,
+        "route_case": q_route_case,
+        "lookup_join": q_lookup_join,
+        "running_window": q_running_window,
+        "ordered_concat": q_ordered_concat,
+        "segment_explode": q_segment_explode,
+        "numbering_gaps": q_numbering_gaps,
+        "filter_normalize": q_filter_normalize,
+        "tpch_q1_like": q_tpch_q1_like,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "simhash": q_simhash,
+        "langid": q_langid,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_srp_bucket": q_ann_srp_bucket,
+        "embedding_near_dup": q_embedding_near_dup,
+        "media_featurize": q_media_featurize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = r"""
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+shingled AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+      THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+      ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM tok
+)
+"""
+
+_JACCARD_TAIL = """
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM shingled GROUP BY doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM candidates c
+  JOIN shingled sa ON sa.doc_id = c.doc_a
+  JOIN shingled sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       round(n_common / (za.n_shingles + zb.n_shingles - n_common), 6) AS jaccard
+FROM common c
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
+WHERE round(n_common / (za.n_shingles + zb.n_shingles - n_common), 6) >= {thr}
+"""
+
+
+def _minhash_lsh_sql(threshold: float) -> str:
+    mh_cols = ",\n    ".join(
+        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(textops.MINHASH_PERMS)
+    )
+    rows_per_band = textops.MINHASH_PERMS // textops.LSH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM sig_t".format(
+            b=b,
+            sig=" || '|' || ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(textops.LSH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig_t AS (
+  SELECT doc_id, {mh_cols} FROM shingled GROUP BY doc_id
+),
+bands AS ({band_selects}),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL.format(thr=threshold)}
+"""
+
+
+def _ngram_jaccard_sql(threshold: float) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+),
+shingled AS (
+  SELECT DISTINCT doc_id, source, unnest(CASE WHEN len(toks) >= 3
+      THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+      ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM tok
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shingled a JOIN shingled b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL.format(thr=threshold)}
+"""
+
+
+def _simhash_sql() -> str:
+    sums = ",\n    ".join(
+        "sum(CASE WHEN substr(h, {p}, 1) IN ('1','3','5','7','9','b','d','f')"
+        " THEN 1 ELSE -1 END) AS s{j}".format(p=j + 1, j=j)
+        for j in range(textops.SIMHASH_BITS)
+    )
+    bits = " || ".join(
+        f"CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END" for j in range(textops.SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS h
+  FROM documents
+),
+sums AS (
+  SELECT doc_id, {sums} FROM tok GROUP BY doc_id
+)
+SELECT doc_id, {bits} AS simhash FROM sums
+"""
+
+
+def _count_occ_sql(expr: str, needle: str) -> str:
+    n = len(needle)
+    return f"((length({expr}) - length(replace({expr}, '{needle}', ''))) // {n})"
+
+
+def _langid_sql() -> str:
+    padded = "(' ' || text || ' ')"
+    en = " + ".join(_count_occ_sql(padded, m) for m in textops.EN_MARKERS)
+    pt = " + ".join(_count_occ_sql(padded, m) for m in textops.PT_MARKERS)
+    return f"""
+SELECT doc_id,
+       CAST({en} AS INT) AS en_hits,
+       CAST({pt} AS INT) AS pt_hits,
+       CASE WHEN ({en}) > ({pt}) THEN 'en'
+            WHEN ({pt}) > ({en}) THEN 'pt'
+            ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+def _quality_sql() -> str:
+    padded = "(' ' || text || ' ')"
+    stop = " + ".join(
+        _count_occ_sql(padded, m) for m in textops.EN_MARKERS + textops.PT_MARKERS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+         {stop} AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       n_tokens,
+       round((n_chars - (n_tokens - 1)) / n_tokens, 6) AS mean_tok_len,
+       round(n_punct / n_chars, 6) AS punct_ratio,
+       round(stop_hits / n_tokens, 6) AS stop_ratio,
+       round(0.4 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * (1.0 - least((n_punct / n_chars) * 10, 1.0))
+           + 0.3 * least((stop_hits / n_tokens) * 5, 1.0), 6) AS quality
+FROM base
+"""
+
+
+def _cosine_topk_sql(query_ids="0,1,2,3,4", k=5) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(b.vec, q.vec) / (b.norm * q.norm), 6) AS cosine
+  FROM base b, base q
+  WHERE q.vec_id IN ({query_ids}) AND b.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+def _srp_sql(k=5) -> str:
+    def proj(vec):
+        lits = ", ".join(repr(x) for x in vec)
+        return f"list_dot_product(vec, [{lits}]::DOUBLE[])"
+
+    bucket = " || ".join(
+        f"CASE WHEN {proj(v)} >= 0 THEN '1' ELSE '0' END" for v in simsearch.SRP_VECTORS
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, vec, norm, {bucket} AS bucket FROM base
+),
+scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(b.vec, q.vec) / (b.norm * q.norm), 6) AS cosine
+  FROM bucketed b JOIN bucketed q ON b.bucket = q.bucket
+  WHERE q.vec_id IN (0,1,2,3,4) AND b.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+def _near_dup_sql(threshold: float) -> str:
+    def proj(vec):
+        lits = ", ".join(repr(x) for x in vec)
+        return f"list_dot_product(vec, [{lits}]::DOUBLE[])"
+
+    bucket = " || ".join(
+        f"CASE WHEN {proj(v)} >= 0 THEN '1' ELSE '0' END" for v in simsearch.SRP_VECTORS
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, vec, norm, {bucket} AS bucket FROM base
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cosine
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= {threshold}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # extract_questions: stateful cross-page string machine — rows-only check
+        "route_case": """
+SELECT CASE WHEN l_quantity BETWEEN 1 AND 5 THEN 'eng'
+            WHEN l_quantity BETWEEN 6 AND 10 THEN 'spa'
+            WHEN l_quantity BETWEEN 11 AND 50 THEN 'lang'
+            ELSE 'other' END AS bucket,
+       count(*) AS n_items,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+FROM lineitem GROUP BY 1
+""",
+        "lookup_join": """
+SELECT coalesce(c.c_mktsegment, 'não achou a questão') AS segment,
+       count(*) AS n_orders,
+       round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS sum_total
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+        "running_window": """
+SELECT user_id, event_id,
+       round(coalesce(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 4) AS prior_sum
+FROM events
+""",
+        "ordered_concat": """
+SELECT user_id, string_agg(event_type, '' ORDER BY ts, event_id) AS event_seq
+FROM events GROUP BY user_id
+""",
+        "segment_explode": r"""
+SELECT doc_id,
+       CAST(unnest(range(1, len(toks) + 1)) - 1 AS INT) AS seq,
+       unnest(toks) AS token
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id < 100)
+""",
+        "numbering_gaps": """
+SELECT user_id, event_id, CAST(seq AS INT) AS seq FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events
+) WHERE event_type = 'click'
+""",
+        "filter_normalize": r"""
+SELECT doc_id,
+       CAST(length(regexp_replace(replace(text, 'Spark', 'spark'), '\bvalue\b', '', 'g')) AS INT) AS clean_len,
+       CAST(instr(replace(text, 'Spark', 'spark'), 'spark') AS INT) AS first_marker
+FROM documents
+WHERE instr(replace(text, 'Spark', 'spark'), 'spark') > 0
+""",
+        "tpch_q1_like": """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+        "dedup_minhash_lsh": _minhash_lsh_sql(0.5),
+        "dedup_ngram_jaccard": _ngram_jaccard_sql(0.5),
+        "simhash": _simhash_sql(),
+        "langid": _langid_sql(),
+        "quality_score": _quality_sql(),
+        "token_count": r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+FROM documents
+""",
+        "fingerprint": r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+shingled AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+      THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+      ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM tok
+),
+hashed AS (
+  SELECT doc_id, md5(shingle) AS h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle)) AS rn
+  FROM shingled
+)
+SELECT doc_id, string_agg(h, '|' ORDER BY h) AS fingerprint
+FROM hashed WHERE rn <= 4 GROUP BY doc_id
+""",
+        "ann_cosine_topk": _cosine_topk_sql(),
+        "ann_srp_bucket": _srp_sql(),
+        "embedding_near_dup": _near_dup_sql(0.8),
+        "media_featurize": """
+SELECT doc_id AS media_id,
+       'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+""",
+    }

@@ -1,0 +1,164 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  * cosine_topk — brute-force exact top-k: broadcast the (small) query set,
+    JVM-side dot products via zip_with/aggregate (left-fold => deterministic
+    summation order, reproducible in DuckDB's list_dot_product).
+  * srp_bucket_topk — sign-random-projection LSH: each vector hashes to a
+    bucket of projection signs; candidates come only from the query's bucket.
+    At 10^9+ vectors this turns the full cross join into a bucket-local one
+    (shuffle keyed by bucket, near-uniform by construction).
+
+Projection vectors are deterministic (seeded), generated once at import so
+the ANSI-SQL oracle can embed the same literals.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+SRP_BITS = 4
+SRP_DIM = 64  # embedding dimensionality of the test tables
+_rng = random.Random(0xE5EED)
+SRP_VECTORS: list[list[float]] = [
+    [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(SRP_DIM)]
+    for _ in range(SRP_BITS)
+]
+
+
+def _dot(a, b):
+    """Deterministic left-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def with_norm(embeddings: DataFrame) -> DataFrame:
+    v = _as_double(F.col("embedding"))
+    return embeddings.withColumn("vec", v).withColumn(
+        "norm", F.sqrt(_dot(F.col("vec"), F.col("vec")))
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    Output: (query_id, neighbor_id, rank, cosine) — cosine rounded to 6 dp,
+    ties broken by neighbor_id for cross-engine determinism."""
+    base = with_norm(embeddings)
+    queries = base.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
+def srp_bucket(col) -> F.Column:
+    """Sign-random-projection bucket id: one char per projection vector."""
+    bits = [
+        F.when(
+            _dot(col, F.array(*[F.lit(x) for x in vec])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for vec in SRP_VECTORS
+    ]
+    return F.concat(*bits)
+
+
+def srp_bucket_topk(
+    embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates share the query's SRP bucket.
+
+    Same output shape as cosine_topk; recall < 1 by design (the scale path)."""
+    base = with_norm(embeddings).withColumn("bucket", srp_bucket(F.col("vec")))
+    queries = base.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP blocking.
+
+    Output: (vec_a, vec_b, cosine) with vec_a < vec_b and cosine >= threshold.
+    Blocking on the SRP bucket keeps the pairwise term bucket-local."""
+    base = with_norm(embeddings).withColumn("bucket", srp_bucket(F.col("vec")))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("vec").alias("va"),
+        F.col("norm").alias("na"),
+        "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

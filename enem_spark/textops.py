@@ -1,0 +1,317 @@
+"""Training-data pipeline operators over a documents table.
+
+Everything here is expressed with built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen) — no Python UDFs in the hot path. Each operator has an
+ANSI-SQL twin in __spark_entry__.oracle_sql() runnable by DuckDB, so hash
+functions are restricted to md5() (identical lowercase-hex semantics in both
+engines) and all float outputs are rounded.
+
+Operators (SURVEY.md §2 extension set):
+  exact_dedup          hash-groupBy duplicate clustering
+  minhash_lsh_pairs    shingle -> md5 minhash -> banded LSH -> verified Jaccard
+  simhash              16-bit token-parity SimHash signature
+  ngram_jaccard_pairs  blocked pairwise n-gram Jaccard (explode + self-join)
+  langid               n-gram/stopword-count heuristic language ID
+  quality_score        length/punct/stopword-ratio quality features
+  token_count          whitespace + regex token counting
+  fingerprint          bottom-k shingle-hash document sketch
+
+Scale notes: dedup/self-join families shuffle on content-derived keys
+(hash/shingle/band), which are near-uniform, so no skew salting is needed;
+the pair-verification joins are equi-joins on those keys and AQE handles
+residual imbalance. At 100 TB the explode(shingles) stage dominates — it is
+map-side only (no shuffle) until the groupBy(shingle-band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+# word shingles of this size feed minhash + fingerprint
+SHINGLE_N = 3
+MINHASH_PERMS = 8
+LSH_BANDS = 4  # rows per band = MINHASH_PERMS // LSH_BANDS
+SIMHASH_BITS = 16
+
+EN_MARKERS = (" the ", " and ", " of ")
+PT_MARKERS = (" de ", " que ", " da ")
+ODD_HEX = "13579bdf"  # hex digits with low bit set
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def _shingles(col):
+    """Distinct n-word shingles, built JVM-side (transform over sequence)."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= SHINGLE_N,
+            F.transform(
+                F.sequence(F.lit(0), n - SHINGLE_N),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(SHINGLE_N)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact duplicate clustering by content hash; keeper = min doc_id.
+
+    Output: (text_hash, keeper_doc_id, dup_count) for every distinct text."""
+    return (
+        documents.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingle_table(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    )
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """MinHash via k md5 'permutations': min(md5(seed || shingle)) per seed.
+
+    Lexicographic min over md5 hex is a valid random-permutation min — and is
+    bit-identical across Spark and DuckDB, unlike numeric hash functions."""
+    sh = shingle_table(documents)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Banded-LSH candidate generation + exact Jaccard verification.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold,
+    rounded to 6 dp. Candidates = pairs sharing at least one band signature;
+    verification joins the shingle sets (equi-join on shingle)."""
+    sig = minhash_signatures(documents)
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verified_jaccard(documents, candidates, threshold)
+
+
+def _verified_jaccard(
+    documents: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    sh = shingle_table(documents).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sa = sh.withColumnRenamed("doc_id", "doc_a")
+    sb = sh.withColumnRenamed("doc_id", "doc_b")
+    common = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5, block_col: str = "source"
+) -> DataFrame:
+    """Exact pairwise shingle-Jaccard within a blocking key (e.g. source).
+
+    The blocked self-join is the brute-force baseline minhash_lsh_pairs
+    approximates; at scale the block bounds the quadratic term."""
+    sh = (
+        documents.select(
+            "doc_id",
+            F.col(block_col).alias("block"),
+            F.explode(_shingles(F.col("text"))).alias("shingle"),
+        )
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """16-bit SimHash from token md5 nibble parities.
+
+    bit_j = sign of sum over tokens of (+1 if j-th hex digit of md5(token) is
+    odd else -1). Output: (doc_id, simhash) with simhash as a '0'/'1' string
+    (portable across engines; no 64-bit int semantics to match)."""
+    tok = documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
+    ).withColumn("h", F.md5(F.col("w")))
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.substring(F.col("h"), j + 1, 1).isin(*ODD_HEX), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_aggs)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    return sums.select("doc_id", bits.alias("simhash"))
+
+
+def _count_occurrences(col, needle: str):
+    """Non-overlapping substring occurrence count, replace-based (portable)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def langid(documents: DataFrame) -> DataFrame:
+    """Marker-n-gram language heuristic: count EN vs PT stopword trigrams.
+
+    Output: (doc_id, en_hits, pt_hits, lang_pred)."""
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    en = sum((_count_occurrences(padded, m) for m in EN_MARKERS), F.lit(0))
+    pt = sum((_count_occurrences(padded, m) for m in PT_MARKERS), F.lit(0))
+    return documents.select(
+        "doc_id",
+        en.alias("en_hits"),
+        pt.alias("pt_hits"),
+        F.when(en > pt, "en")
+        .when(pt > en, "pt")
+        .otherwise("und")
+        .alias("lang_pred"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + composite.
+
+    All arithmetic in doubles, rounded for cross-engine hash stability."""
+    text = F.col("text")
+    n_chars = F.length(text)
+    toks = _tokens(text)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(text, r"[\.,;:!\?]", "")
+    )
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    stop_hits = sum(
+        (_count_occurrences(padded, m) for m in EN_MARKERS + PT_MARKERS), F.lit(0)
+    )
+    mean_tok_len = (n_chars - (n_tokens - 1)) / n_tokens
+    punct_ratio = n_punct / n_chars
+    stop_ratio = stop_hits / n_tokens
+    score = (
+        F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens plus a BPE-ish subword estimate (ceil chars/4)."""
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    subwords = F.ceil(F.length(F.col("text")) / F.lit(4.0)).cast("bigint")
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        subwords.alias("n_subwords_est"),
+    )
+
+
+def fingerprint(documents: DataFrame, k: int = 4) -> DataFrame:
+    """Bottom-k sketch: the k smallest shingle md5s, concatenated.
+
+    A compact content fingerprint: equal fingerprints => near-certain dup;
+    used as a cheap pre-filter before pairwise verification."""
+    sh = shingle_table(documents).withColumn("h", F.md5(F.col("shingle")))
+    w = W.partitionBy("doc_id").orderBy("h")
+    ranked = sh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(F.array_join(F.array_sort(F.collect_list("h")), "|").alias("fingerprint"))
+    )

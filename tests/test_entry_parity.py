@@ -1,0 +1,103 @@
+"""Local mirror of the driver's CORRECTNESS gate: every queries() entry with
+an oracle_sql() twin must match DuckDB exactly (row count + schema column
+names + order-insensitive values) at sf0.01."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def normalize(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in cols:
+            v = row[c] if not isinstance(row, tuple) else row[cols.index(c)]
+            if isinstance(v, Decimal):
+                v = float(v)
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0:
+                    v = 0.0
+            if hasattr(v, "timestamp"):  # datetime
+                v = v.isoformat()
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    assert name in QUERIES, f"oracle {name} has no queries() entry"
+    sdf = QUERIES[name](spark, SF_DIR)
+    cols = sdf.columns
+    spark_rows = [tuple(r[c] for c in cols) for r in sdf.collect()]
+
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    assert sorted(duck_cols) == sorted(cols), (
+        f"{name}: column mismatch spark={cols} duck={duck_cols}"
+    )
+    duck_rows_raw = res.fetchall()
+    # align duck column order to spark's
+    idx = [duck_cols.index(c) for c in cols]
+    duck_rows = [tuple(r[i] for i in idx) for r in duck_rows_raw]
+
+    got = normalize(spark_rows, list(range(len(cols))))
+    exp = normalize(duck_rows, list(range(len(cols))))
+    assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
+    mism = [(g, e) for g, e in zip(got, exp) if g != e]
+    assert not mism, f"{name}: {len(mism)} mismatching rows; first: {mism[0]}"
+
+
+def test_every_query_has_oracle_or_is_declared():
+    undeclared = set(QUERIES) - set(ORACLES)
+    # the full extraction pipeline is the one intentionally rows-only entry
+    assert undeclared == {"extract_questions"}, undeclared
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(5).collect()
+    assert df.columns == [
+        "url",
+        "seq",
+        "subject",
+        "question_num",
+        "ID",
+        "correct_answer",
+        "question_text",
+    ]
+    assert entry_mod.q_extract_questions(spark, SF_DIR).count() > 0
+    assert len(rows) > 0
