@@ -212,6 +212,10 @@ def q_ann_srp_bucket(spark, sf_dir):
     return simsearch.srp_bucket_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    return simsearch.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     return simsearch.embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.8)
 
@@ -249,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_bucket": q_ann_srp_bucket,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "media_featurize": q_media_featurize,
     }
@@ -458,6 +463,49 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM ranked WHER
 """
 
 
+def _ivf_sql(k=5, n_cells=None, n_probe=None) -> str:
+    n_cells = n_cells or simsearch.IVF_CELLS
+    n_probe = n_probe or simsearch.IVF_PROBE
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, vec AS cvec, norm AS cnorm FROM base WHERE vec_id < {n_cells}
+),
+assign_scored AS (
+  SELECT b.vec_id, b.vec, b.norm, c.cent_id,
+         round(list_dot_product(b.vec, c.cvec) / (b.norm * c.cnorm), 6) AS ccos
+  FROM base b, cents c
+),
+assigned AS (
+  SELECT vec_id, vec, norm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+    FROM assign_scored
+  ) WHERE crank = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+    FROM assign_scored WHERE vec_id IN (0,1,2,3,4)
+  ) WHERE crank <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(a.vec, p.qvec) / (a.norm * p.qnorm), 6) AS cosine
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
 def _near_dup_sql(threshold: float) -> str:
     def proj(vec):
         lits = ", ".join(repr(x) for x in vec)
@@ -575,6 +623,7 @@ FROM hashed WHERE rn <= 4 GROUP BY doc_id
 """,
         "ann_cosine_topk": _cosine_topk_sql(),
         "ann_srp_bucket": _srp_sql(),
+        "ann_ivf_topk": _ivf_sql(),
         "embedding_near_dup": _near_dup_sql(0.8),
         "media_featurize": """
 SELECT doc_id AS media_id,

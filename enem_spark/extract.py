@@ -338,6 +338,15 @@ def extract_pages(pages: DataFrame, cfg: ExtractorConfig) -> DataFrame:
 def extract_questions(pages: DataFrame, cfg: ExtractorConfig) -> DataFrame:
     """pages -> questions table (SURVEY.md §1.4 / FIXTURES.md §3)."""
     counted = extract_pages(pages, cfg)
+    keys = build_answer_keys(with_url_metadata(pages))
+    return questions_from_counted(counted, keys, cfg)
+
+
+def questions_from_counted(
+    counted: DataFrame, keys: DataFrame, cfg: ExtractorConfig
+) -> DataFrame:
+    """Downstream stage shared by batch, lineage-instrumented, and streaming
+    runs: explode candidates -> broadcast answer join -> subject routing."""
     exploded = (
         counted.select(
             "url",
@@ -359,7 +368,6 @@ def extract_questions(pages: DataFrame, cfg: ExtractorConfig) -> DataFrame:
     if not cfg.keep_unparsed:
         exploded = exploded.filter(F.col("parse_ok"))  # F6 (numbering already fixed)
 
-    keys = build_answer_keys(with_url_metadata(pages))
     joined = exploded.join(
         F.broadcast(keys),
         on=(

@@ -133,6 +133,95 @@ def srp_bucket_topk(
     )
 
 
+IVF_CELLS = 8
+IVF_PROBE = 2
+
+
+def ivf_assignments(embeddings: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
+    """IVF coarse quantization with deterministic centroids.
+
+    Centroids are the vectors with vec_id < n_cells (seeded corpus => a fixed
+    pseudo-random sample; a production run would swap in k-means centroids —
+    the plan shape is identical). Every vector is assigned to its max-cosine
+    centroid. Output: base columns + (cell, cell_cos)."""
+    base = with_norm(embeddings)
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos",
+        F.round(_dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm")), 6),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "vec", "norm", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """IVF-style ANN: probe the n_probe nearest centroid cells per query.
+
+    The scale path for 10^9+ vectors: the candidate scan shrinks from the
+    full table to ~n_probe/n_cells of it, the cell assignment is a shuffle on
+    a low-cardinality near-uniform key, and the per-query probe is a
+    broadcast join. Same output shape as cosine_topk (recall < 1)."""
+    assigned = ivf_assignments(embeddings, n_cells)
+    base = with_norm(embeddings)
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    queries = base.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    qcells = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 6
+        ),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    probes = (
+        qcells.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qvec", "qnorm", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 6
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

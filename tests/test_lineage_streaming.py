@@ -1,0 +1,121 @@
+"""Checkpoint-resume + per-partition lineage + streaming ingestion tests.
+
+north_rule: "resumable from checkpoint with per-partition lineage + metrics";
+streaming is the §7.6 ingestion extension. Both paths must produce exactly
+the rows the plain batch pipeline produces."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from enem_spark import corpus
+from enem_spark.extract import ExtractorConfig, extract_questions
+from enem_spark.lineage import run_extraction
+
+CFG = corpus.CorpusConfig(seed=11, n_exams=4, pages_per_exam=6, questions_per_page=2)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    return corpus.pages_dataframe(spark, CFG)
+
+
+def _question_keys(df):
+    return sorted(
+        (r["url"], r["seq"], r["question_text"], r["correct_answer"])
+        for r in df.select("url", "seq", "question_text", "correct_answer").collect()
+    )
+
+
+def test_run_extraction_matches_batch_and_writes_lineage(spark, pages_df, tmp_path):
+    out = str(tmp_path / "run")
+    cfg = ExtractorConfig(output_type="json")
+    summary = run_extraction(spark, pages_df, cfg, out, run_id="r1")
+    assert summary["input_pages"] > 0
+
+    written = spark.read.parquet(f"{out}/questions")
+    assert _question_keys(written) == _question_keys(extract_questions(pages_df, cfg))
+
+    lineage = spark.read.parquet(f"{out}/lineage")
+    rows = lineage.collect()
+    assert rows and all(r["run_id"] == "r1" for r in rows)
+    # lineage totals must reconcile with the data they describe
+    totals = lineage.agg(
+        F.sum("input_pages").alias("p"), F.sum("q_candidates").alias("q")
+    ).first()
+    assert totals["p"] == summary["input_pages"]
+    assert totals["q"] >= written.count()  # candidates >= emitted (F6 drops)
+    assert lineage.filter(F.col("wall_ms") <= 0).count() == 0
+
+
+def test_rerun_is_noop_and_resume_processes_only_new_docs(spark, pages_df, tmp_path):
+    out = str(tmp_path / "run")
+    cfg = ExtractorConfig(output_type="json")
+    s1 = run_extraction(spark, pages_df, cfg, out, run_id="r1")
+    n1 = spark.read.parquet(f"{out}/questions").count()
+
+    # identical rerun: every document is already in processed_docs
+    s2 = run_extraction(spark, pages_df, cfg, out, run_id="r2")
+    assert s2["input_pages"] == 0
+    assert s2["questions_written"] == 0
+    assert spark.read.parquet(f"{out}/questions").count() == n1
+
+    # add new documents: only they are processed on resume
+    bigger = corpus.CorpusConfig(seed=11, n_exams=6, pages_per_exam=6, questions_per_page=2)
+    pages2 = corpus.pages_dataframe(spark, bigger)
+    s3 = run_extraction(spark, pages2, cfg, out, run_id="r3")
+    assert 0 < s3["input_pages"] < s1["input_pages"] + s3["input_pages"]
+    combined = spark.read.parquet(f"{out}/questions")
+    assert _question_keys(combined) == _question_keys(extract_questions(pages2, cfg))
+
+
+def test_quarantine_table_written(spark, pages_df, tmp_path):
+    import pandas as pd
+
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "url": "cc://junk/nometa/page/1",
+                    "warc_ts": pd.Timestamp("2024-01-01"),
+                    "html": None,
+                    "text": "QUESTÃO 1 x",
+                    "lang": "pt",
+                }
+            ]
+        ),
+        schema=pages_df.schema,
+    )
+    out = str(tmp_path / "runq")
+    summary = run_extraction(
+        spark, pages_df.unionByName(bad), ExtractorConfig(), out, run_id="rq"
+    )
+    assert summary["quarantined"] == 1
+    q = spark.read.parquet(f"{out}/quarantine").collect()
+    assert [r["url"] for r in q] == ["cc://junk/nometa/page/1"]
+
+
+def test_streaming_matches_batch(spark, pages_df, tmp_path):
+    """availableNow file stream through foreachBatch == batch pipeline output,
+    including dedup of a re-crawled (duplicate-url) page."""
+    from enem_spark.streaming import read_pages_stream, start_extraction_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = ExtractorConfig(output_type="json")
+
+    # one parquet file per document (whole-document delivery per micro-batch)
+    pages_df.withColumn(
+        "doc", F.regexp_extract("url", r"^(.*)/page/\d+$", 1)
+    ).repartition("doc").drop("doc").write.parquet(src)
+    # a duplicated page file: same urls again -> must be dropped by dedup
+    pages_df.limit(3).write.mode("append").parquet(src)
+
+    stream = read_pages_stream(spark, src, watermark="10 seconds")
+    q = start_extraction_stream(stream, cfg, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(f"{out}/questions")
+    assert _question_keys(got) == _question_keys(extract_questions(pages_df, cfg))
