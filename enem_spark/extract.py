@@ -314,6 +314,16 @@ def extract_pages(pages: DataFrame, cfg: ExtractorConfig) -> DataFrame:
     meta = with_url_metadata(pages.filter(F.col("lang") == "pt"))
     valid, _ = split_quarantine(meta)
     pv = valid.filter((F.col("kind") == "PV") & (F.col("page_idx") >= 1))  # F2
+    # F3 as a cheap codegen prefilter BELOW the UDF: a page yields q_count>0
+    # iff its text carries the marker (either case — P1 normalizes Questão).
+    # Filtering on the UDF output instead would make Catalyst push the filter
+    # under the projection and evaluate the ArrowEvalPython twice.
+    has_marker = (
+        F.col("text").contains(oracle.QUESTION_MARKER)
+        | F.col("text").contains("Questão")
+        | (F.col("text").isNull() & F.col("html").isNotNull())
+    )
+    pv = pv.filter(has_marker)
     page_udf = make_page_udf(cfg)
     paged = (
         pv.withColumn("page", page_udf("url", "html", "text"))
@@ -328,10 +338,10 @@ def extract_pages(pages: DataFrame, cfg: ExtractorConfig) -> DataFrame:
         )
     )
     # numbering needs every marker-bearing page (image pages included: their
-    # count advances numbering even though they emit nothing — F4)
-    counted = with_page_numbering(
-        paged.filter(F.col("q_count") > 0), cfg.salt_chunk_size
-    )
+    # count advances numbering even though they emit nothing — F4). Rare
+    # q_count=0 survivors (html-only pages with no marker) add 0 to the
+    # running sum and explode to nothing, so no post-UDF filter is needed.
+    counted = with_page_numbering(paged, cfg.salt_chunk_size)
     return counted
 
 

@@ -73,18 +73,35 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def shingle_table(documents: DataFrame) -> DataFrame:
-    return documents.select(
+def shingle_table(documents: DataFrame, cache: bool = False) -> DataFrame:
+    """One row per (doc_id, distinct shingle).
+
+    ``cache=True`` persists the exploded table (MEMORY_AND_DISK) for plans
+    that branch over it several times (LSH candidates + both sides of the
+    verification join + set sizes) — the explode is the dominant cost and
+    Spark re-executes it per branch otherwise. ContextCleaner reclaims the
+    blocks once the plan is garbage collected. At 100 TB the same role is
+    played by materializing the shingle table to storage once per corpus
+    snapshot and reusing it across dedup jobs."""
+    sh = documents.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     )
+    if cache:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    return sh
 
 
-def minhash_signatures(documents: DataFrame) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, sh: DataFrame | None = None
+) -> DataFrame:
     """MinHash via k md5 'permutations': min(md5(seed || shingle)) per seed.
 
     Lexicographic min over md5 hex is a valid random-permutation min — and is
     bit-identical across Spark and DuckDB, unlike numeric hash functions."""
-    sh = shingle_table(documents)
+    if sh is None:
+        sh = shingle_table(documents)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
         for s in range(MINHASH_PERMS)
@@ -98,7 +115,8 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold,
     rounded to 6 dp. Candidates = pairs sharing at least one band signature;
     verification joins the shingle sets (equi-join on shingle)."""
-    sig = minhash_signatures(documents)
+    sh = shingle_table(documents, cache=True)
+    sig = minhash_signatures(documents, sh)
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     bands = sig.select(
         "doc_id",
@@ -133,13 +151,16 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
         )
         .distinct()
     )
-    return _verified_jaccard(documents, candidates, threshold)
+    return _verified_jaccard(sh, candidates, threshold)
 
 
 def _verified_jaccard(
-    documents: DataFrame, candidates: DataFrame, threshold: float
+    sh: DataFrame, candidates: DataFrame, threshold: float
 ) -> DataFrame:
-    sh = shingle_table(documents).distinct()
+    """Exact Jaccard for candidate pairs, from a (doc_id, shingle) table.
+
+    Shingles are already distinct per doc (_shingles applies array_distinct),
+    so counts are true set sizes."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa = sh.withColumnRenamed("doc_id", "doc_a")
     sb = sh.withColumnRenamed("doc_id", "doc_b")
@@ -171,13 +192,13 @@ def ngram_jaccard_pairs(
 
     The blocked self-join is the brute-force baseline minhash_lsh_pairs
     approximates; at scale the block bounds the quadratic term."""
-    sh = (
-        documents.select(
-            "doc_id",
-            F.col(block_col).alias("block"),
-            F.explode(_shingles(F.col("text"))).alias("shingle"),
-        )
-    ).distinct()
+    from pyspark import StorageLevel
+
+    sh = documents.select(
+        "doc_id",
+        F.col(block_col).alias("block"),
+        F.explode(_shingles(F.col("text"))).alias("shingle"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # branches: self-join sides + sizes
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
