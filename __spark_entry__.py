@@ -204,6 +204,18 @@ def q_fingerprint(spark, sf_dir):
     return textops.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_top_terms(spark, sf_dir):
+    return textops.top_terms(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_curate(spark, sf_dir):
+    return textops.corpus_curate(_t(spark, sf_dir, "documents"))
+
+
+def q_source_stats(spark, sf_dir):
+    return textops.source_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return simsearch.cosine_topk(_t(spark, sf_dir, "embeddings"))
 
@@ -251,6 +263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "top_terms": q_top_terms,
+        "corpus_curate": q_corpus_curate,
+        "source_stats": q_source_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_bucket": q_ann_srp_bucket,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -408,6 +423,71 @@ SELECT doc_id,
            + 0.3 * (1.0 - least((n_punct / n_chars) * 10, 1.0))
            + 0.3 * least((stop_hits / n_tokens) * 5, 1.0), 6) AS quality
 FROM base
+"""
+
+
+def _doc_features_cte() -> str:
+    """Shared DuckDB CTE mirroring quality_score + langid + md5 per doc."""
+    padded = "(' ' || text || ' ')"
+    en = " + ".join(_count_occ_sql(padded, m) for m in textops.EN_MARKERS)
+    pt = " + ".join(_count_occ_sql(padded, m) for m in textops.PT_MARKERS)
+    stop = " + ".join(
+        _count_occ_sql(padded, m) for m in textops.EN_MARKERS + textops.PT_MARKERS
+    )
+    return f"""
+feat AS (
+  SELECT doc_id, source, md5(text) AS h,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+         {stop} AS stop_hits,
+         CAST({en} AS INT) AS en_hits,
+         CAST({pt} AS INT) AS pt_hits
+  FROM documents
+),
+scored AS (
+  SELECT *,
+         CASE WHEN en_hits > pt_hits THEN 'en'
+              WHEN pt_hits > en_hits THEN 'pt' ELSE 'und' END AS lang_pred,
+         round(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (1.0 - least((n_punct / n_chars) * 10, 1.0))
+             + 0.3 * least((stop_hits / n_tokens) * 5, 1.0), 6) AS quality
+  FROM feat
+)
+"""
+
+
+def _curate_sql(min_tokens=20, min_quality=0.5, lang="en") -> str:
+    return f"""
+WITH {_doc_features_cte()},
+keepers AS (SELECT h, min(doc_id) AS kd FROM scored GROUP BY h),
+j AS (
+  SELECT s.doc_id, s.doc_id = k.kd AS is_keeper, s.lang_pred, s.n_tokens, s.quality
+  FROM scored s JOIN keepers k USING (h)
+),
+decided AS (
+  SELECT doc_id,
+         CASE WHEN NOT is_keeper THEN 'dup'
+              WHEN lang_pred <> '{lang}' THEN 'lang'
+              WHEN n_tokens < {min_tokens} THEN 'short'
+              WHEN quality < {min_quality} THEN 'low_quality'
+              ELSE 'ok' END AS reason
+  FROM j
+)
+SELECT doc_id, reason = 'ok' AS keep, reason FROM decided
+"""
+
+
+def _source_stats_sql() -> str:
+    return f"""
+WITH {_doc_features_cte()}
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT h) AS n_distinct,
+       sum(n_tokens) AS total_tokens,
+       round(avg(quality), 6) AS avg_quality,
+       round(1.0 - count(DISTINCT h) / count(*), 6) AS dup_rate
+FROM scored GROUP BY source
 """
 
 
@@ -621,6 +701,18 @@ hashed AS (
 SELECT doc_id, string_agg(h, '|' ORDER BY h) AS fingerprint
 FROM hashed WHERE rn <= 4 GROUP BY doc_id
 """,
+        "top_terms": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS term
+  FROM documents
+),
+dfq AS (SELECT term, count(*) AS doc_freq FROM tok GROUP BY term)
+SELECT term, doc_freq, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY doc_freq DESC, term) AS rank FROM dfq
+) WHERE rank <= 50
+""",
+        "corpus_curate": _curate_sql(),
+        "source_stats": _source_stats_sql(),
         "ann_cosine_topk": _cosine_topk_sql(),
         "ann_srp_bucket": _srp_sql(),
         "ann_ivf_topk": _ivf_sql(),

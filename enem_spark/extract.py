@@ -71,18 +71,24 @@ def with_url_metadata(pages: DataFrame) -> DataFrame:
     url = F.col("url")
     # regexp_extract yields "" on no match; try_cast maps that to NULL instead
     # of an ANSI cast error, so contract violations flow to quarantine (F1)
-    return (
+    out = (
         pages.withColumn("doc_id", F.regexp_extract(url, r"^(.*)/page/\d+$", 1))
         .withColumn(
             "page_idx", F.regexp_extract(url, r"/page/(\d+)$", 1).try_cast("int")
         )
         .withColumn("year", F.regexp_extract(url, r"(20\d{2})", 1).try_cast("int"))
         .withColumn("day", F.when(url.contains("D1"), "D1").otherwise("D2"))
-        .withColumn(
-            "kind",
-            F.when(url.contains("PV"), "PV").when(url.contains("GB"), "GB"),
-        )
         .withColumn("color", F.regexp_extract(url, r"CD(\d)", 1))
+    )
+    if "kind" in pages.columns:
+        # a physical `kind` column (e.g. an Iceberg/hive partition column of
+        # the pages table) beats re-deriving it: downstream kind filters then
+        # become PARTITION PRUNING at the scan instead of a regexp over every
+        # row — the answer-key build touches only the tiny GB partition
+        return out
+    return out.withColumn(
+        "kind",
+        F.when(url.contains("PV"), "PV").when(url.contains("GB"), "GB"),
     )
 
 

@@ -51,6 +51,9 @@ def answer_letter(year: int, day: str, key: int) -> str:
     return "ABCDE"[digest[0] % 5]
 
 
+BODY_TOKENS = 60  # ~1 KB of question body per page: realistic regex load
+
+
 def page_text_for(doc_id: int, text: str, year: int) -> str:
     toks = text.split()
     if len(toks) < 12:
@@ -59,10 +62,12 @@ def page_text_for(doc_id: int, text: str, year: int) -> str:
     first_q = (page_idx - 1) * 2 + 1
     parts = [f"ENEM {year} CADERNO\n"]
     for k in range(2):
-        body = " ".join(toks[(k * 6) % len(toks) : (k * 6) % len(toks) + 6])
+        body = " ".join(
+            toks[(k * 6 + j) % len(toks)] for j in range(BODY_TOKENS)
+        )
         lines = [f"QUESTÃO {first_q + k} ", f"{body}?"]
         for j, letter in enumerate("ABCDE"):
-            alt = toks[(k * 6 + j) % len(toks)]
+            alt = " ".join(toks[(k * 6 + j + m) % len(toks)] for m in range(4))
             lines.append(f"{letter}\n{letter}{alt} na escala.")
         parts.append("\n".join(lines) + "\n")
     return "".join(parts)

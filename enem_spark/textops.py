@@ -324,6 +324,84 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+def top_terms(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Vocabulary head by document frequency (tokenizer/vocab building step).
+
+    Output: (term, doc_freq, rank), rank 1..k, ties broken by term. Document
+    frequency (distinct docs per term) not raw count — the quantity BPE/vocab
+    pruning actually needs. Scale: explode is map-side; the groupBy(term)
+    shuffle key is near-Zipfian, but partial aggregation collapses each
+    partition's term set first, so the skew of hot terms never materializes
+    as row skew (only as one long-ish reduce key per hot term)."""
+    tok = documents.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term")
+    )
+    df_counts = tok.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    w = W.orderBy(F.desc("doc_freq"), F.asc("term"))
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("term", "doc_freq", "rank")
+    )
+
+
+def corpus_curate(
+    documents: DataFrame,
+    min_tokens: int = 20,
+    min_quality: float = 0.5,
+    lang: str = "en",
+) -> DataFrame:
+    """The canonical training-data curation composite: language filter +
+    quality filter + exact-dedup keeper selection, with a reason per drop.
+
+    Output: (doc_id, keep, reason) for EVERY document — an auditable
+    keep-list, not a silently filtered corpus. reason in
+    {'ok','dup','lang','short','low_quality'} (first failing rule wins, in
+    that order). All three inputs are single-pass aggregates/joins over the
+    same scan; the dedup keeper join broadcasts only (hash, keeper) pairs."""
+    q = quality_score(documents).select("doc_id", "n_tokens", "quality")
+    l = langid(documents).select("doc_id", "lang_pred")
+    keepers = exact_dedup(documents).select(
+        F.col("keeper_doc_id").alias("kd"), F.col("text_hash")
+    )
+    hashed = documents.select("doc_id", F.md5("text").alias("text_hash"))
+    is_keeper = hashed.join(keepers, "text_hash").withColumn(
+        "is_keeper", F.col("doc_id") == F.col("kd")
+    ).select("doc_id", "is_keeper")
+    joined = q.join(l, "doc_id").join(is_keeper, "doc_id")
+    reason = (
+        F.when(~F.col("is_keeper"), "dup")
+        .when(F.col("lang_pred") != lang, "lang")
+        .when(F.col("n_tokens") < min_tokens, "short")
+        .when(F.col("quality") < min_quality, "low_quality")
+        .otherwise("ok")
+    )
+    return joined.select(
+        "doc_id",
+        (reason == F.lit("ok")).alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def source_stats(documents: DataFrame) -> DataFrame:
+    """Per-source corpus profile: volume, dedup rate, quality/length means.
+
+    The dashboard aggregate a crawl-curation pipeline reports per domain.
+    One shuffle on `source` (low cardinality, partial-agg collapses first)."""
+    q = quality_score(documents).select("doc_id", "n_tokens", "quality")
+    hashed = documents.select("doc_id", "source", F.md5("text").alias("h"))
+    base = hashed.join(q, "doc_id")
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_distinct"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("h") / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
+
+
 def fingerprint(documents: DataFrame, k: int = 4) -> DataFrame:
     """Bottom-k sketch: the k smallest shingle md5s, concatenated.
 
