@@ -216,6 +216,14 @@ def q_source_stats(spark, sf_dir):
     return textops.source_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_sessionize(spark, sf_dir):
+    return textops.sessionize(_t(spark, sf_dir, "events"))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    return textops.dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return simsearch.cosine_topk(_t(spark, sf_dir, "embeddings"))
 
@@ -266,6 +274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "corpus_curate": q_corpus_curate,
         "source_stats": q_source_stats,
+        "sessionize": q_sessionize,
+        "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_bucket": q_ann_srp_bucket,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -713,6 +723,40 @@ SELECT term, doc_freq, CAST(rank AS INT) AS rank FROM (
 """,
         "corpus_curate": _curate_sql(),
         "source_stats": _source_stats_sql(),
+        "sessionize": """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS is_start
+  FROM lagged
+)
+SELECT user_id, event_id,
+       user_id || '#' || CAST(sum(is_start) OVER w AS INT) AS session_id,
+       CAST(sum(is_start) OVER w AS INT) AS session_seq
+FROM marked
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_minhash_lsh_sql(0.5)})
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.doc_a, r.r FROM edges e JOIN reach r ON r.doc_id = e.doc_b
+)
+SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+""",
         "ann_cosine_topk": _cosine_topk_sql(),
         "ann_srp_bucket": _srp_sql(),
         "ann_ivf_topk": _ivf_sql(),

@@ -119,7 +119,10 @@ def run_bench(sf_dir: str, cpus: str, extract_only: bool = False) -> dict:
     qmap = entry_mod.queries()
 
     # --- extraction throughput (the BASELINE metric) ---
-    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "1"))
+    # default x8 replication: ~40k pages, enough to measure steady-state
+    # extraction rather than per-job scheduling overhead (sf0.1 alone is
+    # 5k pages ~= 5 MB — a fraction of a single real CC parquet file)
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
     store, n_pages = _pages_store(spark, sf_dir, mult)
     pages = spark.read.parquet(store)
     cfg = ExtractorConfig(output_type="json")

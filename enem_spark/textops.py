@@ -324,6 +324,85 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization of an event stream (batch form).
+
+    A new session starts when the gap from the user's previous event exceeds
+    ``gap_minutes``. session_seq = cumulative count of session starts per
+    user (1-based); session_id = "<user>#<seq>". One shuffle on user_id;
+    both windows share the same (user_id, ts, event_id) sort so Spark plans
+    a single Sort+Window chain."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap_minutes * 60)
+    ).cast("int")
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        events.withColumn("is_start", new_session)
+        .withColumn("session_seq", F.sum("is_start").over(cum).cast("int"))
+        .select(
+            "user_id",
+            "event_id",
+            F.concat_ws("#", F.col("user_id"), F.col("session_seq")).alias(
+                "session_id"
+            ),
+            "session_seq",
+        )
+    )
+
+
+def dedup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: every doc in
+    a cluster gets the cluster's minimum doc_id as its cluster_id.
+
+    Pairs come from minhash_lsh_pairs (verified Jaccard >= threshold). The
+    component computation is iterated min-label propagation — each round
+    joins current labels across edges and keeps the min — run to fixpoint
+    with a driver-side convergence check (the standard large/small-star
+    simplification; rounds = O(log diameter), and dup clusters in corpus
+    dedup have tiny diameters). Output: (doc_id, cluster_id) for EVERY doc
+    (singletons map to themselves)."""
+    pairs = minhash_lsh_pairs(documents, threshold).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        documents.select("doc_id")
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):  # diameter bound; dup graphs converge in 2-3 rounds
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .withColumn(
+                "new_cluster",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")),
+            )
+        ).persist()
+        changed = updated.filter(
+            F.col("new_cluster") != F.col("cluster_id")
+        ).limit(1).count()
+        new_labels = updated.select(
+            "doc_id", F.col("new_cluster").alias("cluster_id")
+        ).persist()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "cluster_id")
+
+
 def top_terms(documents: DataFrame, k: int = 50) -> DataFrame:
     """Vocabulary head by document frequency (tokenizer/vocab building step).
 
