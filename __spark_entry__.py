@@ -216,6 +216,10 @@ def q_source_stats(spark, sf_dir):
     return textops.source_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_props_extract(spark, sf_dir):
+    return textops.props_extract(_t(spark, sf_dir, "events"))
+
+
 def q_sessionize(spark, sf_dir):
     return textops.sessionize(_t(spark, sf_dir, "events"))
 
@@ -274,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "corpus_curate": q_corpus_curate,
         "source_stats": q_source_stats,
+        "props_extract": q_props_extract,
         "sessionize": q_sessionize,
         "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -723,6 +728,14 @@ SELECT term, doc_freq, CAST(rank AS INT) AS rank FROM (
 """,
         "corpus_curate": _curate_sql(),
         "source_stats": _source_stats_sql(),
+        "props_extract": """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+""",
         "sessionize": """
 WITH lagged AS (
   SELECT user_id, event_id, ts,

@@ -295,7 +295,7 @@ def build_answer_keys(pages_meta: DataFrame) -> DataFrame:
         "year", "day", "color", "text"
     )
 
-    def expand(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def expand(key, pdf):
         year, day, color = key
         rows = []
         for raw in pdf["text"]:
@@ -477,7 +477,7 @@ def render_sink_files(questions: DataFrame, cfg: ExtractorConfig) -> DataFrame:
     output_type = cfg.output_type
     process_images = cfg.process_images
 
-    def render_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def render_group(key, pdf):
         doc_id, year, day = key
         year = int(year)
         day_one = day == "D1"

@@ -324,6 +324,25 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+def props_extract(events: DataFrame) -> DataFrame:
+    """Semi-structured metadata extraction: parse the JSON `props` column
+    JVM-side (get_json_object — no Python) and aggregate by event_type.
+
+    The CC-pipeline shape: WARC/page metadata arrives as JSON strings; keep
+    parsing inside codegen, never in a Python UDF."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization of an event stream (batch form).
 
