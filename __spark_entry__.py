@@ -152,6 +152,44 @@ def q_filter_normalize(spark, sf_dir):
     )
 
 
+def q_latest_snapshot(spark, sf_dir):
+    """Crawl-recency dedup: keep each user's latest event (CC re-crawl
+    semantics: newest warc_ts wins per url). row_number desc over ts."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def q_anti_join_missing(spark, sf_dir):
+    """Left-anti join (the checkpoint-resume primitive): orders whose
+    customer is absent from a filtered dimension."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Rollup aggregate (subtotal lattice) over returnflag/linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
 def q_tpch_q1_like(spark, sf_dir):
     """Partial-aggregatable scan-heavy aggregate (map-side combine showcase)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -267,6 +305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numbering_gaps": q_numbering_gaps,
         "filter_normalize": q_filter_normalize,
         "tpch_q1_like": q_tpch_q1_like,
+        "latest_snapshot": q_latest_snapshot,
+        "anti_join_missing": q_anti_join_missing,
+        "rollup_revenue": q_rollup_revenue,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -682,6 +723,27 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+""",
+        "latest_snapshot": """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        "anti_join_missing": """
+SELECT o_orderstatus, count(*) AS n_orders
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
+)
+GROUP BY o_orderstatus
+""",
+        "rollup_revenue": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS dup_count
