@@ -45,6 +45,21 @@ def q_extract_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_question_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-url structured JSON question spans (the north-rule artifact):
+    one row per page url with the ordered [start,end) character spans of its
+    question segments in header-stripped page coordinates."""
+    pages = pages_from_documents(_t(spark, sf_dir, "documents"))
+    cfg = ExtractorConfig(output_type="json", process_images=False, keep_unparsed=True)
+    q = extract_questions(pages, cfg)
+    spans = F.array_sort(
+        F.collect_list(
+            F.struct("seq", "span_start", "span_end", "question_num", "parse_ok")
+        )
+    )
+    return q.groupBy("url").agg(F.to_json(spans).alias("spans_json"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_questions(spark, SF001)
@@ -297,6 +312,7 @@ def q_media_featurize(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_questions": q_extract_questions,
+        "extract_question_spans": q_extract_question_spans,
         "route_case": q_route_case,
         "lookup_join": q_lookup_join,
         "running_window": q_running_window,

@@ -111,6 +111,8 @@ def split_quarantine(pages_meta: DataFrame) -> tuple[DataFrame, DataFrame]:
 _QUESTION_FIELDS = T.StructType(
     [
         T.StructField("seq", T.IntegerType()),
+        T.StructField("span_start", T.IntegerType()),
+        T.StructField("span_end", T.IntegerType()),
         T.StructField("question_text", T.StringType()),
         T.StructField("alternatives", T.ArrayType(T.StringType())),
         T.StructField("ok", T.BooleanType()),
@@ -169,6 +171,10 @@ def _process_one_page(url, html, text, cfg: ExtractorConfig) -> dict:
             questions.append(
                 {
                     "seq": seq,
+                    # character span of the raw segment within the
+                    # preprocessed page text (header-stripped coordinates)
+                    "span_start": seg_start,
+                    "span_end": pos,
                     "question_text": q_text if ok else None,
                     "alternatives": alts if ok else [],
                     "ok": ok,
@@ -376,6 +382,8 @@ def questions_from_counted(
             F.explode("questions").alias("q"),
         )
         .withColumn("abs_num", F.col("page_first_question") + F.col("q.seq"))
+        .withColumn("span_start", F.col("q.span_start"))
+        .withColumn("span_end", F.col("q.span_end"))
         .withColumn("question_text", F.col("q.question_text"))
         .withColumn("alternatives", F.col("q.alternatives"))
         .withColumn("parse_ok", F.col("q.ok"))
@@ -432,6 +440,8 @@ def questions_from_counted(
         "subject",
         "question_num",
         "ID",
+        "span_start",
+        "span_end",
         "question_text",
         "alternatives",
         "correct_answer",

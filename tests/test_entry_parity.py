@@ -83,8 +83,9 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_every_query_has_oracle_or_is_declared():
     undeclared = set(QUERIES) - set(ORACLES)
-    # the full extraction pipeline is the one intentionally rows-only entry
-    assert undeclared == {"extract_questions"}, undeclared
+    # the full extraction pipeline + its span artifact are the intentionally
+    # rows-only entries (stateful cross-page string machine, not SQL)
+    assert undeclared == {"extract_questions", "extract_question_spans"}, undeclared
 
 
 def test_entry_smoke(spark):

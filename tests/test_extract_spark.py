@@ -183,6 +183,38 @@ def test_extracted_page_text_per_url(spark, docs, pages_df):
     assert checked > 10
 
 
+def test_question_spans_tile_page_text(spark, docs, pages_df):
+    """Span offsets are contiguous per page, start at the page's first
+    segment boundary, and each span slice of the oracle-preprocessed page
+    text begins with the question marker."""
+    cfg = ExtractorConfig(output_type="json", keep_unparsed=True)
+    rows = extract_questions(pages_df, cfg).select(
+        "url", "page_idx", "seq", "span_start", "span_end"
+    ).collect()
+    by_page = {}
+    for r in rows:
+        by_page.setdefault(r["url"], []).append(r)
+    raw = {
+        f"{d.url_prefix}/page/{p}": (d.page_texts[p], d.page_has_images[p])
+        for d in docs
+        if d.kind == "PV" and d.lang == "pt"
+        for p in range(len(d.page_texts))
+    }
+    checked = 0
+    for url, page_rows in by_page.items():
+        page_rows.sort(key=lambda r: r["seq"])
+        text, has_img = raw[url]
+        rec = oracle.preprocess_page(text, has_img, 0, False)
+        assert rec is not None and rec.text
+        for a, b in zip(page_rows, page_rows[1:]):
+            assert a["span_end"] == b["span_start"], url
+        for r in page_rows:
+            seg = rec.text[r["span_start"] : r["span_end"]]
+            assert seg.startswith(oracle.QUESTION_MARKER), (url, r["seq"])
+            checked += 1
+    assert checked > 20
+
+
 def test_contract_violations_quarantined_not_crash(spark, pages_df):
     """F1: rows with urls outside the naming contract must not crash the
     pipeline (ANSI cast on regexp_extract('') regression) nor emit rows."""
