@@ -174,10 +174,14 @@ def run_extraction(
             .partitionBy("year", "day")
             .parquet(f"{out_dir}/questions")
         )
+        # an all-filtered run appends zero part files, leaving a schema-less
+        # dir — guard the read-back (same reason processed_doc_ids guards)
         n_questions = (
             spark.read.parquet(f"{out_dir}/questions")
             .filter(F.col("run_id") == run_id)
             .count()
+            if _exists(f"{out_dir}/questions")
+            else 0
         )
 
         lineage = partition_lineage(paged, run_id)

@@ -16,13 +16,19 @@ micro-batch via the checkpoint dir. Within each micro-batch the work is the
 proven batch plan, so streaming adds no second implementation of the
 semantics.
 
-Caveat shared with the batch resume path: the unit of correctness is the
-document (X3 numbering runs across a document's pages), so the stream
-asserts per-batch document completeness only if the source delivers whole
-documents per file — which the writer side guarantees by writing one parquet
-file per document. For arbitrary page-at-a-time streams, pages are staged to
-a holding table and complete documents are released by comparing seen-page
-counts against the `/page/N` maximum (not needed for the test corpus).
+The unit of correctness is the document (X3 numbering runs across a
+document's pages), which leaves two ingestion modes:
+
+  * `start_extraction_stream` — whole-document delivery: each micro-batch
+    carries complete documents (the writer side emits one file per doc).
+  * `start_document_stream` — page-at-a-time delivery: pages accumulate in
+    a staging table; a document is released for extraction once its newest
+    page is older than the event-time completeness horizon (all pages of a
+    doc are assumed to arrive within `completeness_delay` of each other —
+    the same contract a watermark gives a windowed aggregate). Released
+    documents run through `lineage.run_extraction`, whose processed_docs
+    anti-join makes the release exactly-once even though a document's pages
+    appear in the staging table across many batches.
 """
 
 from __future__ import annotations
@@ -72,6 +78,90 @@ def start_extraction_stream(
             .write.mode("append")
             .partitionBy("year", "day")
             .parquet(f"{out_dir}/questions")
+        )
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def flush_staging(
+    spark: SparkSession, cfg: ExtractorConfig, out_dir: str
+) -> dict | None:
+    """End-of-stream flush for `start_document_stream`: extract every staged
+    document regardless of the completeness horizon (the stream is finished,
+    so nothing newer can arrive). Exactly-once still holds via the
+    processed_docs anti-join."""
+    import os
+
+    from .lineage import run_extraction
+
+    staging = f"{out_dir}/staging"
+    if not os.path.exists(staging):
+        return None
+    staged = spark.read.parquet(staging)
+    return run_extraction(spark, staged, cfg, out_dir, run_id="flush")
+
+
+def start_document_stream(
+    pages_stream: DataFrame,
+    cfg: ExtractorConfig,
+    out_dir: str,
+    checkpoint_dir: str,
+    completeness_delay_s: int = 0,
+    available_now: bool = True,
+):
+    """Page-at-a-time ingestion with event-time document-completeness release.
+
+    Each micro-batch appends to a staging table. A PV document is *settled*
+    when `max(warc_ts)` over its staged pages is at least
+    ``completeness_delay_s`` older than the global max event time seen — the
+    event-time analogue of a watermark, driven entirely by data (no wall
+    clock, so replays are deterministic). Settled documents plus all GB
+    answer-key pages feed `lineage.run_extraction`; its processed_docs
+    anti-join guarantees each document extracts exactly once no matter how
+    many batches its pages straddled. With ``completeness_delay_s=0`` every
+    staged document settles each batch (right for availableNow catch-up
+    runs; use a positive delay for live tailing)."""
+    from .lineage import run_extraction
+
+    staging = f"{out_dir}/staging"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(staging)
+        staged = spark.read.parquet(staging)
+        doc_id = F.regexp_extract("url", r"^(.*)/page/\d+$", 1)
+        kind = F.when(F.col("url").contains("PV"), "PV").when(
+            F.col("url").contains("GB"), "GB"
+        )
+        meta = staged.withColumn("doc_id", doc_id).withColumn("kind", kind)
+        horizon = meta.agg(F.max("warc_ts")).first()[0]
+        if horizon is None:
+            return
+        cutoff = F.lit(horizon) - F.expr(f"INTERVAL {completeness_delay_s} SECONDS")
+        settled = (
+            meta.filter(F.col("kind") == "PV")
+            .groupBy("doc_id")
+            .agg(F.max("warc_ts").alias("newest"))
+            .filter(F.col("newest") <= cutoff)
+            .select("doc_id")
+        )
+        ready = meta.join(F.broadcast(settled), "doc_id", "left_semi").unionByName(
+            meta.filter(F.col("kind") == "GB")
+        )
+        run_extraction(
+            spark,
+            ready.select(*[f.name for f in PAGES_SCHEMA.fields]),
+            cfg,
+            out_dir,
+            run_id=f"batch_{batch_id}",
         )
 
     writer = (

@@ -96,6 +96,56 @@ def test_quarantine_table_written(spark, pages_df, tmp_path):
     assert [r["url"] for r in q] == ["cc://junk/nometa/page/1"]
 
 
+def test_document_stream_page_at_a_time(spark, pages_df, tmp_path):
+    """Pages of one document straddle two micro-batches; the completeness
+    horizon delays its release until all pages are staged, and the lineage
+    anti-join keeps the extraction exactly-once (no duplicate rows)."""
+    from enem_spark.streaming import (
+        flush_staging,
+        read_pages_stream,
+        start_document_stream,
+    )
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    cfg = ExtractorConfig(output_type="json")
+
+    # split one PV document's pages across two source files
+    straddler = (
+        pages_df.filter(F.col("url").contains("PV"))
+        .select(F.regexp_extract("url", r"^(.*)/page/\d+$", 1).alias("d"))
+        .first()["d"]
+    )
+    part1 = pages_df.filter(
+        F.col("url").startswith(straddler)
+        & (F.regexp_extract("url", r"/page/(\d+)$", 1).cast("int") <= 2)
+    )
+    part2 = pages_df.exceptAll(part1)
+    part1.coalesce(1).write.parquet(f"{src}/f1")
+    part2.coalesce(1).write.parquet(f"{src}/f2")
+
+    stream = spark.readStream.schema(pages_df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+    q = start_document_stream(
+        stream.withWatermark("warc_ts", "10 seconds").dropDuplicatesWithinWatermark(
+            ["url"]
+        ),
+        cfg,
+        out,
+        ckpt,
+        completeness_delay_s=30,
+    )
+    q.awaitTermination(300)
+    flush_staging(spark, cfg, out)
+
+    got = spark.read.parquet(f"{out}/questions")
+    assert _question_keys(got) == _question_keys(extract_questions(pages_df, cfg))
+    dups = got.groupBy("url", "seq").count().filter(F.col("count") > 1).count()
+    assert dups == 0
+
+
 def test_streaming_matches_batch(spark, pages_df, tmp_path):
     """availableNow file stream through foreachBatch == batch pipeline output,
     including dedup of a re-crawled (duplicate-url) page."""
