@@ -309,6 +309,18 @@ def q_media_featurize(spark, sf_dir):
     )
 
 
+def q_media_frame_sample(spark, sf_dir):
+    from enem_spark.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return frame_sample(docs).select(
+        "media_id", "frame_idx", "frame_md5", "n_frame_bytes"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_questions": q_extract_questions,
@@ -343,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "media_featurize": q_media_featurize,
+        "media_frame_sample": q_media_frame_sample,
     }
 
 
@@ -584,28 +597,47 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM ranked WHER
 """
 
 
-def _srp_sql(k=5) -> str:
-    def proj(vec):
-        lits = ", ".join(repr(x) for x in vec)
-        return f"list_dot_product(vec, [{lits}]::DOUBLE[])"
+def _proj_sql(vec):
+    lits = ", ".join(repr(x) for x in vec)
+    return f"list_dot_product(vec, [{lits}]::DOUBLE[])"
 
-    bucket = " || ".join(
-        f"CASE WHEN {proj(v)} >= 0 THEN '1' ELSE '0' END" for v in simsearch.SRP_VECTORS
+
+def _srp_table_bucket_sql(table: int) -> str:
+    return " || ".join(
+        f"CASE WHEN {_proj_sql(v)} >= 0 THEN '1' ELSE '0' END"
+        for v in simsearch.srp_table_vectors(table)
+    )
+
+
+def _srp_tagged_sql() -> str:
+    """base + exploded (table, bucket) rows over all SRP hash tables."""
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, vec, norm, {t} AS tbl, {_srp_table_bucket_sql(t)} AS bucket FROM base"
+        for t in range(simsearch.SRP_TABLES)
     )
     return f"""
-WITH base AS (
+base AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
   FROM embeddings
 ),
-bucketed AS (
-  SELECT vec_id, vec, norm, {bucket} AS bucket FROM base
+tagged AS ({per_table})
+"""
+
+
+def _srp_sql(k=5) -> str:
+    return f"""
+WITH {_srp_tagged_sql()},
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, q.vec AS qvec, q.norm AS qnorm,
+                  b.vec_id AS neighbor_id, b.vec AS vec, b.norm AS norm
+  FROM tagged b JOIN tagged q ON b.tbl = q.tbl AND b.bucket = q.bucket
+  WHERE q.vec_id IN (0,1,2,3,4) AND b.vec_id <> q.vec_id
 ),
 scored AS (
-  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         round(list_dot_product(b.vec, q.vec) / (b.norm * q.norm), 6) AS cosine
-  FROM bucketed b JOIN bucketed q ON b.bucket = q.bucket
-  WHERE q.vec_id IN (0,1,2,3,4) AND b.vec_id <> q.vec_id
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(vec, qvec) / (norm * qnorm), 6) AS cosine
+  FROM cands
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -659,26 +691,18 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM ranked WHER
 
 
 def _near_dup_sql(threshold: float) -> str:
-    def proj(vec):
-        lits = ", ".join(repr(x) for x in vec)
-        return f"list_dot_product(vec, [{lits}]::DOUBLE[])"
-
-    bucket = " || ".join(
-        f"CASE WHEN {proj(v)} >= 0 THEN '1' ELSE '0' END" for v in simsearch.SRP_VECTORS
-    )
     return f"""
-WITH base AS (
-  SELECT vec_id, embedding::DOUBLE[] AS vec,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-  FROM embeddings
-),
-bucketed AS (
-  SELECT vec_id, vec, norm, {bucket} AS bucket FROM base
+WITH {_srp_tagged_sql()},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, a.vec AS va, a.norm AS na,
+                  b.vec_id AS vec_b, b.vec AS vb, b.norm AS nb
+  FROM tagged a JOIN tagged b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cosine
-FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= {threshold}
+SELECT vec_a, vec_b,
+       round(list_dot_product(va, vb) / (na * nb), 6) AS cosine
+FROM pairs
+WHERE round(list_dot_product(va, vb) / (na * nb), 6) >= {threshold}
 """
 
 
@@ -858,5 +882,30 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5
 FROM documents
+""",
+        # documents.text is pure ASCII (asserted in tests), so VARCHAR
+        # substring equals the Spark side's byte slicing and md5(VARCHAR)
+        # hashes the same UTF-8 bytes
+        "media_frame_sample": """
+WITH m AS (
+  SELECT doc_id AS media_id, text AS b, octet_length(encode(text)) AS L
+  FROM documents
+),
+params AS (
+  SELECT media_id, b, L,
+         least(4, greatest(L, 1)) AS k,
+         greatest(L // 4, 1) AS step
+  FROM m
+),
+frames AS (
+  SELECT media_id, i AS frame_idx,
+         substring(b, CAST(i * step + 1 AS INT), CAST(step AS INT)) AS fb
+  FROM params, (SELECT unnest(range(0, 4)) AS i)
+  WHERE i < k AND i * step < L
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       md5(fb) AS frame_md5,
+       CAST(octet_length(encode(fb)) AS BIGINT) AS n_frame_bytes
+FROM frames
 """,
     }

@@ -81,3 +81,72 @@ def featurize_media(
     return media.select(
         F.col(id_col), F.col(payload_col)
     ).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_md5", T.StringType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling plumbing: one media row -> up to ``n_frames`` evenly
+    spaced frame rows (1:N explode through mapInPandas, Arrow both ways).
+
+    A real video decoder would seek keyframes with ffmpeg — STUBBED here as
+    deterministic byte-range slices (equal chunks, first slice of each) so
+    the Spark-side shape (binary in, exploded binary out, per-frame
+    metadata) is fully exercised and testable. Output partitioning follows
+    the input (no shuffle); at scale cap per-task memory by sizing input
+    files, not by collecting frames."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                k = min(n_frames, max(len(b), 1))
+                step = max(len(b) // k, 1)
+                for i in range(k):
+                    frame = b[i * step : i * step + step]
+                    if not frame:
+                        break
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": i,
+                            "frame_bytes": frame,
+                            "frame_md5": hashlib.md5(frame).hexdigest(),
+                            "n_frame_bytes": len(frame),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, FRAME_SCHEMA
+    )
+
+
+def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Image-resize placeholder: real impl needs PIL (absent here).
+
+    The deterministic stand-in keeps the contract (binary -> binary whose
+    length encodes target dims) so pipeline plumbing stays testable."""
+    raise NotImplementedError(
+        "image resize requires PIL/libvips, not present in this container; "
+        "the frame_sample/featurize plumbing is the tested surface"
+    )

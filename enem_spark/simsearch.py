@@ -20,12 +20,17 @@ import random
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 SRP_BITS = 4
+SRP_TABLES = 4  # L independent hash tables; candidates = union over tables
 SRP_DIM = 64  # embedding dimensionality of the test tables
 _rng = random.Random(0xE5EED)
 SRP_VECTORS: list[list[float]] = [
     [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(SRP_DIM)]
-    for _ in range(SRP_BITS)
+    for _ in range(SRP_BITS * SRP_TABLES)
 ]
+
+
+def srp_table_vectors(table: int) -> list[list[float]]:
+    return SRP_VECTORS[table * SRP_BITS : (table + 1) * SRP_BITS]
 
 
 def _dot(a, b):
@@ -85,40 +90,69 @@ def cosine_topk(
     )
 
 
-def srp_bucket(col) -> F.Column:
-    """Sign-random-projection bucket id: one char per projection vector."""
+def srp_bucket(col, table: int = 0) -> F.Column:
+    """Sign-random-projection bucket id for one hash table: one char/bit."""
     bits = [
         F.when(
             _dot(col, F.array(*[F.lit(x) for x in vec])) >= 0, F.lit("1")
         ).otherwise(F.lit("0"))
-        for vec in SRP_VECTORS
+        for vec in srp_table_vectors(table)
     ]
     return F.concat(*bits)
+
+
+def srp_buckets(col) -> F.Column:
+    """array<struct<table, bucket>> over all SRP_TABLES hash tables —
+    exploded for the multi-table candidate join (classic L-table LSH: a
+    single 4-bit table has near-chance recall on high-dim data; the union
+    over L independent tables trades a ~L/2^bits candidate fraction for
+    1-(1-p^bits)^L recall)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"), srp_bucket(col, t).alias("bucket")
+            )
+            for t in range(SRP_TABLES)
+        ]
+    )
+
+
+def _srp_exploded(base: DataFrame) -> DataFrame:
+    return base.select(
+        "vec_id", "vec", "norm", F.explode(srp_buckets(F.col("vec"))).alias("tb")
+    ).select("vec_id", "vec", "norm", "tb.table", "tb.bucket")
 
 
 def srp_bucket_topk(
     embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5
 ) -> DataFrame:
-    """LSH-bucketed approximate top-k: candidates share the query's SRP bucket.
-
-    Same output shape as cosine_topk; recall < 1 by design (the scale path)."""
-    base = with_norm(embeddings).withColumn("bucket", srp_bucket(F.col("vec")))
-    queries = base.filter(F.col("vec_id").isin(*query_ids)).select(
+    """Multi-table LSH approximate top-k: candidates share ANY table bucket
+    with the query. Same output shape as cosine_topk; recall < 1 by design
+    (the scale path — the shuffle key (table, bucket) is near-uniform)."""
+    base = with_norm(embeddings)
+    tagged = _srp_exploded(base)
+    queries = tagged.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
+        F.col("table").alias("qtable"),
         F.col("bucket").alias("qbucket"),
     )
-    scored = (
-        base.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")),
-                6,
-            ),
+    candidates = (
+        tagged.join(
+            F.broadcast(queries),
+            (F.col("table") == F.col("qtable"))
+            & (F.col("bucket") == F.col("qbucket")),
         )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qvec", "qnorm", "vec_id", "vec", "norm")
+        .distinct()  # a pair can collide in several tables
+    )
+    scored = candidates.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 6
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -225,26 +259,39 @@ def ivf_topk(
 def embedding_near_dup(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP blocking.
+    """Embedding-cosine near-duplicate pairs via multi-table SRP blocking.
 
     Output: (vec_a, vec_b, cosine) with vec_a < vec_b and cosine >= threshold.
-    Blocking on the SRP bucket keeps the pairwise term bucket-local."""
-    base = with_norm(embeddings).withColumn("bucket", srp_bucket(F.col("vec")))
-    a = base.select(
+    Blocking on (table, bucket) keeps the pairwise term bucket-local; the
+    distinct() collapses pairs colliding in several tables."""
+    base = with_norm(embeddings)
+    tagged = _srp_exploded(base)
+    a = tagged.select(
         F.col("vec_id").alias("vec_a"),
         F.col("vec").alias("va"),
         F.col("norm").alias("na"),
+        "table",
         "bucket",
     )
-    b = base.select(
+    b = tagged.select(
         F.col("vec_id").alias("vec_b"),
         F.col("vec").alias("vb"),
         F.col("norm").alias("nb"),
+        F.col("table").alias("table_b"),
         F.col("bucket").alias("bucket_b"),
     )
+    pairs = (
+        a.join(
+            b,
+            (F.col("table") == F.col("table_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "va", "na", "vec_b", "vb", "nb")
+        .distinct()
+    )
     return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn(
+        pairs.withColumn(
             "cosine",
             F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
         )

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Cluster job entry point for the extraction pipeline.
+
+On a real cluster:
+
+    spark-submit --master yarn --deploy-mode cluster \
+        --py-files enem_spark.zip \
+        jobs/extract_job.py --input s3://bucket/pages --output s3://bucket/out \
+        --run-id 2026-08-17 --salt-chunk-size 4096
+
+In this sandbox (no cluster manager) the same script runs under plain
+python; the session factory builds local[N] and ships the package zip to
+the Python workers, which is the local-mode analogue of --py-files.
+
+Modes:
+  batch (default)  one checkpoint-resumable run over --input
+                   (re-running with the same --output continues where the
+                   previous run stopped — document-granular anti-join)
+  --streaming      tail --input as a file stream, page-at-a-time, with
+                   event-time document-completeness release + final flush
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="pages parquet path")
+    ap.add_argument("--output", required=True, help="run output dir")
+    ap.add_argument("--run-id", default="run1")
+    ap.add_argument("--output-type", default="json", choices=["txt", "json", "markdown"])
+    ap.add_argument("--process-images", action="store_true")
+    ap.add_argument("--salt-chunk-size", type=int, default=0)
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--completeness-delay-s", type=int, default=0)
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    from enem_spark.extract import ExtractorConfig
+    from enem_spark.session import get_spark
+
+    spark = get_spark("enem_spark_extract_job", cores=args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+    cfg = ExtractorConfig(
+        output_type=args.output_type,
+        process_images=args.process_images,
+        salt_chunk_size=args.salt_chunk_size,
+    )
+
+    if args.streaming:
+        from enem_spark.streaming import (
+            flush_staging,
+            start_document_stream,
+        )
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(args.input).schema
+        ).parquet(args.input)
+        q = start_document_stream(
+            stream,
+            cfg,
+            args.output,
+            f"{args.output}/_checkpoint",
+            completeness_delay_s=args.completeness_delay_s,
+        )
+        q.awaitTermination()
+        summary = flush_staging(spark, cfg, args.output) or {}
+    else:
+        from enem_spark.lineage import run_extraction
+
+        pages = spark.read.parquet(args.input)
+        summary = run_extraction(spark, pages, cfg, args.output, args.run_id)
+
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
