@@ -294,7 +294,10 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    return simsearch.embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.8)
+    # 0.35 sits just under the synthetic embeddings' max pairwise cosine
+    # (~0.51), so the check exercises non-empty results; real corpora use
+    # ~0.95 for true near-dups
+    return simsearch.embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
 def q_media_featurize(spark, sf_dir):
@@ -875,7 +878,7 @@ SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
         "ann_cosine_topk": _cosine_topk_sql(),
         "ann_srp_bucket": _srp_sql(),
         "ann_ivf_topk": _ivf_sql(),
-        "embedding_near_dup": _near_dup_sql(0.8),
+        "embedding_near_dup": _near_dup_sql(0.35),
         "media_featurize": """
 SELECT doc_id AS media_id,
        'image' AS media_type,

@@ -44,18 +44,29 @@ HEADLINE = [
     "lookup_join",
     "running_window",
     "ordered_concat",
+    "latest_snapshot",
+    "anti_join_missing",
+    "rollup_revenue",
+    "sessionize",
+    "props_extract",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "simhash",
     "langid",
     "quality_score",
     "token_count",
     "fingerprint",
+    "top_terms",
+    "corpus_curate",
+    "source_stats",
     "ann_cosine_topk",
     "ann_srp_bucket",
+    "ann_ivf_topk",
     "embedding_near_dup",
     "media_featurize",
+    "media_frame_sample",
 ]
 
 

@@ -138,21 +138,31 @@ def srp_bucket_topk(
         F.col("table").alias("qtable"),
         F.col("bucket").alias("qbucket"),
     )
-    candidates = (
-        tagged.join(
-            F.broadcast(queries),
+    # dedup (query, candidate) on narrow ids first — a pair can collide in
+    # several tables, and hashing vector arrays through distinct would
+    # dominate — then attach vectors back for scoring
+    cand_ids = (
+        tagged.select("vec_id", "table", "bucket")
+        .join(
+            F.broadcast(queries.select("query_id", "qtable", "qbucket")),
             (F.col("table") == F.col("qtable"))
             & (F.col("bucket") == F.col("qbucket")),
         )
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qvec", "qnorm", "vec_id", "vec", "norm")
-        .distinct()  # a pair can collide in several tables
+        .select("query_id", "vec_id")
+        .distinct()
     )
-    scored = candidates.withColumn(
-        "cosine",
-        F.round(
-            _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 6
-        ),
+    qvecs = queries.select("query_id", "qvec", "qnorm").distinct()
+    scored = (
+        cand_ids.join(base, "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")),
+                6,
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -266,32 +276,38 @@ def embedding_near_dup(
     distinct() collapses pairs colliding in several tables."""
     base = with_norm(embeddings)
     tagged = _srp_exploded(base)
-    a = tagged.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("vec").alias("va"),
-        F.col("norm").alias("na"),
-        "table",
-        "bucket",
-    )
+    a = tagged.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
     b = tagged.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("vec").alias("vb"),
-        F.col("norm").alias("nb"),
         F.col("table").alias("table_b"),
         F.col("bucket").alias("bucket_b"),
     )
-    pairs = (
+    # dedup on the narrow id pair FIRST (a pair can collide in several
+    # tables); hashing 64-float vectors through the distinct would dominate
+    pair_ids = (
         a.join(
             b,
             (F.col("table") == F.col("table_b"))
             & (F.col("bucket") == F.col("bucket_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        .select("vec_a", "va", "na", "vec_b", "vb", "nb")
+        .select("vec_a", "vec_b")
         .distinct()
     )
+    va = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("vec").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    vb = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
     return (
-        pairs.withColumn(
+        pair_ids.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
             "cosine",
             F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
         )
