@@ -249,6 +249,10 @@ def q_quality_score(spark, sf_dir):
     return textops.quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_gopher_filters(spark, sf_dir):
+    return textops.gopher_filters(_t(spark, sf_dir, "documents"))
+
+
 def q_token_count(spark, sf_dir):
     return textops.token_count(_t(spark, sf_dir, "documents"))
 
@@ -346,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
+        "gopher_filters": q_gopher_filters,
         "fingerprint": q_fingerprint,
         "top_terms": q_top_terms,
         "corpus_curate": q_corpus_curate,
@@ -797,6 +802,40 @@ FROM documents GROUP BY 1
         "simhash": _simhash_sql(),
         "langid": _langid_sql(),
         "quality_score": _quality_sql(),
+        "gopher_filters": r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    round(list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1), 6) AS mean_word_len,
+    round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / greatest(len(toks), 1), 6) AS alpha_frac,
+    round((CAST(length(text) - length(replace(text, '#', '')) AS INT)
+         + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS INT))
+         / greatest(len(toks), 1), 6) AS symbol_ratio,
+    round(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'))
+         / greatest(len(lines), 1), 6) AS bullet_frac,
+    round(len(list_filter(lines, l -> l LIKE '%...'))
+         / greatest(len(lines), 1), 6) AS ellipsis_frac
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       mean_word_len, alpha_frac, symbol_ratio, bullet_frac, ellipsis_frac,
+       n_tokens BETWEEN 50 AND 100000 AS r_word_count,
+       mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+       alpha_frac >= 0.8 AS r_alpha_words,
+       symbol_ratio < 0.1 AS r_symbol_ratio,
+       bullet_frac < 0.9 AS r_bullet_lines,
+       ellipsis_frac < 0.3 AS r_ellipsis_lines,
+       (n_tokens BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND alpha_frac >= 0.8 AND symbol_ratio < 0.1
+         AND bullet_frac < 0.9 AND ellipsis_frac < 0.3 AS gopher_pass
+FROM feat
+""",
         "token_count": r"""
 SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,

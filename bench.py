@@ -57,6 +57,7 @@ HEADLINE = [
     "langid",
     "quality_score",
     "token_count",
+    "gopher_filters",
     "fingerprint",
     "top_terms",
     "corpus_curate",

@@ -312,6 +312,74 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def gopher_filters(documents: DataFrame) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, public) heuristic quality rules,
+    entirely JVM-side (array higher-order functions, zero Python):
+
+      r_word_count     50 <= n_tokens <= 100000
+      r_mean_word_len  3 <= mean token length <= 10
+      r_alpha_words    >= 80% of tokens contain an alphabetic char
+      r_symbol_ratio   '#'/'...' per token < 0.1
+      r_bullet_lines   < 90% of lines start with a bullet
+      r_ellipsis_lines < 30% of lines end with '...'
+
+    Output: per-rule booleans + overall `gopher_pass`. Fractions rounded to
+    6 dp for cross-engine parity."""
+    text = F.col("text")
+    toks = _tokens(text)
+    n = F.greatest(F.size(toks), F.lit(1))
+    mean_wl = F.round(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        )
+        / n,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n, 6
+    )
+    hashes = _count_occurrences(text, "#")
+    ellipses = _count_occurrences(text, "...")
+    symbol_ratio = F.round((hashes + ellipses) / n, 6)
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+            )
+        )
+        / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_lines, 6
+    )
+    r = {
+        "r_word_count": F.size(toks).between(50, 100000),
+        "r_mean_word_len": mean_wl.between(3.0, 10.0),
+        "r_alpha_words": alpha_frac >= 0.8,
+        "r_symbol_ratio": symbol_ratio < 0.1,
+        "r_bullet_lines": bullet_frac < 0.9,
+        "r_ellipsis_lines": ellipsis_frac < 0.3,
+    }
+    passed = None
+    for c in r.values():
+        passed = c if passed is None else (passed & c)
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        *[c.alias(name) for name, c in r.items()],
+        passed.alias("gopher_pass"),
+    )
+
+
 def token_count(documents: DataFrame) -> DataFrame:
     """Whitespace tokens plus a BPE-ish subword estimate (ceil chars/4)."""
     toks = _tokens(F.col("text"))
