@@ -253,6 +253,10 @@ def q_gopher_filters(spark, sf_dir):
     return textops.gopher_filters(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_filters(spark, sf_dir):
+    return textops.repetition_filters(_t(spark, sf_dir, "documents"))
+
+
 def q_token_count(spark, sf_dir):
     return textops.token_count(_t(spark, sf_dir, "documents"))
 
@@ -351,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "gopher_filters": q_gopher_filters,
+        "repetition_filters": q_repetition_filters,
         "fingerprint": q_fingerprint,
         "top_terms": q_top_terms,
         "corpus_curate": q_corpus_curate,
@@ -835,6 +840,37 @@ SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
          AND alpha_frac >= 0.8 AND symbol_ratio < 0.1
          AND bullet_frac < 0.9 AND ellipsis_frac < 0.3 AS gopher_pass
 FROM feat
+""",
+        "repetition_filters": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+linestats AS (
+  SELECT doc_id,
+         round((len(lines) - len(list_distinct(lines)))
+               / greatest(len(lines), 1), 6) AS dup_line_frac,
+         CASE WHEN len(toks) >= 2
+              THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+              ELSE [] END AS bg
+  FROM t
+),
+bgrows AS (
+  SELECT doc_id, unnest(bg) AS bigram FROM linestats
+),
+bgcounts AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bgrows GROUP BY doc_id, bigram
+),
+bgagg AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS total_c FROM bgcounts GROUP BY doc_id
+)
+SELECT l.doc_id, l.dup_line_frac,
+       round(coalesce(a.top_c / a.total_c, 0.0), 6) AS top_bigram_frac,
+       l.dup_line_frac <= 0.3 AS r_dup_lines,
+       coalesce(a.top_c / a.total_c, 0.0) <= 0.2 AS r_top_bigram
+FROM linestats l LEFT JOIN bgagg a USING (doc_id)
 """,
         "token_count": r"""
 SELECT doc_id,

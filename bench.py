@@ -58,6 +58,7 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "gopher_filters",
+    "repetition_filters",
     "fingerprint",
     "top_terms",
     "corpus_curate",

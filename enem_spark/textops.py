@@ -380,6 +380,64 @@ def gopher_filters(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_filters(documents: DataFrame) -> DataFrame:
+    """Repetition-based quality signals (the other half of the Gopher
+    family): duplicate-line fraction and most-frequent-bigram mass.
+
+      dup_line_frac    1 - distinct_lines / lines        (boilerplate loops)
+      top_bigram_frac  count(most frequent bigram) / total bigrams
+
+    Line stats are per-row array ops (no shuffle); the bigram mass uses one
+    explode + two-level aggregation — partial aggregation collapses repeated
+    bigrams map-side, so the shuffle carries at most the distinct bigrams of
+    each document."""
+    text = F.col("text")
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    dup_line_frac = F.round(
+        (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines, 6
+    )
+    toks = _tokens(text)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array())
+    base = documents.select("doc_id", dup_line_frac.alias("dup_line_frac"), bigrams.alias("bg"))
+    bg_counts = (
+        base.select("doc_id", F.explode("bg").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("total_c"),
+        )
+    )
+    return (
+        base.select("doc_id", "dup_line_frac")
+        .join(bg_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_line_frac",
+            F.round(
+                F.coalesce(F.col("top_c") / F.col("total_c"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            (F.col("dup_line_frac") <= 0.3).alias("r_dup_lines"),
+            (
+                F.coalesce(F.col("top_c") / F.col("total_c"), F.lit(0.0)) <= 0.2
+            ).alias("r_top_bigram"),
+        )
+    )
+
+
 def token_count(documents: DataFrame) -> DataFrame:
     """Whitespace tokens plus a BPE-ish subword estimate (ceil chars/4)."""
     toks = _tokens(F.col("text"))
