@@ -90,6 +90,35 @@ def start_extraction_stream(
     return writer.start()
 
 
+def windowed_page_counts(
+    pages_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window ingestion metrics: pages and distinct-ish
+    volume per (window, lang). The standard late-data pattern — rows later
+    than `watermark` past the max seen event time are dropped, so state is
+    bounded; append-mode emits a window only once it is final.
+
+    This is the monitoring side-channel of the ingestion pipeline (crawl
+    volume per hour per language), not an extraction stage."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+            "n_chars",
+        )
+    )
+
+
 def flush_staging(
     spark: SparkSession, cfg: ExtractorConfig, out_dir: str
 ) -> dict | None:

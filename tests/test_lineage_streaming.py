@@ -146,6 +146,47 @@ def test_document_stream_page_at_a_time(spark, pages_df, tmp_path):
     assert dups == 0
 
 
+def test_windowed_counts_with_late_data(spark, pages_df, tmp_path):
+    """Watermarked tumbling windows over the pages stream: append-mode
+    output equals the batch windowed aggregate for all windows closed by
+    the watermark (late rows inside the horizon are still counted)."""
+    from enem_spark.streaming import windowed_page_counts
+
+    src = str(tmp_path / "wsrc")
+    out = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    pages_df.write.parquet(src)
+
+    stream = spark.readStream.schema(pages_df.schema).parquet(src)
+    q = (
+        windowed_page_counts(stream, window="1 hour", watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["window_start"], r["lang"]): (r["n_pages"], r["n_chars"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = (
+        pages_df.groupBy(F.window("warc_ts", "1 hour").alias("w"), "lang")
+        .agg(F.count("*").alias("n"), F.sum(F.length("text")).alias("c"))
+        .collect()
+    )
+    exp = {(r["w"]["start"], r["lang"]): (r["n"], r["c"]) for r in batch}
+    # append mode withholds windows the watermark has not closed; everything
+    # emitted must match the batch truth, and most windows must have closed
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert exp[k] == v, k
+    assert len(got) >= len(exp) - 2
+
+
 def test_streaming_matches_batch(spark, pages_df, tmp_path):
     """availableNow file stream through foreachBatch == batch pipeline output,
     including dedup of a re-crawled (duplicate-url) page."""
