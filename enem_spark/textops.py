@@ -521,7 +521,8 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
-    for _ in range(20):  # diameter bound; dup graphs converge in 2-3 rounds
+    converged = False
+    for _ in range(64):  # graph diameter bound; dup graphs converge in 2-3
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -543,8 +544,15 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge in 64 rounds "
+            "(pathological >64-diameter duplicate chain); raise the bound or "
+            "switch to pointer-jumping"
+        )
     return labels.select("doc_id", "cluster_id")
 
 
