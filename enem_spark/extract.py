@@ -251,8 +251,13 @@ def with_page_numbering(pages: DataFrame, salt_chunk_size: int = 0) -> DataFrame
         )
         .drop("_chunk_total")
     )
+    # plain equi-join on (doc_id, chunk_id): the key is fine-grained by
+    # construction (that was the point of salting), so the shuffle is
+    # skew-free; AQE picks broadcast when the offsets side is small. An
+    # explicit broadcast would be wrong at 10^12 docs — offsets has one row
+    # per (doc, chunk).
     return (
-        pages.join(F.broadcast(offsets), ["doc_id", "chunk_id"])
+        pages.join(offsets, ["doc_id", "chunk_id"])
         .withColumn(
             "page_first_question",
             (F.col("_chunk_offset") + within + 1).cast("int"),
@@ -297,8 +302,14 @@ def answer_key_rows(year: int, day: str, color: str, raw_text: str) -> list[dict
 def build_answer_keys(pages_meta: DataFrame) -> DataFrame:
     """GB page-0 rows -> broadcastable key table, built distributed
     (applyInPandas per exam; each group is one tiny text)."""
-    gb = pages_meta.filter((F.col("kind") == "GB") & (F.col("page_idx") == 0)).select(
-        "year", "day", "color", "text"
+    gb = (
+        pages_meta.filter((F.col("kind") == "GB") & (F.col("page_idx") == 0))
+        .select("year", "day", "color", "text")
+        # exactly one key text per exam, deterministically: a re-delivered
+        # or conflicting GB page must not emit duplicate key rows — they
+        # would fan out the answer join into duplicate questions
+        .groupBy("year", "day", "color")
+        .agg(F.min("text").alias("text"))
     )
 
     def expand(key, pdf):
