@@ -22,8 +22,8 @@ Scale notes (100 TB / 10^12 docs):
   * the only wide shuffle before the sink is the numbering window, keyed by
     doc_id; a pathological document with 10^5 pages skews one partition, so
     `salt_chunk_size` switches to a two-level running sum (per-chunk partial
-    + broadcast per-doc chunk offsets) — AQE cannot split a single window
-    partition, this can.
+    + a skew-free per-doc chunk-offset equi-join) — AQE cannot split a
+    single window partition, this can.
   * the answer-key table is ~180 rows/exam — always broadcast.
   * filters (lang, kind, page_idx>=1, has_marker) are plain Catalyst filters
     and push below the UDF projection where possible; column pruning drops
@@ -216,9 +216,12 @@ def with_page_numbering(pages: DataFrame, salt_chunk_size: int = 0) -> DataFrame
     """page_first_question = 1 + questions on earlier pages of the document.
 
     Plain: one window over (doc_id, page_idx). Salted: pages are grouped into
-    chunks of `salt_chunk_size`; a per-chunk running sum plus broadcast
-    per-doc chunk offsets reproduce the same value without ever sorting a
-    whole pathological document inside one task."""
+    chunks of `salt_chunk_size`; a per-chunk running sum plus a skew-free
+    equi-join of per-doc chunk offsets (AQE broadcasts it only when small)
+    reproduce the same value without ever sorting a whole pathological
+    document inside one task. The input is persisted in salted mode because
+    it feeds both sides of the offsets join — without it the page-UDF
+    subtree upstream would execute twice."""
     if salt_chunk_size <= 0:
         w = (
             W.partitionBy("doc_id")
@@ -229,8 +232,12 @@ def with_page_numbering(pages: DataFrame, salt_chunk_size: int = 0) -> DataFrame
             "page_first_question",
             (F.coalesce(F.sum("q_count").over(w), F.lit(0)) + 1).cast("int"),
         )
+    from pyspark import StorageLevel
+
     chunk = F.floor(F.col("page_idx") / salt_chunk_size).alias("chunk_id")
-    pages = pages.withColumn("chunk_id", chunk)
+    pages = pages.withColumn("chunk_id", chunk).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     w_in = (
         W.partitionBy("doc_id", "chunk_id")
         .orderBy("page_idx")
@@ -301,24 +308,34 @@ def answer_key_rows(year: int, day: str, color: str, raw_text: str) -> list[dict
 
 def build_answer_keys(pages_meta: DataFrame) -> DataFrame:
     """GB page-0 rows -> broadcastable key table, built distributed
-    (applyInPandas per exam; each group is one tiny text)."""
-    gb = (
-        pages_meta.filter((F.col("kind") == "GB") & (F.col("page_idx") == 0))
-        .select("year", "day", "color", "text")
-        # exactly one key text per exam, deterministically: a re-delivered
-        # or conflicting GB page must not emit duplicate key rows — they
-        # would fan out the answer join into duplicate questions
-        .groupBy("year", "day", "color")
-        .agg(F.min("text").alias("text"))
-    )
+    (applyInPandas per exam; each group is one tiny text).
+
+    Exactly ONE key text is used per (year, day, color), chosen inside the
+    group as the longest (ties: lexicographically largest) non-null text: a
+    re-delivered, truncated, or blank duplicate of the answer-key page must
+    neither fan the answer join out into duplicate questions nor mask the
+    complete copy. Rows whose url violates the metadata contract (null
+    year/day, empty color) are dropped here — the main path quarantines
+    them, but this helper must also stand alone (streaming staging replay)."""
+    gb = pages_meta.filter(
+        (F.col("kind") == "GB")
+        & (F.col("page_idx") == 0)
+        & F.col("year").isNotNull()
+        & F.col("day").isNotNull()
+        & (F.col("color") != "")
+    ).select("year", "day", "color", "text")
 
     def expand(key, pdf):
         year, day, color = key
-        rows = []
-        for raw in pdf["text"]:
-            rows.extend(answer_key_rows(int(year), day, color, raw))
+        texts = [t for t in pdf["text"] if t]
+        if not texts:
+            return pd.DataFrame(
+                columns=["year", "day", "color", "exam_num", "answer"]
+            )
+        best = max(texts, key=lambda t: (len(t), t))
         return pd.DataFrame(
-            rows, columns=["year", "day", "color", "exam_num", "answer"]
+            answer_key_rows(int(year), day, color, best),
+            columns=["year", "day", "color", "exam_num", "answer"],
         )
 
     return gb.groupBy("year", "day", "color").applyInPandas(expand, ANSWER_KEY_SCHEMA)

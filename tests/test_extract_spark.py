@@ -215,6 +215,48 @@ def test_question_spans_tile_page_text(spark, docs, pages_df):
     assert checked > 20
 
 
+def test_duplicate_and_corrupt_gb_pages_are_harmless(spark, docs, pages_df):
+    """Re-delivered answer-key pages (exact dup, truncated copy, blank copy,
+    null-metadata url) must neither duplicate questions nor mask the
+    complete key text, and a GB url without a year must not crash the key
+    builder."""
+    import pandas as pd
+
+    cfg = ExtractorConfig(output_type="json")
+    baseline = extract_questions(pages_df, cfg).collect()
+
+    gb = next(d for d in docs if d.kind == "GB")
+    gb_url = f"{gb.url_prefix}/page/0"
+    full = gb.page_texts[0]
+    extra = pd.DataFrame(
+        [
+            # exact duplicate
+            {"url": gb_url, "warc_ts": pd.Timestamp("2024-02-01"),
+             "html": None, "text": full, "lang": "pt"},
+            # truncated copy (sorts before the full text lexicographically
+            # in some cases — must lose to the longest-text rule)
+            {"url": gb_url, "warc_ts": pd.Timestamp("2024-02-02"),
+             "html": None, "text": full[: len(full) // 3], "lang": "pt"},
+            # blank copy
+            {"url": gb_url, "warc_ts": pd.Timestamp("2024-02-03"),
+             "html": None, "text": "", "lang": "pt"},
+            # GB url with no parseable year: must be dropped, not crash
+            {"url": "cc://enem/NOYEAR_GB_impresso_D1_CD1/page/0",
+             "warc_ts": pd.Timestamp("2024-02-04"),
+             "html": None, "text": "1\nA\n", "lang": "pt"},
+        ]
+    )
+    noisy = pages_df.unionByName(
+        spark.createDataFrame(extra, schema=pages_df.schema)
+    )
+    got = extract_questions(noisy, cfg).collect()
+
+    key = lambda rows: sorted(
+        (r["url"], r["seq"], r["correct_answer"]) for r in rows
+    )
+    assert key(got) == key(baseline)
+
+
 def test_contract_violations_quarantined_not_crash(spark, pages_df):
     """F1: rows with urls outside the naming contract must not crash the
     pipeline (ANSI cast on regexp_extract('') regression) nor emit rows."""
