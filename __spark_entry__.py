@@ -515,10 +515,10 @@ WITH base AS (
 SELECT doc_id,
        n_tokens,
        round((n_chars - (n_tokens - 1)) / n_tokens, 6) AS mean_tok_len,
-       round(n_punct / n_chars, 6) AS punct_ratio,
+       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
        round(stop_hits / n_tokens, 6) AS stop_ratio,
        round(0.4 * least(n_tokens / 100.0, 1.0)
-           + 0.3 * (1.0 - least((n_punct / n_chars) * 10, 1.0))
+           + 0.3 * (1.0 - least((n_punct / greatest(n_chars, 1)) * 10, 1.0))
            + 0.3 * least((stop_hits / n_tokens) * 5, 1.0), 6) AS quality
 FROM base
 """
@@ -548,7 +548,7 @@ scored AS (
          CASE WHEN en_hits > pt_hits THEN 'en'
               WHEN pt_hits > en_hits THEN 'pt' ELSE 'und' END AS lang_pred,
          round(0.4 * least(n_tokens / 100.0, 1.0)
-             + 0.3 * (1.0 - least((n_punct / n_chars) * 10, 1.0))
+             + 0.3 * (1.0 - least((n_punct / greatest(n_chars, 1)) * 10, 1.0))
              + 0.3 * least((stop_hits / n_tokens) * 5, 1.0), 6) AS quality
   FROM feat
 )
@@ -595,6 +595,7 @@ WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
 scored AS (
   SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -633,6 +634,7 @@ base AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
 tagged AS ({per_table})
 """
@@ -668,6 +670,7 @@ WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
 cents AS (
   SELECT vec_id AS cent_id, vec AS cvec, norm AS cnorm FROM base WHERE vec_id < {n_cells}

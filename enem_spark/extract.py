@@ -385,10 +385,18 @@ def extract_pages(pages: DataFrame, cfg: ExtractorConfig) -> DataFrame:
     return counted
 
 
-def extract_questions(pages: DataFrame, cfg: ExtractorConfig) -> DataFrame:
-    """pages -> questions table (SURVEY.md §1.4 / FIXTURES.md §3)."""
+def extract_questions(
+    pages: DataFrame, cfg: ExtractorConfig, keys: DataFrame | None = None
+) -> DataFrame:
+    """pages -> questions table (SURVEY.md §1.4 / FIXTURES.md §3).
+
+    ``keys`` overrides the answer-key build side — used by streaming, where
+    the key table must come from ALL answer-key pages seen so far, not just
+    the current micro-batch (a GB page arriving in a different batch than
+    its PV pages would otherwise silently turn into MISSING_ANSWER)."""
     counted = extract_pages(pages, cfg)
-    keys = build_answer_keys(with_url_metadata(pages))
+    if keys is None:
+        keys = build_answer_keys(with_url_metadata(pages))
     return questions_from_counted(counted, keys, cfg)
 
 

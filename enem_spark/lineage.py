@@ -133,11 +133,40 @@ def _exists(path: str) -> bool:
     )
 
 
-def processed_doc_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    path = f"{out_dir}/processed_docs"
+def committed_run_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = f"{out_dir}/runs"
     if not _exists(path):
         return None
-    return spark.read.parquet(path).select("doc_id").distinct()
+    return spark.read.parquet(path).select("run_id").distinct()
+
+
+def processed_doc_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """doc_ids of documents completed by COMMITTED runs only.
+
+    A run's side outputs live under run_id=<id> directories; the tiny
+    ``runs`` marker row is appended last and is the commit point. A crash
+    anywhere before it leaves orphan run_id directories that neither this
+    resume check nor `committed_questions` will ever read, and a retried
+    run with the same run_id overwrites them wholesale."""
+    path = f"{out_dir}/processed_docs"
+    committed = committed_run_ids(spark, out_dir)
+    if committed is None or not _exists(path):
+        return None
+    return (
+        spark.read.parquet(path)
+        .join(committed, "run_id", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def committed_questions(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Reader view of the questions table restricted to committed runs."""
+    path = f"{out_dir}/questions"
+    committed = committed_run_ids(spark, out_dir)
+    if committed is None or not _exists(path):
+        return None
+    return spark.read.parquet(path).join(committed, "run_id", "left_semi")
 
 
 def run_extraction(
@@ -149,59 +178,72 @@ def run_extraction(
 ) -> dict:
     """One checkpoint-resumable extraction run over a pages table.
 
-    Returns a summary dict; all side outputs land under ``out_dir``. Calling
-    it again with the same inputs is a no-op (every document already in
-    processed_docs is anti-joined away)."""
+    Exactly-once protocol: every side output is written to an
+    ``<table>/run_id=<run_id>`` directory with mode=overwrite, so replaying
+    a crashed run (same run_id — what foreachBatch retries do) is
+    idempotent; the ``runs`` marker append is the commit point, and resume
+    (`processed_doc_ids`) plus readers (`committed_questions`) only trust
+    committed runs. run_id must be unique per logical unit of work.
+
+    Calling again over the same pages with a NEW run_id is a no-op: every
+    document already committed is anti-joined away and nothing is written."""
     meta = with_url_metadata(pages.filter(F.col("lang") == "pt"))
     valid, quarantined = split_quarantine(meta)
     pv = valid.filter((F.col("kind") == "PV") & (F.col("page_idx") >= 1))
 
     done = processed_doc_ids(spark, out_dir)
     if done is not None:
-        pv = pv.join(F.broadcast(done), "doc_id", "left_anti")
+        # no broadcast hint: processed_docs grows without bound across runs;
+        # AQE broadcasts while it is small, shuffles (skew-free key) after
+        pv = pv.join(done, "doc_id", "left_anti")
 
     paged = instrumented_page_stage(pv, cfg).persist()
     try:
         n_pages = paged.count()
+        n_quarantined = 0
+        if n_pages == 0:
+            # nothing to do — write nothing (an empty overwrite of a reused
+            # run_id directory, e.g. a second 'flush', must not erase the
+            # first one's output)
+            return {
+                "run_id": run_id,
+                "input_pages": 0,
+                "questions_written": 0,
+                "quarantined": 0,
+            }
         counted = with_page_numbering(
             paged.filter(F.col("q_count") > 0), cfg.salt_chunk_size
         )
         keys = build_answer_keys(valid)
         questions = questions_from_counted(counted, keys, cfg)
-        (
-            questions.withColumn("run_id", F.lit(run_id))
-            .write.mode("append")
-            .partitionBy("year", "day")
-            .parquet(f"{out_dir}/questions")
-        )
-        # an all-filtered run appends zero part files, leaving a schema-less
-        # dir — guard the read-back (same reason processed_doc_ids guards)
-        n_questions = (
-            spark.read.parquet(f"{out_dir}/questions")
-            .filter(F.col("run_id") == run_id)
-            .count()
-            if _exists(f"{out_dir}/questions")
-            else 0
+        qdir = f"{out_dir}/questions/run_id={run_id}"
+        questions.write.mode("overwrite").partitionBy("year", "day").parquet(qdir)
+        n_questions = spark.read.parquet(qdir).count()
+
+        partition_lineage(paged, run_id).drop("run_id").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/lineage/run_id={run_id}")
+
+        paged.select("doc_id").distinct().write.mode("overwrite").parquet(
+            f"{out_dir}/processed_docs/run_id={run_id}"
         )
 
-        lineage = partition_lineage(paged, run_id)
-        lineage.write.mode("append").parquet(f"{out_dir}/lineage")
-
-        (
-            paged.select("doc_id")
-            .distinct()
-            .withColumn("run_id", F.lit(run_id))
-            .write.mode("append")
-            .parquet(f"{out_dir}/processed_docs")
-        )
-        n_quarantined = quarantined.count()
+        new_quarantine = quarantined.select("url", "year", "day", "kind", "color")
+        if _exists(f"{out_dir}/quarantine"):
+            seen = spark.read.parquet(f"{out_dir}/quarantine").select("url")
+            new_quarantine = new_quarantine.join(seen, "url", "left_anti")
+        n_quarantined = new_quarantine.count()
         if n_quarantined:
-            (
-                quarantined.select("url", "year", "day", "kind", "color")
-                .withColumn("run_id", F.lit(run_id))
-                .write.mode("append")
-                .parquet(f"{out_dir}/quarantine")
+            new_quarantine.write.mode("overwrite").parquet(
+                f"{out_dir}/quarantine/run_id={run_id}"
             )
+
+        # COMMIT POINT — everything above is invisible to resume/readers
+        # until this tiny append lands
+        spark.createDataFrame(
+            [(run_id, n_pages, n_questions)],
+            "run_id string, input_pages long, questions_written long",
+        ).write.mode("append").parquet(f"{out_dir}/runs")
     finally:
         paged.unpersist()
     return {

@@ -47,9 +47,16 @@ def _as_double(col):
 
 
 def with_norm(embeddings: DataFrame) -> DataFrame:
+    """Attach vec (double) + L2 norm, dropping zero-norm vectors.
+
+    A degenerate all-zero embedding (padding row, failed encoder) has no
+    defined cosine; under Spark 4's default ANSI mode the division would
+    abort the whole job, so such rows are excluded from search entirely."""
     v = _as_double(F.col("embedding"))
-    return embeddings.withColumn("vec", v).withColumn(
-        "norm", F.sqrt(_dot(F.col("vec"), F.col("vec")))
+    return (
+        embeddings.withColumn("vec", v)
+        .withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+        .filter(F.col("norm") > 0)
     )
 
 

@@ -66,18 +66,41 @@ def start_extraction_stream(
     checkpoint_dir: str,
     available_now: bool = True,
 ):
-    """Run the batch extraction plan per micro-batch, appending to the
-    questions table. Returns the StreamingQuery."""
+    """Run the batch extraction plan per micro-batch (whole-document
+    delivery). Returns the StreamingQuery.
+
+    Two replay/ordering hazards are handled explicitly:
+      * answer keys come from a persistent GB store accumulated across
+        batches (per-batch overwrite directories, so replays are
+        idempotent), not from the current batch alone — a GB page arriving
+        in an earlier batch than its PV pages must still resolve answers;
+      * question output goes to a per-batch directory with mode=overwrite:
+        foreachBatch is at-least-once, and a blind append would duplicate
+        rows when a crashed batch replays."""
+    import os
+
+    from .extract import build_answer_keys, with_url_metadata
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
+        gb_batch = batch_df.filter(
+            F.col("url").contains("GB") & ~F.col("url").contains("PV")
+        )
+        if not gb_batch.isEmpty():
+            gb_batch.write.mode("overwrite").parquet(
+                f"{out_dir}/gb_store/batch_id={batch_id}"
+            )
+        keys = None
+        if os.path.exists(f"{out_dir}/gb_store"):
+            gb_all = spark.read.parquet(f"{out_dir}/gb_store").drop("batch_id")
+            keys = build_answer_keys(with_url_metadata(gb_all))
         (
-            extract_questions(batch_df, cfg)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            extract_questions(batch_df, cfg, keys=keys)
+            .write.mode("overwrite")
             .partitionBy("year", "day")
-            .parquet(f"{out_dir}/questions")
+            .parquet(f"{out_dir}/questions/batch_id={batch_id}")
         )
 
     writer = (
@@ -133,7 +156,9 @@ def flush_staging(
     staging = f"{out_dir}/staging"
     if not os.path.exists(staging):
         return None
-    staged = spark.read.parquet(staging)
+    staged = spark.read.parquet(staging).select(
+        *[f.name for f in PAGES_SCHEMA.fields]
+    )
     return run_extraction(spark, staged, cfg, out_dir, run_id="flush")
 
 
@@ -164,8 +189,21 @@ def start_document_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if not batch_df.isEmpty():
-            batch_df.write.mode("append").parquet(staging)
-        staged = spark.read.parquet(staging)
+            # per-batch overwrite directory: foreachBatch is at-least-once,
+            # and a blind append would duplicate every page of the batch on
+            # replay — page-level duplicates corrupt the numbering window
+            batch_df.write.mode("overwrite").parquet(
+                f"{staging}/batch_id={batch_id}"
+            )
+        import os
+
+        if not os.path.exists(staging):
+            return
+        # NOTE: the staging table is re-read per batch and grows with the
+        # stream; for long-running tails, compact it periodically by
+        # dropping batch_id directories whose documents are all committed
+        # (processed_docs ∪ quarantine) — not needed for catch-up runs.
+        staged = spark.read.parquet(staging).drop("batch_id")
         doc_id = F.regexp_extract("url", r"^(.*)/page/\d+$", 1)
         kind = F.when(F.col("url").contains("PV"), "PV").when(
             F.col("url").contains("GB"), "GB"
@@ -182,7 +220,9 @@ def start_document_stream(
             .filter(F.col("newest") <= cutoff)
             .select("doc_id")
         )
-        ready = meta.join(F.broadcast(settled), "doc_id", "left_semi").unionByName(
+        # no broadcast hint — the settled set is unbounded over a stream's
+        # lifetime; AQE broadcasts while small
+        ready = meta.join(settled, "doc_id", "left_semi").unionByName(
             meta.filter(F.col("kind") == "GB")
         )
         run_extraction(

@@ -285,8 +285,11 @@ def quality_score(documents: DataFrame) -> DataFrame:
     All arithmetic in doubles, rounded for cross-engine hash stability."""
     text = F.col("text")
     n_chars = F.length(text)
+    # Spark 4 runs ANSI mode by default: an unguarded division by zero on an
+    # empty document aborts the job instead of yielding null
+    safe_chars = F.greatest(n_chars, F.lit(1))
     toks = _tokens(text)
-    n_tokens = F.size(toks)
+    n_tokens = F.size(toks)  # split(trim('')) -> [''] so this is always >= 1
     n_punct = n_chars - F.length(
         F.regexp_replace(text, r"[\.,;:!\?]", "")
     )
@@ -295,7 +298,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
         (_count_occurrences(padded, m) for m in EN_MARKERS + PT_MARKERS), F.lit(0)
     )
     mean_tok_len = (n_chars - (n_tokens - 1)) / n_tokens
-    punct_ratio = n_punct / n_chars
+    punct_ratio = n_punct / safe_chars
     stop_ratio = stop_hits / n_tokens
     score = (
         F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
@@ -521,6 +524,7 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
+    prev_cache = labels
     converged = False
     for _ in range(64):  # graph diameter bound; dup graphs converge in 2-3
         neighbor_min = (
@@ -535,18 +539,19 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
                 F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")),
             )
         ).persist()
-        changed = updated.filter(
-            F.col("new_cluster") != F.col("cluster_id")
-        ).limit(1).count()
-        new_labels = updated.select(
-            "doc_id", F.col("new_cluster").alias("cluster_id")
-        ).persist()
-        labels.unpersist()
-        labels = new_labels
+        # FULL count (not limit(1)) so the cache is completely materialized
+        # before the previous round's blocks are released — a partial probe
+        # would leave the next round recomputing through unpersisted lineage
+        changed = updated.filter(F.col("new_cluster") != F.col("cluster_id")).count()
+        labels = updated.select("doc_id", F.col("new_cluster").alias("cluster_id"))
+        prev_cache.unpersist()
+        prev_cache = updated
         if changed == 0:
             converged = True
             break
     edges.unpersist()
+    # prev_cache stays persisted: the returned plan reads it; ContextCleaner
+    # reclaims the blocks once the caller drops the DataFrame
     if not converged:
         raise RuntimeError(
             "dedup_clusters: label propagation did not converge in 64 rounds "
@@ -569,11 +574,13 @@ def top_terms(documents: DataFrame, k: int = 50) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term")
     )
     df_counts = tok.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    # distributed TakeOrdered for the head, THEN a window over only k rows —
+    # a global row_number window over the full vocabulary would pull every
+    # distinct term into one task
+    head = df_counts.orderBy(F.desc("doc_freq"), F.asc("term")).limit(k)
     w = W.orderBy(F.desc("doc_freq"), F.asc("term"))
-    return (
-        df_counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("term", "doc_freq", "rank")
+    return head.withColumn("rank", F.row_number().over(w)).select(
+        "term", "doc_freq", "rank"
     )
 
 
