@@ -147,7 +147,8 @@ def run_bench(sf_dir: str, cpus: str, extract_only: bool = False) -> dict:
     extract_questions(pages, cfg).count()
     runs = []
     n_questions = 0
-    for _ in range(3):
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    for _ in range(n_runs):
         t0 = time.perf_counter()
         n_questions = extract_questions(pages, cfg).count()
         runs.append(round(time.perf_counter() - t0, 3))
@@ -204,6 +205,7 @@ def _one_config(sf_dir: str, cpus: int, mult: int) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SCALE_MULT=str(mult),
+        SPARK_GRAFT_BENCH_RUNS="2",  # longer runs need fewer repetitions
     )
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--extract-only"],
@@ -385,13 +387,14 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--mult", type=int, default=48)
+    ap.add_argument("--trials", type=int, default=3)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     if args.scaling:
-        summary = run_scaling(sf_dir, args.low, args.high, args.mult)
+        summary = run_scaling(sf_dir, args.low, args.high, args.mult, args.trials)
         write_bench_md(summary)
         print(json.dumps(summary))
         return
