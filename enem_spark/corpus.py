@@ -29,8 +29,7 @@ import random
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
 
-IMG_MARKER = "⟦IMG⟧"
-PAGE_WIDTH = 612.0
+from .layout import IMG_MARKER, PAGE_WIDTH  # one convention, one definition
 EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 WORDS = (
@@ -148,9 +147,10 @@ def build_exam(
     n_pages: int,
     questions_per_page: int,
     lang: str = "pt",
+    uniq: str = "",
 ) -> ExamDoc:
     doc = ExamDoc(
-        url_prefix=f"cc://enem/{year}_PV_impresso_{day}_CD{color}",
+        url_prefix=f"cc://enem/{year}_PV_impresso_{day}_CD{color}{uniq}",
         year=year,
         day=day,
         color=color,
@@ -206,7 +206,7 @@ def build_answer_key(
             if k <= 5:
                 lines.append(rng.choice("ABCDE"))  # ES variant row
     else:
-        for k in range(91, 181):
+        for k in range(91, 182):  # D2 probes keys up to 91+90=181 inclusive
             if (k - 90) in missing:
                 continue
             lines.append(str(k))
@@ -251,6 +251,7 @@ def generate(cfg: CorpusConfig) -> list[ExamDoc]:
     """All documents (PV + GB pairs, optional skew + noise docs), deterministic."""
     rng = random.Random(cfg.seed)
     docs: list[ExamDoc] = []
+    seen_gb: set[tuple[int, str, str]] = set()
     for i in range(cfg.n_exams):
         year = cfg.years[i % len(cfg.years)]
         day = "D1" if (i // len(cfg.years)) % 2 == 0 else "D2"
@@ -258,10 +259,18 @@ def generate(cfg: CorpusConfig) -> list[ExamDoc]:
         # reference's day dispatch is `"D1" in path` (enem_pdf_extractor.py:969)
         # and a D2_CD1 name would false-match via "CD1"
         color = str(1 + i % 4) if day == "D1" else str(5 + i % 4)
+        # the (year, day, color) tuple cycles every 8 exams; the -x{i}
+        # suffix keeps urls and doc_ids distinct at any n_exams (several
+        # booklets can legitimately share one answer key)
         docs.append(
-            build_exam(rng, year, day, color, cfg.pages_per_exam, cfg.questions_per_page)
+            build_exam(
+                rng, year, day, color, cfg.pages_per_exam,
+                cfg.questions_per_page, uniq=f"-x{i}",
+            )
         )
-        docs.append(build_answer_key(rng, year, day, color)[0])
+        if (year, day, color) not in seen_gb:
+            seen_gb.add((year, day, color))
+            docs.append(build_answer_key(rng, year, day, color)[0])
     if cfg.skew_doc_pages > 0:
         docs.append(
             build_exam(rng, 2019, "D1", "9", cfg.skew_doc_pages, cfg.questions_per_page)

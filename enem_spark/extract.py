@@ -39,10 +39,21 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
 from . import oracle
-from .layout import reconstruct_page
+from .layout import count_image_spans, reconstruct_page
 
-TXT_FMT = "(Enem/%s)  %s\n(RESPOSTA CORRETA): %s\n\n"
-MD_FMT = "# Ano: (Enem/%s) \n# texto da questão: \n %s \n # (RESPOSTA CORRETA): %s\n\n"
+def _to_printf(tpl: str) -> str:
+    """Derive the format_string pattern from the oracle's template so the
+    two renderers cannot drift (oracle.py is the semantics anchor)."""
+    return (
+        tpl.replace("%", "%%")
+        .replace("{year}", "%s")
+        .replace("{text}", "%s")
+        .replace("{answer}", "%s")
+    )
+
+
+TXT_FMT = _to_printf(oracle.TXT_TEMPLATE)
+MD_FMT = _to_printf(oracle.MD_TEMPLATE)
 
 
 @dataclass(frozen=True)
@@ -53,6 +64,12 @@ class ExtractorConfig:
     process_images: bool = False
     salt_chunk_size: int = 0  # 0 = plain window; >0 = two-level salted numbering
     keep_unparsed: bool = False  # keep F6-dropped candidates (debug/lineage)
+    # newest-wins per-url dedup BEFORE extraction. A re-crawled page row
+    # would double-count q_count and shift every later question's number in
+    # its document. Off by default: the streaming path already dedups with
+    # dropDuplicatesWithinWatermark, and the extra url shuffle is not free —
+    # enable for batch runs over raw re-crawled corpora.
+    dedup_pages: bool = False
 
     def __post_init__(self):
         if self.output_type not in ("txt", "json", "markdown"):
@@ -132,10 +149,13 @@ PAGE_STRUCT = T.StructType(
 
 def _process_one_page(url, html, text, cfg: ExtractorConfig) -> dict:
     """Pure per-page function shared by the pandas UDF and unit tests."""
-    if text is None or html is not None:
-        rec_text, n_images = reconstruct_page(html)
-        if text is None:
-            text = rec_text
+    if text is None:
+        text, n_images = reconstruct_page(html)
+    elif html is not None:
+        # text already extracted: only the image count is needed — a raw
+        # byte scan for the marker skips the full JSON decode + column
+        # clustering + sort that reconstruct_page would pay per page
+        n_images = count_image_spans(html)
     else:
         n_images = 0
     image_refs = [f"{url}#img{k}" for k in range(n_images)]
@@ -212,7 +232,9 @@ def make_page_udf(cfg: ExtractorConfig):
 # X3: running question counter as a window (plain and skew-salted)
 # ---------------------------------------------------------------------------
 
-def with_page_numbering(pages: DataFrame, salt_chunk_size: int = 0) -> DataFrame:
+def with_page_numbering(
+    pages: DataFrame, salt_chunk_size: int = 0, cache: bool = True
+) -> DataFrame:
     """page_first_question = 1 + questions on earlier pages of the document.
 
     Plain: one window over (doc_id, page_idx). Salted: pages are grouped into
@@ -232,12 +254,12 @@ def with_page_numbering(pages: DataFrame, salt_chunk_size: int = 0) -> DataFrame
             "page_first_question",
             (F.coalesce(F.sum("q_count").over(w), F.lit(0)) + 1).cast("int"),
         )
-    from pyspark import StorageLevel
-
     chunk = F.floor(F.col("page_idx") / salt_chunk_size).alias("chunk_id")
-    pages = pages.withColumn("chunk_id", chunk).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    pages = pages.withColumn("chunk_id", chunk)
+    if cache:
+        from pyspark import StorageLevel
+
+        pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
     w_in = (
         W.partitionBy("doc_id", "chunk_id")
         .orderBy("page_idx")
@@ -351,6 +373,13 @@ def extract_pages(pages: DataFrame, cfg: ExtractorConfig) -> DataFrame:
     Returns one row per kept PV page with page_text (the per-url extracted
     main content — the byte-identity invariant), q_count, candidate
     questions, page_first_question."""
+    if cfg.dedup_pages:
+        w_dedup = W.partitionBy("url").orderBy(F.desc("warc_ts"))
+        pages = (
+            pages.withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     meta = with_url_metadata(pages.filter(F.col("lang") == "pt"))
     valid, _ = split_quarantine(meta)
     pv = valid.filter((F.col("kind") == "PV") & (F.col("page_idx") >= 1))  # F2
@@ -446,14 +475,13 @@ def questions_from_counted(
 
     n = F.col("abs_num")
     day_one = F.col("day") == "D1"
-    subject = (
-        F.when(day_one & n.between(1, 5), "eng")
-        .when(day_one & n.between(6, 10), "spani")
-        .when(day_one & n.between(11, 50), "lang")
-        .when(day_one & n.between(51, 95), "huma")
-        .when(~day_one & n.between(1, 45), "natu")
-        .when(~day_one & n.between(46, 91), "math")
-    )
+    # CASE chain derived from the oracle's range tables — never forked
+    subject = None
+    for subj, lo, hi in oracle.DAY1_RANGES:
+        cond = day_one & n.between(lo, hi)
+        subject = F.when(cond, subj) if subject is None else subject.when(cond, subj)
+    for subj, lo, hi in oracle.DAY2_RANGES:
+        subject = subject.when(~day_one & n.between(lo, hi), subj)
     out_num = F.when(day_one, F.when(n < 6, n).otherwise(n - 5)).otherwise(n + 90)
     result = (
         joined.withColumn("subject", subject)
@@ -508,7 +536,12 @@ def render_payloads(questions: DataFrame, cfg: ExtractorConfig) -> DataFrame:
 def render_sink_files(questions: DataFrame, cfg: ExtractorConfig) -> DataFrame:
     """A2/S5/S6: ordered group-concat into one row per output file, byte-
     identical to the reference sinks. Groups are (doc_id, year, day) — one
-    exam each; subjects with no questions still emit (empty string / [])."""
+    exam each; subjects with no questions still emit (empty string / []).
+
+    `filename` follows the reference convention ({year}_{subject}_...), which
+    is only unique WITHIN a document — the reference writes each exam into
+    its own output directory (extract_pdf's extracted_data_path). Sinks must
+    therefore key on (doc_id, filename); doc_id is the directory analogue."""
     ext = {"txt": "txt", "markdown": "md", "json": "json"}[cfg.output_type]
     out_schema = T.StructType(
         [

@@ -23,6 +23,15 @@ PAGE_WIDTH = 612.0
 MIDLINE = PAGE_WIDTH / 2.0
 
 
+def count_image_spans(html: bytes | bytearray | None) -> int:
+    """Image-span count without reconstruction: a raw byte scan for the
+    marker. Exact because the marker glyphs are a synthetic sentinel that
+    appears in the span payload only as an image span's text."""
+    if html is None:
+        return 0
+    return bytes(html).count(IMG_MARKER.encode("utf-8"))
+
+
 def reconstruct_page(html: bytes | bytearray | None) -> tuple[str, int]:
     """(reading-order text, number of image spans) from the span payload."""
     if html is None:

@@ -211,8 +211,11 @@ def run_extraction(
                 "questions_written": 0,
                 "quarantined": 0,
             }
+        # cache=False: `paged` is already persisted above, so the salted
+        # path's offsets join reads the cache without pinning a second copy
+        # per run (foreachBatch calls this every micro-batch)
         counted = with_page_numbering(
-            paged.filter(F.col("q_count") > 0), cfg.salt_chunk_size
+            paged.filter(F.col("q_count") > 0), cfg.salt_chunk_size, cache=False
         )
         keys = build_answer_keys(valid)
         questions = questions_from_counted(counted, keys, cfg)

@@ -94,13 +94,19 @@ def find_correct_answer(
         if not m:
             return MISSING_ANSWER
         offset = (4 if is_spanish else 2) if n < 10 else 3
-        return answer_text[m.start() + offset]
-    n = question_number + 90
-    m = re.search(r"\b" + str(n) + r"\b", answer_text)
-    if not m:
-        return MISSING_ANSWER
-    offset = 3 if n < 100 else 4
-    return answer_text[m.start() + offset]
+        idx = m.start() + offset
+    else:
+        n = question_number + 90
+        m = re.search(r"\b" + str(n) + r"\b", answer_text)
+        if not m:
+            return MISSING_ANSWER
+        offset = 3 if n < 100 else 4
+        idx = m.start() + offset
+    # deliberate divergence from the reference: a truncated key text whose
+    # last probed number sits at end-of-string would IndexError there
+    # (enem_pdf_extractor.py:201-222 indexes unconditionally); we degrade to
+    # the miss literal so malformed CC pages cannot kill a task
+    return answer_text[idx] if idx < len(answer_text) else MISSING_ANSWER
 
 
 @dataclass

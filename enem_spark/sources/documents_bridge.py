@@ -74,8 +74,10 @@ def page_text_for(doc_id: int, text: str, year: int) -> str:
 
 
 def gb_text_for(year: int, day: str) -> str:
+    # D2 exam numbers run 1..91 and probe keys n+90 = 91..181 inclusive
+    # (oracle.DAY2_RANGES caps math at 91), so the key list must reach 181
     lines = [f"GABARITO OFICIAL {year} {day} LINHA DE RUIDO"]
-    keys = range(1, 91) if day == "D1" else range(91, 181)
+    keys = range(1, 91) if day == "D1" else range(91, 182)
     for k in keys:
         lines.append(str(k))
         lines.append(answer_letter(year, day, k))

@@ -215,6 +215,42 @@ def test_question_spans_tile_page_text(spark, docs, pages_df):
     assert checked > 20
 
 
+def test_dedup_pages_newest_wins(spark, docs, pages_df):
+    """A re-crawled PV page (same url, newer warc_ts, extra question) shifts
+    numbering without dedup; with cfg.dedup_pages the newest row wins and
+    output matches extraction over the deduped input."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pv_row = (
+        pages_df.filter(F.col("url").contains("PV") & F.col("url").endswith("/page/1"))
+        .limit(1)
+        .collect()[0]
+    )
+    recrawl = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "url": pv_row["url"],
+                    "warc_ts": pd.Timestamp("2030-01-01"),
+                    "html": None,
+                    "text": pv_row["text"],  # same content, newer snapshot
+                    "lang": "pt",
+                }
+            ]
+        ),
+        schema=pages_df.schema,
+    )
+    noisy = pages_df.unionByName(recrawl)
+    base = extract_questions(pages_df, ExtractorConfig()).collect()
+    deduped = extract_questions(noisy, ExtractorConfig(dedup_pages=True)).collect()
+    key = lambda rows: sorted((r["url"], r["seq"], r["question_text"]) for r in rows)
+    assert key(deduped) == key(base)
+    # and without dedup the duplicate page fans out
+    dup = extract_questions(noisy, ExtractorConfig()).count()
+    assert dup > len(base)
+
+
 def test_duplicate_and_corrupt_gb_pages_are_harmless(spark, docs, pages_df):
     """Re-delivered answer-key pages (exact dup, truncated copy, blank copy,
     null-metadata url) must neither duplicate questions nor mask the
