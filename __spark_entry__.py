@@ -265,6 +265,22 @@ def q_fingerprint(spark, sf_dir):
     return textops.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_stratified_sample(spark, sf_dir):
+    return textops.stratified_sample(_t(spark, sf_dir, "documents"))
+
+
+def q_token_histogram(spark, sf_dir):
+    return textops.token_histogram(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_jaccard_estimate(spark, sf_dir):
+    return textops.minhash_jaccard_estimate(_t(spark, sf_dir, "documents"))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
 def q_top_terms(spark, sf_dir):
     return textops.top_terms(_t(spark, sf_dir, "documents"))
 
@@ -357,6 +373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filters": q_gopher_filters,
         "repetition_filters": q_repetition_filters,
         "fingerprint": q_fingerprint,
+        "stratified_sample": q_stratified_sample,
+        "token_histogram": q_token_histogram,
+        "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "top_terms": q_top_terms,
         "corpus_curate": q_corpus_curate,
         "source_stats": q_source_stats,
@@ -454,6 +474,37 @@ candidates AS (
     ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
 ),
 {_JACCARD_TAIL.format(thr=threshold)}
+"""
+
+
+def _minhash_est_sql() -> str:
+    mh_cols = ",\n    ".join(
+        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(textops.MINHASH_PERMS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END"
+        for s in range(textops.MINHASH_PERMS)
+    )
+    return f"""
+WITH pairs AS ({_minhash_lsh_sql(0.0)}),
+{_SHINGLES_CTE},
+sig_t AS (
+  SELECT doc_id, {mh_cols} FROM shingled GROUP BY doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(({agree}) / {textops.MINHASH_PERMS}, 6) AS est_jaccard,
+       p.jaccard
+FROM pairs p
+JOIN sig_t a ON a.doc_id = p.doc_a
+JOIN sig_t b ON b.doc_id = p.doc_b
+"""
+
+
+def _stratified_sample_sql(rate_pct=10) -> str:
+    cut_hex = format(int(0xFFFFFF * rate_pct / 100), "06x")
+    return f"""
+SELECT doc_id, source AS stratum FROM documents
+WHERE substr(md5(text), 1, 6) < '{cut_hex}'
 """
 
 
@@ -952,6 +1003,30 @@ reach(doc_id, r) AS (
   SELECT e.doc_a, r.r FROM edges e JOIN reach r ON r.doc_id = e.doc_b
 )
 SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+""",
+        "stratified_sample": _stratified_sample_sql(),
+        "token_histogram": r"""
+SELECT CAST((len(regexp_split_to_array(trim(text), '\s+')) // 10) * 10 AS INT) AS bucket_lo,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+        "minhash_jaccard_estimate": _minhash_est_sql(),
+        "tfidf_top_terms": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+totals AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((SELECT n FROM totals) * 1.0 / dft.df), 6) AS tfidf
+  FROM tf JOIN dft USING (term)
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3
 """,
         "ann_cosine_topk": _cosine_topk_sql(),
         "ann_srp_bucket": _srp_sql(),

@@ -60,6 +60,10 @@ HEADLINE = [
     "gopher_filters",
     "repetition_filters",
     "fingerprint",
+    "stratified_sample",
+    "token_histogram",
+    "minhash_jaccard_estimate",
+    "tfidf_top_terms",
     "top_terms",
     "corpus_curate",
     "source_stats",

@@ -113,6 +113,42 @@ def start_extraction_stream(
     return writer.start()
 
 
+def stateful_user_totals(events_stream: DataFrame):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (event count, value total) maintained in managed state
+    across micro-batches, emitted on every update.
+
+    The primitive for streaming aggregations that built-in windowed aggs
+    cannot express (arbitrary per-key state transitions — here a simple
+    running total, in production e.g. per-domain crawl budgets or sessions
+    with custom expiry). State lives in the state store (checkpointed,
+    partitioned by key), so the operator scales horizontally like any
+    keyed stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+            }
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_page_counts(
     pages_stream: DataFrame,
     window: str = "1 hour",

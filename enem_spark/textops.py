@@ -641,6 +641,101 @@ def source_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def stratified_sample(
+    documents: DataFrame, rate_pct: int = 10, strata_col: str = "source"
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep a ~rate_pct% slice
+    of every stratum, reproducibly (content-hash threshold, no RNG).
+
+    THE core corpus-subsampling primitive: unlike df.sample(), the decision
+    is a pure function of the row, so reruns/retries/other engines agree
+    row-for-row. Keep iff the first 6 hex digits of md5(text) fall below
+    rate_pct% of 16^6 — compared as fixed-width lowercase hex STRINGS, which
+    orders identically to the numeric value in any engine."""
+    cut_hex = format(int(0xFFFFFF * rate_pct / 100), "06x")
+    keep = F.substring(F.md5("text"), 1, 6) < cut_hex
+    return documents.filter(keep).select("doc_id", F.col(strata_col).alias("stratum"))
+
+
+def token_histogram(documents: DataFrame, bucket_w: int = 10) -> DataFrame:
+    """Document-length histogram: docs per `bucket_w`-token bucket.
+
+    The distribution report every corpus pipeline emits; one tiny shuffle on
+    the bucket id (partial agg collapses first)."""
+    n = F.size(_tokens(F.col("text")))
+    bucket = (F.floor(n / bucket_w) * bucket_w).cast("int")
+    return (
+        documents.select(bucket.alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def minhash_jaccard_estimate(documents: DataFrame) -> DataFrame:
+    """Sketch-based Jaccard ESTIMATION for LSH candidate pairs: the fraction
+    of agreeing MinHash components — the O(k) probe that replaces the full
+    shingle-set intersection when only a similarity score (not an exact
+    value) is needed at 10^12-document scale.
+
+    Output: (doc_a, doc_b, est_jaccard, jaccard) — estimate next to the
+    exact value so the sketch's error is itself observable."""
+    sh = shingle_table(documents, cache=True)
+    sig = minhash_signatures(documents, sh)
+    pairs = minhash_lsh_pairs(documents, threshold=0.0)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(MINHASH_PERMS)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(MINHASH_PERMS)],
+    )
+    agree = sum(
+        (
+            F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+            for s in range(MINHASH_PERMS)
+        ),
+        F.lit(0),
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / MINHASH_PERMS, 6).alias("est_jaccard"),
+            "jaccard",
+        )
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms (keyword extraction).
+
+    tf = in-doc count; idf = ln(N / df) with df = docs containing the term.
+    Deterministic ties by term. Two shuffles (df agg + per-doc rank), both
+    on near-uniform keys; the df table is the only corpus-wide state and is
+    aggregated, never broadcast raw."""
+    tok = documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.count()  # scalar; computed once at plan build
+    scored = tf.join(df_t, "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
 def fingerprint(documents: DataFrame, k: int = 4) -> DataFrame:
     """Bottom-k sketch: the k smallest shingle md5s, concatenated.
 

@@ -176,6 +176,51 @@ def test_document_stream_page_at_a_time(spark, pages_df, tmp_path):
     assert dups == 0
 
 
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: running per-user totals must survive the
+    micro-batch boundary (state store) and converge to the batch aggregate."""
+    from enem_spark.streaming import stateful_user_totals
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "esrc")
+    a, b = events.randomSplit([0.5, 0.5], seed=7)
+    a.coalesce(1).write.parquet(f"{src}/p1")
+    b.coalesce(1).write.parquet(f"{src}/p2")
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # memory sink accumulates one row per (user, update); the final state is
+    # the max-n_events row per user (totals are monotone)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                 FROM user_totals) WHERE rn = 1"""
+        ).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], round(r["t"], 4))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == exp
+
+
 def test_windowed_counts_with_late_data(spark, pages_df, tmp_path):
     """Watermarked tumbling windows over the pages stream: append-mode
     output equals the batch windowed aggregate for all windows closed by
