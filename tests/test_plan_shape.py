@@ -1,0 +1,62 @@
+"""Physical-plan regression guards.
+
+These assert the *shape* of the flagship plan, not its results — the bug
+class they catch (silently doubled UDF evaluation, lost pushdown, lost
+partition pruning, accidental driver-side collect) passes every correctness
+test while wrecking 100 TB runs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from enem_spark import corpus
+from enem_spark.extract import ExtractorConfig, extract_questions
+
+
+@pytest.fixture(scope="module")
+def plan(spark, tmp_path_factory):
+    """Executed-plan string for extraction over a kind-partitioned store."""
+    store = str(tmp_path_factory.mktemp("plan") / "pages")
+    pages = corpus.pages_dataframe(
+        spark, corpus.CorpusConfig(seed=2, n_exams=2, pages_per_exam=4)
+    ).withColumn(
+        "kind", F.when(F.col("url").contains("_PV_"), "PV").otherwise("GB")
+    )
+    pages.write.partitionBy("kind").parquet(store)
+    df = extract_questions(
+        spark.read.parquet(store), ExtractorConfig(output_type="json")
+    )
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_page_udf_evaluates_once(plan):
+    """Exactly ONE ArrowEvalPython node: filtering on the UDF's struct
+    output makes Catalyst push the filter under the projection and run the
+    pandas UDF twice per page (regression caught by explain audit)."""
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_scan_pushdown_present(plan):
+    """lang/url predicates must reach the parquet scan."""
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(lang,pt)" in plan
+
+
+def test_answer_keys_join_is_broadcast(plan):
+    """The key table must broadcast — a shuffled join here would move the
+    full question set for a ~180-row/exam dimension."""
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kind_partition_pruning(plan):
+    """With a physical `kind` column, the GB dimension scan must prune
+    partitions rather than regexp-scan every page row."""
+    assert "PartitionFilters" in plan
+    # the GB-side scan filters on the partition column value
+    assert "kind" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_no_cartesian_or_nested_loop(plan):
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
