@@ -383,10 +383,65 @@ def run_skew(cpus: str = "8") -> dict:
     return out
 
 
+def run_lineage_demo(sf_dir: str, cpus: str) -> dict:
+    """Observability showcase: one lineage-instrumented extraction run over
+    the stored pages table, then the per-partition metrics distribution an
+    operator would alert on (straggler partitions, parse-failure hotspots)."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from enem_spark.extract import ExtractorConfig
+    from enem_spark.lineage import run_extraction
+    from enem_spark.session import get_spark
+
+    spark = get_spark("enem_spark_lineage", cores=cpus)
+    store, n_pages = _pages_store(spark, sf_dir, 8)
+    out = tempfile.mkdtemp(prefix="enem_lineage_")
+    try:
+        t0 = time.perf_counter()
+        summary = run_extraction(
+            spark, spark.read.parquet(store), ExtractorConfig(), out, "bench"
+        )
+        wall = time.perf_counter() - t0
+        lin = spark.read.parquet(f"{out}/lineage")
+        stats = lin.agg(
+            F.count("*").alias("partitions"),
+            F.sum("input_pages").alias("pages"),
+            F.sum("q_candidates").alias("q_candidates"),
+            F.sum("parse_failures").alias("parse_failures"),
+            F.round(F.min("wall_ms"), 1).alias("min_part_ms"),
+            F.round(F.expr("percentile(wall_ms, 0.5)"), 1).alias("p50_part_ms"),
+            F.round(F.max("wall_ms"), 1).alias("max_part_ms"),
+        ).first()
+        return {
+            "mode": "lineage_demo",
+            "run": summary,
+            "wall_sec": round(wall, 2),
+            "partitions": stats["partitions"],
+            "pages": stats["pages"],
+            "q_candidates": stats["q_candidates"],
+            "parse_failures": stats["parse_failures"],
+            "partition_wall_ms": {
+                "min": stats["min_part_ms"],
+                "p50": stats["p50_part_ms"],
+                "max": stats["max_part_ms"],
+            },
+            "straggler_ratio": round(
+                stats["max_part_ms"] / max(stats["p50_part_ms"], 0.001), 2
+            ),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--lineage", action="store_true")
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
@@ -404,6 +459,9 @@ def main() -> None:
         return
     if args.skew:
         print(json.dumps(run_skew(cpus)))
+        return
+    if args.lineage:
+        print(json.dumps(run_lineage_demo(sf_dir, cpus)))
         return
     print(json.dumps(run_bench(sf_dir, cpus, extract_only=args.extract_only)))
 
