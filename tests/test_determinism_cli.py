@@ -1,0 +1,77 @@
+"""Determinism + CLI coverage.
+
+The corpus and the bridge must be pure functions of their seeds (no wall
+clock, no ambient RNG) — retries, reruns, and other machines must produce
+byte-identical inputs; the job CLI must work as a subprocess the way
+spark-submit would run it."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from enem_spark import corpus
+from enem_spark.sources.documents_bridge import gb_text_for, page_text_for
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_corpus_generation_is_deterministic():
+    cfg = corpus.CorpusConfig(seed=99, n_exams=5, pages_per_exam=6)
+    a = corpus.to_rows(corpus.generate(cfg), cfg.seed)
+    b = corpus.to_rows(corpus.generate(cfg), cfg.seed)
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra == rb
+
+
+def test_corpus_urls_unique_at_any_scale():
+    """Regression: (year, day, color) cycles every 8 exams — urls must stay
+    distinct anyway (the skew bench uses n_exams=256)."""
+    cfg = corpus.CorpusConfig(seed=3, n_exams=40, pages_per_exam=3)
+    rows = corpus.to_rows(corpus.generate(cfg), cfg.seed)
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls))
+
+
+def test_bridge_is_deterministic():
+    assert page_text_for(123, "alpha beta gamma delta " * 5, 2022) == page_text_for(
+        123, "alpha beta gamma delta " * 5, 2022
+    )
+    assert gb_text_for(2021, "D2") == gb_text_for(2021, "D2")
+    # D2 keys must cover probe range 91..181 inclusive
+    assert "\n181\n" in gb_text_for(2021, "D2")
+
+
+def test_extract_job_cli_batch(tmp_path, spark):
+    """The spark-submit-shaped CLI runs as a subprocess and resumes."""
+    src = str(tmp_path / "pages")
+    corpus.pages_dataframe(
+        spark, corpus.CorpusConfig(seed=17, n_exams=2, pages_per_exam=4)
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+
+    def run(run_id):
+        p = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "jobs", "extract_job.py"),
+                "--input", src, "--output", out,
+                "--run-id", run_id, "--cores", "2",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=REPO,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        return json.loads(
+            [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    s1 = run("r1")
+    assert s1["input_pages"] > 0 and s1["questions_written"] > 0
+    s2 = run("r2")
+    assert s2["input_pages"] == 0  # document-granular resume across processes
