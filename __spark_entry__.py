@@ -633,7 +633,7 @@ WITH {_doc_features_cte()}
 SELECT source,
        count(*) AS n_docs,
        count(DISTINCT h) AS n_distinct,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(quality), 6) AS avg_quality,
        round(1.0 - count(DISTINCT h) / count(*), 6) AS dup_rate
 FROM scored GROUP BY source
@@ -965,7 +965,7 @@ SELECT term, doc_freq, CAST(rank AS INT) AS rank FROM (
         "props_extract": """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type

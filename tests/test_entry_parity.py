@@ -57,6 +57,17 @@ ORACLES = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
 
 
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to the kind that matters for a value-hash:
+    int-ish, float-ish, bool, datetime, or object/string."""
+    k = dtype.kind  # i u f b M O ...
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    return k
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     assert name in QUERIES, f"oracle {name} has no queries() entry"
@@ -73,6 +84,19 @@ def test_query_matches_oracle(spark, duck, name):
     # align duck column order to spark's
     idx = [duck_cols.index(c) for c in cols]
     duck_rows = [tuple(r[i] for i in idx) for r in duck_rows_raw]
+
+    # The driver compares via pandas, where dtype KIND matters: DuckDB
+    # HUGEINT (sum of INT/BIGINT) becomes float64 while Spark's bigint stays
+    # int64, and "99111.0" != "99111" under a stringified value-hash even
+    # though fetchall() yields equal Python ints.  Mirror that strictness.
+    sp_kinds = {c: _kind(d) for c, d in sdf.toPandas().dtypes.items()}
+    du_kinds = {c: _kind(d) for c, d in duck.execute(ORACLES[name]).df().dtypes.items()}
+    kind_mism = {
+        c: (sp_kinds[c], du_kinds[c]) for c in cols if sp_kinds[c] != du_kinds[c]
+    }
+    assert not kind_mism, (
+        f"{name}: pandas dtype-kind mismatch (driver hash would differ): {kind_mism}"
+    )
 
     got = normalize(spark_rows, list(range(len(cols))))
     exp = normalize(duck_rows, list(range(len(cols))))
