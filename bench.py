@@ -115,9 +115,15 @@ def _pages_store(spark, sf_dir: str, mult: int = 1) -> tuple[str, int]:
         # lets the answer-key build prune to the tiny GB partition instead
         # of scanning every PV page for its 32 key rows.
         n_files = max(32, mult * 8)
+        # mirror with_url_metadata's derivation EXACTLY (no otherwise): a
+        # url that is neither PV nor GB must stay null so it flows to
+        # quarantine — an otherwise("GB") would silently admit noise docs
+        # into the answer-key build for the stored-pages path
         pages = pages_from_documents(documents).withColumn(
             "kind",
-            F.when(F.col("url").contains("_PV_"), "PV").otherwise("GB"),
+            F.when(F.col("url").contains("PV"), "PV").when(
+                F.col("url").contains("GB"), "GB"
+            ),
         )
         pages.repartition(n_files).write.mode("overwrite").partitionBy(
             "kind"

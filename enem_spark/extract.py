@@ -233,7 +233,10 @@ def make_page_udf(cfg: ExtractorConfig):
 # ---------------------------------------------------------------------------
 
 def with_page_numbering(
-    pages: DataFrame, salt_chunk_size: int = 0, cache: bool = True
+    pages: DataFrame,
+    salt_chunk_size: int = 0,
+    cache: bool = True,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """page_first_question = 1 + questions on earlier pages of the document.
 
@@ -260,6 +263,11 @@ def with_page_numbering(
         from pyspark import StorageLevel
 
         pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
+        if persist_to is not None:
+            # the caller owns the persist lifetime: long-running streams
+            # call this per micro-batch, and an unowned cache block would
+            # accumulate until the ContextCleaner happens to GC the plan
+            persist_to.append(pages)
     w_in = (
         W.partitionBy("doc_id", "chunk_id")
         .orderBy("page_idx")
@@ -367,7 +375,9 @@ def build_answer_keys(pages_meta: DataFrame) -> DataFrame:
 # full pipeline
 # ---------------------------------------------------------------------------
 
-def extract_pages(pages: DataFrame, cfg: ExtractorConfig) -> DataFrame:
+def extract_pages(
+    pages: DataFrame, cfg: ExtractorConfig, persist_to: list | None = None
+) -> DataFrame:
     """Per-page stage: metadata, quarantine, layout+parse UDF, numbering.
 
     Returns one row per kept PV page with page_text (the per-url extracted
@@ -410,12 +420,15 @@ def extract_pages(pages: DataFrame, cfg: ExtractorConfig) -> DataFrame:
     # count advances numbering even though they emit nothing — F4). Rare
     # q_count=0 survivors (html-only pages with no marker) add 0 to the
     # running sum and explode to nothing, so no post-UDF filter is needed.
-    counted = with_page_numbering(paged, cfg.salt_chunk_size)
+    counted = with_page_numbering(paged, cfg.salt_chunk_size, persist_to=persist_to)
     return counted
 
 
 def extract_questions(
-    pages: DataFrame, cfg: ExtractorConfig, keys: DataFrame | None = None
+    pages: DataFrame,
+    cfg: ExtractorConfig,
+    keys: DataFrame | None = None,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """pages -> questions table (SURVEY.md §1.4 / FIXTURES.md §3).
 
@@ -423,7 +436,7 @@ def extract_questions(
     the key table must come from ALL answer-key pages seen so far, not just
     the current micro-batch (a GB page arriving in a different batch than
     its PV pages would otherwise silently turn into MISSING_ANSWER)."""
-    counted = extract_pages(pages, cfg)
+    counted = extract_pages(pages, cfg, persist_to=persist_to)
     if keys is None:
         keys = build_answer_keys(with_url_metadata(pages))
     return questions_from_counted(counted, keys, cfg)

@@ -200,49 +200,74 @@ def run_extraction(
     paged = instrumented_page_stage(pv, cfg).persist()
     try:
         n_pages = paged.count()
-        n_quarantined = 0
-        if n_pages == 0:
+        n_questions = 0
+
+        new_quarantine = quarantined.select("url", "year", "day", "kind", "color")
+        committed = committed_run_ids(spark, out_dir)
+        if committed is not None and _exists(f"{out_dir}/quarantine"):
+            # dedup only against COMMITTED runs' quarantine rows: orphan
+            # run_id dirs from crashed runs must not suppress a re-write
+            # under the new run_id, or the orphan rows would stay invisible
+            # to every committed-gated reader forever
+            seen = (
+                spark.read.parquet(f"{out_dir}/quarantine")
+                .join(committed, "run_id", "left_semi")
+                .select("url")
+            )
+            new_quarantine = new_quarantine.join(seen, "url", "left_anti")
+        n_quarantined = new_quarantine.count()
+
+        if n_pages == 0 and n_quarantined == 0:
             # nothing to do — write nothing (an empty overwrite of a reused
-            # run_id directory, e.g. a second 'flush', must not erase the
-            # first one's output)
+            # run_id directory must not erase a previous run's output)
             return {
                 "run_id": run_id,
                 "input_pages": 0,
                 "questions_written": 0,
                 "quarantined": 0,
             }
-        # cache=False: `paged` is already persisted above, so the salted
-        # path's offsets join reads the cache without pinning a second copy
-        # per run (foreachBatch calls this every micro-batch)
-        counted = with_page_numbering(
-            paged.filter(F.col("q_count") > 0), cfg.salt_chunk_size, cache=False
-        )
-        keys = build_answer_keys(valid)
-        questions = questions_from_counted(counted, keys, cfg)
-        qdir = f"{out_dir}/questions/run_id={run_id}"
-        questions.write.mode("overwrite").partitionBy("year", "day").parquet(qdir)
-        n_questions = spark.read.parquet(qdir).count()
 
-        partition_lineage(paged, run_id).drop("run_id").write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/lineage/run_id={run_id}")
+        if n_pages:
+            # cache=False: `paged` is already persisted above, so the salted
+            # path's offsets join reads the cache without pinning a second
+            # copy per run (foreachBatch calls this every micro-batch)
+            counted = with_page_numbering(
+                paged.filter(F.col("q_count") > 0), cfg.salt_chunk_size, cache=False
+            )
+            keys = build_answer_keys(valid)
+            questions = questions_from_counted(counted, keys, cfg).persist()
+            # Count BEFORE the write: an all-pages-markerless run (pt PV
+            # pages with no 'QUESTÃO' marker, or every parse failing) yields
+            # zero questions, and an empty partitionBy write produces no
+            # parquet files — reading the dir back would throw
+            # UNABLE_TO_INFER_SCHEMA before the commit point, wedging resume
+            # into retrying the same documents forever. Such documents are
+            # DONE, not failed: skip the questions write but still record
+            # processed_docs + the runs marker.
+            n_questions = questions.count()
+            if n_questions:
+                qdir = f"{out_dir}/questions/run_id={run_id}"
+                questions.write.mode("overwrite").partitionBy(
+                    "year", "day"
+                ).parquet(qdir)
+            questions.unpersist()
 
-        paged.select("doc_id").distinct().write.mode("overwrite").parquet(
-            f"{out_dir}/processed_docs/run_id={run_id}"
-        )
+            partition_lineage(paged, run_id).drop("run_id").write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/lineage/run_id={run_id}")
 
-        new_quarantine = quarantined.select("url", "year", "day", "kind", "color")
-        if _exists(f"{out_dir}/quarantine"):
-            seen = spark.read.parquet(f"{out_dir}/quarantine").select("url")
-            new_quarantine = new_quarantine.join(seen, "url", "left_anti")
-        n_quarantined = new_quarantine.count()
+            paged.select("doc_id").distinct().write.mode("overwrite").parquet(
+                f"{out_dir}/processed_docs/run_id={run_id}"
+            )
+
         if n_quarantined:
             new_quarantine.write.mode("overwrite").parquet(
                 f"{out_dir}/quarantine/run_id={run_id}"
             )
 
         # COMMIT POINT — everything above is invisible to resume/readers
-        # until this tiny append lands
+        # until this tiny append lands. Quarantine-only runs commit too:
+        # their rows must become visible to readers and to the dedup above.
         spark.createDataFrame(
             [(run_id, n_pages, n_questions)],
             "run_id string, input_pages long, questions_written long",

@@ -96,12 +96,20 @@ def start_extraction_stream(
         if os.path.exists(f"{out_dir}/gb_store"):
             gb_all = spark.read.parquet(f"{out_dir}/gb_store").drop("batch_id")
             keys = build_answer_keys(with_url_metadata(gb_all))
-        (
-            extract_questions(batch_df, cfg, keys=keys)
-            .write.mode("overwrite")
-            .partitionBy("year", "day")
-            .parquet(f"{out_dir}/questions/batch_id={batch_id}")
-        )
+        persisted: list = []
+        try:
+            (
+                extract_questions(batch_df, cfg, keys=keys, persist_to=persisted)
+                .write.mode("overwrite")
+                .partitionBy("year", "day")
+                .parquet(f"{out_dir}/questions/batch_id={batch_id}")
+            )
+        finally:
+            # the salted-numbering cache is per-batch scratch: release it
+            # eagerly or a long stream pins one MEMORY_AND_DISK copy per
+            # micro-batch until the ContextCleaner gets around to it
+            for df in persisted:
+                df.unpersist()
 
     writer = (
         pages_stream.writeStream.foreachBatch(process_batch)
@@ -178,8 +186,64 @@ def windowed_page_counts(
     )
 
 
+def _has_batches(path: str) -> bool:
+    """True iff the dir holds at least one batch_id= partition (a staging
+    dir whose batches were all compacted away must not be passed to the
+    parquet reader — an empty dir cannot infer a schema)."""
+    import os
+
+    return os.path.exists(path) and any(
+        d.startswith("batch_id=") for d in os.listdir(path)
+    )
+
+
+def _read_staged(
+    spark: SparkSession, staging: str, gb_store: str
+) -> DataFrame | None:
+    """Union of the PV staging table and the GB dimension store, batch_id
+    dropped. Loaded per-root (Spark refuses multi-root partition
+    discovery) — None when neither holds a batch."""
+    frames = [
+        spark.read.parquet(p).drop("batch_id")
+        for p in (staging, gb_store)
+        if _has_batches(p)
+    ]
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _next_flush_run_id(spark: SparkSession, out_dir: str) -> str:
+    """Unique flush run_id per invocation: ``flush_<n>`` with n = 1 + the
+    highest committed flush index. Reusing a constant 'flush' id would make
+    a second streaming invocation over the same --output (the supported
+    resume flow) overwrite the first flush's COMMITTED questions/
+    processed_docs directories while the old commit marker still stands —
+    silently losing its questions and un-marking its documents. Only
+    COMMITTED ids advance the counter: a flush that crashed pre-commit is
+    correctly replayed under the same id (overwrite semantics)."""
+    import re
+
+    from .lineage import committed_run_ids
+
+    committed = committed_run_ids(spark, out_dir)
+    last = -1
+    if committed is not None:
+        for r in committed.collect():
+            m = re.fullmatch(r"flush(?:_(\d+))?", r["run_id"])
+            if m:
+                last = max(last, int(m.group(1) or 0))
+    return f"flush_{last + 1}"
+
+
 def flush_staging(
-    spark: SparkSession, cfg: ExtractorConfig, out_dir: str
+    spark: SparkSession,
+    cfg: ExtractorConfig,
+    out_dir: str,
+    run_id: str | None = None,
 ) -> dict | None:
     """End-of-stream flush for `start_document_stream`: extract every staged
     document regardless of the completeness horizon (the stream is finished,
@@ -190,12 +254,87 @@ def flush_staging(
     from .lineage import run_extraction
 
     staging = f"{out_dir}/staging"
-    if not os.path.exists(staging):
+    gb_store = f"{out_dir}/gb_store"
+    staged = _read_staged(spark, staging, gb_store)
+    if staged is None:
         return None
-    staged = spark.read.parquet(staging).select(
-        *[f.name for f in PAGES_SCHEMA.fields]
+    staged = staged.select(*[f.name for f in PAGES_SCHEMA.fields])
+    if run_id is None:
+        run_id = _next_flush_run_id(spark, out_dir)
+    return run_extraction(spark, staged, cfg, out_dir, run_id=run_id)
+
+
+def compact_staging(spark: SparkSession, out_dir: str) -> int:
+    """Bound the staging table for live tails: delete ``batch_id=`` dirs
+    that no longer hold any LIVE page. A staged page is live iff it is a
+    pt-language page that the pipeline could still need:
+
+      * a PV page of a document NOT yet in committed processed_docs, or
+      * an unresolved-kind page whose url is NOT yet committed-quarantined,
+      * (upgrade safety) a GB page still sitting in staging from before the
+        gb_store split — answer keys must survive compaction.
+
+    Non-pt pages are dead on arrival (run_extraction filters them). GB
+    pages now live in ``gb_store`` (a persistent, tiny dimension store that
+    is never compacted), so at steady state the staging footprint is
+    O(unsettled PV documents), not O(stream lifetime). Deletion is safe
+    against foreachBatch replays: a replayed batch rewrites its dir with
+    identical content (overwrite mode) and the next compaction re-drops it.
+
+    Local-FS deletes via shutil; on HDFS/S3 this would be the FileSystem
+    API — the decision logic (one Spark aggregate) is storage-agnostic.
+    Returns the number of directories dropped."""
+    import os
+    import shutil
+
+    from .lineage import committed_run_ids, processed_doc_ids, _exists
+
+    staging = f"{out_dir}/staging"
+    if not os.path.exists(staging):
+        return 0
+    batch_dirs = [d for d in os.listdir(staging) if d.startswith("batch_id=")]
+    if not batch_dirs:
+        return 0
+
+    staged = spark.read.parquet(staging)  # batch_id from partition dirs
+    live = (
+        staged.filter(F.col("lang") == "pt")
+        .withColumn("doc_id", F.regexp_extract("url", r"^(.*)/page/\d+$", 1))
+        .withColumn(
+            "kind",
+            F.when(F.col("url").contains("PV"), "PV").when(
+                F.col("url").contains("GB"), "GB"
+            ),
+        )
     )
-    return run_extraction(spark, staged, cfg, out_dir, run_id="flush")
+    pv_live = live.filter(F.col("kind") == "PV")
+    done = processed_doc_ids(spark, out_dir)
+    if done is not None:
+        pv_live = pv_live.join(done, "doc_id", "left_anti")
+    unk_live = live.filter(F.col("kind").isNull())
+    committed = committed_run_ids(spark, out_dir)
+    if committed is not None and _exists(f"{out_dir}/quarantine"):
+        qurls = (
+            spark.read.parquet(f"{out_dir}/quarantine")
+            .join(committed, "run_id", "left_semi")
+            .select("url")
+        )
+        unk_live = unk_live.join(qurls, "url", "left_anti")
+    gb_live = live.filter(F.col("kind") == "GB")
+    live_batches = {
+        str(r["batch_id"])
+        for r in pv_live.select("batch_id")
+        .unionByName(unk_live.select("batch_id"))
+        .unionByName(gb_live.select("batch_id"))
+        .distinct()
+        .collect()
+    }
+    dropped = 0
+    for d in batch_dirs:
+        if d.split("=", 1)[1] not in live_batches:
+            shutil.rmtree(os.path.join(staging, d))
+            dropped += 1
+    return dropped
 
 
 def start_document_stream(
@@ -205,6 +344,7 @@ def start_document_stream(
     checkpoint_dir: str,
     completeness_delay_s: int = 0,
     available_now: bool = True,
+    compact: bool = True,
 ):
     """Page-at-a-time ingestion with event-time document-completeness release.
 
@@ -221,30 +361,41 @@ def start_document_stream(
     from .lineage import run_extraction
 
     staging = f"{out_dir}/staging"
+    gb_store = f"{out_dir}/gb_store"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if not batch_df.isEmpty():
-            # per-batch overwrite directory: foreachBatch is at-least-once,
-            # and a blind append would duplicate every page of the batch on
-            # replay — page-level duplicates corrupt the numbering window
-            batch_df.write.mode("overwrite").parquet(
-                f"{staging}/batch_id={batch_id}"
-            )
         import os
 
-        if not os.path.exists(staging):
+        spark = batch_df.sparkSession
+        if not batch_df.isEmpty():
+            # per-batch overwrite directories: foreachBatch is at-least-once,
+            # and a blind append would duplicate every page of the batch on
+            # replay — page-level duplicates corrupt the numbering window.
+            # GB (answer-key) pages go to a separate persistent gb_store so
+            # staging compaction never has to choose between bounding the
+            # table and keeping the key dimension available to future docs.
+            is_gb = F.col("url").contains("GB") & ~F.col("url").contains("PV")
+            gb_batch = batch_df.filter(is_gb)
+            rest = batch_df.filter(~is_gb)
+            if not gb_batch.isEmpty():
+                gb_batch.write.mode("overwrite").parquet(
+                    f"{gb_store}/batch_id={batch_id}"
+                )
+            if not rest.isEmpty():
+                rest.write.mode("overwrite").parquet(
+                    f"{staging}/batch_id={batch_id}"
+                )
+
+        staged = _read_staged(spark, staging, gb_store)
+        if staged is None:
             return
-        # NOTE: the staging table is re-read per batch and grows with the
-        # stream; for long-running tails, compact it periodically by
-        # dropping batch_id directories whose documents are all committed
-        # (processed_docs ∪ quarantine) — not needed for catch-up runs.
-        staged = spark.read.parquet(staging).drop("batch_id")
         doc_id = F.regexp_extract("url", r"^(.*)/page/\d+$", 1)
         kind = F.when(F.col("url").contains("PV"), "PV").when(
             F.col("url").contains("GB"), "GB"
         )
         meta = staged.withColumn("doc_id", doc_id).withColumn("kind", kind)
+        # the horizon is the global max event time seen (GB arrivals advance
+        # the clock too — event time is one stream, not per-kind)
         horizon = meta.agg(F.max("warc_ts")).first()[0]
         if horizon is None:
             return
@@ -268,6 +419,8 @@ def start_document_stream(
             out_dir,
             run_id=f"batch_{batch_id}",
         )
+        if compact:
+            compact_staging(spark, out_dir)
 
     writer = (
         pages_stream.writeStream.foreachBatch(process_batch)

@@ -126,6 +126,84 @@ def test_quarantine_table_written(spark, pages_df, tmp_path):
     assert [r["url"] for r in q] == ["cc://junk/nometa/page/1"]
 
 
+def test_marker_free_corpus_commits_and_is_not_retried(spark, tmp_path):
+    """A run whose PV pages carry no 'QUESTÃO' marker yields ZERO questions.
+    That must not crash the read-back (empty partitionBy writes no files)
+    and the documents must be marked DONE — not retried forever."""
+    import pandas as pd
+
+    rows = [
+        {
+            "url": f"cc://enem/2017_PV_impresso_D1_CD1/page/{i}",
+            "warc_ts": pd.Timestamp("2024-01-01"),
+            "html": None,
+            "text": "pagina sem marcador de questao",
+            "lang": "pt",
+        }
+        for i in range(1, 4)
+    ]
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    pages = spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+    out = str(tmp_path / "mf")
+    s1 = run_extraction(spark, pages, ExtractorConfig(), out, run_id="m1")
+    assert s1["input_pages"] == 3 and s1["questions_written"] == 0
+    # the run COMMITTED: resume must see the docs as processed
+    s2 = run_extraction(spark, pages, ExtractorConfig(), out, run_id="m2")
+    assert s2["input_pages"] == 0
+
+
+def test_quarantine_only_run_commits(spark, tmp_path):
+    """A batch containing ONLY contract-violating pages must still commit,
+    so its quarantine rows become reader-visible and dedup-able."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "url": "cc://junk/nometa/page/1",
+                    "warc_ts": pd.Timestamp("2024-01-01"),
+                    "html": None,
+                    "text": "x",
+                    "lang": "pt",
+                }
+            ]
+        ),
+        schema=schema,
+    )
+    out = str(tmp_path / "qonly")
+    s1 = run_extraction(spark, bad, ExtractorConfig(), out, run_id="q1")
+    assert s1["quarantined"] == 1
+    from enem_spark.lineage import committed_run_ids
+
+    committed = committed_run_ids(spark, out)
+    assert committed is not None
+    assert [r["run_id"] for r in committed.collect()] == ["q1"]
+    # second sight of the same bad url dedups against the committed row
+    s2 = run_extraction(spark, bad, ExtractorConfig(), out, run_id="q2")
+    assert s2["quarantined"] == 0
+
+
 def test_document_stream_page_at_a_time(spark, pages_df, tmp_path):
     """Pages of one document straddle two micro-batches; the completeness
     horizon delays its release until all pages are staged, and the lineage
@@ -174,6 +252,97 @@ def test_document_stream_page_at_a_time(spark, pages_df, tmp_path):
     assert _question_keys(got) == _question_keys(extract_questions(pages_df, cfg))
     dups = got.groupBy("url", "seq").count().filter(F.col("count") > 1).count()
     assert dups == 0
+
+
+def test_second_streaming_invocation_preserves_first_flush(spark, pages_df, tmp_path):
+    """The supported resume flow runs the streaming job twice over the same
+    --output. Each flush must get a UNIQUE run_id: a reused 'flush' id would
+    overwrite the first invocation's committed questions while its commit
+    marker still stands — silent data loss."""
+    from enem_spark.streaming import flush_staging
+
+    out = str(tmp_path / "two")
+    cfg = ExtractorConfig(output_type="json")
+
+    docs = [
+        r["d"]
+        for r in pages_df.select(
+            F.regexp_extract("url", r"^(.*)/page/\d+$", 1).alias("d")
+        )
+        .distinct()
+        .collect()
+        if "PV" in r["d"]
+    ]
+    first_doc = docs[0]
+    part1 = pages_df.filter(
+        F.col("url").startswith(first_doc) | F.col("url").contains("GB")
+    )
+    # invocation 1: stage part1, flush
+    part1.write.mode("overwrite").parquet(f"{out}/staging/batch_id=0")
+    s1 = flush_staging(spark, cfg, out)
+    assert s1["run_id"] == "flush_0" and s1["questions_written"] > 0
+    n1 = spark.read.parquet(f"{out}/questions").count()
+
+    # invocation 2: stage everything (old pages re-staged too), flush again
+    pages_df.write.mode("overwrite").parquet(f"{out}/staging/batch_id=1")
+    s2 = flush_staging(spark, cfg, out)
+    assert s2["run_id"] == "flush_1"
+
+    from enem_spark.lineage import committed_questions
+
+    combined = committed_questions(spark, out)
+    assert _question_keys(combined) == _question_keys(extract_questions(pages_df, cfg))
+    # the first flush's directory was NOT overwritten
+    assert spark.read.parquet(f"{out}/questions/run_id=flush_0").count() == n1
+
+
+def test_staging_compaction_bounds_footprint(spark, pages_df, tmp_path):
+    """Long-tail hazard: staging grew with the stream because every batch
+    re-read it in full. After compaction, batch dirs whose documents are all
+    committed are deleted; with availableNow + delay 0 every doc settles in
+    its own batch, so staging ends EMPTY while gb_store (the persistent
+    answer-key dimension) survives."""
+    import os
+
+    from enem_spark.streaming import flush_staging, start_document_stream
+
+    src = str(tmp_path / "csrc")
+    out = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    cfg = ExtractorConfig(output_type="json")
+
+    # GB files first (older mtime -> earlier micro-batch: with delay 0 a PV
+    # doc settles the moment it is staged, so its key must already be in
+    # gb_store), then one file per PV-document group
+    import time
+
+    gb = pages_df.filter(F.col("url").contains("GB"))
+    pv = pages_df.filter(~F.col("url").contains("GB"))
+    gb.coalesce(1).write.parquet(f"{src}/g")
+    time.sleep(1.2)
+    pv.withColumn(
+        "doc", F.regexp_extract("url", r"^(.*)/page/\d+$", 1)
+    ).repartition("doc").drop("doc").write.parquet(f"{src}/p")
+
+    stream = spark.readStream.schema(pages_df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+    q = start_document_stream(
+        stream, cfg, out, ckpt, completeness_delay_s=0, compact=True
+    )
+    q.awaitTermination(300)
+    flush_staging(spark, cfg, out)
+
+    staged_dirs = (
+        [d for d in os.listdir(f"{out}/staging") if d.startswith("batch_id=")]
+        if os.path.exists(f"{out}/staging")
+        else []
+    )
+    assert staged_dirs == [], f"staging not compacted: {staged_dirs}"
+    assert os.path.exists(f"{out}/gb_store")
+
+    got = spark.read.parquet(f"{out}/questions")
+    assert _question_keys(got) == _question_keys(extract_questions(pages_df, cfg))
 
 
 def test_stateful_user_totals_across_batches(spark, tmp_path):
