@@ -774,8 +774,23 @@ WHERE round(list_dot_product(va, vb) / (na * nb), 6) >= {threshold}
 
 
 def oracle_sql() -> dict[str, str]:
+    # The flagship pipeline is a stateful cross-page string machine — not
+    # SQL-expressible directly. Its oracle is therefore MATERIALIZED: the
+    # pure-Python twin (enem_spark/expected.py — same per-page function,
+    # same key builder, no Spark) stages the expected tables as parquet and
+    # the SQL is a trivial SELECT over them. The driver compares at sf0.01.
+    from enem_spark.expected import stage_expected_tables
+
+    expected = stage_expected_tables("/root/testdata/sf0.01")
     return {
-        # extract_questions: stateful cross-page string machine — rows-only check
+        "extract_questions": f"""
+SELECT url, seq, subject, question_num, "ID", correct_answer, question_text
+FROM read_parquet('{expected["extract_questions"]}')
+""",
+        "extract_question_spans": f"""
+SELECT url, spans_json
+FROM read_parquet('{expected["extract_question_spans"]}')
+""",
         "route_case": """
 SELECT CASE WHEN l_quantity BETWEEN 1 AND 5 THEN 'eng'
             WHEN l_quantity BETWEEN 6 AND 10 THEN 'spa'

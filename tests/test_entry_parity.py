@@ -106,10 +106,10 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_every_query_has_oracle_or_is_declared():
+    # every queries() entry now has an oracle twin — the flagship pair is
+    # checked against the MATERIALIZED pure-Python expected tables
     undeclared = set(QUERIES) - set(ORACLES)
-    # the full extraction pipeline + its span artifact are the intentionally
-    # rows-only entries (stateful cross-page string machine, not SQL)
-    assert undeclared == {"extract_questions", "extract_question_spans"}, undeclared
+    assert undeclared == set(), undeclared
 
 
 def test_entry_smoke(spark):
