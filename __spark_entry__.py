@@ -230,7 +230,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return textops.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    # PARITY config (8 perms / 4 bands): small enough for the DuckDB twin;
+    # the engine default is 128/16 (textops module constants), whose recall
+    # is measured in tests/test_minhash_quality.py
+    return textops.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        perms=textops.PARITY_PERMS,
+        bands=textops.PARITY_BANDS,
+    )
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -274,7 +282,21 @@ def q_token_histogram(spark, sf_dir):
 
 
 def q_minhash_jaccard_estimate(spark, sf_dir):
-    return textops.minhash_jaccard_estimate(_t(spark, sf_dir, "documents"))
+    return textops.minhash_jaccard_estimate(
+        _t(spark, sf_dir, "documents"),
+        perms=textops.PARITY_PERMS,
+        bands=textops.PARITY_BANDS,
+    )
+
+
+def q_dedup_minhash_estimate(spark, sf_dir):
+    """Scale-path near-dup: estimate-only, NO shingle verification join."""
+    return textops.minhash_estimate_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.25,
+        perms=textops.PARITY_PERMS,
+        bands=textops.PARITY_BANDS,
+    )
 
 
 def q_tfidf_top_terms(spark, sf_dir):
@@ -376,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_histogram": q_token_histogram,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+        "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "tfidf_top_terms": q_tfidf_top_terms,
         "top_terms": q_top_terms,
         "corpus_curate": q_corpus_curate,
@@ -430,9 +453,9 @@ WHERE round(n_common / (za.n_shingles + zb.n_shingles - n_common), 6) >= {thr}
 
 def _minhash_lsh_sql(threshold: float) -> str:
     mh_cols = ",\n    ".join(
-        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(textops.MINHASH_PERMS)
+        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(textops.PARITY_PERMS)
     )
-    rows_per_band = textops.MINHASH_PERMS // textops.LSH_BANDS
+    rows_per_band = textops.PARITY_PERMS // textops.PARITY_BANDS
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {sig} AS sig FROM sig_t".format(
             b=b,
@@ -440,7 +463,7 @@ def _minhash_lsh_sql(threshold: float) -> str:
                 f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
             ),
         )
-        for b in range(textops.LSH_BANDS)
+        for b in range(textops.PARITY_BANDS)
     )
     return f"""
 WITH {_SHINGLES_CTE},
@@ -479,11 +502,11 @@ candidates AS (
 
 def _minhash_est_sql() -> str:
     mh_cols = ",\n    ".join(
-        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(textops.MINHASH_PERMS)
+        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(textops.PARITY_PERMS)
     )
     agree = " + ".join(
         f"CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END"
-        for s in range(textops.MINHASH_PERMS)
+        for s in range(textops.PARITY_PERMS)
     )
     return f"""
 WITH pairs AS ({_minhash_lsh_sql(0.0)}),
@@ -492,11 +515,52 @@ sig_t AS (
   SELECT doc_id, {mh_cols} FROM shingled GROUP BY doc_id
 )
 SELECT p.doc_a, p.doc_b,
-       round(({agree}) / {textops.MINHASH_PERMS}, 6) AS est_jaccard,
+       round(({agree}) / {textops.PARITY_PERMS}, 6) AS est_jaccard,
        p.jaccard
 FROM pairs p
 JOIN sig_t a ON a.doc_id = p.doc_a
 JOIN sig_t b ON b.doc_id = p.doc_b
+"""
+
+
+def _minhash_est_only_sql(threshold: float) -> str:
+    """Estimate-only twin: candidates from band buckets, similarity from
+    signature agreement — NO shingle verification join (the scale path)."""
+    mh_cols = ",\n    ".join(
+        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(textops.PARITY_PERMS)
+    )
+    rows_per_band = textops.PARITY_PERMS // textops.PARITY_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM sig_t".format(
+            b=b,
+            sig=" || '|' || ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(textops.PARITY_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END"
+        for s in range(textops.PARITY_PERMS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig_t AS (
+  SELECT doc_id, {mh_cols} FROM shingled GROUP BY doc_id
+),
+bands AS ({band_selects}),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         round(({agree}) / {textops.PARITY_PERMS}, 6) AS est_jaccard
+  FROM candidates c
+  JOIN sig_t a ON a.doc_id = c.doc_a
+  JOIN sig_t b ON b.doc_id = c.doc_b
+) WHERE est_jaccard >= {threshold}
 """
 
 
@@ -1026,6 +1090,7 @@ SELECT CAST((len(regexp_split_to_array(trim(text), '\s+')) // 10) * 10 AS INT) A
 FROM documents GROUP BY 1
 """,
         "minhash_jaccard_estimate": _minhash_est_sql(),
+        "dedup_minhash_estimate": _minhash_est_only_sql(0.25),
         "tfidf_top_terms": r"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents

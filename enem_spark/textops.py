@@ -29,8 +29,16 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 # word shingles of this size feed minhash + fingerprint
 SHINGLE_N = 3
-MINHASH_PERMS = 8
-LSH_BANDS = 4  # rows per band = MINHASH_PERMS // LSH_BANDS
+# Engine-scale LSH defaults: 128 permutations in 16 bands of 8 rows — the
+# standard web-dedup operating point (collision prob 1-(1-j^8)^16 ≈ 0.95 at
+# j=0.8, ≈ 0.05 at j=0.5), sharp enough that 10^12 docs don't drown in
+# false candidates. The driver queries pass PARITY_* instead: a tiny config
+# whose DuckDB twin stays tractable — correctness is checked there, the
+# recall of the big config is measured in tests/test_minhash_quality.py.
+MINHASH_PERMS = 128
+LSH_BANDS = 16  # rows per band = MINHASH_PERMS // LSH_BANDS
+PARITY_PERMS = 8
+PARITY_BANDS = 4
 SIMHASH_BITS = 16
 
 EN_MARKERS = (" the ", " and ", " of ")
@@ -94,7 +102,9 @@ def shingle_table(documents: DataFrame, cache: bool = False) -> DataFrame:
 
 
 def minhash_signatures(
-    documents: DataFrame, sh: DataFrame | None = None
+    documents: DataFrame,
+    sh: DataFrame | None = None,
+    perms: int = MINHASH_PERMS,
 ) -> DataFrame:
     """MinHash via k md5 'permutations': min(md5(seed || shingle)) per seed.
 
@@ -104,21 +114,15 @@ def minhash_signatures(
         sh = shingle_table(documents)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
-        for s in range(MINHASH_PERMS)
+        for s in range(perms)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Banded-LSH candidate generation + exact Jaccard verification.
-
-    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold,
-    rounded to 6 dp. Candidates = pairs sharing at least one band signature;
-    verification joins the shingle sets (equi-join on shingle)."""
-    sh = shingle_table(documents, cache=True)
-    sig = minhash_signatures(documents, sh)
-    rows_per_band = MINHASH_PERMS // LSH_BANDS
-    bands = sig.select(
+def _band_table(sig: DataFrame, perms: int, n_bands: int) -> DataFrame:
+    """Signature table -> (doc_id, band, sig) rows for band-bucket joining."""
+    rows_per_band = perms // n_bands
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -133,13 +137,19 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
                             ],
                         ).alias("sig"),
                     )
-                    for b in range(LSH_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
+
+
+def _band_candidates(sig: DataFrame, perms: int, n_bands: int) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing at least one band signature.
+    The self-join key is (band, sig) — a hash bucket, never a cross join."""
+    bands = _band_table(sig, perms, n_bands)
     a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -151,7 +161,73 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact Jaccard verification.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold,
+    rounded to 6 dp. Candidates = pairs sharing at least one band signature;
+    verification joins the shingle sets (equi-join on shingle)."""
+    sh = shingle_table(documents, cache=True)
+    sig = minhash_signatures(documents, sh, perms)
+    candidates = _band_candidates(sig, perms, bands)
     return _verified_jaccard(sh, candidates, threshold)
+
+
+def minhash_estimate_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """THE scale path for near-dup detection: banded candidates + Jaccard
+    estimated from signature agreement alone — O(k) per pair, NO shingle
+    verification join anywhere in the plan. At 10^12 documents the shingle
+    table is orders of magnitude larger than the signature table; this
+    operator touches shingles exactly once (the signature aggregation) and
+    joins only narrow (doc_id, 128-hash) rows after that.
+
+    Output: (doc_a, doc_b, est_jaccard >= threshold). Estimation error vs
+    exact Jaccard is measured in tests/test_minhash_quality.py; the
+    calibration query `minhash_jaccard_estimate` keeps both side by side."""
+    from pyspark import StorageLevel
+
+    # persisted: feeds the band explode AND both sides of the estimate join
+    sig = minhash_signatures(documents, None, perms).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    candidates = _band_candidates(sig, perms, bands)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(perms)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(perms)],
+    )
+    agree = sum(
+        (
+            F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+            for s in range(perms)
+        ),
+        F.lit(0),
+    )
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / perms, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
 
 
 def _verified_jaccard(
@@ -671,29 +747,30 @@ def token_histogram(documents: DataFrame, bucket_w: int = 10) -> DataFrame:
     )
 
 
-def minhash_jaccard_estimate(documents: DataFrame) -> DataFrame:
-    """Sketch-based Jaccard ESTIMATION for LSH candidate pairs: the fraction
-    of agreeing MinHash components — the O(k) probe that replaces the full
-    shingle-set intersection when only a similarity score (not an exact
-    value) is needed at 10^12-document scale.
-
-    Output: (doc_a, doc_b, est_jaccard, jaccard) — estimate next to the
-    exact value so the sketch's error is itself observable."""
+def minhash_jaccard_estimate(
+    documents: DataFrame,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """CALIBRATION query: sketch estimate NEXT TO the exact Jaccard for every
+    LSH candidate pair, so the sketch's error is itself observable. This
+    deliberately executes the exact shingle verification — the scale path
+    that avoids it is `minhash_estimate_pairs`."""
     sh = shingle_table(documents, cache=True)
-    sig = minhash_signatures(documents, sh)
-    pairs = minhash_lsh_pairs(documents, threshold=0.0)
+    sig = minhash_signatures(documents, sh, perms)
+    pairs = minhash_lsh_pairs(documents, threshold=0.0, perms=perms, bands=bands)
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(MINHASH_PERMS)],
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(perms)],
     )
     b = sig.select(
         F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(MINHASH_PERMS)],
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(perms)],
     )
     agree = sum(
         (
             F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
-            for s in range(MINHASH_PERMS)
+            for s in range(perms)
         ),
         F.lit(0),
     )
@@ -703,7 +780,7 @@ def minhash_jaccard_estimate(documents: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(agree / MINHASH_PERMS, 6).alias("est_jaccard"),
+            F.round(agree / perms, 6).alias("est_jaccard"),
             "jaccard",
         )
     )
@@ -721,10 +798,17 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = documents.count()  # scalar; computed once at plan build
-    scored = tf.join(df_t, "term").withColumn(
-        "tfidf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    # N as a broadcast 1-row aggregate INSIDE the plan — a separate
+    # documents.count() action would re-scan the corpus once per invocation
+    n_t = documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_t))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+        .drop("n_docs")
     )
     w = W.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("term")

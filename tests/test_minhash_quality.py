@@ -1,0 +1,117 @@
+"""Recall / estimation-error guards for the ENGINE-scale LSH config.
+
+The driver parity queries run the tiny PARITY config (8 perms / 4 bands)
+because its DuckDB twin must stay tractable; THESE tests are where the real
+operating point (128 perms / 16 bands — textops module defaults) earns its
+keep: banded recall on planted near-duplicates and sketch-estimate error
+against exact Jaccard."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from enem_spark import textops
+
+SF_DIR = "/root/testdata/sf0.01"
+N_BASE = 40
+COPY_OFFSET = 100_000
+
+
+def _perturb(text: str, step: int, tag: str) -> str:
+    """Replace every `step`-th token with a unique junk token (no RNG)."""
+    toks = text.split()
+    for i in range(0, len(toks), step):
+        toks[i] = f"xqzv{tag}{i}"
+    return " ".join(toks)
+
+
+def _shingle_set(text: str) -> set[str]:
+    """Pure-python mirror of textops._shingles (3-gram over \\s+ tokens)."""
+    toks = re.split(r"\s+", text.strip())
+    if len(toks) < textops.SHINGLE_N:
+        return {" ".join(toks)}
+    return {
+        " ".join(toks[i : i + textops.SHINGLE_N])
+        for i in range(len(toks) - textops.SHINGLE_N + 1)
+    }
+
+
+def _jaccard(a: set[str], b: set[str]) -> float:
+    return len(a & b) / len(a | b)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus of sf0.01 docs + planted near-dup copies at three similarity
+    tiers (step 50 ≈ j>0.9, step 25 ≈ j~0.85, step 6 ≈ j~0.5) and the exact
+    Jaccard of every planted pair."""
+    base = (
+        pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        .sort_values("doc_id")
+        .head(N_BASE)
+        .reset_index(drop=True)
+    )
+    rows, truth = [], {}
+    for _, r in base.iterrows():
+        d, t = int(r["doc_id"]), str(r["text"])
+        rows.append({"doc_id": d, "text": t})
+        for k, step in enumerate((50, 25, 6)):
+            cid = d + COPY_OFFSET * (k + 1)
+            ct = _perturb(t, step, f"s{step}x")
+            rows.append({"doc_id": cid, "text": ct})
+            truth[(d, cid)] = _jaccard(_shingle_set(t), _shingle_set(ct))
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    return df, truth
+
+
+def test_engine_config_recall_on_near_dups(spark, planted):
+    """128/16 banding: P(candidate | j) = 1-(1-j^8)^16 ≈ 0.95 at j=0.8 —
+    recall on planted pairs with exact j >= 0.8 must clear 0.85, and the
+    j~0.5 tier must be mostly rejected (the curve's whole point)."""
+    df, truth = planted
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in textops.minhash_lsh_pairs(df, threshold=0.8).collect()
+    }
+    high = {p for p, j in truth.items() if j >= 0.8}
+    assert len(high) >= 20, f"weak fixture: only {len(high)} high-sim pairs"
+    recall = len(found & high) / len(high)
+    assert recall >= 0.85, f"recall {recall:.3f} over {len(high)} planted pairs"
+    # precision side: nothing the verifier emits may be below the threshold
+    low = {p for p, j in truth.items() if j < 0.5}
+    assert not (found & low)
+
+
+def test_estimate_pairs_error_bounded(spark, planted):
+    """minhash_estimate_pairs (no shingle verification) must track exact
+    Jaccard within sketch noise: std ≈ sqrt(j(1-j)/128) ≈ 0.045."""
+    df, truth = planted
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in textops.minhash_estimate_pairs(df, threshold=0.0).collect()
+    }
+    seen = [(truth[p], est[p]) for p in truth if p in est]
+    assert len(seen) >= 40
+    errs = [abs(j - e) for j, e in seen]
+    assert max(errs) <= 0.2, f"max sketch error {max(errs):.3f}"
+    assert sum(errs) / len(errs) <= 0.06, f"mean error {sum(errs)/len(errs):.3f}"
+
+
+def test_estimate_pairs_plan_has_no_shingle_join(spark, planted):
+    """The scale path must never join the shingle table: every join in the
+    physical plan keys on band buckets or doc ids only."""
+    df, _ = planted
+    plan = (
+        textops.minhash_estimate_pairs(df, threshold=0.25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines, "expected band/doc joins in the plan"
+    bad = [ln for ln in join_lines if "shingle" in ln]
+    assert not bad, f"shingle join leaked into the estimate path:\n{bad}"
