@@ -367,11 +367,14 @@ def run_skew(cpus: str = "8") -> dict:
         seed=13, n_exams=256, pages_per_exam=8, questions_per_page=3,
         skew_doc_pages=4096,
     )
-    pages = corpus.pages_dataframe(spark, cc)
-    pages.count()  # materialize the Arrow-converted input + warm workers
+    pages = corpus.pages_dataframe(spark, cc).persist()
+    pages.count()  # materialize + cache the synthetic input (the probe and
+    # both timed runs then read the cache, isolating the numbering cost)
     out = {}
     rows = {}
-    for label, chunk in (("plain", 0), ("salted", 256)):
+    # "salted" runs the CONFIG DEFAULT (AUTO_SALT): the probe must detect
+    # the pathological document by itself — no operator knob
+    for label, chunk in (("plain", 0), ("salted", ExtractorConfig().salt_chunk_size)):
         cfg = ExtractorConfig(output_type="json", salt_chunk_size=chunk)
         extract_pages(pages, cfg).count()  # warm
         t0 = time.perf_counter()
@@ -383,6 +386,11 @@ def run_skew(cpus: str = "8") -> dict:
         out[f"{label}_sec"] = round(time.perf_counter() - t0, 3)
         rows[label] = sorted((r["url"], r["page_first_question"]) for r in got)
     assert rows["plain"] == rows["salted"], "salted numbering diverged"
+    from enem_spark.extract import AUTO_SALT, resolve_salt_chunk, with_url_metadata
+
+    resolved = resolve_salt_chunk(with_url_metadata(pages), AUTO_SALT)
+    assert resolved > 0, "auto-salt probe failed to detect the skewed document"
+    out["auto_resolved_chunk"] = resolved
     out["identical_output"] = True
     out["n_pages"] = len(rows["plain"])
     out["cpus"] = cpus

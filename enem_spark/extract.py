@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
 from . import oracle
-from .layout import count_image_spans, reconstruct_page
+from .layout import IMG_MARKER, count_image_spans, image_spans, reconstruct_page
 
 def _to_printf(tpl: str) -> str:
     """Derive the format_string pattern from the oracle's template so the
@@ -62,7 +62,11 @@ class ExtractorConfig:
 
     output_type: str = "json"  # txt | json | markdown
     process_images: bool = False
-    salt_chunk_size: int = 0  # 0 = plain window; >0 = two-level salted numbering
+    # 0 = plain window; >0 = two-level salted numbering with that chunk
+    # size; AUTO_SALT (default) = probe a cheap pages-per-doc sample and
+    # salt only when a pathological document is detected, so the 3x skew
+    # win does not depend on an operator knowing to configure it
+    salt_chunk_size: int = -1
     keep_unparsed: bool = False  # keep F6-dropped candidates (debug/lineage)
     # newest-wins per-url dedup BEFORE extraction. A re-crawled page row
     # would double-count q_count and shift every later question's number in
@@ -232,6 +236,40 @@ def make_page_udf(cfg: ExtractorConfig):
 # X3: running question counter as a window (plain and skew-salted)
 # ---------------------------------------------------------------------------
 
+AUTO_SALT = -1
+
+
+def resolve_salt_chunk(
+    pages_with_doc: DataFrame,
+    salt_chunk_size: int,
+    sample_fraction: float = 0.05,
+    skew_threshold: int = 1024,
+    chunk_target: int = 256,
+) -> int:
+    """Resolve AUTO_SALT into a concrete chunk size via a cheap skew probe.
+
+    Samples ~sample_fraction of the doc_id column (columnar scans prune to
+    one column; callers on an already-persisted frame pay a cache read),
+    estimates the max pages-per-document, and switches the numbering window
+    to the salted two-level form only when a document would otherwise sort
+    more than `skew_threshold` pages inside ONE window task. Deterministic
+    seed so reruns plan identically. Explicit 0/positive values bypass the
+    probe entirely."""
+    if salt_chunk_size != AUTO_SALT:
+        return salt_chunk_size
+    m = (
+        pages_with_doc.select("doc_id")
+        .sample(fraction=sample_fraction, seed=7)
+        .groupBy("doc_id")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()["m"]
+    )
+    if m is None:
+        return 0
+    return chunk_target if m / sample_fraction > skew_threshold else 0
+
+
 def with_page_numbering(
     pages: DataFrame,
     salt_chunk_size: int = 0,
@@ -247,6 +285,10 @@ def with_page_numbering(
     document inside one task. The input is persisted in salted mode because
     it feeds both sides of the offsets join — without it the page-UDF
     subtree upstream would execute twice."""
+    if salt_chunk_size == AUTO_SALT:
+        # direct callers get the probe on this frame; extract_pages /
+        # lineage pre-resolve on a cheaper (pre-UDF or persisted) frame
+        salt_chunk_size = resolve_salt_chunk(pages, salt_chunk_size)
     if salt_chunk_size <= 0:
         w = (
             W.partitionBy("doc_id")
@@ -420,7 +462,10 @@ def extract_pages(
     # count advances numbering even though they emit nothing — F4). Rare
     # q_count=0 survivors (html-only pages with no marker) add 0 to the
     # running sum and explode to nothing, so no post-UDF filter is needed.
-    counted = with_page_numbering(paged, cfg.salt_chunk_size, persist_to=persist_to)
+    # resolve AUTO salting on the PRE-UDF frame: the probe then scans only
+    # the url-derived doc_id column, never the page UDF subtree
+    chunk = resolve_salt_chunk(pv, cfg.salt_chunk_size)
+    counted = with_page_numbering(paged, chunk, persist_to=persist_to)
     return counted
 
 
@@ -610,3 +655,78 @@ def render_sink_files(questions: DataFrame, cfg: ExtractorConfig) -> DataFrame:
     return prepared.groupBy("doc_id", "year", "day").applyInPandas(
         render_group, out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# S3: image materialization sink (binary images table)
+# ---------------------------------------------------------------------------
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("page_idx", T.IntegerType()),
+        T.StructField("year", T.IntegerType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("image_index", T.IntegerType()),
+        T.StructField("image_name", T.StringType()),
+        T.StructField("image_ref", T.StringType()),
+        T.StructField("png", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("had_alpha", T.BooleanType()),
+        T.StructField("was_cmyk", T.BooleanType()),
+    ]
+)
+
+
+def materialize_images(pages: DataFrame) -> DataFrame:
+    """S3: the reference's images-mode side output as a binary table.
+
+    The reference decodes each page's image xrefs, strips alpha, converts
+    CMYK to RGB, and writes PNG files named
+    ``{year}_{day}_page{page}_{index}.png`` (enem_pdf_extractor.py:295-331);
+    questions text never embeds the bytes — images are a SIDE output keyed
+    by name. This operator reproduces that contract Spark-first: one binary
+    ``images`` table (parquet/Iceberg-ready) whose ``image_ref`` joins the
+    questions table's ``image_refs`` entries, with the decode stand-in
+    (layout.decode_image_span) carrying the alpha/CMYK branch points.
+
+    Plan shape mirrors the page stage: a JVM-side marker prefilter BELOW
+    the UDF (only pages whose span payload contains an image marker reach
+    Python), then ONE Arrow crossing. No shuffle at all — the operator is
+    embarrassingly parallel per page."""
+    meta = with_url_metadata(pages.filter(F.col("lang") == "pt"))
+    valid, _ = split_quarantine(meta)
+    pv = valid.filter((F.col("kind") == "PV") & (F.col("page_idx") >= 1))
+    has_img = F.col("html").isNotNull() & F.col("html").cast("string").contains(
+        IMG_MARKER
+    )
+    pv = pv.filter(has_img).select("url", "doc_id", "page_idx", "year", "day", "html")
+
+    cols = [f.name for f in IMAGES_SCHEMA.fields]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for url, doc_id, page_idx, year, day, html in zip(
+                pdf["url"], pdf["doc_id"], pdf["page_idx"], pdf["year"],
+                pdf["day"], pdf["html"],
+            ):
+                for i, rec in enumerate(image_spans(html, url), start=1):
+                    rows.append(
+                        {
+                            "url": url,
+                            "doc_id": doc_id,
+                            "page_idx": int(page_idx),
+                            "year": int(year),
+                            "day": day,
+                            "image_index": i,
+                            # ref:327 output_filename convention
+                            "image_name": f"{year}_{day}_page{page_idx}_{i}.png",
+                            **rec,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pv.mapInPandas(run, IMAGES_SCHEMA)

@@ -32,6 +32,55 @@ def count_image_spans(html: bytes | bytearray | None) -> int:
     return bytes(html).count(IMG_MARKER.encode("utf-8"))
 
 
+def decode_image_span(span: dict, ref: str) -> dict:
+    """Deterministic stand-in for the reference's xref->PNG pipeline
+    (enem_pdf_extractor.py:306-331): extract_image(xref) -> Pixmap ->
+    strip alpha if present -> CMYK(n==4) to RGB -> save PNG.
+
+    The sandbox has no PyMuPDF and the synthetic corpus has no real image
+    bytes, so the payload slice (the span's own JSON bytes) stands in for
+    ``base_image["image"]`` and channel metadata is derived from its md5 —
+    exercising BOTH branch points deterministically. The branch structure,
+    ordering (alpha first, then CMYK — the reference's order), and the
+    bytes-in/bytes-out shape are the real contract; only the pixel math is
+    faked, and a real deployment swaps this one function for fitz calls."""
+    import hashlib
+
+    payload = json.dumps(span, sort_keys=True).encode("utf-8")
+    digest = hashlib.md5(payload).digest()
+    has_alpha = bool(digest[0] & 1)  # ref: `if pix.alpha`
+    n_channels = 4 if digest[1] & 1 else 3  # ref: `if pix.n == 4` (CMYK)
+    img = payload
+    if has_alpha:
+        img = img + b"|alpha_stripped"  # ref:314-321 Pixmap(pix, 0)
+    if n_channels == 4:
+        img = img + b"|cmyk_to_rgb"  # ref:323-326 Pixmap(fitz.csRGB, pix)
+    return {
+        "image_ref": ref,
+        "png": b"\x89PNG\x00" + img,
+        "width": int(abs(span.get("x1", 0.0) - span.get("x0", 0.0))),
+        "height": int(abs(span.get("y1", 0.0) - span.get("y0", 0.0))),
+        "had_alpha": has_alpha,
+        "was_cmyk": n_channels == 4,
+    }
+
+
+def image_spans(html: bytes | bytearray | None, url: str) -> list[dict]:
+    """All image spans of a page, decoded via the stand-in pipeline.
+    ``image_ref`` matches the text path's ``image_refs`` naming exactly
+    (url#imgK, K in span order) so the two tables join."""
+    if html is None:
+        return []
+    spans = json.loads(bytes(html).decode("utf-8"))
+    out = []
+    k = 0
+    for s in spans:
+        if s["text"] == IMG_MARKER:
+            out.append(decode_image_span(s, f"{url}#img{k}"))
+            k += 1
+    return out
+
+
 def reconstruct_page(html: bytes | bytearray | None) -> tuple[str, int]:
     """(reading-order text, number of image spans) from the span payload."""
     if html is None:

@@ -44,6 +44,7 @@ from .extract import (
     _process_one_page,
     build_answer_keys,
     questions_from_counted,
+    resolve_salt_chunk,
     split_quarantine,
     with_page_numbering,
     with_url_metadata,
@@ -231,8 +232,11 @@ def run_extraction(
             # cache=False: `paged` is already persisted above, so the salted
             # path's offsets join reads the cache without pinning a second
             # copy per run (foreachBatch calls this every micro-batch)
+            # AUTO salt resolves against the PERSISTED page frame (cache
+            # read, no UDF re-execution)
+            chunk = resolve_salt_chunk(paged, cfg.salt_chunk_size)
             counted = with_page_numbering(
-                paged.filter(F.col("q_count") > 0), cfg.salt_chunk_size, cache=False
+                paged.filter(F.col("q_count") > 0), chunk, cache=False
             )
             keys = build_answer_keys(valid)
             questions = questions_from_counted(counted, keys, cfg).persist()

@@ -37,7 +37,8 @@ def main() -> None:
     ap.add_argument("--run-id", default="run1")
     ap.add_argument("--output-type", default="json", choices=["txt", "json", "markdown"])
     ap.add_argument("--process-images", action="store_true")
-    ap.add_argument("--salt-chunk-size", type=int, default=0)
+    # -1 = auto (skew-probe decides); 0 = plain window; >0 = fixed chunk
+    ap.add_argument("--salt-chunk-size", type=int, default=-1)
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--completeness-delay-s", type=int, default=0)
     ap.add_argument("--cores", default=None)

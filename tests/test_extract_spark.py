@@ -105,7 +105,7 @@ def test_questions_match_oracle(spark, docs, pages_df, output_type):
                 assert r["ID"] == p["ID"]
 
 
-@pytest.mark.parametrize("output_type", ["json", "txt"])
+@pytest.mark.parametrize("output_type", ["json", "txt", "markdown"])
 def test_sink_files_byte_identical(spark, docs, pages_df, output_type):
     cfg = ExtractorConfig(output_type=output_type, process_images=False)
     questions = extract_questions(pages_df, cfg)
@@ -148,6 +148,80 @@ def test_images_mode_matches_oracle(spark, docs, pages_df):
             if '"page_images"' in content:
                 checked += 1
     assert checked > 0, "corpus produced no image-page questions to verify"
+
+
+def test_image_materialization_sink(spark, docs, pages_df):
+    """S3 binary sink: one row per image span, ref-count == row-count, and
+    png payload bytes are the deterministic stand-in decode of each span
+    (alpha/CMYK branch points exercised), keyed so the table joins the
+    questions table's image_refs."""
+    import hashlib
+
+    from enem_spark import layout
+    from enem_spark.extract import extract_pages, materialize_images
+
+    got = {r["image_ref"]: r for r in materialize_images(pages_df).collect()}
+
+    # expected from the pure function over the raw corpus rows
+    rows = corpus.to_rows(docs, CFG.seed)
+    expected = {}
+    for r in rows:
+        if "PV" not in r["url"] or r["url"].endswith("/page/0") or r["lang"] != "pt":
+            continue
+        for rec in layout.image_spans(r["html"], r["url"]):
+            expected[rec["image_ref"]] = rec
+    assert expected, "corpus has no image spans"
+    assert set(got) == set(expected)
+    for ref, exp in expected.items():
+        g = got[ref]
+        assert hashlib.md5(bytes(g["png"])).hexdigest() == hashlib.md5(
+            exp["png"]
+        ).hexdigest(), ref
+        assert (g["had_alpha"], g["was_cmyk"]) == (
+            exp["had_alpha"],
+            exp["was_cmyk"],
+        ), ref
+        assert g["image_name"].endswith(".png")
+    # both branch points must actually occur in the corpus
+    assert any(r["had_alpha"] for r in got.values())
+    assert any(r["was_cmyk"] for r in got.values())
+
+    # ref-count parity with the text path's image_refs
+    cfg = ExtractorConfig(output_type="json", process_images=True)
+    n_refs = sum(
+        len(r["image_refs"])
+        for r in extract_pages(pages_df, cfg).select("image_refs").collect()
+    )
+    # materialized rows cover every page with image spans, including pages
+    # the text path drops (no marker); so the text path's refs are a subset
+    assert n_refs <= len(got)
+    text_refs = {
+        ref
+        for r in extract_pages(pages_df, cfg).select("image_refs").collect()
+        for ref in r["image_refs"]
+    }
+    assert text_refs <= set(got)
+
+
+def test_auto_salt_probe(spark, pages_df):
+    """AUTO_SALT resolves to 0 on a uniform corpus (salting costs a join)
+    and to a positive chunk when a pathological document is present."""
+    from enem_spark.extract import AUTO_SALT, resolve_salt_chunk, with_url_metadata
+
+    uniform = with_url_metadata(pages_df)
+    assert resolve_salt_chunk(uniform, AUTO_SALT) == 0
+    # explicit values bypass the probe
+    assert resolve_salt_chunk(uniform, 0) == 0
+    assert resolve_salt_chunk(uniform, 512) == 512
+
+    skewed = corpus.pages_dataframe(
+        spark,
+        corpus.CorpusConfig(
+            seed=5, n_exams=4, pages_per_exam=8, questions_per_page=2,
+            skew_doc_pages=4096,
+        ),
+    )
+    assert resolve_salt_chunk(with_url_metadata(skewed), AUTO_SALT) > 0
 
 
 def test_salted_numbering_equals_plain(spark, pages_df):
