@@ -324,7 +324,13 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    return textops.dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
+    # parity LSH config — must mirror the DuckDB twin's candidate set
+    return textops.dedup_clusters(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        perms=textops.PARITY_PERMS,
+        bands=textops.PARITY_BANDS,
+    )
 
 
 def q_ann_cosine_topk(spark, sf_dir):

@@ -63,6 +63,7 @@ HEADLINE = [
     "stratified_sample",
     "token_histogram",
     "minhash_jaccard_estimate",
+    "dedup_minhash_estimate",
     "tfidf_top_terms",
     "top_terms",
     "corpus_curate",

@@ -579,7 +579,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def dedup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+def dedup_clusters(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
     """Connected components over the near-duplicate pair graph: every doc in
     a cluster gets the cluster's minimum doc_id as its cluster_id.
 
@@ -590,7 +595,9 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     simplification; rounds = O(log diameter), and dup clusters in corpus
     dedup have tiny diameters). Output: (doc_id, cluster_id) for EVERY doc
     (singletons map to themselves)."""
-    pairs = minhash_lsh_pairs(documents, threshold).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(documents, threshold, perms, bands).select(
+        "doc_a", "doc_b"
+    )
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
