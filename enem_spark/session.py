@@ -19,6 +19,14 @@ def package_zip() -> str:
     of `spark-submit --py-files enem_spark.zip` on a real cluster. Without it
     the Python workers (separate processes) can't unpickle our UDF closures."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # already imported FROM an archive (spark-submit --py-files
+        # enem_spark.zip): ship that archive itself
+        p = pkg_dir
+        while p and not os.path.isfile(p):
+            p = os.path.dirname(p)
+        if p and zipfile.is_zipfile(p):
+            return p
     out = os.path.join(tempfile.gettempdir(), "enem_spark_pkg.zip")
     with zipfile.ZipFile(out, "w") as zf:
         for root, _, files in os.walk(pkg_dir):

@@ -75,3 +75,53 @@ def test_extract_job_cli_batch(tmp_path, spark):
     assert s1["input_pages"] > 0 and s1["questions_written"] > 0
     s2 = run("r2")
     assert s2["input_pages"] == 0  # document-granular resume across processes
+
+
+def test_spark_submit_py_files(tmp_path, spark):
+    """The north-rule deployment shape, for real: zip the package, copy the
+    job script AWAY from the repo, and run it via `spark-submit --py-files
+    enem_spark.zip` from a cwd that does NOT contain the package — imports
+    on the driver and the Python workers must resolve from the zip alone."""
+    import shutil
+    import zipfile
+
+    src = str(tmp_path / "pages")
+    corpus.pages_dataframe(
+        spark, corpus.CorpusConfig(seed=23, n_exams=2, pages_per_exam=4)
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+
+    pkg_zip = str(tmp_path / "enem_spark.zip")
+    pkg_dir = os.path.join(REPO, "enem_spark")
+    with zipfile.ZipFile(pkg_zip, "w") as zf:
+        for root, _, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    job = str(tmp_path / "extract_job.py")
+    shutil.copy(os.path.join(REPO, "jobs", "extract_job.py"), job)
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    p = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--py-files", pkg_zip,
+            job,
+            "--input", src, "--output", out,
+            "--run-id", "s1", "--cores", "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert p.returncode == 0, (p.stderr[-3000:], p.stdout[-500:])
+    summary = json.loads(
+        [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert summary["input_pages"] > 0 and summary["questions_written"] > 0

@@ -60,3 +60,24 @@ def test_kind_partition_pruning(plan):
 def test_no_cartesian_or_nested_loop(plan):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_sink_plan_no_shuffle(spark, tmp_path_factory):
+    """materialize_images must stay embarrassingly parallel: one Arrow
+    crossing, zero Exchange (shuffle) nodes, and the image-marker prefilter
+    sits BELOW the UDF as a JVM predicate."""
+    from enem_spark.extract import materialize_images
+
+    store = str(tmp_path_factory.mktemp("imgplan") / "pages")
+    pages = corpus.pages_dataframe(
+        spark, corpus.CorpusConfig(seed=4, n_exams=2, pages_per_exam=4)
+    )
+    pages.write.parquet(store)
+    plan = (
+        materialize_images(spark.read.parquet(store))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
