@@ -345,6 +345,7 @@ def start_document_stream(
     completeness_delay_s: int = 0,
     available_now: bool = True,
     compact: bool = True,
+    key_grace_s: int | None = None,
 ):
     """Page-at-a-time ingestion with event-time document-completeness release.
 
@@ -357,7 +358,14 @@ def start_document_stream(
     anti-join guarantees each document extracts exactly once no matter how
     many batches its pages straddled. With ``completeness_delay_s=0`` every
     staged document settles each batch (right for availableNow catch-up
-    runs; use a positive delay for live tailing)."""
+    runs; use a positive delay for live tailing).
+
+    ``key_grace_s`` (default: ``completeness_delay_s``) guards against the
+    answer key ARRIVING AFTER its documents: exactly-once means a document
+    extracted with a missing key is never revisited, so a settled document
+    whose (year, day, color) has no staged GB page is held back for an
+    extra ``key_grace_s`` of event time before being released with the
+    MISSING_ANSWER literal (the reference's own no-key behavior)."""
     from .lineage import run_extraction
 
     staging = f"{out_dir}/staging"
@@ -400,12 +408,43 @@ def start_document_stream(
         if horizon is None:
             return
         cutoff = F.lit(horizon) - F.expr(f"INTERVAL {completeness_delay_s} SECONDS")
-        settled = (
+        grace = completeness_delay_s if key_grace_s is None else key_grace_s
+        key_cutoff = F.lit(horizon) - F.expr(
+            f"INTERVAL {completeness_delay_s + grace} SECONDS"
+        )
+        year = F.regexp_extract("url", r"(20\d{2})", 1)
+        day = F.when(F.col("url").contains("D1"), "D1").otherwise("D2")
+        color = F.regexp_extract("url", r"CD(\d)", 1)
+        pv_docs = (
             meta.filter(F.col("kind") == "PV")
+            .withColumn("year", year)
+            .withColumn("day", day)
+            .withColumn("color", color)
             .groupBy("doc_id")
-            .agg(F.max("warc_ts").alias("newest"))
+            .agg(
+                F.max("warc_ts").alias("newest"),
+                F.max("year").alias("year"),  # constant per doc
+                F.max("day").alias("day"),
+                F.max("color").alias("color"),
+            )
+        )
+        keys_avail = (
+            meta.filter(F.col("kind") == "GB")
+            .select(year.alias("year"), day.alias("day"), color.alias("color"))
+            .distinct()
+        )
+        # key present -> release at the completeness horizon; key absent ->
+        # hold for key_grace_s more event time, then release anyway (the
+        # reference emits its MISSING_ANSWER literal when the key is gone)
+        settled = (
+            pv_docs.join(keys_avail, ["year", "day", "color"], "left_semi")
             .filter(F.col("newest") <= cutoff)
             .select("doc_id")
+            .unionByName(
+                pv_docs.join(keys_avail, ["year", "day", "color"], "left_anti")
+                .filter(F.col("newest") <= key_cutoff)
+                .select("doc_id")
+            )
         )
         # no broadcast hint — the settled set is unbounded over a stream's
         # lifetime; AQE broadcasts while small

@@ -254,6 +254,64 @@ def test_document_stream_page_at_a_time(spark, pages_df, tmp_path):
     assert dups == 0
 
 
+def test_late_answer_key_held_by_key_grace(spark, pages_df, tmp_path):
+    """Exactly-once makes a keyless extraction irreversible: a PV document
+    whose answer key arrives LATER must be held back (key_grace_s), then
+    extracted with the real key — no MISSING_ANSWER rows."""
+    from enem_spark import oracle
+    from enem_spark.streaming import flush_staging, start_document_stream
+
+    src = str(tmp_path / "ksrc")
+    out = str(tmp_path / "kout")
+    ckpt = str(tmp_path / "kckpt")
+    cfg = ExtractorConfig(output_type="json")
+
+    docs = sorted(
+        r["d"]
+        for r in pages_df.select(
+            F.regexp_extract("url", r"^(.*)/page/\d+$", 1).alias("d")
+        )
+        .distinct()
+        .collect()
+        if "PV" in r["d"]
+    )
+    doc1 = docs[0]
+    pv1 = pages_df.filter(F.col("url").startswith(doc1))
+    pv_rest = pages_df.filter(
+        ~F.col("url").startswith(doc1) & ~F.col("url").contains("GB")
+    ).withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 600 SECONDS"))
+    gb = pages_df.filter(F.col("url").contains("GB")).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 700 SECONDS")
+    )
+
+    # mtime order = arrival order: doc1, then the rest (advancing the
+    # horizon far past doc1's completeness), then — late — the keys
+    import time
+
+    pv1.coalesce(1).write.parquet(f"{src}/a")
+    time.sleep(1.2)
+    pv_rest.coalesce(1).write.parquet(f"{src}/b")
+    time.sleep(1.2)
+    gb.coalesce(1).write.parquet(f"{src}/c")
+
+    stream = spark.readStream.schema(pages_df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+    q = start_document_stream(
+        stream, cfg, out, ckpt,
+        completeness_delay_s=30, key_grace_s=100_000,
+    )
+    q.awaitTermination(300)
+    flush_staging(spark, cfg, out)
+
+    got = spark.read.parquet(f"{out}/questions")
+    missing = got.filter(
+        F.col("correct_answer") == oracle.MISSING_ANSWER
+    ).count()
+    assert missing == 0, f"{missing} questions extracted before their key arrived"
+    assert got.count() == extract_questions(pages_df, cfg).count()
+
+
 def test_second_streaming_invocation_preserves_first_flush(spark, pages_df, tmp_path):
     """The supported resume flow runs the streaming job twice over the same
     --output. Each flush must get a UNIQUE run_id: a reused 'flush' id would
