@@ -5,9 +5,10 @@ entry(spark)  — flagship: full extraction pipeline over pages synthesized
 queries()     — one entry per implemented operator (SURVEY.md §2 + the
                 training-data operator set); each callable (spark, sf_dir) -> DF.
 oracle_sql()  — ANSI-SQL twins runnable by DuckDB on the same parquet views.
-                Omitted only for the full extraction pipeline (stateful
-                cross-page string machine, not SQL-expressible) and the
-                SRP-recall probe; everything else is hash-checked.
+                EVERY queries() entry has one: the flagship extraction pair
+                (a stateful cross-page string machine, not SQL-expressible
+                directly) is checked against MATERIALIZED expected tables
+                staged by the pure-Python twin in enem_spark/expected.py.
 """
 
 from __future__ import annotations

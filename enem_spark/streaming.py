@@ -307,19 +307,23 @@ def compact_staging(spark: SparkSession, out_dir: str) -> int:
             ),
         )
     )
-    pv_live = live.filter(F.col("kind") == "PV")
-    done = processed_doc_ids(spark, out_dir)
-    if done is not None:
-        pv_live = pv_live.join(done, "doc_id", "left_anti")
-    unk_live = live.filter(F.col("kind").isNull())
     committed = committed_run_ids(spark, out_dir)
     if committed is not None and _exists(f"{out_dir}/quarantine"):
+        # committed-quarantined urls are dead regardless of kind: a PV url
+        # with a broken contract (bad color/year) never reaches
+        # processed_docs, so without this filter it would pin its staging
+        # dir forever
         qurls = (
             spark.read.parquet(f"{out_dir}/quarantine")
             .join(committed, "run_id", "left_semi")
             .select("url")
         )
-        unk_live = unk_live.join(qurls, "url", "left_anti")
+        live = live.join(qurls, "url", "left_anti")
+    pv_live = live.filter(F.col("kind") == "PV")
+    done = processed_doc_ids(spark, out_dir)
+    if done is not None:
+        pv_live = pv_live.join(done, "doc_id", "left_anti")
+    unk_live = live.filter(F.col("kind").isNull())
     gb_live = live.filter(F.col("kind") == "GB")
     live_batches = {
         str(r["batch_id"])

@@ -254,6 +254,51 @@ def test_document_stream_page_at_a_time(spark, pages_df, tmp_path):
     assert dups == 0
 
 
+def test_compaction_drops_quarantined_pv_pages(spark, tmp_path):
+    """A PV-looking page with a broken filename contract never reaches
+    processed_docs; once its quarantine row commits, compaction must still
+    be able to drop its staging dir (regression: the quarantine filter only
+    applied to unknown-kind pages)."""
+    import os
+
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from enem_spark.streaming import compact_staging
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    bad_pv = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "url": "cc://enem/2017_PV_impresso_D1_noColor/page/1",
+                    "warc_ts": pd.Timestamp("2024-01-01"),
+                    "html": None,
+                    "text": "QUESTÃO 1 x",
+                    "lang": "pt",
+                }
+            ]
+        ),
+        schema=schema,
+    )
+    out = str(tmp_path / "qc")
+    bad_pv.write.parquet(f"{out}/staging/batch_id=0")
+    # before any committed quarantine row: the page is live, dir survives
+    assert compact_staging(spark, out) == 0
+    s = run_extraction(spark, bad_pv, ExtractorConfig(), out, run_id="c1")
+    assert s["quarantined"] == 1
+    assert compact_staging(spark, out) == 1
+    assert not os.listdir(f"{out}/staging")
+
+
 def test_late_answer_key_held_by_key_grace(spark, pages_df, tmp_path):
     """Exactly-once makes a keyless extraction irreversible: a PV document
     whose answer key arrives LATER must be held back (key_grace_s), then
