@@ -216,6 +216,9 @@ def run_extraction(
                 .select("url")
             )
             new_quarantine = new_quarantine.join(seen, "url", "left_anti")
+        # persist: the count below AND the conditional write would otherwise
+        # each re-run the quarantine anti-join's scan over the input table
+        new_quarantine = new_quarantine.persist()
         n_quarantined = new_quarantine.count()
 
         if n_pages == 0 and n_quarantined == 0:
@@ -278,6 +281,10 @@ def run_extraction(
         ).write.mode("append").parquet(f"{out_dir}/runs")
     finally:
         paged.unpersist()
+        try:
+            new_quarantine.unpersist()
+        except NameError:
+            pass
     return {
         "run_id": run_id,
         "input_pages": n_pages,
