@@ -290,6 +290,41 @@ def q_minhash_jaccard_estimate(spark, sf_dir):
     )
 
 
+def _incr_new(docs):
+    """Simulated re-crawl increment over the documents table: every
+    doc_id%3==0 row re-appears verbatim under a shifted id (exact dup);
+    every %3==1 row re-appears with a two-token tail (near-dup, not exact);
+    %3==2 rows are absent (genuinely new content never re-crawled)."""
+    base = F.col("doc_id") + F.lit(1_000_000)
+    exact = docs.filter(F.col("doc_id") % 3 == 0).select(
+        base.alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 3 == 1).select(
+        base.alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz1 zz2")).alias("text"),
+    )
+    return exact.unionByName(near)
+
+
+def q_incr_dedup_exact(spark, sf_dir):
+    """Incremental exact dedup: new crawl increment vs existing hash store."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.incremental_exact_dedup(_incr_new(docs), docs)
+
+
+def q_incr_dedup_minhash(spark, sf_dir):
+    """Incremental near-dup: new increment probes the existing signature
+    store (estimate-only, new-vs-existing band join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.incremental_minhash_dedup(
+        _incr_new(docs),
+        docs,
+        threshold=0.5,
+        perms=textops.PARITY_PERMS,
+        bands=textops.PARITY_BANDS,
+    )
+
+
 def q_dedup_minhash_estimate(spark, sf_dir):
     """Scale-path near-dup: estimate-only, NO shingle verification join."""
     return textops.minhash_estimate_pairs(
@@ -406,6 +441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
+        "incr_dedup_exact": q_incr_dedup_exact,
+        "incr_dedup_minhash": q_incr_dedup_minhash,
         "tfidf_top_terms": q_tfidf_top_terms,
         "top_terms": q_top_terms,
         "corpus_curate": q_corpus_curate,
@@ -567,6 +604,83 @@ SELECT doc_a, doc_b, est_jaccard FROM (
   FROM candidates c
   JOIN sig_t a ON a.doc_id = c.doc_a
   JOIN sig_t b ON b.doc_id = c.doc_b
+) WHERE est_jaccard >= {threshold}
+"""
+
+
+_INCR_NEW_CTE = r"""
+newdocs AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz1 zz2' AS text
+  FROM documents WHERE doc_id % 3 = 1
+)
+"""
+
+_INCR_EXACT_SQL = f"""
+WITH {_INCR_NEW_CTE},
+store AS (
+  SELECT md5(text) AS h, min(doc_id) AS dup_of FROM documents GROUP BY 1
+)
+SELECT n.doc_id, s.dup_of
+FROM (SELECT doc_id, md5(text) AS h FROM newdocs) n
+JOIN store s USING (h)
+"""
+
+
+def _incr_minhash_sql(threshold: float) -> str:
+    """Incremental near-dup twin: new-side band signatures probe the
+    existing side's — candidates are new x existing only."""
+    mh_cols = ",\n    ".join(
+        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(textops.PARITY_PERMS)
+    )
+    rows_per_band = textops.PARITY_PERMS // textops.PARITY_BANDS
+
+    def shingle_cte(src: str, tag: str) -> str:
+        return f"""
+{tag}tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM {src}
+),
+{tag}sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+      THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+      ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM {tag}tok
+),
+{tag}sig AS (
+  SELECT doc_id, {mh_cols} FROM {tag}sh GROUP BY doc_id
+)"""
+
+    def band_cte(sig_t: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, {sig} AS sig FROM {t}".format(
+                b=b,
+                t=sig_t,
+                sig=" || '|' || ".join(
+                    f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+                ),
+            )
+            for b in range(textops.PARITY_BANDS)
+        )
+
+    agree = " + ".join(
+        f"CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END"
+        for s in range(textops.PARITY_PERMS)
+    )
+    return f"""
+WITH {_INCR_NEW_CTE},{shingle_cte("newdocs", "n")},{shingle_cte("documents", "e")},
+nbands AS ({band_cte("nsig")}),
+ebands AS ({band_cte("esig")}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, e.doc_id AS dup_of
+  FROM nbands n JOIN ebands e ON n.band = e.band AND n.sig = e.sig
+)
+SELECT doc_id, dup_of, est_jaccard FROM (
+  SELECT c.doc_id, c.dup_of,
+         round(({agree}) / {textops.PARITY_PERMS}, 6) AS est_jaccard
+  FROM cand c
+  JOIN nsig a ON a.doc_id = c.doc_id
+  JOIN esig b ON b.doc_id = c.dup_of
 ) WHERE est_jaccard >= {threshold}
 """
 
@@ -1098,6 +1212,8 @@ FROM documents GROUP BY 1
 """,
         "minhash_jaccard_estimate": _minhash_est_sql(),
         "dedup_minhash_estimate": _minhash_est_only_sql(0.25),
+        "incr_dedup_exact": _INCR_EXACT_SQL,
+        "incr_dedup_minhash": _incr_minhash_sql(0.5),
         "tfidf_top_terms": r"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents

@@ -64,6 +64,8 @@ HEADLINE = [
     "token_histogram",
     "minhash_jaccard_estimate",
     "dedup_minhash_estimate",
+    "incr_dedup_exact",
+    "incr_dedup_minhash",
     "tfidf_top_terms",
     "top_terms",
     "corpus_curate",

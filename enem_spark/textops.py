@@ -81,6 +81,93 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame, existing_docs: DataFrame
+) -> DataFrame:
+    """Dedup a NEW crawl increment against an EXISTING corpus — the standard
+    production shape: the existing side is a content-hash signature store
+    (precomputed once per corpus snapshot), the new side is today's crawl.
+
+    Output: (doc_id, dup_of) for every new doc whose text hash already
+    exists; dup_of = the minimum existing doc_id with that hash. Inner join
+    on the hash — new-vs-new duplicates are exact_dedup's job, not this
+    one's. At 10^12 docs the store is bucketed by text_hash so the join is
+    co-located; here it is a plain hash shuffle on a near-uniform key."""
+    store = (
+        existing_docs.select(
+            F.md5(F.col("text")).alias("text_hash"),
+            F.col("doc_id").alias("dup_of"),
+        )
+        .groupBy("text_hash")
+        .agg(F.min("dup_of").alias("dup_of"))
+    )
+    new_hashed = new_docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    return new_hashed.join(store, "text_hash").select("doc_id", "dup_of")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    threshold: float = 0.5,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Near-dup of a new increment against the existing corpus, estimate-
+    only (no shingle verification join — see minhash_estimate_pairs): band
+    signatures of the new side join the existing side's signature store, so
+    candidate generation is new×existing only, never existing×existing.
+
+    Output: (doc_id, dup_of, est_jaccard >= threshold). At scale the
+    existing band table is a materialized store keyed by (band, sig) —
+    today's crawl probes it with a co-located join and the whole pass
+    touches the existing corpus's raw text zero times."""
+    from pyspark import StorageLevel
+
+    sig_new = minhash_signatures(new_docs, None, perms).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig_ex = minhash_signatures(existing_docs, None, perms).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bn = _band_table(sig_new, perms, bands).alias("n")
+    be = _band_table(sig_ex, perms, bands).alias("e")
+    candidates = (
+        bn.join(
+            be,
+            (F.col("n.band") == F.col("e.band")) & (F.col("n.sig") == F.col("e.sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_id"), F.col("e.doc_id").alias("dup_of")
+        )
+        .distinct()
+    )
+    a = sig_new.select(
+        F.col("doc_id"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(perms)],
+    )
+    b = sig_ex.select(
+        F.col("doc_id").alias("dup_of"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(perms)],
+    )
+    agree = sum(
+        (
+            F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+            for s in range(perms)
+        ),
+        F.lit(0),
+    )
+    return (
+        candidates.join(a, "doc_id")
+        .join(b, "dup_of")
+        .select(
+            "doc_id",
+            "dup_of",
+            F.round(agree / perms, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def shingle_table(documents: DataFrame, cache: bool = False) -> DataFrame:
     """One row per (doc_id, distinct shingle).
 

@@ -115,3 +115,43 @@ def test_estimate_pairs_plan_has_no_shingle_join(spark, planted):
     assert join_lines, "expected band/doc joins in the plan"
     bad = [ln for ln in join_lines if "shingle" in ln]
     assert not bad, f"shingle join leaked into the estimate path:\n{bad}"
+
+
+def test_incremental_dedup_semantics(spark):
+    """Ground truth for the incremental operators: verbatim re-crawls are
+    exact dups of their originals; tailed re-crawls are near-dups (high
+    estimate, not exact); absent rows produce nothing."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    base = F.col("doc_id") + F.lit(1_000_000)
+    exact_new = docs.filter(F.col("doc_id") % 3 == 0).select(
+        base.alias("doc_id"), "text"
+    )
+    near_new = docs.filter(F.col("doc_id") % 3 == 1).select(
+        base.alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz1 zz2")).alias("text"),
+    )
+    new = exact_new.unionByName(near_new)
+
+    got = {
+        r["doc_id"]: r["dup_of"]
+        for r in textops.incremental_exact_dedup(new, docs).collect()
+    }
+    expected_exact = {
+        r["doc_id"] + 1_000_000: r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 3 == 0).collect()
+    }
+    assert got == expected_exact  # tailed copies must NOT exact-match
+
+    near = {
+        (r["doc_id"], r["dup_of"]): r["est_jaccard"]
+        for r in textops.incremental_minhash_dedup(
+            new, docs, threshold=0.5
+        ).collect()
+    }
+    # every verbatim copy matches its original with estimate 1.0
+    for nid, oid in expected_exact.items():
+        assert near.get((nid, oid)) == 1.0, (nid, oid)
+    # most tailed copies are found as near-dups of their originals
+    tailed = [r["doc_id"] for r in docs.filter(F.col("doc_id") % 3 == 1).collect()]
+    hits = sum(1 for d in tailed if (d + 1_000_000, d) in near)
+    assert hits >= int(0.8 * len(tailed)), f"{hits}/{len(tailed)} tailed found"
