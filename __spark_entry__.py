@@ -325,6 +325,61 @@ def q_incr_dedup_minhash(spark, sf_dir):
     )
 
 
+def _messy_urls(docs):
+    """Deterministic messy-url synthesis (documents carry no url column):
+    four variants cycling on doc_id — uppercase scheme/host + default port
+    + utm + fragment; default http port + trailing utm; mixed-case host +
+    trailing slash; non-http scheme whose port must survive."""
+    sid = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 4
+    return docs.select(
+        "doc_id",
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."), F.col("source"),
+                F.lit(".Example.com:443/Path/"), sid,
+                F.lit("/?utm_source=a&id="), sid, F.lit("#frag"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".example.com:80/path/"), sid,
+                F.lit("?id="), sid, F.lit("&utm_campaign=b"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".Example.Com/path/"), sid, F.lit("/"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("ftp://Files."), F.col("source"),
+                F.lit(".com:21/path/"), sid,
+            )
+        )
+        .alias("url"),
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """CC-pipeline url canonicalization (the re-crawl dedup key)."""
+    urls = _messy_urls(_t(spark, sf_dir, "documents"))
+    return urls.select(
+        "doc_id", textops.canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+
+
+def q_source_percentiles(spark, sf_dir):
+    """Per-source corpus length profile (exact percentiles)."""
+    return textops.source_length_percentiles(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_minhash_estimate(spark, sf_dir):
     """Scale-path near-dup: estimate-only, NO shingle verification join."""
     return textops.minhash_estimate_pairs(
@@ -443,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "incr_dedup_exact": q_incr_dedup_exact,
         "incr_dedup_minhash": q_incr_dedup_minhash,
+        "url_canonicalize": q_url_canonicalize,
+        "source_percentiles": q_source_percentiles,
         "tfidf_top_terms": q_tfidf_top_terms,
         "top_terms": q_top_terms,
         "corpus_curate": q_corpus_curate,
@@ -682,6 +739,49 @@ SELECT doc_id, dup_of, est_jaccard FROM (
   JOIN nsig a ON a.doc_id = c.doc_id
   JOIN esig b ON b.doc_id = c.dup_of
 ) WHERE est_jaccard >= {threshold}
+"""
+
+
+_URL_CANON_SQL = r"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.com:443/Path/'
+                  || CAST(doc_id AS VARCHAR) || '/?utm_source=a&id='
+                  || CAST(doc_id AS VARCHAR) || '#frag'
+      WHEN 1 THEN 'http://' || source || '.example.com:80/path/'
+                  || CAST(doc_id AS VARCHAR) || '?id='
+                  || CAST(doc_id AS VARCHAR) || '&utm_campaign=b'
+      WHEN 2 THEN 'https://' || source || '.Example.Com/path/'
+                  || CAST(doc_id AS VARCHAR) || '/'
+      ELSE 'ftp://Files.' || source || '.com:21/path/' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+  FROM urls
+),
+cleaned AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'https' AND host LIKE '%:443'
+           THEN regexp_replace(host, ':443$', '')
+         WHEN scheme = 'http' AND host LIKE '%:80'
+           THEN regexp_replace(host, ':80$', '')
+         ELSE host END AS host,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(rest, '#.*$', ''),
+      'utm_[^&#]*&', '', 'g'),
+      '[?&]utm_[^&#]*$', ''),
+      '\?&', '?'),
+      '[?&]$', ''),
+      '/$', '') AS rest
+  FROM parts
+)
+SELECT doc_id, scheme || '://' || host || rest AS canonical_url FROM cleaned
 """
 
 
@@ -1214,6 +1314,16 @@ FROM documents GROUP BY 1
         "dedup_minhash_estimate": _minhash_est_only_sql(0.25),
         "incr_dedup_exact": _INCR_EXACT_SQL,
         "incr_dedup_minhash": _incr_minhash_sql(0.5),
+        "url_canonicalize": _URL_CANON_SQL,
+        "source_percentiles": """
+SELECT source,
+       count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY source
+""",
         "tfidf_top_terms": r"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents

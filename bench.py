@@ -66,6 +66,8 @@ HEADLINE = [
     "dedup_minhash_estimate",
     "incr_dedup_exact",
     "incr_dedup_minhash",
+    "url_canonicalize",
+    "source_percentiles",
     "tfidf_top_terms",
     "top_terms",
     "corpus_curate",

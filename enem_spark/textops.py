@@ -792,6 +792,55 @@ def corpus_curate(
     )
 
 
+def canonicalize_url(url):
+    """Column expression: canonical form of a crawl url — the dedup key a
+    CC-style pipeline groups re-crawls by. Rules (all codegen, each with an
+    identical DuckDB twin):
+
+      1. scheme and host lowercased (path/query case preserved),
+      2. default ports stripped (:443 for https, :80 for http),
+      3. fragment dropped,
+      4. utm_* tracking params dropped (and a dangling '?'/'&' cleaned),
+      5. trailing '/' stripped.
+
+    Plain regexps only — no lookaround — so Java (Spark) and RE2 (DuckDB)
+    agree byte-for-byte."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    host = F.when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, r":443$", ""),
+    ).when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, r":80$", ""),
+    ).otherwise(host)
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    rest = F.regexp_replace(rest, r"utm_[^&#]*&", "")
+    rest = F.regexp_replace(rest, r"[?&]utm_[^&#]*$", "")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]$", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.concat(scheme, F.lit("://"), host, rest)
+
+
+def source_length_percentiles(documents: DataFrame) -> DataFrame:
+    """Per-source length distribution profile: exact percentiles of n_chars
+    (p25/p50/p75/p99) + count. The corpus-profiling aggregate a curation
+    dashboard reports; exact `percentile` (not approx_percentile) so the
+    DuckDB quantile_cont twin matches bit-for-bit. One shuffle on the
+    low-cardinality source key; at 10^12 rows swap in approx_percentile
+    (t-digest, partial-aggregatable) and drop the cross-engine exactness."""
+    p = lambda q: F.round(F.percentile(F.col("n_chars"), F.lit(q)), 6)
+    return documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        p(0.25).alias("p25"),
+        p(0.50).alias("p50"),
+        p(0.75).alias("p75"),
+        p(0.99).alias("p99"),
+    )
+
+
 def source_stats(documents: DataFrame) -> DataFrame:
     """Per-source corpus profile: volume, dedup rate, quality/length means.
 
