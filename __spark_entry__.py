@@ -380,6 +380,28 @@ def q_source_percentiles(spark, sf_dir):
     return textops.source_length_percentiles(_t(spark, sf_dir, "documents"))
 
 
+def _chrome_docs(docs):
+    """Documents wrapped in per-source template chrome (nav header + legal
+    footer) — what raw crawled pages look like before main-content
+    extraction. Deterministic, no RNG."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("NAVBAR HOME ABOUT "), F.col("source"), F.lit("\n"),
+            F.col("text"), F.lit("\n"),
+            F.lit("COPYRIGHT "), F.col("source"), F.lit(" ALL RIGHTS"),
+        ).alias("text"),
+    )
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """Cross-document template removal: the injected chrome must vanish,
+    the content lines must survive in order."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.strip_boilerplate(_chrome_docs(docs), min_frac=0.5)
+
+
 def q_dedup_minhash_estimate(spark, sf_dir):
     """Scale-path near-dup: estimate-only, NO shingle verification join."""
     return textops.minhash_estimate_pairs(
@@ -499,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_dedup_exact": q_incr_dedup_exact,
         "incr_dedup_minhash": q_incr_dedup_minhash,
         "url_canonicalize": q_url_canonicalize,
+        "boilerplate_strip": q_boilerplate_strip,
         "source_percentiles": q_source_percentiles,
         "tfidf_top_terms": q_tfidf_top_terms,
         "top_terms": q_top_terms,
@@ -782,6 +805,41 @@ cleaned AS (
   FROM parts
 )
 SELECT doc_id, scheme || '://' || host || rest AS canonical_url FROM cleaned
+"""
+
+
+_BOILER_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, source,
+         'NAVBAR HOME ABOUT ' || source || chr(10) || text || chr(10)
+         || 'COPYRIGHT ' || source || ' ALL RIGHTS' AS text
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, source, u.no AS line_no, u.line AS line
+  FROM (
+    SELECT doc_id, source,
+           unnest([{'no': i, 'line': l[i+1]} for i in range(0, len(l))]) AS u
+    FROM (SELECT doc_id, source, str_split(text, chr(10)) AS l FROM docs)
+  )
+),
+src_docs AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY source),
+line_docs AS (
+  SELECT source, line, count(DISTINCT doc_id) AS n
+  FROM flat WHERE line <> '' GROUP BY source, line
+),
+boiler AS (
+  SELECT l.source, l.line
+  FROM line_docs l JOIN src_docs s USING (source)
+  WHERE l.n >= greatest(2, CAST(ceil(0.5 * s.n_docs) AS BIGINT))
+),
+kept AS (
+  SELECT f.doc_id, f.line_no, f.line
+  FROM flat f LEFT JOIN boiler b ON f.source = b.source AND f.line = b.line
+  WHERE b.line IS NULL
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+FROM kept GROUP BY doc_id
 """
 
 
@@ -1315,6 +1373,7 @@ FROM documents GROUP BY 1
         "incr_dedup_exact": _INCR_EXACT_SQL,
         "incr_dedup_minhash": _incr_minhash_sql(0.5),
         "url_canonicalize": _URL_CANON_SQL,
+        "boilerplate_strip": _BOILER_SQL,
         "source_percentiles": """
 SELECT source,
        count(*) AS n_docs,

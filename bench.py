@@ -68,6 +68,7 @@ HEADLINE = [
     "incr_dedup_minhash",
     "url_canonicalize",
     "source_percentiles",
+    "boilerplate_strip",
     "tfidf_top_terms",
     "top_terms",
     "corpus_curate",

@@ -792,6 +792,64 @@ def corpus_curate(
     )
 
 
+def _doc_lines(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, line_no, line) — one row per text line."""
+    return documents.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "line"),
+    )
+
+
+def boilerplate_lines(
+    documents: DataFrame, min_frac: float = 0.5
+) -> DataFrame:
+    """Cross-document template detection — the distributed form of HTML
+    boilerplate stripping: a line appearing in >= max(2, min_frac * docs)
+    of a source's documents is template chrome (nav, footer, cookie
+    banner), not content. Empty lines are never flagged (paragraph breaks
+    are content structure).
+
+    Output: (source, line, n_docs_with_line). Shuffles on (source, line) —
+    content-derived, near-uniform; at 10^12 docs the per-source line-doc
+    counts are exactly the aggregation CCNet/trafilatura-style pipelines
+    precompute per crawl snapshot."""
+    src_docs = documents.groupBy("source").agg(F.count("*").alias("n_docs"))
+    line_docs = (
+        _doc_lines(documents)
+        .filter(F.col("line") != "")
+        .groupBy("source", "line")
+        .agg(F.countDistinct("doc_id").alias("n_docs_with_line"))
+    )
+    thresh = F.greatest(F.lit(2), F.ceil(F.lit(min_frac) * F.col("n_docs")))
+    return (
+        line_docs.join(src_docs, "source")
+        .filter(F.col("n_docs_with_line") >= thresh)
+        .select("source", "line", "n_docs_with_line")
+    )
+
+
+def strip_boilerplate(
+    documents: DataFrame, min_frac: float = 0.5
+) -> DataFrame:
+    """Main-content extraction for template chrome: remove every detected
+    boilerplate line (see boilerplate_lines) and reassemble each document's
+    remaining lines in original order.
+
+    Output: (doc_id, text). Three shuffles — line-doc counts, the
+    (source, line) anti-join, and the doc_id reassembly — all on
+    near-uniform keys; the boilerplate table is small (templates per
+    source) and AQE broadcasts it."""
+    boiler = boilerplate_lines(documents, min_frac).select("source", "line")
+    kept = _doc_lines(documents).join(boiler, ["source", "line"], "left_anti")
+    ordered = F.array_sort(F.collect_list(F.struct("line_no", "line")))
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s.line), "\n"
+        ).alias("text")
+    )
+
+
 def canonicalize_url(url):
     """Column expression: canonical form of a crawl url — the dedup key a
     CC-style pipeline groups re-crawls by. Rules (all codegen, each with an

@@ -155,3 +155,27 @@ def test_incremental_dedup_semantics(spark):
     tailed = [r["doc_id"] for r in docs.filter(F.col("doc_id") % 3 == 1).collect()]
     hits = sum(1 for d in tailed if (d + 1_000_000, d) in near)
     assert hits >= int(0.8 * len(tailed)), f"{hits}/{len(tailed)} tailed found"
+
+
+def test_boilerplate_strip_recovers_content(spark):
+    """Injecting per-source template chrome and stripping it must return
+    every document's ORIGINAL text exactly (order preserved, unique
+    content lines never flagged)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    chrome = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("NAVBAR HOME ABOUT "), F.col("source"), F.lit("\n"),
+            F.col("text"), F.lit("\n"),
+            F.lit("COPYRIGHT "), F.col("source"), F.lit(" ALL RIGHTS"),
+        ).alias("text"),
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in textops.strip_boilerplate(chrome, min_frac=0.5).collect()
+    }
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert got == orig
