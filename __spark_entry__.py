@@ -402,6 +402,32 @@ def q_boilerplate_strip(spark, sf_dir):
     return textops.strip_boilerplate(_chrome_docs(docs), min_frac=0.5)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over text with deterministic planted PII (the raw
+    corpus has none): one email + one IP + one phone per document."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), sid, F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel +55 11 9999-00"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    return textops.pii_scrub(planted)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every doc sharing an 8-gram with the
+    benchmark slice (doc_id % 50 == 0) is flagged with its hit count."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return textops.decontaminate(docs, bench, n=8)
+
+
 def q_dedup_minhash_estimate(spark, sf_dir):
     """Scale-path near-dup: estimate-only, NO shingle verification join."""
     return textops.minhash_estimate_pairs(
@@ -522,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_dedup_minhash": q_incr_dedup_minhash,
         "url_canonicalize": q_url_canonicalize,
         "boilerplate_strip": q_boilerplate_strip,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
         "source_percentiles": q_source_percentiles,
         "tfidf_top_terms": q_tfidf_top_terms,
         "top_terms": q_top_terms,
@@ -840,6 +868,58 @@ kept AS (
 )
 SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
 FROM kept GROUP BY doc_id
+"""
+
+
+_PII_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || ' tel +55 11 9999-00'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+  FROM planted
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+         regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(text, '\+\d[\d()\- ]{7,}\d', '<PHONE>', 'g') AS text,
+       n_emails, n_ips,
+       CAST(len(regexp_extract_all(text, '\+\d[\d()\- ]{7,}\d')) AS INT) AS n_phones
+FROM s2
+"""
+
+_DECON_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+      THEN list_distinct([md5(array_to_string(toks[i:i+7], ' ')) for i in range(1, len(toks)-6)])
+      ELSE [] END) AS gram_hash
+  FROM tok
+),
+bgrams AS (
+  SELECT DISTINCT gram_hash FROM grams WHERE false
+  UNION
+  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 8
+      THEN list_distinct([md5(array_to_string(toks[i:i+7], ' ')) for i in range(1, len(toks)-6)])
+      ELSE [] END) AS gram_hash
+  FROM tok WHERE doc_id % 50 = 0
+)
+SELECT doc_id, count(*) AS n_contaminated_ngrams
+FROM grams JOIN bgrams USING (gram_hash)
+GROUP BY doc_id
 """
 
 
@@ -1374,6 +1454,8 @@ FROM documents GROUP BY 1
         "incr_dedup_minhash": _incr_minhash_sql(0.5),
         "url_canonicalize": _URL_CANON_SQL,
         "boilerplate_strip": _BOILER_SQL,
+        "pii_scrub": _PII_SQL,
+        "decontaminate": _DECON_SQL,
         "source_percentiles": """
 SELECT source,
        count(*) AS n_docs,

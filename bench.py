@@ -69,6 +69,8 @@ HEADLINE = [
     "url_canonicalize",
     "source_percentiles",
     "boilerplate_strip",
+    "pii_scrub",
+    "decontaminate",
     "tfidf_top_terms",
     "top_terms",
     "corpus_curate",

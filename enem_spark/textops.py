@@ -792,6 +792,77 @@ def corpus_curate(
     )
 
 
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d()\- ]{7,}\d"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Training-data PII redaction: emails, IPv4 addresses, and
+    international-format phone numbers replaced by typed placeholders,
+    with per-document match counts for audit dashboards.
+
+    Pure regexp_replace/regexp_count chains — whole-stage codegen, zero
+    Python; the patterns avoid lookaround so Java (Spark) and RE2 (DuckDB)
+    agree byte-for-byte. Order matters: emails first (an email's host part
+    must not be half-eaten by the IP rule), then IPs, then phones."""
+    t0 = F.col("text")
+    n_email = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phone = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        t3.alias("text"),
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+    )
+
+
+def _ngram_hash_table(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram_hash) for every n-token gram; docs shorter than n
+    tokens contribute nothing (standard decontamination convention)."""
+    toks = _tokens(F.col("text"))
+    size = F.size(toks)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram_hash")
+    )
+
+
+def decontaminate(
+    documents: DataFrame, benchmark: DataFrame, n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any n-token
+    gram with an eval/benchmark set (the Brown et-al / GPT-3 appendix-C
+    criterion). Output: (doc_id, n_contaminated_ngrams) for flagged docs.
+
+    The benchmark gram table is tiny relative to the corpus — AQE
+    broadcasts it under the join, so the corpus side never shuffles; at
+    10^12 docs this is one map-side semi-join pass over the corpus grams."""
+    bench_grams = _ngram_hash_table(benchmark, n).select("gram_hash").distinct()
+    doc_grams = _ngram_hash_table(documents, n)
+    return (
+        doc_grams.join(bench_grams, "gram_hash")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+
+
 def _doc_lines(documents: DataFrame) -> DataFrame:
     """(doc_id, source, line_no, line) — one row per text line."""
     return documents.select(

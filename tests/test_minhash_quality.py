@@ -179,3 +179,53 @@ def test_boilerplate_strip_recovers_content(spark):
     }
     orig = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert got == orig
+
+
+def test_pii_scrub_and_decontaminate_semantics(spark):
+    """Planted PII must be fully redacted with exact counts; decontamination
+    must flag exactly the docs sharing 8-grams with the benchmark slice."""
+    import re as _re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sid = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail a"), sid, F.lit("@ex.org ip 192.168.1."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(" fone +44 20 7946 0958"),
+        ).alias("text"),
+    )
+    out = textops.pii_scrub(planted).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 1, 1), r["doc_id"]
+        assert "<EMAIL>" in r["text"] and "<IP>" in r["text"] and "<PHONE>" in r["text"]
+        assert not _re.search(r"@ex\.org|192\.168", r["text"])
+
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    flagged = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in textops.decontaminate(docs, bench, n=8).collect()
+    }
+    # ground truth by brute force: a doc is contaminated iff it shares an
+    # 8-gram with any benchmark text (benchmark docs always self-match)
+    def grams(t: str) -> set[str]:
+        toks = _re.split(r"\s+", t.strip())
+        return {
+            " ".join(toks[i : i + 8]) for i in range(max(0, len(toks) - 7))
+        }
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    bench_ids = {r["doc_id"] for r in bench.collect()}
+    bench_grams = set().union(*(grams(texts[b]) for b in bench_ids))
+    expected = {
+        d: len(grams(t) & bench_grams)
+        for d, t in texts.items()
+        if grams(t) & bench_grams
+    }
+    assert flagged == expected
+    assert bench_ids <= set(flagged)
