@@ -50,23 +50,6 @@ def _tokens(col):
     return F.split(F.trim(col), r"\s+")
 
 
-def _shingles(col):
-    """Distinct n-word shingles, built JVM-side (transform over sequence)."""
-    toks = _tokens(col)
-    n = F.size(toks)
-    return F.array_distinct(
-        F.when(
-            n >= SHINGLE_N,
-            F.transform(
-                F.sequence(F.lit(0), n - SHINGLE_N),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(SHINGLE_N)]
-                ),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
-
-
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact duplicate clustering by content hash; keeper = min doc_id.
 
@@ -168,19 +151,58 @@ def incremental_minhash_dedup(
     )
 
 
+def _gram_rows(
+    documents: DataFrame,
+    n: int,
+    extra_cols: tuple[str, ...] = (),
+    short_doc_whole: bool = True,
+) -> DataFrame:
+    """(doc_id, *extra_cols, shingle) — one row per n-token gram, built as
+    posexplode(tokens) + lead() window so the tokenizing split runs ONCE
+    per document. Building grams as transform(sequence, i -> concat(
+    element_at(toks, i+j)...)) LOOKS cheaper (no shuffle) but Catalyst's
+    project-collapse inlines the split() into the lambda, re-splitting the
+    text n times per gram per row — measured 10x slower than this window
+    at 5k docs and growing with document length.
+
+    ``short_doc_whole``: docs with fewer than n tokens contribute their
+    whole text as one gram (shingle semantics) or nothing (decontamination
+    semantics). Output is NOT deduplicated — callers add their own
+    distinct. The window shuffles on doc_id; a pathological mega-document
+    skews one partition exactly like the numbering window, and the same
+    two-level salting applies if it ever matters for a documents table."""
+    toks = documents.select(
+        "doc_id",
+        *extra_cols,
+        F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    out = toks.withColumn("shingle", F.concat_ws(" ", *parts)).withColumn(
+        "_full", F.lead("tok", n - 1).over(w).isNotNull()
+    )
+    if short_doc_whole:
+        # window results must be projected before they can be filtered on
+        out = out.withColumn(
+            "_n_toks", F.count("*").over(W.partitionBy("doc_id"))
+        )
+        keep = F.col("_full") | ((F.col("pos") == 0) & (F.col("_n_toks") < n))
+    else:
+        keep = F.col("_full")
+    return out.filter(keep).select("doc_id", *extra_cols, "shingle")
+
+
 def shingle_table(documents: DataFrame, cache: bool = False) -> DataFrame:
     """One row per (doc_id, distinct shingle).
 
     ``cache=True`` persists the exploded table (MEMORY_AND_DISK) for plans
     that branch over it several times (LSH candidates + both sides of the
-    verification join + set sizes) — the explode is the dominant cost and
-    Spark re-executes it per branch otherwise. ContextCleaner reclaims the
-    blocks once the plan is garbage collected. At 100 TB the same role is
-    played by materializing the shingle table to storage once per corpus
+    verification join + set sizes) — the gram build is the dominant cost
+    and Spark re-executes it per branch otherwise. ContextCleaner reclaims
+    the blocks once the plan is garbage collected. At 100 TB the same role
+    is played by materializing the shingle table to storage once per corpus
     snapshot and reusing it across dedup jobs."""
-    sh = documents.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
-    )
+    sh = _gram_rows(documents, SHINGLE_N).dropDuplicates(["doc_id", "shingle"])
     if cache:
         from pyspark import StorageLevel
 
@@ -357,11 +379,17 @@ def ngram_jaccard_pairs(
     approximates; at scale the block bounds the quadratic term."""
     from pyspark import StorageLevel
 
-    sh = documents.select(
-        "doc_id",
-        F.col(block_col).alias("block"),
-        F.explode(_shingles(F.col("text"))).alias("shingle"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # branches: self-join sides + sizes
+    sh = (
+        _gram_rows(
+            documents.select(
+                "doc_id", F.col(block_col).alias("block"), "text"
+            ),
+            SHINGLE_N,
+            extra_cols=("block",),
+        )
+        .dropDuplicates(["doc_id", "block", "shingle"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # branches: self-join sides + sizes
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -823,24 +851,12 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
 
 
 def _ngram_hash_table(documents: DataFrame, n: int) -> DataFrame:
-    """(doc_id, gram_hash) for every n-token gram; docs shorter than n
-    tokens contribute nothing (standard decontamination convention)."""
-    toks = _tokens(F.col("text"))
-    size = F.size(toks)
-    grams = F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(0), size - n),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return documents.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("gram_hash")
+    """(doc_id, gram_hash) for every DISTINCT n-token gram; docs shorter
+    than n tokens contribute nothing (decontamination convention)."""
+    return (
+        _gram_rows(documents, n, short_doc_whole=False)
+        .select("doc_id", F.md5(F.col("shingle")).alias("gram_hash"))
+        .dropDuplicates(["doc_id", "gram_hash"])
     )
 
 
