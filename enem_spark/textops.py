@@ -591,22 +591,13 @@ def repetition_filters(documents: DataFrame) -> DataFrame:
     dup_line_frac = F.round(
         (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines, 6
     )
-    toks = _tokens(text)
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, (i + 1).cast("int")),
-                F.element_at(toks, (i + 2).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array())
-    base = documents.select("doc_id", dup_line_frac.alias("dup_line_frac"), bigrams.alias("bg"))
+    base = documents.select("doc_id", dup_line_frac.alias("dup_line_frac"))
+    # bigram rows via the lead-window builder (split once per doc; the
+    # transform+element_at form re-splits per bigram — see _gram_rows).
+    # Multiplicity preserved: _gram_rows does not deduplicate.
     bg_counts = (
-        base.select("doc_id", F.explode("bg").alias("bigram"))
+        _gram_rows(documents, 2, short_doc_whole=False)
+        .withColumnRenamed("shingle", "bigram")
         .groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
