@@ -825,9 +825,9 @@ cleaned AS (
          ELSE host END AS host,
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(rest, '#.*$', ''),
-      'utm_[^&#]*&', '', 'g'),
-      '[?&]utm_[^&#]*$', ''),
-      '\?&', '?'),
+      '\?', '&', 'g'),
+      '&utm_[^&#]*', '', 'g'),
+      '^([^&]*)&', '\1?'),
       '[?&]$', ''),
       '/$', '') AS rest
   FROM parts
@@ -1202,9 +1202,16 @@ def oracle_sql() -> dict[str, str]:
     # pure-Python twin (enem_spark/expected.py — same per-page function,
     # same key builder, no Spark) stages the expected tables as parquet and
     # the SQL is a trivial SELECT over them. The driver compares at sf0.01.
+    import os as _os
+
     from enem_spark.expected import stage_expected_tables
 
-    expected = stage_expected_tables("/root/testdata/sf0.01")
+    # The driver's CORRECTNESS compare runs at sf0.01; a harness comparing
+    # at another scale must point the materialized oracle at the same
+    # corpus the Spark queries read (the staging is memoized per sf_dir)
+    expected = stage_expected_tables(
+        _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    )
     return {
         "extract_questions": f"""
 SELECT url, seq, subject, question_num, "ID", correct_answer, question_text

@@ -168,10 +168,17 @@ def _spans_frame(rows: list[dict]) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["url", "spans_json"])
 
 
+_STAGED: dict[str, dict[str, str]] = {}
+
+
 def stage_expected_tables(sf_dir: str) -> dict[str, str]:
-    """Generate (idempotently, per process) the expected parquet tables for
+    """Generate (memoized per process) the expected parquet tables for
     ``sf_dir`` and return {table_name: absolute_parquet_path}. Pure Python —
-    callable from oracle_sql(), which has no SparkSession."""
+    callable from oracle_sql(), which has no SparkSession. One extraction
+    pass: the keep_unparsed=True row set is a superset of the questions
+    table (filter parse_ok) AND the spans input."""
+    if sf_dir in _STAGED:
+        return _STAGED[sf_dir]
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     base = os.path.join("/tmp", f"enem_expected_{sf_tag}")
     paths = {
@@ -182,10 +189,10 @@ def stage_expected_tables(sf_dir: str) -> dict[str, str]:
     documents = pd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    _questions_frame(expected_question_rows(documents, keep_unparsed=False)).to_parquet(
+    all_rows = expected_question_rows(documents, keep_unparsed=True)
+    _questions_frame([r for r in all_rows if r["parse_ok"]]).to_parquet(
         paths["extract_questions"], index=False
     )
-    _spans_frame(expected_question_rows(documents, keep_unparsed=True)).to_parquet(
-        paths["extract_question_spans"], index=False
-    )
+    _spans_frame(all_rows).to_parquet(paths["extract_question_spans"], index=False)
+    _STAGED[sf_dir] = paths
     return paths

@@ -253,10 +253,9 @@ def run_extraction(
             # processed_docs + the runs marker.
             n_questions = questions.count()
             if n_questions:
-                qdir = f"{out_dir}/questions/run_id={run_id}"
                 questions.write.mode("overwrite").partitionBy(
                     "year", "day"
-                ).parquet(qdir)
+                ).parquet(f"{out_dir}/questions/run_id={run_id}")
             questions.unpersist()
 
             partition_lineage(paged, run_id).drop("run_id").write.mode(
@@ -271,6 +270,26 @@ def run_extraction(
             new_quarantine.write.mode("overwrite").parquet(
                 f"{out_dir}/quarantine/run_id={run_id}"
             )
+
+        # Clear stale run_id dirs this ATTEMPT did not write: a crashed
+        # prior attempt of the same run_id may have written them, and the
+        # state of the world can differ on retry (e.g. its docs were
+        # committed by another run meanwhile, so this attempt writes
+        # nothing). Committing below without clearing would make the stale
+        # rows visible as this run's output — the overwrite used to do this
+        # implicitly, but an empty write writes no files.
+        import shutil
+
+        written = {
+            "questions": n_pages > 0 and n_questions > 0,
+            "lineage": n_pages > 0,
+            "processed_docs": n_pages > 0,
+            "quarantine": n_quarantined > 0,
+        }
+        for table, wrote in written.items():
+            stale = f"{out_dir}/{table}/run_id={run_id}"
+            if not wrote and os.path.exists(stale):
+                shutil.rmtree(stale)
 
         # COMMIT POINT — everything above is invisible to resume/readers
         # until this tiny append lands. Quarantine-only runs commit too:

@@ -296,17 +296,10 @@ def compact_staging(spark: SparkSession, out_dir: str) -> int:
     if not batch_dirs:
         return 0
 
+    from .extract import with_url_metadata
+
     staged = spark.read.parquet(staging)  # batch_id from partition dirs
-    live = (
-        staged.filter(F.col("lang") == "pt")
-        .withColumn("doc_id", F.regexp_extract("url", r"^(.*)/page/\d+$", 1))
-        .withColumn(
-            "kind",
-            F.when(F.col("url").contains("PV"), "PV").when(
-                F.col("url").contains("GB"), "GB"
-            ),
-        )
-    )
+    live = with_url_metadata(staged.filter(F.col("lang") == "pt"))
     committed = committed_run_ids(spark, out_dir)
     if committed is not None and _exists(f"{out_dir}/quarantine"):
         # committed-quarantined urls are dead regardless of kind: a PV url
@@ -401,11 +394,12 @@ def start_document_stream(
         staged = _read_staged(spark, staging, gb_store)
         if staged is None:
             return
-        doc_id = F.regexp_extract("url", r"^(.*)/page/\d+$", 1)
-        kind = F.when(F.col("url").contains("PV"), "PV").when(
-            F.col("url").contains("GB"), "GB"
-        )
-        meta = staged.withColumn("doc_id", doc_id).withColumn("kind", kind)
+        # ONE url-contract derivation for the whole engine: reuse
+        # extract.with_url_metadata (doc_id/page_idx/year/day/color/kind)
+        # so the release gate can never disagree with quarantine routing
+        from .extract import with_url_metadata
+
+        meta = with_url_metadata(staged)
         # the horizon is the global max event time seen (GB arrivals advance
         # the clock too — event time is one stream, not per-kind)
         horizon = meta.agg(F.max("warc_ts")).first()[0]
@@ -416,14 +410,8 @@ def start_document_stream(
         key_cutoff = F.lit(horizon) - F.expr(
             f"INTERVAL {completeness_delay_s + grace} SECONDS"
         )
-        year = F.regexp_extract("url", r"(20\d{2})", 1)
-        day = F.when(F.col("url").contains("D1"), "D1").otherwise("D2")
-        color = F.regexp_extract("url", r"CD(\d)", 1)
         pv_docs = (
             meta.filter(F.col("kind") == "PV")
-            .withColumn("year", year)
-            .withColumn("day", day)
-            .withColumn("color", color)
             .groupBy("doc_id")
             .agg(
                 F.max("warc_ts").alias("newest"),
@@ -434,7 +422,7 @@ def start_document_stream(
         )
         keys_avail = (
             meta.filter(F.col("kind") == "GB")
-            .select(year.alias("year"), day.alias("day"), color.alias("color"))
+            .select("year", "day", "color")
             .distinct()
         )
         # key present -> release at the completeness horizon; key absent ->
@@ -451,9 +439,15 @@ def start_document_stream(
             )
         )
         # no broadcast hint — the settled set is unbounded over a stream's
-        # lifetime; AQE broadcasts while small
-        ready = meta.join(settled, "doc_id", "left_semi").unionByName(
-            meta.filter(F.col("kind") == "GB")
+        # lifetime; AQE broadcasts while small.
+        # unresolved-kind pages ride along every batch: run_extraction
+        # quarantines them (committed), which is what lets compact_staging
+        # eventually drop their dirs — excluding them here would leave them
+        # unquarantinable and pin staging forever on a live tail
+        ready = (
+            meta.join(settled, "doc_id", "left_semi")
+            .unionByName(meta.filter(F.col("kind") == "GB"))
+            .unionByName(meta.filter(F.col("kind").isNull()))
         )
         run_extraction(
             spark,

@@ -94,6 +94,7 @@ def incremental_minhash_dedup(
     threshold: float = 0.5,
     perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """Near-dup of a new increment against the existing corpus, estimate-
     only (no shingle verification join — see minhash_estimate_pairs): band
@@ -112,6 +113,8 @@ def incremental_minhash_dedup(
     sig_ex = minhash_signatures(existing_docs, None, perms).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if persist_to is not None:
+        persist_to.extend((sig_new, sig_ex))
     bn = _band_table(sig_new, perms, bands).alias("n")
     be = _band_table(sig_ex, perms, bands).alias("e")
     candidates = (
@@ -171,10 +174,16 @@ def _gram_rows(
     distinct. The window shuffles on doc_id; a pathological mega-document
     skews one partition exactly like the numbering window, and the same
     two-level salting applies if it ever matters for a documents table."""
+    # coalesce: a NULL text must behave like '' (one empty token -> one
+    # empty whole-text shingle under short_doc_whole, nothing otherwise) —
+    # posexplode of a null array would drop the document entirely, silently
+    # removing it from every shingle-derived table and from the DuckDB
+    # twins, which DO emit a row for it
+    text = F.coalesce(F.col("text"), F.lit(""))
     toks = documents.select(
         "doc_id",
         *extra_cols,
-        F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"),
+        F.posexplode(_tokens(text)).alias("pos", "tok"),
     )
     w = W.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
@@ -294,6 +303,7 @@ def minhash_estimate_pairs(
     threshold: float = 0.5,
     perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """THE scale path for near-dup detection: banded candidates + Jaccard
     estimated from signature agreement alone — O(k) per pair, NO shingle
@@ -307,10 +317,15 @@ def minhash_estimate_pairs(
     calibration query `minhash_jaccard_estimate` keeps both side by side."""
     from pyspark import StorageLevel
 
-    # persisted: feeds the band explode AND both sides of the estimate join
+    # persisted: feeds the band explode AND both sides of the estimate join.
+    # Callers that run many operators in one session pass persist_to and
+    # unpersist after their action; otherwise the ContextCleaner reclaims
+    # the blocks when the plan is garbage collected.
     sig = minhash_signatures(documents, None, perms).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if persist_to is not None:
+        persist_to.append(sig)
     candidates = _band_candidates(sig, perms, bands)
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -952,9 +967,16 @@ def canonicalize_url(url):
         F.regexp_replace(host, r":80$", ""),
     ).otherwise(host)
     rest = F.regexp_replace(rest, r"#.*$", "")
-    rest = F.regexp_replace(rest, r"utm_[^&#]*&", "")
-    rest = F.regexp_replace(rest, r"[?&]utm_[^&#]*$", "")
-    rest = F.regexp_replace(rest, r"\?&", "?")
+    # utm removal must be DELIMITER-anchored or a param merely containing
+    # 'utm_' in its name (e.g. myutm_x) gets its tail eaten and merges with
+    # the next param. Global regex can't drop '[?&]utm_...' runs adjacent
+    # to each other in one pass (the consumed delimiter hides the next
+    # match), so: normalize '?' to '&', strip every '&utm_<...>' (each
+    # param owns its leading delimiter), then restore the first remaining
+    # '&' to '?'.
+    rest = F.regexp_replace(rest, r"\?", "&")
+    rest = F.regexp_replace(rest, r"&utm_[^&#]*", "")
+    rest = F.regexp_replace(rest, r"^([^&]*)&", r"$1?")
     rest = F.regexp_replace(rest, r"[?&]$", "")
     rest = F.regexp_replace(rest, r"/$", "")
     return F.concat(scheme, F.lit("://"), host, rest)

@@ -71,26 +71,26 @@ def _kind(dtype) -> str:
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     assert name in QUERIES, f"oracle {name} has no queries() entry"
-    sdf = QUERIES[name](spark, SF_DIR)
-    cols = sdf.columns
-    spark_rows = [tuple(r[c] for c in cols) for r in sdf.collect()]
-
-    res = duck.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
+    # ONE execution per engine: rows AND dtypes both come from the same
+    # pandas frame (the heavy dedup queries would otherwise run twice)
+    spdf = QUERIES[name](spark, SF_DIR).toPandas()
+    cols = list(spdf.columns)
+    odf = duck.execute(ORACLES[name]).df()
+    duck_cols = list(odf.columns)
     assert sorted(duck_cols) == sorted(cols), (
         f"{name}: column mismatch spark={cols} duck={duck_cols}"
     )
-    duck_rows_raw = res.fetchall()
-    # align duck column order to spark's
-    idx = [duck_cols.index(c) for c in cols]
-    duck_rows = [tuple(r[i] for i in idx) for r in duck_rows_raw]
+    spark_rows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    duck_rows = [
+        tuple(r) for r in odf[cols].itertuples(index=False, name=None)
+    ]
 
     # The driver compares via pandas, where dtype KIND matters: DuckDB
     # HUGEINT (sum of INT/BIGINT) becomes float64 while Spark's bigint stays
     # int64, and "99111.0" != "99111" under a stringified value-hash even
-    # though fetchall() yields equal Python ints.  Mirror that strictness.
-    sp_kinds = {c: _kind(d) for c, d in sdf.toPandas().dtypes.items()}
-    du_kinds = {c: _kind(d) for c, d in duck.execute(ORACLES[name]).df().dtypes.items()}
+    # though the Python values are equal ints. Mirror that strictness.
+    sp_kinds = {c: _kind(d) for c, d in spdf.dtypes.items()}
+    du_kinds = {c: _kind(d) for c, d in odf.dtypes.items()}
     kind_mism = {
         c: (sp_kinds[c], du_kinds[c]) for c in cols if sp_kinds[c] != du_kinds[c]
     }

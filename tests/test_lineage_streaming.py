@@ -299,6 +299,51 @@ def test_compaction_drops_quarantined_pv_pages(spark, tmp_path):
     assert not os.listdir(f"{out}/staging")
 
 
+def test_stream_quarantines_noise_urls_and_compacts(spark, pages_df, tmp_path):
+    """A live tail receiving pt pages whose url is neither PV nor GB must
+    quarantine them THROUGH the stream (not only at flush) so compaction
+    can drop their staging dirs — otherwise they pin staging forever."""
+    import os
+
+    import pandas as pd
+
+    from enem_spark.streaming import start_document_stream
+
+    src = str(tmp_path / "nsrc")
+    out = str(tmp_path / "nout")
+    ckpt = str(tmp_path / "nckpt")
+    cfg = ExtractorConfig(output_type="json")
+
+    noise = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "url": "cc://junk/banner-ad/page/1",
+                    "warc_ts": pd.Timestamp("2024-06-01"),
+                    "html": None,
+                    "text": "cookie banner noise",
+                    "lang": "pt",
+                }
+            ]
+        ),
+        schema=pages_df.schema,
+    )
+    pages_df.unionByName(noise).coalesce(1).write.parquet(f"{src}/f1")
+
+    stream = spark.readStream.schema(pages_df.schema).parquet(f"{src}/*")
+    q = start_document_stream(stream, cfg, out, ckpt, completeness_delay_s=0)
+    q.awaitTermination(300)
+
+    quarantined = spark.read.parquet(f"{out}/quarantine")
+    assert [r["url"] for r in quarantined.collect()] == ["cc://junk/banner-ad/page/1"]
+    staged_dirs = (
+        [d for d in os.listdir(f"{out}/staging") if d.startswith("batch_id=")]
+        if os.path.exists(f"{out}/staging")
+        else []
+    )
+    assert staged_dirs == [], f"noise url pinned staging: {staged_dirs}"
+
+
 def test_late_answer_key_held_by_key_grace(spark, pages_df, tmp_path):
     """Exactly-once makes a keyless extraction irreversible: a PV document
     whose answer key arrives LATER must be held back (key_grace_s), then

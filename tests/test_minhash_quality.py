@@ -229,3 +229,27 @@ def test_pii_scrub_and_decontaminate_semantics(spark):
     }
     assert flagged == expected
     assert bench_ids <= set(flagged)
+
+
+def test_null_text_doc_keeps_one_empty_shingle(spark):
+    """A NULL-text document must not vanish from shingle-derived tables
+    (the DuckDB twins emit a row for it): it carries one '' shingle."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": 1, "text": None}, {"doc_id": 2, "text": "a b c d"}]),
+        schema=schema,
+    )
+    rows = textops.shingle_table(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+    assert by_doc[1] == {""}
+    assert by_doc[2] == {"a b c", "b c d"}
