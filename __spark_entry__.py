@@ -573,7 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _SHINGLES_CTE = r"""
 tok AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks FROM documents
 ),
 shingled AS (
   SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
@@ -635,7 +635,7 @@ candidates AS (
 def _ngram_jaccard_sql(threshold: float) -> str:
     return f"""
 WITH tok AS (
-  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, source, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks FROM documents
 ),
 shingled AS (
   SELECT DISTINCT doc_id, source, unnest(CASE WHEN len(toks) >= 3
@@ -747,7 +747,7 @@ def _incr_minhash_sql(threshold: float) -> str:
     def shingle_cte(src: str, tag: str) -> str:
         return f"""
 {tag}tok AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM {src}
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks FROM {src}
 ),
 {tag}sh AS (
   SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
@@ -823,16 +823,28 @@ cleaned AS (
          WHEN scheme = 'http' AND host LIKE '%:80'
            THEN regexp_replace(host, ':80$', '')
          ELSE host END AS host,
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(rest, '#.*$', ''),
-      '\?', '&', 'g'),
-      '&utm_[^&#]*', '', 'g'),
-      '^([^&]*)&', '\1?'),
-      '[?&]$', ''),
-      '/$', '') AS rest
+    regexp_replace(rest, '#.*$', '') AS rest
   FROM parts
+),
+split_q AS (
+  SELECT doc_id, scheme, host,
+    regexp_extract(rest, '^([^?]*)', 1) AS path,
+    regexp_extract(rest, '^[^?]*\?(.*)$', 1) AS query
+  FROM cleaned
+),
+requeried AS (
+  SELECT doc_id, scheme, host, path,
+    regexp_replace(
+      regexp_replace('&' || query, '&utm_[^&]*', '', 'g'),
+      '^&', '') AS q2
+  FROM split_q
 )
-SELECT doc_id, scheme || '://' || host || rest AS canonical_url FROM cleaned
+SELECT doc_id,
+       scheme || '://' || host ||
+       regexp_replace(
+         CASE WHEN q2 = '' THEN path ELSE path || '?' || q2 END,
+         '/$', '') AS canonical_url
+FROM requeried
 """
 
 
@@ -901,7 +913,7 @@ FROM s2
 
 _DECON_SQL = r"""
 WITH tok AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks FROM documents
 ),
 grams AS (
   SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
@@ -1251,7 +1263,7 @@ FROM events GROUP BY user_id
 SELECT doc_id,
        CAST(unnest(range(1, len(toks) + 1)) - 1 AS INT) AS seq,
        unnest(toks) AS token
-FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+FROM (SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
       FROM documents WHERE doc_id < 100)
 """,
         "numbering_gaps": """
@@ -1309,7 +1321,7 @@ FROM documents GROUP BY 1
         "gopher_filters": r"""
 WITH t AS (
   SELECT doc_id, text,
-         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks,
          string_split(text, chr(10)) AS lines
   FROM documents
 ),
@@ -1344,7 +1356,7 @@ FROM feat
 WITH t AS (
   SELECT doc_id,
          list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
-         regexp_split_to_array(trim(text), '\s+') AS toks
+         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
   FROM documents
 ),
 linestats AS (
@@ -1379,7 +1391,7 @@ FROM documents
 """,
         "fingerprint": r"""
 WITH tok AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks FROM documents
 ),
 shingled AS (
   SELECT doc_id, unnest(CASE WHEN len(toks) >= 3

@@ -179,6 +179,10 @@ def run_bench(sf_dir: str, cpus: str, extract_only: bool = False) -> dict:
             t0 = time.perf_counter()
             qmap[name](spark, sf_dir).count()
             timings[name] = round(time.perf_counter() - t0, 3)
+            # the dedup/ANN operators persist intermediates (shingles,
+            # signatures) that nothing else reuses; release them so 40+
+            # queries in one session don't accumulate orphaned cache blocks
+            spark.catalog.clearCache()
 
     return {
         "metric": "documents/sec extraction throughput (CC-style pages table)",

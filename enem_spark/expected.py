@@ -177,10 +177,19 @@ def stage_expected_tables(sf_dir: str) -> dict[str, str]:
     callable from oracle_sql(), which has no SparkSession. One extraction
     pass: the keep_unparsed=True row set is a superset of the questions
     table (filter parse_ok) AND the spans input."""
+    sf_dir = os.path.normpath(sf_dir)
     if sf_dir in _STAGED:
         return _STAGED[sf_dir]
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    base = os.path.join("/tmp", f"enem_expected_{sf_tag}")
+    import hashlib
+
+    # key the staging dir on the FULL path: two corpora sharing a basename
+    # (e.g. .../a/sf0.01 and .../b/sf0.01) must not overwrite each other's
+    # staged oracle mid-process
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    base = os.path.join("/tmp", f"enem_expected_{tag}")
     paths = {
         "extract_questions": os.path.join(base, "questions.parquet"),
         "extract_question_spans": os.path.join(base, "question_spans.parquet"),

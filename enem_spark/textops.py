@@ -968,16 +968,17 @@ def canonicalize_url(url):
     ).otherwise(host)
     rest = F.regexp_replace(rest, r"#.*$", "")
     # utm removal must be DELIMITER-anchored or a param merely containing
-    # 'utm_' in its name (e.g. myutm_x) gets its tail eaten and merges with
-    # the next param. Global regex can't drop '[?&]utm_...' runs adjacent
-    # to each other in one pass (the consumed delimiter hides the next
-    # match), so: normalize '?' to '&', strip every '&utm_<...>' (each
-    # param owns its leading delimiter), then restore the first remaining
-    # '&' to '?'.
-    rest = F.regexp_replace(rest, r"\?", "&")
-    rest = F.regexp_replace(rest, r"&utm_[^&#]*", "")
-    rest = F.regexp_replace(rest, r"^([^&]*)&", r"$1?")
-    rest = F.regexp_replace(rest, r"[?&]$", "")
+    # 'utm_' in its name (e.g. myutm_x) gets its tail eaten. Split the rest
+    # at the FIRST '?' (a literal '&' in the path, or a second '?' inside a
+    # value, must never be rewritten), give every query param a leading '&',
+    # strip '&utm_<...>' params, then reassemble with '?' — global regex
+    # alone cannot drop adjacent utm params (the consumed delimiter hides
+    # the next match).
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    q2 = F.regexp_replace(F.concat(F.lit("&"), query), r"&utm_[^&]*", "")
+    q2 = F.regexp_replace(q2, r"^&", "")
+    rest = F.when(q2 == "", path).otherwise(F.concat(path, F.lit("?"), q2))
     rest = F.regexp_replace(rest, r"/$", "")
     return F.concat(scheme, F.lit("://"), host, rest)
 

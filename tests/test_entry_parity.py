@@ -43,9 +43,12 @@ def normalize(rows, cols):
             if isinstance(v, Decimal):
                 v = float(v)
             if isinstance(v, float):
-                v = round(v, 6)
-                if v == -0.0:
-                    v = 0.0
+                if v != v:  # pandas renders NULL numerics as NaN on BOTH
+                    v = None  # engines; NaN != NaN would flag agreement
+                else:
+                    v = round(v, 6)
+                    if v == -0.0:
+                        v = 0.0
             if hasattr(v, "timestamp"):  # datetime
                 v = v.isoformat()
             vals.append(v)
@@ -66,6 +69,15 @@ def _kind(dtype) -> str:
     if k == "f":
         return "float"
     return k
+
+
+@pytest.fixture(autouse=True)
+def _release_cache(spark):
+    """Operators persist intermediates (shingle/signature frames) owned by
+    no one across queries; drop them between cases so the 45+-query module
+    doesn't accumulate orphaned cache blocks on one session."""
+    yield
+    spark.catalog.clearCache()
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

@@ -253,3 +253,28 @@ def test_null_text_doc_keeps_one_empty_shingle(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
     assert by_doc[1] == {""}
     assert by_doc[2] == {"a b c", "b c d"}
+
+
+def test_url_canonicalization_adversarial_cases(spark):
+    """Pin the canonicalization contract on the tricky shapes: params whose
+    NAME contains utm_, adjacent utm params, literal '&' in the path, a
+    second '?' inside a value, non-http default ports."""
+    cases = {
+        "http://a.com/?id=1&myutm_x=2&foo=1": "http://a.com/?id=1&myutm_x=2&foo=1",
+        "https://A.com:443/p?utm_a=1&utm_b=2&id=3#f": "https://a.com/p?id=3",
+        "http://b.com/p?utm_only=1": "http://b.com/p",
+        "https://c.com/p/?utm_a=1&id=2": "https://c.com/p/?id=2",
+        "ftp://Files.x.com:21/p/9": "ftp://files.x.com:21/p/9",
+        "http://h/r&d": "http://h/r&d",
+        "http://h/a&b?c=1": "http://h/a&b?c=1",
+        "http://h/p?x=a?b&utm_z=1": "http://h/p?x=a?b",
+        "HTTP://WWW.E.com:80/P/Q?utm_source=z": "http://www.e.com/P/Q",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"url": list(cases)}))
+    got = {
+        r["url"]: r["c"]
+        for r in df.select(
+            "url", textops.canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert got == cases
