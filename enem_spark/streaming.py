@@ -157,6 +157,81 @@ def stateful_user_totals(events_stream: DataFrame):
     )
 
 
+def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30):
+    """Stateful gap-session detection over an event stream: the streaming
+    twin of textops.sessionize. A session CLOSES when a later event of the
+    same user arrives more than ``gap_minutes`` after its last event, or
+    when the watermark passes the gap with no new events (event-time state
+    timeout) — each closed session is emitted exactly once as
+    (user_id, session_seq, session_start, session_end, n_events).
+
+    applyInPandasWithState + EventTimeTimeout: per-user state is one open
+    session (constant size — the closed ones are emitted and dropped), so
+    state is O(active users), horizontally partitioned by the grouping key
+    like any keyed stream. The input must carry a watermark on ts."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_seq int, session_start timestamp, "
+        "session_end timestamp, n_events long"
+    )
+    state_schema = "start timestamp, last timestamp, n long, seq int"
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def update(key, pdfs, state):
+        closed = []
+        if state.hasTimedOut:
+            start, last, n, seq = state.get
+            closed.append((key[0], seq, start, last, n))
+            state.remove()
+        else:
+            start, last, n, seq = (
+                state.get if state.exists else (None, None, 0, 0)
+            )
+            events = pd.concat(list(pdfs))
+            wm_ms = state.getCurrentWatermarkMs()
+            for ts in events.sort_values("ts")["ts"]:
+                if int(ts.timestamp() * 1000) < wm_ms:
+                    continue  # later than the watermark allows: dropped,
+                    # like every watermarked stateful operator
+                if last is not None and ts < last:
+                    # late-but-inside-watermark arrival below the open
+                    # session's frontier: absorb without moving it backward
+                    n += 1
+                    continue
+                if last is not None and (ts - last) > gap:
+                    closed.append((key[0], seq, start, last, n))
+                    start, n = None, 0
+                if start is None:
+                    start, seq = ts, seq + 1
+                n += 1
+                last = ts
+            state.update((start, last, n, seq))
+            # event-time timeout: fire once the watermark passes last+gap.
+            # Clamped: a user whose events are older than the global stream
+            # frontier can have last+gap already BEHIND the watermark (the
+            # API rejects that) — the session is then due immediately, so
+            # arm the earliest allowed instant.
+            target = int(last.timestamp() * 1000) + gap_minutes * 60_000
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(target, wm + 1))
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id",
+                "session_seq",
+                "session_start",
+                "session_end",
+                "n_events",
+            ],
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def windowed_page_counts(
     pages_stream: DataFrame,
     window: str = "1 hour",

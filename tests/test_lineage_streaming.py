@@ -538,6 +538,75 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
     assert got == exp
 
 
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Closed sessions from the stateful streaming sessionizer must agree
+    with textops.sessionize's batch session boundaries: every emitted
+    session is a batch session (same seq, same event count), and every
+    NON-FINAL session per user is emitted (the final one may stay open in
+    state when the stream ends)."""
+    from enem_spark import textops
+    from enem_spark.streaming import streaming_sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ssrc")
+    # split by TIME, not randomly: watermark semantics only promise
+    # correctness for data no later than the watermark, and a random split
+    # delivers arbitrarily late events
+    ts_sorted = sorted(r["ts"] for r in events.select("ts").collect())
+    median = ts_sorted[len(ts_sorted) // 2]
+    a = events.filter(F.col("ts") <= F.lit(median))
+    b = events.filter(F.col("ts") > F.lit(median))
+    a.coalesce(1).write.parquet(f"{src}/p1")
+    import time
+
+    time.sleep(1.2)  # mtime order = arrival order
+    b.coalesce(1).write.parquet(f"{src}/p2")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        # watermarks require TIMESTAMP (with zone); the testdata is NTZ
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        streaming_sessionize(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["user_id"], r["session_seq"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+    }
+    batch = (
+        textops.sessionize(events, gap_minutes=30)
+        .groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    exp = {(r["user_id"], r["session_seq"]): r["n"] for r in batch}
+    last_seq = {}
+    for (u, s) in exp:
+        last_seq[u] = max(last_seq.get(u, 0), s)
+
+    assert got, "no sessions closed"
+    for k, n in got.items():
+        assert exp.get(k) == n, f"session {k}: stream {n} vs batch {exp.get(k)}"
+    missing = [
+        (u, s)
+        for (u, s), n in exp.items()
+        if s < last_seq[u] and (u, s) not in got
+    ]
+    assert not missing, f"{len(missing)} non-final sessions never closed"
+
+
 def test_windowed_counts_with_late_data(spark, pages_df, tmp_path):
     """Watermarked tumbling windows over the pages stream: append-mode
     output equals the batch windowed aggregate for all windows closed by

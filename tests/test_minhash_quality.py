@@ -278,3 +278,24 @@ def test_url_canonicalization_adversarial_cases(spark):
         ).collect()
     }
     assert got == cases
+
+
+def test_url_canonicalization_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over a generated
+    grammar of messy urls — a dedup key must be a fixpoint or re-crawls of
+    the canonical form would diverge from it."""
+    schemes = ["http://", "HTTPS://", "ftp://"]
+    hosts = ["A.com", "www.B.org:443", "c.net:80", "d.io:8080"]
+    paths = ["", "/", "/p", "/p/", "/a&b", "/P/Q"]
+    queries = [
+        "", "?id=1", "?utm_a=1", "?utm_a=1&id=2", "?id=1&utm_b=2&utm_c=3",
+        "?myutm=1", "?x=a?b", "?utm_a=1&", "#f", "?id=1#f",
+    ]
+    urls = [s + h + p + q for s in schemes for h in hosts for p in paths for q in queries]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    once = df.select(textops.canonicalize_url(F.col("url")).alias("url"))
+    got_once = [r["url"] for r in once.collect()]
+    twice = once.select(textops.canonicalize_url(F.col("url")).alias("url"))
+    got_twice = [r["url"] for r in twice.collect()]
+    bad = [(u, a, b) for u, a, b in zip(urls, got_once, got_twice) if a != b]
+    assert not bad, f"{len(bad)} non-fixpoints; first: {bad[0]}"
