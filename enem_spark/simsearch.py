@@ -19,8 +19,14 @@ import random
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+# PARITY config: small enough that the DuckDB oracle can embed the
+# projection literals. The ENGINE config (more bits = smaller buckets,
+# more tables = recovered recall) is what a 10^9-vector deployment uses;
+# its recall/candidate trade is measured in tests/test_simsearch_quality.py.
 SRP_BITS = 4
 SRP_TABLES = 4  # L independent hash tables; candidates = union over tables
+ENGINE_SRP_BITS = 8
+ENGINE_SRP_TABLES = 32
 SRP_DIM = 64  # embedding dimensionality of the test tables
 _rng = random.Random(0xE5EED)
 SRP_VECTORS: list[list[float]] = [
@@ -28,9 +34,29 @@ SRP_VECTORS: list[list[float]] = [
     for _ in range(SRP_BITS * SRP_TABLES)
 ]
 
+_VEC_CACHE: dict[tuple[int, int], list[list[float]]] = {
+    (SRP_BITS, SRP_TABLES): SRP_VECTORS
+}
 
-def srp_table_vectors(table: int) -> list[list[float]]:
-    return SRP_VECTORS[table * SRP_BITS : (table + 1) * SRP_BITS]
+
+def srp_config_vectors(bits: int, tables: int) -> list[list[float]]:
+    """Deterministic projection set per (bits, tables) config — the parity
+    config keeps its original literals (the oracle embeds them)."""
+    key = (bits, tables)
+    if key not in _VEC_CACHE:
+        rng = random.Random(0xE5EED ^ (bits * 1_000_003 + tables))
+        _VEC_CACHE[key] = [
+            [round(rng.uniform(-1.0, 1.0), 6) for _ in range(SRP_DIM)]
+            for _ in range(bits * tables)
+        ]
+    return _VEC_CACHE[key]
+
+
+def srp_table_vectors(
+    table: int, bits: int = SRP_BITS, tables: int = SRP_TABLES
+) -> list[list[float]]:
+    vecs = srp_config_vectors(bits, tables)
+    return vecs[table * bits : (table + 1) * bits]
 
 
 def _dot(a, b):
@@ -97,18 +123,22 @@ def cosine_topk(
     )
 
 
-def srp_bucket(col, table: int = 0) -> F.Column:
+def srp_bucket(
+    col, table: int = 0, bits: int = SRP_BITS, tables: int = SRP_TABLES
+) -> F.Column:
     """Sign-random-projection bucket id for one hash table: one char/bit."""
-    bits = [
+    cols = [
         F.when(
             _dot(col, F.array(*[F.lit(x) for x in vec])) >= 0, F.lit("1")
         ).otherwise(F.lit("0"))
-        for vec in srp_table_vectors(table)
+        for vec in srp_table_vectors(table, bits, tables)
     ]
-    return F.concat(*bits)
+    return F.concat(*cols)
 
 
-def srp_buckets(col) -> F.Column:
+def srp_buckets(
+    col, bits: int = SRP_BITS, tables: int = SRP_TABLES
+) -> F.Column:
     """array<struct<table, bucket>> over all SRP_TABLES hash tables —
     exploded for the multi-table candidate join (classic L-table LSH: a
     single 4-bit table has near-chance recall on high-dim data; the union
@@ -117,27 +147,37 @@ def srp_buckets(col) -> F.Column:
     return F.array(
         *[
             F.struct(
-                F.lit(t).alias("table"), srp_bucket(col, t).alias("bucket")
+                F.lit(t).alias("table"),
+                srp_bucket(col, t, bits, tables).alias("bucket"),
             )
-            for t in range(SRP_TABLES)
+            for t in range(tables)
         ]
     )
 
 
-def _srp_exploded(base: DataFrame) -> DataFrame:
+def _srp_exploded(
+    base: DataFrame, bits: int = SRP_BITS, tables: int = SRP_TABLES
+) -> DataFrame:
     return base.select(
-        "vec_id", "vec", "norm", F.explode(srp_buckets(F.col("vec"))).alias("tb")
+        "vec_id",
+        "vec",
+        "norm",
+        F.explode(srp_buckets(F.col("vec"), bits, tables)).alias("tb"),
     ).select("vec_id", "vec", "norm", "tb.table", "tb.bucket")
 
 
 def srp_bucket_topk(
-    embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 5,
+    bits: int = SRP_BITS,
+    tables: int = SRP_TABLES,
 ) -> DataFrame:
     """Multi-table LSH approximate top-k: candidates share ANY table bucket
     with the query. Same output shape as cosine_topk; recall < 1 by design
     (the scale path — the shuffle key (table, bucket) is near-uniform)."""
     base = with_norm(embeddings)
-    tagged = _srp_exploded(base)
+    tagged = _srp_exploded(base, bits, tables)
     queries = tagged.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -282,7 +322,7 @@ def embedding_near_dup(
     Blocking on (table, bucket) keeps the pairwise term bucket-local; the
     distinct() collapses pairs colliding in several tables."""
     base = with_norm(embeddings)
-    tagged = _srp_exploded(base)
+    tagged = _srp_exploded(base, bits, tables)
     a = tagged.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
     b = tagged.select(
         F.col("vec_id").alias("vec_b"),

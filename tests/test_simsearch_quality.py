@@ -77,3 +77,53 @@ def test_documents_text_is_ascii(spark):
         ).alias("x")
     ).first()["x"]
     assert excess == 0
+
+
+def _candidate_fraction(emb, bits, tables) -> float:
+    """Mean fraction of the table a query's union-of-buckets touches —
+    the work the LSH actually saves over a scan."""
+    from enem_spark.simsearch import _srp_exploded, with_norm
+
+    base = with_norm(emb)
+    n = base.count()
+    tagged = _srp_exploded(base, bits, tables).select("vec_id", "table", "bucket")
+    q = tagged.filter(F.col("vec_id").isin(*QUERIES)).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    cand = (
+        tagged.join(q, ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+        .groupBy("query_id")
+        .count()
+        .agg(F.avg("count").alias("m"))
+        .first()["m"]
+    )
+    return cand / n
+
+
+def test_srp_engine_config_same_recall_fewer_candidates(emb, exact):
+    """The engine operating point (8 bits x 32 tables) must match the
+    parity config's recall while touching a clearly smaller fraction of
+    the table per query — more bits shrink buckets 16x, more tables buy
+    the recall back (the L-table LSH trade the scale path relies on)."""
+    from enem_spark.simsearch import ENGINE_SRP_BITS, ENGINE_SRP_TABLES, SRP_BITS, SRP_TABLES
+
+    r_parity = _recall(
+        simsearch.srp_bucket_topk(emb, QUERIES, k=K).collect(), exact
+    )
+    r_engine = _recall(
+        simsearch.srp_bucket_topk(
+            emb, QUERIES, k=K, bits=ENGINE_SRP_BITS, tables=ENGINE_SRP_TABLES
+        ).collect(),
+        exact,
+    )
+    assert r_engine >= r_parity - 0.1, (
+        f"engine recall {r_engine:.2f} fell below parity {r_parity:.2f}"
+    )
+    f_parity = _candidate_fraction(emb, SRP_BITS, SRP_TABLES)
+    f_engine = _candidate_fraction(emb, ENGINE_SRP_BITS, ENGINE_SRP_TABLES)
+    assert f_engine < 0.75 * f_parity, (
+        f"engine candidates {f_engine:.3f} not smaller than parity {f_parity:.3f}"
+    )
