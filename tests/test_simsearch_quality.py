@@ -127,3 +127,12 @@ def test_srp_engine_config_same_recall_fewer_candidates(emb, exact):
     assert f_engine < 0.75 * f_parity, (
         f"engine candidates {f_engine:.3f} not smaller than parity {f_parity:.3f}"
     )
+
+
+def test_ivf_engine_config_recall(emb, exact):
+    """IVF at a deployment-shaped config (more cells, more probes): recall
+    must hold as the cell grid refines — the n_probe/n_cells fraction is
+    the scan the scale path pays."""
+    rows = simsearch.ivf_topk(emb, QUERIES, k=K, n_cells=32, n_probe=8).collect()
+    r = _recall(rows, exact)
+    assert r >= 0.5, f"engine-config IVF recall too low: {r:.2f}"
