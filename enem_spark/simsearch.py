@@ -314,7 +314,10 @@ def ivf_topk(
 
 
 def embedding_near_dup(
-    embeddings: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = SRP_BITS,
+    tables: int = SRP_TABLES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table SRP blocking.
 
