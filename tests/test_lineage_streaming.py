@@ -162,6 +162,56 @@ def test_marker_free_corpus_commits_and_is_not_retried(spark, tmp_path):
     assert s2["input_pages"] == 0
 
 
+def test_stale_dirs_from_crashed_attempt_not_committed(spark, pages_df, tmp_path):
+    """A crashed attempt of run X leaves populated run_id=x dirs; if the
+    world changes before the retry (its docs get committed under another
+    id) the retry may legitimately write NOTHING for some tables — but its
+    commit must then CLEAR the stale dirs, or attempt 1's rows surface as
+    committed output (duplicating the other run's)."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from enem_spark.lineage import committed_questions
+
+    out = str(tmp_path / "stale")
+    cfg = ExtractorConfig(output_type="json")
+    # attempt 1 of 'x': full side outputs, crash before the commit marker
+    s1 = run_extraction(spark, pages_df, cfg, out, run_id="x")
+    assert s1["questions_written"] > 0
+    shutil.rmtree(f"{out}/runs")
+    assert os.path.exists(f"{out}/questions/run_id=x")  # stale survivor
+
+    # another run commits the same documents meanwhile
+    run_extraction(spark, pages_df, cfg, out, run_id="other")
+    n = committed_questions(spark, out).count()
+
+    # retry of 'x': its old docs are anti-joined away; one new marker-free
+    # document gives it pages but zero questions -> it commits
+    markerless = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "url": "cc://enem/2021_PV_impresso_D1_CD2-xtra/page/1",
+                    "warc_ts": pd.Timestamp("2024-02-01"),
+                    "html": None,
+                    "text": "pagina sem marcador",
+                    "lang": "pt",
+                }
+            ]
+        ),
+        schema=pages_df.schema,
+    )
+    s3 = run_extraction(
+        spark, pages_df.unionByName(markerless), cfg, out, run_id="x"
+    )
+    assert s3["input_pages"] == 1 and s3["questions_written"] == 0
+    # the stale questions dir must be GONE, not committed
+    assert not os.path.exists(f"{out}/questions/run_id=x")
+    assert committed_questions(spark, out).count() == n
+
+
 def test_quarantine_only_run_commits(spark, tmp_path):
     """A batch containing ONLY contract-violating pages must still commit,
     so its quarantine rows become reader-visible and dedup-able."""
