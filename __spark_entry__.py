@@ -515,6 +515,43 @@ def q_media_frame_sample(spark, sf_dir):
     )
 
 
+def _html_pages(spark, sf_dir):
+    """Input-hint-shaped synthetic crawl pages (url, html binary, lang) —
+    deterministic function of the documents table; a production run reads
+    `html` straight from the crawl table and this stage disappears."""
+    from enem_spark import htmlops
+
+    return htmlops.synth_html_pages(_t(spark, sf_dir, "documents"))
+
+
+def q_html_main_content(spark, sf_dir):
+    # DOM-heuristic main-content extraction (htmlops.extract_main_content):
+    # densitometric block classifier, one Arrow crossing, no shuffle. Oracle
+    # is MATERIALIZED (htmlops.stage_html_tables) — the same pure functions
+    # run without Spark, so the hash check pins the full distributed path.
+    from enem_spark import htmlops
+
+    return htmlops.extract_main_content(_html_pages(spark, sf_dir))
+
+
+def q_html_strip_tags(spark, sf_dir):
+    from enem_spark import htmlops
+
+    return htmlops.html_strip_tags(_html_pages(spark, sf_dir))
+
+
+def q_html_outlinks(spark, sf_dir):
+    from enem_spark import htmlops
+
+    return htmlops.html_outlinks(_html_pages(spark, sf_dir))
+
+
+def q_html_title_meta(spark, sf_dir):
+    from enem_spark import htmlops
+
+    return htmlops.html_title_meta(_html_pages(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_questions": q_extract_questions,
@@ -564,6 +601,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "media_featurize": q_media_featurize,
         "media_frame_sample": q_media_frame_sample,
+        "html_main_content": q_html_main_content,
+        "html_strip_tags": q_html_strip_tags,
+        "html_outlinks": q_html_outlinks,
+        "html_title_meta": q_html_title_meta,
     }
 
 
@@ -1221,9 +1262,16 @@ def oracle_sql() -> dict[str, str]:
     # The driver's CORRECTNESS compare runs at sf0.01; a harness comparing
     # at another scale must point the materialized oracle at the same
     # corpus the Spark queries read (the staging is memoized per sf_dir)
-    expected = stage_expected_tables(
-        _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    )
+    from enem_spark.htmlops import stage_html_tables
+
+    oracle_sf = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    expected = stage_expected_tables(oracle_sf)
+    # html twins: `html_pages` is a staged copy of the INPUT (same pure
+    # synthesis the Spark mapInPandas stage runs — byte-identity tested in
+    # tests/test_htmlops.py), so the strip/outlinks/title oracles COMPUTE
+    # their answers with DuckDB regexes; only the non-SQL-expressible DOM
+    # classifier uses a materialized expected table (html_main).
+    html_staged = stage_html_tables(oracle_sf)
     return {
         "extract_questions": f"""
 SELECT url, seq, subject, question_num, "ID", correct_answer, question_text
@@ -1536,5 +1584,46 @@ SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
        md5(fb) AS frame_md5,
        CAST(octet_length(encode(fb)) AS BIGINT) AS n_frame_bytes
 FROM frames
+""",
+        "html_main_content": f"""
+SELECT doc_id, url, main_text, n_blocks, n_content_blocks, main_chars
+FROM read_parquet('{html_staged["html_main"]}')
+""",
+        # computing twin: DuckDB runs the SAME regex chain (entity order
+        # matters — &amp; last) over the staged input pages
+        "html_strip_tags": f"""
+WITH stripped AS (
+  SELECT doc_id, url,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(html,
+          '(?s)<(script|style|noscript)[^>]*>.*?</(script|style|noscript)>', ' ', 'g'),
+          '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#x27;', CHR(39)), '&amp;', '&'),
+      '\\s+', ' ', 'g')) AS text_stripped
+  FROM read_parquet('{html_staged["html_pages"]}')
+)
+SELECT doc_id, url, text_stripped,
+       CAST(length(text_stripped) AS INT) AS n_chars_stripped
+FROM stripped
+""",
+        "html_outlinks": f"""
+SELECT host, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, regexp_extract(link, '^https?://([^/]+)', 1) AS host
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
+    FROM read_parquet('{html_staged["html_pages"]}')
+  )
+) WHERE host <> ''
+GROUP BY host
+""",
+        "html_title_meta": f"""
+SELECT doc_id, url,
+       regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
+       regexp_extract(html, 'meta name="description" content="([^"]*)"', 1)
+         AS meta_description
+FROM read_parquet('{html_staged["html_pages"]}')
 """,
     }

@@ -1,0 +1,424 @@
+"""DOM-heuristic HTML main-content extraction over Common-Crawl-style pages.
+
+The north rule names three extraction families: PDF/layout parse (extract.py),
+cross-document boilerplate strip (textops.strip_boilerplate), and DOM
+heuristics — this module is the third. It generalizes the reference's
+"keep the question text, drop the chrome" behavior (enem_pdf_extractor.py's
+header/cover skipping, F2/F3) to web pages: given an `html` payload, recover
+the article text and drop nav/sidebar/ads/comments/footer.
+
+Two extraction paths, mirroring the repo's split elsewhere:
+
+* `extract_main_content` — densitometric block classification (Boilerpipe's
+  NumWordsRules simplified: a DOM block is content iff it has >= WORD_MIN
+  words and anchor-text density <= LINK_DENSITY_MAX). Pure stdlib
+  `html.parser`, vectorized through ONE mapInPandas Arrow crossing. This is
+  the path that needs a real parser, so it is the Python one; its DuckDB
+  oracle is MATERIALIZED (stage_html_tables), same pattern as
+  expected.py for the flagship queries.
+* `strip_tags_expr` / outlink + title extraction — JVM-side regexp chains
+  (whole-stage codegen, no Python), with *computing* DuckDB twins: the SQL
+  runs the same regexes over a staged copy of the same pages, so the twin
+  re-derives the answer instead of SELECTing a precomputed one.
+
+Synthetic input: the driver's documents table has no html column, so
+`html_for` deterministically wraps each document's text in realistic chrome
+(nav, sidebar, ad blocks, comments, footer, script/style) — pure function of
+(doc_id, text, source, lang), no RNG. The recovery invariant tested in
+tests/test_htmlops.py: extraction returns exactly the embedded article
+paragraphs, byte-identical, for every document — expected text is built from
+the INPUT text, independent of the extractor.
+
+Scale notes (100 TB): both paths are map-side only — no shuffle, no driver
+collect; the outlink aggregation shuffles once on `host` (near-uniform key).
+Real crawls feed `html` straight from the table, so the synth stage
+disappears and main-content extraction is a single Arrow crossing per
+partition. Blocks are classified independently → the parser never holds more
+than one page in memory per row.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import os
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# Densitometric operating point (Boilerpipe NumWordsRules uses 10 words /
+# 0.33 link density; 8 keeps the shortest synthetic paragraph clear of the
+# boundary while still dropping every chrome block).
+WORD_MIN = 8
+LINK_DENSITY_MAX = 0.33
+PARA_TOKENS = 40  # words per synthesized <p>
+FILLER = "conteudo"
+
+_WS = re.compile(r"\s+")
+
+# ---------------------------------------------------------------------------
+# synthesis (pure functions of the documents row — shared by the Spark
+# mapInPandas path and the DuckDB staging path, never forked)
+# ---------------------------------------------------------------------------
+
+
+def _paragraphs(text: str) -> list[str]:
+    """Deterministic article paragraphs for a document: whitespace-normalized
+    chunks of PARA_TOKENS words; short documents are padded to WORD_MIN words
+    and a short tail chunk is merged into its predecessor so every paragraph
+    clears the classifier's word floor by construction."""
+    toks = str(text).split()
+    if len(toks) < WORD_MIN:
+        toks = (toks + [FILLER] * WORD_MIN)[:WORD_MIN]
+    chunks = [toks[i : i + PARA_TOKENS] for i in range(0, len(toks), PARA_TOKENS)]
+    if len(chunks) > 1 and len(chunks[-1]) < WORD_MIN:
+        chunks[-2] = chunks[-2] + chunks[-1]
+        chunks.pop()
+    return [" ".join(c) for c in chunks]
+
+
+def _para_html(doc_id: int, j: int, para: str) -> str:
+    """Escape one paragraph; every third document gets an inline citation
+    anchor in its first paragraph (2 anchored words of >=20 keeps density
+    well under LINK_DENSITY_MAX — content with links must survive)."""
+    words = [html_mod.escape(w) for w in para.split(" ")]
+    if doc_id % 3 == 0 and j == 0 and len(words) >= 20:
+        words[5] = f'<a href="https://ref.example.com/r/{doc_id}">' + words[5]
+        words[6] = words[6] + "</a>"
+    return " ".join(words)
+
+
+def html_for(doc_id: int, text: str, source: str, lang: str) -> str:
+    """One deterministic Common-Crawl-style page: the document's text as
+    an <article> surrounded by boilerplate chrome."""
+    doc_id = int(doc_id)
+    src = html_mod.escape(str(source))
+    paras = _paragraphs(text)
+    title = f"{src} artigo {doc_id}"
+    out = [
+        "<!DOCTYPE html>",
+        f'<html lang="{html_mod.escape(str(lang))}"><head><title>{title}</title>',
+        f'<meta name="description" content="resumo {doc_id} de {src}">',
+        f"<script>var page={doc_id};track(page);</script>",
+        "<style>.main{margin:0 auto}.ad{display:block}</style>",
+        "</head><body>",
+        '<nav id="topnav">'
+        + " ".join(
+            f'<a href="https://{src}.example.com/{p}">{p.capitalize()}</a>'
+            for p in ("home", "noticias", "esportes", "cultura", "contato")
+        )
+        + "</nav>",
+        '<div class="sidebar"><ul>'
+        + "".join(
+            f'<li><a href="/t/{(doc_id + k) % 97}">Em alta {(doc_id + k) % 97}</a></li>'
+            for k in range(4)
+        )
+        + "</ul></div>",
+        "<article>",
+        f"<h1>{title}</h1>",
+    ]
+    for j, para in enumerate(paras):
+        if doc_id % 4 == 0 and j == 1:
+            out.append(
+                f'<div class="ad"><a href="https://ads.example.com/c/{doc_id}">'
+                "Compre agora com desconto</a></div>"
+            )
+        out.append("<p>" + _para_html(doc_id, j, para) + "</p>")
+    out.append("</article>")
+    out.append(
+        '<div class="comments"><p>Ótimo artigo!</p><p>Concordo plenamente.</p></div>'
+    )
+    out.append(
+        '<footer><a href="/privacidade">Privacidade</a> · '
+        f'<a href="/termos">Termos</a> · © 2024 {src}</footer>'
+    )
+    out.append("</body></html>")
+    return "\n".join(out)
+
+
+def page_url(doc_id: int, source: str) -> str:
+    return f"cc://{source}/{int(doc_id)}"
+
+
+# ---------------------------------------------------------------------------
+# DOM-heuristic extraction (pure Python, shared by Spark UDF and staging)
+# ---------------------------------------------------------------------------
+
+_SKIP_TAGS = frozenset({"script", "style", "noscript", "svg", "template"})
+_BLOCK_TAGS = frozenset(
+    (
+        "html head body title p div li ul ol h1 h2 h3 h4 h5 h6 br hr article "
+        "section nav footer header aside main table thead tbody tr td th "
+        "blockquote pre form figure figcaption"
+    ).split()
+)
+
+
+class _BlockParser(HTMLParser):
+    """Linear block segmentation: text fragments accumulate until a
+    block-level tag boundary, then flush as one block with its anchor-text
+    char count. script/style/noscript subtrees are skipped entirely;
+    convert_charrefs (default) unescapes entities in-stream so recovery of
+    escaped source text is byte-identical."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.blocks: list[tuple[str, int]] = []  # (collapsed_text, link_chars)
+        self._frags: list[tuple[str, bool]] = []
+        self._skip = 0
+        self._anchor = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag == "a":
+            self._anchor += 1
+        elif tag in _BLOCK_TAGS:
+            self.flush()
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag == "a":
+            self._anchor = max(0, self._anchor - 1)
+        elif tag in _BLOCK_TAGS:
+            self.flush()
+
+    def handle_data(self, data):
+        if not self._skip and data:
+            self._frags.append((data, self._anchor > 0))
+
+    def flush(self) -> None:
+        if not self._frags:
+            return
+        raw = "".join(f for f, _ in self._frags)
+        anchored = "".join(f for f, a in self._frags if a)
+        self._frags = []
+        text = _WS.sub(" ", raw).strip()
+        if text:
+            self.blocks.append((text, len(_WS.sub(" ", anchored).strip())))
+
+
+def extract_main_py(html_text: str) -> tuple[str, int, int]:
+    """(main_text, n_blocks, n_content_blocks) for one page. A block is
+    content iff words >= WORD_MIN and anchor density <= LINK_DENSITY_MAX."""
+    parser = _BlockParser()
+    parser.feed(html_text or "")
+    parser.close()
+    parser.flush()
+    kept = []
+    for text, link_chars in parser.blocks:
+        words = text.count(" ") + 1  # text is collapsed + stripped + nonempty
+        if words >= WORD_MIN and link_chars / len(text) <= LINK_DENSITY_MAX:
+            kept.append(text)
+    return "\n".join(kept), len(parser.blocks), len(kept)
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+MAIN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("main_text", T.StringType(), True),
+        T.StructField("n_blocks", T.IntegerType(), False),
+        T.StructField("n_content_blocks", T.IntegerType(), False),
+        T.StructField("main_chars", T.IntegerType(), False),
+    ]
+)
+
+
+def synth_html_pages(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, source, lang) -> input-hint-shaped pages with
+    a real binary html payload. Test-corpus stand-in for the crawl table —
+    a production run reads `html` straight from the table and skips this."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "url": [
+                        page_url(d, s) for d, s in zip(pdf["doc_id"], pdf["source"])
+                    ],
+                    "html": [
+                        html_for(d, t, s, g).encode("utf-8")
+                        for d, t, s, g in zip(
+                            pdf["doc_id"], pdf["text"], pdf["source"], pdf["lang"]
+                        )
+                    ],
+                    "lang": pdf["lang"],
+                }
+            )
+
+    cols = documents.select("doc_id", "text", "source", "lang")
+    return cols.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def extract_main_content(pages: DataFrame) -> DataFrame:
+    """DOM-heuristic main-content extraction: (doc_id, url, html) ->
+    (doc_id, url, main_text, n_blocks, n_content_blocks, main_chars).
+
+    One Arrow crossing, no shuffle; each row is parsed independently so the
+    operator scales linearly with pages and is safe under AQE repartition."""
+
+    def run(batches):
+        for pdf in batches:
+            texts, nb, nc = [], [], []
+            for payload in pdf["html"]:
+                raw = payload.decode("utf-8") if payload is not None else ""
+                main, blocks, content = extract_main_py(raw)
+                texts.append(main)
+                nb.append(blocks)
+                nc.append(content)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "url": pdf["url"],
+                    "main_text": texts,
+                    "n_blocks": pd.Series(nb, dtype="int32"),
+                    "n_content_blocks": pd.Series(nc, dtype="int32"),
+                    "main_chars": pd.Series([len(t) for t in texts], dtype="int32"),
+                }
+            )
+
+    return pages.select("doc_id", "url", "html").mapInPandas(run, MAIN_SCHEMA)
+
+
+# JVM-side entity map shared with the DuckDB twin (html.escape's output set;
+# &amp; LAST so freshly produced '&' never re-combines)
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#x27;", "'"), ("&amp;", "&"))
+_SCRIPT_STYLE_RE = r"(?s)<(script|style|noscript)[^>]*>.*?</(script|style|noscript)>"
+_TAG_RE = r"<[^>]*>"
+_HREF_RE = r'href="([^"]*)"'
+_HOST_RE = r"^https?://([^/]+)"
+_TITLE_RE = r"(?s)<title>(.*?)</title>"
+_META_DESC_RE = r'<meta name="description" content="([^"]*)"'
+
+
+def strip_tags_expr(col):
+    """Whole-stage-codegen tag strip + entity decode + whitespace collapse.
+    Flat text only (no block structure) — the cheap JVM-side sibling of
+    extract_main_content, for pipelines that want raw page text."""
+    s = F.regexp_replace(col, _SCRIPT_STYLE_RE, " ")
+    s = F.regexp_replace(s, _TAG_RE, " ")
+    for ent, ch in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def html_strip_tags(pages: DataFrame) -> DataFrame:
+    s = F.decode(F.col("html"), "UTF-8")
+    return pages.select(
+        "doc_id",
+        "url",
+        strip_tags_expr(s).alias("text_stripped"),
+    ).withColumn("n_chars_stripped", F.length("text_stripped"))
+
+
+def html_outlinks(pages: DataFrame) -> DataFrame:
+    """Outlink host graph: href targets -> absolute-URL hosts -> per-host
+    degree. One shuffle on `host` (near-uniform); relative links dropped."""
+    s = F.decode(F.col("html"), "UTF-8")
+    links = pages.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(s, F.lit(_HREF_RE), F.lit(1))).alias("link"),
+    )
+    return (
+        links.select(
+            "doc_id", F.regexp_extract("link", _HOST_RE, 1).alias("host")
+        )
+        .filter(F.col("host") != "")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def html_title_meta(pages: DataFrame) -> DataFrame:
+    s = F.decode(F.col("html"), "UTF-8")
+    return pages.select(
+        "doc_id",
+        "url",
+        F.regexp_extract(s, _TITLE_RE, 1).alias("title"),
+        F.regexp_extract(s, _META_DESC_RE, 1).alias("meta_description"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB staging (materialized input + materialized main-content expected)
+# ---------------------------------------------------------------------------
+
+_STAGED: dict[str, dict[str, str]] = {}
+
+
+def stage_html_tables(sf_dir: str) -> dict[str, str]:
+    """Stage (memoized per process) the synthetic pages and the expected
+    main-content table for ``sf_dir`` as parquet; returns {name: path}.
+
+    `html_pages` is the INPUT twin: the DuckDB oracles for strip/outlinks/
+    title re-compute their answers with SQL regexes over it, so those checks
+    exercise DuckDB's own engine, not a precomputed SELECT. `html_main` is
+    the expected OUTPUT of the non-SQL-expressible DOM path (same pattern as
+    expected.stage_expected_tables). Pure Python — callable from
+    oracle_sql(), which has no SparkSession."""
+    import hashlib
+
+    sf_dir = os.path.normpath(sf_dir)
+    if sf_dir in _STAGED:
+        return _STAGED[sf_dir]
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    base = os.path.join("/tmp", f"enem_html_{tag}")
+    os.makedirs(base, exist_ok=True)
+    paths = {
+        "html_pages": os.path.join(base, "html_pages.parquet"),
+        "html_main": os.path.join(base, "html_main.parquet"),
+    }
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source", "lang"],
+    )
+    htmls = [
+        html_for(d, t, s, g)
+        for d, t, s, g in zip(docs["doc_id"], docs["text"], docs["source"], docs["lang"])
+    ]
+    urls = [page_url(d, s) for d, s in zip(docs["doc_id"], docs["source"])]
+    pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "url": urls,
+            "html": htmls,  # VARCHAR on purpose: the twin regexes run on it
+            "lang": docs["lang"],
+        }
+    ).to_parquet(paths["html_pages"], index=False)
+
+    mains = [extract_main_py(h) for h in htmls]
+    pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "url": urls,
+            "main_text": [m[0] for m in mains],
+            "n_blocks": pd.Series([m[1] for m in mains], dtype="int32"),
+            "n_content_blocks": pd.Series([m[2] for m in mains], dtype="int32"),
+            "main_chars": pd.Series([len(m[0]) for m in mains], dtype="int32"),
+        }
+    ).to_parquet(paths["html_main"], index=False)
+    _STAGED[sf_dir] = paths
+    return paths

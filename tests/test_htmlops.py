@@ -1,0 +1,128 @@
+"""DOM-heuristic HTML main-content extraction (enem_spark/htmlops.py).
+
+The anchor test is recovery: expected main text is built from the INPUT
+document text (the paragraphs the synthesizer embeds), never by running the
+extractor — so a classifier bug cannot hide inside its own oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from enem_spark import htmlops as H
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "source", "lang"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# pure-Python layer
+# ---------------------------------------------------------------------------
+
+
+def test_recovery_byte_identical_all_docs():
+    for d, t, s, g in _docs().itertuples(index=False):
+        main, n_blocks, n_content = H.extract_main_py(H.html_for(d, t, s, g))
+        expected = "\n".join(H._paragraphs(t))
+        assert main == expected, f"doc {d}"
+        assert n_content == len(H._paragraphs(t))
+        assert n_blocks > n_content  # chrome blocks exist and were counted
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "",  # empty doc -> padded filler paragraph, still recovered
+        "a b",  # below WORD_MIN -> padded
+        'x < y & z > w "q" \'t\' ' + " ".join(f"tok{i}" for i in range(80)),
+        " ".join(f"w{i}" for i in range(H.PARA_TOKENS + 3)),  # short tail merge
+    ],
+)
+def test_recovery_edge_cases(text):
+    # doc_id 0 hits BOTH special branches: inline anchor (0%3==0) and ad
+    # block (0%4==0) — content with a link must survive, ad must not
+    main, _, _ = H.extract_main_py(H.html_for(0, text, "src&co", "pt"))
+    assert main == "\n".join(H._paragraphs(text))
+
+
+def test_chrome_is_dropped():
+    html = H.html_for(0, " ".join(f"tok{i}" for i in range(80)), "g1", "pt")
+    main, _, _ = H.extract_main_py(html)
+    for chrome in ("Compre agora", "Em alta", "Privacidade", "Ótimo artigo",
+                   "Home", "track(page)", "margin:0 auto", "artigo 0"):
+        assert chrome not in main, chrome
+
+
+def test_classifier_boundaries():
+    # exactly WORD_MIN words, no links -> kept
+    kept = "<p>" + " ".join(f"w{i}" for i in range(H.WORD_MIN)) + "</p>"
+    assert H.extract_main_py(kept)[2] == 1
+    # one word fewer -> dropped
+    short = "<p>" + " ".join(f"w{i}" for i in range(H.WORD_MIN - 1)) + "</p>"
+    assert H.extract_main_py(short)[2] == 0
+    # long but fully anchored -> dropped (density 1.0)
+    linky = '<p><a href="/x">' + " ".join(f"w{i}" for i in range(20)) + "</a></p>"
+    assert H.extract_main_py(linky)[2] == 0
+
+
+# ---------------------------------------------------------------------------
+# Spark layer
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return H.synth_html_pages(docs)
+
+
+def test_synth_matches_staged_input(spark, pages):
+    """The DuckDB twins regex over the staged pages; the Spark queries regex
+    over the mapInPandas synth — byte-identity here is what makes those
+    'computing twin' checks meaningful."""
+    staged = pd.read_parquet(H.stage_html_tables(SF)["html_pages"])
+    got = pages.toPandas()
+    merged = staged.merge(got, on="doc_id", suffixes=("_st", "_sp"))
+    assert len(merged) == len(staged) == len(got)
+    assert (merged["url_st"] == merged["url_sp"]).all()
+    assert all(
+        sp.decode("utf-8") == st
+        for sp, st in zip(merged["html_sp"], merged["html_st"])
+    )
+
+
+def test_extract_main_content_matches_expected(spark, pages):
+    got = (
+        H.extract_main_content(pages)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.read_parquet(H.stage_html_tables(SF)["html_main"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_plan_shape(spark, pages):
+    # main content: exactly 2 Arrow crossings (synth + extract), no shuffle
+    main_plan = H.extract_main_content(pages)._jdf.queryExecution().executedPlan().toString()
+    assert main_plan.count("ArrowEvalPython") == 0  # mapInPandas, not eval
+    assert main_plan.count("MapInPandas") == 2
+    assert "Exchange" not in main_plan
+    # strip/title: JVM-side regexp only beyond the synth stage
+    for df in (H.html_strip_tags(pages), H.html_title_meta(pages)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1  # the synth stage only
+        assert "Exchange" not in plan
+    # outlinks: single aggregation exchange on host
+    out_plan = H.html_outlinks(pages)._jdf.queryExecution().executedPlan().toString()
+    assert out_plan.count("MapInPandas") == 1
