@@ -81,6 +81,10 @@ HEADLINE = [
     "embedding_near_dup",
     "media_featurize",
     "media_frame_sample",
+    "html_main_content",
+    "html_strip_tags",
+    "html_outlinks",
+    "html_title_meta",
 ]
 
 
@@ -146,6 +150,14 @@ def run_bench(sf_dir: str, cpus: str, extract_only: bool = False) -> dict:
     from enem_spark.extract import ExtractorConfig, extract_questions
     from enem_spark.session import get_spark
 
+    # Contemporaneous raw-hardware throughput (no Spark), BEFORE the session
+    # starts so the probe sees idle cores. The host is a shared VM whose
+    # delivered CPU swings with neighbor load (observed 1.4-1.9 M-ops/s at
+    # 2 procs across sessions); recording the probe next to the headline lets
+    # any cross-run comparison normalize docs/sec by hardware actually
+    # delivered rather than misreading neighbor steal as a code regression.
+    hw_probe = _mp_probe(min(int(cpus), os.cpu_count() or 8))
+
     spark = get_spark("enem_spark_bench", cores=cpus)
     qmap = entry_mod.queries()
 
@@ -200,6 +212,7 @@ def run_bench(sf_dir: str, cpus: str, extract_only: bool = False) -> dict:
         "n_pages": n_pages,
         "n_questions": n_questions,
         "total_query_sec": round(sum(timings.values()), 3),
+        "hw_probe_mops": hw_probe,
     }
 
 

@@ -126,3 +126,58 @@ def test_plan_shape(spark, pages):
     # outlinks: single aggregation exchange on host
     out_plan = H.html_outlinks(pages)._jdf.queryExecution().executedPlan().toString()
     assert out_plan.count("MapInPandas") == 1
+
+
+# ---------------------------------------------------------------------------
+# property tests (Hypothesis): invariants for ANY input, not just the corpus
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# words that stress escaping, unicode, and the classifier boundaries
+_WORDS = st.sampled_from(
+    ["palavra", "données", "x<y", "a&b", '"q"', "'t'", "…", "ação",
+     "w" * 40, "k", "<p>", "</a>", "&amp;", "tok1"]
+)
+_TEXTS = st.lists(_WORDS, min_size=0, max_size=120).map(" ".join)
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10**9), text=_TEXTS)
+@settings(max_examples=200, deadline=None)
+def test_prop_recovery_any_text(doc_id, text):
+    """H1: synthesis -> extraction recovers exactly the embedded paragraphs
+    for ANY word sequence, including words that look like markup (they are
+    escaped on the way in, unescaped on the way out)."""
+    main, n_blocks, n_content = H.extract_main_py(
+        H.html_for(doc_id, text, "src", "pt")
+    )
+    paras = H._paragraphs(text)
+    assert main == "\n".join(paras)
+    assert n_content == len(paras)
+    assert n_blocks >= n_content
+
+
+# raw tag soup: unclosed tags, nested anchors, stray entities, skip-tag
+# islands — extractor must never raise and must respect the density rule
+_SOUP = st.lists(
+    st.sampled_from(
+        ["<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>",
+         "<script>", "</script>", "<br>", "texto util com oito palavras aqui",
+         "curto", "&amp;", "&bogus;", "<", ">", "<p", "<!-- c -->",
+         "<style>", "</style>", "palavras soltas de enchimento para blocos"]
+    ),
+    min_size=0,
+    max_size=40,
+).map(" ".join)
+
+
+@given(soup=_SOUP)
+@settings(max_examples=200, deadline=None)
+def test_prop_malformed_html_never_raises(soup):
+    """H2: arbitrary tag soup (CC reality) parses without exceptions; output
+    text never contains tag characters from well-formed markup regions."""
+    main, n_blocks, n_content = H.extract_main_py(soup)
+    assert 0 <= n_content <= n_blocks
+    # every kept block honors the word floor
+    for block in main.split("\n") if main else []:
+        assert block.count(" ") + 1 >= H.WORD_MIN
