@@ -310,3 +310,139 @@ def run_extraction(
         "questions_written": n_questions,
         "quarantined": n_quarantined,
     }
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction under the same exactly-once protocol
+# ---------------------------------------------------------------------------
+
+HTML_INSTRUMENTED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("main_text", T.StringType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("n_content_blocks", T.IntegerType()),
+        T.StructField("main_chars", T.IntegerType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("wall_ms", T.DoubleType()),
+    ]
+)
+
+
+def instrumented_html_stage(pages: DataFrame) -> DataFrame:
+    """htmlops.extract_main_py + metrics in ONE Arrow crossing — the web
+    sibling of instrumented_page_stage (same per-row semantics as
+    htmlops.extract_main_content, same shared pure function)."""
+    from .htmlops import extract_main_py
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            t0 = time.perf_counter()
+            mains = [
+                extract_main_py(p.decode("utf-8") if p is not None else "")
+                for p in pdf["html"]
+            ]
+            ms = (time.perf_counter() - t0) * 1000.0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "url": pdf["url"],
+                    "main_text": [m[0] for m in mains],
+                    "n_blocks": pd.Series([m[1] for m in mains], dtype="int32"),
+                    "n_content_blocks": pd.Series(
+                        [m[2] for m in mains], dtype="int32"
+                    ),
+                    "main_chars": pd.Series(
+                        [len(m[0]) for m in mains], dtype="int32"
+                    ),
+                    "part_id": part_id,
+                    "wall_ms": ms / max(len(pdf), 1),
+                }
+            )
+
+    return pages.select("doc_id", "url", "html").mapInPandas(
+        run, HTML_INSTRUMENTED_SCHEMA
+    )
+
+
+def committed_main_content(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Reader view of the main_content table restricted to committed runs."""
+    path = f"{out_dir}/main_content"
+    committed = committed_run_ids(spark, out_dir)
+    if committed is None or not _exists(path):
+        return None
+    return spark.read.parquet(path).join(committed, "run_id", "left_semi")
+
+
+def run_html_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str,
+) -> dict:
+    """One checkpoint-resumable DOM-extraction run over a CC pages table
+    (doc_id, url, html binary, ...) — the north rule's web-page pipeline
+    under the SAME exactly-once protocol as run_extraction: side outputs to
+    ``<table>/run_id=<id>`` overwrite dirs, stale dirs cleared for tables
+    this attempt did not write, and the tiny ``runs`` marker appended LAST
+    as the commit point. The unit of work is the document (one page row),
+    so resume anti-joins committed doc_ids and a rerun is a no-op.
+
+    Tables: main_content/ lineage/ processed_docs/ runs — a directory can
+    host EITHER an ENEM run tree or an html run tree, not both (they share
+    processed_docs/runs semantics but different payload tables)."""
+    work = pages.select("doc_id", "url", "html")
+    done = processed_doc_ids(spark, out_dir)
+    if done is not None:
+        # unbounded across runs -> no broadcast hint; AQE handles small case
+        work = work.join(done, "doc_id", "left_anti")
+
+    extracted = instrumented_html_stage(work).persist()
+    try:
+        n_pages = extracted.count()
+        if n_pages == 0:
+            # nothing to do — write nothing (an empty overwrite of a reused
+            # run_id dir must not erase a previous attempt's output)
+            return {"run_id": run_id, "input_pages": 0, "main_rows": 0}
+
+        body = extracted.drop("part_id", "wall_ms")
+        body.write.mode("overwrite").parquet(
+            f"{out_dir}/main_content/run_id={run_id}"
+        )
+        (
+            extracted.groupBy("part_id")
+            .agg(
+                F.count("*").alias("input_pages"),
+                F.sum((F.col("main_chars") > 0).cast("long")).alias(
+                    "nonempty_main"
+                ),
+                F.sum(F.col("n_blocks").cast("long")).alias("total_blocks"),
+                F.sum(F.col("n_content_blocks").cast("long")).alias(
+                    "content_blocks"
+                ),
+                F.round(F.sum("wall_ms"), 3).alias("wall_ms"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/lineage/run_id={run_id}")
+        )
+        extracted.select("doc_id").distinct().write.mode("overwrite").parquet(
+            f"{out_dir}/processed_docs/run_id={run_id}"
+        )
+
+        # n_pages > 0 here, so this attempt wrote every table — but a crashed
+        # PRIOR attempt of the same run_id may have left dirs for a world
+        # where it processed different docs; the overwrites above already
+        # replaced them wholesale, so no stale-dir sweep is needed on this
+        # path (mirrors run_extraction's `written` loop with all-True).
+
+        # COMMIT POINT
+        spark.createDataFrame(
+            [(run_id, n_pages, n_pages)],
+            "run_id string, input_pages long, questions_written long",
+        ).write.mode("append").parquet(f"{out_dir}/runs")
+    finally:
+        extracted.unpersist()
+    return {"run_id": run_id, "input_pages": n_pages, "main_rows": n_pages}

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from enem_spark import htmlops as H
 
@@ -181,3 +182,70 @@ def test_prop_malformed_html_never_raises(soup):
     # every kept block honors the word floor
     for block in main.split("\n") if main else []:
         assert block.count(" ") + 1 >= H.WORD_MIN
+
+
+# ---------------------------------------------------------------------------
+# exactly-once lineage for the web-extraction path (lineage.run_html_extraction)
+# ---------------------------------------------------------------------------
+
+
+def test_run_html_extraction_exactly_once(spark, pages, tmp_path):
+    from enem_spark.lineage import committed_main_content, run_html_extraction
+
+    out = str(tmp_path / "html_out")
+    s1 = run_html_extraction(spark, pages, out, run_id="r1")
+    n_docs = pages.count()
+    assert s1["input_pages"] == n_docs and s1["main_rows"] == n_docs
+
+    got = committed_main_content(spark, out)
+    assert got.count() == n_docs
+    # committed output matches the staged pure-Python expected table exactly
+    exp = pd.read_parquet(H.stage_html_tables(SF)["html_main"])
+    gp = (
+        got.drop("run_id")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[exp.columns]
+    )
+    pd.testing.assert_frame_equal(gp, exp.sort_values("doc_id").reset_index(drop=True))
+
+    # per-partition lineage sums to the totals
+    lin = spark.read.parquet(f"{out}/lineage").toPandas()
+    assert lin["input_pages"].sum() == n_docs
+    assert lin["content_blocks"].sum() == exp["n_content_blocks"].sum()
+    assert (lin["wall_ms"] > 0).all()
+
+    # rerun with a NEW run_id over the same pages: no-op, nothing rewritten
+    s2 = run_html_extraction(spark, pages, out, run_id="r2")
+    assert s2 == {"run_id": "r2", "input_pages": 0, "main_rows": 0}
+    assert committed_main_content(spark, out).count() == n_docs
+    import os
+
+    assert not os.path.exists(f"{out}/main_content/run_id=r2")
+
+
+def test_run_html_extraction_resume_and_orphans(spark, pages, tmp_path):
+    """Crash semantics: an uncommitted run_id dir (orphan) is invisible to
+    readers, and resume reprocesses exactly the unfinished documents."""
+    import shutil
+
+    from enem_spark.lineage import committed_main_content, run_html_extraction
+
+    out = str(tmp_path / "html_out")
+    half = pages.filter(F.col("doc_id") % 2 == 0)
+    run_html_extraction(spark, half, out, run_id="r1")
+    n_half = half.count()
+
+    # simulate a crashed attempt: copy r1's payload dir to an uncommitted id
+    shutil.copytree(
+        f"{out}/main_content/run_id=r1", f"{out}/main_content/run_id=crashed"
+    )
+    assert committed_main_content(spark, out).count() == n_half  # orphan unread
+
+    # resume over the FULL table processes only the odd docs
+    s2 = run_html_extraction(spark, pages, out, run_id="r2")
+    n_all = pages.count()
+    assert s2["input_pages"] == n_all - n_half
+    got = committed_main_content(spark, out)
+    assert got.count() == n_all
+    assert got.select("doc_id").distinct().count() == n_all
