@@ -963,8 +963,6 @@ grams AS (
   FROM tok
 ),
 bgrams AS (
-  SELECT DISTINCT gram_hash FROM grams WHERE false
-  UNION
   SELECT DISTINCT unnest(CASE WHEN len(toks) >= 8
       THEN list_distinct([md5(array_to_string(toks[i:i+7], ' ')) for i in range(1, len(toks)-6)])
       ELSE [] END) AS gram_hash

@@ -156,7 +156,9 @@ def run_bench(sf_dir: str, cpus: str, extract_only: bool = False) -> dict:
     # 2 procs across sessions); recording the probe next to the headline lets
     # any cross-run comparison normalize docs/sec by hardware actually
     # delivered rather than misreading neighbor steal as a code regression.
-    hw_probe = _mp_probe(min(int(cpus), os.cpu_count() or 8))
+    # cpus may be non-numeric ("*" = local[*]); probe at the machine width then
+    n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    hw_probe = _mp_probe(min(n_cores, os.cpu_count() or 8))
 
     spark = get_spark("enem_spark_bench", cores=cpus)
     qmap = entry_mod.queries()

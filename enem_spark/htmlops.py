@@ -80,12 +80,20 @@ def _paragraphs(text: str) -> list[str]:
 
 def _para_html(doc_id: int, j: int, para: str) -> str:
     """Escape one paragraph; every third document gets an inline citation
-    anchor in its first paragraph (2 anchored words of >=20 keeps density
-    well under LINK_DENSITY_MAX — content with links must survive)."""
-    words = [html_mod.escape(w) for w in para.split(" ")]
+    anchor in its first paragraph (content with links must survive the
+    classifier). The density guarantee is ENFORCED, not assumed: the anchor
+    is added only when the two anchored words' chars stay at <= 1/4 of the
+    paragraph (margin under LINK_DENSITY_MAX = 1/3) — word lengths vary, so
+    a word-count rule alone cannot bound a char-ratio."""
+    raw = para.split(" ")
+    words = [html_mod.escape(w) for w in raw]
     if doc_id % 3 == 0 and j == 0 and len(words) >= 20:
-        words[5] = f'<a href="https://ref.example.com/r/{doc_id}">' + words[5]
-        words[6] = words[6] + "</a>"
+        # measure on the UNESCAPED text — that is what the extractor's
+        # density sees after entity decode (escaped lengths can differ)
+        anchored = len(raw[5]) + len(raw[6]) + 1  # + the joining space
+        if anchored * 4 <= len(para):
+            words[5] = f'<a href="https://ref.example.com/r/{doc_id}">' + words[5]
+            words[6] = words[6] + "</a>"
     return " ".join(words)
 
 
@@ -267,6 +275,33 @@ def synth_html_pages(documents: DataFrame) -> DataFrame:
     return cols.mapInPandas(gen, PAGES_SCHEMA)
 
 
+def main_frame(doc_ids, urls, mains) -> pd.DataFrame:
+    """THE definition of the main-content output frame, shared by the
+    operator (extract_main_content), the instrumented lineage stage
+    (lineage.instrumented_html_stage), and the staged oracle
+    (stage_html_tables) — one place to change the column set, so the
+    lineage table and the materialized oracle cannot silently diverge from
+    the operator. `mains` = extract_main_py result tuples."""
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(list(doc_ids), dtype="int64"),
+            "url": list(urls),
+            "main_text": [m[0] for m in mains],
+            "n_blocks": pd.Series([m[1] for m in mains], dtype="int32"),
+            "n_content_blocks": pd.Series([m[2] for m in mains], dtype="int32"),
+            "main_chars": pd.Series([len(m[0]) for m in mains], dtype="int32"),
+        }
+    )
+
+
+def extract_mains(payloads) -> list[tuple[str, int, int]]:
+    """Decode + extract one batch of binary html payloads (None-safe)."""
+    return [
+        extract_main_py(p.decode("utf-8") if p is not None else "")
+        for p in payloads
+    ]
+
+
 def extract_main_content(pages: DataFrame) -> DataFrame:
     """DOM-heuristic main-content extraction: (doc_id, url, html) ->
     (doc_id, url, main_text, n_blocks, n_content_blocks, main_chars).
@@ -276,23 +311,7 @@ def extract_main_content(pages: DataFrame) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            texts, nb, nc = [], [], []
-            for payload in pdf["html"]:
-                raw = payload.decode("utf-8") if payload is not None else ""
-                main, blocks, content = extract_main_py(raw)
-                texts.append(main)
-                nb.append(blocks)
-                nc.append(content)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "url": pdf["url"],
-                    "main_text": texts,
-                    "n_blocks": pd.Series(nb, dtype="int32"),
-                    "n_content_blocks": pd.Series(nc, dtype="int32"),
-                    "main_chars": pd.Series([len(t) for t in texts], dtype="int32"),
-                }
-            )
+            yield main_frame(pdf["doc_id"], pdf["url"], extract_mains(pdf["html"]))
 
     return pages.select("doc_id", "url", "html").mapInPandas(run, MAIN_SCHEMA)
 
@@ -409,16 +428,8 @@ def stage_html_tables(sf_dir: str) -> dict[str, str]:
         }
     ).to_parquet(paths["html_pages"], index=False)
 
-    mains = [extract_main_py(h) for h in htmls]
-    pd.DataFrame(
-        {
-            "doc_id": docs["doc_id"].astype("int64"),
-            "url": urls,
-            "main_text": [m[0] for m in mains],
-            "n_blocks": pd.Series([m[1] for m in mains], dtype="int32"),
-            "n_content_blocks": pd.Series([m[2] for m in mains], dtype="int32"),
-            "main_chars": pd.Series([len(m[0]) for m in mains], dtype="int32"),
-        }
+    main_frame(
+        docs["doc_id"], urls, [extract_main_py(h) for h in htmls]
     ).to_parquet(paths["html_main"], index=False)
     _STAGED[sf_dir] = paths
     return paths

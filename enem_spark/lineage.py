@@ -334,34 +334,18 @@ def instrumented_html_stage(pages: DataFrame) -> DataFrame:
     """htmlops.extract_main_py + metrics in ONE Arrow crossing — the web
     sibling of instrumented_page_stage (same per-row semantics as
     htmlops.extract_main_content, same shared pure function)."""
-    from .htmlops import extract_main_py
+    from .htmlops import extract_mains, main_frame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else -1
         for pdf in batches:
             t0 = time.perf_counter()
-            mains = [
-                extract_main_py(p.decode("utf-8") if p is not None else "")
-                for p in pdf["html"]
-            ]
+            out = main_frame(pdf["doc_id"], pdf["url"], extract_mains(pdf["html"]))
             ms = (time.perf_counter() - t0) * 1000.0
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "url": pdf["url"],
-                    "main_text": [m[0] for m in mains],
-                    "n_blocks": pd.Series([m[1] for m in mains], dtype="int32"),
-                    "n_content_blocks": pd.Series(
-                        [m[2] for m in mains], dtype="int32"
-                    ),
-                    "main_chars": pd.Series(
-                        [len(m[0]) for m in mains], dtype="int32"
-                    ),
-                    "part_id": part_id,
-                    "wall_ms": ms / max(len(pdf), 1),
-                }
-            )
+            out["part_id"] = part_id
+            out["wall_ms"] = ms / max(len(pdf), 1)
+            yield out
 
     return pages.select("doc_id", "url", "html").mapInPandas(
         run, HTML_INSTRUMENTED_SCHEMA
