@@ -227,10 +227,13 @@ def extract_main_py(html_text: str) -> tuple[str, int, int]:
 # Spark operators
 # ---------------------------------------------------------------------------
 
+EPOCH_S = 1704067200  # 2024-01-01 UTC — deterministic warc_ts base
+
 PAGES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
         T.StructField("html", T.BinaryType(), True),
         T.StructField("lang", T.StringType(), True),
     ]
@@ -261,6 +264,9 @@ def synth_html_pages(documents: DataFrame) -> DataFrame:
                     "url": [
                         page_url(d, s) for d, s in zip(pdf["doc_id"], pdf["source"])
                     ],
+                    "warc_ts": pd.to_datetime(
+                        pdf["doc_id"].astype("int64") + EPOCH_S, unit="s"
+                    ),
                     "html": [
                         html_for(d, t, s, g).encode("utf-8")
                         for d, t, s, g in zip(

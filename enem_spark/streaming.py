@@ -542,3 +542,67 @@ def start_document_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction over a live crawl tail
+# ---------------------------------------------------------------------------
+
+
+def read_html_pages_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """File-source stream of CC-style html pages (htmlops.PAGES_SCHEMA)
+    with crawl-dedup on url — same bounded-state pattern as
+    read_pages_stream: `dropDuplicatesWithinWatermark` holds url state only
+    inside the event-time horizon, so a 10^12-document tail never grows
+    unbounded dedup state."""
+    from .htmlops import PAGES_SCHEMA as HTML_PAGES_SCHEMA
+
+    reader = spark.readStream.schema(HTML_PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    return stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
+def start_html_stream(
+    pages_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """DOM main-content extraction per micro-batch, exactly-once.
+
+    Far simpler than the exam path: a web document is one row, so there is
+    no completeness horizon, no staging table, and no cross-batch key store
+    — each micro-batch feeds `lineage.run_html_extraction` directly with
+    run_id=html_batch_<id>. foreachBatch is at-least-once; the run protocol
+    absorbs replays (same run_id -> overwrite; docs committed by the first
+    attempt -> anti-joined to a no-op), so the output table is exactly-once
+    without any append anywhere."""
+    from .lineage import run_html_extraction
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        run_html_extraction(
+            batch_df.sparkSession,
+            batch_df,
+            out_dir,
+            run_id=f"html_batch_{batch_id}",
+        )
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

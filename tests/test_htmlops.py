@@ -249,3 +249,53 @@ def test_run_html_extraction_resume_and_orphans(spark, pages, tmp_path):
     got = committed_main_content(spark, out)
     assert got.count() == n_all
     assert got.select("doc_id").distinct().count() == n_all
+
+
+# ---------------------------------------------------------------------------
+# streaming ingestion (crawl tail) for the html path
+# ---------------------------------------------------------------------------
+
+
+def test_html_stream_matches_batch_with_recrawl_dedup(spark, pages, tmp_path):
+    """availableNow html stream == batch extraction, including drop of a
+    re-crawled duplicate url, and a second invocation over the same
+    checkpoint is a no-op (no new committed runs)."""
+    from enem_spark.lineage import committed_main_content
+    from enem_spark.streaming import read_html_pages_stream, start_html_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages.write.parquet(src)
+    # re-crawl: the same 3 urls again -> dedupped inside the watermark
+    pages.limit(3).write.mode("append").parquet(src)
+
+    stream = read_html_pages_stream(spark, src, watermark="10 seconds")
+    q = start_html_stream(stream, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    got = committed_main_content(spark, out)
+    n_docs = pages.count()
+    assert got.count() == n_docs
+    assert got.select("doc_id").distinct().count() == n_docs
+    exp = pd.read_parquet(H.stage_html_tables(SF)["html_main"])
+    gp = (
+        got.drop("run_id")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[list(exp.columns)]
+    )
+    pd.testing.assert_frame_equal(
+        gp, exp.sort_values("doc_id").reset_index(drop=True)
+    )
+
+    runs_before = spark.read.parquet(f"{out}/runs").count()
+    q2 = start_html_stream(
+        read_html_pages_stream(spark, src, watermark="10 seconds"),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{out}/runs").count() == runs_before
