@@ -18,6 +18,9 @@ Modes:
                    previous run stopped — document-granular anti-join)
   --streaming      tail --input as a file stream, page-at-a-time, with
                    event-time document-completeness release + final flush
+  --html           DOM main-content extraction over a CC pages table
+                   (doc_id, url, warc_ts, html, lang) instead of the exam
+                   pipeline; combines with --streaming for a crawl tail
 """
 
 from __future__ import annotations
@@ -40,6 +43,7 @@ def main() -> None:
     # -1 = auto (skew-probe decides); 0 = plain window; >0 = fixed chunk
     ap.add_argument("--salt-chunk-size", type=int, default=-1)
     ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--html", action="store_true")
     ap.add_argument("--completeness-delay-s", type=int, default=0)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
@@ -54,6 +58,34 @@ def main() -> None:
         process_images=args.process_images,
         salt_chunk_size=args.salt_chunk_size,
     )
+
+    if args.html:
+        if args.streaming:
+            from enem_spark.streaming import (
+                read_html_pages_stream,
+                start_html_stream,
+            )
+
+            q = start_html_stream(
+                read_html_pages_stream(spark, args.input),
+                args.output,
+                f"{args.output}/_checkpoint",
+            )
+            q.awaitTermination()
+            from enem_spark.lineage import committed_main_content
+
+            main = committed_main_content(spark, args.output)
+            summary = {"main_rows": main.count() if main is not None else 0}
+        else:
+            from enem_spark.lineage import run_html_extraction
+
+            pages = spark.read.parquet(args.input)
+            summary = run_html_extraction(
+                spark, pages, args.output, args.run_id
+            )
+        print(json.dumps(summary))
+        spark.stop()
+        return
 
     if args.streaming:
         from enem_spark.streaming import (
