@@ -144,6 +144,76 @@ def _pages_store(spark, sf_dir: str, mult: int = 1) -> tuple[str, int]:
     return store, n_pages
 
 
+def _html_pages_store(spark, sf_dir: str, mult: int = 1) -> tuple[str, int]:
+    """Materialize the CC-style HTML pages table (htmlops.synth_html_pages)
+    to parquet once per (sf, mult) — same replication/store pattern as
+    _pages_store, so the DOM extraction is timed over a stored table
+    (scan -> extract), not inline synthesis."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from enem_spark.htmlops import synth_html_pages
+
+    sf = _sf_from_dir(sf_dir)
+    suffix = f"x{mult}" if mult > 1 else ""
+    store = os.path.join(tempfile.gettempdir(), f"enem_html_pages_sf{sf}{suffix}")
+    marker = os.path.join(store, "_SUCCESS")
+    if not os.path.exists(marker):
+        documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if mult > 1:
+            n_docs = documents.count()
+            documents = (
+                documents.withColumn(
+                    "rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+                )
+                .withColumn(
+                    "doc_id", F.col("doc_id") + F.col("rep") * F.lit(n_docs)
+                )
+                .drop("rep")
+            )
+        n_files = max(32, mult * 8)
+        synth_html_pages(documents).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(store)
+    n_rows = spark.read.parquet(store).count()
+    return store, n_rows
+
+
+def run_html_bench(sf_dir: str, cpus: str) -> dict:
+    """DOM main-content extraction throughput over the stored html pages
+    table — the html sibling of the --extract-only mode; emits the same
+    JSON keys so run_scaling can drive either job."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from enem_spark.htmlops import extract_main_content
+    from enem_spark.session import get_spark
+
+    n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    hw_probe = _mp_probe(min(n_cores, os.cpu_count() or 8))
+    spark = get_spark("enem_spark_html_bench", cores=cpus)
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
+    store, n_rows = _html_pages_store(spark, sf_dir, mult)
+    pages = spark.read.parquet(store)
+    extract_main_content(pages).count()  # warm every worker, untimed
+    runs = []
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        extract_main_content(pages).count()
+        runs.append(round(time.perf_counter() - t0, 3))
+    best = min(runs)
+    return {
+        "metric": "documents/sec DOM main-content extraction (html pages table)",
+        "value": round(n_rows / best, 2),
+        "unit": "docs/sec",
+        "sf": _sf_from_dir(sf_dir),
+        "cpus": cpus,
+        "extract_runs_sec": runs,
+        "n_pages": n_rows,
+        "hw_probe_mops": hw_probe,
+    }
+
+
 def run_bench(sf_dir: str, cpus: str, extract_only: bool = False) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
@@ -241,7 +311,9 @@ def _mp_burn(n: int) -> int:
     return acc
 
 
-def _one_config(sf_dir: str, cpus: int, mult: int) -> dict:
+def _one_config(
+    sf_dir: str, cpus: int, mult: int, flag: str = "--extract-only"
+) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
@@ -250,7 +322,7 @@ def _one_config(sf_dir: str, cpus: int, mult: int) -> dict:
         SPARK_GRAFT_BENCH_RUNS="2",  # longer runs need fewer repetitions
     )
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--extract-only"],
+        [sys.executable, os.path.abspath(__file__), flag],
         env=env,
         capture_output=True,
         text=True,
@@ -261,7 +333,12 @@ def _one_config(sf_dir: str, cpus: int, mult: int) -> dict:
 
 
 def run_scaling(
-    sf_dir: str, low: int = 8, high: int = 32, mult: int = 48, trials: int = 3
+    sf_dir: str,
+    low: int = 8,
+    high: int = 32,
+    mult: int = 48,
+    trials: int = 3,
+    flag: str = "--extract-only",
 ) -> dict:
     """Same extraction job at two parallelism levels on the same input —
     the sandbox evidence for the two-cluster-size scaling criterion. The
@@ -276,9 +353,9 @@ def run_scaling(
     trial_rows = []
     for t in range(trials):
         hw_low = _mp_probe(low)
-        r_low = _one_config(sf_dir, low, mult)
+        r_low = _one_config(sf_dir, low, mult, flag)
         hw_high = _mp_probe(high)
-        r_high = _one_config(sf_dir, high, mult)
+        r_high = _one_config(sf_dir, high, mult, flag)
         # best-of-3 run per config (min wall time): neighbor-steal spikes
         # only ever slow a run down, so the fastest observation is the
         # least-interfered estimate of steady-state throughput
@@ -386,8 +463,59 @@ real cluster; the only cross-task coordination is the doc_id window shuffle
 (salted variant available for pathological documents, `salt_chunk_size`) and
 one broadcast (~180 rows/exam key table).
 """
+    # preserve manually/separately maintained sections (html scaling,
+    # headline timings) — a --scaling rerun must not clobber them
+    if os.path.exists(path):
+        old = open(path).read()
+        cut = min(
+            (
+                i
+                for i in (
+                    old.find("## HTML main-content scaling"),
+                    old.find("## Headline timings"),
+                )
+                if i != -1
+            ),
+            default=-1,
+        )
+        if cut != -1:
+            md += "\n" + old[cut:]
     with open(path, "w") as f:
         f.write(md)
+
+
+def update_html_bench_md(summary: dict, path: str = "BENCH.md") -> None:
+    """Insert/replace the '## HTML main-content scaling' section in BENCH.md
+    (leaving every other section untouched)."""
+    lo, hi = summary["low_cpus"], summary["high_cpus"]
+    section = f"""## HTML main-content scaling (DOM extraction job)
+
+Same two-parallelism evidence for the web path (`extract_main_content`,
+one mapInPandas crossing, no shuffle):
+
+| config | DOM extraction docs/sec | raw-hardware M-ops/s |
+|---|---|---|
+| {lo} cores | {summary['docs_per_sec_low']} | {summary['hw_mhash_low']} |
+| {hi} cores | {summary['docs_per_sec_high']} | {summary['hw_mhash_high']} |
+
+scaling efficiency = **{summary['scaling_efficiency']}**, hardware ceiling
+that window = {summary['hw_scaling_efficiency']}, normalized =
+**{summary['normalized_efficiency']}** ({summary['n_pages']} stored html
+pages, sf={summary['sf']} x{summary['scale_mult']}; trial picked by the
+same credible-probe rule as the exam job).
+"""
+    old = open(path).read() if os.path.exists(path) else ""
+    start = old.find("## HTML main-content scaling")
+    if start != -1:
+        nxt = old.find("\n## ", start + 1)
+        old = old[:start] + (old[nxt + 1 :] if nxt != -1 else "")
+    anchor = old.find("## Headline timings")
+    if anchor != -1:
+        new = old[:anchor] + section + "\n" + old[anchor:]
+    else:
+        new = (old.rstrip() + "\n\n" if old else "") + section
+    with open(path, "w") as f:
+        f.write(new)
 
 
 def run_skew(cpus: str = "8") -> dict:
@@ -496,6 +624,8 @@ def main() -> None:
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--lineage", action="store_true")
     ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument("--html-scaling", action="store_true")
+    ap.add_argument("--html-extract-only", action="store_true")
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--mult", type=int, default=48)
@@ -509,6 +639,21 @@ def main() -> None:
         summary = run_scaling(sf_dir, args.low, args.high, args.mult, args.trials)
         write_bench_md(summary)
         print(json.dumps(summary))
+        return
+    if args.html_scaling:
+        summary = run_scaling(
+            sf_dir,
+            args.low,
+            args.high,
+            args.mult,
+            args.trials,
+            flag="--html-extract-only",
+        )
+        update_html_bench_md(summary)
+        print(json.dumps(summary))
+        return
+    if args.html_extract_only:
+        print(json.dumps(run_html_bench(sf_dir, cpus)))
         return
     if args.skew:
         print(json.dumps(run_skew(cpus)))
