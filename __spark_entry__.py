@@ -552,6 +552,17 @@ def q_html_title_meta(spark, sf_dir):
     return htmlops.html_title_meta(_html_pages(spark, sf_dir))
 
 
+def q_html_dedup_paragraphs(spark, sf_dir):
+    # full web pipeline: synth -> DOM extraction -> corpus-wide paragraph
+    # dedup. The DuckDB twin COMPUTES the dedup with SQL windows over the
+    # staged html_main table (the DOM stage's materialized expected output).
+    from enem_spark import htmlops
+
+    return htmlops.dedup_paragraphs(
+        htmlops.extract_main_content(_html_pages(spark, sf_dir))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_questions": q_extract_questions,
@@ -605,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip_tags": q_html_strip_tags,
         "html_outlinks": q_html_outlinks,
         "html_title_meta": q_html_title_meta,
+        "html_dedup_paragraphs": q_html_dedup_paragraphs,
     }
 
 
@@ -1623,5 +1635,32 @@ SELECT doc_id, url,
        regexp_extract(html, 'meta name="description" content="([^"]*)"', 1)
          AS meta_description
 FROM read_parquet('{html_staged["html_pages"]}')
+""",
+        # computing twin: the paragraph-dedup window/reassembly re-derived in
+        # SQL over the staged DOM output (first occurrence by (doc_id, pos))
+        "html_dedup_paragraphs": f"""
+WITH tok AS (
+  SELECT doc_id, string_split(main_text, chr(10)) AS ps
+  FROM read_parquet('{html_staged["html_main"]}')
+),
+paras AS (
+  SELECT doc_id, u.pos, u.para
+  FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i - 1, 'para': ps[i]}} for i in range(1, len(ps) + 1)]) AS u
+    FROM tok
+  )
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rk
+  FROM paras WHERE para <> ''
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_paras,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rk = 1 THEN para END, chr(10) ORDER BY pos), '')
+         AS text_deduped
+FROM ranked GROUP BY doc_id
 """,
     }

@@ -85,6 +85,7 @@ HEADLINE = [
     "html_strip_tags",
     "html_outlinks",
     "html_title_meta",
+    "html_dedup_paragraphs",
 ]
 
 

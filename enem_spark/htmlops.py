@@ -45,7 +45,7 @@ import re
 from html.parser import HTMLParser
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 # Densitometric operating point (Boilerpipe NumWordsRules uses 10 words /
 # 0.33 link density; 8 keeps the shortest synthetic paragraph clear of the
@@ -132,7 +132,16 @@ def html_for(doc_id: int, text: str, source: str, lang: str) -> str:
                 f'<div class="ad"><a href="https://ads.example.com/c/{doc_id}">'
                 "Compre agora com desconto</a></div>"
             )
-        out.append("<p>" + _para_html(doc_id, j, para) + "</p>")
+        body = _para_html(doc_id, j, para)
+        # DOM variety with an unchanged recovery invariant: blockquote/table
+        # wrappers are block boundaries themselves, so the inner text still
+        # flushes as exactly one block with the same collapsed bytes
+        if doc_id % 5 == 0 and j == 2:
+            out.append(f"<blockquote><p>{body}</p></blockquote>")
+        elif doc_id % 7 == 0 and j == 3:
+            out.append(f"<table><tr><td>{body}</td></tr></table>")
+        else:
+            out.append("<p>" + body + "</p>")
     out.append("</article>")
     out.append(
         '<div class="comments"><p>Ótimo artigo!</p><p>Concordo plenamente.</p></div>'
@@ -371,6 +380,36 @@ def html_outlinks(pages: DataFrame) -> DataFrame:
             F.count("*").alias("n_links"),
             F.countDistinct("doc_id").alias("n_docs"),
         )
+    )
+
+
+def dedup_paragraphs(main: DataFrame) -> DataFrame:
+    """Corpus-wide exact paragraph dedup over extracted main content (the
+    CCNet-style line/paragraph-level pass web pipelines run after main-
+    content extraction): every paragraph keeps its FIRST occurrence in
+    (doc_id, pos) order; later occurrences are dropped and each document's
+    text is reassembled from its kept paragraphs.
+
+    Output: (doc_id, n_paras, n_kept, text_deduped). Two content-keyed
+    shuffles (md5(paragraph) for the occurrence window, doc_id for the
+    reassembly) — both near-uniform keys; at 10^12 docs the paragraph-hash
+    exchange is the big one and salts itself by content."""
+    paras = main.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("main_text"), "\n")).alias("pos", "para"),
+    ).filter(F.col("para") != "")
+    ranked = paras.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy(F.md5("para")).orderBy("doc_id", "pos")),
+    )
+    kept = F.when(F.col("rk") == 1, F.struct("pos", "para"))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_paras"),
+        F.sum((F.col("rk") == 1).cast("int")).cast("int").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["para"]),
+        ).alias("text_deduped"),
     )
 
 

@@ -299,3 +299,28 @@ def test_html_stream_matches_batch_with_recrawl_dedup(spark, pages, tmp_path):
     )
     q2.awaitTermination(300)
     assert spark.read.parquet(f"{out}/runs").count() == runs_before
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level corpus dedup (CCNet-style pass after DOM extraction)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_paragraphs_first_occurrence(spark):
+    main = spark.createDataFrame(
+        [
+            (1, "P um\nP dois"),
+            (2, "P dois\nP tres"),  # P dois already seen in doc 1 -> dropped
+            (3, "P um"),  # everything dropped -> empty reassembly
+        ],
+        "doc_id long, main_text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_deduped"])
+        for r in H.dedup_paragraphs(main).collect()
+    }
+    assert got == {
+        1: (2, 2, "P um\nP dois"),
+        2: (2, 1, "P tres"),
+        3: (1, 0, ""),
+    }
