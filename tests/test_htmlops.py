@@ -127,6 +127,16 @@ def test_plan_shape(spark, pages):
     # outlinks: single aggregation exchange on host
     out_plan = H.html_outlinks(pages)._jdf.queryExecution().executedPlan().toString()
     assert out_plan.count("MapInPandas") == 1
+    # paragraph dedup: the DOM stage runs ONCE (single linear pipeline into
+    # the window + reassembly), and nothing becomes a cartesian product
+    dp_plan = (
+        H.dedup_paragraphs(H.extract_main_content(pages))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert dp_plan.count("MapInPandas") == 2  # synth + extract, each once
+    assert "CartesianProduct" not in dp_plan
 
 
 # ---------------------------------------------------------------------------
