@@ -173,25 +173,82 @@ def test_prop_recovery_any_text(doc_id, text):
 _SOUP = st.lists(
     st.sampled_from(
         ["<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>",
-         "<script>", "</script>", "<br>", "texto util com oito palavras aqui",
-         "curto", "&amp;", "&bogus;", "<", ">", "<p", "<!-- c -->",
+         "<script>", "</script>", "<br>", "<br/>", "<hr />",
+         "texto util com oito palavras aqui",
+         "curto", "&amp;", "&bogus;", "&#65;", "<", ">", "<p", "<!-- c -->",
+         "<!doctype html>", "<?pi?>", "</", "</ x>", "<P Class='y'>", "<<",
+         "<a href='a>b'>", "<a href=\"q>z\">", "<p <p>", "<noscript>",
+         "</noscript>", "<em>", "</em>", "<td>", "</td>",
          "<style>", "</style>", "palavras soltas de enchimento para blocos"]
     ),
     min_size=0,
     max_size=40,
 ).map(" ".join)
 
+# OUTSIDE the differential envelope: tags with unbalanced quotes, where
+# html.parser's tolerant attribute grammar makes arbitrary recovery choices
+# the fast scanner does not replicate (documented in htmlops.py). Both
+# implementations must still be deterministic and crash-free there.
+_PATHOLOGICAL = st.lists(
+    st.sampled_from(
+        ["<p a='unterminated quote>", "'", '"', "<p a='x <b>", "<p>", "</p>",
+         "texto com palavras suficientes para um bloco", "<a href='/x'>",
+         "</a>", "<script>", "</script>"]
+    ),
+    min_size=0,
+    max_size=40,
+).map(" ".join)
+
+
+@given(soup=_PATHOLOGICAL)
+@settings(max_examples=200, deadline=None)
+def test_prop_pathological_quotes_no_crash(soup):
+    first = H.extract_main_py(soup)
+    assert first == H.extract_main_py(soup)  # deterministic
+    ref = H.extract_main_reference(soup)
+    assert 0 <= first[2] <= first[1]
+    assert 0 <= ref[2] <= ref[1]
+
 
 @given(soup=_SOUP)
 @settings(max_examples=200, deadline=None)
 def test_prop_malformed_html_never_raises(soup):
     """H2: arbitrary tag soup (CC reality) parses without exceptions; output
-    text never contains tag characters from well-formed markup regions."""
+    text never contains tag characters from well-formed markup regions; and
+    the fast split-scanner agrees with the html.parser reference on it."""
     main, n_blocks, n_content = H.extract_main_py(soup)
     assert 0 <= n_content <= n_blocks
     # every kept block honors the word floor
     for block in main.split("\n") if main else []:
         assert block.count(" ") + 1 >= H.WORD_MIN
+    assert (main, n_blocks, n_content) == H.extract_main_reference(soup)
+
+
+def test_fast_scanner_matches_reference_on_corpus():
+    """Differential anchor for the fast scanner: byte-identical blocks and
+    classification vs the stdlib html.parser implementation on every
+    synthesized page plus targeted parser edge cases."""
+    for d, t, s, g in _docs().itertuples(index=False):
+        h = H.html_for(d, t, s, g)
+        assert H.extract_main_py(h) == H.extract_main_reference(h), f"doc {d}"
+    W9 = " ".join(f"w{i}" for i in range(9))
+    probes = [
+        "", "plain words only here for a block test ok",
+        "<p>a<p>b</p>", "<<p>x</p>", "<a href='x'>w1 w2</a>",
+        f"<script>var a = '</notscript>' + 1;</script><p>{W9}</p>",
+        f"<style>p{{color:red}}</style><p>{W9}</p>",
+        f"<br/><hr/><p>{W9}</p>",
+        f"<P CLASS='x'>{W9}</P>",
+        f"</ bogus > <p>{W9}</p>",
+        f"<!DOCTYPE html><?pi x?><p>{W9}</p>",
+        "unterminated <p tag at eof",
+        "text &amp; more &lt;x&gt; &bogus; &#65; end here now ok",
+        "< notatag but text", "<p>a &amp b</p>", "<script>never closed",
+        "<noscript><p>hidden words one two three four five six</p></noscript>",
+        f"a<!--c1-->b <!-- multi\nline --> <p>{W9}</p>",
+    ]
+    for probe in probes:
+        assert H.extract_main_py(probe) == H.extract_main_reference(probe), probe
 
 
 # ---------------------------------------------------------------------------
