@@ -238,20 +238,29 @@ def _blocks_reference(html_text: str) -> list[tuple[str, int]]:
 # mirrored), '</'+non-letter is a dropped bogus comment, start-tag scans are
 # quote-aware (a '>' inside a BALANCED quoted attribute does not end the
 # tag) while end/bogus/decl scans use the plain next-'>' like html.parser's.
-# Declared divergence envelope (tests/test_htmlops.py): on tags containing
-# an UNBALANCED quote, html.parser's tolerant attribute grammar makes
-# arbitrary recovery choices this scanner does not replicate (block
+# Comments are parsed in-loop with the stdlib's close rule ('--' + ws +
+# '>'), including html.parser's data-through-'>' recovery for unterminated
+# ones. Declared divergence envelope (tests/test_htmlops.py): on tags
+# containing an UNBALANCED quote, html.parser's tolerant attribute grammar
+# makes arbitrary recovery choices this scanner does not replicate (block
 # segmentation may differ; both remain crash-free and deterministic, and
 # driver parity is unaffected because the staged oracle runs this same
-# function); likewise a comment BODY containing '</script>' inside a script
-# element. Everything else — the synthesized corpus and well-formed-ish tag
-# soup — is differential-tested equal to html.parser.
+# function). Everything else — the synthesized corpus and tag soup
+# including comments, bogus/whitespace end tags, CDATA content, and
+# quoted-'>' attributes — is differential-tested equal to html.parser.
 _RAWTEXT = frozenset({"script", "style"})
-_COMMENT_RE = re.compile(r"<!--.*?(?:-->|$)", re.S)
 _NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9-]*")
 _TAG_END_CH = " \t\n\r\f/>"
 # first unquoted '>' (quote-aware start-tag end, html.parser locatetagend)
 _TAGEND_RE = re.compile(r"(?:[^>'\"]|'[^']*'|\"[^\"]*\")*>")
+# html.parser's endtagfind ('</' already consumed): whitespace-tolerant name
+_ENDTAG_STRICT = re.compile(r"\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*\Z")
+# html.parser's tagfind_tolerant fallback (matched right after '</'):
+# name charset excludes only whitespace, '/', '>' — '<' is legal inside
+_ENDTAG_TOLERANT = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
+# _markupbase._commentclose: comments close at '--' + optional ws + '>'
+# (none of those chars is '<', so a per-part search stays exact)
+_COMMENT_CLOSE = re.compile(r"--\s*>")
 
 
 def _scan_blocks(s: str) -> list[tuple[str, int]]:
@@ -289,8 +298,6 @@ def _scan_blocks(s: str) -> list[tuple[str, int]]:
         elif name in _BLOCK_TAGS:
             flush()
 
-    if "<!--" in s:
-        s = _COMMENT_RE.sub("", s)
     parts = s.split("<")
     if parts[0] and not skip:
         frags.append((html_mod.unescape(parts[0]), False))
@@ -304,9 +311,64 @@ def _scan_blocks(s: str) -> list[tuple[str, int]]:
                 frags.append(("<", anchor > 0))
             continue
         c0 = part[0]
-        is_end = c0 == "/" and len(part) > 1 and part[1].isalpha()
+        if part.startswith("!--"):
+            # comment: body may contain '<' ('-->' itself cannot, so a
+            # per-part search is exact); ends at '-->' searched from after
+            # the '<!--' opener (html.parser parse_comment)
+            m_c = _COMMENT_CLOSE.search(part, 3)
+            rest = m_c and part[m_c.end() :]
+            j = i
+            while m_c is None and j < nparts:
+                m_c = _COMMENT_CLOSE.search(parts[j])
+                if m_c:
+                    rest = parts[j][m_c.end() :]
+                    i = j + 1
+                    break
+                j += 1
+            if m_c:
+                if rest and not skip:
+                    frags.append((html_mod.unescape(rest), anchor > 0))
+                continue
+            # unterminated comment: html.parser's close() emits '<' through
+            # the first '>' (even one inside a later tag) as DATA and
+            # resumes after it; with no '>' anywhere, data to the next '<'
+            # (the remaining parts re-enter the loop individually)
+            gt_in = part.find(">")
+            if gt_in != -1:
+                if not skip:
+                    frags.append(
+                        (html_mod.unescape("<" + part[: gt_in + 1]), anchor > 0)
+                    )
+                tail = part[gt_in + 1 :]
+                if tail and not skip:
+                    frags.append((html_mod.unescape(tail), anchor > 0))
+                continue
+            acc = ["<" + part]
+            handled = False
+            j = i
+            while j < nparts:
+                p2 = parts[j]
+                k2 = p2.find(">")
+                if k2 != -1:
+                    acc.append("<" + p2[: k2 + 1])
+                    if not skip:
+                        frags.append(
+                            (html_mod.unescape("".join(acc)), anchor > 0)
+                        )
+                    tail = p2[k2 + 1 :]
+                    if tail and not skip:
+                        frags.append((html_mod.unescape(tail), anchor > 0))
+                    i = j + 1
+                    handled = True
+                    break
+                acc.append("<" + p2)
+                j += 1
+            if not handled and not skip:
+                frags.append((html_mod.unescape("<" + part), anchor > 0))
+            continue
+        is_end = c0 == "/"
         is_start = c0.isalpha()
-        is_drop = c0 == "!" or c0 == "?" or (c0 == "/" and not is_end)
+        is_drop = c0 == "!" or c0 == "?"
         if not (is_end or is_start or is_drop):
             # stray '<' before a non-construct char: '<' is data, and the
             # rest of the part is ordinary text
@@ -389,7 +451,17 @@ def _scan_blocks(s: str) -> list[tuple[str, int]]:
                 continue
         rest = part[gt + 1 :]
         if is_end:
-            on_end(_NAME_RE.match(part, 1).group().lower())
+            # html.parser parse_endtag: strict '</\s*name\s*>' first, then
+            # the tolerant name grab right after '</' (its charset admits
+            # '<', so '</p<div>' fires a junk no-op name), else a dropped
+            # bogus comment — all consume to the same first plain '>'
+            m_end = _ENDTAG_STRICT.match(part, 1, gt)
+            if m_end:
+                on_end(m_end.group(1).lower())
+            else:
+                m_tol = _ENDTAG_TOLERANT.match(part, 1)
+                if m_tol:
+                    on_end(m_tol.group().lower())
         elif is_start:
             tag_src = part[:gt]
             name = _NAME_RE.match(tag_src).group().lower()
@@ -397,7 +469,11 @@ def _scan_blocks(s: str) -> list[tuple[str, int]]:
             if tag_src.rstrip().endswith("/"):
                 on_end(name)  # self-closing, like handle_startendtag
             elif name in _RAWTEXT:
-                # CDATA mode: discard raw parts until the matching end tag
+                # CDATA mode: discard raw parts until a VALID end tag —
+                # html.parser stops at '</name' + [\s/>] candidates but only
+                # exits when endtagfind ('</name\s*>') matches; '</script x>'
+                # or '</script/>' stay inside (their bytes become raw data,
+                # dropped here because script/style are skip tags)
                 end = "/" + name
                 L = len(end)
                 rest = ""
@@ -408,10 +484,10 @@ def _scan_blocks(s: str) -> list[tuple[str, int]]:
                         len(p2) == L or p2[L] in _TAG_END_CH
                     ):
                         gt2 = p2.find(">")
-                        on_end(name)
-                        if gt2 != -1:
+                        if gt2 != -1 and not p2[L:gt2].strip(" \t\n\r\f"):
+                            on_end(name)
                             rest = p2[gt2 + 1 :]
-                        break
+                            break
         # is_drop: bogus comment / decl / pi — content until '>' is dropped
         if rest and not skip:
             frags.append((html_mod.unescape(rest), anchor > 0))

@@ -176,6 +176,7 @@ _SOUP = st.lists(
          "<script>", "</script>", "<br>", "<br/>", "<hr />",
          "texto util com oito palavras aqui",
          "curto", "&amp;", "&bogus;", "&#65;", "<", ">", "<p", "<!-- c -->",
+         "<!--", "-->", "-- >", "</ p>", "</p x>", "</p<div>", "</script x>",
          "<!doctype html>", "<?pi?>", "</", "</ x>", "<P Class='y'>", "<<",
          "<a href='a>b'>", "<a href=\"q>z\">", "<p <p>", "<noscript>",
          "</noscript>", "<em>", "</em>", "<td>", "</td>",
