@@ -552,6 +552,16 @@ def q_html_title_meta(spark, sf_dir):
     return htmlops.html_title_meta(_html_pages(spark, sf_dir))
 
 
+def q_html_host_pagerank(spark, sf_dir):
+    # iterative graph algorithm with a FULLY unrolled SQL twin: DuckDB
+    # chains one CTE per PageRank iteration (same damping, same per-
+    # iteration 9-dp rounding), so the hash check covers the iteration
+    # semantics, not just the row count
+    from enem_spark import htmlops
+
+    return htmlops.host_pagerank(_html_pages(spark, sf_dir))
+
+
 def q_html_dedup_paragraphs(spark, sf_dir):
     # full web pipeline: synth -> DOM extraction -> corpus-wide paragraph
     # dedup. The DuckDB twin COMPUTES the dedup with SQL windows over the
@@ -617,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_outlinks": q_html_outlinks,
         "html_title_meta": q_html_title_meta,
         "html_dedup_paragraphs": q_html_dedup_paragraphs,
+        "html_host_pagerank": q_html_host_pagerank,
     }
 
 
@@ -1259,6 +1270,54 @@ WHERE round(list_dot_product(va, vb) / (na * nb), 6) >= {threshold}
 """
 
 
+def _pagerank_sql(
+    html_pages_path: str, iterations: int = 3, damping: float = 0.85
+) -> str:
+    """Unrolled PageRank twin: r_{k+1}(h) = round((1-d)/N + d * sum over
+    in-edges of r_k(src) * weight / outw(src), 9). Mirrors
+    enem_spark.htmlops.host_pagerank exactly (fixed iterations, same
+    dangling simplification)."""
+    iters = []
+    for k in range(iterations):
+        iters.append(
+            f"""r{k + 1} AS (
+  SELECT nodes.host,
+         round((1 - {damping}) / n.n + {damping} * coalesce(c.s, 0), 9) AS rank
+  FROM nodes CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst AS host, sum(r{k}.rank * e.weight / o.outw) AS s
+    FROM edges e
+    JOIN outw o ON e.src = o.src
+    JOIN r{k} ON r{k}.host = e.src
+    GROUP BY e.dst
+  ) c ON nodes.host = c.host
+)"""
+        )
+    chain = ",\n".join(iters)
+    return f"""
+WITH hrefs AS (
+  SELECT regexp_extract(url, '^cc://([^/]+)', 1) AS src,
+         unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
+  FROM read_parquet('{html_pages_path}')
+),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight
+  FROM (SELECT src, regexp_extract(link, '^https?://([^/]+)', 1) AS dst FROM hrefs)
+  WHERE dst <> '' GROUP BY src, dst
+),
+nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src, sum(weight) AS outw FROM edges GROUP BY src),
+r0 AS (SELECT nodes.host, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
+{chain}
+SELECT host, round(rank, 6) AS pagerank FROM r{iterations}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # The flagship pipeline is a stateful cross-page string machine — not
     # SQL-expressible directly. Its oracle is therefore MATERIALIZED: the
@@ -1663,4 +1722,8 @@ SELECT doc_id,
          AS text_deduped
 FROM ranked GROUP BY doc_id
 """,
+        # computing twin for the ITERATIVE graph algorithm: one CTE per
+        # PageRank iteration, same damping/teleport and the same 9-dp
+        # per-iteration rounding as htmlops.host_pagerank
+        "html_host_pagerank": _pagerank_sql(html_staged["html_pages"]),
     }

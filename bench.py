@@ -86,6 +86,7 @@ HEADLINE = [
     "html_outlinks",
     "html_title_meta",
     "html_dedup_paragraphs",
+    "html_host_pagerank",
 ]
 
 

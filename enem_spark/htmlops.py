@@ -697,6 +697,78 @@ def dedup_paragraphs(main: DataFrame) -> DataFrame:
     )
 
 
+def host_edges(pages: DataFrame) -> DataFrame:
+    """Weighted outlink edge list (src_host, dst_host, weight): the page's
+    own host (from its cc:// url) linking to every absolute-URL host in its
+    html. One shuffle on the (src, dst) pair."""
+    s = F.decode(F.col("html"), "UTF-8")
+    links = pages.select(
+        F.regexp_extract("url", r"^cc://([^/]+)", 1).alias("src"),
+        F.explode(F.regexp_extract_all(s, F.lit(_HREF_RE), F.lit(1))).alias("link"),
+    )
+    return (
+        links.select("src", F.regexp_extract("link", _HOST_RE, 1).alias("dst"))
+        .filter(F.col("dst") != "")
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+
+
+PAGERANK_ITERATIONS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def host_pagerank(
+    pages: DataFrame,
+    iterations: int = PAGERANK_ITERATIONS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """Damped PageRank over the outlink host graph — the standard web-corpus
+    quality prior (hosts linked by many ranked hosts score high).
+
+    Fixed-iteration, deterministic: each iteration is one equi-join shuffle
+    (edges x ranks on src) plus a host aggregation; ranks round to 9 dp per
+    iteration so double summation-order ulps cannot cross a rounding
+    boundary between engines, and the DuckDB twin unrolls the SAME
+    iterations as chained CTEs — the iterative algorithm itself is
+    hash-checked, not just row-counted. Dangling hosts keep the teleport
+    term only (no dangling-mass redistribution; standard simplification).
+    At 10^12 docs the edge list is the big table; it shuffles once on
+    (src, dst) at build and once per iteration on src — content-derived,
+    near-uniform keys. The node count is one scalar `count()` (a cheap
+    driver action, same as dedup_clusters' convergence probe)."""
+    edges = host_edges(pages)
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(outw, "src")
+            .join(ranks.withColumnRenamed("host", "src"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum(F.col("rank") * F.col("weight") / F.col("outw")).alias("s"))
+        )
+        ranks = nodes.join(contrib, "host", "left").select(
+            "host",
+            F.round(
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                9,
+            ).alias("rank"),
+        )
+    # nodes stays persisted: it appears 2x per unrolled iteration in the
+    # returned lazy plan, and the caller materializes AFTER this returns —
+    # the repo convention (see tests/test_entry_parity.py::_release_cache,
+    # bench.py) is that harnesses clearCache() between queries.
+    return ranks.select("host", F.round("rank", 6).alias("pagerank"))
+
+
 def html_title_meta(pages: DataFrame) -> DataFrame:
     s = F.decode(F.col("html"), "UTF-8")
     return pages.select(

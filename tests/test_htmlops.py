@@ -392,3 +392,53 @@ def test_dedup_paragraphs_first_occurrence(spark):
         2: (2, 1, "P tres"),
         3: (1, 0, ""),
     }
+
+
+# ---------------------------------------------------------------------------
+# host PageRank (iterative graph op with an unrolled SQL twin)
+# ---------------------------------------------------------------------------
+
+
+def test_host_pagerank_properties(spark, pages):
+    ranks = H.host_pagerank(pages).toPandas()
+    n = len(ranks)
+    assert n > 1
+    # every rank is at least the teleport floor (to 6-dp output rounding)
+    # and below 1
+    floor = (1 - H.PAGERANK_DAMPING) / n
+    assert (ranks["pagerank"] >= floor - 1e-6).all()
+    assert (ranks["pagerank"] < 1).all()
+    # total mass <= 1 (dangling hosts leak mass; no redistribution) and
+    # at least the teleport share survives
+    total = ranks["pagerank"].sum()
+    assert (1 - H.PAGERANK_DAMPING) - 1e-6 <= total <= 1 + 1e-6
+    # hub hosts (linked from every page of a source) outrank leaf targets:
+    # the per-source example.com nav hosts receive 5 weighted in-links per
+    # page and must clear the teleport-only floor
+    hubs = ranks[ranks["host"].str.endswith(".example.com")]
+    assert (hubs["pagerank"] > floor + 1e-6).any()
+    spark.catalog.clearCache()
+
+
+def test_host_pagerank_hand_graph(spark):
+    # two-node cycle a<->b plus dangling c fed by a: hand-computable
+    import pandas as pd_
+
+    def page(src, hrefs):
+        body = " ".join(f'<a href="https://{h}/x">l</a>' for h in hrefs)
+        return (f"cc://{src}/1", f"<html><body>{body}</body></html>".encode())
+
+    rows = [page("a", ["b", "c"]), page("b", ["a"])]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["host"]: r["pagerank"] for r in H.host_pagerank(pages).collect()}
+    # manual unroll (N=3, d=0.85, r0=1/3, per-iteration round 9)
+    N, d = 3, 0.85
+    r = {"a": 1 / N, "b": 1 / N, "c": 1 / N}
+    for _ in range(H.PAGERANK_ITERATIONS):
+        r = {
+            "a": round((1 - d) / N + d * r["b"], 9),
+            "b": round((1 - d) / N + d * r["a"] / 2, 9),
+            "c": round((1 - d) / N + d * r["a"] / 2, 9),
+        }
+    assert got == {h: round(v, 6) for h, v in r.items()}
+    spark.catalog.clearCache()
