@@ -562,6 +562,14 @@ def q_html_host_pagerank(spark, sf_dir):
     return htmlops.host_pagerank(_html_pages(spark, sf_dir))
 
 
+def q_html_curate(spark, sf_dir):
+    # full web-curation composition: DOM extraction (materialized-oracle
+    # side) + unrolled-PageRank host prior (computing side) + keep rule
+    from enem_spark import htmlops
+
+    return htmlops.curate_main_content(_html_pages(spark, sf_dir))
+
+
 def q_html_dedup_paragraphs(spark, sf_dir):
     # full web pipeline: synth -> DOM extraction -> corpus-wide paragraph
     # dedup. The DuckDB twin COMPUTES the dedup with SQL windows over the
@@ -628,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_title_meta": q_html_title_meta,
         "html_dedup_paragraphs": q_html_dedup_paragraphs,
         "html_host_pagerank": q_html_host_pagerank,
+        "html_curate": q_html_curate,
     }
 
 
@@ -1726,4 +1735,19 @@ FROM ranked GROUP BY doc_id
         # PageRank iteration, same damping/teleport and the same 9-dp
         # per-iteration rounding as htmlops.host_pagerank
         "html_host_pagerank": _pagerank_sql(html_staged["html_pages"]),
+        # curation composition: staged DOM output joined to the computed
+        # PageRank twin; same keep rule constants as curate_main_content
+        "html_curate": f"""
+WITH pr AS ({_pagerank_sql(html_staged["html_pages"])}),
+m AS (
+  SELECT doc_id, regexp_extract(url, '^cc://([^/]+)', 1) AS host,
+         main_chars, n_content_blocks
+  FROM read_parquet('{html_staged["html_main"]}')
+)
+SELECT m.doc_id, m.host, m.main_chars, m.n_content_blocks,
+       coalesce(pr.pagerank, 0.0) AS host_rank,
+       (m.main_chars >= 200 AND m.n_content_blocks >= 2
+        AND coalesce(pr.pagerank, 0.0) >= 0.01) AS keep
+FROM m LEFT JOIN pr ON m.host = pr.host
+""",
     }

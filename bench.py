@@ -87,6 +87,7 @@ HEADLINE = [
     "html_title_meta",
     "html_dedup_paragraphs",
     "html_host_pagerank",
+    "html_curate",
 ]
 
 

@@ -39,6 +39,7 @@ than one page in memory per row.
 
 from __future__ import annotations
 
+import hashlib
 import html as html_mod
 import os
 import re
@@ -97,11 +98,23 @@ def _para_html(doc_id: int, j: int, para: str) -> str:
     return " ".join(words)
 
 
+def is_junk_source(source: str) -> bool:
+    """~1/4 of sources are 'junk' sites whose nav links an ad network
+    instead of their own host — their public host then receives no in-links
+    and sits at the PageRank teleport floor, so the host-prior curation
+    rule has a real split to make. Pure function of the source name."""
+    digest = hashlib.md5(str(source).encode()).digest()
+    return digest[1] % 4 == 0
+
+
 def html_for(doc_id: int, text: str, source: str, lang: str) -> str:
     """One deterministic Common-Crawl-style page: the document's text as
     an <article> surrounded by boilerplate chrome."""
     doc_id = int(doc_id)
     src = html_mod.escape(str(source))
+    nav_host = (
+        "ads.example.com" if is_junk_source(source) else f"{src}.example.com"
+    )
     paras = _paragraphs(text)
     title = f"{src} artigo {doc_id}"
     out = [
@@ -113,7 +126,7 @@ def html_for(doc_id: int, text: str, source: str, lang: str) -> str:
         "</head><body>",
         '<nav id="topnav">'
         + " ".join(
-            f'<a href="https://{src}.example.com/{p}">{p.capitalize()}</a>'
+            f'<a href="https://{nav_host}/{p}">{p.capitalize()}</a>'
             for p in ("home", "noticias", "esportes", "cultura", "contato")
         )
         + "</nav>",
@@ -155,7 +168,9 @@ def html_for(doc_id: int, text: str, source: str, lang: str) -> str:
 
 
 def page_url(doc_id: int, source: str) -> str:
-    return f"cc://{source}/{int(doc_id)}"
+    # the source's PUBLIC host: the same name its own nav links target, so
+    # host-level signals (PageRank) attach back to the site's pages
+    return f"cc://{source}.example.com/{int(doc_id)}"
 
 
 # ---------------------------------------------------------------------------
@@ -767,6 +782,46 @@ def host_pagerank(
     # the repo convention (see tests/test_entry_parity.py::_release_cache,
     # bench.py) is that harnesses clearCache() between queries.
     return ranks.select("host", F.round("rank", 6).alias("pagerank"))
+
+
+def curate_main_content(
+    pages: DataFrame,
+    min_chars: int = 200,
+    min_blocks: int = 2,
+    min_host_rank: float = 0.01,
+) -> DataFrame:
+    """End-to-end web curation: DOM extraction + host-graph quality prior
+    -> per-document keep decision. This is the composition a corpus builder
+    actually runs (extract, rank hosts, drop thin pages and junk hosts).
+
+    keep = enough main text AND enough content blocks AND the page's host
+    clears a PageRank threshold (an absolute config constant — on the
+    synthetic corpus junk hosts sit at the ~0.007 teleport floor while
+    linked hosts score >= 0.028, so 0.01 splits them; tune per corpus
+    size). Plan: the pages scan feeds BOTH the
+    per-doc extraction and the graph side; the rank table is tiny (hosts)
+    and broadcast-joins back to documents."""
+    main = extract_main_content(pages)
+    ranks = host_pagerank(pages)
+    hosts = pages.select(
+        "doc_id", F.regexp_extract("url", r"^cc://([^/]+)", 1).alias("host")
+    )
+    return (
+        main.join(hosts, "doc_id")
+        .join(F.broadcast(ranks), "host", "left")
+        .select(
+            "doc_id",
+            "host",
+            "main_chars",
+            "n_content_blocks",
+            F.coalesce("pagerank", F.lit(0.0)).alias("host_rank"),
+            (
+                (F.col("main_chars") >= min_chars)
+                & (F.col("n_content_blocks") >= min_blocks)
+                & (F.coalesce("pagerank", F.lit(0.0)) >= min_host_rank)
+            ).alias("keep"),
+        )
+    )
 
 
 def html_title_meta(pages: DataFrame) -> DataFrame:

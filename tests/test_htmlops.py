@@ -442,3 +442,17 @@ def test_host_pagerank_hand_graph(spark):
         }
     assert got == {h: round(v, 6) for h, v in r.items()}
     spark.catalog.clearCache()
+
+
+def test_curate_main_content_splits(spark, pages):
+    """Curation must actually split the corpus: hub-hosted docs with enough
+    text are kept, and the keep rule matches its own columns row-by-row."""
+    got = H.curate_main_content(pages).toPandas()
+    assert 0 < got["keep"].sum() < len(got)
+    rule = (
+        (got["main_chars"] >= 200)
+        & (got["n_content_blocks"] >= 2)
+        & (got["host_rank"] >= 0.01)
+    )
+    assert (got["keep"] == rule).all()
+    spark.catalog.clearCache()
