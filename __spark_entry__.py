@@ -1327,6 +1327,35 @@ SELECT host, round(rank, 6) AS pagerank FROM r{iterations}
 """
 
 
+def _html_curate_sql(html_staged: dict) -> str:
+    """Twin of htmlops.curate_main_content: staged DOM output + the
+    computed unrolled-PageRank CTE + the SAME keep-rule constants (imported,
+    not copied) with the scale-free floor-multiple threshold."""
+    from enem_spark.htmlops import (
+        CURATE_MIN_BLOCKS,
+        CURATE_MIN_CHARS,
+        CURATE_RANK_FLOOR_MULT,
+        PAGERANK_DAMPING,
+    )
+
+    thr = f"{CURATE_RANK_FLOOR_MULT * (1.0 - PAGERANK_DAMPING)!r} / n.n"
+    return f"""
+WITH pr AS ({_pagerank_sql(html_staged["html_pages"])}),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pr),
+m AS (
+  SELECT doc_id, regexp_extract(url, '^cc://([^/]+)', 1) AS host,
+         main_chars, n_content_blocks
+  FROM read_parquet('{html_staged["html_main"]}')
+)
+SELECT m.doc_id, m.host, m.main_chars, m.n_content_blocks,
+       coalesce(pr.pagerank, 0.0) AS host_rank,
+       (m.main_chars >= {CURATE_MIN_CHARS}
+        AND m.n_content_blocks >= {CURATE_MIN_BLOCKS}
+        AND coalesce(pr.pagerank, 0.0) >= {thr}) AS keep
+FROM m LEFT JOIN pr ON m.host = pr.host CROSS JOIN n
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # The flagship pipeline is a stateful cross-page string machine — not
     # SQL-expressible directly. Its oracle is therefore MATERIALIZED: the
@@ -1736,18 +1765,7 @@ FROM ranked GROUP BY doc_id
         # per-iteration rounding as htmlops.host_pagerank
         "html_host_pagerank": _pagerank_sql(html_staged["html_pages"]),
         # curation composition: staged DOM output joined to the computed
-        # PageRank twin; same keep rule constants as curate_main_content
-        "html_curate": f"""
-WITH pr AS ({_pagerank_sql(html_staged["html_pages"])}),
-m AS (
-  SELECT doc_id, regexp_extract(url, '^cc://([^/]+)', 1) AS host,
-         main_chars, n_content_blocks
-  FROM read_parquet('{html_staged["html_main"]}')
-)
-SELECT m.doc_id, m.host, m.main_chars, m.n_content_blocks,
-       coalesce(pr.pagerank, 0.0) AS host_rank,
-       (m.main_chars >= 200 AND m.n_content_blocks >= 2
-        AND coalesce(pr.pagerank, 0.0) >= 0.01) AS keep
-FROM m LEFT JOIN pr ON m.host = pr.host
-""",
+        # PageRank twin; the keep-rule constants are interpolated from
+        # htmlops itself so engine and oracle cannot desynchronize
+        "html_curate": _html_curate_sql(html_staged),
     }

@@ -99,12 +99,24 @@ def _para_html(doc_id: int, j: int, para: str) -> str:
 
 
 def is_junk_source(source: str) -> bool:
-    """~1/4 of sources are 'junk' sites whose nav links an ad network
-    instead of their own host — their public host then receives no in-links
-    and sits at the PageRank teleport floor, so the host-prior curation
-    rule has a real split to make. Pure function of the source name."""
+    """A deterministic md5-keyed subset of sources (digest[1] % 4 == 0 —
+    2 of the 20 fixed testdata sources, src1 and src8) are 'junk' sites
+    whose nav links an ad network instead of their own host. Their public
+    host then receives no in-links and sits at the PageRank teleport floor,
+    so the host-prior curation rule has a real split to make."""
     digest = hashlib.md5(str(source).encode()).digest()
     return digest[1] % 4 == 0
+
+
+_HOST_SAFE = re.compile(r"[^a-zA-Z0-9.-]")
+
+
+def public_host(source: str) -> str:
+    """The source's public hostname, shared by page_url AND the nav hrefs.
+    Sanitized to url-safe chars: a raw name with '&'/'<' would otherwise
+    html-escape differently in the href than in the cc:// url, and the
+    host would silently lose its self-links (and its PageRank)."""
+    return _HOST_SAFE.sub("-", str(source)) + ".example.com"
 
 
 def html_for(doc_id: int, text: str, source: str, lang: str) -> str:
@@ -113,7 +125,7 @@ def html_for(doc_id: int, text: str, source: str, lang: str) -> str:
     doc_id = int(doc_id)
     src = html_mod.escape(str(source))
     nav_host = (
-        "ads.example.com" if is_junk_source(source) else f"{src}.example.com"
+        "ads.example.com" if is_junk_source(source) else public_host(source)
     )
     paras = _paragraphs(text)
     title = f"{src} artigo {doc_id}"
@@ -170,7 +182,7 @@ def html_for(doc_id: int, text: str, source: str, lang: str) -> str:
 def page_url(doc_id: int, source: str) -> str:
     # the source's PUBLIC host: the same name its own nav links target, so
     # host-level signals (PageRank) attach back to the site's pages
-    return f"cc://{source}.example.com/{int(doc_id)}"
+    return f"cc://{public_host(source)}/{int(doc_id)}"
 
 
 # ---------------------------------------------------------------------------
@@ -784,31 +796,47 @@ def host_pagerank(
     return ranks.select("host", F.round("rank", 6).alias("pagerank"))
 
 
+# curation keep-rule defaults — the DuckDB twin interpolates THESE (one
+# source of truth; see __spark_entry__._curate_sql)
+CURATE_MIN_CHARS = 200
+CURATE_MIN_BLOCKS = 2
+CURATE_RANK_FLOOR_MULT = 2.0  # keep iff host_rank >= mult x teleport floor
+
+
 def curate_main_content(
     pages: DataFrame,
-    min_chars: int = 200,
-    min_blocks: int = 2,
-    min_host_rank: float = 0.01,
+    min_chars: int = CURATE_MIN_CHARS,
+    min_blocks: int = CURATE_MIN_BLOCKS,
+    rank_floor_mult: float = CURATE_RANK_FLOOR_MULT,
 ) -> DataFrame:
     """End-to-end web curation: DOM extraction + host-graph quality prior
     -> per-document keep decision. This is the composition a corpus builder
     actually runs (extract, rank hosts, drop thin pages and junk hosts).
 
     keep = enough main text AND enough content blocks AND the page's host
-    clears a PageRank threshold (an absolute config constant — on the
-    synthetic corpus junk hosts sit at the ~0.007 teleport floor while
-    linked hosts score >= 0.028, so 0.01 splits them; tune per corpus
-    size). Plan: the pages scan feeds BOTH the
-    per-doc extraction and the graph side; the rank table is tiny (hosts)
-    and broadcast-joins back to documents."""
+    clears `rank_floor_mult` x the PageRank teleport floor ((1-d)/N). The
+    threshold is SCALE-FREE: ranks scale as 1/N_hosts, so an absolute
+    cutoff degenerates the moment the host count changes, while a
+    floor-multiple keeps the same semantics at any corpus size (unlinked
+    hosts sit exactly at 1x the floor; linked hosts on this corpus score
+    >= 4x). Plan: host comes from the main-content output's own url (no
+    second pages scan, no doc_id shuffle); the rank table is tiny (hosts)
+    and broadcast-joins back; the threshold is an in-plan scalar aggregate
+    over the rank table (no driver action)."""
     main = extract_main_content(pages)
     ranks = host_pagerank(pages)
-    hosts = pages.select(
-        "doc_id", F.regexp_extract("url", r"^cc://([^/]+)", 1).alias("host")
+    thr = ranks.agg(
+        (
+            F.lit(rank_floor_mult * (1.0 - PAGERANK_DAMPING)) / F.count("*")
+        ).alias("rank_thr")
     )
     return (
-        main.join(hosts, "doc_id")
-        .join(F.broadcast(ranks), "host", "left")
+        main.withColumn(
+            "host", F.regexp_extract("url", r"^cc://([^/]+)", 1)
+        )
+        .join(F.broadcast(ranks.withColumnRenamed("host", "h")),
+              F.col("host") == F.col("h"), "left")
+        .crossJoin(F.broadcast(thr))
         .select(
             "doc_id",
             "host",
@@ -818,7 +846,7 @@ def curate_main_content(
             (
                 (F.col("main_chars") >= min_chars)
                 & (F.col("n_content_blocks") >= min_blocks)
-                & (F.coalesce("pagerank", F.lit(0.0)) >= min_host_rank)
+                & (F.coalesce("pagerank", F.lit(0.0)) >= F.col("rank_thr"))
             ).alias("keep"),
         )
     )

@@ -449,10 +449,19 @@ def test_curate_main_content_splits(spark, pages):
     text are kept, and the keep rule matches its own columns row-by-row."""
     got = H.curate_main_content(pages).toPandas()
     assert 0 < got["keep"].sum() < len(got)
+    n_hosts = got["host"].nunique() + 2  # + ads + ref targets (not doc hosts)
+    thr = H.CURATE_RANK_FLOOR_MULT * (1 - H.PAGERANK_DAMPING) / n_hosts
     rule = (
-        (got["main_chars"] >= 200)
-        & (got["n_content_blocks"] >= 2)
-        & (got["host_rank"] >= 0.01)
+        (got["main_chars"] >= H.CURATE_MIN_CHARS)
+        & (got["n_content_blocks"] >= H.CURATE_MIN_BLOCKS)
+        & (got["host_rank"] >= thr)
     )
     assert (got["keep"] == rule).all()
+    # junk-hosted docs with plenty of text are dropped PURELY by host rank
+    dropped_by_rank = (
+        (got["main_chars"] >= H.CURATE_MIN_CHARS)
+        & (got["n_content_blocks"] >= H.CURATE_MIN_BLOCKS)
+        & ~got["keep"]
+    )
+    assert dropped_by_rank.any()
     spark.catalog.clearCache()
