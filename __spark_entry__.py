@@ -570,6 +570,14 @@ def q_html_curate(spark, sf_dir):
     return htmlops.curate_main_content(_html_pages(spark, sf_dir))
 
 
+def q_html_anchor_texts(spark, sf_dir):
+    # anchor-text corpus (href + link text per anchor, document order) —
+    # materialized oracle (same pure parser staged by stage_html_tables)
+    from enem_spark import htmlops
+
+    return htmlops.extract_anchor_texts(_html_pages(spark, sf_dir))
+
+
 def q_html_dedup_paragraphs(spark, sf_dir):
     # full web pipeline: synth -> DOM extraction -> corpus-wide paragraph
     # dedup. The DuckDB twin COMPUTES the dedup with SQL windows over the
@@ -637,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_dedup_paragraphs": q_html_dedup_paragraphs,
         "html_host_pagerank": q_html_host_pagerank,
         "html_curate": q_html_curate,
+        "html_anchor_texts": q_html_anchor_texts,
     }
 
 
@@ -1768,4 +1777,8 @@ FROM ranked GROUP BY doc_id
         # PageRank twin; the keep-rule constants are interpolated from
         # htmlops itself so engine and oracle cannot desynchronize
         "html_curate": _html_curate_sql(html_staged),
+        "html_anchor_texts": f"""
+SELECT doc_id, pos, href, anchor_text
+FROM read_parquet('{html_staged["html_anchors"]}')
+""",
     }

@@ -88,6 +88,7 @@ HEADLINE = [
     "html_dedup_paragraphs",
     "html_host_pagerank",
     "html_curate",
+    "html_anchor_texts",
 ]
 
 

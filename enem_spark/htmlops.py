@@ -724,6 +724,96 @@ def dedup_paragraphs(main: DataFrame) -> DataFrame:
     )
 
 
+class _AnchorParser(HTMLParser):
+    """(href, anchor_text) pairs in document order: capture starts at an
+    <a href=...> outside script/style, nested <a> is ignored (outermost
+    wins, matching browsers' implicit anchor closing), and text is
+    whitespace-collapsed. Anchor-text corpora are the classic link-quality
+    signal a web pipeline exports alongside the page text."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.pairs: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+        self._skip = 0
+        self._depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag == "a" and not self._skip:
+            if self._href is None:
+                href = dict(attrs).get("href") or ""
+                self._href = href
+                self._buf = []
+                self._depth = 1
+            else:
+                self._depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag == "a" and self._href is not None:
+            self._depth -= 1
+            if self._depth <= 0:
+                self.pairs.append(
+                    (self._href, _WS.sub(" ", "".join(self._buf)).strip())
+                )
+                self._href = None
+
+    def handle_data(self, data):
+        if self._href is not None and not self._skip and data:
+            self._buf.append(data)
+
+
+def anchor_texts_py(html_text: str) -> list[tuple[str, str]]:
+    parser = _AnchorParser()
+    parser.feed(html_text or "")
+    parser.close()
+    if parser._href is not None:  # unterminated anchor at EOF
+        parser.pairs.append(
+            (parser._href, _WS.sub(" ", "".join(parser._buf)).strip())
+        )
+    return parser.pairs
+
+
+ANCHORS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("href", T.StringType(), True),
+        T.StructField("anchor_text", T.StringType(), True),
+    ]
+)
+
+
+def extract_anchor_texts(pages: DataFrame) -> DataFrame:
+    """(doc_id, pos, href, anchor_text) per anchor in document order — one
+    Arrow crossing, no shuffle; rows fan out per anchor map-side."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, poss, hrefs, texts = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["html"]):
+                raw = payload.decode("utf-8") if payload is not None else ""
+                for pos, (href, text) in enumerate(anchor_texts_py(raw)):
+                    ids.append(int(doc_id))
+                    poss.append(pos)
+                    hrefs.append(href)
+                    texts.append(text)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "pos": pd.Series(poss, dtype="int32"),
+                    "href": pd.Series(hrefs, dtype="object"),
+                    "anchor_text": pd.Series(texts, dtype="object"),
+                }
+            )
+
+    return pages.select("doc_id", "html").mapInPandas(run, ANCHORS_SCHEMA)
+
+
 def host_edges(pages: DataFrame) -> DataFrame:
     """Weighted outlink edge list (src_host, dst_host, weight): the page's
     own host (from its cc:// url) linking to every absolute-URL host in its
@@ -893,6 +983,7 @@ def stage_html_tables(sf_dir: str) -> dict[str, str]:
     paths = {
         "html_pages": os.path.join(base, "html_pages.parquet"),
         "html_main": os.path.join(base, "html_main.parquet"),
+        "html_anchors": os.path.join(base, "html_anchors.parquet"),
     }
     docs = pd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -915,5 +1006,21 @@ def stage_html_tables(sf_dir: str) -> dict[str, str]:
     main_frame(
         docs["doc_id"], urls, [extract_main_py(h) for h in htmls]
     ).to_parquet(paths["html_main"], index=False)
+
+    a_ids, a_pos, a_href, a_text = [], [], [], []
+    for doc_id, h in zip(docs["doc_id"], htmls):
+        for pos, (href, text) in enumerate(anchor_texts_py(h)):
+            a_ids.append(int(doc_id))
+            a_pos.append(pos)
+            a_href.append(href)
+            a_text.append(text)
+    pd.DataFrame(
+        {
+            "doc_id": pd.Series(a_ids, dtype="int64"),
+            "pos": pd.Series(a_pos, dtype="int32"),
+            "href": pd.Series(a_href, dtype="object"),
+            "anchor_text": pd.Series(a_text, dtype="object"),
+        }
+    ).to_parquet(paths["html_anchors"], index=False)
     _STAGED[sf_dir] = paths
     return paths

@@ -465,3 +465,47 @@ def test_curate_main_content_splits(spark, pages):
     )
     assert dropped_by_rank.any()
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# anchor-text extraction (link-signal corpus)
+# ---------------------------------------------------------------------------
+
+
+def test_anchor_texts_pure():
+    pairs = H.anchor_texts_py(
+        '<p><a href="/a">um  dois</a> x <a href="/b">tres</a></p>'
+        '<script><a href="/no">skip</a></script>'
+        '<a href="/c"><a href="/inner">aninhado</a> fora</a>'
+        '<a href="/d">aberto no fim'
+    )
+    assert pairs == [
+        ("/a", "um dois"),
+        ("/b", "tres"),
+        ("/c", "aninhado fora"),  # nested anchor: outermost wins
+        ("/d", "aberto no fim"),  # unterminated at EOF still emitted
+    ]
+    assert H.anchor_texts_py("") == []
+    assert H.anchor_texts_py("<a>no href</a>") == [("", "no href")]
+
+
+def test_anchor_texts_corpus(spark, pages):
+    got = (
+        H.extract_anchor_texts(pages)
+        .toPandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.read_parquet(H.stage_html_tables(SF)["html_anchors"])
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # structure: every page has 5 nav + 4 sidebar anchors at minimum, and
+    # every citation anchor carries exactly its 2-word text
+    per_doc = got.groupby("doc_id").size()
+    assert (per_doc >= 9).all()
+    cites = got[got["href"].str.startswith("https://ref.example.com/")]
+    assert (cites["anchor_text"].str.count(" ") == 1).all()
+    spark.catalog.clearCache()
