@@ -316,6 +316,16 @@ def run_extraction(
 # HTML main-content extraction under the same exactly-once protocol
 # ---------------------------------------------------------------------------
 
+_ANCHOR_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("href", T.StringType()),
+            T.StructField("anchor_text", T.StringType()),
+        ]
+    )
+)
+
 HTML_INSTRUMENTED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -324,6 +334,7 @@ HTML_INSTRUMENTED_SCHEMA = T.StructType(
         T.StructField("n_blocks", T.IntegerType()),
         T.StructField("n_content_blocks", T.IntegerType()),
         T.StructField("main_chars", T.IntegerType()),
+        T.StructField("anchors", _ANCHOR_STRUCT),
         T.StructField("part_id", T.IntegerType()),
         T.StructField("wall_ms", T.DoubleType()),
     ]
@@ -331,10 +342,12 @@ HTML_INSTRUMENTED_SCHEMA = T.StructType(
 
 
 def instrumented_html_stage(pages: DataFrame) -> DataFrame:
-    """htmlops.extract_main_py + metrics in ONE Arrow crossing — the web
-    sibling of instrumented_page_stage (same per-row semantics as
-    htmlops.extract_main_content, same shared pure function)."""
-    from .htmlops import extract_mains, main_frame
+    """htmlops.extract_main_py + anchor_texts_py + metrics in ONE Arrow
+    crossing — the web sibling of instrumented_page_stage (same per-row
+    semantics as htmlops.extract_main_content / extract_anchor_texts, same
+    shared pure functions). Carrying anchors as a nested array column here
+    means the anchors side table costs no second html decode."""
+    from .htmlops import anchor_texts_py, extract_mains, main_frame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
@@ -342,6 +355,17 @@ def instrumented_html_stage(pages: DataFrame) -> DataFrame:
         for pdf in batches:
             t0 = time.perf_counter()
             out = main_frame(pdf["doc_id"], pdf["url"], extract_mains(pdf["html"]))
+            out["anchors"] = [
+                [
+                    {"pos": pos, "href": href, "anchor_text": text}
+                    for pos, (href, text) in enumerate(
+                        anchor_texts_py(
+                            p.decode("utf-8") if p is not None else ""
+                        )
+                    )
+                ]
+                for p in pdf["html"]
+            ]
             ms = (time.perf_counter() - t0) * 1000.0
             out["part_id"] = part_id
             out["wall_ms"] = ms / max(len(pdf), 1)
@@ -361,11 +385,21 @@ def committed_main_content(spark: SparkSession, out_dir: str) -> DataFrame | Non
     return spark.read.parquet(path).join(committed, "run_id", "left_semi")
 
 
+def committed_anchors(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Reader view of the anchors table restricted to committed runs."""
+    path = f"{out_dir}/anchors"
+    committed = committed_run_ids(spark, out_dir)
+    if committed is None or not _exists(path):
+        return None
+    return spark.read.parquet(path).join(committed, "run_id", "left_semi")
+
+
 def run_html_extraction(
     spark: SparkSession,
     pages: DataFrame,
     out_dir: str,
     run_id: str,
+    with_anchors: bool = False,
 ) -> dict:
     """One checkpoint-resumable DOM-extraction run over a CC pages table
     (doc_id, url, html binary, ...) — the north rule's web-page pipeline
@@ -375,9 +409,11 @@ def run_html_extraction(
     as the commit point. The unit of work is the document (one page row),
     so resume anti-joins committed doc_ids and a rerun is a no-op.
 
-    Tables: main_content/ lineage/ processed_docs/ runs — a directory can
-    host EITHER an ENEM run tree or an html run tree, not both (they share
-    processed_docs/runs semantics but different payload tables)."""
+    Tables: main_content/ lineage/ processed_docs/ runs (+ anchors/ when
+    ``with_anchors``: the per-anchor link-text table, exploded from the
+    same single Arrow crossing) — a directory can host EITHER an ENEM run
+    tree or an html run tree, not both (they share processed_docs/runs
+    semantics but different payload tables)."""
     work = pages.select("doc_id", "url", "html")
     done = processed_doc_ids(spark, out_dir)
     if done is not None:
@@ -392,10 +428,20 @@ def run_html_extraction(
             # run_id dir must not erase a previous attempt's output)
             return {"run_id": run_id, "input_pages": 0, "main_rows": 0}
 
-        body = extracted.drop("part_id", "wall_ms")
+        body = extracted.drop("part_id", "wall_ms", "anchors")
         body.write.mode("overwrite").parquet(
             f"{out_dir}/main_content/run_id={run_id}"
         )
+        if with_anchors:
+            (
+                extracted.select(
+                    "doc_id", "url", F.explode_outer("anchors").alias("a")
+                )
+                .filter(F.col("a").isNotNull())
+                .select("doc_id", "url", "a.pos", "a.href", "a.anchor_text")
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/anchors/run_id={run_id}")
+            )
         (
             extracted.groupBy("part_id")
             .agg(
@@ -416,11 +462,18 @@ def run_html_extraction(
             f"{out_dir}/processed_docs/run_id={run_id}"
         )
 
-        # n_pages > 0 here, so this attempt wrote every table — but a crashed
-        # PRIOR attempt of the same run_id may have left dirs for a world
-        # where it processed different docs; the overwrites above already
-        # replaced them wholesale, so no stale-dir sweep is needed on this
-        # path (mirrors run_extraction's `written` loop with all-True).
+        # n_pages > 0 here, so this attempt wrote every unconditional table
+        # wholesale (overwrite dirs — no stale rows can survive). The ONE
+        # conditional table is anchors: a crashed prior attempt of this
+        # run_id may have written it while THIS attempt runs with
+        # with_anchors=False; committing without clearing would make those
+        # stale rows visible (the CLAUDE.md stale-dir invariant).
+        if not with_anchors:
+            import shutil
+
+            stale = f"{out_dir}/anchors/run_id={run_id}"
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
 
         # COMMIT POINT
         spark.createDataFrame(

@@ -44,6 +44,8 @@ def main() -> None:
     ap.add_argument("--salt-chunk-size", type=int, default=-1)
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--html", action="store_true")
+    ap.add_argument("--anchors", action="store_true",
+                    help="with --html batch: also write the per-anchor table")
     ap.add_argument("--completeness-delay-s", type=int, default=0)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
@@ -81,7 +83,8 @@ def main() -> None:
 
             pages = spark.read.parquet(args.input)
             summary = run_html_extraction(
-                spark, pages, args.output, args.run_id
+                spark, pages, args.output, args.run_id,
+                with_anchors=args.anchors,
             )
         print(json.dumps(summary))
         spark.stop()

@@ -509,3 +509,41 @@ def test_anchor_texts_corpus(spark, pages):
     cites = got[got["href"].str.startswith("https://ref.example.com/")]
     assert (cites["anchor_text"].str.count(" ") == 1).all()
     spark.catalog.clearCache()
+
+
+def test_run_html_extraction_with_anchors(spark, pages, tmp_path):
+    """with_anchors=True writes the per-anchor side table from the SAME
+    single Arrow crossing, under the same commit protocol; a crashed
+    attempt's stale anchors dir is swept when retried without the flag."""
+    import os
+    import shutil
+
+    from enem_spark.lineage import committed_anchors, run_html_extraction
+
+    out = str(tmp_path / "html_out")
+    even = pages.filter(F.col("doc_id") % 2 == 0)
+    run_html_extraction(spark, even, out, run_id="r1", with_anchors=True)
+    got = (
+        committed_anchors(spark, out)
+        .select("doc_id", "pos", "href", "anchor_text")
+        .toPandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    staged = pd.read_parquet(H.stage_html_tables(SF)["html_anchors"])
+    exp = (
+        staged[staged["doc_id"] % 2 == 0]
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+    # simulate: r2 crashed AFTER writing anchors, then retried WITHOUT the
+    # flag over the remaining docs — the retry commits (it has real work)
+    # and must sweep the stale anchors dir before the marker lands
+    shutil.copytree(f"{out}/anchors/run_id=r1", f"{out}/anchors/run_id=r2")
+    s2 = run_html_extraction(spark, pages, out, run_id="r2", with_anchors=False)
+    assert s2["input_pages"] > 0
+    assert not os.path.exists(f"{out}/anchors/run_id=r2")
+    # committed anchors are exactly r1's
+    assert committed_anchors(spark, out).count() == len(exp)
