@@ -578,6 +578,14 @@ def q_html_anchor_texts(spark, sf_dir):
     return htmlops.extract_anchor_texts(_html_pages(spark, sf_dir))
 
 
+def q_html_anchor_profile(spark, sf_dir):
+    # per-target-host anchor-text index; the DuckDB twin COMPUTES the
+    # tokenize/count/rank pipeline over the staged anchors table
+    from enem_spark import htmlops
+
+    return htmlops.anchor_text_profile(_html_pages(spark, sf_dir))
+
+
 def q_html_dedup_paragraphs(spark, sf_dir):
     # full web pipeline: synth -> DOM extraction -> corpus-wide paragraph
     # dedup. The DuckDB twin COMPUTES the dedup with SQL windows over the
@@ -646,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_host_pagerank": q_html_host_pagerank,
         "html_curate": q_html_curate,
         "html_anchor_texts": q_html_anchor_texts,
+        "html_anchor_profile": q_html_anchor_profile,
     }
 
 
@@ -1780,5 +1789,24 @@ FROM ranked GROUP BY doc_id
         "html_anchor_texts": f"""
 SELECT doc_id, pos, href, anchor_text
 FROM read_parquet('{html_staged["html_anchors"]}')
+""",
+        # computing twin: tokenize/count/rank re-derived in SQL over the
+        # staged anchors (same (n DESC, term) tiebreak, top 3)
+        "html_anchor_profile": f"""
+WITH terms AS (
+  SELECT regexp_extract(href, '^https?://([^/]+)', 1) AS host,
+         unnest(regexp_split_to_array(lower(anchor_text), '\\s+')) AS term
+  FROM read_parquet('{html_staged["html_anchors"]}')
+),
+counted AS (
+  SELECT host, term, count(*) AS n
+  FROM terms WHERE host <> '' AND term <> ''
+  GROUP BY host, term
+)
+SELECT host, term, n, rank FROM (
+  SELECT host, term, n,
+         row_number() OVER (PARTITION BY host ORDER BY n DESC, term) AS rank
+  FROM counted
+) WHERE rank <= 3
 """,
     }

@@ -89,6 +89,7 @@ HEADLINE = [
     "html_host_pagerank",
     "html_curate",
     "html_anchor_texts",
+    "html_anchor_profile",
 ]
 
 

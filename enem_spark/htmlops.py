@@ -814,6 +814,34 @@ def extract_anchor_texts(pages: DataFrame) -> DataFrame:
     return pages.select("doc_id", "html").mapInPandas(run, ANCHORS_SCHEMA)
 
 
+def anchor_text_profile(pages: DataFrame, top_k: int = 3) -> DataFrame:
+    """Per-target-host anchor-text index: the top terms other pages use
+    when linking to a host — the classic off-page description signal
+    (search engines index it; corpus builders use it as a host label).
+
+    Output: (host, term, n, rank) with rank <= top_k ordered by
+    (n DESC, term). Shuffles once on (host, term) for the count and once
+    on host for the rank window — both content-derived keys; anchor text
+    is tiny relative to pages, so this stays cheap at crawl scale."""
+    anchors = extract_anchor_texts(pages)
+    terms = (
+        anchors.select(
+            F.regexp_extract("href", _HOST_RE, 1).alias("host"),
+            F.explode(
+                F.split(F.lower(F.col("anchor_text")), r"\s+")
+            ).alias("term"),
+        )
+        .filter((F.col("host") != "") & (F.col("term") != ""))
+        .groupBy("host", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("host").orderBy(F.desc("n"), "term")
+    return (
+        terms.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def host_edges(pages: DataFrame) -> DataFrame:
     """Weighted outlink edge list (src_host, dst_host, weight): the page's
     own host (from its cc:// url) linking to every absolute-URL host in its

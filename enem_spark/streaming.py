@@ -576,6 +576,7 @@ def start_html_stream(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    with_anchors: bool = False,
 ):
     """DOM main-content extraction per micro-batch, exactly-once.
 
@@ -596,6 +597,7 @@ def start_html_stream(
             batch_df,
             out_dir,
             run_id=f"html_batch_{batch_id}",
+            with_anchors=with_anchors,
         )
 
     writer = (

@@ -547,3 +547,23 @@ def test_run_html_extraction_with_anchors(spark, pages, tmp_path):
     assert not os.path.exists(f"{out}/anchors/run_id=r2")
     # committed anchors are exactly r1's
     assert committed_anchors(spark, out).count() == len(exp)
+
+
+def test_anchor_profile_and_outlink_consistency(spark, pages):
+    """Cross-operator consistency: html_outlinks' per-host link count must
+    equal the number of extracted anchors whose href is absolute to that
+    host — two independent implementations (JVM regex over raw html vs the
+    anchor parser) counting the same thing."""
+    out = {
+        r["host"]: r["n_links"] for r in H.html_outlinks(pages).collect()
+    }
+    anchors = H.extract_anchor_texts(pages).toPandas()
+    hosts = anchors["href"].str.extract(r"^https?://([^/]+)")[0]
+    from_anchors = hosts.dropna().value_counts().to_dict()
+    assert out == from_anchors
+    # profile: rank is dense per host starting at 1, terms lowercased
+    prof = H.anchor_text_profile(pages).toPandas()
+    assert (prof.groupby("host")["rank"].min() == 1).all()
+    assert (prof["term"] == prof["term"].str.lower()).all()
+    assert (prof["rank"] <= 3).all()
+    spark.catalog.clearCache()
