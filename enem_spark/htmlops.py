@@ -754,7 +754,10 @@ class _AnchorParser(HTMLParser):
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS:
             self._skip = max(0, self._skip - 1)
-        elif tag == "a" and self._href is not None:
+        elif tag == "a" and not self._skip and self._href is not None:
+            # the skip guard must be SYMMETRIC with handle_starttag: an
+            # </a> inside e.g. an <svg> island (whose <a> start was ignored)
+            # must not close the outer anchor early
             self._depth -= 1
             if self._depth <= 0:
                 self.pairs.append(
@@ -788,27 +791,40 @@ ANCHORS_SCHEMA = T.StructType(
 )
 
 
+def anchor_frame(doc_ids, htmls) -> pd.DataFrame:
+    """THE definition of the anchor row fan-out, shared by the operator
+    (extract_anchor_texts), the staged oracle (stage_html_tables), and the
+    lineage side table builder — one place to change the row shape.
+    `htmls` are decoded strings."""
+    ids, poss, hrefs, texts = [], [], [], []
+    for doc_id, raw in zip(doc_ids, htmls):
+        for pos, (href, text) in enumerate(anchor_texts_py(raw)):
+            ids.append(int(doc_id))
+            poss.append(pos)
+            hrefs.append(href)
+            texts.append(text)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "pos": pd.Series(poss, dtype="int32"),
+            "href": pd.Series(hrefs, dtype="object"),
+            "anchor_text": pd.Series(texts, dtype="object"),
+        }
+    )
+
+
 def extract_anchor_texts(pages: DataFrame) -> DataFrame:
     """(doc_id, pos, href, anchor_text) per anchor in document order — one
     Arrow crossing, no shuffle; rows fan out per anchor map-side."""
 
     def run(batches):
         for pdf in batches:
-            ids, poss, hrefs, texts = [], [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["html"]):
-                raw = payload.decode("utf-8") if payload is not None else ""
-                for pos, (href, text) in enumerate(anchor_texts_py(raw)):
-                    ids.append(int(doc_id))
-                    poss.append(pos)
-                    hrefs.append(href)
-                    texts.append(text)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "pos": pd.Series(poss, dtype="int32"),
-                    "href": pd.Series(hrefs, dtype="object"),
-                    "anchor_text": pd.Series(texts, dtype="object"),
-                }
+            yield anchor_frame(
+                pdf["doc_id"],
+                [
+                    p.decode("utf-8") if p is not None else ""
+                    for p in pdf["html"]
+                ],
             )
 
     return pages.select("doc_id", "html").mapInPandas(run, ANCHORS_SCHEMA)
@@ -1035,20 +1051,8 @@ def stage_html_tables(sf_dir: str) -> dict[str, str]:
         docs["doc_id"], urls, [extract_main_py(h) for h in htmls]
     ).to_parquet(paths["html_main"], index=False)
 
-    a_ids, a_pos, a_href, a_text = [], [], [], []
-    for doc_id, h in zip(docs["doc_id"], htmls):
-        for pos, (href, text) in enumerate(anchor_texts_py(h)):
-            a_ids.append(int(doc_id))
-            a_pos.append(pos)
-            a_href.append(href)
-            a_text.append(text)
-    pd.DataFrame(
-        {
-            "doc_id": pd.Series(a_ids, dtype="int64"),
-            "pos": pd.Series(a_pos, dtype="int32"),
-            "href": pd.Series(a_href, dtype="object"),
-            "anchor_text": pd.Series(a_text, dtype="object"),
-        }
-    ).to_parquet(paths["html_anchors"], index=False)
+    anchor_frame(docs["doc_id"], htmls).to_parquet(
+        paths["html_anchors"], index=False
+    )
     _STAGED[sf_dir] = paths
     return paths

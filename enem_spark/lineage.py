@@ -341,12 +341,17 @@ HTML_INSTRUMENTED_SCHEMA = T.StructType(
 )
 
 
-def instrumented_html_stage(pages: DataFrame) -> DataFrame:
-    """htmlops.extract_main_py + anchor_texts_py + metrics in ONE Arrow
-    crossing — the web sibling of instrumented_page_stage (same per-row
-    semantics as htmlops.extract_main_content / extract_anchor_texts, same
-    shared pure functions). Carrying anchors as a nested array column here
-    means the anchors side table costs no second html decode."""
+def instrumented_html_stage(
+    pages: DataFrame, with_anchors: bool = False
+) -> DataFrame:
+    """htmlops.extract_main_py (+ anchor_texts_py when ``with_anchors``)
+    + metrics in ONE Arrow crossing — the web sibling of
+    instrumented_page_stage (same per-row semantics as
+    htmlops.extract_main_content / extract_anchor_texts, same shared pure
+    functions). Carrying anchors as a nested array column (field names
+    pinned to htmlops.ANCHORS_SCHEMA) means the anchors side table costs
+    no second html decode; when the flag is off, the second parser pass is
+    skipped entirely so the default hot path pays nothing for it."""
     from .htmlops import anchor_texts_py, extract_mains, main_frame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -355,17 +360,20 @@ def instrumented_html_stage(pages: DataFrame) -> DataFrame:
         for pdf in batches:
             t0 = time.perf_counter()
             out = main_frame(pdf["doc_id"], pdf["url"], extract_mains(pdf["html"]))
-            out["anchors"] = [
-                [
-                    {"pos": pos, "href": href, "anchor_text": text}
-                    for pos, (href, text) in enumerate(
-                        anchor_texts_py(
-                            p.decode("utf-8") if p is not None else ""
+            if with_anchors:
+                out["anchors"] = [
+                    [
+                        {"pos": pos, "href": href, "anchor_text": text}
+                        for pos, (href, text) in enumerate(
+                            anchor_texts_py(
+                                p.decode("utf-8") if p is not None else ""
+                            )
                         )
-                    )
+                    ]
+                    for p in pdf["html"]
                 ]
-                for p in pdf["html"]
-            ]
+            else:
+                out["anchors"] = [[] for _ in range(len(pdf))]
             ms = (time.perf_counter() - t0) * 1000.0
             out["part_id"] = part_id
             out["wall_ms"] = ms / max(len(pdf), 1)
@@ -413,20 +421,37 @@ def run_html_extraction(
     ``with_anchors``: the per-anchor link-text table, exploded from the
     same single Arrow crossing) — a directory can host EITHER an ENEM run
     tree or an html run tree, not both (they share processed_docs/runs
-    semantics but different payload tables)."""
+    semantics but different payload tables).
+
+    with_anchors is NOT retroactive: resume skips every committed doc
+    regardless of which flag its run used, so flipping the flag on over an
+    out_dir with committed anchor-less runs yields an anchors table that
+    covers only the docs processed from then on (the returned summary's
+    `anchors_backfill_needed` flags this). Backfilling means a fresh
+    out_dir or an explicit re-run of the old inputs there."""
     work = pages.select("doc_id", "url", "html")
     done = processed_doc_ids(spark, out_dir)
+    # definitely-missing detection: prior committed runs exist and the
+    # anchors table does not -> those docs will never appear in it
+    backfill_needed = bool(
+        with_anchors and done is not None and not _exists(f"{out_dir}/anchors")
+    )
     if done is not None:
         # unbounded across runs -> no broadcast hint; AQE handles small case
         work = work.join(done, "doc_id", "left_anti")
 
-    extracted = instrumented_html_stage(work).persist()
+    extracted = instrumented_html_stage(work, with_anchors=with_anchors).persist()
     try:
         n_pages = extracted.count()
         if n_pages == 0:
             # nothing to do — write nothing (an empty overwrite of a reused
             # run_id dir must not erase a previous attempt's output)
-            return {"run_id": run_id, "input_pages": 0, "main_rows": 0}
+            return {
+                "run_id": run_id,
+                "input_pages": 0,
+                "main_rows": 0,
+                "anchors_backfill_needed": backfill_needed,
+            }
 
         body = extracted.drop("part_id", "wall_ms", "anchors")
         body.write.mode("overwrite").parquet(
@@ -482,4 +507,9 @@ def run_html_extraction(
         ).write.mode("append").parquet(f"{out_dir}/runs")
     finally:
         extracted.unpersist()
-    return {"run_id": run_id, "input_pages": n_pages, "main_rows": n_pages}
+    return {
+        "run_id": run_id,
+        "input_pages": n_pages,
+        "main_rows": n_pages,
+        "anchors_backfill_needed": backfill_needed,
+    }

@@ -72,6 +72,7 @@ def main() -> None:
                 read_html_pages_stream(spark, args.input),
                 args.output,
                 f"{args.output}/_checkpoint",
+                with_anchors=args.anchors,
             )
             q.awaitTermination()
             from enem_spark.lineage import committed_main_content

@@ -285,7 +285,12 @@ def test_run_html_extraction_exactly_once(spark, pages, tmp_path):
 
     # rerun with a NEW run_id over the same pages: no-op, nothing rewritten
     s2 = run_html_extraction(spark, pages, out, run_id="r2")
-    assert s2 == {"run_id": "r2", "input_pages": 0, "main_rows": 0}
+    assert s2 == {
+        "run_id": "r2",
+        "input_pages": 0,
+        "main_rows": 0,
+        "anchors_backfill_needed": False,
+    }
     assert committed_main_content(spark, out).count() == n_docs
     import os
 
@@ -567,3 +572,30 @@ def test_anchor_profile_and_outlink_consistency(spark, pages):
     assert (prof["term"] == prof["term"].str.lower()).all()
     assert (prof["rank"] <= 3).all()
     spark.catalog.clearCache()
+
+
+def test_anchor_parser_skip_region_symmetry():
+    # an </a> inside an <svg> island (whose <a> start was ignored) must not
+    # close the outer anchor — "label" belongs to /x
+    pairs = H.anchor_texts_py(
+        '<a href="/x"><svg><a href="#i">icon</a></svg>label</a>'
+    )
+    assert pairs == [("/x", "label")]
+
+
+def test_anchors_backfill_flag(spark, pages, tmp_path):
+    """Flipping with_anchors ON over an out_dir whose committed runs had no
+    anchors is flagged: coverage cannot be retroactive."""
+    from enem_spark.lineage import run_html_extraction
+
+    out = str(tmp_path / "html_out")
+    even = pages.filter(F.col("doc_id") % 2 == 0)
+    s1 = run_html_extraction(spark, even, out, run_id="r1")  # no anchors
+    assert s1["anchors_backfill_needed"] is False
+    s2 = run_html_extraction(spark, pages, out, run_id="r2", with_anchors=True)
+    assert s2["anchors_backfill_needed"] is True
+    # the anchors table holds ONLY r2's docs (the odd half)
+    from enem_spark.lineage import committed_anchors
+
+    got = committed_anchors(spark, out)
+    assert got.select("doc_id").distinct().count() == s2["input_pages"]
