@@ -462,6 +462,10 @@ def q_sessionize(spark, sf_dir):
     return textops.sessionize(_t(spark, sf_dir, "events"))
 
 
+def q_sentence_stats(spark, sf_dir):
+    return textops.sentence_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     # parity LSH config — must mirror the DuckDB twin's candidate set
     return textops.dedup_clusters(
@@ -639,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "props_extract": q_props_extract,
         "sessionize": q_sessionize,
+        "sentence_stats": q_sentence_stats,
         "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_bucket": q_ann_srp_bucket,
@@ -1599,6 +1604,23 @@ SELECT event_type,
        min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type
+""",
+        # identical regex both engines (no lookbehind — RE2 lacks it); the
+        # mean is one exact-int division, no float-sum order risk
+        "sentence_stats": r"""
+WITH p AS (
+  SELECT doc_id,
+         [trim(x) for x in regexp_split_to_array(coalesce(text, ''), '[.!?]+\s+')
+          if trim(x) <> ''] AS sents
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(sents) AS INT) AS n_sentences,
+       round(CAST(list_sum([length(s) for s in sents]) AS DOUBLE)
+             / greatest(len(sents), 1), 6) AS mean_sentence_chars,
+       CAST(coalesce(list_max([length(s) for s in sents]), 0) AS INT)
+         AS max_sentence_chars
+FROM p
 """,
         "sessionize": """
 WITH lagged AS (

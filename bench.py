@@ -48,6 +48,7 @@ HEADLINE = [
     "anti_join_missing",
     "rollup_revenue",
     "sessionize",
+    "sentence_stats",
     "props_extract",
     "dedup_exact",
     "dedup_minhash_lsh",

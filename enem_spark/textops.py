@@ -669,6 +669,29 @@ def props_extract(events: DataFrame) -> DataFrame:
     )
 
 
+def sentence_stats(documents: DataFrame) -> DataFrame:
+    """Per-document sentence segmentation stats (n, mean/max chars) — the
+    sentence-level quality signal corpus filters use alongside the word
+    ones. Boundary = punctuation run + whitespace ('[.!?]+\\s+'): RE2 has
+    no lookbehind, so the DuckDB twin can run the IDENTICAL regex. All
+    JVM-side (split/filter/transform/aggregate — no Python); mean is ONE
+    exact-int division, so no float summation-order drift between engines.
+    """
+    parts = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"[.!?]+\s+"),
+        lambda p: F.trim(p) != "",
+    )
+    lens = F.transform(parts, lambda p: F.length(F.trim(p)))
+    n = F.size(lens)
+    total = F.aggregate(lens, F.lit(0), lambda acc, x: acc + x)
+    return documents.select(
+        "doc_id",
+        n.alias("n_sentences"),
+        F.round(total / F.greatest(n, F.lit(1)), 6).alias("mean_sentence_chars"),
+        F.coalesce(F.array_max(lens), F.lit(0)).alias("max_sentence_chars"),
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization of an event stream (batch form).
 

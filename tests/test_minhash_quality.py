@@ -299,3 +299,28 @@ def test_url_canonicalization_idempotent(spark):
     got_twice = [r["url"] for r in twice.collect()]
     bad = [(u, a, b) for u, a, b in zip(urls, got_once, got_twice) if a != b]
     assert not bad, f"{len(bad)} non-fixpoints; first: {bad[0]}"
+
+
+def test_sentence_stats_hand_cases(spark):
+    """The driver corpus is punctuation-free (1 sentence/doc), so the
+    segmentation semantics are pinned here: boundary = punct run + ws,
+    empty/NULL -> zeros, unpunctuated text = one sentence."""
+    hand = spark.createDataFrame(
+        [
+            (1, "Uma frase. Outra frase! E mais?  Fim"),
+            (2, ""),
+            (3, None),
+            (4, "sem pontuacao nenhuma"),
+            (5, "a.b stays one: no whitespace after the dot"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_sentences"], r["mean_sentence_chars"], r["max_sentence_chars"])
+        for r in textops.sentence_stats(hand).collect()
+    }
+    assert got[1] == (4, 7.25, 11)
+    assert got[2] == (0, 0.0, 0)
+    assert got[3] == (0, 0.0, 0)
+    assert got[4] == (1, 21.0, 21)
+    assert got[5][0] == 1  # dot without following whitespace is no boundary
