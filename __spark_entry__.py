@@ -590,6 +590,17 @@ def q_html_anchor_profile(spark, sf_dir):
     return htmlops.anchor_text_profile(_html_pages(spark, sf_dir))
 
 
+def q_html_paragraph_langid(spark, sf_dir):
+    # CCNet-style per-paragraph langid over extracted main content; the
+    # DuckDB twin re-computes the per-paragraph heuristic + plurality in
+    # SQL list comprehensions over the staged DOM output
+    from enem_spark import htmlops
+
+    return htmlops.paragraph_langid(
+        htmlops.extract_main_content(_html_pages(spark, sf_dir))
+    )
+
+
 def q_html_dedup_paragraphs(spark, sf_dir):
     # full web pipeline: synth -> DOM extraction -> corpus-wide paragraph
     # dedup. The DuckDB twin COMPUTES the dedup with SQL windows over the
@@ -660,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_curate": q_html_curate,
         "html_anchor_texts": q_html_anchor_texts,
         "html_anchor_profile": q_html_anchor_profile,
+        "html_paragraph_langid": q_html_paragraph_langid,
     }
 
 
@@ -1350,6 +1362,44 @@ SELECT host, round(rank, 6) AS pagerank FROM r{iterations}
 """
 
 
+def _paragraph_langid_sql(html_main_path: str) -> str:
+    """Twin of htmlops.paragraph_langid: per-paragraph marker heuristic via
+    SQL list comprehensions over the staged DOM output, same plurality and
+    tie rules; all counts are exact ints so the single division is
+    IEEE-identical across engines."""
+    px = "(' ' || x || ' ')"
+    en = "(" + " + ".join(_count_occ_sql(px, m) for m in textops.EN_MARKERS) + ")"
+    pt = "(" + " + ".join(_count_occ_sql(px, m) for m in textops.PT_MARKERS) + ")"
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         [x for x in string_split(main_text, chr(10)) if x <> ''] AS paras
+  FROM read_parquet('{html_main_path}')
+),
+l AS (
+  SELECT doc_id, len(paras) AS n,
+         [CASE WHEN {en} > {pt} THEN 'en'
+               WHEN {pt} > {en} THEN 'pt'
+               ELSE 'und' END for x in paras] AS langs
+  FROM p
+),
+c AS (
+  SELECT doc_id, n,
+         len(list_filter(langs, y -> y = 'en')) AS n_en,
+         len(list_filter(langs, y -> y = 'pt')) AS n_pt
+  FROM l
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_paras,
+       CASE WHEN n_en > n_pt AND n_en > (n - n_en - n_pt) THEN 'en'
+            WHEN n_pt > n_en AND n_pt > (n - n_en - n_pt) THEN 'pt'
+            ELSE 'und' END AS majority_lang,
+       round((n - greatest(n_en, n_pt, n - n_en - n_pt))
+             / greatest(n, 1), 6) AS minority_frac
+FROM c
+"""
+
+
 def _html_curate_sql(html_staged: dict) -> str:
     """Twin of htmlops.curate_main_content: staged DOM output + the
     computed unrolled-PageRank CTE + the SAME keep-rule constants (imported,
@@ -1808,6 +1858,7 @@ FROM ranked GROUP BY doc_id
         # PageRank twin; the keep-rule constants are interpolated from
         # htmlops itself so engine and oracle cannot desynchronize
         "html_curate": _html_curate_sql(html_staged),
+        "html_paragraph_langid": _paragraph_langid_sql(html_staged["html_main"]),
         "html_anchor_texts": f"""
 SELECT doc_id, pos, href, anchor_text
 FROM read_parquet('{html_staged["html_anchors"]}')

@@ -91,6 +91,7 @@ HEADLINE = [
     "html_curate",
     "html_anchor_texts",
     "html_anchor_profile",
+    "html_paragraph_langid",
 ]
 
 

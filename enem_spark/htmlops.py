@@ -858,6 +858,57 @@ def anchor_text_profile(pages: DataFrame, top_k: int = 3) -> DataFrame:
     )
 
 
+def paragraph_langid(main: DataFrame) -> DataFrame:
+    """Per-PARAGRAPH language ID over extracted main content, aggregated to
+    a document verdict — the CCNet refinement of doc-level langid (mixed
+    pages get a minority fraction instead of a single mislabel). Same
+    marker heuristic as textops.langid, applied per paragraph entirely in
+    whole-stage-codegen array expressions (transform/filter/size — no
+    Python, no shuffle).
+
+    Output: (doc_id, n_paras, majority_lang, minority_frac). majority =
+    strict plurality among {en, pt, und}; ties -> 'und'. minority_frac =
+    paragraphs disagreeing with the plurality / paragraphs."""
+    from .textops import EN_MARKERS, PT_MARKERS
+
+    def hits(p, markers):
+        padded = F.concat(F.lit(" "), p, F.lit(" "))
+        return sum(
+            (
+                (
+                    (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit(""))))
+                    / len(m)
+                ).cast("int")
+                for m in markers
+            ),
+            F.lit(0),
+        )
+
+    paras = F.filter(F.split(F.col("main_text"), "\n"), lambda p: p != "")
+    langs = F.transform(
+        paras,
+        lambda p: F.when(hits(p, EN_MARKERS) > hits(p, PT_MARKERS), "en")
+        .when(hits(p, PT_MARKERS) > hits(p, EN_MARKERS), "pt")
+        .otherwise("und"),
+    )
+    n = F.size(langs)
+    n_en = F.size(F.filter(langs, lambda l: l == "en"))
+    n_pt = F.size(F.filter(langs, lambda l: l == "pt"))
+    n_und = n - n_en - n_pt
+    majority_count = F.greatest(n_en, n_pt, n_und)
+    return main.select(
+        "doc_id",
+        n.alias("n_paras"),
+        F.when((n_en > n_pt) & (n_en > n_und), "en")
+        .when((n_pt > n_en) & (n_pt > n_und), "pt")
+        .otherwise("und")
+        .alias("majority_lang"),
+        F.round(
+            (n - majority_count) / F.greatest(n, F.lit(1)), 6
+        ).alias("minority_frac"),
+    )
+
+
 def host_edges(pages: DataFrame) -> DataFrame:
     """Weighted outlink edge list (src_host, dst_host, weight): the page's
     own host (from its cc:// url) linking to every absolute-URL host in its

@@ -599,3 +599,28 @@ def test_anchors_backfill_flag(spark, pages, tmp_path):
 
     got = committed_anchors(spark, out)
     assert got.select("doc_id").distinct().count() == s2["input_pages"]
+
+
+def test_paragraph_langid_mixed_doc(spark):
+    """Pin the per-paragraph semantics on a genuinely mixed page: majority
+    by strict plurality, ties -> 'und', minority fraction exact."""
+    main = spark.createDataFrame(
+        [
+            # 2 en paragraphs, 1 pt -> majority en, 1/3 minority
+            (1, "the cat and the dog of the house\n"
+                "the sum of the work and the rest\n"
+                "a casa de pedra que vale mais"),
+            # 1 en, 1 pt -> tie -> und, minority = (2 - 1)/2
+            (2, "the cat and the dog of it\na casa de pedra que vale"),
+            # marker-free -> all und, majority und, 0 minority
+            (3, "sem marcadores aqui\nnada reconhecivel"),
+        ],
+        "doc_id long, main_text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["majority_lang"], r["minority_frac"])
+        for r in H.paragraph_langid(main).collect()
+    }
+    assert got[1] == (3, "en", round(1 / 3, 6))
+    assert got[2] == (2, "und", 0.5)
+    assert got[3] == (2, "und", 0.0)
