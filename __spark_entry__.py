@@ -601,6 +601,16 @@ def q_html_paragraph_langid(spark, sf_dir):
     )
 
 
+def q_html_clean_corpus(spark, sf_dir):
+    # capstone composition: corpus-wide first-occurrence paragraph dedup +
+    # per-paragraph langid vs document plurality -> final reassembled text
+    from enem_spark import htmlops
+
+    return htmlops.clean_paragraphs(
+        htmlops.extract_main_content(_html_pages(spark, sf_dir))
+    )
+
+
 def q_html_dedup_paragraphs(spark, sf_dir):
     # full web pipeline: synth -> DOM extraction -> corpus-wide paragraph
     # dedup. The DuckDB twin COMPUTES the dedup with SQL windows over the
@@ -672,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_anchor_texts": q_html_anchor_texts,
         "html_anchor_profile": q_html_anchor_profile,
         "html_paragraph_langid": q_html_paragraph_langid,
+        "html_clean_corpus": q_html_clean_corpus,
     }
 
 
@@ -1400,6 +1411,57 @@ FROM c
 """
 
 
+def _clean_corpus_sql(html_main_path: str) -> str:
+    """Twin of htmlops.clean_paragraphs: same window (first occurrence by
+    (doc_id, pos) on the paragraph hash), same per-paragraph heuristic and
+    plurality rules, same ordered reassembly."""
+    px = "(' ' || para || ' ')"
+    en = "(" + " + ".join(_count_occ_sql(px, m) for m in textops.EN_MARKERS) + ")"
+    pt = "(" + " + ".join(_count_occ_sql(px, m) for m in textops.PT_MARKERS) + ")"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(main_text, chr(10)) AS ps
+  FROM read_parquet('{html_main_path}')
+),
+paras AS (
+  SELECT doc_id, u.pos, u.para FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i - 1, 'para': ps[i]}} for i in range(1, len(ps) + 1)]) AS u
+    FROM tok
+  ) WHERE u.para <> ''
+),
+p AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN {en} > {pt} THEN 'en'
+              WHEN {pt} > {en} THEN 'pt' ELSE 'und' END AS plang,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rk
+  FROM paras
+),
+maj AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+         sum(CASE WHEN plang = 'en' THEN 1 ELSE 0 END) AS n_en,
+         sum(CASE WHEN plang = 'pt' THEN 1 ELSE 0 END) AS n_pt
+  FROM p GROUP BY doc_id
+),
+m AS (
+  SELECT doc_id, n_paras,
+         CASE WHEN n_en > n_pt AND n_en > (n_paras - n_en - n_pt) THEN 'en'
+              WHEN n_pt > n_en AND n_pt > (n_paras - n_en - n_pt) THEN 'pt'
+              ELSE 'und' END AS majority_lang
+  FROM maj
+)
+SELECT p.doc_id, m.majority_lang, m.n_paras,
+       CAST(sum(CASE WHEN p.rk = 1
+                 AND (m.majority_lang = 'und' OR p.plang = m.majority_lang)
+                THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       coalesce(string_agg(CASE WHEN p.rk = 1
+                 AND (m.majority_lang = 'und' OR p.plang = m.majority_lang)
+                THEN p.para END, chr(10) ORDER BY p.pos), '') AS text_clean
+FROM p JOIN m ON p.doc_id = m.doc_id
+GROUP BY p.doc_id, m.majority_lang, m.n_paras
+"""
+
+
 def _html_curate_sql(html_staged: dict) -> str:
     """Twin of htmlops.curate_main_content: staged DOM output + the
     computed unrolled-PageRank CTE + the SAME keep-rule constants (imported,
@@ -1859,6 +1921,7 @@ FROM ranked GROUP BY doc_id
         # htmlops itself so engine and oracle cannot desynchronize
         "html_curate": _html_curate_sql(html_staged),
         "html_paragraph_langid": _paragraph_langid_sql(html_staged["html_main"]),
+        "html_clean_corpus": _clean_corpus_sql(html_staged["html_main"]),
         "html_anchor_texts": f"""
 SELECT doc_id, pos, href, anchor_text
 FROM read_parquet('{html_staged["html_anchors"]}')

@@ -92,6 +92,7 @@ HEADLINE = [
     "html_anchor_texts",
     "html_anchor_profile",
     "html_paragraph_langid",
+    "html_clean_corpus",
 ]
 
 

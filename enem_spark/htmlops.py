@@ -858,6 +858,91 @@ def anchor_text_profile(pages: DataFrame, top_k: int = 3) -> DataFrame:
     )
 
 
+def _marker_hits(col, markers) -> "F.Column":
+    """Marker occurrence count on a string column (textops.langid's
+    heuristic, shared by the per-paragraph operators)."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return sum(
+        (
+            (
+                (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit(""))))
+                / len(m)
+            ).cast("int")
+            for m in markers
+        ),
+        F.lit(0),
+    )
+
+
+def clean_paragraphs(main: DataFrame) -> DataFrame:
+    """The paragraph-level clean-corpus export — the composition a CCNet-
+    style pipeline actually ships: a paragraph survives iff it is the FIRST
+    corpus-wide occurrence of its text (exact dedup) AND matches its
+    document's plurality language (documents with no plurality keep all
+    their deduped paragraphs). Surviving paragraphs reassemble in order.
+
+    Output: (doc_id, majority_lang, n_paras, n_kept, text_clean).
+    Three content-keyed shuffles (paragraph-hash window, doc_id majority
+    aggregate + join, doc_id reassembly) — near-uniform keys throughout."""
+    from .textops import EN_MARKERS, PT_MARKERS
+
+    paras = main.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("main_text"), "\n")).alias("pos", "para"),
+    ).filter(F.col("para") != "")
+    en = _marker_hits(F.col("para"), EN_MARKERS)
+    pt = _marker_hits(F.col("para"), PT_MARKERS)
+    p = paras.withColumn(
+        "plang",
+        F.when(en > pt, "en").when(pt > en, "pt").otherwise("und"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy(F.md5("para")).orderBy("doc_id", "pos")),
+    )
+    maj = (
+        p.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_paras"),
+            F.sum((F.col("plang") == "en").cast("int")).alias("n_en"),
+            F.sum((F.col("plang") == "pt").cast("int")).alias("n_pt"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            F.when(
+                (F.col("n_en") > F.col("n_pt"))
+                & (F.col("n_en") > F.col("n_paras") - F.col("n_en") - F.col("n_pt")),
+                "en",
+            )
+            .when(
+                (F.col("n_pt") > F.col("n_en"))
+                & (F.col("n_pt") > F.col("n_paras") - F.col("n_en") - F.col("n_pt")),
+                "pt",
+            )
+            .otherwise("und")
+            .alias("majority_lang"),
+        )
+    )
+    keep = (F.col("rk") == 1) & (
+        (F.col("majority_lang") == "und") | (F.col("plang") == F.col("majority_lang"))
+    )
+    kept_struct = F.when(keep, F.struct("pos", "para"))
+    return (
+        p.join(maj, "doc_id")
+        .groupBy("doc_id", "majority_lang", "n_paras")
+        .agg(
+            F.sum(keep.cast("int")).cast("int").alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["para"]
+                ),
+            ).alias("text_clean"),
+        )
+        .select("doc_id", "majority_lang", "n_paras", "n_kept", "text_clean")
+    )
+
+
 def paragraph_langid(main: DataFrame) -> DataFrame:
     """Per-PARAGRAPH language ID over extracted main content, aggregated to
     a document verdict — the CCNet refinement of doc-level langid (mixed

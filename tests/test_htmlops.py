@@ -624,3 +624,34 @@ def test_paragraph_langid_mixed_doc(spark):
     assert got[1] == (3, "en", round(1 / 3, 6))
     assert got[2] == (2, "und", 0.5)
     assert got[3] == (2, "und", 0.0)
+
+
+def test_clean_paragraphs_composition(spark):
+    """Hand-checkable: dedup drops the repeated paragraph from doc 2; the
+    language filter drops the pt paragraph from en-majority doc 1; an
+    und-plurality doc keeps everything deduped."""
+    main = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of it\n"
+                "the sum of the work and the rest\n"
+                "a casa de pedra que vale mais"),
+            (2, "the cat and the dog of it\nsem marcadores aqui"),
+            (3, "linha neutra um\nlinha neutra dois"),
+        ],
+        "doc_id long, main_text string",
+    )
+    got = {
+        r["doc_id"]: (r["majority_lang"], r["n_paras"], r["n_kept"], r["text_clean"])
+        for r in H.clean_paragraphs(main).collect()
+    }
+    # doc 1: en plurality (2 en vs 1 pt); pt paragraph filtered out
+    assert got[1] == (
+        "en", 3, 2,
+        "the cat and the dog of it\nthe sum of the work and the rest",
+    )
+    # doc 2: its en paragraph is a corpus-wide duplicate of doc 1's first
+    # (rk=2 -> dropped); the remaining und paragraph ties 1-1-? ... en=1,
+    # pt=0, und=1 -> no strict plurality -> 'und' keeps deduped paragraphs
+    assert got[2] == ("und", 2, 1, "sem marcadores aqui")
+    # doc 3: all und, everything kept
+    assert got[3] == ("und", 2, 2, "linha neutra um\nlinha neutra dois")
