@@ -466,6 +466,23 @@ def q_sentence_stats(spark, sf_dir):
     return textops.sentence_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Exact-substring dedup profile (Lee et al. rolling-window rebuild);
+    parity window size so the DuckDB lead-chain twin stays short — the
+    engine default is textops.DUP_SPAN_W=50."""
+    return textops.duplicate_spans(
+        _t(spark, sf_dir, "documents"), w=textops.PARITY_SPAN_W
+    )
+
+
+def q_dedup_spans_clean(spark, sf_dir):
+    """Exact-substring dedup CUT: corpus with every non-canonical
+    duplicated window's tokens removed (first occurrence kept)."""
+    return textops.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), w=textops.PARITY_SPAN_W
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     # parity LSH config — must mirror the DuckDB twin's candidate set
     return textops.dedup_clusters(
@@ -665,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": q_props_extract,
         "sessionize": q_sessionize,
         "sentence_stats": q_sentence_stats,
+        "dup_span_stats": q_dup_span_stats,
+        "dedup_spans_clean": q_dedup_spans_clean,
         "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_bucket": q_ann_srp_bucket,
@@ -1049,6 +1068,92 @@ bgrams AS (
 SELECT doc_id, count(*) AS n_contaminated_ngrams
 FROM grams JOIN bgrams USING (gram_hash)
 GROUP BY doc_id
+"""
+
+
+def _dup_span_grams_sql(w: int) -> str:
+    """Shared CTEs for the exact-substring (duplicate-span) twins: the
+    w-token rolling-window hash built with the SAME lead-chain shape the
+    Spark `_gram_rows` window uses, ranked per hash by (doc_id, pos) —
+    rn > 1 marks every non-canonical occurrence."""
+    leads = ", ".join(f"lead(tok, {j}) OVER win" for j in range(1, w))
+    return rf"""
+tok AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos,
+         unnest(arr) AS tok
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS arr
+        FROM documents)
+),
+grams AS (
+  SELECT doc_id, pos,
+         md5(concat_ws(' ', tok, {leads})) AS h,
+         (lead(tok, {w - 1}) OVER win IS NOT NULL) AS whole
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+dupw AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM grams WHERE whole
+  ) WHERE rn > 1
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+)"""
+
+
+def _dup_span_stats_sql(w: int) -> str:
+    return rf"""
+WITH {_dup_span_grams_sql(w)},
+cov AS (
+  SELECT doc_id, pos,
+         greatest(coalesce(max(pos + {w}) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos),
+                  pos) AS cstart
+  FROM dupw
+),
+agg AS (
+  SELECT doc_id, count(*) AS dup_windows,
+         sum(greatest(pos + {w} - cstart, 0)) AS dup_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(coalesce(a.dup_windows, 0) AS BIGINT) AS dup_windows,
+       CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(a.dup_tokens, 0) * 1.0 / greatest(b.n_tokens, 1), 6)
+           AS dup_frac
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _dup_span_clean_sql(w: int) -> str:
+    return rf"""
+WITH {_dup_span_grams_sql(w)},
+covered AS (
+  SELECT DISTINCT doc_id, pos + g AS pos
+  FROM dupw CROSS JOIN generate_series(0, {w - 1}) AS s(g)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(b.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN reb r USING (doc_id)
 """
 
 
@@ -1734,6 +1839,8 @@ SELECT doc_id,
          AS max_sentence_chars
 FROM p
 """,
+        "dup_span_stats": _dup_span_stats_sql(textops.PARITY_SPAN_W),
+        "dedup_spans_clean": _dup_span_clean_sql(textops.PARITY_SPAN_W),
         "sessionize": """
 WITH lagged AS (
   SELECT user_id, event_id, ts,

@@ -159,8 +159,9 @@ def _gram_rows(
     n: int,
     extra_cols: tuple[str, ...] = (),
     short_doc_whole: bool = True,
+    keep_pos: bool = False,
 ) -> DataFrame:
-    """(doc_id, *extra_cols, shingle) — one row per n-token gram, built as
+    """(doc_id, *extra_cols[, pos], shingle) — one row per n-token gram, built as
     posexplode(tokens) + lead() window so the tokenizing split runs ONCE
     per document. Building grams as transform(sequence, i -> concat(
     element_at(toks, i+j)...)) LOOKS cheaper (no shuffle) but Catalyst's
@@ -198,7 +199,8 @@ def _gram_rows(
         keep = F.col("_full") | ((F.col("pos") == 0) & (F.col("_n_toks") < n))
     else:
         keep = F.col("_full")
-    return out.filter(keep).select("doc_id", *extra_cols, "shingle")
+    pos_cols = ("pos",) if keep_pos else ()
+    return out.filter(keep).select("doc_id", *extra_cols, *pos_cols, "shingle")
 
 
 def shingle_table(documents: DataFrame, cache: bool = False) -> DataFrame:
@@ -1156,4 +1158,129 @@ def fingerprint(documents: DataFrame, k: int = 4) -> DataFrame:
     return (
         ranked.groupBy("doc_id")
         .agg(F.array_join(F.array_sort(F.collect_list("h")), "|").alias("fingerprint"))
+    )
+
+
+# Exact-substring dedup window (token granularity). 50 tokens is the
+# operating point of Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better" (their suffix-array threshold, rebuilt here as a
+# rolling token-window hash — the distributed-friendly equivalent). The
+# driver twin uses PARITY_SPAN_W so the DuckDB lead-chain stays short.
+DUP_SPAN_W = 50
+PARITY_SPAN_W = 8
+
+
+def duplicate_span_windows(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+    """(doc_id, pos) of every NON-CANONICAL occurrence of a duplicated
+    w-token window: a window whose token hash appears at an earlier
+    (doc_id, pos) anywhere in the corpus. The first occurrence is canonical
+    and never marked — removing all marked windows keeps exactly one copy
+    of every duplicated substring (within-document repeats included).
+
+    Scale: the gram build is the `_gram_rows` window (one split per doc);
+    the ranking shuffles on md5(window) — a content-derived, near-uniform
+    key, so no salting is needed. At 10^12 docs this is the same
+    shuffle-on-hash shape as minhash_signatures, and the w-token windows
+    never materialize the text twice (hash projected immediately)."""
+    grams = _gram_rows(documents, w, short_doc_whole=False, keep_pos=True)
+    occ = grams.select("doc_id", "pos", F.md5(F.col("shingle")).alias("h"))
+    win = W.partitionBy("h").orderBy("doc_id", "pos")
+    # rn > 1 alone marks duplicated occurrences: any second row under the
+    # same hash implies the hash occurs at least twice
+    ranked = occ.withColumn("rn", F.row_number().over(win))
+    return ranked.filter(F.col("rn") > 1).select("doc_id", "pos")
+
+
+def _doc_token_counts(documents: DataFrame) -> DataFrame:
+    text = F.coalesce(F.col("text"), F.lit(""))
+    return documents.select(
+        "doc_id", F.size(_tokens(text)).cast("long").alias("n_tokens")
+    )
+
+
+def duplicate_spans(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+    """Per-document duplicated-span profile (exact-substring dedup stats).
+
+    Every non-canonical duplicated w-token window (duplicate_span_windows)
+    covers tokens [pos, pos+w); overlapping windows are interval-unioned
+    with a running-max-end window (sorted sweep — one window shuffle on
+    doc_id, no explode of the covered range).
+
+    Output: (doc_id, n_tokens, dup_windows, dup_tokens, dup_frac) for
+    EVERY document (zeros when nothing is duplicated)."""
+    dups = duplicate_span_windows(documents, w)
+    ord_w = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + w).over(
+        ord_w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    # new coverage from this window = its end minus where covered ground
+    # already reaches (floored at its own start); positions are strictly
+    # increasing within a doc so this is the classic sorted interval union
+    inc = F.col("pos") + F.lit(w) - F.greatest(
+        F.coalesce(prev_end, F.col("pos")), F.col("pos")
+    )
+    per_doc = (
+        dups.withColumn("_inc", F.greatest(inc, F.lit(0)))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dup_windows"),
+            F.sum("_inc").alias("dup_tokens"),
+        )
+    )
+    base = _doc_token_counts(documents)
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),  # ANSI: no div-by-0
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def remove_duplicate_spans(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+    """Cleaned corpus: drop every token covered by a non-canonical
+    duplicated w-token window (the Lee-et-al cut — one copy of every
+    duplicated substring survives at its first occurrence). Whitespace is
+    normalized to single spaces: the semantics are token-granular.
+
+    Output: (doc_id, clean_text, n_kept, n_removed) for EVERY document
+    (clean_text = '' when the whole document was duplicated ground).
+
+    Scale: covered positions come from explode(sequence(pos, pos+w-1)) —
+    w rows per duplicated window, bounded by corpus dup mass, not corpus
+    size; the rebuild is one groupBy(doc_id) with an array_sort on
+    (pos, tok) structs, the same per-doc-bounded shape as the ordered
+    group-concat sink."""
+    dups = duplicate_span_windows(documents, w)
+    covered = dups.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + w - 1)).alias("pos"),
+    ).dropDuplicates(["doc_id", "pos"])
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = documents.select(
+        "doc_id", F.posexplode(_tokens(text)).alias("pos", "tok")
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    base = _doc_token_counts(documents)
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
     )

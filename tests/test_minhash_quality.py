@@ -324,3 +324,55 @@ def test_sentence_stats_hand_cases(spark):
     assert got[3] == (0, 0.0, 0)
     assert got[4] == (1, 21.0, 21)
     assert got[5][0] == 1  # dot without following whitespace is no boundary
+
+
+def test_duplicate_spans_hand_cases(spark):
+    """Ground truth for the exact-substring (Lee-et-al window) dedup:
+    verbatim dup fully covered, within-doc repeat caught, the canonical
+    first occurrence never marked, short/NULL docs untouched."""
+    w = 4
+    hand = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),                  # canonical source
+            (1, "a b c d e f"),                  # verbatim dup of doc 0
+            (2, "x y z w"),                      # unique single window
+            (3, "a b c d q r s t a b c d"),      # cross-doc + in-doc repeat
+            (4, "p q"),                          # shorter than w
+            (5, None),                           # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["dup_windows"], r["dup_tokens"], r["dup_frac"])
+        for r in textops.duplicate_spans(hand, w=w).collect()
+    }
+    assert stats[0] == (6, 0, 0, 0.0)  # earliest occurrence is canonical
+    assert stats[1] == (6, 3, 6, 1.0)  # every window dup -> full coverage
+    assert stats[2] == (4, 0, 0, 0.0)
+    # doc 3: "a b c d" at pos 0 and pos 8 are non-canonical (doc 0 owns it);
+    # interval union covers [0,4) + [8,12) = 8 of 12 tokens
+    assert stats[3] == (12, 2, 8, round(8 / 12, 6))
+    assert stats[4] == (2, 0, 0, 0.0)
+    assert stats[5] == (1, 0, 0, 0.0)  # NULL -> one empty token, no window
+
+    clean = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in textops.remove_duplicate_spans(hand, w=w).collect()
+    }
+    assert clean[0] == ("a b c d e f", 6, 0)
+    assert clean[1] == ("", 0, 6)  # fully duplicated -> empty survivor
+    assert clean[3] == ("q r s t", 4, 8)
+    assert clean[4] == ("p q", 2, 0)
+    assert clean[5] == ("", 1, 0)  # the empty token survives
+
+
+def test_duplicate_spans_plan_no_cartesian(spark):
+    """Both span-dedup plans must stay equi-join only (hash/doc keys)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (
+        textops.duplicate_spans(docs, w=textops.PARITY_SPAN_W),
+        textops.remove_duplicate_spans(docs, w=textops.PARITY_SPAN_W),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
