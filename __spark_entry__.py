@@ -628,6 +628,24 @@ def q_html_clean_corpus(spark, sf_dir):
     )
 
 
+def q_warc_ingest(spark, sf_dir):
+    """Distributed WARC-container ingestion: binaryFile scan -> one
+    mapInPandas record parser (no shuffle). The oracle is the expected
+    table staged from the SOURCE rows pre-encode, so the hash check
+    certifies the whole encode->decode round trip of the crawl format."""
+    from enem_spark.sources import warc
+
+    staged = warc.stage_warc_files(sf_dir)
+    recs = warc.read_warc(spark, staged["warc_dir"])
+    return recs.filter(F.col("error").isNull()).select(
+        "url",
+        "warc_date",
+        F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("html_len"),
+        "http_status",
+    )
+
+
 def q_html_dedup_paragraphs(spark, sf_dir):
     # full web pipeline: synth -> DOM extraction -> corpus-wide paragraph
     # dedup. The DuckDB twin COMPUTES the dedup with SQL windows over the
@@ -702,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_anchor_profile": q_html_anchor_profile,
         "html_paragraph_langid": q_html_paragraph_langid,
         "html_clean_corpus": q_html_clean_corpus,
+        "warc_ingest": q_warc_ingest,
     }
 
 
@@ -1619,7 +1638,17 @@ def oracle_sql() -> dict[str, str]:
     # their answers with DuckDB regexes; only the non-SQL-expressible DOM
     # classifier uses a materialized expected table (html_main).
     html_staged = stage_html_tables(oracle_sf)
+    # warc twin: expected table built from the SOURCE rows BEFORE encoding
+    # (enem_spark/sources/warc.py stage_warc_files), so the Spark side's
+    # hash certifies the encode->decode round trip of the container format
+    from enem_spark.sources.warc import stage_warc_files
+
+    warc_staged = stage_warc_files(oracle_sf)
     return {
+        "warc_ingest": f"""
+SELECT url, warc_date, html_md5, html_len, http_status
+FROM read_parquet('{warc_staged["expected"]}')
+""",
         "extract_questions": f"""
 SELECT url, seq, subject, question_num, "ID", correct_answer, question_text
 FROM read_parquet('{expected["extract_questions"]}')

@@ -1,0 +1,316 @@
+"""Distributed WARC ingestion: the Common Crawl container format.
+
+The north-rule input is an Iceberg-style table of Common-Crawl pages
+`(url, warc_ts, html, text, lang)`; upstream of that table sits the crawl
+archive itself — `.warc.gz` files of per-record gzip members. This module
+closes that gap: a deterministic pure-Python encoder (for fixtures and the
+driver's materialized oracle) and a Spark reader that turns a directory of
+WARC files into the pages table.
+
+Reader shape (the CC-standard processing granularity):
+  * `spark.read.format("binaryFile")` — one row per WARC file. CC shards
+    are ~1 GiB, so file granularity IS the partition granularity at scale;
+    Spark bin-packs small files via `spark.sql.files.maxPartitionBytes`
+    and a 1000-executor cluster simply gets one task per shard.
+  * ONE `mapInPandas` crossing parses records out of the bytes — no
+    shuffle anywhere in the ingest plan (guarded in tests/test_warc.py).
+  * Malformed records do not kill the file: the parser emits an error row
+    (url NULL, `error` set — the quarantine philosophy of F1,
+    enem_pdf_extractor.py:69-76, applied to the container format) and
+    resyncs at the next 'WARC/1.0' magic.
+
+Gzip handling: real CC files are CONCATENATED per-record gzip members (so
+readers can seek); the encoder writes exactly that (mtime=0 for
+determinism) and `gzip.GzipFile` transparently reads multi-member streams.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+WARC_MAGIC = b"WARC/1.0"
+EPOCH_S = 1704067200  # 2024-01-01T00:00:00Z — same epoch as documents_bridge
+
+READ_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_date", T.StringType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("warc_file", T.StringType(), False),
+        T.StructField("record_offset", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def iso_date(epoch_s: int) -> str:
+    return datetime.fromtimestamp(epoch_s, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
+def encode_record(
+    url: str, date: str, payload: bytes, status: int = 200
+) -> bytes:
+    """One WARC/1.0 response record wrapping an HTTP response."""
+    http = (
+        f"HTTP/1.1 {status} OK\r\n"
+        "Content-Type: text/html; charset=utf-8\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode() + payload
+    rec_id = hashlib.md5(f"{url}|{date}".encode()).hexdigest()
+    headers = (
+        WARC_MAGIC + b"\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Record-ID: <urn:md5:{rec_id}>\r\n".encode()
+        + f"WARC-Date: {date}\r\n".encode()
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n".encode()
+    )
+    return headers + b"\r\n" + http + b"\r\n\r\n"
+
+
+def encode_warcinfo(filename: str) -> bytes:
+    """Leading warcinfo record (CC files start with one; readers skip it)."""
+    body = b"software: enem-spark-warc/1.0\r\nformat: WARC File Format 1.0\r\n"
+    headers = (
+        WARC_MAGIC + b"\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        + f"WARC-Date: {iso_date(EPOCH_S)}\r\n".encode()
+        + f"WARC-Filename: {filename}\r\n".encode()
+        + b"Content-Type: application/warc-fields\r\n"
+        + f"Content-Length: {len(body)}\r\n".encode()
+    )
+    return headers + b"\r\n" + body + b"\r\n\r\n"
+
+
+def encode_warc_file(records: list[bytes], gzip_members: bool = True) -> bytes:
+    """Concatenate records into one file; gzip_members=True writes the CC
+    layout (one gzip member per record, mtime=0 for byte determinism)."""
+    if not gzip_members:
+        return b"".join(records)
+    return b"".join(
+        gzip.compress(r, compresslevel=6, mtime=0) for r in records
+    )
+
+
+def _maybe_gunzip(data: bytes) -> bytes:
+    if data[:2] == b"\x1f\x8b":
+        # GzipFile reads ALL concatenated members, not just the first
+        return gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+    return data
+
+
+def parse_warc_bytes(data: bytes, warc_file: str) -> list[dict]:
+    """Pure-Python record parser (runs inside the Arrow batch on executors;
+    also the driver oracle's staging parser). Returns one dict per response
+    record, plus error rows for malformed regions (resynced at the next
+    record magic)."""
+    data = _maybe_gunzip(data)
+    out: list[dict] = []
+    p = 0
+    n = len(data)
+
+    def err(offset: int, msg: str) -> None:
+        out.append(
+            {
+                "url": None,
+                "warc_date": None,
+                "html": None,
+                "http_status": None,
+                "warc_file": warc_file,
+                "record_offset": offset,
+                "error": msg,
+            }
+        )
+
+    while p < n:
+        while data.startswith(b"\r\n", p):
+            p += 2
+        if p >= n:
+            break
+        start = p
+        if not data.startswith(WARC_MAGIC, p):
+            err(start, "bad_magic")
+            nxt = data.find(WARC_MAGIC, p + 1)
+            if nxt < 0:
+                break
+            p = nxt
+            continue
+        head_end = data.find(b"\r\n\r\n", p)
+        if head_end < 0:
+            err(start, "truncated_header")
+            break
+        headers: dict[str, str] = {}
+        for line in data[p:head_end].split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.decode("ascii", "replace").strip().lower()] = (
+                    v.decode("utf-8", "replace").strip()
+                )
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            err(start, "bad_content_length")
+            nxt = data.find(WARC_MAGIC, head_end)
+            if nxt < 0:
+                break
+            p = nxt
+            continue
+        body_start = head_end + 4
+        body_end = body_start + clen
+        if body_end > n:
+            err(start, "truncated_payload")
+            break
+        payload = data[body_start:body_end]
+        p = body_end
+        if headers.get("warc-type") == "response":
+            http_end = payload.find(b"\r\n\r\n")
+            if http_end < 0:
+                err(start, "bad_http_payload")
+                continue
+            status_line = payload[:http_end].split(b"\r\n", 1)[0]
+            parts = status_line.split()
+            try:
+                status = int(parts[1])
+            except (IndexError, ValueError):
+                err(start, "bad_http_status")
+                continue
+            out.append(
+                {
+                    "url": headers.get("warc-target-uri"),
+                    "warc_date": headers.get("warc-date"),
+                    "html": payload[http_end + 4 :],
+                    "http_status": status,
+                    "warc_file": warc_file,
+                    "record_offset": start,
+                    "error": None,
+                }
+            )
+        # warcinfo / request / metadata records: skipped, no row
+    return out
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Directory (or glob) of .warc / .warc.gz files -> records DataFrame.
+
+    Plan: FileScan(binaryFile) -> one ArrowEvalPython — no exchange. The
+    `html` column is raw response-body bytes; join-ready with the pages
+    pipeline via `warc_pages`."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(
+                    parse_warc_bytes(bytes(content), os.path.basename(fpath))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in READ_SCHEMA.fields]
+            )
+
+    return files.select("path", "content").mapInPandas(parse, READ_SCHEMA)
+
+
+def warc_pages(records: DataFrame) -> DataFrame:
+    """Records -> the north-rule pages shape (url, warc_ts, html, text,
+    lang): good responses only; text/lang are NULL until extraction."""
+    ok = records.filter(
+        F.col("error").isNull() & (F.col("http_status") == 200)
+    )
+    return ok.select(
+        "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "warc_ts"
+        ),
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic staging for fixtures + the driver's materialized oracle.
+
+_STAGED: dict[str, dict[str, str]] = {}
+
+
+def stage_warc_files(
+    sf_dir: str, n_files: int = 8, gzip_members: bool = True
+) -> dict[str, str]:
+    """Stage (memoized per process) a WARC rendering of ``sf_dir``'s
+    documents table plus the expected-records parquet; returns
+    {"warc_dir": ..., "expected": ...}.
+
+    Pure Python (duckdb read, no SparkSession — callable from
+    oracle_sql()). Each document becomes one response record whose payload
+    is the SAME synthetic page `htmlops.html_for` emits, so WARC ingest
+    composes with the DOM-extraction chain; files are round-robin by
+    doc_id, records in doc_id order, one leading warcinfo record each. The
+    expected table is built from the SOURCE rows (pre-encode), so the
+    driver's hash check certifies the full encode->decode round trip."""
+    import duckdb
+
+    from ..htmlops import html_for, page_url
+
+    sf_dir = os.path.normpath(sf_dir)
+    if sf_dir in _STAGED:
+        return _STAGED[sf_dir]
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    base = os.path.join("/tmp", f"enem_warc_{tag}")
+    os.makedirs(base, exist_ok=True)
+    warc_dir = os.path.join(base, "warc")
+    os.makedirs(warc_dir, exist_ok=True)
+    expected_path = os.path.join(base, "warc_expected.parquet")
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text, lang, source FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+    per_file: list[list[bytes]] = [[] for _ in range(n_files)]
+    expected = []
+    for doc_id, text, lang, source in rows:
+        doc_id = int(doc_id)
+        url = page_url(doc_id, source)
+        date = iso_date(EPOCH_S + doc_id)
+        payload = html_for(doc_id, text, source, lang).encode("utf-8")
+        per_file[doc_id % n_files].append(encode_record(url, date, payload))
+        expected.append(
+            {
+                "url": url,
+                "warc_date": date,
+                "html_md5": hashlib.md5(payload).hexdigest(),
+                "html_len": len(payload),
+                "http_status": 200,
+            }
+        )
+
+    ext = ".warc.gz" if gzip_members else ".warc"
+    for i, recs in enumerate(per_file):
+        fname = f"crawl-{i:05d}{ext}"
+        blob = encode_warc_file(
+            [encode_warcinfo(fname)] + recs, gzip_members=gzip_members
+        )
+        with open(os.path.join(warc_dir, fname), "wb") as fh:
+            fh.write(blob)
+
+    pd.DataFrame(expected).astype(
+        {"html_len": "int64", "http_status": "int32"}
+    ).to_parquet(expected_path, index=False)
+
+    _STAGED[sf_dir] = {"warc_dir": warc_dir, "expected": expected_path}
+    return _STAGED[sf_dir]

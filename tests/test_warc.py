@@ -1,0 +1,115 @@
+"""WARC container source: encode/decode round trip, malformed-record
+quarantine + resync, warcinfo skipping, and the no-shuffle ingest plan."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from enem_spark.sources import warc
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sample_records(n=5):
+    recs = []
+    for i in range(n):
+        url = f"https://ex.com/p/{i}"
+        date = warc.iso_date(warc.EPOCH_S + i)
+        payload = (f"<html><body>doc {i} " + "x" * (50 + i) + "</body></html>").encode()
+        recs.append((url, date, payload))
+    return recs
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_round_trip_pure(gz):
+    recs = _sample_records()
+    blob = warc.encode_warc_file(
+        [warc.encode_warcinfo("f.warc")]
+        + [warc.encode_record(u, d, p) for u, d, p in recs],
+        gzip_members=gz,
+    )
+    rows = warc.parse_warc_bytes(blob, "f.warc")
+    assert [r["error"] for r in rows] == [None] * len(recs)  # warcinfo skipped
+    assert [(r["url"], r["warc_date"], r["html"]) for r in rows] == recs
+    assert all(r["http_status"] == 200 for r in rows)
+
+
+def test_gzip_encoding_is_deterministic():
+    recs = [warc.encode_record(u, d, p) for u, d, p in _sample_records()]
+    assert warc.encode_warc_file(recs) == warc.encode_warc_file(recs)
+
+
+def test_malformed_record_quarantined_and_resynced():
+    recs = _sample_records(3)
+    good = [warc.encode_record(u, d, p) for u, d, p in recs]
+    # garbage between record 0 and record 1: parser must emit an error row
+    # and pick up at the next magic
+    blob = good[0] + b"JUNK NOT A RECORD\r\n\r\n" + good[1] + good[2]
+    rows = warc.parse_warc_bytes(blob, "f.warc")
+    errs = [r for r in rows if r["error"]]
+    oks = [r for r in rows if not r["error"]]
+    assert len(errs) == 1 and errs[0]["error"] == "bad_magic"
+    assert [r["url"] for r in oks] == [u for u, _, _ in recs]
+
+    # payload cut short: quarantine, no crash, no partial row
+    trunc = good[0][:-20]  # cut inside the HTTP payload, headers intact
+    rows = warc.parse_warc_bytes(trunc, "t.warc")
+    assert [r["error"] for r in rows] == ["truncated_payload"]
+
+    # content-length header mangled: quarantine that record, resync to next
+    bad = good[0].replace(b"Content-Length:", b"Content-Lemgth:", 1)
+    rows = warc.parse_warc_bytes(bad + good[1], "c.warc")
+    assert [r["error"] for r in rows] == ["bad_content_length", None]
+    assert rows[1]["url"] == recs[1][0]
+
+
+def test_spark_read_matches_staged_expected(spark):
+    staged = warc.stage_warc_files(SF_DIR)
+    got = (
+        warc.read_warc(spark, staged["warc_dir"])
+        .filter(F.col("error").isNull())
+        .select("url", "warc_date", F.md5("html").alias("html_md5"))
+        .collect()
+    )
+    exp = spark.read.parquet(staged["expected"]).select(
+        "url", "warc_date", "html_md5"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert len(got) == 500
+
+
+def test_warc_pages_shape_and_plan(spark):
+    staged = warc.stage_warc_files(SF_DIR)
+    pages = warc.warc_pages(warc.read_warc(spark, staged["warc_dir"]))
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    row = pages.orderBy("url").first()
+    assert row["warc_ts"] is not None and isinstance(row["html"], (bytes, bytearray))
+    plan = pages._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "WARC ingest must not shuffle"
+    assert plan.count("ArrowEvalPython") <= 1 or "MapInPandas" in plan
+
+
+def test_html_payload_composes_with_dom_extraction(spark):
+    """WARC ingest -> DOM main-content extraction: the html payloads are
+    htmlops pages, so the chain recovers the same mains the html pipeline
+    does on its own synthetic pages."""
+    from enem_spark import htmlops
+
+    staged = warc.stage_warc_files(SF_DIR)
+    pages = warc.warc_pages(warc.read_warc(spark, staged["warc_dir"]))
+    # htmlops pages carry binary html payloads keyed by doc_id in the url
+    as_html = pages.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        "html",
+    )
+    main = htmlops.extract_main_content(as_html)
+    n_nonempty = main.filter(F.length("main_text") > 0).count()
+    assert n_nonempty == 500
