@@ -483,6 +483,27 @@ def q_dedup_spans_clean(spark, sf_dir):
     )
 
 
+def q_url_filter(spark, sf_dir):
+    """Crawl-frontier URL filter: 8 deterministic variants per doc cycling
+    every rule (good / scheme / ad host / tracker host / binary ext / deep
+    path / long query / long url), classified by the codegen rule chain."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 8
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/a/b/"), sid))
+        .when(v == 1, F.concat(F.lit("ftp://files."), F.col("source"), F.lit(".com/"), sid))
+        .when(v == 2, F.concat(F.lit("https://ads.example.com/c/"), sid))
+        .when(v == 3, F.concat(F.lit("http://trk.tracker"), sid, F.lit(".net/x")))
+        .when(v == 4, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/img/"), sid, F.lit(".JPG")))
+        .when(v == 5, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/a/b/c/d/e/f/g/h/i/"), sid))
+        .when(v == 6, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/s?q="), F.repeat(F.lit("x"), 200)))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/"), F.repeat(F.lit("p/"), 4), F.repeat(F.lit("y"), 600)))
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return textops.crawl_url_filter(urls)
+
+
 def q_dedup_clusters(spark, sf_dir):
     # parity LSH config — must mirror the DuckDB twin's candidate set
     return textops.dedup_clusters(
@@ -689,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_dedup_exact": q_incr_dedup_exact,
         "incr_dedup_minhash": q_incr_dedup_minhash,
         "url_canonicalize": q_url_canonicalize,
+        "url_filter": q_url_filter,
         "boilerplate_strip": q_boilerplate_strip,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
@@ -1173,6 +1195,51 @@ SELECT b.doc_id,
        CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
        CAST(b.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
 FROM base b LEFT JOIN reb r USING (doc_id)
+"""
+
+
+def _url_filter_sql() -> str:
+    """Twin of textops.crawl_url_filter over the same 8 synthetic
+    variants; DuckDB computes the rule chain with its own regex engine."""
+    exts = ", ".join(f"'{e}'" for e in textops.CRAWL_BAD_EXTS)
+    hosts = ", ".join(f"'{h}'" for h in textops.CRAWL_BLOCKED_HOSTS)
+    return rf"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 8 AS INT)
+      WHEN 0 THEN 'https://' || source || '.example.com/a/b/' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN 'ftp://files.' || source || '.com/' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://ads.example.com/c/' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN 'http://trk.tracker' || CAST(doc_id AS VARCHAR) || '.net/x'
+      WHEN 4 THEN 'https://' || source || '.example.com/img/' || CAST(doc_id AS VARCHAR) || '.JPG'
+      WHEN 5 THEN 'https://' || source || '.example.com/a/b/c/d/e/f/g/h/i/' || CAST(doc_id AS VARCHAR)
+      WHEN 6 THEN 'https://' || source || '.example.com/s?q=' || repeat('x', 200)
+      ELSE 'https://' || source || '.example.com/' || repeat('p/', 4) || repeat('y', 600)
+    END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':\d+$', '') AS bare_host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM urls
+),
+classified AS (
+  SELECT doc_id, url,
+    CASE
+      WHEN scheme NOT IN ('http', 'https') THEN 'scheme'
+      WHEN bare_host IN ({hosts}) OR bare_host LIKE '%tracker%' THEN 'blocked_host'
+      WHEN lower(regexp_extract(path, '\.([A-Za-z0-9]+)$', 1)) IN ({exts}) THEN 'binary_ext'
+      WHEN length(path) - length(replace(path, '/', '')) > 8 THEN 'deep_path'
+      WHEN length(url) > 512 THEN 'long_url'
+      WHEN length(query) > 128 THEN 'long_query'
+      ELSE 'ok'
+    END AS reason
+  FROM parts
+)
+SELECT doc_id, url, (reason = 'ok') AS keep, reason FROM classified
 """
 
 
@@ -1915,6 +1982,7 @@ FROM documents GROUP BY 1
         "incr_dedup_exact": _INCR_EXACT_SQL,
         "incr_dedup_minhash": _incr_minhash_sql(0.5),
         "url_canonicalize": _URL_CANON_SQL,
+        "url_filter": _url_filter_sql(),
         "boilerplate_strip": _BOILER_SQL,
         "pii_scrub": _PII_SQL,
         "decontaminate": _DECON_SQL,

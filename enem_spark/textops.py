@@ -1161,6 +1161,64 @@ def fingerprint(documents: DataFrame, k: int = 4) -> DataFrame:
     )
 
 
+# Crawl-frontier URL filtering (the gate BEFORE fetch: every rejected url
+# saves a whole request + parse at crawl scale). First-match-wins rule
+# chain, all plain regexps (no lookaround) so the DuckDB twin computes the
+# same answer with its own regex engine.
+CRAWL_BAD_EXTS = (
+    "jpg jpeg png gif webp bmp ico svg css js mjs woff woff2 ttf eot "
+    "mp3 mp4 avi mov mkv webm zip gz tgz tar rar 7z exe dmg iso bin"
+).split()
+CRAWL_BLOCKED_HOSTS = ("ads.example.com",)
+
+
+def crawl_url_filter(
+    urls: DataFrame,
+    max_depth: int = 8,
+    max_url_len: int = 512,
+    max_query_len: int = 128,
+) -> DataFrame:
+    """(doc_id, url) -> (doc_id, url, keep, reason). Reasons, first match
+    wins: scheme (not http/https), blocked_host (ad/tracker hosts),
+    binary_ext (non-text asset extension), deep_path (> max_depth '/'
+    segments — crawler-trap heuristic), long_url, long_query; else 'ok'.
+
+    Scale: pure projection — no shuffle, no UDF; runs inside whole-stage
+    codegen at the scan, so the frontier filter is free at 10^12 urls."""
+    url = F.col("url")
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    # host WITHOUT port for list membership
+    bare_host = F.regexp_replace(host, r":\d+$", "")
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1))
+    depth = F.length(path) - F.length(F.regexp_replace(path, r"/", ""))
+    reason = (
+        F.when(~scheme.isin("http", "https"), F.lit("scheme"))
+        .when(
+            bare_host.isin(*CRAWL_BLOCKED_HOSTS)
+            | bare_host.contains("tracker"),
+            F.lit("blocked_host"),
+        )
+        .when(ext.isin(*CRAWL_BAD_EXTS), F.lit("binary_ext"))
+        .when(depth > max_depth, F.lit("deep_path"))
+        .when(F.length(url) > max_url_len, F.lit("long_url"))
+        .when(F.length(query) > max_query_len, F.lit("long_query"))
+        .otherwise(F.lit("ok"))
+    )
+    return urls.select(
+        "doc_id",
+        "url",
+        (reason == "ok").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 # Exact-substring dedup window (token granularity). 50 tokens is the
 # operating point of Lee et al. 2022, "Deduplicating Training Data Makes
 # Language Models Better" (their suffix-array threshold, rebuilt here as a

@@ -376,3 +376,30 @@ def test_duplicate_spans_plan_no_cartesian(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_crawl_url_filter_hand_cases(spark):
+    """First-match-wins rule chain of the frontier filter."""
+    cases = [
+        (0, "https://ok.example.com/a/b/1", True, "ok"),
+        (1, "ftp://files.x.com/1", False, "scheme"),
+        (2, "https://ads.example.com/c", False, "blocked_host"),
+        (3, "http://my.tracker.net:8080/x", False, "blocked_host"),
+        (4, "https://x.com/img/photo.JPG", False, "binary_ext"),
+        (5, "https://x.com/a/b/c/d/e/f/g/h/i/j", False, "deep_path"),
+        (6, "https://x.com/s?q=" + "x" * 200, False, "long_query"),
+        (7, "https://x.com/" + "y" * 600, False, "long_url"),
+        # ext check beats path depth; uppercase scheme still passes
+        (8, "HTTPS://x.com/a/b/c/d/e/f/g/h/i/pic.png", False, "binary_ext"),
+        # dotted final segment with non-listed ext is fine
+        (9, "https://x.com/page.html", True, "ok"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _, _ in cases], "doc_id long, url string"
+    )
+    got = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in textops.crawl_url_filter(df).collect()
+    }
+    for i, _, keep, reason in cases:
+        assert got[i] == (keep, reason), (i, got[i], keep, reason)
