@@ -14,6 +14,7 @@ oracle_sql()  — ANSI-SQL twins runnable by DuckDB on the same parquet views.
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
@@ -667,6 +668,59 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+def q_iceberg_scan(spark, sf_dir):
+    """Iceberg-style table scan with hidden-partition pruning: the filter is
+    on the SOURCE column warc_ts; the days(warc_ts) transform prunes whole
+    partition days at the manifest level before Spark ever lists a file.
+    The oracle is the staged source frame pre-write, so the hash match
+    certifies the full write -> manifest -> prune -> read round trip."""
+    from enem_spark.sources import icetable
+
+    staged = icetable.stage_ice_pages(sf_dir)
+    t = icetable.IceTable(spark, staged["table"])
+    cutoff = datetime(2024, 1, 3, 0, 0, 0)
+    return t.read([("warc_ts", ">=", cutoff)]).select(
+        "url",
+        F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("html_len"),
+        F.md5("text").alias("text_md5"),
+        "lang",
+    )
+
+
+def q_iceberg_time_travel(spark, sf_dir):
+    """Snapshot time travel: aggregate the FIRST crawl (as_of its logical
+    sequence) after the table was since overwritten by the re-crawl — the
+    read resolves the old snapshot's closed manifest set."""
+    from enem_spark.sources import icetable
+
+    staged = icetable.stage_ice_pages(sf_dir)
+    t = icetable.IceTable(spark, staged["table"])
+    return (
+        t.read(as_of=icetable.SEQ_OLD)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("text")).cast("long").alias("sum_text_chars"),
+            F.count_distinct("url").alias("n_urls"),
+        )
+    )
+
+
+def q_crawl_delta(spark, sf_dir):
+    """Incremental-crawl CDC between the two icetable snapshots: one
+    full-outer join on url over md5 content digests (wide rows never pass
+    the project). The DuckDB twin recomputes the classification from the
+    staged source frames."""
+    from enem_spark.sources import icetable
+
+    staged = icetable.stage_ice_pages(sf_dir)
+    t = icetable.IceTable(spark, staged["table"])
+    return icetable.snapshot_delta(
+        t, staged["snap_old"], staged["snap_new"], key="url", content_cols=("text",)
+    )
+
+
 def q_html_dedup_paragraphs(spark, sf_dir):
     # full web pipeline: synth -> DOM extraction -> corpus-wide paragraph
     # dedup. The DuckDB twin COMPUTES the dedup with SQL windows over the
@@ -743,6 +797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_paragraph_langid": q_html_paragraph_langid,
         "html_clean_corpus": q_html_clean_corpus,
         "warc_ingest": q_warc_ingest,
+        "iceberg_scan": q_iceberg_scan,
+        "iceberg_time_travel": q_iceberg_time_travel,
+        "crawl_delta": q_crawl_delta,
     }
 
 
@@ -1711,7 +1768,36 @@ def oracle_sql() -> dict[str, str]:
     from enem_spark.sources.warc import stage_warc_files
 
     warc_staged = stage_warc_files(oracle_sf)
+    # icetable twins: expected tables are the SOURCE frames staged BEFORE
+    # the pure-Python writer builds the table, so the scan/time-travel
+    # hashes certify the write->manifest->prune->read round trip and the
+    # delta twin COMPUTES the CDC classification from first principles
+    from enem_spark.sources.icetable import stage_ice_pages
+
+    ice_staged = stage_ice_pages(oracle_sf)
     return {
+        "iceberg_scan": f"""
+SELECT url, html_md5, html_len, md5(text) AS text_md5, lang
+FROM read_parquet('{ice_staged["expected_new"]}')
+WHERE warc_ts >= TIMESTAMP '2024-01-03 00:00:00'
+""",
+        "iceberg_time_travel": f"""
+SELECT lang, count(*) AS n_pages,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
+       count(DISTINCT url) AS n_urls
+FROM read_parquet('{ice_staged["expected_old"]}')
+GROUP BY lang
+""",
+        "crawl_delta": f"""
+SELECT coalesce(o.url, n.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN n.url IS NULL THEN 'removed'
+            WHEN o.text <> n.text THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM read_parquet('{ice_staged["expected_old"]}') o
+FULL OUTER JOIN read_parquet('{ice_staged["expected_new"]}') n
+  ON o.url = n.url
+""",
         "warc_ingest": f"""
 SELECT url, warc_date, html_md5, html_len, http_status
 FROM read_parquet('{warc_staged["expected"]}')

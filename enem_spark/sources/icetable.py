@@ -1,0 +1,1015 @@
+"""Iceberg-style table layer over parquet: snapshots, manifests, pruning.
+
+The north rule targets "Iceberg tables of Common-Crawl-style web pages at
+10^12-document scale".  The sandbox has no Iceberg runtime jars, so this
+module rebuilds the *table-format layer* that makes Iceberg work at that
+scale — from the public spec (https://iceberg.apache.org/spec/), not any
+implementation:
+
+  * **Metadata tree, not directory listing.**  A committed version file
+    (``metadata/v{N}.json``) points at manifest files; each manifest lists
+    data files with their partition tuple, record count and per-column
+    min/max bounds.  Planning a scan is O(manifest entries) driver-side
+    metadata work — at 10^12 documents an object-store ``LIST`` of the data
+    prefix is the thing that cannot happen, and never does here.
+  * **Hidden partitioning via transforms** (`identity`, ``days(ts)``,
+    ``bucket(n, col)``).  Queries filter on *source* columns (``warc_ts``,
+    ``url``); pruning maps the predicate through the transform to partition
+    values.  Data files keep every schema column (Iceberg semantics — the
+    partition tuple lives in the manifest, not carved out of the rows the
+    way Hive-style ``partitionBy`` does), so readers never depend on path
+    reconstruction.
+  * **Atomic commits.**  A commit writes its data files and manifest first,
+    then creates ``v{N+1}.json`` with ``O_CREAT|O_EXCL`` — the version file
+    is the single commit point (same shape as lineage.py's runs marker). A
+    concurrent committer loses the race and gets ``CommitConflict`` to
+    retry on fresh metadata; a crash before the version file leaves only
+    unreferenced files that the next commit ignores.
+  * **Snapshot isolation + time travel.**  Readers resolve a snapshot once
+    (latest, by id, or ``as_of`` a sequence number) and only ever see the
+    closed set of files its manifests reference.
+  * **Metadata-only deletes.**  ``delete_where`` on a partition-aligned
+    predicate rewrites manifests to drop whole files — zero data IO, the
+    Iceberg "drop a crawl" operation.
+  * **Schema evolution.**  Appends may add columns; the merged schema lives
+    in table metadata (never inferred from footers), and old files read
+    back with nulls for the new columns.  Renames/drops would need Iceberg
+    field-ids and are out of scope (documented divergence).
+
+Determinism: nothing here calls the clock — snapshot ``sequence`` numbers
+are caller-supplied logical times, and bucket transforms use md5 (not
+builtin ``hash``), so staging in pure Python and writing from Spark agree
+byte-for-byte.
+
+Reference parity note: the reference repo (enem_pdf_extractor.py) has no
+table format at all — it globs a local directory per run.  This module is
+the engine extension SURVEY.md §2.9-style: what replaces that glob when the
+corpus is 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import urllib.parse
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+FORMAT_VERSION = 1
+_PART_DIR = "__part"  # synthetic partition dir level (see module docstring)
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this writer raced for."""
+
+
+# ---------------------------------------------------------------------------
+# Partition transforms (hidden partitioning)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Transform:
+    """One partition field: ``name = kind(source_col[, param])``."""
+
+    name: str
+    kind: str  # identity | days | bucket
+    source: str
+    param: int | None = None
+
+    def to_json(self) -> dict:
+        return {
+            "name": self.name,
+            "kind": self.kind,
+            "source": self.source,
+            "param": self.param,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Transform":
+        return Transform(d["name"], d["kind"], d["source"], d.get("param"))
+
+
+def _bucket_of(value: Any, n: int) -> int:
+    # md5-based so the Spark expression below and pure-Python staging agree;
+    # Iceberg uses murmur3-32 — same role, different constant (documented).
+    digest = hashlib.md5(str(value).encode("utf-8")).hexdigest()[:8]
+    return int(digest, 16) % n
+
+
+def _days_of(ts: Any) -> int:
+    if isinstance(ts, str):
+        ts = datetime.fromisoformat(ts)
+    if isinstance(ts, datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        return int(ts.timestamp()) // 86400
+    return int(ts) // 86400
+
+
+def transform_value(t: Transform, value: Any) -> str:
+    """Partition value (as the canonical string stored in manifests)."""
+    if t.kind == "identity":
+        return str(value)
+    if t.kind == "days":
+        return str(_days_of(value))
+    if t.kind == "bucket":
+        return str(_bucket_of(value, int(t.param)))
+    raise ValueError(f"unknown transform kind: {t.kind}")
+
+
+def _transform_col(t: Transform) -> F.Column:
+    """The same transform as a JVM-side Column (for the Spark write path)."""
+    col = F.col(t.source)
+    if t.kind == "identity":
+        return col.cast("string")
+    if t.kind == "days":
+        return F.floor(F.unix_timestamp(col) / F.lit(86400)).cast("string")
+    if t.kind == "bucket":
+        hashed = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        return (hashed.cast("long") % F.lit(int(t.param))).cast("string")
+    raise ValueError(f"unknown transform kind: {t.kind}")
+
+
+def partition_dir(transforms: Sequence[Transform], values: dict[str, str]) -> str:
+    """``__part=<escaped k=v|k=v>`` — one synthetic dir level for any arity."""
+    blob = "|".join(f"{t.name}={values[t.name]}" for t in transforms)
+    return f"{_PART_DIR}={urllib.parse.quote(blob, safe='')}"
+
+
+def _parse_partition_dir(rel_path: str, transforms: Sequence[Transform]) -> dict[str, str]:
+    for seg in rel_path.split(os.sep):
+        if seg.startswith(_PART_DIR + "="):
+            blob = urllib.parse.unquote(seg[len(_PART_DIR) + 1 :])
+            out: dict[str, str] = {}
+            for item in blob.split("|"):
+                k, _, v = item.partition("=")
+                out[k] = v
+            return out
+    return {}
+
+
+# ---------------------------------------------------------------------------
+# Parquet footer stats -> manifest entries
+# ---------------------------------------------------------------------------
+
+_STAT_TYPES = (int, float, str, bool)
+
+
+def _json_safe_bound(v: Any) -> Any:
+    if isinstance(v, bytes):
+        return None  # binary bounds not tracked (Iceberg truncates; we skip)
+    if isinstance(v, datetime):
+        # naive UTC isoformat sorts lexicographically == chronologically
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _STAT_TYPES):
+        return v
+    return None
+
+
+def _file_entry(
+    abs_path: str, table_root: str, transforms: Sequence[Transform]
+) -> dict:
+    import pyarrow.parquet as pq
+
+    rel = os.path.relpath(abs_path, table_root)
+    meta = pq.ParquetFile(abs_path).metadata
+    bounds: dict[str, list] = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            stats = col.statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            lo = _json_safe_bound(stats.min)
+            hi = _json_safe_bound(stats.max)
+            if lo is None or hi is None:
+                continue
+            name = col.path_in_schema
+            if name in bounds:
+                bounds[name] = [min(bounds[name][0], lo), max(bounds[name][1], hi)]
+            else:
+                bounds[name] = [lo, hi]
+    return {
+        "path": rel,
+        "records": meta.num_rows,
+        "bytes": os.path.getsize(abs_path),
+        "partition": _parse_partition_dir(rel, transforms),
+        "bounds": bounds,
+    }
+
+
+def _scan_commit_dir(
+    commit_dir: str, table_root: str, transforms: Sequence[Transform]
+) -> list[dict]:
+    entries = []
+    for dirpath, _dirnames, filenames in os.walk(commit_dir):
+        for fname in sorted(filenames):
+            if fname.endswith(".parquet"):
+                entries.append(
+                    _file_entry(os.path.join(dirpath, fname), table_root, transforms)
+                )
+    entries.sort(key=lambda e: e["path"])
+    return entries
+
+
+# ---------------------------------------------------------------------------
+# Predicate -> partition/bounds pruning
+# ---------------------------------------------------------------------------
+
+_OPS = {"=", "<", "<=", ">", ">=", "in"}
+
+
+def _coerce_pair(a: Any, b: Any) -> tuple[Any, Any] | None:
+    """Coerce a bound and a literal to a comparable pair, else None."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return (bool(a), bool(b))
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return (a, b)
+    if isinstance(b, datetime):
+        b = _json_safe_bound(b)
+    if isinstance(a, str) and isinstance(b, str):
+        return (a, b)
+    try:
+        return (float(a), float(b))
+    except (TypeError, ValueError):
+        return None
+
+
+def _range_disjoint(lo: Any, hi: Any, op: str, lit: Any) -> bool:
+    """True only if [lo, hi] provably contains NO row matching ``op lit``."""
+    pair_lo = _coerce_pair(lo, lit)
+    pair_hi = _coerce_pair(hi, lit)
+    if pair_lo is None or pair_hi is None:
+        return False
+    lo_c, lit_c = pair_lo
+    hi_c, _ = pair_hi
+    if op == "=":
+        return lit_c < lo_c or lit_c > hi_c
+    if op == "<":
+        return lo_c >= lit_c
+    if op == "<=":
+        return lo_c > lit_c
+    if op == ">":
+        return hi_c <= lit_c
+    if op == ">=":
+        return hi_c < lit_c
+    return False
+
+
+def _keep_file(
+    entry: dict, filters: Sequence[tuple], transforms: Sequence[Transform]
+) -> bool:
+    by_source = {t.source: t for t in transforms}
+    for col, op, lit in filters:
+        if op not in _OPS:
+            raise ValueError(f"unsupported filter op: {op!r}")
+        # 1) transform-aware partition pruning on source columns
+        t = by_source.get(col)
+        if t is not None and t.name in entry["partition"]:
+            pv = entry["partition"][t.name]
+            if t.kind == "identity":
+                if op == "=" and str(lit) != pv:
+                    return False
+                if op == "in" and all(str(x) != pv for x in lit):
+                    return False
+                if op in ("<", "<=", ">", ">="):
+                    pair = _coerce_pair(pv, lit)
+                    if pair is not None and _range_disjoint(pair[0], pair[0], op, pair[1]):
+                        return False
+            elif t.kind == "days":
+                day = int(pv)
+                # conservative: a file's partition day d covers [d, d]
+                if op in ("=", "<", "<=", ">", ">="):
+                    lit_day = _days_of(lit)
+                    # day-granular: <=/>= widen by nothing; </> widen by 0/0
+                    # because a timestamp strictly inside day d still lives
+                    # in partition d — compare at day granularity inclusively
+                    if op == "=" and lit_day != day:
+                        return False
+                    if op in ("<", "<=") and day > lit_day:
+                        return False
+                    if op in (">", ">=") and day < lit_day:
+                        return False
+                elif op == "in":
+                    if all(_days_of(x) != day for x in lit):
+                        return False
+            elif t.kind == "bucket":
+                if op == "=" and _bucket_of(lit, int(t.param)) != int(pv):
+                    return False
+                if op == "in" and all(
+                    _bucket_of(x, int(t.param)) != int(pv) for x in lit
+                ):
+                    return False
+        # 2) min/max bounds pruning on any column with footer stats
+        if col in entry["bounds"]:
+            lo, hi = entry["bounds"][col]
+            if op == "in":
+                if all(_range_disjoint(lo, hi, "=", x) for x in lit):
+                    return False
+            elif _range_disjoint(lo, hi, op, lit):
+                return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# The table
+# ---------------------------------------------------------------------------
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _version_file(path: str, v: int) -> str:
+    return os.path.join(_meta_dir(path), f"v{v:05d}.json")
+
+
+def current_version(path: str) -> int:
+    """Highest committed version, -1 if the table doesn't exist yet.
+
+    O(#versions) metadata listing — never touches the data prefix."""
+    md = _meta_dir(path)
+    if not os.path.isdir(md):
+        return -1
+    best = -1
+    for name in os.listdir(md):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                best = max(best, int(name[1:-5]))
+            except ValueError:
+                continue
+    return best
+
+
+def _atomic_create(path: str, payload: dict) -> None:
+    """O_CREAT|O_EXCL write — the commit point. Loser raises CommitConflict."""
+    blob = json.dumps(payload, indent=1, sort_keys=True).encode("utf-8")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise CommitConflict(f"lost commit race for {os.path.basename(path)}")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(blob)
+            fh.flush()
+            os.fsync(fh.fileno())
+    finally:
+        os.unlink(tmp)
+
+
+def _merge_schema(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Add-column evolution: old field order kept, new fields appended."""
+    have = {f.name for f in old.fields}
+    fields = list(old.fields)
+    for f in new.fields:
+        if f.name not in have:
+            fields.append(T.StructField(f.name, f.dataType, True))
+        else:
+            old_f = next(g for g in old.fields if g.name == f.name)
+            if old_f.dataType != f.dataType:
+                raise ValueError(
+                    f"type change on column {f.name!r} "
+                    f"({old_f.dataType} -> {f.dataType}) needs field-id "
+                    "evolution, which this shim does not implement"
+                )
+    return T.StructType(fields)
+
+
+class IceTable:
+    """Handle on an icetable directory. Cheap to construct; metadata is
+    loaded lazily per read and re-read per commit (optimistic concurrency).
+    """
+
+    def __init__(self, spark: SparkSession | None, path: str):
+        self.spark = spark
+        self.path = os.path.normpath(path)
+
+    # -- metadata ----------------------------------------------------------
+
+    def exists(self) -> bool:
+        return current_version(self.path) >= 0
+
+    def metadata(self, version: int | None = None) -> dict:
+        v = current_version(self.path) if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no icetable at {self.path}")
+        with open(_version_file(self.path, v)) as fh:
+            return json.load(fh)
+
+    def snapshots(self) -> list[dict]:
+        return self.metadata()["snapshots"]
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(self.metadata(version)["schema"])
+
+    def transforms(self, version: int | None = None) -> list[Transform]:
+        return [Transform.from_json(d) for d in self.metadata(version)["partition_by"]]
+
+    def _resolve_snapshot(
+        self, meta: dict, snapshot_id: int | None, as_of: int | None
+    ) -> dict:
+        snaps = meta["snapshots"]
+        if snapshot_id is not None:
+            for s in snaps:
+                if s["snapshot_id"] == snapshot_id:
+                    return s
+            raise KeyError(f"snapshot {snapshot_id} not in {self.path}")
+        if as_of is not None:
+            live = [s for s in snaps if s["sequence"] <= as_of]
+            if not live:
+                raise KeyError(f"no snapshot at or before sequence {as_of}")
+            return max(live, key=lambda s: s["sequence"])
+        return next(s for s in snaps if s["snapshot_id"] == meta["current_snapshot_id"])
+
+    def _manifest_entries(self, snap: dict) -> list[dict]:
+        out = []
+        for mpath in snap["manifests"]:
+            with open(os.path.join(self.path, mpath)) as fh:
+                out.extend(json.load(fh)["entries"])
+        return out
+
+    # -- scan planning -----------------------------------------------------
+
+    def plan_files(
+        self,
+        filters: Sequence[tuple] | None = None,
+        snapshot_id: int | None = None,
+        as_of: int | None = None,
+    ) -> tuple[list[str], dict]:
+        """Manifest-level scan plan: (kept absolute file paths, report).
+
+        Driver-side metadata work only — O(manifest entries), no listing of
+        the data prefix, no footer reads (bounds were captured at commit)."""
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta, snapshot_id, as_of)
+        transforms = [Transform.from_json(d) for d in meta["partition_by"]]
+        entries = self._manifest_entries(snap)
+        filters = list(filters or [])
+        kept = [e for e in entries if _keep_file(e, filters, transforms)]
+        report = {
+            "snapshot_id": snap["snapshot_id"],
+            "sequence": snap["sequence"],
+            "files_total": len(entries),
+            "files_kept": len(kept),
+            "records_total": sum(e["records"] for e in entries),
+            "records_kept_max": sum(e["records"] for e in kept),
+            "bytes_kept": sum(e["bytes"] for e in kept),
+        }
+        return [os.path.join(self.path, e["path"]) for e in kept], report
+
+    def read(
+        self,
+        filters: Sequence[tuple] | None = None,
+        snapshot_id: int | None = None,
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """Snapshot-isolated read of the pruned file set.
+
+        The residual predicate is applied row-level too (pruning is
+        conservative), so callers get exact filter semantics; Spark also
+        pushes it into the parquet scan for row-group skipping."""
+        assert self.spark is not None, "read() needs a SparkSession"
+        meta = self.metadata()
+        schema = T.StructType.fromJson(meta["schema"])
+        files, _report = self.plan_files(filters, snapshot_id, as_of)
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*files)
+        for col, op, lit in filters or []:
+            c = F.col(col)
+            if op == "=":
+                df = df.filter(c == F.lit(lit))
+            elif op == "<":
+                df = df.filter(c < F.lit(lit))
+            elif op == "<=":
+                df = df.filter(c <= F.lit(lit))
+            elif op == ">":
+                df = df.filter(c > F.lit(lit))
+            elif op == ">=":
+                df = df.filter(c >= F.lit(lit))
+            elif op == "in":
+                df = df.filter(c.isin(list(lit)))
+        return df
+
+    # -- commits -----------------------------------------------------------
+
+    def _commit(
+        self,
+        operation: str,
+        new_entries: list[dict],
+        sequence: int,
+        df_schema: T.StructType | None,
+        keep_parent_manifests: bool,
+        manifest_filter=None,
+        base_version: int | None = None,
+    ) -> dict:
+        """Commit against the metadata observed at ``base_version`` (the
+        version read when the operation STARTED). The new version file is
+        created at exactly base+1 with O_EXCL, so a writer that committed
+        in between makes this one fail with CommitConflict — optimistic
+        concurrency, never a silent rebase onto unseen metadata. The caller
+        retries from fresh metadata (re-writing its data files: attempt
+        data dirs are keyed by target version, so a retry gets a new dir)."""
+        v = current_version(self.path) if base_version is None else base_version
+        if v < 0:
+            raise FileNotFoundError(f"no icetable at {self.path}; use create()")
+        meta = self.metadata(v)
+        snap_id = meta["current_snapshot_id"] + 1
+        old_schema = T.StructType.fromJson(meta["schema"])
+        schema = _merge_schema(old_schema, df_schema) if df_schema else old_schema
+
+        manifests: list[str] = []
+        if keep_parent_manifests:
+            parent = self._resolve_snapshot(meta, None, None)
+            if manifest_filter is None:
+                manifests = list(parent["manifests"])
+            else:
+                # rewrite manifests dropping filtered files (metadata-only)
+                for i, mpath in enumerate(parent["manifests"]):
+                    with open(os.path.join(self.path, mpath)) as fh:
+                        entries = json.load(fh)["entries"]
+                    survivors = [e for e in entries if manifest_filter(e)]
+                    if len(survivors) == len(entries):
+                        manifests.append(mpath)
+                        continue
+                    if not survivors:
+                        continue
+                    rel = os.path.join(
+                        "metadata", f"manifest-{snap_id:05d}-r{i:03d}.json"
+                    )
+                    with open(os.path.join(self.path, rel), "w") as fh:
+                        json.dump({"entries": survivors}, fh, indent=1)
+                    manifests.append(rel)
+        if new_entries:
+            rel = os.path.join("metadata", f"manifest-{snap_id:05d}.json")
+            with open(os.path.join(self.path, rel), "w") as fh:
+                json.dump({"entries": new_entries}, fh, indent=1)
+            manifests.append(rel)
+
+        snap = {
+            "snapshot_id": snap_id,
+            "parent_id": meta["current_snapshot_id"],
+            "sequence": sequence,
+            "operation": operation,
+            "manifests": manifests,
+            "summary": {
+                "added_files": len(new_entries),
+                "added_records": sum(e["records"] for e in new_entries),
+            },
+        }
+        new_meta = {
+            "format_version": FORMAT_VERSION,
+            "schema": json.loads(schema.json()),
+            "partition_by": meta["partition_by"],
+            "current_snapshot_id": snap_id,
+            "snapshots": meta["snapshots"] + [snap],
+        }
+        _atomic_create(_version_file(self.path, v + 1), new_meta)
+        return snap
+
+    def _write_data(self, df: DataFrame, snap_hint: int) -> list[dict]:
+        transforms = self.transforms()
+        commit_dir = os.path.join(self.path, "data", f"c{snap_hint:05d}")
+        staged = df
+        if transforms:
+            parts = [
+                F.concat(F.lit(f"{t.name}="), _transform_col(t))
+                for t in transforms
+            ]
+            staged = df.withColumn(
+                _PART_DIR, F.concat_ws("|", *parts)
+            ).repartition(_PART_DIR)
+            staged.write.mode("overwrite").partitionBy(_PART_DIR).parquet(commit_dir)
+        else:
+            staged.write.mode("overwrite").parquet(commit_dir)
+        # partition dirs written by Spark are url-encoded already for the
+        # synthetic column; entries are parsed back from the path
+        return _scan_commit_dir(commit_dir, self.path, transforms)
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        partition_by: Sequence[Transform] = (),
+        sequence: int = 0,
+    ) -> "IceTable":
+        t = cls(spark, path)
+        os.makedirs(_meta_dir(path), exist_ok=True)
+        if current_version(path) >= 0:
+            raise FileExistsError(f"icetable already exists at {path}")
+        meta0 = {
+            "format_version": FORMAT_VERSION,
+            "schema": json.loads(df.schema.json()),
+            "partition_by": [x.to_json() for x in partition_by],
+            "current_snapshot_id": 0,
+            "snapshots": [
+                {
+                    "snapshot_id": 0,
+                    "parent_id": None,
+                    "sequence": sequence - 1,
+                    "operation": "create",
+                    "manifests": [],
+                    "summary": {"added_files": 0, "added_records": 0},
+                }
+            ],
+        }
+        _atomic_create(_version_file(path, 0), meta0)
+        t.append(df, sequence=sequence)
+        return t
+
+    def append(self, df: DataFrame, sequence: int) -> dict:
+        base = current_version(self.path)
+        entries = self._write_data(df, base + 1)
+        return self._commit(
+            "append", entries, sequence, df.schema, True, base_version=base
+        )
+
+    def overwrite(self, df: DataFrame, sequence: int) -> dict:
+        base = current_version(self.path)
+        entries = self._write_data(df, base + 1)
+        return self._commit(
+            "overwrite", entries, sequence, df.schema, False, base_version=base
+        )
+
+    def delete_partitions(self, filters: Sequence[tuple], sequence: int) -> dict:
+        """Metadata-only delete: drop every file whose partition tuple
+        matches the conjunction of ``filters``, each ``(partition_name, op,
+        value)`` with op in =, <, <=, >, >=, in, compared against the
+        partition VALUE (numeric when both sides coerce, else string).
+
+        Predicates are on partition *names* (e.g. ``("p_day", "<", 19700)``
+        to expire crawls older than a day number), so a match always covers
+        every row of the file — this is Iceberg's partition-aligned DELETE:
+        at 10^12 rows, expiring an old crawl is a manifest rewrite, zero
+        data IO.  Row-level deletes need an overwrite of the surviving
+        rows (by design — no merge-on-read delete files in this shim)."""
+        filters = list(filters)
+        pnames = {t.name for t in self.transforms()}
+        for name, op, _ in filters:
+            if name not in pnames:
+                raise ValueError(f"{name!r} is not a partition field")
+            if op not in _OPS:
+                raise ValueError(f"unsupported filter op: {op!r}")
+
+        def matches(e: dict) -> bool:
+            for name, op, lit in filters:
+                pv = e["partition"].get(name)
+                if pv is None:
+                    return False
+                if op == "in":
+                    if all(
+                        _coerce_pair(pv, x) is None
+                        or _coerce_pair(pv, x)[0] != _coerce_pair(pv, x)[1]
+                        for x in lit
+                    ):
+                        return False
+                    continue
+                pair = _coerce_pair(pv, lit)
+                if pair is None:
+                    return False
+                a, b = pair
+                ok = {
+                    "=": a == b,
+                    "<": a < b,
+                    "<=": a <= b,
+                    ">": a > b,
+                    ">=": a >= b,
+                }[op]
+                if not ok:
+                    return False
+            return True
+
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta, None, None)
+        dropped = sum(1 for e in self._manifest_entries(snap) if matches(e))
+        out = self._commit(
+            "delete", [], sequence, None, True,
+            manifest_filter=lambda e: not matches(e),
+        )
+        out["summary"]["deleted_files"] = dropped
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python write path (no SparkSession — usable from oracle_sql staging)
+# ---------------------------------------------------------------------------
+
+
+def _arrow_type(dt: T.DataType):
+    import pyarrow as pa
+
+    mapping = {
+        T.StringType(): pa.string(),
+        T.LongType(): pa.int64(),
+        T.IntegerType(): pa.int32(),
+        T.DoubleType(): pa.float64(),
+        T.FloatType(): pa.float32(),
+        T.BinaryType(): pa.binary(),
+        T.BooleanType(): pa.bool_(),
+        T.TimestampType(): pa.timestamp("us"),
+    }
+    try:
+        return mapping[dt]
+    except KeyError:
+        raise ValueError(f"no arrow mapping for {dt}") from None
+
+
+def _write_data_pandas(
+    table_path: str,
+    pdf,
+    schema: T.StructType,
+    transforms: Sequence[Transform],
+    snap_hint: int,
+) -> list[dict]:
+    """Write a pandas frame as one parquet file per partition tuple with
+    deterministic names — the Spark-free twin of ``IceTable._write_data``.
+    Both paths produce identical manifests for identical rows, which is
+    what lets pure-Python oracle staging and Spark commits interoperate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrow_schema = pa.schema(
+        [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+    )
+    commit_dir = os.path.join(table_path, "data", f"c{snap_hint:05d}")
+    cols = [f.name for f in schema.fields]
+    if transforms:
+        keys = pdf.apply(
+            lambda row: partition_dir(
+                transforms, {t.name: transform_value(t, row[t.source]) for t in transforms}
+            ),
+            axis=1,
+        )
+        groups = pdf.groupby(keys, sort=True)
+    else:
+        groups = [("", pdf)]
+    for dirname, group in groups:
+        out_dir = os.path.join(commit_dir, dirname) if dirname else commit_dir
+        os.makedirs(out_dir, exist_ok=True)
+        tbl = pa.Table.from_pandas(
+            group[cols].reset_index(drop=True), schema=arrow_schema, preserve_index=False
+        )
+        pq.write_table(tbl, os.path.join(out_dir, "part-00000.parquet"))
+    return _scan_commit_dir(commit_dir, table_path, transforms)
+
+
+def create_pandas(
+    path: str,
+    pdf,
+    schema: T.StructType,
+    partition_by: Sequence[Transform] = (),
+    sequence: int = 0,
+) -> IceTable:
+    """Spark-free ``IceTable.create`` for deterministic staging."""
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    if current_version(path) >= 0:
+        raise FileExistsError(f"icetable already exists at {path}")
+    meta0 = {
+        "format_version": FORMAT_VERSION,
+        "schema": json.loads(schema.json()),
+        "partition_by": [x.to_json() for x in partition_by],
+        "current_snapshot_id": 0,
+        "snapshots": [
+            {
+                "snapshot_id": 0,
+                "parent_id": None,
+                "sequence": sequence - 1,
+                "operation": "create",
+                "manifests": [],
+                "summary": {"added_files": 0, "added_records": 0},
+            }
+        ],
+    }
+    _atomic_create(_version_file(path, 0), meta0)
+    t = IceTable(None, path)
+    commit_pandas(t, pdf, schema, "append", sequence)
+    return t
+
+
+def commit_pandas(
+    table: IceTable,
+    pdf,
+    schema: T.StructType,
+    operation: str,
+    sequence: int,
+) -> dict:
+    """Spark-free append/overwrite."""
+    base = current_version(table.path)
+    entries = _write_data_pandas(
+        table.path, pdf, schema, table.transforms(), base + 1
+    )
+    return table._commit(
+        operation,
+        entries,
+        sequence,
+        schema,
+        keep_parent_manifests=(operation == "append"),
+        base_version=base,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot delta (incremental-crawl CDC)
+# ---------------------------------------------------------------------------
+
+
+def _digest_col(key_cols: Iterable[str]):
+    """md5 over content columns — IDENTICAL expression shape on both
+    engines (DuckDB twin: md5(concat_ws(chr(31), coalesce(c, chr(0)))))."""
+    return F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols],
+        )
+    )
+
+
+def snapshot_delta(
+    table: IceTable,
+    old: int,
+    new: int,
+    key: str = "url",
+    content_cols: Iterable[str] = ("text",),
+) -> DataFrame:
+    """Classify every key as added / removed / changed / unchanged between
+    two snapshots.  One shuffle per side on ``key`` for the full outer
+    join; content comparison is an md5 over the named columns so wide rows
+    never travel past the project.  At 10^12 rows this is the incremental
+    re-crawl diff: both sides hash-partition on url, AQE handles skew, and
+    nothing is collected driver-side."""
+    cols = list(content_cols)
+
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(key).alias(key), _digest_col(cols).alias(f"h_{tag}")
+        )
+
+    a = digest(table.read(snapshot_id=old), "old")
+    b = digest(table.read(snapshot_id=new), "new")
+    joined = a.join(b, on=key, how="full_outer")
+    return joined.select(
+        key,
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic staging for the driver's DuckDB twins
+# ---------------------------------------------------------------------------
+
+EPOCH_S = 1704067200  # 2024-01-01 UTC (same epoch as the other sources)
+FETCH_SPACING_S = 900  # 15 min between fetches: sf0.01 spans ~5 partition days
+SEQ_OLD = 100  # logical sequence of the first crawl snapshot
+SEQ_NEW = 200  # logical sequence of the re-crawl snapshot
+
+PAGES_ICE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+ICE_TRANSFORMS = (
+    Transform("p_day", "days", "warc_ts"),
+    Transform("b_url", "bucket", "url", 4),
+)
+
+
+def ice_url(doc_id: int, source: str) -> str:
+    return f"https://{source}.example.org/doc/{doc_id}"
+
+
+def _ice_html(doc_id: int, text: str) -> bytes:
+    return (
+        f"<html><head><title>doc {doc_id}</title></head>"
+        f"<body><p>{text}</p></body></html>"
+    ).encode("utf-8")
+
+
+def _ice_row(doc_id: int, text: str, lang: str, source: str, ts_s: int) -> dict:
+    import pandas as pd
+
+    return {
+        "url": ice_url(doc_id, source),
+        "warc_ts": pd.Timestamp(ts_s, unit="s"),
+        "html": _ice_html(doc_id, text),
+        "text": text,
+        "lang": lang,
+    }
+
+
+def crawl_frames(sf_dir: str):
+    """(old_crawl, new_crawl) pandas frames — the deterministic two-snapshot
+    story over ``sf_dir``'s documents table:
+
+      old  = one page per document, fetched EPOCH + 900*doc_id
+      new  = the re-crawl: doc_id%5==4 gone, doc_id%3==0 re-fetched 30 days
+             later with ``text || ' v2'``, doc_id%7==0 grew a ``?page=2``
+             companion page; everything else byte-identical.
+
+    Pure Python — callable from oracle_sql() (no SparkSession)."""
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    ).sort_values("doc_id")
+    old_rows, new_rows = [], []
+    for doc_id, text, lang, source in zip(
+        docs["doc_id"], docs["text"], docs["lang"], docs["source"]
+    ):
+        doc_id, text = int(doc_id), str(text)
+        ts = EPOCH_S + FETCH_SPACING_S * doc_id
+        old_rows.append(_ice_row(doc_id, text, lang, source, ts))
+        if doc_id % 5 == 4:
+            pass  # dropped from the re-crawl
+        elif doc_id % 3 == 0:
+            new_rows.append(
+                _ice_row(doc_id, text + " v2", lang, source, ts + 30 * 86400)
+            )
+        else:
+            new_rows.append(_ice_row(doc_id, text, lang, source, ts))
+        if doc_id % 7 == 0:
+            row = _ice_row(doc_id, "p2 " + text, lang, source, ts)
+            row["url"] = ice_url(doc_id, source) + "?page=2"
+            new_rows.append(row)
+    cols = [f.name for f in PAGES_ICE_SCHEMA.fields]
+    return (
+        pd.DataFrame(old_rows, columns=cols),
+        pd.DataFrame(new_rows, columns=cols),
+    )
+
+
+_ICE_STAGED: dict[str, dict[str, Any]] = {}
+
+
+def stage_ice_pages(sf_dir: str) -> dict[str, Any]:
+    """Stage (memoized per process) the two-snapshot pages icetable for
+    ``sf_dir`` plus the expected per-snapshot parquet twins; returns
+    {"table": path, "expected_old": path, "expected_new": path,
+     "snap_old": id, "snap_new": id}.
+
+    The expected tables are the SOURCE frames pre-write, so a driver hash
+    match certifies the whole write -> manifest -> prune -> read round trip
+    of the table format, exactly like the WARC twin certifies its encoder."""
+    sf_dir = os.path.normpath(sf_dir)
+    if sf_dir in _ICE_STAGED:
+        return _ICE_STAGED[sf_dir]
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    base = os.path.join("/tmp", f"enem_ice_{tag}")
+    table_path = os.path.join(base, "pages")
+    old_pdf, new_pdf = crawl_frames(sf_dir)
+    if current_version(table_path) < 0:
+        os.makedirs(base, exist_ok=True)
+        table = create_pandas(
+            table_path,
+            old_pdf,
+            PAGES_ICE_SCHEMA,
+            partition_by=ICE_TRANSFORMS,
+            sequence=SEQ_OLD,
+        )
+        commit_pandas(table, new_pdf, PAGES_ICE_SCHEMA, "overwrite", SEQ_NEW)
+    expected = {}
+    for name, pdf in (("expected_old", old_pdf), ("expected_new", new_pdf)):
+        path = os.path.join(base, f"{name}.parquet")
+        if not os.path.exists(path):
+            pdf.drop(columns=["html"]).assign(
+                html_md5=[hashlib.md5(h).hexdigest() for h in pdf["html"]],
+                html_len=[len(h) for h in pdf["html"]],
+            ).to_parquet(path, index=False)
+        expected[name] = path
+    out = {
+        "table": table_path,
+        "snap_old": 1,
+        "snap_new": 2,
+        **expected,
+    }
+    _ICE_STAGED[sf_dir] = out
+    return out

@@ -1,0 +1,281 @@
+"""Icetable (Iceberg-style table layer) — commit protocol, time travel,
+transform pruning, metadata-only deletes, pandas/Spark writer interop, and
+the snapshot-delta CDC operator."""
+
+import glob
+import json
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from enem_spark.sources import icetable as it
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture()
+def tmp_table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _toy_pdf(lo: int, hi: int) -> pd.DataFrame:
+    rows = []
+    for i in range(lo, hi):
+        rows.append(
+            {
+                "url": f"https://s{i % 3}.example.org/doc/{i}",
+                "warc_ts": pd.Timestamp(it.EPOCH_S + i * 86400 // 4, unit="s"),
+                "html": f"<p>{i}</p>".encode(),
+                "text": f"doc {i} body",
+                "lang": "pt" if i % 2 else "en",
+            }
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in it.PAGES_ICE_SCHEMA.fields])
+
+
+TRANSFORMS = (
+    it.Transform("p_day", "days", "warc_ts"),
+    it.Transform("b_url", "bucket", "url", 4),
+)
+
+
+def _sorted_rows(df):
+    return sorted(
+        (r["url"], r["text"], r["lang"]) for r in df.select("url", "text", "lang").collect()
+    )
+
+
+def _expected_rows(pdf):
+    return sorted(zip(pdf["url"], pdf["text"], pdf["lang"]))
+
+
+def test_create_append_read_roundtrip(spark, tmp_table):
+    a, b = _toy_pdf(0, 40), _toy_pdf(40, 60)
+    df_a = spark.createDataFrame(a, schema=it.PAGES_ICE_SCHEMA)
+    df_b = spark.createDataFrame(b, schema=it.PAGES_ICE_SCHEMA)
+    t = it.IceTable.create(spark, tmp_table, df_a, TRANSFORMS, sequence=10)
+    t.append(df_b, sequence=20)
+    got = _sorted_rows(t.read())
+    assert got == _expected_rows(pd.concat([a, b]))
+    ops = [s["operation"] for s in t.snapshots()]
+    assert ops == ["create", "append", "append"]
+
+
+def test_time_travel_and_snapshot_isolation(spark, tmp_table):
+    a, b = _toy_pdf(0, 30), _toy_pdf(30, 50)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(a, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    old_df = t.read()  # resolved BEFORE the next commit
+    old_files, _ = t.plan_files()
+    t.append(spark.createDataFrame(b, schema=it.PAGES_ICE_SCHEMA), sequence=20)
+    # the pre-commit plan is pinned: the already-resolved read sees old rows
+    assert old_df.count() == 30
+    # snapshot_id / as_of time travel
+    assert t.read(snapshot_id=1).count() == 30
+    assert t.read(as_of=10).count() == 30
+    assert t.read(as_of=15).count() == 30
+    assert t.read(as_of=20).count() == 50
+    assert t.read().count() == 50
+    with pytest.raises(KeyError):
+        t.read(as_of=5)
+    # overwrite starts a fresh file set but history stays readable
+    t.overwrite(
+        spark.createDataFrame(_toy_pdf(0, 5), schema=it.PAGES_ICE_SCHEMA),
+        sequence=30,
+    )
+    assert t.read().count() == 5
+    assert t.read(snapshot_id=2).count() == 50
+    new_files, _ = t.plan_files(snapshot_id=1)
+    assert sorted(new_files) == sorted(old_files)
+
+
+def test_pruning_days_bucket_and_bounds(spark, tmp_table):
+    pdf = _toy_pdf(0, 80)  # 20 distinct days x 4 url buckets
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=1,
+    )
+    _, full = t.plan_files()
+    assert full["files_total"] > 10
+
+    # hidden partitioning: filter on the SOURCE column warc_ts prunes days
+    cutoff = pd.Timestamp(it.EPOCH_S + 70 * 86400 // 4, unit="s").to_pydatetime()
+    files, rep = t.plan_files([("warc_ts", ">=", cutoff)])
+    assert 0 < rep["files_kept"] < rep["files_total"]
+    got = t.read([("warc_ts", ">=", cutoff)])
+    exp = pdf[pdf["warc_ts"] >= cutoff]
+    assert _sorted_rows(got) == _expected_rows(exp)
+
+    # bucket transform: url point lookup touches at most 1/4 of the files
+    target = "https://s1.example.org/doc/37"
+    files, rep = t.plan_files([("url", "=", target)])
+    assert rep["files_kept"] <= rep["files_total"] // 4 + 1
+    assert [r["url"] for r in t.read([("url", "=", target)]).collect()] == [target]
+
+    # min/max bounds pruning on a non-partition column
+    files, rep = t.plan_files([("text", "=", "doc 79 body")])
+    assert rep["files_kept"] < rep["files_total"]
+    assert t.read([("text", "=", "doc 79 body")]).count() == 1
+
+
+def test_commit_conflict_and_crash_safety(spark, tmp_table):
+    a = _toy_pdf(0, 10)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(a, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=1,
+    )
+    # a racing writer claims the next version between this writer's base
+    # read and its version-file create -> loser gets conflict, no rebase
+    v = it.current_version(tmp_table)  # loser's observed base
+    meta = t.metadata()
+    it._atomic_create(it._version_file(tmp_table, v + 1), meta)  # the racer
+    with pytest.raises(it.CommitConflict):
+        t._commit("append", [], sequence=2, df_schema=None,
+                  keep_parent_manifests=True, base_version=v)
+    # crash safety: orphaned data/manifest files (no version file) are
+    # invisible to readers and don't block the next successful commit
+    os.unlink(it._version_file(tmp_table, v + 1))
+    orphan = os.path.join(tmp_table, "data", "c99999", "junk.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    a.head(2).to_parquet(orphan)
+    assert t.read().count() == 10
+    t.append(
+        spark.createDataFrame(_toy_pdf(10, 20), schema=it.PAGES_ICE_SCHEMA),
+        sequence=2,
+    )
+    assert t.read().count() == 20
+
+
+def test_schema_evolution_add_column(spark, tmp_table):
+    a = _toy_pdf(0, 10)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(a, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=1,
+    )
+    evolved = it._merge_schema(
+        it.PAGES_ICE_SCHEMA,
+        T.StructType([T.StructField("http_status", T.IntegerType(), True)]),
+    )
+    b = _toy_pdf(10, 20).assign(http_status=200)
+    t.append(spark.createDataFrame(b, schema=evolved), sequence=2)
+    df = t.read()
+    assert df.schema[-1].name == "http_status"
+    by_status = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col("http_status").alias("s")).agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert by_status == {None: 10, 200: 10}  # old files read back as null
+    # type change is refused (needs field ids)
+    with pytest.raises(ValueError):
+        it._merge_schema(
+            it.PAGES_ICE_SCHEMA,
+            T.StructType([T.StructField("lang", T.LongType(), True)]),
+        )
+
+
+def test_delete_partitions_is_metadata_only(spark, tmp_table):
+    pdf = _toy_pdf(0, 40)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=1,
+    )
+    data_files = sorted(glob.glob(os.path.join(tmp_table, "data", "**", "*.parquet"), recursive=True))
+    mtimes = {f: os.path.getmtime(f) for f in data_files}
+    day0 = it._days_of(pdf["warc_ts"].min().to_pydatetime())
+    snap = t.delete_partitions([("p_day", "<=", day0 + 2)], sequence=2)
+    assert snap["summary"]["deleted_files"] > 0
+    # zero data IO: every data file still on disk, byte-untouched
+    after = sorted(glob.glob(os.path.join(tmp_table, "data", "**", "*.parquet"), recursive=True))
+    assert after == data_files
+    assert {f: os.path.getmtime(f) for f in after} == mtimes
+    # rows in the dropped partitions are gone; time travel still sees them
+    kept = t.read()
+    assert kept.count() == int(
+        (pdf["warc_ts"].map(lambda x: it._days_of(x.to_pydatetime())) > day0 + 2).sum()
+    )
+    assert t.read(snapshot_id=1).count() == 40
+    with pytest.raises(ValueError):
+        t.delete_partitions([("not_a_partition", "=", 1)], sequence=3)
+
+
+def test_pandas_and_spark_writers_interoperate(spark, tmp_path):
+    """The driver's oracle staging writes with pyarrow; the engine writes
+    with Spark. Same rows must yield the same readable table either way."""
+    pdf = _toy_pdf(0, 25)
+    py_path, sp_path = str(tmp_path / "py"), str(tmp_path / "sp")
+    t_py = it.create_pandas(py_path, pdf, it.PAGES_ICE_SCHEMA, TRANSFORMS, sequence=1)
+    t_py.spark = spark
+    t_sp = it.IceTable.create(
+        spark, sp_path, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=1,
+    )
+    assert _sorted_rows(t_py.read()) == _sorted_rows(t_sp.read())
+    # identical partition tuples in both manifests
+    def tuples(t):
+        snap = t._resolve_snapshot(t.metadata(), None, None)
+        return sorted(
+            (e["partition"]["p_day"], e["partition"]["b_url"])
+            for e in t._manifest_entries(snap)
+        )
+    assert tuples(t_py) == tuples(t_sp)
+    # Spark append onto the pandas-created table
+    t_py.append(
+        spark.createDataFrame(_toy_pdf(25, 30), schema=it.PAGES_ICE_SCHEMA),
+        sequence=2,
+    )
+    assert t_py.read().count() == 30
+
+
+def test_snapshot_delta_statuses(spark):
+    staged = it.stage_ice_pages(SF_DIR)
+    t = it.IceTable(spark, staged["table"])
+    delta = it.snapshot_delta(
+        t, staged["snap_old"], staged["snap_new"], key="url", content_cols=("text",)
+    ).toPandas()
+    by_status = delta.groupby("status")["url"].count().to_dict()
+    docs = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id"])
+    ids = docs["doc_id"].astype(int)
+    assert by_status.get("added", 0) == int((ids % 7 == 0).sum())
+    assert by_status.get("removed", 0) == int((ids % 5 == 4).sum())
+    assert by_status.get("changed", 0) == int(((ids % 3 == 0) & (ids % 5 != 4)).sum())
+    assert by_status.get("unchanged", 0) == int(
+        ((ids % 3 != 0) & (ids % 5 != 4)).sum()
+    )
+    # spot-check one url of each class
+    st = dict(zip(delta["url"], delta["status"]))
+    src = pd.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "source"]
+    ).set_index("doc_id")["source"]
+    def url_of(i):
+        return it.ice_url(i, src.loc[i])
+    first_removed = int(ids[ids % 5 == 4].iloc[0])
+    assert st[url_of(first_removed)] == "removed"
+    assert st[it.ice_url(0, src.loc[0]) + "?page=2"] == "added"
+
+
+def test_staging_is_deterministic_and_memoized(tmp_path):
+    staged = it.stage_ice_pages(SF_DIR)
+    assert staged is it.stage_ice_pages(SF_DIR)
+    meta = json.load(open(it._version_file(staged["table"], it.current_version(staged["table"]))))
+    assert [s["operation"] for s in meta["snapshots"]] == [
+        "create", "append", "overwrite",
+    ]
+    # a fresh build from the same inputs is byte-identical at the data level
+    old_pdf, new_pdf = it.crawl_frames(SF_DIR)
+    rebuilt = str(tmp_path / "rebuild")
+    t2 = it.create_pandas(rebuilt, old_pdf, it.PAGES_ICE_SCHEMA, it.ICE_TRANSFORMS, sequence=it.SEQ_OLD)
+    it.commit_pandas(t2, new_pdf, it.PAGES_ICE_SCHEMA, "overwrite", it.SEQ_NEW)
+    orig_files = sorted(glob.glob(os.path.join(staged["table"], "data", "**", "*.parquet"), recursive=True))
+    new_files = sorted(glob.glob(os.path.join(rebuilt, "data", "**", "*.parquet"), recursive=True))
+    assert [os.path.relpath(f, staged["table"]) for f in orig_files] == [
+        os.path.relpath(f, rebuilt) for f in new_files
+    ]
+    for a, b in zip(orig_files, new_files):
+        assert open(a, "rb").read() == open(b, "rb").read()
