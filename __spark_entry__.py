@@ -679,7 +679,11 @@ def q_iceberg_scan(spark, sf_dir):
     staged = icetable.stage_ice_pages(sf_dir)
     t = icetable.IceTable(spark, staged["table"])
     cutoff = datetime(2024, 1, 3, 0, 0, 0)
-    return t.read([("warc_ts", ">=", cutoff)]).select(
+    # pinned to the re-crawl snapshot: the staged table has since appended
+    # a delta crawl (exercised by iceberg_incremental below)
+    return t.read(
+        [("warc_ts", ">=", cutoff)], as_of=icetable.SEQ_NEW
+    ).select(
         "url",
         F.md5("html").alias("html_md5"),
         F.length("html").cast("long").alias("html_len"),
@@ -718,6 +722,24 @@ def q_crawl_delta(spark, sf_dir):
     t = icetable.IceTable(spark, staged["table"])
     return icetable.snapshot_delta(
         t, staged["snap_old"], staged["snap_new"], key="url", content_cols=("text",)
+    )
+
+
+def q_iceberg_incremental(spark, sf_dir):
+    """Incremental snapshot read: files added to the table AFTER the
+    re-crawl snapshot (the appended delta crawl) are planned at the
+    manifest level — the corpus is never rescanned. The oracle is the
+    staged delta source frame, so the hash match certifies that the
+    incremental plan reads exactly the appended rows, no more, no less."""
+    from enem_spark.sources import icetable
+
+    staged = icetable.stage_ice_pages(sf_dir)
+    t = icetable.IceTable(spark, staged["table"])
+    return t.read_incremental(from_seq=icetable.SEQ_NEW).select(
+        "url",
+        F.md5("html").alias("html_md5"),
+        F.md5("text").alias("text_md5"),
+        "lang",
     )
 
 
@@ -799,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_time_travel": q_iceberg_time_travel,
+        "iceberg_incremental": q_iceberg_incremental,
         "crawl_delta": q_crawl_delta,
     }
 
@@ -1780,6 +1803,10 @@ def oracle_sql() -> dict[str, str]:
 SELECT url, html_md5, html_len, md5(text) AS text_md5, lang
 FROM read_parquet('{ice_staged["expected_new"]}')
 WHERE warc_ts >= TIMESTAMP '2024-01-03 00:00:00'
+""",
+        "iceberg_incremental": f"""
+SELECT url, html_md5, md5(text) AS text_md5, lang
+FROM read_parquet('{ice_staged["expected_delta"]}')
 """,
         "iceberg_time_travel": f"""
 SELECT lang, count(*) AS n_pages,

@@ -471,6 +471,64 @@ class IceTable:
         }
         return [os.path.join(self.path, e["path"]) for e in kept], report
 
+    def plan_incremental(
+        self,
+        from_seq: int,
+        filters: Sequence[tuple] | None = None,
+        snapshot_id: int | None = None,
+        as_of: int | None = None,
+    ) -> tuple[list[str], dict]:
+        """Incremental scan plan: the target snapshot's files MINUS every
+        file already referenced by the newest snapshot at or before
+        ``from_seq`` (none committed that early -> the full file set).
+
+        This is the Iceberg incremental-read shape: planning stays
+        O(manifest entries) driver-side, and at 10^12 rows a re-crawl
+        append is scanned at the cost of the delta, not the corpus.  An
+        overwrite snapshot rewrites every file, so everything is "new" —
+        correct (old extractions are invalidated) and exactness stays with
+        the caller's content-addressed anti-join, because a rewritten file
+        may carry rows whose content did not change."""
+        meta = self.metadata()
+        target = self._resolve_snapshot(meta, snapshot_id, as_of)
+        base_files: set[str] = set()
+        older = [s for s in meta["snapshots"] if s["sequence"] <= from_seq]
+        if older:
+            base = max(older, key=lambda s: s["sequence"])
+            base_files = {e["path"] for e in self._manifest_entries(base)}
+        transforms = [Transform.from_json(d) for d in meta["partition_by"]]
+        filters = list(filters or [])
+        entries = [
+            e
+            for e in self._manifest_entries(target)
+            if e["path"] not in base_files
+        ]
+        kept = [e for e in entries if _keep_file(e, filters, transforms)]
+        report = {
+            "snapshot_id": target["snapshot_id"],
+            "sequence": target["sequence"],
+            "from_sequence": from_seq,
+            "files_total_snapshot": len(self._manifest_entries(target)),
+            "files_new": len(entries),
+            "files_kept": len(kept),
+            "records_kept_max": sum(e["records"] for e in kept),
+            "bytes_kept": sum(e["bytes"] for e in kept),
+        }
+        return [os.path.join(self.path, e["path"]) for e in kept], report
+
+    def read_incremental(
+        self,
+        from_seq: int,
+        filters: Sequence[tuple] | None = None,
+        snapshot_id: int | None = None,
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """Rows of the files added since ``from_seq`` (see plan_incremental
+        for the exactness contract), with residual row-level filters."""
+        assert self.spark is not None, "read_incremental() needs a SparkSession"
+        files, _report = self.plan_incremental(from_seq, filters, snapshot_id, as_of)
+        return self._read_files(files, filters)
+
     def read(
         self,
         filters: Sequence[tuple] | None = None,
@@ -483,9 +541,13 @@ class IceTable:
         conservative), so callers get exact filter semantics; Spark also
         pushes it into the parquet scan for row-group skipping."""
         assert self.spark is not None, "read() needs a SparkSession"
-        meta = self.metadata()
-        schema = T.StructType.fromJson(meta["schema"])
         files, _report = self.plan_files(filters, snapshot_id, as_of)
+        return self._read_files(files, filters)
+
+    def _read_files(
+        self, files: list[str], filters: Sequence[tuple] | None
+    ) -> DataFrame:
+        schema = self.schema()
         if not files:
             df = self.spark.createDataFrame([], schema)
         else:
@@ -882,6 +944,7 @@ EPOCH_S = 1704067200  # 2024-01-01 UTC (same epoch as the other sources)
 FETCH_SPACING_S = 900  # 15 min between fetches: sf0.01 spans ~5 partition days
 SEQ_OLD = 100  # logical sequence of the first crawl snapshot
 SEQ_NEW = 200  # logical sequence of the re-crawl snapshot
+SEQ_DELTA = 300  # logical sequence of the appended delta crawl
 
 PAGES_ICE_SCHEMA = T.StructType(
     [
@@ -964,14 +1027,40 @@ def crawl_frames(sf_dir: str):
     )
 
 
+def delta_frame(sf_dir: str):
+    """The third crawl, APPENDED after the re-crawl overwrite: doc_id%9==2
+    pages re-fetched 60 days after their original timestamp with
+    ``text || ' v3'``.  Appends (unlike the overwrite above) add only new
+    data files, so an incremental scan from SEQ_NEW reads exactly these
+    rows — the metadata-only delta the 10^12-scale re-crawl story needs.
+    Pure Python, callable from oracle_sql()."""
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    ).sort_values("doc_id")
+    rows = []
+    for doc_id, text, lang, source in zip(
+        docs["doc_id"], docs["text"], docs["lang"], docs["source"]
+    ):
+        doc_id, text = int(doc_id), str(text)
+        if doc_id % 9 != 2:
+            continue
+        ts = EPOCH_S + FETCH_SPACING_S * doc_id + 60 * 86400
+        rows.append(_ice_row(doc_id, text + " v3", lang, source, ts))
+    cols = [f.name for f in PAGES_ICE_SCHEMA.fields]
+    return pd.DataFrame(rows, columns=cols)
+
+
 _ICE_STAGED: dict[str, dict[str, Any]] = {}
 
 
 def stage_ice_pages(sf_dir: str) -> dict[str, Any]:
-    """Stage (memoized per process) the two-snapshot pages icetable for
-    ``sf_dir`` plus the expected per-snapshot parquet twins; returns
-    {"table": path, "expected_old": path, "expected_new": path,
-     "snap_old": id, "snap_new": id}.
+    """Stage (memoized per process) the three-snapshot pages icetable for
+    ``sf_dir`` (first crawl -> re-crawl overwrite -> delta-crawl append)
+    plus the expected per-snapshot parquet twins; returns
+    {"table": path, "expected_old/new/delta": paths, "snap_old/new/delta": ids}.
 
     The expected tables are the SOURCE frames pre-write, so a driver hash
     match certifies the whole write -> manifest -> prune -> read round trip
@@ -986,6 +1075,7 @@ def stage_ice_pages(sf_dir: str) -> dict[str, Any]:
     base = os.path.join("/tmp", f"enem_ice_{tag}")
     table_path = os.path.join(base, "pages")
     old_pdf, new_pdf = crawl_frames(sf_dir)
+    delta_pdf = delta_frame(sf_dir)
     if current_version(table_path) < 0:
         os.makedirs(base, exist_ok=True)
         table = create_pandas(
@@ -996,8 +1086,18 @@ def stage_ice_pages(sf_dir: str) -> dict[str, Any]:
             sequence=SEQ_OLD,
         )
         commit_pandas(table, new_pdf, PAGES_ICE_SCHEMA, "overwrite", SEQ_NEW)
+        commit_pandas(table, delta_pdf, PAGES_ICE_SCHEMA, "append", SEQ_DELTA)
+    else:
+        table = IceTable(None, table_path)
+        if max(s["sequence"] for s in table.snapshots()) < SEQ_DELTA:
+            # upgrade a table staged before the delta snapshot existed
+            commit_pandas(table, delta_pdf, PAGES_ICE_SCHEMA, "append", SEQ_DELTA)
     expected = {}
-    for name, pdf in (("expected_old", old_pdf), ("expected_new", new_pdf)):
+    for name, pdf in (
+        ("expected_old", old_pdf),
+        ("expected_new", new_pdf),
+        ("expected_delta", delta_pdf),
+    ):
         path = os.path.join(base, f"{name}.parquet")
         if not os.path.exists(path):
             pdf.drop(columns=["html"]).assign(
@@ -1009,6 +1109,7 @@ def stage_ice_pages(sf_dir: str) -> dict[str, Any]:
         "table": table_path,
         "snap_old": 1,
         "snap_new": 2,
+        "snap_delta": 3,
         **expected,
     }
     _ICE_STAGED[sf_dir] = out

@@ -260,18 +260,78 @@ def test_snapshot_delta_statuses(spark):
     assert st[it.ice_url(0, src.loc[0]) + "?page=2"] == "added"
 
 
+def test_incremental_scan_reads_only_appended_files(spark, tmp_table):
+    t = it.IceTable.create(
+        spark,
+        tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 40), schema=it.PAGES_ICE_SCHEMA),
+        partition_by=TRANSFORMS,
+        sequence=10,
+    )
+    t.append(
+        spark.createDataFrame(_toy_pdf(40, 50), schema=it.PAGES_ICE_SCHEMA),
+        sequence=20,
+    )
+    # incremental from seq 10 -> only the 10 appended rows, and the plan
+    # touches only files absent from the base snapshot
+    files, report = t.plan_incremental(from_seq=10)
+    assert report["files_new"] == report["files_kept"] == len(files)
+    assert report["files_new"] < report["files_total_snapshot"]
+    got = sorted(r.url for r in t.read_incremental(from_seq=10).collect())
+    assert got == sorted(_toy_pdf(40, 50)["url"])
+    # residual filters still apply row-level on the delta
+    assert t.read_incremental(from_seq=10, filters=[("lang", "=", "en")]).count() == int(
+        (_toy_pdf(40, 50)["lang"] == "en").sum()
+    )
+    # from a sequence at/after the tip -> empty delta
+    assert t.read_incremental(from_seq=20).count() == 0
+    # from before any snapshot -> the whole current file set is "new"
+    assert t.read_incremental(from_seq=-100).count() == 50
+
+
+def test_incremental_scan_after_overwrite_is_full(spark, tmp_table):
+    t = it.IceTable.create(
+        spark,
+        tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 20), schema=it.PAGES_ICE_SCHEMA),
+        partition_by=TRANSFORMS,
+        sequence=10,
+    )
+    t.overwrite(
+        spark.createDataFrame(_toy_pdf(5, 25), schema=it.PAGES_ICE_SCHEMA),
+        sequence=20,
+    )
+    # an overwrite rewrites every file: all of them are new relative to the
+    # pre-overwrite snapshot (exactness is the caller's anti-join's job)
+    _files, report = t.plan_incremental(from_seq=10)
+    assert report["files_new"] == report["files_total_snapshot"]
+    assert t.read_incremental(from_seq=10).count() == 20
+
+
+def test_staged_incremental_is_exactly_the_delta_crawl(spark):
+    staged = it.stage_ice_pages(SF_DIR)
+    t = it.IceTable(spark, staged["table"])
+    inc = t.read_incremental(from_seq=it.SEQ_NEW).toPandas()
+    exp = it.delta_frame(SF_DIR)
+    assert sorted(inc["url"]) == sorted(exp["url"])
+    assert set(inc["text"]) == set(exp["text"])
+    # and the latest snapshot is the union of re-crawl + delta
+    assert t.read().count() == len(it.crawl_frames(SF_DIR)[1]) + len(exp)
+
+
 def test_staging_is_deterministic_and_memoized(tmp_path):
     staged = it.stage_ice_pages(SF_DIR)
     assert staged is it.stage_ice_pages(SF_DIR)
     meta = json.load(open(it._version_file(staged["table"], it.current_version(staged["table"]))))
     assert [s["operation"] for s in meta["snapshots"]] == [
-        "create", "append", "overwrite",
+        "create", "append", "overwrite", "append",
     ]
     # a fresh build from the same inputs is byte-identical at the data level
     old_pdf, new_pdf = it.crawl_frames(SF_DIR)
     rebuilt = str(tmp_path / "rebuild")
     t2 = it.create_pandas(rebuilt, old_pdf, it.PAGES_ICE_SCHEMA, it.ICE_TRANSFORMS, sequence=it.SEQ_OLD)
     it.commit_pandas(t2, new_pdf, it.PAGES_ICE_SCHEMA, "overwrite", it.SEQ_NEW)
+    it.commit_pandas(t2, it.delta_frame(SF_DIR), it.PAGES_ICE_SCHEMA, "append", it.SEQ_DELTA)
     orig_files = sorted(glob.glob(os.path.join(staged["table"], "data", "**", "*.parquet"), recursive=True))
     new_files = sorted(glob.glob(os.path.join(rebuilt, "data", "**", "*.parquet"), recursive=True))
     assert [os.path.relpath(f, staged["table"]) for f in orig_files] == [
