@@ -21,6 +21,10 @@ Modes:
   --html           DOM main-content extraction over a CC pages table
                    (doc_id, url, warc_ts, html, lang) instead of the exam
                    pipeline; combines with --streaming for a crawl tail
+  --iceberg        with --html batch: --input is an icetable path; runs
+                   incrementally from the last committed snapshot sequence
+                   (--full forces a whole-snapshot re-plan); re-invoking
+                   after each table commit is the crawl-tail batch loop
 """
 
 from __future__ import annotations
@@ -46,6 +50,10 @@ def main() -> None:
     ap.add_argument("--html", action="store_true")
     ap.add_argument("--anchors", action="store_true",
                     help="with --html batch: also write the per-anchor table")
+    ap.add_argument("--iceberg", action="store_true",
+                    help="with --html batch: read --input as an icetable")
+    ap.add_argument("--full", action="store_true",
+                    help="with --iceberg: ignore the incremental watermark")
     ap.add_argument("--completeness-delay-s", type=int, default=0)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
@@ -60,6 +68,10 @@ def main() -> None:
         process_images=args.process_images,
         salt_chunk_size=args.salt_chunk_size,
     )
+
+    if args.iceberg and (args.streaming or not args.html):
+        ap.error("--iceberg requires --html batch mode (the snapshot "
+                 "watermark IS the tail: re-invoke after each commit)")
 
     if args.html:
         if args.streaming:
@@ -79,6 +91,13 @@ def main() -> None:
 
             main = committed_main_content(spark, args.output)
             summary = {"main_rows": main.count() if main is not None else 0}
+        elif args.iceberg:
+            from enem_spark.icerun import run_html_extraction_ice
+
+            summary = run_html_extraction_ice(
+                spark, args.input, args.output,
+                with_anchors=args.anchors, full=args.full,
+            )
         else:
             from enem_spark.lineage import run_html_extraction
 

@@ -1,0 +1,196 @@
+"""Incremental extraction over an icetable (icerun.py): content-addressed
+exactly-once units, manifest-level delta planning, watermark advancement on
+no-op snapshots, overwrite re-scan exactness, and the per-url serving view.
+Extraction content is checked against the pure htmlops twin on pandas."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from enem_spark import icerun, lineage
+from enem_spark.htmlops import extract_mains
+from enem_spark.sources import icetable as it
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _html(i: int, version: int = 1) -> bytes:
+    words = " ".join(f"palavra{(i * 7 + k) % 53}" for k in range(40))
+    return (
+        f"<html><head><title>doc {i}</title></head><body>"
+        f"<p>{words} documento {i} versao {version}.</p>"
+        f"<p>Outro paragrafo com conteudo suficiente para o classificador "
+        f"do documento {i} na versao {version} considerar texto principal."
+        f"</p></body></html>"
+    ).encode("utf-8")
+
+
+def _rows(ids, ts0: int, version: int = 1):
+    return [
+        {
+            "url": f"https://ex.org/d/{i}",
+            "warc_ts": pd.Timestamp(ts0 + i, unit="s"),
+            "html": _html(i, version),
+            "text": f"doc {i}",
+            "lang": "pt",
+        }
+        for i in ids
+    ]
+
+
+def _frame(rows) -> pd.DataFrame:
+    return pd.DataFrame(rows, columns=[f.name for f in it.PAGES_ICE_SCHEMA.fields])
+
+
+def _expected_main(html: bytes) -> str:
+    return extract_mains(pd.Series([html]))[0][0]
+
+
+@pytest.fixture()
+def table_and_out(tmp_path):
+    return str(tmp_path / "tbl"), str(tmp_path / "out")
+
+
+def _create(spark, path, rows, seq):
+    return it.IceTable.create(
+        spark,
+        path,
+        spark.createDataFrame(_frame(rows), schema=it.PAGES_ICE_SCHEMA),
+        partition_by=(it.Transform("b_url", "bucket", "url", 4),),
+        sequence=seq,
+    )
+
+
+def _append(spark, t, rows, seq):
+    t.append(spark.createDataFrame(_frame(rows), schema=it.PAGES_ICE_SCHEMA), seq)
+
+
+def _current(spark, out):
+    df = icerun.current_main_content(spark, out)
+    return {r.url: r.main_text for r in df.select("url", "main_text").collect()}
+
+
+def test_full_run_then_noop_and_multifetch_url(spark, table_and_out):
+    tbl, out = table_and_out
+    rows = _rows(range(20), it.EPOCH_S)
+    # url 5 fetched twice in the first crawl: later fetch must win
+    refetch = _rows([5], it.EPOCH_S + 1000, version=2)
+    _create(spark, tbl, rows + refetch, seq=10)
+
+    s1 = icerun.run_html_extraction_ice(spark, tbl, out)
+    assert s1["input_pages"] == 20  # 21 rows, latest-per-url = 20 units
+    assert s1["sequence"] == 10 and not s1["up_to_date"]
+
+    cur = _current(spark, out)
+    assert len(cur) == 20
+    assert cur["https://ex.org/d/5"] == _expected_main(_html(5, version=2))
+    assert cur["https://ex.org/d/3"] == _expected_main(_html(3))
+
+    s2 = icerun.run_html_extraction_ice(spark, tbl, out)
+    assert s2["up_to_date"] and s2["input_pages"] == 0
+    assert icerun.last_extracted_sequence(spark, out) == 10
+
+
+def test_append_extracts_only_changed_units(spark, table_and_out):
+    tbl, out = table_and_out
+    t = _create(spark, tbl, _rows(range(20), it.EPOCH_S), seq=10)
+    icerun.run_html_extraction_ice(spark, tbl, out)
+
+    # delta: url 3 changed, url 4 re-fetched byte-identical, url 100 new
+    delta = (
+        _rows([3], it.EPOCH_S + 5000, version=2)
+        + _rows([4], it.EPOCH_S + 5000)
+        + _rows([100], it.EPOCH_S + 5000)
+    )
+    _append(spark, t, delta, seq=20)
+
+    s = icerun.run_html_extraction_ice(spark, tbl, out)
+    # identical re-fetch of 4 is the same content-addressed unit -> skipped
+    assert s["input_pages"] == 2
+    assert s["scan"]["files_new"] < s["scan"]["files_total_snapshot"]
+    cur = _current(spark, out)
+    assert len(cur) == 21
+    assert cur["https://ex.org/d/3"] == _expected_main(_html(3, version=2))
+    assert cur["https://ex.org/d/4"] == _expected_main(_html(4))
+    assert cur["https://ex.org/d/100"] == _expected_main(_html(100))
+
+
+def test_pure_duplicate_append_advances_watermark(spark, table_and_out):
+    tbl, out = table_and_out
+    t = _create(spark, tbl, _rows(range(10), it.EPOCH_S), seq=10)
+    icerun.run_html_extraction_ice(spark, tbl, out)
+
+    _append(spark, t, _rows([7], it.EPOCH_S + 9000), seq=20)
+    s = icerun.run_html_extraction_ice(spark, tbl, out)
+    assert s["input_pages"] == 0 and not s["up_to_date"]
+    # the marker-only commit advanced the watermark: next run plans nothing
+    assert icerun.last_extracted_sequence(spark, out) == 20
+    assert icerun.run_html_extraction_ice(spark, tbl, out)["up_to_date"]
+
+
+def test_overwrite_rescans_but_extracts_only_changes(spark, table_and_out):
+    tbl, out = table_and_out
+    t = _create(spark, tbl, _rows(range(12), it.EPOCH_S), seq=10)
+    icerun.run_html_extraction_ice(spark, tbl, out)
+
+    # compaction-style overwrite: same corpus except url 9 changed
+    corpus = _rows(range(9), it.EPOCH_S) + _rows(
+        [9], it.EPOCH_S + 9, version=3
+    ) + _rows(range(10, 12), it.EPOCH_S)
+    t.overwrite(
+        spark.createDataFrame(_frame(corpus), schema=it.PAGES_ICE_SCHEMA), 20
+    )
+
+    s = icerun.run_html_extraction_ice(spark, tbl, out)
+    assert s["scan"]["files_new"] == s["scan"]["files_total_snapshot"]
+    assert s["input_pages"] == 1  # only url 9's new unit
+    cur = _current(spark, out)
+    assert cur["https://ex.org/d/9"] == _expected_main(_html(9, version=3))
+    assert cur["https://ex.org/d/2"] == _expected_main(_html(2))
+
+
+def test_units_are_content_addressed_jvm_side(spark, table_and_out):
+    tbl, out = table_and_out
+    _create(spark, tbl, _rows(range(5), it.EPOCH_S), seq=10)
+    icerun.run_html_extraction_ice(spark, tbl, out)
+    mc = lineage.committed_main_content(spark, out)
+    got = {r.url: r.doc_id for r in mc.select("url", "doc_id").collect()}
+    t = it.IceTable(spark, tbl)
+    exp = {
+        r.url: r.doc_id
+        for r in t.read()
+        .select(
+            "url", F.xxhash64("url", F.md5("html")).alias("doc_id")
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_job_cli_iceberg_runs_and_resumes(tmp_path, spark):
+    tbl, out = str(tmp_path / "tbl"), str(tmp_path / "out")
+    _create(spark, tbl, _rows(range(8), it.EPOCH_S), seq=10)
+
+    def run():
+        p = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "jobs", "extract_job.py"),
+                "--input", tbl, "--output", out,
+                "--html", "--iceberg", "--cores", "2",
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    s1 = run()
+    assert s1["input_pages"] == 8
+    s2 = run()
+    assert s2["up_to_date"] and s2["input_pages"] == 0
