@@ -626,6 +626,124 @@ def run_lineage_demo(sf_dir: str, cpus: str) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_iceberg_bench(sf_dir: str, cpus: str, mult: int = 8) -> dict:
+    """Iceberg-path evidence: full extraction run over a fresh icetable of
+    the stored html pages, then a ~2% delta append extracted incrementally.
+    The ratio of the two walls (and of files/bytes scanned) is the
+    O(delta)-vs-O(corpus) claim measured, not asserted. Self-contained:
+    the table and run dirs are built fresh in temp dirs each invocation so
+    repeated benches never accumulate snapshots."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from enem_spark.icerun import run_html_extraction_ice
+    from enem_spark.session import get_spark
+    from enem_spark.sources.icetable import IceTable, Transform
+
+    n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    hw_probe = _mp_probe(min(n_cores, os.cpu_count() or 8))
+    spark = get_spark("enem_spark_ice_bench", cores=cpus)
+    store, n_rows = _html_pages_store(spark, sf_dir, mult)
+    pages = spark.read.parquet(store).select("url", "warc_ts", "html", "lang")
+    base = tempfile.mkdtemp(prefix="enem_ice_bench_")
+
+    # ~2% re-crawl: doc_id%53==0 pages re-synthesized with changed text
+    from enem_spark.htmlops import synth_html_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if mult > 1:
+        n_docs = docs.count()
+        docs = (
+            docs.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+            )
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(n_docs))
+            .drop("rep")
+        )
+    delta_docs = docs.filter(F.col("doc_id") % 53 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" conteudo atualizado"))
+    )
+    delta = synth_html_pages(delta_docs).select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 30 DAYS")).alias("warc_ts"),
+        "html", "lang",
+    )
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    walls = {"full": [], "incr": [], "rescan": []}
+    try:
+        # trial k replays the whole crawl story into fresh dirs (committed
+        # state changes run semantics, so phases can't be re-timed in
+        # place); best-of-N because the shared VM's delivered CPU swings
+        # 5-10x between minutes — same discipline as run_bench
+        for k in range(n_trials):
+            tbl = os.path.join(base, f"pages{k}")
+            out = os.path.join(base, f"out{k}")
+            t = IceTable.create(
+                spark, tbl, pages,
+                partition_by=(Transform("b_url", "bucket", "url", 32),),
+                sequence=10,
+            )
+            t0 = time.perf_counter()
+            full = run_html_extraction_ice(spark, tbl, out)
+            walls["full"].append(round(time.perf_counter() - t0, 3))
+
+            t.append(delta, sequence=20)
+            t1 = time.perf_counter()
+            incr = run_html_extraction_ice(spark, tbl, out)
+            walls["incr"].append(round(time.perf_counter() - t1, 3))
+
+            # the no-watermark counterfactual: force a whole-snapshot
+            # re-plan AFTER the tip is processed — scans the corpus,
+            # window+anti-joins everything, extracts nothing. incr vs
+            # rescan isolates what the manifest watermark saves; at 100 TB
+            # this gap is the whole story.
+            t2 = time.perf_counter()
+            rescan = run_html_extraction_ice(spark, tbl, out, full=True)
+            walls["rescan"].append(round(time.perf_counter() - t2, 3))
+
+        # this host's per-Spark-action latency floor (shared VM): a 1-row
+        # write, timed. Every run wall carries ~4-6 such actions of pure
+        # scheduling cost — constant per run, irrelevant at scale,
+        # dominant at this toy input size.
+        t3 = time.perf_counter()
+        spark.createDataFrame([("probe", 0, 0)],
+                              "a string, b long, c long").write.mode(
+            "overwrite").parquet(os.path.join(base, "probe"))
+        action_floor = time.perf_counter() - t3
+        full_wall = min(walls["full"])
+        incr_wall = min(walls["incr"])
+        rescan_wall = min(walls["rescan"])
+        return {
+            "mode": "iceberg",
+            "metric": "docs/sec full icetable extraction run (incl. lineage commit)",
+            "value": round(n_rows / full_wall, 2),
+            "unit": "docs/sec",
+            "sf": _sf_from_dir(sf_dir),
+            "cpus": cpus,
+            "n_pages": n_rows,
+            "full_wall_sec": round(full_wall, 3),
+            "incr_wall_sec": round(incr_wall, 3),
+            "rescan_wall_sec": round(rescan_wall, 3),
+            "trial_walls": walls,
+            "action_floor_sec": round(action_floor, 3),
+            "incr_pages": incr["input_pages"],
+            "full_scan": full["scan"],
+            "incr_scan": incr["scan"],
+            "rescan_scan": rescan["scan"],
+            "delta_fraction": round(incr["input_pages"] / max(n_rows, 1), 4),
+            "wall_ratio_incr_vs_rescan": round(incr_wall / rescan_wall, 4),
+            "bytes_ratio_incr_vs_full": round(
+                incr["scan"]["bytes_kept"] / max(full["scan"]["bytes_kept"], 1), 4
+            ),
+            "hw_probe_mops": hw_probe,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -634,6 +752,7 @@ def main() -> None:
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--html-scaling", action="store_true")
     ap.add_argument("--html-extract-only", action="store_true")
+    ap.add_argument("--iceberg", action="store_true")
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--mult", type=int, default=48)
@@ -659,6 +778,9 @@ def main() -> None:
         )
         update_html_bench_md(summary)
         print(json.dumps(summary))
+        return
+    if args.iceberg:
+        print(json.dumps(run_iceberg_bench(sf_dir, cpus, mult=8)))
         return
     if args.html_extract_only:
         print(json.dumps(run_html_bench(sf_dir, cpus)))

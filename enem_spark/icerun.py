@@ -103,7 +103,8 @@ def run_html_extraction_ice(
     plus the manifest-level scan report."""
     table = IceTable(spark, table_path)
     tip = max(s["sequence"] for s in table.snapshots())
-    since = None if full else last_extracted_sequence(spark, out_dir)
+    committed_seq = last_extracted_sequence(spark, out_dir)
+    since = None if full else committed_seq
     run_id = run_id_for(tip)
 
     if since is not None and since >= tip:
@@ -127,9 +128,11 @@ def run_html_extraction_ice(
     summary = lineage.run_html_extraction(
         spark, work, out_dir, run_id=run_id, with_anchors=with_anchors
     )
-    if summary["input_pages"] == 0:
+    if summary["input_pages"] == 0 and (committed_seq is None or committed_seq < tip):
         # scanned files but every unit was already extracted: commit the
-        # watermark so the next tail run plans an empty delta
+        # watermark so the next tail run plans an empty delta (skipped when
+        # the tip is already committed — e.g. a forced full re-plan — so a
+        # marker row is never duplicated)
         _mark_noop_run(spark, out_dir, run_id)
     summary["sequence"] = tip
     summary["scan"] = scan
