@@ -758,12 +758,14 @@ class IceTable:
                     return False
             return True
 
-        meta = self.metadata()
+        base = current_version(self.path)
+        meta = self.metadata(base)
         snap = self._resolve_snapshot(meta, None, None)
         dropped = sum(1 for e in self._manifest_entries(snap) if matches(e))
         out = self._commit(
             "delete", [], sequence, None, True,
             manifest_filter=lambda e: not matches(e),
+            base_version=base,
         )
         out["summary"]["deleted_files"] = dropped
         return out
@@ -915,7 +917,12 @@ def snapshot_delta(
     join; content comparison is an md5 over the named columns so wide rows
     never travel past the project.  At 10^12 rows this is the incremental
     re-crawl diff: both sides hash-partition on url, AQE handles skew, and
-    nothing is collected driver-side."""
+    nothing is collected driver-side.
+
+    Assumes one row per key per snapshot (true of crawl snapshots, where a
+    snapshot is one fetch of the frontier). For multi-fetch snapshots,
+    reduce to latest-per-key first (icerun._latest_per_url) or the outer
+    join fans out."""
     cols = list(content_cols)
 
     def digest(df: DataFrame, tag: str) -> DataFrame:

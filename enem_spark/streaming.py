@@ -608,3 +608,67 @@ def start_html_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_ice_ingest_stream(
+    pages_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    partition_by=None,
+    available_now: bool = True,
+):
+    """Crawl tail -> icetable: each micro-batch commits as one append
+    snapshot with ``sequence = batch_id``, making the table the durable,
+    time-travelable ingestion log that `icerun.run_html_extraction_ice`
+    consumes incrementally — the full loop is
+    stream -> snapshot commits -> manifest-level delta extraction.
+
+    foreachBatch is at-least-once; idempotence comes from the table's own
+    commit protocol: a replayed batch sees a snapshot with its sequence
+    already committed and becomes a no-op, and a replay racing a crashed
+    attempt loses the O_EXCL version-file race (CommitConflict), re-checks,
+    and swallows the conflict iff its sequence is now committed. Empty
+    batches commit nothing (sequences need not be contiguous: the
+    extraction watermark compares, never enumerates).
+
+    The stream is assumed to be this table's single writer (the streaming
+    analogue of one Iceberg writer per table branch); an unrelated
+    concurrent committer would surface as a re-raised CommitConflict."""
+    from .sources.icetable import CommitConflict, IceTable
+
+    transforms = tuple(partition_by or ())
+
+    def _committed(spark: SparkSession, batch_id: int) -> bool:
+        t = IceTable(spark, table_path)
+        return t.exists() and any(
+            s["sequence"] == batch_id for s in t.snapshots()
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if _committed(spark, batch_id):
+            return  # checkpoint replay of an already-committed batch
+        t = IceTable(spark, table_path)
+        try:
+            if not t.exists():
+                IceTable.create(
+                    spark, table_path, batch_df,
+                    partition_by=transforms, sequence=batch_id,
+                )
+            else:
+                t.append(batch_df, sequence=batch_id)
+        except (CommitConflict, FileExistsError):
+            if _committed(spark, batch_id):
+                return
+            raise
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
