@@ -81,3 +81,58 @@ def test_image_sink_plan_no_shuffle(spark, tmp_path_factory):
     )
     assert "Exchange" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_iceberg_read_plan(spark):
+    """The icetable read must deliver Iceberg-grade plans: manifest-level
+    file pruning (fewer files listed than the snapshot holds), residual
+    filters pushed into the parquet scan, and column pruning to the
+    projected schema (html/text never read for a url/lang projection)."""
+    from datetime import datetime
+
+    from enem_spark.sources import icetable as it
+
+    staged = it.stage_ice_pages("/root/testdata/sf0.001")
+    t = it.IceTable(spark, staged["table"])
+    filters = [("warc_ts", ">=", datetime(2024, 1, 3)), ("lang", "=", "pt")]
+    files, report = t.plan_files(filters, as_of=it.SEQ_NEW)
+    assert report["files_kept"] < report["files_total"]
+    plan = (
+        t.read(filters, as_of=it.SEQ_NEW)
+        .select("url", "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(warc_ts" in plan
+    assert "ReadSchema: struct<url:string,warc_ts:timestamp,lang:string>" in plan
+    assert "html" not in plan.split("ReadSchema")[1][:120]
+
+
+def test_icerun_extraction_plan(spark, tmp_path_factory):
+    """The icetable extraction stage: ONE Arrow crossing (MapInPandas), no
+    cartesian/nested-loop joins, and the content-address (xxhash64+md5)
+    computed JVM-side below the UDF — never in Python."""
+    from pyspark.sql import functions as F
+
+    from enem_spark import icerun, lineage
+    from enem_spark.sources import icetable as it
+
+    staged = it.stage_ice_pages("/root/testdata/sf0.001")
+    t = it.IceTable(spark, staged["table"])
+    work = icerun._latest_per_url(
+        t.read().select("url", "warc_ts", "html")
+    ).select(
+        F.xxhash64("url", F.md5("html")).alias("doc_id"), "url", "html"
+    )
+    plan = (
+        lineage.instrumented_html_stage(work)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan and "md5" in plan
