@@ -53,6 +53,7 @@ import hashlib
 import json
 import os
 import urllib.parse
+import uuid
 from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Any, Iterable, Sequence
@@ -484,25 +485,63 @@ class IceTable:
 
         This is the Iceberg incremental-read shape: planning stays
         O(manifest entries) driver-side, and at 10^12 rows a re-crawl
-        append is scanned at the cost of the delta, not the corpus.  An
-        overwrite snapshot rewrites every file, so everything is "new" —
-        correct (old extractions are invalidated) and exactness stays with
-        the caller's content-addressed anti-join, because a rewritten file
-        may carry rows whose content did not change."""
+        append is scanned at the cost of the delta, not the corpus.  The
+        snapshot LOG is walked, per operation:
+
+          * ``append`` — contributes the files it added (diff vs parent),
+            read from the APPEND snapshot's own manifests: a later
+            compaction may have rewritten them out of the target's live
+            set, but the original files stay on disk (and readable) until
+            ``expire_snapshots`` reclaims them;
+          * ``replace`` (compaction) — ignored: it rewrites bytes, not
+            logical content, so an incremental reader must not re-see it;
+          * ``overwrite`` — everything in the target becomes "new": old
+            extractions are invalidated, and row-level exactness stays
+            with the caller's content-addressed anti-join (a rewritten
+            file may carry rows whose content did not change);
+          * ``delete`` — subtracts the files it dropped (those rows are
+            gone; partition-aligned deletes drop whole files, so the
+            subtraction is exact).
+
+        A ``from_seq`` older than the oldest retained snapshot (expired
+        history) degrades to a full rescan — same contract as Iceberg,
+        where incremental reads cannot cross expired snapshots."""
         meta = self.metadata()
         target = self._resolve_snapshot(meta, snapshot_id, as_of)
-        base_files: set[str] = set()
-        older = [s for s in meta["snapshots"] if s["sequence"] <= from_seq]
-        if older:
-            base = max(older, key=lambda s: s["sequence"])
-            base_files = {e["path"] for e in self._manifest_entries(base)}
+        ordered = sorted(meta["snapshots"], key=lambda s: s["sequence"])
+        walk = [
+            s
+            for s in ordered
+            if from_seq < s["sequence"] <= target["sequence"]
+        ]
+        files_of = {s["snapshot_id"]: self._manifest_entries(s) for s in ordered}
+        full_rescan = any(s["operation"] == "overwrite" for s in walk) or not any(
+            s["sequence"] <= from_seq for s in ordered
+        )
+        added: dict[str, dict] = {}
+        if not full_rescan:
+            for s in walk:
+                own = files_of[s["snapshot_id"]]
+                parent_paths = (
+                    {e["path"] for e in files_of.get(s["parent_id"], [])}
+                    if s["parent_id"] is not None
+                    else set()
+                )
+                if s["operation"] == "append":
+                    for e in own:
+                        if e["path"] not in parent_paths:
+                            added[e["path"]] = e
+                elif s["operation"] == "delete":
+                    own_paths = {e["path"] for e in own}
+                    for p in parent_paths - own_paths:
+                        added.pop(p, None)
         transforms = [Transform.from_json(d) for d in meta["partition_by"]]
         filters = list(filters or [])
-        entries = [
-            e
-            for e in self._manifest_entries(target)
-            if e["path"] not in base_files
-        ]
+        entries = (
+            list(files_of[target["snapshot_id"]])
+            if full_rescan
+            else [added[p] for p in sorted(added)]
+        )
         kept = [e for e in entries if _keep_file(e, filters, transforms)]
         report = {
             "snapshot_id": target["snapshot_id"],
@@ -585,8 +624,8 @@ class IceTable:
         created at exactly base+1 with O_EXCL, so a writer that committed
         in between makes this one fail with CommitConflict — optimistic
         concurrency, never a silent rebase onto unseen metadata. The caller
-        retries from fresh metadata (re-writing its data files: attempt
-        data dirs are keyed by target version, so a retry gets a new dir)."""
+        retries from fresh metadata (re-writing its data files: each
+        attempt gets a private data dir, so losers never pollute it)."""
         v = current_version(self.path) if base_version is None else base_version
         if v < 0:
             raise FileNotFoundError(f"no icetable at {self.path}; use create()")
@@ -595,6 +634,14 @@ class IceTable:
         old_schema = T.StructType.fromJson(meta["schema"])
         schema = _merge_schema(old_schema, df_schema) if df_schema else old_schema
 
+        # Manifest filenames carry an attempt-unique token: two writers
+        # racing for the same target version would otherwise both write
+        # manifest-{snap_id}.json, and the LOSER's pre-commit write would
+        # silently replace the content behind the winner's already-committed
+        # version file (observed as row duplication under commit races).
+        # Losers' manifests become unreferenced orphans, GC'd by
+        # expire_snapshots like any dead manifest.
+        token = uuid.uuid4().hex[:12]
         manifests: list[str] = []
         if keep_parent_manifests:
             parent = self._resolve_snapshot(meta, None, None)
@@ -612,13 +659,13 @@ class IceTable:
                     if not survivors:
                         continue
                     rel = os.path.join(
-                        "metadata", f"manifest-{snap_id:05d}-r{i:03d}.json"
+                        "metadata", f"manifest-{snap_id:05d}-r{i:03d}-{token}.json"
                     )
                     with open(os.path.join(self.path, rel), "w") as fh:
                         json.dump({"entries": survivors}, fh, indent=1)
                     manifests.append(rel)
         if new_entries:
-            rel = os.path.join("metadata", f"manifest-{snap_id:05d}.json")
+            rel = os.path.join("metadata", f"manifest-{snap_id:05d}-{token}.json")
             with open(os.path.join(self.path, rel), "w") as fh:
                 json.dump({"entries": new_entries}, fh, indent=1)
             manifests.append(rel)
@@ -644,9 +691,23 @@ class IceTable:
         _atomic_create(_version_file(self.path, v + 1), new_meta)
         return snap
 
+    def _attempt_dir(self, snap_hint: int) -> str:
+        """Collision-proof data dir for one write ATTEMPT.  Two writers
+        racing for the same target version must never share a directory:
+        the manifest is built by scanning the attempt dir, so a shared dir
+        lets one writer's manifest absorb the other's files (observed as
+        row duplication under commit races).  The uuid suffix makes each
+        attempt's dir private; losers leave unreferenced orphans that no
+        manifest points at (reclaimed the same way as crash leftovers).
+        Spark part-file names are already non-deterministic, so the random
+        dir does not weaken any byte-for-byte guarantee on this path."""
+        return os.path.join(
+            self.path, "data", f"c{snap_hint:05d}-{uuid.uuid4().hex[:12]}"
+        )
+
     def _write_data(self, df: DataFrame, snap_hint: int) -> list[dict]:
         transforms = self.transforms()
-        commit_dir = os.path.join(self.path, "data", f"c{snap_hint:05d}")
+        commit_dir = self._attempt_dir(snap_hint)
         staged = df
         if transforms:
             parts = [
@@ -709,6 +770,120 @@ class IceTable:
         return self._commit(
             "overwrite", entries, sequence, df.schema, False, base_version=base
         )
+
+    def append_with_retry(
+        self, df: DataFrame, sequence: int, max_attempts: int = 5
+    ) -> dict:
+        """Optimistic-concurrency append loop: on CommitConflict, re-read
+        fresh metadata and retry (each attempt writes its data under the
+        new target version's dir, so a loser's files are never referenced).
+        This is the multi-writer client the commit protocol is designed
+        for — e.g. parallel crawl shards appending to one table."""
+        last: CommitConflict | None = None
+        for _ in range(max_attempts):
+            try:
+                return self.append(df, sequence)
+            except CommitConflict as e:
+                last = e
+        raise CommitConflict(
+            f"append lost {max_attempts} commit races at {self.path}"
+        ) from last
+
+    def compact(self, sequence: int, snapshot_id: int | None = None) -> dict:
+        """Rewrite-data-files maintenance (Iceberg's ``rewrite_data_files``):
+        coalesce each partition's files into one, then commit a ``replace``
+        snapshot whose manifests reference only the rewritten files. Rows
+        are bit-identical and every EXISTING snapshot keeps referencing the
+        old files (time travel intact — old files are reclaimed later by
+        ``expire_snapshots``). The streaming ingest path commits one small
+        snapshot per micro-batch, so periodic compaction is what keeps the
+        file count O(partitions) instead of O(batches) at 10^12 rows."""
+        assert self.spark is not None, "compact() needs a SparkSession"
+        base = current_version(self.path)
+        meta = self.metadata(base)
+        snap = self._resolve_snapshot(meta, snapshot_id, None)
+        entries = self._manifest_entries(snap)
+        by_part: dict[str, list[dict]] = {}
+        for e in entries:
+            key = json.dumps(e["partition"], sort_keys=True)
+            by_part.setdefault(key, []).append(e)
+        if all(len(v) == 1 for v in by_part.values()):
+            return snap  # nothing to do — already one file per partition
+        schema = T.StructType.fromJson(meta["schema"])
+        transforms = [Transform.from_json(d) for d in meta["partition_by"]]
+        commit_dir = self._attempt_dir(base + 1)
+        new_entries: list[dict] = []
+        for key in sorted(by_part):
+            group = by_part[key]
+            files = [os.path.join(self.path, e["path"]) for e in group]
+            part_dir = (
+                partition_dir(transforms, group[0]["partition"])
+                if transforms
+                else ""
+            )
+            out_dir = os.path.join(commit_dir, part_dir) if part_dir else commit_dir
+            # one output file per partition: coalesce(1) is per-partition
+            # work here (each group is a handful of files), not a global
+            # single-task bottleneck — groups compact independently
+            (
+                self.spark.read.schema(schema)
+                .parquet(*files)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(out_dir)
+            )
+        new_entries = _scan_commit_dir(commit_dir, self.path, transforms)
+        out = self._commit(
+            "replace", new_entries, sequence, None, False, base_version=base
+        )
+        out["summary"]["compacted_from_files"] = len(entries)
+        return out
+
+    def expire_snapshots(self, keep_sequences_from: int) -> dict:
+        """Snapshot GC (Iceberg's ``expire_snapshots``): drop every snapshot
+        with ``sequence < keep_sequences_from`` (except the current one)
+        from table metadata, then delete data files referenced ONLY by the
+        dropped snapshots. Time travel to expired snapshots stops working —
+        by design; that is what bounds metadata and storage on a table that
+        commits every micro-batch. The new metadata is committed through
+        the same O_EXCL version file as any write (concurrency-safe); file
+        deletion happens after the commit point, so a crash mid-delete
+        leaves only unreferenced orphans (harmless, re-deleted next time)."""
+        base = current_version(self.path)
+        meta = self.metadata(base)
+        current_id = meta["current_snapshot_id"]
+        keep = [
+            s
+            for s in meta["snapshots"]
+            if s["sequence"] >= keep_sequences_from or s["snapshot_id"] == current_id
+        ]
+        dropped = [s for s in meta["snapshots"] if s not in keep]
+        if not dropped:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        live_paths = {
+            e["path"] for s in keep for e in self._manifest_entries(s)
+        }
+        dead_paths = {
+            e["path"] for s in dropped for e in self._manifest_entries(s)
+        } - live_paths
+        live_manifests = {m for s in keep for m in s["manifests"]}
+        dead_manifests = {
+            m for s in dropped for m in s["manifests"]
+        } - live_manifests
+        new_meta = dict(meta, snapshots=keep)
+        _atomic_create(_version_file(self.path, base + 1), new_meta)
+        # past the commit point: physical deletes (a crash here leaves only
+        # unreferenced orphans — harmless, re-deleted by the next expire)
+        for rel in sorted(dead_paths | dead_manifests):
+            try:
+                os.unlink(os.path.join(self.path, rel))
+            except FileNotFoundError:
+                pass
+        return {
+            "expired_snapshots": len(dropped),
+            "deleted_files": len(dead_paths),
+            "deleted_manifests": len(dead_manifests),
+        }
 
     def delete_partitions(self, filters: Sequence[tuple], sequence: int) -> dict:
         """Metadata-only delete: drop every file whose partition tuple
@@ -804,8 +979,11 @@ def _write_data_pandas(
 ) -> list[dict]:
     """Write a pandas frame as one parquet file per partition tuple with
     deterministic names — the Spark-free twin of ``IceTable._write_data``.
-    Both paths produce identical manifests for identical rows, which is
-    what lets pure-Python oracle staging and Spark commits interoperate."""
+    Deterministic content + naming keeps re-staging idempotent (a second
+    stage of the same frames overwrites byte-identical files).  Unlike the
+    Spark path there is no dir glob: the manifest lists EXACTLY the files
+    this call wrote, so a concurrent writer attempt sharing the target
+    version can never leak its files into this commit's manifest."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -824,14 +1002,19 @@ def _write_data_pandas(
         groups = pdf.groupby(keys, sort=True)
     else:
         groups = [("", pdf)]
+    written: list[str] = []
     for dirname, group in groups:
         out_dir = os.path.join(commit_dir, dirname) if dirname else commit_dir
         os.makedirs(out_dir, exist_ok=True)
         tbl = pa.Table.from_pandas(
             group[cols].reset_index(drop=True), schema=arrow_schema, preserve_index=False
         )
-        pq.write_table(tbl, os.path.join(out_dir, "part-00000.parquet"))
-    return _scan_commit_dir(commit_dir, table_path, transforms)
+        out_path = os.path.join(out_dir, "part-00000.parquet")
+        pq.write_table(tbl, out_path)
+        written.append(out_path)
+    entries = [_file_entry(p, table_path, transforms) for p in written]
+    entries.sort(key=lambda e: e["path"])
+    return entries
 
 
 def create_pandas(

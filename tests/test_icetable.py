@@ -319,6 +319,142 @@ def test_staged_incremental_is_exactly_the_delta_crawl(spark):
     assert t.read().count() == len(it.crawl_frames(SF_DIR)[1]) + len(exp)
 
 
+def _collect_rows(df):
+    return sorted(
+        (r.url, r.text, None if r.html is None else bytes(r.html))
+        for r in df.select("url", "text", "html").collect()
+    )
+
+
+def test_compact_coalesces_files_preserving_rows_and_history(spark, tmp_table):
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 20), schema=it.PAGES_ICE_SCHEMA),
+        partition_by=(it.Transform("b_url", "bucket", "url", 2),),
+        sequence=10,
+    )
+    t.append(spark.createDataFrame(_toy_pdf(20, 30), schema=it.PAGES_ICE_SCHEMA), 20)
+    t.append(spark.createDataFrame(_toy_pdf(30, 40), schema=it.PAGES_ICE_SCHEMA), 30)
+    _files, before = t.plan_files()
+    rows_before = _collect_rows(t.read())
+
+    snap = t.compact(sequence=40)
+    assert snap["operation"] == "replace"
+    assert snap["summary"]["compacted_from_files"] == before["files_total"]
+    _files2, after = t.plan_files()
+    assert after["files_total"] == 2  # one file per bucket partition
+    assert after["records_total"] == before["records_total"]
+    assert _collect_rows(t.read()) == rows_before
+    # pre-compaction snapshots still read their original files (time travel)
+    assert t.read(as_of=30).count() == 40
+    assert t.read(as_of=20).count() == 30
+    # idempotent: compacting an already-compact table commits nothing
+    v = it.current_version(tmp_table)
+    t.compact(sequence=50)
+    assert it.current_version(tmp_table) == v
+
+
+def test_incremental_reads_through_compaction_and_delete(spark, tmp_table):
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 20), schema=it.PAGES_ICE_SCHEMA),
+        partition_by=TRANSFORMS,
+        sequence=10,
+    )
+    t.append(spark.createDataFrame(_toy_pdf(20, 26), schema=it.PAGES_ICE_SCHEMA), 20)
+    t.compact(sequence=30)
+    t.append(spark.createDataFrame(_toy_pdf(26, 30), schema=it.PAGES_ICE_SCHEMA), 40)
+
+    # rows appended at seq 20 must survive the later compaction in the
+    # delta from seq 10 (read from the append snapshot's own manifests)
+    got = sorted(r.url for r in t.read_incremental(from_seq=10).collect())
+    assert got == sorted(_toy_pdf(20, 30)["url"])
+    # the compaction itself contributes nothing to a later watermark
+    assert sorted(
+        r.url for r in t.read_incremental(from_seq=30).collect()
+    ) == sorted(_toy_pdf(26, 30)["url"])
+    # a delete between watermark and tip subtracts its dropped files
+    day = str(int(_toy_pdf(26, 27)["warc_ts"].iloc[0].timestamp()) // 86400)
+    t.delete_partitions([("p_day", "=", day)], sequence=50)
+    dropped = {
+        u
+        for u, ts in zip(_toy_pdf(20, 30)["url"], _toy_pdf(20, 30)["warc_ts"])
+        if str(int(ts.timestamp()) // 86400) == day
+    }
+    got2 = set(r.url for r in t.read_incremental(from_seq=10).collect())
+    assert got2 == set(_toy_pdf(20, 30)["url"]) - dropped
+
+
+def test_expire_snapshots_reclaims_files_and_degrades_incremental(spark, tmp_table):
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 10), schema=it.PAGES_ICE_SCHEMA),
+        partition_by=TRANSFORMS,
+        sequence=10,
+    )
+    t.overwrite(spark.createDataFrame(_toy_pdf(5, 15), schema=it.PAGES_ICE_SCHEMA), 20)
+    t.append(spark.createDataFrame(_toy_pdf(15, 18), schema=it.PAGES_ICE_SCHEMA), 30)
+    n_parquet_before = len(
+        glob.glob(os.path.join(tmp_table, "data", "**", "*.parquet"), recursive=True)
+    )
+    out = t.expire_snapshots(keep_sequences_from=20)
+    assert out["expired_snapshots"] >= 1 and out["deleted_files"] > 0
+    n_parquet_after = len(
+        glob.glob(os.path.join(tmp_table, "data", "**", "*.parquet"), recursive=True)
+    )
+    assert n_parquet_after == n_parquet_before - out["deleted_files"]
+    # current state intact; expired snapshot unreadable; retained one fine
+    assert t.read().count() == 13
+    assert t.read(as_of=20).count() == 10
+    with pytest.raises(KeyError):
+        t.read(as_of=10)
+    # incremental from expired history degrades to a full rescan
+    _files, report = t.plan_incremental(from_seq=5)
+    assert report["files_kept"] == report["files_total_snapshot"]
+    # second expire is a no-op
+    assert t.expire_snapshots(keep_sequences_from=20)["expired_snapshots"] == 0
+
+
+def test_append_with_retry_wins_after_conflicts(spark, tmp_table):
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 5), schema=it.PAGES_ICE_SCHEMA),
+        partition_by=TRANSFORMS,
+        sequence=10,
+    )
+    real_commit = t._commit
+    calls = {"n": 0}
+
+    def racy_commit(*args, **kwargs):
+        # a racer lands a commit between this writer's base read and its
+        # version-file create, for the first two attempts
+        if calls["n"] < 2:
+            calls["n"] += 1
+            base = kwargs.get("base_version")
+            it.commit_pandas(
+                it.IceTable(None, tmp_table),
+                _toy_pdf(90 + calls["n"], 91 + calls["n"]),
+                it.PAGES_ICE_SCHEMA,
+                "append",
+                100 + calls["n"],
+            )
+            kwargs["base_version"] = base
+        return real_commit(*args, **kwargs)
+
+    t._commit = racy_commit
+    try:
+        snap = t.append_with_retry(
+            spark.createDataFrame(_toy_pdf(5, 8), schema=it.PAGES_ICE_SCHEMA),
+            sequence=200,
+        )
+    finally:
+        t._commit = real_commit
+    assert snap["sequence"] == 200
+    assert calls["n"] == 2
+    # nothing lost: initial 5 + two racer rows + the retried 3
+    assert t.read().count() == 10
+
+
 def test_staging_is_deterministic_and_memoized(tmp_path):
     staged = it.stage_ice_pages(SF_DIR)
     assert staged is it.stage_ice_pages(SF_DIR)
