@@ -626,6 +626,109 @@ def run_lineage_demo(sf_dir: str, cpus: str) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _ice_store(spark, sf_dir: str, mult: int = 8) -> tuple[str, int]:
+    """Memoized icetable of the stored html pages (one create commit) —
+    the steady-state read side for the icetable scaling evidence."""
+    import tempfile
+
+    from enem_spark.sources.icetable import IceTable, Transform, current_version
+
+    sf = _sf_from_dir(sf_dir)
+    suffix = f"x{mult}" if mult > 1 else ""
+    tbl = os.path.join(tempfile.gettempdir(), f"enem_ice_store_sf{sf}{suffix}")
+    store, n_rows = _html_pages_store(spark, sf_dir, mult)
+    if current_version(tbl) < 0:
+        pages = spark.read.parquet(store).select("url", "warc_ts", "html", "lang")
+        IceTable.create(
+            spark, tbl, pages,
+            partition_by=(Transform("b_url", "bucket", "url", 32),),
+            sequence=10,
+        )
+    return tbl, n_rows
+
+
+def run_ice_extract_bench(sf_dir: str, cpus: str) -> dict:
+    """Steady-state extraction throughput with the icetable as input:
+    manifest-planned read -> latest-fetch-per-url window -> content
+    address -> DOM extraction (the icerun hot path without the commit
+    writes, mirroring the other --*-extract-only modes). Emits the same
+    JSON keys so run_scaling can drive it."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from enem_spark.icerun import _latest_per_url
+    from enem_spark.lineage import instrumented_html_stage
+    from enem_spark.session import get_spark
+    from enem_spark.sources.icetable import IceTable
+
+    n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    hw_probe = _mp_probe(min(n_cores, os.cpu_count() or 8))
+    spark = get_spark("enem_spark_ice_extract", cores=cpus)
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
+    tbl, n_rows = _ice_store(spark, sf_dir, mult)
+    t = IceTable(spark, tbl)
+
+    def job():
+        work = _latest_per_url(t.read().select("url", "warc_ts", "html")).select(
+            F.xxhash64("url", F.md5("html")).alias("doc_id"), "url", "html"
+        )
+        return instrumented_html_stage(work).count()
+
+    job()  # warm every worker, untimed
+    runs = []
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        job()
+        runs.append(round(time.perf_counter() - t0, 3))
+    return {
+        "metric": "docs/sec icetable-input extraction (read+window+extract)",
+        "value": round(n_rows / min(runs), 2),
+        "unit": "docs/sec",
+        "sf": _sf_from_dir(sf_dir),
+        "cpus": cpus,
+        "extract_runs_sec": runs,
+        "n_pages": n_rows,
+        "hw_probe_mops": hw_probe,
+    }
+
+
+def update_ice_bench_md(summary: dict, path: str = "BENCH.md") -> None:
+    """Insert/replace the '## Icetable-input scaling' section in BENCH.md."""
+    lo, hi = summary["low_cpus"], summary["high_cpus"]
+    section = f"""## Icetable-input scaling (manifest-planned read -> extraction)
+
+Two-parallelism evidence with the Iceberg-style table as the input
+(read through the manifest plan, latest-fetch-per-url window,
+content-address, DOM extraction):
+
+| config | icetable extraction docs/sec | raw-hardware M-ops/s |
+|---|---|---|
+| {lo} cores | {summary['docs_per_sec_low']} | {summary['hw_mhash_low']} |
+| {hi} cores | {summary['docs_per_sec_high']} | {summary['hw_mhash_high']} |
+
+scaling efficiency = **{summary['scaling_efficiency']}**, hardware ceiling
+that window = {summary['hw_scaling_efficiency']}, normalized =
+**{summary['normalized_efficiency']}** ({summary['n_pages']} pages,
+sf={summary['sf']} x{summary['scale_mult']}; trial picked by the same
+credible-probe rule as the exam job).
+"""
+    old = open(path).read() if os.path.exists(path) else ""
+    start = old.find("## Icetable-input scaling")
+    if start != -1:
+        nxt = old.find("\n## ", start + 1)
+        old = old[:start] + (old[nxt + 1 :] if nxt != -1 else "")
+    anchor = old.find("## Iceberg-path extraction")
+    if anchor == -1:
+        anchor = old.find("## Headline timings")
+    if anchor != -1:
+        new = old[:anchor] + section + "\n" + old[anchor:]
+    else:
+        new = (old.rstrip() + "\n\n" if old else "") + section
+    with open(path, "w") as f:
+        f.write(new)
+
+
 def run_iceberg_bench(sf_dir: str, cpus: str, mult: int = 8) -> dict:
     """Iceberg-path evidence: full extraction run over a fresh icetable of
     the stored html pages, then a ~2% delta append extracted incrementally.
@@ -753,6 +856,8 @@ def main() -> None:
     ap.add_argument("--html-scaling", action="store_true")
     ap.add_argument("--html-extract-only", action="store_true")
     ap.add_argument("--iceberg", action="store_true")
+    ap.add_argument("--ice-extract-only", action="store_true")
+    ap.add_argument("--ice-scaling", action="store_true")
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--mult", type=int, default=48)
@@ -781,6 +886,17 @@ def main() -> None:
         return
     if args.iceberg:
         print(json.dumps(run_iceberg_bench(sf_dir, cpus, mult=8)))
+        return
+    if args.ice_extract_only:
+        print(json.dumps(run_ice_extract_bench(sf_dir, cpus)))
+        return
+    if args.ice_scaling:
+        summary = run_scaling(
+            sf_dir, args.low, args.high, args.mult, args.trials,
+            flag="--ice-extract-only",
+        )
+        update_ice_bench_md(summary)
+        print(json.dumps(summary))
         return
     if args.html_extract_only:
         print(json.dumps(run_html_bench(sf_dir, cpus)))

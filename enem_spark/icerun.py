@@ -64,10 +64,10 @@ def last_extracted_sequence(spark: SparkSession, out_dir: str) -> int | None:
     return max(seqs, default=None)
 
 
-def _latest_per_url(pages: DataFrame) -> DataFrame:
-    """One row per url: the latest fetch (ties broken by content hash so
-    reruns are deterministic). One shuffle on url — the unavoidable
-    latest-snapshot window; url keys are near-uniform so AQE needs no help."""
+_DUP_BROADCAST_LIMIT = 2_000_000  # urls; ~100 MB broadcast worst case
+
+
+def _window_latest(pages: DataFrame) -> DataFrame:
     w = W.partitionBy("url").orderBy(
         F.col("warc_ts").desc(), F.md5("html").asc()
     )
@@ -76,6 +76,44 @@ def _latest_per_url(pages: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def _latest_per_url(pages: DataFrame) -> DataFrame:
+    """One row per url: the latest fetch (ties broken by content hash so
+    reruns are deterministic).
+
+    The naive plan — a row_number window over url — shuffles every html
+    payload, and measured 2->8-core scaling of the whole job collapsed to
+    ~0.57 because the wide shuffle is I/O-bound while extraction is
+    CPU-bound. Multi-fetch urls are rare in a crawl snapshot, so instead:
+
+      1. find duplicated urls with a NARROW aggregate (the scan reads only
+         the url column — parquet column pruning);
+      2. route ONLY those rows through the window (tiny shuffle);
+      3. pass unique-url rows through untouched via a broadcast anti-join
+         — html bytes never leave their scan partitions.
+
+    If there are no duplicates the input is returned as-is (zero shuffle,
+    zero extra plan). If the duplicated-url set is too large to broadcast
+    (adversarial input), fall back to the full window — correctness never
+    depends on the fast path. The dup probe costs one narrow count action;
+    at any realistic scale that is orders cheaper than shuffling payloads."""
+    dups = (
+        pages.groupBy("url")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("url")
+    )
+    n_dups = dups.count()
+    if n_dups == 0:
+        return pages
+    if n_dups > _DUP_BROADCAST_LIMIT:
+        return _window_latest(pages)
+    winners = _window_latest(
+        pages.join(F.broadcast(dups), "url", "left_semi")
+    )
+    uniques = pages.join(F.broadcast(dups), "url", "left_anti")
+    return uniques.unionByName(winners)
 
 
 def _mark_noop_run(spark: SparkSession, out_dir: str, run_id: str) -> None:
