@@ -467,6 +467,15 @@ def q_sentence_stats(spark, sf_dir):
     return textops.sentence_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_char_lm_score(spark, sf_dir):
+    """CCNet-style char-bigram LM perplexity signal (self-trained)."""
+    return textops.char_lm_score(_t(spark, sf_dir, "documents"))
+
+
+def q_char_entropy(spark, sf_dir):
+    return textops.char_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Exact-substring dedup profile (Lee et al. rolling-window rebuild);
     parity window size so the DuckDB lead-chain twin stays short — the
@@ -798,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": q_props_extract,
         "sessionize": q_sessionize,
         "sentence_stats": q_sentence_stats,
+        "char_lm_score": q_char_lm_score,
+        "char_entropy": q_char_entropy,
         "dup_span_stats": q_dup_span_stats,
         "dedup_spans_clean": q_dedup_spans_clean,
         "dedup_clusters": q_dedup_clusters,
@@ -2047,6 +2058,65 @@ SELECT doc_id,
        CAST(coalesce(list_max([length(s) for s in sents]), 0) AS INT)
          AS max_sentence_chars
 FROM p
+""",
+        # CCNet-style char-bigram LM: log-probs quantized to integer
+        # micro-nats BEFORE the per-doc sum (exact integer aggregation in
+        # both engines — no float summation-order drift); ln() inputs are
+        # identical exact int-ratio doubles, so the quantized values agree
+        "char_lm_score": r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'),
+                        '[0-9]', '0', 'g') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, substring(t, u.i, 2) AS g
+  FROM norm, unnest(generate_series(1, length(t) - 1)) AS u(i)
+),
+tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf FROM grams GROUP BY 1, 2),
+model AS (SELECT g, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS v FROM model),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(tf.tf * CAST(round(
+              ln((model.cnt + 1) * 1.0 / (tot.total + tot.v)) * 1000000)
+              AS BIGINT)) AS BIGINT) AS q_sum
+  FROM tf JOIN model USING (g) CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(-s.q_sum / (s.n_bigrams * 1000000.0), 6) AS nll
+FROM documents d LEFT JOIN scored s USING (doc_id)
+""",
+        "char_entropy": r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'),
+                        '[0-9]', '0', 'g') AS t
+  FROM documents
+),
+chars AS (
+  SELECT doc_id, substring(t, u.i, 1) AS c
+  FROM norm, unnest(generate_series(1, length(t))) AS u(i)
+),
+tf AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS tf FROM chars GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+ent AS (
+  SELECT tf.doc_id,
+         CAST(max(tot.n) AS BIGINT) AS n_chars_norm,
+         CAST(sum(tf.tf * CAST(round(ln(tf.tf * 1.0 / tot.n) * 1000000)
+              AS BIGINT)) AS BIGINT) AS q_sum
+  FROM tf JOIN tot USING (doc_id)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(e.n_chars_norm, 0) AS BIGINT) AS n_chars_norm,
+       round(-e.q_sum / (e.n_chars_norm * 1000000.0), 6) AS entropy
+FROM documents d LEFT JOIN ent e USING (doc_id)
 """,
         "dup_span_stats": _dup_span_stats_sql(textops.PARITY_SPAN_W),
         "dedup_spans_clean": _dup_span_clean_sql(textops.PARITY_SPAN_W),

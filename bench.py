@@ -49,6 +49,8 @@ HEADLINE = [
     "rollup_revenue",
     "sessionize",
     "sentence_stats",
+    "char_lm_score",
+    "char_entropy",
     "props_extract",
     "dedup_exact",
     "dedup_minhash_lsh",

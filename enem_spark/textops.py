@@ -1342,3 +1342,139 @@ def remove_duplicate_spans(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFra
         .cast("long")
         .alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-level language-model quality signals (CCNet-style).
+#
+# Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets from
+# Web Crawl Data" (2019) rank web pages by the perplexity of a char-based
+# KenLM; pages whose text is mojibake, markup soup, or keyword stuffing
+# score far from the clean-text distribution. The estimator here is an
+# add-one-smoothed character-bigram model trained on the corpus itself (or
+# a caller-supplied clean slice), which keeps the whole operator inside
+# pyspark.sql.functions and gives the DuckDB twin an exactly computable
+# definition — no external model artifact.
+
+# Log-probs are quantized to integer micro-nats BEFORE any per-document
+# sum, so every aggregation is exact integer arithmetic: bit-identical
+# across engines regardless of float summation order. Only the final
+# single division per document is floating point.
+LM_QUANT = 1_000_000
+
+
+def _char_norm(col):
+    """CCNet-ish text normalization: lowercase, digits->0, whitespace runs
+    collapsed to one space. Plain regexps (no lookaround) — Java regex and
+    RE2 agree on every class used here ('\\s' is the same 6-char ASCII set
+    in both)."""
+    t = F.lower(F.coalesce(col, F.lit("")))
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.regexp_replace(t, r"[0-9]", "0")
+
+
+def char_bigram_tf(documents: DataFrame) -> DataFrame:
+    """(doc_id, g, tf) — char-bigram term frequencies over normalized text.
+
+    Built as posexplode(split(t, '')) + lead() window: the normalization
+    and split run ONCE per document (same discipline as _gram_rows; see its
+    docstring for why transform(sequence, i -> substring(...)) is the slow
+    form — for chars it is also O(len²) because substring(t, i, 2) re-walks
+    the UTF-8 prefix per gram). Spark's split(t, '') keeps a trailing ''
+    element (Java split limit -1), so grams are kept by length == 2, which
+    also drops the null concat at end-of-doc."""
+    chars = documents.select(
+        "doc_id",
+        F.posexplode(F.split(_char_norm(F.col("text")), "")).alias("pos", "c"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    rows = chars.withColumn("g", F.concat(F.col("c"), F.lead("c", 1).over(w)))
+    return (
+        rows.filter(F.length("g") == 2)
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def char_lm_score(documents: DataFrame, train: DataFrame | None = None) -> DataFrame:
+    """Per-document negative log-likelihood (nats/bigram) under a corpus
+    char-bigram LM — the CCNet perplexity-filter signal.
+
+    p(g) = (cnt(g)+1) / (total+V), add-one smoothed, trained on ``train``
+    (default: the scored corpus itself — self-scoring ranks each page
+    against the corpus-wide character distribution). Unseen grams (only
+    possible with an external ``train``) fall back to the smoothing floor
+    via cnt=0.
+
+    Scale: the model vocabulary is bounded by charset² — a few thousand
+    entries at ANY corpus size — so the score join is a broadcast; the tf
+    build is one per-doc window plus a partial-aggregated groupBy (common
+    bigrams are hot keys but map-side combine collapses them before the
+    exchange); the per-doc reduce is the only other shuffle."""
+    tf = char_bigram_tf(documents)
+    train_tf = tf if train is None else char_bigram_tf(train)
+    model = train_tf.groupBy("g").agg(F.sum("tf").cast("long").alias("cnt"))
+    totals = model.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count("*").cast("long").alias("v"),
+    )
+    lp_q = F.round(
+        F.log((F.col("cnt") + F.lit(1)) / (F.col("total") + F.col("v"))) * LM_QUANT
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(model), "g", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .withColumn("lp_q", lp_q)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lp_q")).cast("long").alias("q_sum"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(
+                -F.col("q_sum") / (F.col("n_bigrams") * F.lit(float(LM_QUANT))), 6
+            ).alias("nll"),
+        )
+    )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document character unigram entropy (nats) over normalized text.
+
+    Near-zero entropy flags repeated-junk pages (one char dominating);
+    anomalously high entropy flags base64/binary-as-text blobs. Same
+    integer-quantization protocol as char_lm_score: H = -(1/n)·Σ tf·ln(tf/n)
+    with ln quantized to micro-nats before the exact integer sum."""
+    chars = documents.select(
+        "doc_id", F.explode(F.split(_char_norm(F.col("text")), "")).alias("c")
+    ).filter(F.length("c") == 1)
+    tf = chars.groupBy("doc_id", "c").agg(F.count("*").cast("long").alias("tf"))
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("n"))
+    lp_q = F.round(F.log(F.col("tf") / F.col("n")) * LM_QUANT).cast("long")
+    ent = (
+        tf.join(tot, "doc_id")
+        .withColumn("lp_q", lp_q)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars_norm"),
+            F.sum(F.col("tf") * F.col("lp_q")).cast("long").alias("q_sum"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars_norm", F.lit(0)).cast("long").alias("n_chars_norm"),
+            F.round(
+                -F.col("q_sum") / (F.col("n_chars_norm") * F.lit(float(LM_QUANT))), 6
+            ).alias("entropy"),
+        )
+    )
