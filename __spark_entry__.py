@@ -752,6 +752,28 @@ def q_iceberg_incremental(spark, sf_dir):
     )
 
 
+def q_recrawl_priority(spark, sf_dir):
+    """Re-crawl scheduling from the icetable's fetch history: the union of
+    the pinned first-crawl read, the pinned re-crawl read, and the
+    incremental delta read (manifest-planned — never a latest-state read,
+    per the oracle-pairing rule) feeds the change-ratio bucketing."""
+    from enem_spark import icerun
+    from enem_spark.sources import icetable
+
+    staged = icetable.stage_ice_pages(sf_dir)
+    t = icetable.IceTable(spark, staged["table"])
+    fetches = [
+        t.read(as_of=icetable.SEQ_OLD),
+        t.read(as_of=icetable.SEQ_NEW),
+        t.read_incremental(from_seq=icetable.SEQ_NEW),
+    ]
+    frames = [
+        f.select("url", "warc_ts", F.md5("html").alias("digest")) for f in fetches
+    ]
+    hist = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    return icerun.recrawl_priority(hist)
+
+
 def q_html_dedup_paragraphs(spark, sf_dir):
     # full web pipeline: synth -> DOM extraction -> corpus-wide paragraph
     # dedup. The DuckDB twin COMPUTES the dedup with SQL windows over the
@@ -834,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_incremental": q_iceberg_incremental,
         "crawl_delta": q_crawl_delta,
+        "recrawl_priority": q_recrawl_priority,
     }
 
 
@@ -1839,6 +1862,39 @@ FULL OUTER JOIN read_parquet('{ice_staged["expected_new"]}') n
         "warc_ingest": f"""
 SELECT url, warc_date, html_md5, html_len, http_status
 FROM read_parquet('{warc_staged["expected"]}')
+""",
+        # fetch-history twin: UNION ALL of the three staged source frames
+        # (same events the pinned as_of + incremental Spark reads see);
+        # change stats are exact small-int arithmetic
+        "recrawl_priority": f"""
+WITH hist AS (
+  SELECT url, warc_ts, html_md5 AS digest
+  FROM read_parquet('{ice_staged["expected_old"]}')
+  UNION ALL
+  SELECT url, warc_ts, html_md5 FROM read_parquet('{ice_staged["expected_new"]}')
+  UNION ALL
+  SELECT url, warc_ts, html_md5 FROM read_parquet('{ice_staged["expected_delta"]}')
+),
+g AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(count(DISTINCT digest) AS BIGINT) AS n_versions,
+         CAST(epoch(max(warc_ts)) AS BIGINT) AS last_fetch_s
+  FROM hist GROUP BY 1
+),
+r AS (
+  SELECT url, n_fetches, n_versions,
+         CASE WHEN n_fetches > 1
+              THEN round((n_versions - 1) * 1.0 / (n_fetches - 1), 6)
+         END AS change_ratio,
+         last_fetch_s
+  FROM g
+)
+SELECT url, n_fetches, n_versions, change_ratio, last_fetch_s,
+       CASE WHEN n_fetches <= 1 THEN 'unknown'
+            WHEN change_ratio >= 0.5 THEN 'hot'
+            WHEN change_ratio > 0 THEN 'warm'
+            ELSE 'cold' END AS priority
+FROM r
 """,
         "extract_questions": f"""
 SELECT url, seq, subject, question_num, "ID", correct_answer, question_text

@@ -191,3 +191,49 @@ def current_main_content(spark: SparkSession, out_dir: str) -> DataFrame | None:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def recrawl_priority(history: DataFrame) -> DataFrame:
+    """Crawl-scheduling signal from observed fetch history.
+
+    ``history``: one row per FETCH event — (url, warc_ts, digest), digest
+    identifying the fetched content (e.g. md5 of the payload). Emits
+    per-url change statistics and a re-fetch priority class — the
+    Cho & Garcia-Molina re-crawl scheduling idea ("Effective Page Refresh
+    Policies for Web Crawlers", TODS 2003) reduced to its observable core:
+    pages seen changing between past fetches are re-fetched sooner.
+
+      n_fetches     fetch events observed for the url
+      n_versions    distinct contents across those fetches
+      change_ratio  (n_versions-1)/(n_fetches-1); NULL until 2 fetches
+      last_fetch_s  most recent fetch, epoch seconds
+      priority      hot (ratio>=0.5) / warm (>0) / cold (0) / unknown (<2)
+
+    Scale: ONE groupBy(url) shuffle on a near-uniform key; the history
+    frame is the union of manifest-planned snapshot reads of the icetable
+    (pinned as_of + incremental), so building it never rescans the corpus
+    once per snapshot."""
+    g = history.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.count_distinct("digest").cast("long").alias("n_versions"),
+        F.max("warc_ts").cast("long").alias("last_fetch_s"),
+    )
+    ratio = F.when(
+        F.col("n_fetches") > 1,
+        F.round((F.col("n_versions") - 1) / (F.col("n_fetches") - 1), 6),
+    )
+    out = g.withColumn("change_ratio", ratio)
+    priority = (
+        F.when(F.col("n_fetches") <= 1, "unknown")
+        .when(F.col("change_ratio") >= 0.5, "hot")
+        .when(F.col("change_ratio") > 0, "warm")
+        .otherwise("cold")
+    )
+    return out.select(
+        "url",
+        "n_fetches",
+        "n_versions",
+        "change_ratio",
+        "last_fetch_s",
+        priority.alias("priority"),
+    )

@@ -194,3 +194,35 @@ def test_job_cli_iceberg_runs_and_resumes(tmp_path, spark):
     assert s1["input_pages"] == 8
     s2 = run()
     assert s2["up_to_date"] and s2["input_pages"] == 0
+
+
+def test_recrawl_priority_buckets(spark):
+    from datetime import datetime
+
+    from enem_spark.icerun import recrawl_priority
+
+    T0 = datetime(2024, 1, 1)
+    T1 = datetime(2024, 1, 2)
+    T2 = datetime(2024, 1, 3)
+    hist = spark.createDataFrame(
+        [
+            # changed on every re-fetch -> hot
+            ("u/hot", T0, "d1"), ("u/hot", T1, "d2"), ("u/hot", T2, "d3"),
+            # changed once in three fetches -> warm (ratio 0.5 -> hot edge:
+            # 1 change / 2 intervals = 0.5 => hot by the >= rule)
+            ("u/edge", T0, "d1"), ("u/edge", T1, "d1"), ("u/edge", T2, "d9"),
+            # never changed -> cold
+            ("u/cold", T0, "d1"), ("u/cold", T1, "d1"),
+            # single observation -> unknown, NULL ratio
+            ("u/new", T2, "d1"),
+        ],
+        "url string, warc_ts timestamp, digest string",
+    )
+    out = {r["url"]: r for r in recrawl_priority(hist).collect()}
+    assert out["u/hot"]["priority"] == "hot"
+    assert out["u/hot"]["change_ratio"] == 1.0
+    assert out["u/edge"]["priority"] == "hot" and out["u/edge"]["change_ratio"] == 0.5
+    assert out["u/cold"]["priority"] == "cold" and out["u/cold"]["change_ratio"] == 0.0
+    assert out["u/new"]["priority"] == "unknown"
+    assert out["u/new"]["change_ratio"] is None
+    assert out["u/new"]["last_fetch_s"] == int(T2.timestamp())
