@@ -586,6 +586,19 @@ def q_html_main_content(spark, sf_dir):
     return htmlops.extract_main_content(_html_pages(spark, sf_dir))
 
 
+def q_charset_decode(spark, sf_dir):
+    """Charset sniffing + decode over a mixed-encoding crawl slice
+    (charset.decode_stats): WHATWG-style BOM/meta/utf8/fallback detection,
+    one Arrow crossing, no shuffle. Oracle is MATERIALIZED
+    (charset.stage_charset_tables) — the same pure functions run without
+    Spark; text_md5 pins the decoded content cross-engine."""
+    from enem_spark import charset
+
+    return charset.decode_stats(
+        charset.synth_encoded_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_html_strip_tags(spark, sf_dir):
     from enem_spark import htmlops
 
@@ -857,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_incremental": q_iceberg_incremental,
         "crawl_delta": q_crawl_delta,
         "recrawl_priority": q_recrawl_priority,
+        "charset_decode": q_charset_decode,
     }
 
 
@@ -1832,7 +1846,17 @@ def oracle_sql() -> dict[str, str]:
     from enem_spark.sources.icetable import stage_ice_pages
 
     ice_staged = stage_ice_pages(oracle_sf)
+    # charset twin: expected decode stats from the same pure detector
+    # (DuckDB cannot decode cp1252/utf-16 blobs, so this is materialized)
+    from enem_spark.charset import stage_charset_tables
+
+    charset_staged = stage_charset_tables(oracle_sf)
     return {
+        "charset_decode": f"""
+SELECT doc_id, url, charset, method, n_bytes, n_chars,
+       round(replacement_ratio, 6) AS replacement_ratio, text_md5
+FROM read_parquet('{charset_staged["charset_stats"]}')
+""",
         "iceberg_scan": f"""
 SELECT url, html_md5, html_len, md5(text) AS text_md5, lang
 FROM read_parquet('{ice_staged["expected_new"]}')

@@ -1,0 +1,329 @@
+"""Charset sniffing + encoding normalization for binary crawl pages.
+
+The input hint's pages carry ``html:binary`` — and a real Common-Crawl
+slice is an encoding zoo (UTF-8 is ~95% of the modern web but the tail is
+windows-1252/legacy-declared pages, BOM'd files, and UTF-16 exports). Every
+other operator in this repo decodes UTF-8; this module is the ingestion
+step that makes that safe: detect each page's encoding, decode it, and
+re-emit the payload as clean UTF-8 bytes with the detection recorded.
+
+Detection is the WHATWG "encoding sniffing algorithm" reduced to its
+deterministic core, in precedence order:
+
+  1. **BOM** — UTF-8 / UTF-16LE/BE / UTF-32LE/BE byte-order marks (the
+     spec's step 1; UTF-32 checked before UTF-16 because its LE BOM is a
+     prefix-superset).
+  2. **meta prescan** — a ``charset=`` declaration inside a ``<meta`` tag
+     within the first ``PRESCAN`` bytes (HTML5 §13.2.3.2 prescan, reduced:
+     one regex over the raw bytes instead of the full tokenizer, so a
+     declaration inside an HTML comment is honored — a documented
+     divergence that is deterministic and crash-free). Labels map per the
+     WHATWG Encoding registry subset in ``LABELS`` — notably
+     iso-8859-1 / latin-1 / us-ascii are windows-1252 in browsers, and a
+     ``utf-16`` label found by an ASCII-superset prescan means the page is
+     actually an ASCII superset, so it decodes as UTF-8 (spec rule).
+  3. **strict UTF-8 validation** — undeclared pages that decode cleanly
+     as UTF-8 are UTF-8.
+  4. **windows-1252 fallback** — the browser default for the unmarked
+     rest; never fails (undefined cp1252 bytes 0x81/0x8D/0x8F/0x90/0x9D
+     become U+FFFD and show up in ``replacement_ratio`` — WHATWG maps them
+     to C1 controls instead; divergence documented, deterministic).
+
+One pure function (`decode_bytes`) is shared by the Spark mapInPandas
+path, the expected-staging path, and the tests — the materialized-oracle
+protocol used for every non-SQL-expressible stage in this repo (DuckDB
+cannot decode cp1252 blobs, so the twin SELECTs staged expected output
+computed by the same function without Spark).
+
+Reference tie-in: the reference opens PDF bytes and never sees charsets
+(fitz owns decoding, enem_pdf_extractor.py:947); generalized to web pages
+the equivalent "make bytes readable before parsing" step is exactly this
+operator.
+
+Scale (100 TB): detection + decode is map-side only — one Arrow crossing,
+no shuffle, each page handled independently; the prescan reads at most
+``PRESCAN`` bytes before the full decode, and the full decode is the same
+single pass the downstream parser would have paid anyway.
+"""
+
+from __future__ import annotations
+
+import codecs
+import hashlib
+import os
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from . import htmlops
+
+PRESCAN = 1024  # bytes inspected for a <meta charset> declaration
+
+# order matters: UTF-32LE's BOM begins with UTF-16LE's
+_BOMS = (
+    (codecs.BOM_UTF8, "utf-8"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+# WHATWG Encoding registry subset: label (lowercased) -> python codec
+LABELS = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "unicode-1-1-utf-8": "utf-8",
+    # browsers decode every latin-1-family label as windows-1252
+    "iso-8859-1": "cp1252",
+    "iso8859-1": "cp1252",
+    "latin-1": "cp1252",
+    "latin1": "cp1252",
+    "us-ascii": "cp1252",
+    "ascii": "cp1252",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "x-cp1252": "cp1252",
+    "iso-8859-15": "iso8859-15",
+    "windows-1251": "cp1251",
+    "cp1251": "cp1251",
+    "koi8-r": "koi8-r",
+    "shift_jis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "euc-jp": "euc_jp",
+    "gbk": "gbk",
+    "gb2312": "gbk",  # WHATWG: gb2312 label decodes as GBK
+    "big5": "big5",
+    "euc-kr": "euc_kr",
+    # prescan finding a utf-16 label implies ASCII-superset bytes -> utf-8
+    "utf-16": "utf-8",
+    "utf-16le": "utf-8",
+    "utf-16be": "utf-8",
+}
+
+_META_RE = re.compile(
+    rb"(?is)<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-z0-9._:\-]+)"
+)
+
+
+def sniff_bytes(payload: bytes) -> tuple[str, str, int]:
+    """(python codec, method, bom_len) for one page's raw bytes.
+
+    method is the detection step that fired: ``bom`` | ``meta`` | ``utf8``
+    (strict validation) | ``fallback``. Never raises."""
+    for bom, codec in _BOMS:
+        if payload.startswith(bom):
+            return codec, "bom", len(bom)
+    m = _META_RE.search(payload[:PRESCAN])
+    if m:
+        label = m.group(1).decode("ascii", "replace").strip().lower()
+        codec = LABELS.get(label)
+        if codec is not None:
+            return codec, "meta", 0
+        # unknown label falls through to content detection (spec: ignore)
+    try:
+        payload.decode("utf-8", "strict")
+        return "utf-8", "utf8", 0
+    except UnicodeDecodeError:
+        return "cp1252", "fallback", 0
+
+
+def decode_bytes(payload: bytes | None) -> tuple[str, str, str, float]:
+    """(text, codec, method, replacement_ratio) for one page.
+
+    Total function: None/empty payloads yield ("", "utf-8", "empty", 0.0);
+    decode errors under the chosen codec become U+FFFD and are counted in
+    replacement_ratio (replacements / decoded chars)."""
+    if not payload:
+        return "", "utf-8", "empty", 0.0
+    codec, method, bom_len = sniff_bytes(payload)
+    text = payload[bom_len:].decode(codec, "replace")
+    n = len(text)
+    ratio = (text.count("�") / n) if n else 0.0
+    return text, codec, method, ratio
+
+
+# ---------------------------------------------------------------------------
+# synthetic mixed-encoding corpus (pure functions of the documents row —
+# shared by the Spark synth stage and the DuckDB staging, never forked)
+# ---------------------------------------------------------------------------
+
+ENC_CLASSES = 6
+
+
+def _declare(html: str, label: str) -> str:
+    return html.replace("<head>", f'<head><meta charset="{label}">', 1)
+
+
+def encoded_page_for(doc_id: int, text: str, source: str, lang: str) -> bytes:
+    """One deterministic raw-bytes page: htmlops.html_for's page, encoded
+    per the doc_id's class — covering every detection path (bom, meta,
+    meta-alias, utf8-validation, cp1252-fallback)."""
+    doc_id = int(doc_id)
+    html = htmlops.html_for(doc_id, text, source, lang)
+    k = doc_id % ENC_CLASSES
+    if k == 0:  # undeclared clean UTF-8 -> utf8 validation path
+        return html.encode("utf-8")
+    if k == 1:  # BOM'd UTF-8
+        return codecs.BOM_UTF8 + html.encode("utf-8")
+    if k == 2:  # declared windows-1252 -> meta path
+        return _declare(html, "windows-1252").encode("cp1252", "replace")
+    if k == 3:  # declared iso-8859-1, really cp1252 -> WHATWG alias path
+        return _declare(html, "iso-8859-1").encode("cp1252", "replace")
+    if k == 4:  # BOM'd UTF-16LE (not an ASCII superset)
+        return b"\xff\xfe" + html.encode("utf-16-le")
+    # k == 5: undeclared cp1252 -> fallback when non-ASCII bytes present,
+    # utf8 path when the page happens to be pure ASCII (both deterministic)
+    return html.encode("cp1252", "replace")
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("charset", T.StringType(), False),
+        T.StructField("method", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("n_chars", T.LongType(), False),
+        T.StructField("replacement_ratio", T.DoubleType(), False),
+        T.StructField("text_md5", T.StringType(), False),
+    ]
+)
+
+
+def decoded_frame(doc_ids, urls, payloads) -> pd.DataFrame:
+    """THE decode-stats frame, shared by the operator and the staged
+    oracle (one place to change the column set). text_md5 pins the decoded
+    CONTENT cross-engine without shipping the text itself."""
+    rows = [decode_bytes(p) for p in payloads]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(list(doc_ids), dtype="int64"),
+            "url": list(urls),
+            "charset": [r[1] for r in rows],
+            "method": [r[2] for r in rows],
+            "n_bytes": pd.Series(
+                [len(p) if p is not None else 0 for p in payloads], dtype="int64"
+            ),
+            "n_chars": pd.Series([len(r[0]) for r in rows], dtype="int64"),
+            "replacement_ratio": pd.Series(
+                [round(r[3], 6) for r in rows], dtype="float64"
+            ),
+            "text_md5": [
+                hashlib.md5(r[0].encode("utf-8")).hexdigest() for r in rows
+            ],
+        }
+    )
+
+
+def decode_stats(pages: DataFrame) -> DataFrame:
+    """(doc_id, url, html binary) -> per-page charset detection + decode
+    stats. One Arrow crossing, no shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            yield decoded_frame(pdf["doc_id"], pdf["url"], pdf["html"])
+
+    return pages.select("doc_id", "url", "html").mapInPandas(run, DECODED_SCHEMA)
+
+
+def normalize_encoding(pages: DataFrame) -> DataFrame:
+    """Ingestion normalization: pages in PAGES_SCHEMA shape with arbitrary
+    byte encodings -> the same rows with ``html`` re-encoded as clean UTF-8
+    bytes, plus ``charset``/``method`` recording the detection. Downstream
+    stages (run_html_extraction, icerun, textops) keep their plain
+    ``.decode("utf-8")`` and stay correct on any crawl slice.
+
+    Map-side only — one Arrow crossing, no shuffle; column set preserved."""
+    out_schema = T.StructType(
+        list(htmlops.PAGES_SCHEMA.fields)
+        + [
+            T.StructField("charset", T.StringType(), False),
+            T.StructField("method", T.StringType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            decoded = [decode_bytes(p) for p in pdf["html"]]
+            out = pdf.copy()
+            out["html"] = [t.encode("utf-8") for t, _, _, _ in decoded]
+            out["charset"] = [c for _, c, _, _ in decoded]
+            out["method"] = [m for _, _, m, _ in decoded]
+            yield out
+
+    cols = [f.name for f in htmlops.PAGES_SCHEMA.fields]
+    return pages.select(*cols).mapInPandas(run, out_schema)
+
+
+def synth_encoded_pages(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, source, lang) -> PAGES_SCHEMA rows whose
+    html bytes cycle through the ENC_CLASSES encodings. Test-corpus
+    stand-in for a real mixed-encoding crawl slice."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "url": [
+                        htmlops.page_url(d, s)
+                        for d, s in zip(pdf["doc_id"], pdf["source"])
+                    ],
+                    "warc_ts": pd.to_datetime(
+                        pdf["doc_id"].astype("int64") + htmlops.EPOCH_S, unit="s"
+                    ),
+                    "html": [
+                        encoded_page_for(d, t, s, g)
+                        for d, t, s, g in zip(
+                            pdf["doc_id"], pdf["text"], pdf["source"], pdf["lang"]
+                        )
+                    ],
+                    "lang": pdf["lang"],
+                }
+            )
+
+    cols = documents.select("doc_id", "text", "source", "lang")
+    return cols.mapInPandas(gen, htmlops.PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB staging (materialized expected decode stats)
+# ---------------------------------------------------------------------------
+
+_STAGED: dict[str, dict[str, str]] = {}
+
+
+def stage_charset_tables(sf_dir: str) -> dict[str, str]:
+    """Stage (memoized per process) the expected decode-stats table for
+    ``sf_dir``: the same pure functions (encoded_page_for -> decoded_frame)
+    run without Spark. Pure Python — callable from oracle_sql()."""
+    sf_dir = os.path.normpath(sf_dir)
+    if sf_dir in _STAGED:
+        return _STAGED[sf_dir]
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    base = os.path.join("/tmp", f"enem_charset_{tag}")
+    os.makedirs(base, exist_ok=True)
+    paths = {"charset_stats": os.path.join(base, "charset_stats.parquet")}
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source", "lang"],
+    )
+    payloads = [
+        encoded_page_for(d, t, s, g)
+        for d, t, s, g in zip(
+            docs["doc_id"], docs["text"], docs["source"], docs["lang"]
+        )
+    ]
+    urls = [
+        htmlops.page_url(d, s) for d, s in zip(docs["doc_id"], docs["source"])
+    ]
+    decoded_frame(docs["doc_id"], urls, payloads).to_parquet(
+        paths["charset_stats"], index=False
+    )
+    _STAGED[sf_dir] = paths
+    return paths
