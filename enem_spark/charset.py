@@ -229,15 +229,20 @@ def decode_stats(pages: DataFrame) -> DataFrame:
 
 
 def normalize_encoding(pages: DataFrame) -> DataFrame:
-    """Ingestion normalization: pages in PAGES_SCHEMA shape with arbitrary
-    byte encodings -> the same rows with ``html`` re-encoded as clean UTF-8
+    """Ingestion normalization: rows with a binary ``html`` column in any
+    byte encoding -> the same rows with ``html`` re-encoded as clean UTF-8
     bytes, plus ``charset``/``method`` recording the detection. Downstream
-    stages (run_html_extraction, icerun, textops) keep their plain
-    ``.decode("utf-8")`` and stay correct on any crawl slice.
+    stages (run_html_extraction, icerun, textops) keep their plain UTF-8
+    decode and stay correct on any crawl slice.
 
-    Map-side only — one Arrow crossing, no shuffle; column set preserved."""
+    Schema-generic: every input column passes through unchanged (the
+    output schema is derived from the input's), so the operator slots into
+    any point of a pipeline. Map-side only — one Arrow crossing, no
+    shuffle."""
+    if "html" not in pages.columns:
+        raise ValueError("normalize_encoding needs an `html` binary column")
     out_schema = T.StructType(
-        list(htmlops.PAGES_SCHEMA.fields)
+        list(pages.schema.fields)
         + [
             T.StructField("charset", T.StringType(), False),
             T.StructField("method", T.StringType(), False),
@@ -253,8 +258,7 @@ def normalize_encoding(pages: DataFrame) -> DataFrame:
             out["method"] = [m for _, _, m, _ in decoded]
             yield out
 
-    cols = [f.name for f in htmlops.PAGES_SCHEMA.fields]
-    return pages.select(*cols).mapInPandas(run, out_schema)
+    return pages.mapInPandas(run, out_schema)
 
 
 def synth_encoded_pages(documents: DataFrame) -> DataFrame:

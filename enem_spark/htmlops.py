@@ -621,9 +621,14 @@ def main_frame(doc_ids, urls, mains) -> pd.DataFrame:
 
 
 def extract_mains(payloads) -> list[tuple[str, int, int]]:
-    """Decode + extract one batch of binary html payloads (None-safe)."""
+    """Decode + extract one batch of binary html payloads (None-safe).
+
+    errors='replace', never strict: one stray non-UTF-8 page in a 10^12-row
+    crawl must degrade to U+FFFD noise in that row, not kill the job (the
+    quarantine philosophy, F1). Pipelines that care about the tail run
+    charset.normalize_encoding first and keep the mojibake measurable."""
     return [
-        extract_main_py(p.decode("utf-8") if p is not None else "")
+        extract_main_py(p.decode("utf-8", "replace") if p is not None else "")
         for p in payloads
     ]
 
@@ -822,7 +827,9 @@ def extract_anchor_texts(pages: DataFrame) -> DataFrame:
             yield anchor_frame(
                 pdf["doc_id"],
                 [
-                    p.decode("utf-8") if p is not None else ""
+                    # replace, not strict — same crash-safety rule as
+                    # extract_mains
+                    p.decode("utf-8", "replace") if p is not None else ""
                     for p in pdf["html"]
                 ],
             )

@@ -133,12 +133,21 @@ def run_html_extraction_ice(
     out_dir: str,
     with_anchors: bool = False,
     full: bool = False,
+    normalize: bool = False,
 ) -> dict:
     """One resumable main-content extraction run over the icetable's
     current snapshot.  Plans incrementally from the last committed ice
     run's sequence unless ``full`` (or no prior run) — see module
     docstring for the exactness argument.  Returns the lineage summary
-    plus the manifest-level scan report."""
+    plus the manifest-level scan report.
+
+    ``normalize`` routes payloads through charset.normalize_encoding
+    (WHATWG-style sniff -> clean UTF-8 re-encode) before extraction, for
+    crawl slices that are not UTF-8-clean. The content address is computed
+    on the RAW bytes first — a page's identity is what was fetched, so
+    flipping ``normalize`` between runs never changes which units count as
+    already-extracted. The extra Arrow crossing is map-side only (no new
+    shuffle) and is skipped entirely when the flag is off."""
     table = IceTable(spark, table_path)
     tip = max(s["sequence"] for s in table.snapshots())
     committed_seq = last_extracted_sequence(spark, out_dir)
@@ -163,6 +172,10 @@ def run_html_extraction_ice(
     work = _latest_per_url(pages.select("url", "warc_ts", "html")).select(
         F.xxhash64("url", F.md5("html")).alias("doc_id"), "url", "html"
     )
+    if normalize:
+        from .charset import normalize_encoding
+
+        work = normalize_encoding(work).select("doc_id", "url", "html")
     summary = lineage.run_html_extraction(
         spark, work, out_dir, run_id=run_id, with_anchors=with_anchors
     )

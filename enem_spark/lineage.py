@@ -366,7 +366,11 @@ def instrumented_html_stage(
                         {"pos": pos, "href": href, "anchor_text": text}
                         for pos, (href, text) in enumerate(
                             anchor_texts_py(
-                                p.decode("utf-8") if p is not None else ""
+                                # replace, not strict — same crash-safety
+                                # rule as htmlops.extract_mains
+                                p.decode("utf-8", "replace")
+                                if p is not None
+                                else ""
                             )
                         )
                     ]

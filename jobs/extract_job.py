@@ -54,6 +54,9 @@ def main() -> None:
                     help="with --html batch: read --input as an icetable")
     ap.add_argument("--full", action="store_true",
                     help="with --iceberg: ignore the incremental watermark")
+    ap.add_argument("--normalize", action="store_true",
+                    help="with --iceberg: charset-sniff + re-encode payloads "
+                         "to clean UTF-8 before extraction")
     ap.add_argument("--completeness-delay-s", type=int, default=0)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
@@ -97,6 +100,7 @@ def main() -> None:
             summary = run_html_extraction_ice(
                 spark, args.input, args.output,
                 with_anchors=args.anchors, full=args.full,
+                normalize=args.normalize,
             )
         else:
             from enem_spark.lineage import run_html_extraction

@@ -226,3 +226,59 @@ def test_recrawl_priority_buckets(spark):
     assert out["u/new"]["priority"] == "unknown"
     assert out["u/new"]["change_ratio"] is None
     assert out["u/new"]["last_fetch_s"] == int(T2.timestamp())
+
+
+def _acc_page(i: int) -> str:
+    words = " ".join(f"publicação{(i * 7 + k) % 53}" for k in range(40))
+    return (
+        f"<html><head><title>doc {i}</title></head><body>"
+        f"<p>{words} não é coincidência que o documento {i} exista.</p>"
+        f"<p>Outro parágrafo com conteúdo suficiente para o classificador "
+        f"do documento {i} considerar como texto principal da página.</p>"
+        f"</body></html>"
+    )
+
+
+def test_mixed_encoding_run_normalize_and_crash_safety(spark, tmp_path):
+    """A crawl slice with UTF-16 and cp1252 payloads: normalize=True
+    recovers the exact text for every page; normalize=False must degrade
+    to replacement noise on the non-UTF-8 rows, never crash the run."""
+    tbl = str(tmp_path / "tbl")
+    payloads = {
+        0: _acc_page(0).encode("utf-8"),
+        1: b"\xff\xfe" + _acc_page(1).encode("utf-16-le"),
+        2: _acc_page(2)
+        .replace("<head>", '<head><meta charset="iso-8859-1">', 1)
+        .encode("cp1252"),
+    }
+    rows = [
+        {
+            "url": f"https://ex.org/d/{i}",
+            "warc_ts": pd.Timestamp(it.EPOCH_S + i, unit="s"),
+            "html": p,
+            "text": f"doc {i}",
+            "lang": "pt",
+        }
+        for i, p in payloads.items()
+    ]
+    _create(spark, tbl, rows, seq=1)
+
+    out_norm = str(tmp_path / "out_norm")
+    s = icerun.run_html_extraction_ice(spark, tbl, out_norm, normalize=True)
+    assert s["input_pages"] == 3
+    cur = _current(spark, out_norm)
+    for i in payloads:
+        # expectation from the ORIGINAL string, independent of the sniffer
+        exp = _expected_main(
+            (_acc_page(i) if i != 2 else _acc_page(2).replace(
+                "<head>", '<head><meta charset="iso-8859-1">', 1
+            )).encode("utf-8")
+        )
+        assert cur[f"https://ex.org/d/{i}"] == exp, i
+
+    out_raw = str(tmp_path / "out_raw")
+    s2 = icerun.run_html_extraction_ice(spark, tbl, out_raw)  # must not raise
+    assert s2["input_pages"] == 3
+    cur2 = _current(spark, out_raw)
+    assert cur2["https://ex.org/d/0"] == cur["https://ex.org/d/0"]  # utf-8 fine
+    assert cur2["https://ex.org/d/1"] != cur["https://ex.org/d/1"]  # mojibake
