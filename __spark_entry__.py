@@ -599,6 +599,22 @@ def q_charset_decode(spark, sf_dir):
     )
 
 
+def q_mime_sniff(spark, sf_dir):
+    """Magic-byte MIME triage of binary crawl payloads (charset.mime_sniff):
+    100% JVM-side (hex prefix + regex, whole-stage codegen, no Python
+    crossing, no shuffle). COMPUTING twin: DuckDB runs the same generated
+    rule table (charset.mime_sql_case) over byte-identical staged payloads."""
+    from enem_spark import charset
+
+    pages = charset.synth_payload_pages(_t(spark, sf_dir, "documents"))
+    return charset.mime_sniff(pages).select(
+        "doc_id",
+        "url",
+        "mime",
+        F.octet_length("html").cast("long").alias("n_bytes"),
+    )
+
+
 def q_html_strip_tags(spark, sf_dir):
     from enem_spark import htmlops
 
@@ -871,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "recrawl_priority": q_recrawl_priority,
         "charset_decode": q_charset_decode,
+        "mime_sniff": q_mime_sniff,
     }
 
 
@@ -1848,14 +1865,34 @@ def oracle_sql() -> dict[str, str]:
     ice_staged = stage_ice_pages(oracle_sf)
     # charset twin: expected decode stats from the same pure detector
     # (DuckDB cannot decode cp1252/utf-16 blobs, so this is materialized)
-    from enem_spark.charset import stage_charset_tables
+    from enem_spark.charset import (
+        MIME_PREFIX as _mime_prefix,
+        mime_sql_case,
+        stage_charset_tables,
+    )
 
     charset_staged = stage_charset_tables(oracle_sf)
+    _mime_case = mime_sql_case("hx")
     return {
         "charset_decode": f"""
 SELECT doc_id, url, charset, method, n_bytes, n_chars,
        round(replacement_ratio, 6) AS replacement_ratio, text_md5
 FROM read_parquet('{charset_staged["charset_stats"]}')
+""",
+        # computing twin: the CASE is GENERATED from the same rule table
+        # the Spark expression uses (charset.mime_sql_case) and runs over
+        # byte-identical staged payloads
+        "mime_sniff": f"""
+WITH h AS (
+  SELECT doc_id, url,
+         substr(hex(html), 1, {2 * _mime_prefix}) AS hx,
+         CAST(octet_length(html) AS BIGINT) AS n_bytes
+  FROM read_parquet('{charset_staged["mime_payloads"]}')
+)
+SELECT doc_id, url,
+       {_mime_case} AS mime,
+       n_bytes
+FROM h
 """,
         "iceberg_scan": f"""
 SELECT url, html_md5, html_len, md5(text) AS text_md5, lang

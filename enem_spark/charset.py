@@ -293,6 +293,154 @@ def synth_encoded_pages(documents: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# payload MIME triage (magic-byte sniffing — is this even text?)
+# ---------------------------------------------------------------------------
+#
+# A real crawl table's `html:binary` column is not all HTML: servers ship
+# PDFs, gzip blobs, images, and junk under text/html content types. This
+# is the triage step BEFORE charset detection: classify each payload from
+# its leading bytes so the extraction pipeline routes html/text rows to
+# the DOM stage and skips (or quarantines) binaries instead of feeding
+# mojibake to the parser. 100% JVM-side (hex prefix + regex — no Python
+# crossing, no shuffle), with a COMPUTING DuckDB twin: both engines run
+# the same rules over the same staged bytes.
+
+MIME_PREFIX = 64  # bytes inspected
+
+# (hex-prefix, mime) — checked in order; prefixes are uppercase hex pairs
+MIME_MAGIC = (
+    ("25504446", "application/pdf"),  # %PDF
+    ("1F8B", "application/gzip"),
+    ("504B0304", "application/zip"),
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+)
+# optional ASCII whitespace then '<'
+MARKUP_HEX_RE = "^(20|09|0A|0D)*3C"
+# every byte printable ASCII or whitespace (0x09/0x0A/0x0D/0x20-0x7E);
+# `+` so the empty payload stays octet-stream in all three implementations
+TEXT_HEX_RE = "^(09|0A|0D|[2-6][0-9A-F]|7[0-9A-E])+$"
+MIME_OTHER = "application/octet-stream"
+
+
+def mime_of(payload: bytes | None) -> str:
+    """Pure-Python twin of mime_expr (tests pin the three implementations
+    — this, the Spark expression, and the DuckDB SQL — together)."""
+    if not payload:
+        return MIME_OTHER
+    hx = payload[:MIME_PREFIX].hex().upper()
+    for prefix, mime in MIME_MAGIC:
+        if hx.startswith(prefix):
+            return mime
+    if re.match(MARKUP_HEX_RE, hx):
+        return "text/html"
+    if re.match(TEXT_HEX_RE, hx):
+        return "text/plain"
+    return MIME_OTHER
+
+
+def mime_expr(col):
+    """Whole-stage-codegen MIME classification of a binary column."""
+    hx = F.hex(F.substring(col, 1, MIME_PREFIX))
+    out = None
+    for prefix, mime in MIME_MAGIC:
+        cond = hx.startswith(prefix)
+        out = F.when(cond, mime) if out is None else out.when(cond, mime)
+    return (
+        out.when(hx.rlike(MARKUP_HEX_RE), "text/html")
+        .when(hx.rlike(TEXT_HEX_RE), "text/plain")
+        .otherwise(MIME_OTHER)
+    )
+
+
+def mime_sniff(pages: DataFrame, col: str = "html") -> DataFrame:
+    """Adds a ``mime`` column classifying the binary payload. JVM-side,
+    no shuffle; typical use: route mime='text/html' to extraction and
+    everything else to a binary-sidecar table."""
+    return pages.withColumn("mime", mime_expr(F.col(col)))
+
+
+MIME_CLASSES = 8
+
+
+def payload_for(doc_id: int, text: str, source: str, lang: str) -> bytes:
+    """One deterministic crawl payload per doc_id class: real html for the
+    markup classes, magic-byte-prefixed bodies for the binary classes (the
+    sniffer reads prefixes only, so the binary bodies need not be valid
+    streams — documented stand-in, same rule as the media decode stubs)."""
+    doc_id = int(doc_id)
+    k = doc_id % MIME_CLASSES
+    if k == 0:
+        return htmlops.html_for(doc_id, text, source, lang).encode("utf-8")
+    if k == 1:
+        return b"%PDF-1.7\n" + str(text).encode("utf-8")
+    if k == 2:
+        return b"\x1f\x8b\x08\x00" + str(text).encode("utf-8")
+    if k == 3:
+        return b"PK\x03\x04" + str(text).encode("utf-8")
+    if k == 4:
+        return b"\x89PNG\r\n\x1a\n" + str(text).encode("utf-8")
+    if k == 5:
+        return b"\xff\xd8\xff\xe0" + str(text).encode("utf-8")
+    if k == 6:  # leading whitespace then markup
+        return b"\n  " + htmlops.html_for(doc_id, text, source, lang).encode(
+            "utf-8"
+        )
+    # k == 7: printable-ASCII plain text (accents -> '?' keeps it in range)
+    return str(text).replace("<", "").encode("ascii", "replace")
+
+
+def synth_payload_pages(documents: DataFrame) -> DataFrame:
+    """documents -> (doc_id, url, html binary) with payload bytes cycling
+    through the MIME_CLASSES. Byte-identical to stage_mime_tables' input
+    twin (tested), so the DuckDB oracle computes over the same bytes."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "url": [
+                        htmlops.page_url(d, s)
+                        for d, s in zip(pdf["doc_id"], pdf["source"])
+                    ],
+                    "html": [
+                        payload_for(d, t, s, g)
+                        for d, t, s, g in zip(
+                            pdf["doc_id"], pdf["text"], pdf["source"], pdf["lang"]
+                        )
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), True),
+        ]
+    )
+    cols = documents.select("doc_id", "text", "source", "lang")
+    return cols.mapInPandas(gen, schema)
+
+
+def mime_sql_case(hx: str) -> str:
+    """The DuckDB CASE expression over ``hx`` (a hex-prefix SQL fragment)
+    — same rule table as mime_expr, generated from it, never forked."""
+    whens = "\n".join(
+        f"  WHEN {hx} LIKE '{prefix}%' THEN '{mime}'"
+        for prefix, mime in MIME_MAGIC
+    )
+    return f"""CASE
+{whens}
+  WHEN regexp_matches({hx}, '{MARKUP_HEX_RE}') THEN 'text/html'
+  WHEN regexp_matches({hx}, '{TEXT_HEX_RE}') THEN 'text/plain'
+  ELSE '{MIME_OTHER}'
+END"""
+
+
+# ---------------------------------------------------------------------------
 # DuckDB staging (materialized expected decode stats)
 # ---------------------------------------------------------------------------
 
@@ -312,7 +460,10 @@ def stage_charset_tables(sf_dir: str) -> dict[str, str]:
     )
     base = os.path.join("/tmp", f"enem_charset_{tag}")
     os.makedirs(base, exist_ok=True)
-    paths = {"charset_stats": os.path.join(base, "charset_stats.parquet")}
+    paths = {
+        "charset_stats": os.path.join(base, "charset_stats.parquet"),
+        "mime_payloads": os.path.join(base, "mime_payloads.parquet"),
+    }
     docs = pd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "source", "lang"],
@@ -329,5 +480,19 @@ def stage_charset_tables(sf_dir: str) -> dict[str, str]:
     decoded_frame(docs["doc_id"], urls, payloads).to_parquet(
         paths["charset_stats"], index=False
     )
+    # mime INPUT twin: same bytes the Spark synth stage emits (byte-identity
+    # tested) — the DuckDB mime oracle COMPUTES the classification over it
+    pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "url": urls,
+            "html": [
+                payload_for(d, t, s, g)
+                for d, t, s, g in zip(
+                    docs["doc_id"], docs["text"], docs["source"], docs["lang"]
+                )
+            ],
+        }
+    ).to_parquet(paths["mime_payloads"], index=False)
     _STAGED[sf_dir] = paths
     return paths

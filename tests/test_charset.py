@@ -173,3 +173,83 @@ def test_decode_plan_no_shuffle(spark):
     pages = charset.synth_encoded_pages(_docs_df(spark))
     plan = charset.decode_stats(pages)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# MIME magic-byte triage
+# ---------------------------------------------------------------------------
+
+MIME_CASES = [
+    (b"%PDF-1.7\nxx", "application/pdf"),
+    (b"\x1f\x8b\x08\x00zz", "application/gzip"),
+    (b"PK\x03\x04zz", "application/zip"),
+    (b"\x89PNG\r\n\x1a\nrest", "image/png"),
+    (b"\xff\xd8\xff\xe0jfif", "image/jpeg"),
+    (b"GIF89a....", "image/gif"),
+    (b"<!DOCTYPE html><html>", "text/html"),
+    (b"\n  \t <html>", "text/html"),
+    (b"plain ascii text only\n", "text/plain"),
+    (b"", "application/octet-stream"),
+    (None, "application/octet-stream"),
+    (b"\x00\x01\x02junk", "application/octet-stream"),
+    ("acentuação".encode("utf-8"), "application/octet-stream"),  # not ascii
+    (b"\x7f", "application/octet-stream"),  # DEL is not printable
+]
+
+
+def test_mime_of_cases():
+    for payload, want in MIME_CASES:
+        assert charset.mime_of(payload) == want, payload
+
+
+def test_mime_spark_matches_pure(spark):
+    import pyspark.sql.types as T
+
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(MIME_CASES)],
+        T.StructType(
+            [
+                T.StructField("i", T.IntegerType()),
+                T.StructField("html", T.BinaryType()),
+            ]
+        ),
+    )
+    got = {r["i"]: r["mime"] for r in charset.mime_sniff(df).collect()}
+    for i, (_, want) in enumerate(MIME_CASES):
+        assert got[i] == want, MIME_CASES[i]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=80))
+def test_mime_of_total(payload):
+    assert charset.mime_of(payload) in {
+        m for _, m in charset.MIME_MAGIC
+    } | {"text/html", "text/plain", charset.MIME_OTHER}
+
+
+def test_mime_synth_byte_identity_with_staging(spark):
+    """The Spark synth stage and the DuckDB staging emit the SAME bytes —
+    the computing twin protocol's precondition."""
+    sf = "/root/testdata/sf0.001"
+    staged = charset.stage_charset_tables(sf)
+    exp = pd.read_parquet(staged["mime_payloads"]).sort_values("doc_id")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = (
+        charset.synth_payload_pages(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["url"]) == list(exp["url"])
+    assert [bytes(a) for a in got["html"]] == [bytes(a) for a in exp["html"]]
+
+
+def test_mime_sniff_plan_jvm_only(spark):
+    """Classification is whole-stage-codegen: no Python crossing, no
+    shuffle on a plain parquet scan input."""
+    sf = "/root/testdata/sf0.001"
+    staged = charset.stage_charset_tables(sf)
+    df = charset.mime_sniff(spark.read.parquet(staged["mime_payloads"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan
