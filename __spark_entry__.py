@@ -803,6 +803,35 @@ def q_recrawl_priority(spark, sf_dir):
     return icerun.recrawl_priority(hist)
 
 
+def q_fetch_politeness(spark, sf_dir):
+    """Per-host crawl-politeness audit (icerun.fetch_politeness) over the
+    same pinned fetch-history union recrawl_priority reads. Narrow
+    aggregate — payload bytes never leave the scan."""
+    from enem_spark import icerun
+    from enem_spark.sources import icetable
+
+    staged = icetable.stage_ice_pages(sf_dir)
+    t = icetable.IceTable(spark, staged["table"])
+    fetches = [
+        t.read(as_of=icetable.SEQ_OLD),
+        t.read(as_of=icetable.SEQ_NEW),
+        t.read_incremental(from_seq=icetable.SEQ_NEW),
+    ]
+    frames = [f.select("url", "warc_ts") for f in fetches]
+    hist = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    return icerun.fetch_politeness(hist)
+
+
+def q_html_robots(spark, sf_dir):
+    """Robots-meta directive extraction (htmlops.html_robots): JVM-side
+    regexp + token matching; computing DuckDB twin over staged pages."""
+    from enem_spark import htmlops
+
+    return htmlops.html_robots(
+        htmlops.synth_robots_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_html_dedup_paragraphs(spark, sf_dir):
     # full web pipeline: synth -> DOM extraction -> corpus-wide paragraph
     # dedup. The DuckDB twin COMPUTES the dedup with SQL windows over the
@@ -888,6 +917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": q_recrawl_priority,
         "charset_decode": q_charset_decode,
         "mime_sniff": q_mime_sniff,
+        "fetch_politeness": q_fetch_politeness,
+        "html_robots": q_html_robots,
     }
 
 
@@ -1955,6 +1986,50 @@ SELECT url, n_fetches, n_versions, change_ratio, last_fetch_s,
             WHEN change_ratio >= 0.5 THEN 'hot'
             WHEN change_ratio > 0 THEN 'warm'
             ELSE 'cold' END AS priority
+FROM r
+""",
+        # fetch-history politeness twin: same staged UNION as
+        # recrawl_priority; host + minute bucketing recomputed in SQL
+        "fetch_politeness": f"""
+WITH hist AS (
+  SELECT url, warc_ts FROM read_parquet('{ice_staged["expected_old"]}')
+  UNION ALL
+  SELECT url, warc_ts FROM read_parquet('{ice_staged["expected_new"]}')
+  UNION ALL
+  SELECT url, warc_ts FROM read_parquet('{ice_staged["expected_delta"]}')
+),
+base AS (
+  SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
+         CAST(epoch(warc_ts) AS BIGINT) AS ts_s, url
+  FROM hist
+  WHERE regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) <> ''
+),
+per_host AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+         min(ts_s) AS first_s, max(ts_s) AS last_s
+  FROM base GROUP BY 1
+),
+peak AS (
+  SELECT host, CAST(max(n) AS BIGINT) AS peak_per_minute FROM (
+    SELECT host, CAST(floor(ts_s / 60) AS BIGINT) AS m, count(*) AS n
+    FROM base GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT p.host, p.n_fetches, p.n_urls, p.first_s, p.last_s, k.peak_per_minute
+FROM per_host p JOIN peak k ON p.host = k.host
+""",
+        # computing twin: same robots regex + token rules over staged pages
+        "html_robots": f"""
+WITH r AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(html,
+           '(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1)) AS c
+  FROM read_parquet('{html_staged["robots_pages"]}')
+)
+SELECT doc_id, url, c AS robots_content,
+       regexp_matches(c, '(^|[ ,])(noindex|none)([ ,]|$)') AS noindex,
+       regexp_matches(c, '(^|[ ,])(nofollow|none)([ ,]|$)') AS nofollow
 FROM r
 """,
         "extract_questions": f"""

@@ -699,6 +699,87 @@ def html_outlinks(pages: DataFrame) -> DataFrame:
     )
 
 
+# robots directives: the regex + token rules are shared verbatim with the
+# DuckDB twin (both RE2- and java.util.regex-compatible constructs only)
+ROBOTS_CONTENT_RE = r'(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"'
+ROBOTS_NOINDEX_RE = r"(^|[ ,])(noindex|none)([ ,]|$)"
+ROBOTS_NOFOLLOW_RE = r"(^|[ ,])(nofollow|none)([ ,]|$)"
+
+
+def html_robots(pages: DataFrame) -> DataFrame:
+    """Per-page robots-meta directives: (doc_id, url, robots_content,
+    noindex, nofollow). A compliant corpus pipeline must drop noindex
+    pages before export and ignore nofollow pages' outlinks in the link
+    graph — this is the signal both decisions read. 'none' is the spec's
+    shorthand for noindex+nofollow; matching is on comma/space-delimited
+    tokens of the lowercased content attribute, so 'noindexing' never
+    false-positives. JVM-side regexp (whole-stage codegen, no Python,
+    no shuffle)."""
+    s = F.decode(F.col("html"), "UTF-8")
+    content = F.lower(F.regexp_extract(s, ROBOTS_CONTENT_RE, 1))
+    return pages.select(
+        "doc_id",
+        "url",
+        content.alias("robots_content"),
+        content.rlike(ROBOTS_NOINDEX_RE).alias("noindex"),
+        content.rlike(ROBOTS_NOFOLLOW_RE).alias("nofollow"),
+    )
+
+
+ROBOTS_CLASSES = 5
+
+
+def robots_html_for(doc_id: int, text: str, source: str, lang: str) -> str:
+    """html_for's page with a robots meta injected per doc class — covers
+    the directive combinations, a case variant, and the no-directive
+    default. Pure function, shared by the Spark synth stage and the DuckDB
+    staging (byte-identity tested)."""
+    html = html_for(doc_id, text, source, lang)
+    k = int(doc_id) % ROBOTS_CLASSES
+    directives = {
+        1: '<meta name="robots" content="noindex, nofollow">',
+        2: '<meta name="robots" content="nofollow">',
+        3: '<meta name="ROBOTS" content="NOINDEX">',
+        4: '<meta name="robots" content="none">',
+    }
+    if k == 0:
+        return html
+    return html.replace("<head>", "<head>" + directives[k], 1)
+
+
+def synth_robots_pages(documents: DataFrame) -> DataFrame:
+    """documents -> (doc_id, url, html binary) pages with robots metas."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "url": [
+                        page_url(d, s)
+                        for d, s in zip(pdf["doc_id"], pdf["source"])
+                    ],
+                    "html": [
+                        robots_html_for(d, t, s, g).encode("utf-8")
+                        for d, t, s, g in zip(
+                            pdf["doc_id"], pdf["text"], pdf["source"], pdf["lang"]
+                        )
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), True),
+        ]
+    )
+    return documents.select("doc_id", "text", "source", "lang").mapInPandas(
+        gen, schema
+    )
+
+
 def dedup_paragraphs(main: DataFrame) -> DataFrame:
     """Corpus-wide exact paragraph dedup over extracted main content (the
     CCNet-style line/paragraph-level pass web pipelines run after main-
@@ -1171,6 +1252,7 @@ def stage_html_tables(sf_dir: str) -> dict[str, str]:
         "html_pages": os.path.join(base, "html_pages.parquet"),
         "html_main": os.path.join(base, "html_main.parquet"),
         "html_anchors": os.path.join(base, "html_anchors.parquet"),
+        "robots_pages": os.path.join(base, "robots_pages.parquet"),
     }
     docs = pd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -1197,5 +1279,19 @@ def stage_html_tables(sf_dir: str) -> dict[str, str]:
     anchor_frame(docs["doc_id"], htmls).to_parquet(
         paths["html_anchors"], index=False
     )
+    # robots INPUT twin (VARCHAR html: the robots DuckDB oracle COMPUTES
+    # the directive extraction with SQL regexes over it)
+    pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "url": urls,
+            "html": [
+                robots_html_for(d, t, s, g)
+                for d, t, s, g in zip(
+                    docs["doc_id"], docs["text"], docs["source"], docs["lang"]
+                )
+            ],
+        }
+    ).to_parquet(paths["robots_pages"], index=False)
     _STAGED[sf_dir] = paths
     return paths

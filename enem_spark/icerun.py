@@ -134,6 +134,7 @@ def run_html_extraction_ice(
     with_anchors: bool = False,
     full: bool = False,
     normalize: bool = False,
+    mime_filter: bool = False,
 ) -> dict:
     """One resumable main-content extraction run over the icetable's
     current snapshot.  Plans incrementally from the last committed ice
@@ -147,7 +148,14 @@ def run_html_extraction_ice(
     on the RAW bytes first — a page's identity is what was fetched, so
     flipping ``normalize`` between runs never changes which units count as
     already-extracted. The extra Arrow crossing is map-side only (no new
-    shuffle) and is skipped entirely when the flag is off."""
+    shuffle) and is skipped entirely when the flag is off.
+
+    ``mime_filter`` drops non-text payloads (PDFs, gzip, images shipped
+    under a crawl's html column — charset.mime_expr magic-byte triage)
+    before extraction: a pure whole-stage-codegen filter below the UDF, no
+    extra action or crossing. Filtered units are simply never extracted;
+    the snapshot watermark still advances, and a later run with the flag
+    off re-considers them (they were never marked processed)."""
     table = IceTable(spark, table_path)
     tip = max(s["sequence"] for s in table.snapshots())
     committed_seq = last_extracted_sequence(spark, out_dir)
@@ -172,6 +180,10 @@ def run_html_extraction_ice(
     work = _latest_per_url(pages.select("url", "warc_ts", "html")).select(
         F.xxhash64("url", F.md5("html")).alias("doc_id"), "url", "html"
     )
+    if mime_filter:
+        from .charset import mime_expr
+
+        work = work.filter(mime_expr(F.col("html")).startswith("text/"))
     if normalize:
         from .charset import normalize_encoding
 
@@ -204,6 +216,44 @@ def current_main_content(spark: SparkSession, out_dir: str) -> DataFrame | None:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+_URL_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/]+)"
+
+
+def fetch_politeness(history: DataFrame) -> DataFrame:
+    """Per-host crawl-politeness audit from observed fetch events.
+
+    ``history``: one row per FETCH — (url, warc_ts). Emits, per host:
+
+      n_fetches        fetch events against the host
+      n_urls           distinct urls fetched
+      first_s/last_s   observation span, epoch seconds
+      peak_per_minute  max fetches landing in any one wall-clock minute —
+                       THE politeness number: a crawler promising <= k
+                       req/min/host must keep this under k
+
+    Scale: two aggregations — (host, minute) then host — both shuffling
+    narrow rows on near-uniform keys, joined host-to-host; payload bytes
+    are never read (column pruning keeps the scan at url+warc_ts)."""
+    base = history.select(
+        F.regexp_extract("url", _URL_HOST_RE, 1).alias("host"),
+        F.col("warc_ts").cast("long").alias("ts_s"),
+        "url",
+    ).filter(F.col("host") != "")
+    per_host = base.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.count_distinct("url").cast("long").alias("n_urls"),
+        F.min("ts_s").alias("first_s"),
+        F.max("ts_s").alias("last_s"),
+    )
+    peak = (
+        base.groupBy("host", F.floor(F.col("ts_s") / 60).alias("_minute"))
+        .agg(F.count("*").alias("_n"))
+        .groupBy("host")
+        .agg(F.max("_n").cast("long").alias("peak_per_minute"))
+    )
+    return per_host.join(peak, "host")
 
 
 def recrawl_priority(history: DataFrame) -> DataFrame:

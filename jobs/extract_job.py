@@ -57,6 +57,9 @@ def main() -> None:
     ap.add_argument("--normalize", action="store_true",
                     help="with --iceberg: charset-sniff + re-encode payloads "
                          "to clean UTF-8 before extraction")
+    ap.add_argument("--mime-filter", action="store_true",
+                    help="with --iceberg: drop non-text payloads (magic-byte "
+                         "triage) before extraction")
     ap.add_argument("--completeness-delay-s", type=int, default=0)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
@@ -100,7 +103,7 @@ def main() -> None:
             summary = run_html_extraction_ice(
                 spark, args.input, args.output,
                 with_anchors=args.anchors, full=args.full,
-                normalize=args.normalize,
+                normalize=args.normalize, mime_filter=args.mime_filter,
             )
         else:
             from enem_spark.lineage import run_html_extraction

@@ -655,3 +655,40 @@ def test_clean_paragraphs_composition(spark):
     assert got[2] == ("und", 2, 1, "sem marcadores aqui")
     # doc 3: all und, everything kept
     assert got[3] == ("und", 2, 2, "linha neutra um\nlinha neutra dois")
+
+
+def test_html_robots_directives(spark):
+    from enem_spark.htmlops import html_robots, robots_html_for, synth_robots_pages
+
+    docs = spark.createDataFrame(
+        [(i, f"texto do documento {i} " * 20, f"s{i}", "pt") for i in range(5, 11)],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = {r["doc_id"]: r for r in html_robots(synth_robots_pages(docs)).collect()}
+    assert len(out) == 6
+    # classes by doc_id % 5: 0 none-declared, 1 noindex+nofollow, 2 nofollow,
+    # 3 NOINDEX case variant, 4 'none' shorthand
+    assert out[5]["robots_content"] == "" and not out[5]["noindex"] and not out[5]["nofollow"]
+    assert out[6]["noindex"] and out[6]["nofollow"]
+    assert not out[7]["noindex"] and out[7]["nofollow"]
+    assert out[8]["noindex"] and not out[8]["nofollow"]  # case-insensitive
+    assert out[9]["noindex"] and out[9]["nofollow"]  # 'none' = both
+    # token matching: 'noindexing' must NOT count as noindex
+    probe = spark.createDataFrame(
+        [(1, "u", '<html><head><meta name="robots" content="noindexing"></head></html>'.encode())],
+        "doc_id long, url string, html binary",
+    )
+    r = html_robots(probe).collect()[0]
+    assert not r["noindex"]
+
+
+def test_robots_synth_byte_identity_with_staging(spark):
+    from enem_spark.htmlops import stage_html_tables, synth_robots_pages
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    exp = pd.read_parquet(stage_html_tables(sf)["robots_pages"]).sort_values("doc_id")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = synth_robots_pages(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["url"]) == list(exp["url"])
+    assert [bytes(b).decode("utf-8") for b in got["html"]] == list(exp["html"])

@@ -282,3 +282,55 @@ def test_mixed_encoding_run_normalize_and_crash_safety(spark, tmp_path):
     cur2 = _current(spark, out_raw)
     assert cur2["https://ex.org/d/0"] == cur["https://ex.org/d/0"]  # utf-8 fine
     assert cur2["https://ex.org/d/1"] != cur["https://ex.org/d/1"]  # mojibake
+
+
+def test_fetch_politeness(spark):
+    from datetime import datetime
+
+    hist = spark.createDataFrame(
+        [
+            # host a: 3 fetches inside one minute (burst), 2 urls
+            ("https://a.ex/p1", datetime(2024, 1, 1, 10, 0, 5)),
+            ("https://a.ex/p1", datetime(2024, 1, 1, 10, 0, 25)),
+            ("https://a.ex/p2", datetime(2024, 1, 1, 10, 0, 55)),
+            # host a: a 4th fetch in another minute
+            ("https://a.ex/p3", datetime(2024, 1, 1, 10, 5, 0)),
+            # host b: 2 fetches, far apart
+            ("https://b.ex/q", datetime(2024, 1, 1, 9, 0, 0)),
+            ("https://b.ex/q", datetime(2024, 1, 2, 9, 0, 0)),
+            # no-host row must be dropped
+            ("not-a-url", datetime(2024, 1, 1, 0, 0, 0)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    from enem_spark.icerun import fetch_politeness
+
+    out = {r["host"]: r for r in fetch_politeness(hist).collect()}
+    assert set(out) == {"a.ex", "b.ex"}
+    a = out["a.ex"]
+    assert a["n_fetches"] == 4 and a["n_urls"] == 3
+    assert a["peak_per_minute"] == 3
+    assert a["last_s"] - a["first_s"] == 295
+    b = out["b.ex"]
+    assert b["n_fetches"] == 2 and b["n_urls"] == 1 and b["peak_per_minute"] == 1
+
+
+def test_mime_filter_drops_binaries(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    rows = _rows(range(4), it.EPOCH_S)
+    rows.append(
+        {
+            "url": "https://ex.org/d/pdf",
+            "warc_ts": pd.Timestamp(it.EPOCH_S + 99, unit="s"),
+            "html": b"%PDF-1.7\nbinary body here",
+            "text": "pdf",
+            "lang": "pt",
+        }
+    )
+    _create(spark, tbl, rows, seq=1)
+    out = str(tmp_path / "out")
+    s = icerun.run_html_extraction_ice(spark, tbl, out, mime_filter=True)
+    assert s["input_pages"] == 4  # pdf row filtered below the UDF
+    cur = _current(spark, out)
+    assert "https://ex.org/d/pdf" not in cur
+    assert len(cur) == 4
