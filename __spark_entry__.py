@@ -283,6 +283,12 @@ def q_token_histogram(spark, sf_dir):
     return textops.token_histogram(_t(spark, sf_dir, "documents"))
 
 
+def q_cap_per_host(spark, sf_dir):
+    """Per-domain quota sampling (textops.cap_per_host): deterministic
+    content-hash lottery, at most `cap` docs per source host."""
+    return textops.cap_per_host(_t(spark, sf_dir, "documents"))
+
+
 def q_minhash_jaccard_estimate(spark, sf_dir):
     return textops.minhash_jaccard_estimate(
         _t(spark, sf_dir, "documents"),
@@ -869,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filters": q_repetition_filters,
         "fingerprint": q_fingerprint,
         "stratified_sample": q_stratified_sample,
+        "cap_per_host": q_cap_per_host,
         "token_histogram": q_token_histogram,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
@@ -2347,6 +2354,17 @@ reach(doc_id, r) AS (
 SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
 """,
         "stratified_sample": _stratified_sample_sql(),
+        # same deterministic content-hash lottery, recomputed in SQL
+        "cap_per_host": """
+WITH ranked AS (
+  SELECT doc_id, source AS host,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY md5(text) ASC, doc_id ASC
+         ) AS INT) AS host_rank
+  FROM documents
+)
+SELECT doc_id, host, host_rank FROM ranked WHERE host_rank <= 3
+""",
         "token_histogram": r"""
 SELECT CAST((len(regexp_split_to_array(trim(text), '\s+')) // 10) * 10 AS INT) AS bucket_lo,
        count(*) AS n_docs

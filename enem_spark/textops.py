@@ -1060,6 +1060,36 @@ def stratified_sample(
     return documents.filter(keep).select("doc_id", F.col(strata_col).alias("stratum"))
 
 
+def cap_per_host(
+    documents: DataFrame, cap: int = 3, host_col: str = "source"
+) -> DataFrame:
+    """Per-domain quota: keep at most ``cap`` documents per host, chosen
+    by deterministic content-hash order (md5(text), doc_id tiebreak) so
+    reruns and engines agree row-for-row.
+
+    The anti-domination step (C4 / RefinedWeb style): without it a single
+    mirror farm or forum dominates the exported corpus. Hash order makes
+    the quota a fair content-lottery rather than "whatever the scan saw
+    first".
+
+    Scale: one shuffle on the host key + a window; output is bounded at
+    cap x |hosts|. A pathological mega-host makes one hot partition — at
+    crawl scale enable AQE skew handling or pre-thin with
+    stratified_sample before capping; the rank itself reads only
+    (doc_id, host, md5) so payload columns never shuffle."""
+    narrow = documents.select("doc_id", host_col, F.md5("text").alias("_h"))
+    w = W.partitionBy(host_col).orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    return (
+        narrow.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .select(
+            "doc_id",
+            F.col(host_col).alias("host"),
+            F.col("_rk").cast("int").alias("host_rank"),
+        )
+    )
+
+
 def token_histogram(documents: DataFrame, bucket_w: int = 10) -> DataFrame:
     """Document-length histogram: docs per `bucket_w`-token bucket.
 

@@ -403,3 +403,30 @@ def test_crawl_url_filter_hand_cases(spark):
     }
     for i, _, keep, reason in cases:
         assert got[i] == (keep, reason), (i, got[i], keep, reason)
+
+
+def test_cap_per_host_quota_and_determinism(spark):
+    from enem_spark import textops
+
+    docs = spark.createDataFrame(
+        [(i, f"texto unico {i}", f"h{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    out = textops.cap_per_host(docs, cap=3).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    assert set(by_host) == {"h0", "h1", "h2"}
+    for host, rows in by_host.items():
+        assert len(rows) == 3
+        assert sorted(r["host_rank"] for r in rows) == [1, 2, 3]
+    # deterministic: a second run picks the identical doc set
+    again = {(r["doc_id"], r["host_rank"]) for r in textops.cap_per_host(docs, cap=3).collect()}
+    assert again == {(r["doc_id"], r["host_rank"]) for r in out}
+    # a host with fewer docs than the cap keeps everything
+    small = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")],
+        "doc_id long, text string, source string",
+    )
+    got = textops.cap_per_host(small, cap=5).count()
+    assert got == 3
