@@ -95,6 +95,12 @@ HEADLINE = [
     "html_anchor_profile",
     "html_paragraph_langid",
     "html_clean_corpus",
+    "html_robots",
+    "charset_decode",
+    "mime_sniff",
+    "cap_per_host",
+    "fetch_politeness",
+    "recrawl_priority",
 ]
 
 
