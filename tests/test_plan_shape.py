@@ -136,3 +136,33 @@ def test_icerun_extraction_plan(spark, tmp_path_factory):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "xxhash64" in plan and "md5" in plan
+
+
+def test_icerun_mime_filter_below_udf(spark):
+    """mime_filter is a whole-stage-codegen Filter BELOW the extraction
+    UDF: binary rows die before the Arrow crossing, and the filter adds no
+    Python stage of its own."""
+    from pyspark.sql import functions as F
+
+    from enem_spark import icerun, lineage
+    from enem_spark.charset import mime_expr
+    from enem_spark.sources import icetable as it
+
+    staged = it.stage_ice_pages("/root/testdata/sf0.001")
+    t = it.IceTable(spark, staged["table"])
+    work = (
+        icerun._latest_per_url(t.read().select("url", "warc_ts", "html"))
+        .select(F.xxhash64("url", F.md5("html")).alias("doc_id"), "url", "html")
+        .filter(mime_expr(F.col("html")).startswith("text/"))
+    )
+    plan = (
+        lineage.instrumented_html_stage(work)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1, plan
+    assert "ArrowEvalPython" not in plan, plan
+    # the mime rule table must be evaluated JVM-side (the %PDF hex literal
+    # appears in the plan's expressions, not inside a Python stage)
+    assert "25504446" in plan and "StartsWith" in plan, plan
