@@ -307,20 +307,32 @@ def synth_encoded_pages(documents: DataFrame) -> DataFrame:
 
 MIME_PREFIX = 64  # bytes inspected
 
-# (hex-prefix, mime) — checked in order; prefixes are uppercase hex pairs
-MIME_MAGIC = (
-    ("25504446", "application/pdf"),  # %PDF
-    ("1F8B", "application/gzip"),
-    ("504B0304", "application/zip"),
-    ("89504E470D0A1A0A", "image/png"),
-    ("FFD8FF", "image/jpeg"),
-    ("47494638", "image/gif"),
+# THE rule table: ordered (anchored hex regex, mime). All three
+# implementations — mime_of (re), mime_expr (Spark rlike), mime_sql_case
+# (DuckDB regexp_matches, GENERATED) — walk this same list, so a new rule
+# lands everywhere at once. Constructs are RE2- and java.util.regex-safe.
+# Text detection is BOM-aware (WHATWG mime sniffing's step 2): a BOM'd
+# UTF-8/UTF-16 page whose first non-whitespace character is '<' is html —
+# without these rules a crawl's BOM'd html would be triaged as binary and
+# wrongly dropped.
+MIME_RULES = (
+    ("^25504446", "application/pdf"),  # %PDF
+    ("^1F8B", "application/gzip"),
+    ("^504B0304", "application/zip"),
+    ("^89504E470D0A1A0A", "image/png"),
+    ("^FFD8FF", "image/jpeg"),
+    ("^47494638", "image/gif"),
+    ("^(FFFE0000|0000FEFF)", "text/plain"),  # UTF-32 BOM (before UTF-16's)
+    # UTF-16 LE/BE BOM + optional whitespace + '<' (each char is 2 bytes)
+    ("^FFFE(2000|0900|0A00|0D00)*3C00", "text/html"),
+    ("^FEFF(0020|0009|000A|000D)*003C", "text/html"),
+    ("^(FFFE|FEFF)", "text/plain"),  # other BOM'd UTF-16 content
+    # optional UTF-8 BOM, optional ASCII whitespace, then '<'
+    ("^(EFBBBF)?(20|09|0A|0D)*3C", "text/html"),
+    # every byte printable ASCII or whitespace (0x09/0x0A/0x0D/0x20-0x7E);
+    # `+` so the empty payload stays octet-stream everywhere
+    ("^(EFBBBF)?(09|0A|0D|[2-6][0-9A-F]|7[0-9A-E])+$", "text/plain"),
 )
-# optional ASCII whitespace then '<'
-MARKUP_HEX_RE = "^(20|09|0A|0D)*3C"
-# every byte printable ASCII or whitespace (0x09/0x0A/0x0D/0x20-0x7E);
-# `+` so the empty payload stays octet-stream in all three implementations
-TEXT_HEX_RE = "^(09|0A|0D|[2-6][0-9A-F]|7[0-9A-E])+$"
 MIME_OTHER = "application/octet-stream"
 
 
@@ -330,13 +342,9 @@ def mime_of(payload: bytes | None) -> str:
     if not payload:
         return MIME_OTHER
     hx = payload[:MIME_PREFIX].hex().upper()
-    for prefix, mime in MIME_MAGIC:
-        if hx.startswith(prefix):
+    for pattern, mime in MIME_RULES:
+        if re.match(pattern, hx):
             return mime
-    if re.match(MARKUP_HEX_RE, hx):
-        return "text/html"
-    if re.match(TEXT_HEX_RE, hx):
-        return "text/plain"
     return MIME_OTHER
 
 
@@ -344,14 +352,10 @@ def mime_expr(col):
     """Whole-stage-codegen MIME classification of a binary column."""
     hx = F.hex(F.substring(col, 1, MIME_PREFIX))
     out = None
-    for prefix, mime in MIME_MAGIC:
-        cond = hx.startswith(prefix)
+    for pattern, mime in MIME_RULES:
+        cond = hx.rlike(pattern)
         out = F.when(cond, mime) if out is None else out.when(cond, mime)
-    return (
-        out.when(hx.rlike(MARKUP_HEX_RE), "text/html")
-        .when(hx.rlike(TEXT_HEX_RE), "text/plain")
-        .otherwise(MIME_OTHER)
-    )
+    return out.otherwise(MIME_OTHER)
 
 
 def mime_sniff(pages: DataFrame, col: str = "html") -> DataFrame:
@@ -427,15 +431,13 @@ def synth_payload_pages(documents: DataFrame) -> DataFrame:
 
 def mime_sql_case(hx: str) -> str:
     """The DuckDB CASE expression over ``hx`` (a hex-prefix SQL fragment)
-    — same rule table as mime_expr, generated from it, never forked."""
+    — GENERATED from MIME_RULES, never forked."""
     whens = "\n".join(
-        f"  WHEN {hx} LIKE '{prefix}%' THEN '{mime}'"
-        for prefix, mime in MIME_MAGIC
+        f"  WHEN regexp_matches({hx}, '{pattern}') THEN '{mime}'"
+        for pattern, mime in MIME_RULES
     )
     return f"""CASE
 {whens}
-  WHEN regexp_matches({hx}, '{MARKUP_HEX_RE}') THEN 'text/html'
-  WHEN regexp_matches({hx}, '{TEXT_HEX_RE}') THEN 'text/plain'
   ELSE '{MIME_OTHER}'
 END"""
 

@@ -194,6 +194,15 @@ MIME_CASES = [
     (b"\x00\x01\x02junk", "application/octet-stream"),
     ("acentuação".encode("utf-8"), "application/octet-stream"),  # not ascii
     (b"\x7f", "application/octet-stream"),  # DEL is not printable
+    # BOM-aware markup detection (WHATWG mime sniffing step 2)
+    (codecs.BOM_UTF8 + b"<html>", "text/html"),
+    (codecs.BOM_UTF8 + b"  <html>", "text/html"),
+    (codecs.BOM_UTF8 + b"plain text", "text/plain"),
+    (b"\xff\xfe" + "<html>".encode("utf-16-le"), "text/html"),
+    (b"\xff\xfe" + " \n<p>".encode("utf-16-le"), "text/html"),
+    (b"\xfe\xff" + "<html>".encode("utf-16-be"), "text/html"),
+    (b"\xff\xfe" + "texto".encode("utf-16-le"), "text/plain"),
+    (b"\xff\xfe\x00\x00" + "x".encode("utf-32-le"), "text/plain"),
 ]
 
 
@@ -223,8 +232,8 @@ def test_mime_spark_matches_pure(spark):
 @given(st.binary(max_size=80))
 def test_mime_of_total(payload):
     assert charset.mime_of(payload) in {
-        m for _, m in charset.MIME_MAGIC
-    } | {"text/html", "text/plain", charset.MIME_OTHER}
+        m for _, m in charset.MIME_RULES
+    } | {charset.MIME_OTHER}
 
 
 def test_mime_synth_byte_identity_with_staging(spark):
