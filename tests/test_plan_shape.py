@@ -163,6 +163,10 @@ def test_icerun_mime_filter_below_udf(spark):
     )
     assert plan.count("MapInPandas") == 1, plan
     assert "ArrowEvalPython" not in plan, plan
-    # the mime rule table must be evaluated JVM-side (the %PDF hex literal
-    # appears in the plan's expressions, not inside a Python stage)
-    assert "25504446" in plan and "StartsWith" in plan, plan
+    # the mime rule table must be evaluated JVM-side: the %PDF hex rule
+    # shows up in a Filter's RLIKE chain (Catalyst constant-folds the
+    # outer startswith('text/') into per-branch booleans)
+    assert "25504446" in plan and "RLIKE" in plan, plan
+    assert any(
+        "Filter CASE WHEN RLIKE" in line for line in plan.splitlines()
+    ), plan
