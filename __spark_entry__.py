@@ -289,6 +289,30 @@ def q_cap_per_host(spark, sf_dir):
     return textops.cap_per_host(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_chunk(spark, sf_dir):
+    """Fixed token-window chunking with overlap (textops.doc_chunk):
+    the context-window preparation step — every doc becomes >=1 chunks of
+    <=32 tokens, consecutive chunks 24 tokens apart."""
+    return textops.doc_chunk(_t(spark, sf_dir, "documents"))
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Balanced domain-mixture sampling (textops.mixture_sample):
+    waterfill every stratum down to the smallest one by exact integer
+    content-hash lottery. Stratified on `lang` — the sf tables'  sources
+    are equal-sized by construction (waterfill would be the identity
+    there), while the language mix is 3:1 skewed, so this exercises a
+    real downsample."""
+    return textops.mixture_sample(_t(spark, sf_dir, "documents"), strata_col="lang")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style hashed-unigram importance weights (textops.dsir_weights):
+    per-doc mean log-likelihood ratio, target = lang='en' slice vs raw
+    crawl, quantized to integer micro-nats for engine-exact sums."""
+    return textops.dsir_weights(_t(spark, sf_dir, "documents"))
+
+
 def q_minhash_jaccard_estimate(spark, sf_dir):
     return textops.minhash_jaccard_estimate(
         _t(spark, sf_dir, "documents"),
@@ -877,6 +901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "cap_per_host": q_cap_per_host,
         "token_histogram": q_token_histogram,
+        "doc_chunk": q_doc_chunk,
+        "mixture_sample": q_mixture_sample,
+        "dsir_weights": q_dsir_weights,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "incr_dedup_exact": q_incr_dedup_exact,
@@ -1431,6 +1458,90 @@ def _stratified_sample_sql(rate_pct=10) -> str:
     return f"""
 SELECT doc_id, source AS stratum FROM documents
 WHERE substr(md5(text), 1, 6) < '{cut_hex}'
+"""
+
+
+def _doc_chunk_sql(window=None, stride=None) -> str:
+    w = textops.CHUNK_WINDOW if window is None else window
+    s = textops.CHUNK_STRIDE if stride is None else stride
+    # DuckDB list slice l[a:b] is 1-based inclusive and clamps at the end,
+    # matching Spark slice(toks, start, length)'s clamp
+    return rf"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+), sized AS (
+  SELECT doc_id, toks,
+         1 + (greatest(len(toks) - {w}, 0) + {s - 1}) // {s} AS n_chunks
+  FROM docs
+), exploded AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS i FROM sized
+)
+SELECT doc_id,
+       i AS chunk_id,
+       len(toks[i*{s}+1 : i*{s}+{w}]) AS n_tokens,
+       array_to_string(toks[i*{s}+1 : i*{s}+{w}], ' ') AS chunk_text
+FROM exploded
+"""
+
+
+def _mixture_sample_sql() -> str:
+    # exact-integer waterfill lottery — same cross-multiplied keep test as
+    # textops.mixture_sample, no float rates anywhere
+    return f"""
+WITH counts AS (
+  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang
+), floor_c AS (SELECT min(c) AS min_c FROM counts)
+SELECT d.doc_id, d.lang AS stratum
+FROM documents d
+JOIN counts ON counts.stratum = d.lang
+CROSS JOIN floor_c
+WHERE CAST(concat('0x', substr(md5(d.text), 1, {textops.MIX_HEX_W})) AS BIGINT) * c
+      < min_c * {textops.MIX_SPACE}
+"""
+
+
+def _dsir_sql(target_lang="en") -> str:
+    b = textops.DSIR_BUCKETS
+    q = textops.LM_QUANT
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         substr(md5(unnest(regexp_split_to_array(trim(text), '\s+'))),
+                1, {textops.DSIR_HEX_W}) AS b
+  FROM documents
+),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt_r FROM tok GROUP BY b),
+tgt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cnt_t FROM tok
+  WHERE lang = '{target_lang}' GROUP BY b
+),
+model AS (
+  SELECT raw.b, cnt_r, coalesce(cnt_t, 0) AS cnt_t
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+),
+totals AS (
+  SELECT CAST(sum(cnt_r) AS BIGINT) AS tot_r,
+         CAST(sum(cnt_t) AS BIGINT) AS tot_t
+  FROM model
+),
+lp AS (
+  SELECT b, CAST(round((ln((cnt_t + 1) / (tot_t + {b}))
+                      - ln((cnt_r + 1) / (tot_r + {b}))) * {q}) AS BIGINT) AS lpq
+  FROM model, totals
+),
+tf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, b),
+scored AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf * lpq) AS BIGINT) AS q_sum
+  FROM tf JOIN lp USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(q_sum / (greatest(coalesce(n_tokens, 0), 1) * {float(q)}), 6)
+         AS dsir_weight
+FROM (SELECT doc_id FROM documents) d LEFT JOIN scored USING (doc_id)
 """
 
 
@@ -2370,6 +2481,9 @@ SELECT CAST((len(regexp_split_to_array(trim(text), '\s+')) // 10) * 10 AS INT) A
        count(*) AS n_docs
 FROM documents GROUP BY 1
 """,
+        "doc_chunk": _doc_chunk_sql(),
+        "mixture_sample": _mixture_sample_sql(),
+        "dsir_weights": _dsir_sql(),
         "minhash_jaccard_estimate": _minhash_est_sql(),
         "dedup_minhash_estimate": _minhash_est_only_sql(0.25),
         "incr_dedup_exact": _INCR_EXACT_SQL,

@@ -51,6 +51,9 @@ HEADLINE = [
     "sentence_stats",
     "char_lm_score",
     "char_entropy",
+    "doc_chunk",
+    "mixture_sample",
+    "dsir_weights",
     "props_extract",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -15,6 +15,9 @@ Operators (SURVEY.md §2 extension set):
   quality_score        length/punct/stopword-ratio quality features
   token_count          whitespace + regex token counting
   fingerprint          bottom-k shingle-hash document sketch
+  doc_chunk            fixed token-window chunking with stride overlap
+  mixture_sample       balanced domain-mixture waterfill (integer lottery)
+  dsir_weights         DSIR hashed-unigram importance weights
 
 Scale notes: dedup/self-join families shuffle on content-derived keys
 (hash/shingle/band), which are near-uniform, so no skew salting is needed;
@@ -1506,5 +1509,164 @@ def char_entropy(documents: DataFrame) -> DataFrame:
             F.round(
                 -F.col("q_sum") / (F.col("n_chars_norm") * F.lit(float(LM_QUANT))), 6
             ).alias("entropy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window preparation: fixed token-window chunking with overlap
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+
+def doc_chunk(
+    documents: DataFrame, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Split each document into fixed token-window chunks with overlap —
+    the context-window preparation step of a training/RAG pipeline
+    (window tokens per chunk, consecutive chunks `stride` tokens apart,
+    last chunk clamped at end-of-doc).
+
+    Chunk count is 1 + ceil(max(0, n - window) / stride), so every doc
+    emits at least one chunk and every token is covered. Entirely narrow
+    (tokenize once, explode chunk ids, slice the token array) — zero
+    shuffles, so at crawl scale it is pure map work that pipelines into
+    whatever consumes the chunks. Skew-free: cost is linear in document
+    length and the explode fan-out is bounded by n/stride."""
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    docs = documents.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    extra = F.greatest(F.size("toks") - F.lit(window), F.lit(0))
+    n_chunks = (F.floor((extra + F.lit(stride - 1)) / F.lit(stride)) + 1).cast("long")
+    chunked = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, window)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling: waterfill to a balanced source mixture
+# ---------------------------------------------------------------------------
+
+# lottery resolution: first 4 hex digits of md5(text) -> [0, 65536). Kept
+# narrow on purpose: the keep test cross-multiplies (h * c < min_c * 65536)
+# in exact int64, and 65536 * 10^12 docs/source still fits a long.
+MIX_HEX_W = 4
+MIX_SPACE = 16**MIX_HEX_W
+
+
+def mixture_sample(documents: DataFrame, strata_col: str = "source") -> DataFrame:
+    """Balanced domain-mixture sampling: downsample every stratum to the
+    size of the SMALLEST one (waterfill with equal target weights), chosen
+    by deterministic content-hash lottery — the mixture-rebalancing step
+    before training-corpus export (no source dominates by crawl volume).
+
+    keep(doc) iff h(doc) * c_s < min_c * 65536 with h = first 4 hex digits
+    of md5(text) as an integer: an exact-integer per-stratum ~(min_c/c_s)
+    Bernoulli cut that any engine reproduces row-for-row (no RNG, no
+    sort). Scale: one tiny per-source count aggregate broadcast back over
+    the corpus — a single partial-agg shuffle of |sources| rows; the keep
+    filter itself is map-side."""
+    counts = (
+        documents.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    floor_c = counts.agg(F.min("c").cast("long").alias("min_c"))
+    h = F.conv(F.substring(F.md5("text"), 1, MIX_HEX_W), 16, 10).cast("long")
+    return (
+        documents.select("doc_id", F.col(strata_col).alias("stratum"), h.alias("_h"))
+        .join(F.broadcast(counts), "stratum")
+        .crossJoin(F.broadcast(floor_c))
+        .filter(F.col("_h") * F.col("c") < F.col("min_c") * F.lit(MIX_SPACE))
+        .select("doc_id", "stratum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance weights (data selection)
+# ---------------------------------------------------------------------------
+
+# hashed unigram feature space: first 3 hex digits of md5(token) -> 4096
+# buckets, the classic hashed-DSIR compromise (model fits in one broadcast
+# regardless of corpus vocabulary).
+DSIR_HEX_W = 3
+DSIR_BUCKETS = 16**DSIR_HEX_W
+
+
+def dsir_weights(documents: DataFrame, target_lang: str = "en") -> DataFrame:
+    """DSIR-style importance weight per document: mean log-likelihood
+    ratio of the doc's hashed-unigram features under a TARGET distribution
+    (here: the ``target_lang`` slice of the corpus) vs the RAW crawl
+    distribution — the data-selection signal for importance resampling
+    ("pick crawl docs that look like the target domain").
+
+    Both unigram models are add-one smoothed over the 4096 hashed buckets;
+    per-bucket log-ratios are quantized to integer micro-nats (same
+    LM_QUANT protocol as char_lm_score) so the per-doc reduce is an exact
+    integer sum — engine-order-independent and reproducible bit-for-bit.
+
+    Scale: the model is ≤4096 rows whatever the corpus size — built with
+    one partial-agg shuffle, broadcast back; the per-doc reduce is the
+    only other shuffle. No skew (bucket keys are md5-uniform)."""
+    tok = documents.select(
+        "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("w")
+    ).select(
+        "doc_id", "lang", F.substring(F.md5("w"), 1, DSIR_HEX_W).alias("b")
+    )
+    raw = tok.groupBy("b").agg(F.count("*").cast("long").alias("cnt_r"))
+    tgt = (
+        tok.filter(F.col("lang") == target_lang)
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("cnt_t"))
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .withColumn("cnt_t", F.coalesce("cnt_t", F.lit(0)).cast("long"))
+    )
+    totals = model.agg(
+        F.sum("cnt_r").cast("long").alias("tot_r"),
+        F.sum("cnt_t").cast("long").alias("tot_t"),
+    )
+    lpq = F.round(
+        (
+            F.log((F.col("cnt_t") + 1) / (F.col("tot_t") + F.lit(DSIR_BUCKETS)))
+            - F.log((F.col("cnt_r") + 1) / (F.col("tot_r") + F.lit(DSIR_BUCKETS)))
+        )
+        * LM_QUANT
+    ).cast("long")
+    lp = model.crossJoin(F.broadcast(totals)).select("b", lpq.alias("lpq"))
+    scored = (
+        tok.groupBy("doc_id", "b")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .join(F.broadcast(lp), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lpq")).cast("long").alias("q_sum"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.col("q_sum")
+                / (F.greatest(F.col("n_tokens"), F.lit(1)) * F.lit(float(LM_QUANT))),
+                6,
+            ).alias("dsir_weight"),
         )
     )

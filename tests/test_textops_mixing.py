@@ -1,0 +1,132 @@
+"""doc_chunk / mixture_sample / dsir_weights — semantics + plan guards.
+
+The DuckDB value parity for all three lives in test_entry_parity; these
+tests pin the properties the parity hash can't see: chunk coverage/overlap
+invariants, the zero-shuffle chunk plan, the exact waterfill rate, and the
+sign of the DSIR signal (target-language docs must score above the rest).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from enem_spark import textops
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_doc_chunk_covers_every_token(spark):
+    texts = [
+        ("a", " ".join(f"t{i}" for i in range(100))),  # 100 toks -> 4 chunks
+        ("b", "solo"),  # short doc -> exactly one chunk
+        ("c", " ".join(f"u{i}" for i in range(32))),  # == window -> one chunk
+        ("d", " ".join(f"v{i}" for i in range(33))),  # window+1 -> two chunks
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    rows = textops.doc_chunk(df).collect()
+    by_doc: dict[str, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert {d: len(v) for d, v in by_doc.items()} == {
+        "a": 4, "b": 1, "c": 1, "d": 2
+    }
+    for doc_id, text in texts:
+        toks = text.split()
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        # chunk i starts at i*stride and is clamped at end-of-doc
+        for r in chunks:
+            start = r.chunk_id * textops.CHUNK_STRIDE
+            expect = toks[start : start + textops.CHUNK_WINDOW]
+            assert r.chunk_text.split() == expect
+            assert r.n_tokens == len(expect)
+        # union of chunks covers every token position
+        covered = set()
+        for r in chunks:
+            s = r.chunk_id * textops.CHUNK_STRIDE
+            covered.update(range(s, s + r.n_tokens))
+        assert covered == set(range(len(toks)))
+
+
+def test_doc_chunk_plan_has_no_shuffle(documents):
+    """Chunking is pure map work: tokenize once, explode, slice. Any
+    Exchange in this plan is a regression that turns a pipelined narrow
+    stage into a crawl-scale shuffle."""
+    plan = (
+        textops.doc_chunk(documents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_mixture_sample_waterfills_to_smallest_stratum(documents):
+    # stratify on lang: the sf sources are equal-sized by construction
+    # (waterfill = identity there); the language mix is ~3:1 skewed
+    kept = textops.mixture_sample(documents, strata_col="lang").groupBy(
+        "stratum"
+    ).count()
+    sizes = {
+        r["lang"]: r["c"]
+        for r in documents.groupBy("lang").agg(
+            F.count("*").alias("c")
+        ).collect()
+    }
+    min_c = min(sizes.values())
+    got = {r.stratum: r["count"] for r in kept.collect()}
+    # every stratum is present and lands near min_c; the smallest stratum
+    # is kept whole (its rate is exactly 1.0 by the integer cross-multiply)
+    assert set(got) == set(sizes)
+    for s, c in sizes.items():
+        if c == min_c:
+            assert got[s] == min_c
+        # binomial(c, min_c/c): allow a wide deterministic-lottery band
+        assert got[s] <= c
+        assert abs(got[s] - min_c) < 4 * (min_c**0.5) + 2, (s, got[s], min_c)
+
+
+def _group_means(scored_docs):
+    return {
+        r.grp: r.m
+        for r in scored_docs.groupBy(
+            F.when(F.col("lang") == "en", "target").otherwise("rest").alias("grp")
+        )
+        .agg(F.avg("dsir_weight").alias("m"))
+        .collect()
+    }
+
+
+def test_dsir_weights_rank_target_language_higher(documents):
+    # the sf corpus's languages share most vocabulary, so only the ORDERING
+    # is asserted here; the margin is pinned on a disjoint-vocab corpus below
+    scored = textops.dsir_weights(documents, target_lang="en").join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    means = _group_means(scored)
+    assert means["target"] > means["rest"], means
+
+
+def test_dsir_weights_separate_disjoint_vocabularies(spark):
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(f"en{j}" for j in range(i % 7, i % 7 + 20)), "en"))
+        rows.append(
+            (100 + i, " ".join(f"xx{j}" for j in range(i % 7, i % 7 + 20)), "zz")
+        )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    scored = textops.dsir_weights(df, target_lang="en").join(
+        df.select("doc_id", "lang"), "doc_id"
+    )
+    means = _group_means(scored)
+    # disjoint vocab: rest docs are strongly penalized; target docs sit
+    # above parity by ln((2T+B)/(T+B)) — compressed toward 0 by the add-one
+    # smoothing when the corpus is tiny vs the 4096 buckets, hence the
+    # asymmetric thresholds
+    assert means["target"] > 0.1, means
+    assert means["rest"] < -1.0, means
