@@ -313,6 +313,15 @@ def q_dsir_weights(spark, sf_dir):
     return textops.dsir_weights(_t(spark, sf_dir, "documents"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy training-sequence packing (packing.pack_sequences): one
+    applyInPandas pass per deterministic doc_id-shard; oracle is
+    MATERIALIZED (same pure kernel over DuckDB-computed token counts)."""
+    from enem_spark import packing
+
+    return packing.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
 def q_minhash_jaccard_estimate(spark, sf_dir):
     return textops.minhash_jaccard_estimate(
         _t(spark, sf_dir, "documents"),
@@ -904,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk": q_doc_chunk,
         "mixture_sample": q_mixture_sample,
         "dsir_weights": q_dsir_weights,
+        "pack_sequences": q_pack_sequences,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "incr_dedup_exact": q_incr_dedup_exact,
@@ -1993,6 +2003,12 @@ def oracle_sql() -> dict[str, str]:
 
     oracle_sf = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     expected = stage_expected_tables(oracle_sf)
+    # sequence-packing twin: greedy bin assignment is order-dependent (no
+    # closed-form SQL), so the same pack_bins kernel runs over
+    # DuckDB-computed token counts and the SQL SELECTs the staged plan
+    from enem_spark.packing import stage_pack_expected
+
+    pack_expected = stage_pack_expected(oracle_sf)
     # html twins: `html_pages` is a staged copy of the INPUT (same pure
     # synthesis the Spark mapInPandas stage runs — byte-identity tested in
     # tests/test_htmlops.py), so the strip/outlinks/title oracles COMPUTE
@@ -2484,6 +2500,10 @@ FROM documents GROUP BY 1
         "doc_chunk": _doc_chunk_sql(),
         "mixture_sample": _mixture_sample_sql(),
         "dsir_weights": _dsir_sql(),
+        "pack_sequences": f"""
+SELECT doc_id, shard, bin_id, bin_offset, n_tokens_packed
+FROM read_parquet('{pack_expected}')
+""",
         "minhash_jaccard_estimate": _minhash_est_sql(),
         "dedup_minhash_estimate": _minhash_est_only_sql(0.25),
         "incr_dedup_exact": _INCR_EXACT_SQL,

@@ -54,6 +54,7 @@ HEADLINE = [
     "doc_chunk",
     "mixture_sample",
     "dsir_weights",
+    "pack_sequences",
     "props_extract",
     "dedup_exact",
     "dedup_minhash_lsh",
