@@ -313,6 +313,15 @@ def q_dsir_weights(spark, sf_dir):
     return textops.dsir_weights(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary induction (bpe.bpe_merges): the first 6
+    merges learned from the corpus word-frequency table, deterministic
+    tiebreak, unrolled computing DuckDB twin."""
+    from enem_spark import bpe
+
+    return bpe.bpe_merges(_t(spark, sf_dir, "documents"))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy training-sequence packing (packing.pack_sequences): one
     applyInPandas pass per deterministic doc_id-shard; oracle is
@@ -914,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
+        "bpe_merges": q_bpe_merges,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "incr_dedup_exact": q_incr_dedup_exact,
@@ -1553,6 +1563,55 @@ SELECT d.doc_id,
          AS dsir_weight
 FROM (SELECT doc_id FROM documents) d LEFT JOIN scored USING (doc_id)
 """
+
+
+def _bpe_sql(rounds=None) -> str:
+    """COMPUTING twin of bpe.bpe_merges, fully unrolled per round (the
+    pagerank-twin discipline): each round is a pair-count CTE, a LIMIT-1
+    argmax CTE (same count-desc/pair-asc tiebreak), and a re-merged vocab
+    CTE using the shared doubled-separator replace algebra."""
+    from enem_spark.bpe import BPE_ROUNDS
+
+    r = BPE_ROUNDS if rounds is None else rounds
+    parts = [
+        r"""w0 AS (
+  SELECT array_to_string(regexp_split_to_array(w, ''), ' ') || ' </w>' AS sym,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+  ) toks
+  WHERE w <> ''
+  GROUP BY w
+)"""
+    ]
+    for i in range(1, r + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+    FROM (SELECT freq, regexp_split_to_array(sym, ' ') AS toks FROM {prev}) t
+  ) q
+  GROUP BY 1, 2
+),
+t{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+w{i} AS (
+  SELECT trim(regexp_replace(
+           replace(' ' || replace(sym, ' ', '  ') || ' ',
+                   ' ' || (SELECT a FROM t{i}) || '  '
+                       || (SELECT b FROM t{i}) || ' ',
+                   ' ' || (SELECT a || b FROM t{i}) || ' '),
+           ' +', ' ', 'g')) AS sym, freq
+  FROM {prev}
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS rnd, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, cnt FROM t{i}"
+        for i in range(1, r + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions
 
 
 def _simhash_sql() -> str:
@@ -2504,6 +2563,7 @@ FROM documents GROUP BY 1
 SELECT doc_id, shard, bin_id, bin_offset, n_tokens_packed
 FROM read_parquet('{pack_expected}')
 """,
+        "bpe_merges": _bpe_sql(),
         "minhash_jaccard_estimate": _minhash_est_sql(),
         "dedup_minhash_estimate": _minhash_est_only_sql(0.25),
         "incr_dedup_exact": _INCR_EXACT_SQL,

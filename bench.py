@@ -55,6 +55,7 @@ HEADLINE = [
     "mixture_sample",
     "dsir_weights",
     "pack_sequences",
+    "bpe_merges",
     "props_extract",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1,0 +1,69 @@
+"""bpe_merges — differential against the pure-Python reference BPE.
+
+The DuckDB twin parity lives in test_entry_parity; here the Spark merge
+sequence is pinned to a reference implementation with explicit greedy
+left-to-right semantics, including the overlap/adjacency edge cases the
+doubled-separator replace algebra must honor.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from enem_spark import bpe
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _spark_merges(spark, word_freqs, rounds):
+    # build a documents-like frame whose token stream realizes word_freqs
+    text = " ".join(w for w, f in word_freqs.items() for _ in range(f))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    return [tuple(r) for r in bpe.bpe_merges(df, rounds=rounds).collect()]
+
+
+def test_overlap_and_adjacency_edge_cases(spark):
+    # 'ababab': pair (a,b) occurs 3x per word; merging must take all three
+    # (non-overlapping), and 'aaa' must merge left-to-right (aa, a)
+    freqs = {"ababab": 2, "aaa": 3}
+    got = _spark_merges(spark, freqs, rounds=3)
+    exp = [tuple(r) for r in bpe.bpe_reference(freqs, rounds=3)]
+    assert got == exp
+    # first merge is (a,b) with count 6: three occurrences in each of the
+    # 2 'ababab' words (the 'aaa' pair (a,a) has count 2*3=6 too — tie
+    # broken by ascending pair, ('a','a') < ('a','b'))
+    assert got[0][1:3] == ("a", "a") and got[0][4] == 6
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=5),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_spark_matches_reference_on_random_vocabs(spark, word_freqs):
+    got = _spark_merges(spark, word_freqs, rounds=4)
+    exp = [tuple(r) for r in bpe.bpe_reference(word_freqs, rounds=4)]
+    assert got == exp
+
+
+def test_corpus_merges_match_reference(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    freqs = {
+        r.w: r.freq
+        for r in docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    }
+    got = [tuple(r) for r in bpe.bpe_merges(docs).collect()]
+    exp = [tuple(r) for r in bpe.bpe_reference(freqs, rounds=bpe.BPE_ROUNDS)]
+    assert got == exp
+    assert len(got) == bpe.BPE_ROUNDS
