@@ -322,6 +322,42 @@ def q_bpe_merges(spark, sf_dir):
     return bpe.bpe_merges(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer application (bpe.bpe_encode_stats): learn the 6-round
+    merge chain, then encode every document via the distinct-word
+    vocabulary (merge chain runs once per distinct word, one equi-join
+    re-attaches subword counts). Per-doc (n_words, n_subwords, fertility);
+    all JVM-side built-ins."""
+    from enem_spark import bpe
+
+    return bpe.bpe_encode_stats(_t(spark, sf_dir, "documents"))
+
+
+BM25_QUERY_TERMS = ["spark", "hash", "window"]
+BM25_K = 10
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval (retrieval.bm25_search): top-10 documents for
+    a 3-term query; postings filtered to the query terms before any
+    shuffle, broadcast idf, TakeOrdered top-k, rank on the rounded score."""
+    from enem_spark import retrieval
+
+    return retrieval.bm25_search(
+        _t(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=BM25_K
+    )
+
+
+def q_nb_classifier(spark, sf_dir):
+    """Model-based quality filter (classify.nb_classifier): multinomial
+    Naive Bayes trained by pure aggregation on the lang=='en' slice, scored
+    in-sample; the learned model is one row per term, all corpus scalars
+    are broadcast 1-row aggregates."""
+    from enem_spark.classify import nb_classifier
+
+    return nb_classifier(_t(spark, sf_dir, "documents"))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy training-sequence packing (packing.pack_sequences): one
     applyInPandas pass per deterministic doc_id-shard; oracle is
@@ -924,6 +960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "bm25_search": q_bm25_search,
+        "nb_classifier": q_nb_classifier,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "incr_dedup_exact": q_incr_dedup_exact,
@@ -1565,16 +1604,30 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN scored USING (doc_id)
 """
 
 
-def _bpe_sql(rounds=None) -> str:
-    """COMPUTING twin of bpe.bpe_merges, fully unrolled per round (the
-    pagerank-twin discipline): each round is a pair-count CTE, a LIMIT-1
-    argmax CTE (same count-desc/pair-asc tiebreak), and a re-merged vocab
-    CTE using the shared doubled-separator replace algebra."""
-    from enem_spark.bpe import BPE_ROUNDS
+def _bpe_merge_expr(sym_expr: str, i: int) -> str:
+    """The shared doubled-separator replace algebra applying round i's
+    learned pair (scalar subqueries on t{i}) to a symbol-string column."""
+    return (
+        f"trim(regexp_replace(\n           replace(' ' || replace({sym_expr}, ' ', '  ') || ' ',\n"
+        f"                   ' ' || (SELECT a FROM t{i}) || '  '\n"
+        f"                       || (SELECT b FROM t{i}) || ' ',\n"
+        f"                   ' ' || (SELECT a || b FROM t{i}) || ' '),\n"
+        f"           ' +', ' ', 'g'))"
+    )
 
-    r = BPE_ROUNDS if rounds is None else rounds
+
+def _bpe_learn_ctes(r: int) -> list[str]:
+    """The unrolled BPE learning chain (w0 + per-round pair-count/argmax/
+    re-merge CTEs) shared by the bpe_merges and bpe_encode twins.
+
+    Every CTE is AS MATERIALIZED: DuckDB otherwise inlines the chain, and
+    because round i references round i-1 twice (pair count + re-merge) and
+    each t{i} three times (the scalar subqueries in the merge algebra), the
+    inlined plan re-derives the whole prefix exponentially — the 6-round
+    twin goes from ~1 s to minutes. Materializing restores the linear
+    per-round cost the Spark side's persist() gives."""
     parts = [
-        r"""w0 AS (
+        r"""w0 AS MATERIALIZED (
   SELECT array_to_string(regexp_split_to_array(w, ''), ' ') || ' </w>' AS sym,
          CAST(count(*) AS BIGINT) AS freq
   FROM (
@@ -1587,7 +1640,7 @@ def _bpe_sql(rounds=None) -> str:
     for i in range(1, r + 1):
         prev = f"w{i - 1}"
         parts.append(
-            f"""p{i} AS (
+            f"""p{i} AS MATERIALIZED (
   SELECT toks[i] AS a, toks[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
   FROM (
     SELECT freq, toks, unnest(generate_series(1, len(toks) - 1)) AS i
@@ -1595,23 +1648,183 @@ def _bpe_sql(rounds=None) -> str:
   ) q
   GROUP BY 1, 2
 ),
-t{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-w{i} AS (
-  SELECT trim(regexp_replace(
-           replace(' ' || replace(sym, ' ', '  ') || ' ',
-                   ' ' || (SELECT a FROM t{i}) || '  '
-                       || (SELECT b FROM t{i}) || ' ',
-                   ' ' || (SELECT a || b FROM t{i}) || ' '),
-           ' +', ' ', 'g')) AS sym, freq
+t{i} AS MATERIALIZED (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT {_bpe_merge_expr('sym', i)} AS sym, freq
   FROM {prev}
 )"""
         )
+    return parts
+
+
+def _bpe_sql(rounds=None) -> str:
+    """COMPUTING twin of bpe.bpe_merges, fully unrolled per round (the
+    pagerank-twin discipline): each round is a pair-count CTE, a LIMIT-1
+    argmax CTE (same count-desc/pair-asc tiebreak), and a re-merged vocab
+    CTE using the shared doubled-separator replace algebra."""
+    from enem_spark.bpe import BPE_ROUNDS
+
+    r = BPE_ROUNDS if rounds is None else rounds
+    parts = _bpe_learn_ctes(r)
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS rnd, a AS left_sym, b AS right_sym,"
         f" a || b AS merged, cnt FROM t{i}"
         for i in range(1, r + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
+def _bpe_encode_sql(rounds=None) -> str:
+    """COMPUTING twin of bpe.bpe_encode_stats: re-learns the merge chain
+    with the same unrolled CTEs, then applies each learned pair in order to
+    the distinct-word symbol table (v0..v{r}) and re-joins subword counts
+    onto the per-doc word counts — the same distinct-vocabulary encode plan
+    the Spark side runs."""
+    from enem_spark.bpe import BPE_ROUNDS
+
+    r = BPE_ROUNDS if rounds is None else rounds
+    parts = _bpe_learn_ctes(r)
+    parts.append(
+        r"""dw AS MATERIALIZED (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+    FROM documents
+  ) t
+  WHERE w <> ''
+  GROUP BY 1, 2
+),
+v0 AS MATERIALIZED (
+  SELECT w, array_to_string(regexp_split_to_array(w, ''), ' ') || ' </w>' AS sym
+  FROM (SELECT DISTINCT w FROM dw) u
+)"""
+    )
+    for i in range(1, r + 1):
+        parts.append(
+            f"v{i} AS MATERIALIZED (\n  SELECT w, {_bpe_merge_expr('sym', i)} AS sym FROM v{i - 1}\n)"
+        )
+    parts.append(
+        f"""enc AS (
+  SELECT w, CAST(len(regexp_split_to_array(sym, ' ')) AS BIGINT) AS n_sub
+  FROM v{r}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT dw.doc_id AS doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_words,
+       CAST(sum(cnt * n_sub) AS BIGINT) AS n_subwords,
+       round(CAST(sum(cnt * n_sub) AS BIGINT) * 1.0
+             / greatest(CAST(sum(cnt) AS BIGINT), 1), 6) AS fertility
+FROM dw JOIN enc USING (w)
+GROUP BY 1
+"""
+    )
+
+
+def _bm25_sql() -> str:
+    """COMPUTING twin of retrieval.bm25_search — identical idf/normalizer
+    expression shapes so both engines produce the same doubles, ranked on
+    the 6-dp-rounded score."""
+    from enem_spark.retrieval import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    k1, b = BM25_K1, BM25_B
+    return rf"""
+WITH dl AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+    FROM documents
+  ) t
+  WHERE term IN ({terms})
+  GROUP BY 1, 2
+),
+idf AS (
+  SELECT term,
+         ln(((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1) d
+),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         round(sum(idf.idf * (tf.tf * ({k1} + 1.0))
+               / (tf.tf + {k1} * ((1.0 - {b})
+                  + {b} * dl.dl / (SELECT avgdl FROM stats)))), 6) AS score
+  FROM tf JOIN idf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY 1
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {BM25_K}
+"""
+
+
+def _nb_sql() -> str:
+    """COMPUTING twin of classify.nb_classifier — identical Laplace/log
+    expression shapes; pred compares the 6-dp-rounded score so the
+    decision boundary is engine-portable."""
+    return r"""
+WITH labeled AS (
+  SELECT doc_id, text, (lang = 'en') AS y FROM documents
+),
+tok AS (
+  SELECT doc_id, y, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM labeled
+),
+tok_ne AS (SELECT * FROM tok WHERE term <> ''),
+per_term AS (
+  SELECT term,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cnt_neg
+  FROM tok_ne
+  GROUP BY term
+),
+totals AS (
+  SELECT CAST(sum(cnt_pos) AS BIGINT) AS tot_pos,
+         CAST(sum(cnt_neg) AS BIGINT) AS tot_neg,
+         CAST(count(*) AS BIGINT) AS v
+  FROM per_term
+),
+model AS (
+  SELECT term,
+         ln((cnt_pos + 1.0) / ((SELECT tot_pos FROM totals) + (SELECT v FROM totals)))
+       - ln((cnt_neg + 1.0) / ((SELECT tot_neg FROM totals) + (SELECT v FROM totals))) AS lr
+  FROM per_term
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok_ne
+  GROUP BY 1, 2
+),
+doc_sum AS (
+  SELECT tf.doc_id AS doc_id, sum(tf.tf * model.lr) AS evidence
+  FROM tf JOIN model USING (term)
+  GROUP BY 1
+),
+priors AS (
+  SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM labeled
+)
+SELECT l.doc_id AS doc_id,
+       round(ln(((SELECT n_pos FROM priors) + 1.0)
+                / ((SELECT n_neg FROM priors) + 1.0))
+             + coalesce(d.evidence, 0.0), 6) AS score,
+       (round(ln(((SELECT n_pos FROM priors) + 1.0)
+                 / ((SELECT n_neg FROM priors) + 1.0))
+              + coalesce(d.evidence, 0.0), 6) > 0) AS pred
+FROM labeled l LEFT JOIN doc_sum d ON l.doc_id = d.doc_id
+"""
 
 
 def _simhash_sql() -> str:
@@ -2564,6 +2777,9 @@ SELECT doc_id, shard, bin_id, bin_offset, n_tokens_packed
 FROM read_parquet('{pack_expected}')
 """,
         "bpe_merges": _bpe_sql(),
+        "bpe_encode": _bpe_encode_sql(),
+        "bm25_search": _bm25_sql(),
+        "nb_classifier": _nb_sql(),
         "minhash_jaccard_estimate": _minhash_est_sql(),
         "dedup_minhash_estimate": _minhash_est_only_sql(0.25),
         "incr_dedup_exact": _INCR_EXACT_SQL,

@@ -91,12 +91,13 @@ def merge_pair(sym_col, a: str, b: str):
     return F.trim(F.regexp_replace(merged, " +", " "))
 
 
-def bpe_merges(documents: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
-    """(rnd, left_sym, right_sym, merged, cnt) — the first `rounds` BPE
-    merges learned from the corpus, in merge order. `rounds` must be small
-    vs the distinct-pair count (it is: real vocabularies give millions of
-    pairs; the driver query learns 6)."""
-    spark = documents.sparkSession
+def learn_merges(
+    documents: DataFrame, rounds: int = BPE_ROUNDS
+) -> list[tuple[int, str, str, str, int]]:
+    """The first `rounds` BPE merges learned from the corpus, in merge
+    order, as driver-local tuples (rnd, left, right, merged, cnt). Each
+    round's argmax is a single-row limit(1) — one row per round crosses to
+    the driver, never the vocabulary."""
     vocab = _symbolize(_word_freqs(documents)).persist()
     vocab.count()
     merges: list[tuple[int, str, str, str, int]] = []
@@ -120,7 +121,65 @@ def bpe_merges(documents: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
             vocab = nxt
     finally:
         vocab.unpersist()
-    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+    return merges
+
+
+def bpe_merges(documents: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """(rnd, left_sym, right_sym, merged, cnt) — the first `rounds` BPE
+    merges learned from the corpus, in merge order. `rounds` must be small
+    vs the distinct-pair count (it is: real vocabularies give millions of
+    pairs; the driver query learns 6)."""
+    return documents.sparkSession.createDataFrame(
+        learn_merges(documents, rounds), _MERGE_SCHEMA
+    )
+
+
+def bpe_encode_stats(
+    documents: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    rounds: int = BPE_ROUNDS,
+) -> DataFrame:
+    """Apply a learned merge list to the corpus and report per-document
+    tokenization stats: (doc_id, n_words, n_subwords, fertility).
+
+    Scale plan: the merge chain is O(rounds) string ops **per distinct
+    word**, not per token occurrence — the token stream is first collapsed
+    to a per-doc word-count table, the encode runs over the (much smaller)
+    distinct-word vocabulary, and a single equi-join on the word re-attaches
+    subword counts. At web scale the distinct vocabulary is orders of
+    magnitude smaller than the token stream, so the expensive regexp work
+    never touches the long tail of repeats. Everything is built-in
+    functions (whole-stage codegen); no Python crossing.
+
+    Documents with no tokens contribute no rows (consistent with the
+    DuckDB twin's inner join on the word table)."""
+    if merges is None:
+        merges = [(m[1], m[2]) for m in learn_merges(documents, rounds)]
+    words = documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("cnt"))
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != "")
+    sym = F.concat(F.array_join(chars, " "), F.lit(" </w>"))
+    for a, b in merges:
+        sym = merge_pair(sym, a, b)
+    enc = wc.select("w").distinct().select(
+        "w", F.size(F.split(sym, " ")).cast("long").alias("n_sub")
+    )
+    return (
+        wc.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).cast("long").alias("n_subwords"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(
+                F.col("n_subwords") / F.greatest(F.col("n_words"), F.lit(1)), 6
+            ),
+        )
+    )
 
 
 def bpe_reference(word_freqs: dict[str, int], rounds: int = BPE_ROUNDS):
@@ -152,3 +211,28 @@ def bpe_reference(word_freqs: dict[str, int], rounds: int = BPE_ROUNDS):
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
         vocab = new_vocab
     return merges
+
+
+def encode_reference(
+    text: str, merges: list[tuple[str, str]]
+) -> tuple[int, int]:
+    """Pure-Python encode twin: (n_words, n_subwords) for one document
+    under the given merge list — same marker, same greedy left-to-right
+    non-overlapping merge application, in merge order."""
+    words = [w for w in text.strip().split() if w]
+    n_sub = 0
+    for w in words:
+        syms = list(w) + ["</w>"]
+        for a, b in merges:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        n_sub += len(syms)
+    return len(words), n_sub

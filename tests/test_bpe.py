@@ -67,3 +67,39 @@ def test_corpus_merges_match_reference(spark):
     exp = [tuple(r) for r in bpe.bpe_reference(freqs, rounds=bpe.BPE_ROUNDS)]
     assert got == exp
     assert len(got) == bpe.BPE_ROUNDS
+
+
+def test_encode_stats_match_reference(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the the the banana"),
+            (3, "   "),
+            (4, "abcabc ababab aaa"),
+        ],
+        ["doc_id", "text"],
+    )
+    merges = [(m[1], m[2]) for m in bpe.learn_merges(docs, rounds=4)]
+    got = {
+        r.doc_id: (r.n_words, r.n_subwords, r.fertility)
+        for r in bpe.bpe_encode_stats(docs, merges).collect()
+    }
+    assert 3 not in got  # token-free docs emit no row (inner-join semantics)
+    for d, t in [
+        (1, "the cat sat on the mat"),
+        (2, "the the the banana"),
+        (4, "abcabc ababab aaa"),
+    ]:
+        nw, ns = bpe.encode_reference(t, merges)
+        assert got[d][0] == nw and got[d][1] == ns, (d, got[d], (nw, ns))
+        assert got[d][2] == round(ns / nw, 6)
+        # subwords never exceed characters+1 per word, never undercut words
+        assert nw <= ns
+
+
+def test_encode_stats_learns_when_merges_omitted(spark):
+    docs = spark.createDataFrame([(1, "aa aa ab")], ["doc_id", "text"])
+    row = bpe.bpe_encode_stats(docs, rounds=2).collect()[0]
+    # merges learned: ('a','a') then ('aa','</w>') — 'aa' -> 1 subword,
+    # 'ab' -> a b </w> stays 3
+    assert (row.n_words, row.n_subwords) == (3, 1 + 1 + 3)
