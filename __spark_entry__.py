@@ -620,6 +620,27 @@ def q_ann_ivf_topk(spark, sf_dir):
     return simsearch.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Quantized k-means (clustering.kmeans_clusters): 3 Lloyd rounds from
+    the vec_id<k seed on the 1e-6 integer grid — exact, order-independent
+    arithmetic, so assignments are engine-portable. Per round the driver
+    sees k centroid rows; assignment is a zero-shuffle broadcast-literal
+    expression."""
+    from enem_spark import clustering
+
+    return clustering.kmeans_clusters(_t(spark, sf_dir, "embeddings"))
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (clustering.semdedup): pairwise cosine ONLY within a
+    k-means cluster; drop a vector when a lower-id cluster-mate sits at
+    cosine >= tau. tau=0.35 is the corpus-calibrated parity value (the
+    embedding_near_dup regime); production uses ~0.9."""
+    from enem_spark import clustering
+
+    return clustering.semdedup(_t(spark, sf_dir, "embeddings"), tau=0.35)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     # 0.35 sits just under the synthetic embeddings' max pairwise cosine
     # (~0.51), so the check exercises non-empty results; real corpora use
@@ -989,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_bucket": q_ann_srp_bucket,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
         "media_featurize": q_media_featurize,
         "media_frame_sample": q_media_frame_sample,
         "html_main_content": q_html_main_content,
@@ -2092,6 +2115,118 @@ WHERE round(list_dot_product(va, vb) / (na * nb), 6) >= {threshold}
 """
 
 
+def _kmeans_ctes(k: int, iters: int) -> list[str]:
+    """Unrolled quantized-Lloyd chain shared by the kmeans_clusters and
+    semdedup twins, ending in the final assignment CTE ``a{iters}``.
+
+    Same exact integer arithmetic as clustering.kmeans_clusters: BIGINT
+    coordinates on the 1e-6 grid, floor(exact_sum / count) centroid
+    updates, argmin tie-break on the lowest cluster id, empty clusters
+    respawned at the origin. AS MATERIALIZED throughout — the bpe-twin
+    lesson: DuckDB otherwise inlines each round's prefix exponentially."""
+    from enem_spark.clustering import QUANT
+
+    parts = [
+        f"""q0 AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
+  FROM embeddings
+)""",
+        """qe AS MATERIALIZED (
+  SELECT vec_id, i AS pos, q[i] AS v
+  FROM (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM q0) t
+)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT vec_id AS cluster, pos, v AS val FROM qe WHERE vec_id < {k}
+)""",
+    ]
+    for r in range(iters + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT qe.vec_id AS vec_id, c.cluster AS cluster,
+         CAST(sum((qe.v - c.val) * (qe.v - c.val)) AS BIGINT) AS dist
+  FROM qe JOIN c{r} c USING (pos)
+  GROUP BY 1, 2
+),
+a{r} AS MATERIALIZED (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d{r}
+  ) WHERE rn = 1
+)"""
+        )
+        if r == iters:
+            break
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT a.cluster, qe.pos,
+         CAST(floor(CAST(sum(qe.v) AS DOUBLE) / count(*)) AS BIGINT) AS val
+  FROM a{r} a JOIN qe USING (vec_id)
+  GROUP BY 1, 2
+),
+c{r + 1} AS MATERIALIZED (
+  SELECT g.cluster, p.pos, coalesce(m.val, 0) AS val
+  FROM (SELECT CAST(unnest(generate_series(0, {k - 1})) AS BIGINT) AS cluster) g
+  CROSS JOIN (SELECT DISTINCT pos FROM qe) p
+  LEFT JOIN m{r} m ON m.cluster = g.cluster AND m.pos = p.pos
+)"""
+        )
+    return parts
+
+
+def _kmeans_sql(k=None, iters=None) -> str:
+    from enem_spark.clustering import KMEANS_ITERS, KMEANS_K
+
+    k = k or KMEANS_K
+    iters = iters or KMEANS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes(k, iters))
+        + f"""
+SELECT vec_id, CAST(cluster AS INT) AS cluster, dist AS dist_sq
+FROM a{iters}
+"""
+    )
+
+
+def _semdedup_sql(tau: float, k=None, iters=None) -> str:
+    from enem_spark.clustering import KMEANS_ITERS, KMEANS_K
+
+    k = k or KMEANS_K
+    iters = iters or KMEANS_ITERS
+    parts = _kmeans_ctes(k, iters)
+    parts.append(
+        """nv AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+)"""
+    )
+    parts.append(
+        f"""pv AS MATERIALIZED (
+  SELECT a.cluster, n.vec_id, n.vec, n.norm
+  FROM a{iters} a JOIN nv n USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM pv a JOIN pv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= {tau}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a.vec_id AS vec_id, CAST(a.cluster AS INT) AS cluster,
+       (d.vec_id IS NULL) AS is_kept
+FROM a{iters} a LEFT JOIN dropped d USING (vec_id)
+"""
+    )
+
+
 def _pagerank_sql(
     html_pages_path: str, iterations: int = 3, damping: float = 0.85
 ) -> str:
@@ -2819,6 +2954,8 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
         "ann_srp_bucket": _srp_sql(),
         "ann_ivf_topk": _ivf_sql(),
         "embedding_near_dup": _near_dup_sql(0.35),
+        "kmeans_clusters": _kmeans_sql(),
+        "semdedup": _semdedup_sql(0.35),
         "media_featurize": """
 SELECT doc_id AS media_id,
        'image' AS media_type,
