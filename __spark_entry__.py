@@ -279,6 +279,13 @@ def q_stratified_sample(spark, sf_dir):
     return textops.stratified_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_train_split(spark, sf_dir):
+    """Deterministic train/val/test split (textops.train_split): banded on
+    md5(text) so byte-identical duplicates share a split and additions
+    never reassign existing rows; zero shuffles."""
+    return textops.train_split(_t(spark, sf_dir, "documents"))
+
+
 def q_token_histogram(spark, sf_dir):
     return textops.token_histogram(_t(spark, sf_dir, "documents"))
 
@@ -974,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filters": q_repetition_filters,
         "fingerprint": q_fingerprint,
         "stratified_sample": q_stratified_sample,
+        "train_split": q_train_split,
         "cap_per_host": q_cap_per_host,
         "token_histogram": q_token_histogram,
         "doc_chunk": q_doc_chunk,
@@ -1540,6 +1548,18 @@ def _stratified_sample_sql(rate_pct=10) -> str:
     return f"""
 SELECT doc_id, source AS stratum FROM documents
 WHERE substr(md5(text), 1, 6) < '{cut_hex}'
+"""
+
+
+def _train_split_sql(val_pct=10, test_pct=10) -> str:
+    test_cut = format(int(0xFFFFFF * test_pct / 100), "06x")
+    val_cut = format(int(0xFFFFFF * (test_pct + val_pct) / 100), "06x")
+    return f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(text), 1, 6) < '{test_cut}' THEN 'test'
+            WHEN substr(md5(text), 1, 6) < '{val_cut}' THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
 """
 
 
@@ -2888,6 +2908,7 @@ reach(doc_id, r) AS (
 SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
 """,
         "stratified_sample": _stratified_sample_sql(),
+        "train_split": _train_split_sql(),
         # same deterministic content-hash lottery, recomputed in SQL
         "cap_per_host": """
 WITH ranked AS (

@@ -1670,3 +1670,29 @@ def dsir_weights(documents: DataFrame, target_lang: str = "en") -> DataFrame:
             ).alias("dsir_weight"),
         )
     )
+
+
+def train_split(
+    documents: DataFrame, val_pct: int = 10, test_pct: int = 10
+) -> DataFrame:
+    """Deterministic train/val/test assignment: (doc_id, split).
+
+    Keyed on md5(text) — NOT doc_id — so byte-identical duplicates always
+    land in the SAME split: a duplicate surviving upstream dedup can never
+    put train text into the test set. The decision is a pure function of
+    the row (the stratified_sample discipline): reruns, retries, and other
+    engines agree row-for-row, and adding new documents never reassigns
+    existing ones. Bands compare the first 6 hex digits as fixed-width
+    lowercase strings, which orders identically to the numeric value in
+    any engine. Zero shuffles — a pure projection the optimizer can fuse
+    into any downstream plan."""
+    h = F.substring(F.md5("text"), 1, 6)
+    test_cut = format(int(0xFFFFFF * test_pct / 100), "06x")
+    val_cut = format(int(0xFFFFFF * (test_pct + val_pct) / 100), "06x")
+    return documents.select(
+        "doc_id",
+        F.when(h < test_cut, "test")
+        .when(h < val_cut, "val")
+        .otherwise("train")
+        .alias("split"),
+    )

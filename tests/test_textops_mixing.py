@@ -130,3 +130,23 @@ def test_dsir_weights_separate_disjoint_vocabularies(spark):
     # asymmetric thresholds
     assert means["target"] > 0.1, means
     assert means["rest"] < -1.0, means
+
+
+def test_train_split_duplicates_share_split_and_bands_hold(spark):
+    rows = [(i, f"document body {i}") for i in range(300)]
+    rows += [(1000 + i, f"document body {i}") for i in range(300)]  # dups
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.split for r in textops.train_split(df).collect()}
+    assert len(got) == 600
+    # byte-identical text => identical split (no cross-split leakage)
+    for i in range(300):
+        assert got[i] == got[1000 + i]
+    # every band populated, train dominates at 10/10 band widths
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    # pure function of the row: a rerun agrees row-for-row
+    again = {r.doc_id: r.split for r in textops.train_split(df).collect()}
+    assert again == got
