@@ -627,6 +627,13 @@ def q_ann_ivf_topk(spark, sf_dir):
     return simsearch.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_decontaminate(spark, sf_dir):
+    """Semantic decontamination (simsearch.embedding_decontaminate): flag
+    corpus vectors at cosine >= 0.35 to any of the 5 designated benchmark
+    vectors — SRP-bucketed candidates, broadcast benchmark side."""
+    return simsearch.embedding_decontaminate(_t(spark, sf_dir, "embeddings"))
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Quantized k-means (clustering.kmeans_clusters): 3 Lloyd rounds from
     the vec_id<k seed on the 1e-6 integer grid — exact, order-independent
@@ -1018,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_bucket": q_ann_srp_bucket,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_decontaminate": q_embedding_decontaminate,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "media_featurize": q_media_featurize,
@@ -2135,6 +2143,39 @@ WHERE round(list_dot_product(va, vb) / (na * nb), 6) >= {threshold}
 """
 
 
+def _embedding_decon_sql(
+    benchmark_ids=(0, 1, 2, 3, 4), threshold: float = 0.35
+) -> str:
+    ids = ", ".join(str(i) for i in benchmark_ids)
+    return f"""
+WITH {_srp_tagged_sql()},
+cand AS (
+  SELECT DISTINCT c.vec_id AS vec_id, b.vec_id AS bench_id
+  FROM tagged c JOIN tagged b ON c.tbl = b.tbl AND c.bucket = b.bucket
+  WHERE b.vec_id IN ({ids}) AND c.vec_id NOT IN ({ids})
+),
+hits AS (
+  SELECT cand.vec_id AS vec_id,
+         round(list_dot_product(cv.vec, bv.vec) / (cv.norm * bv.norm), 6) AS cos
+  FROM cand
+  JOIN base cv ON cand.vec_id = cv.vec_id
+  JOIN base bv ON cand.bench_id = bv.vec_id
+  WHERE round(list_dot_product(cv.vec, bv.vec) / (cv.norm * bv.norm), 6)
+        >= {threshold}
+),
+agg AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(cos) AS max_cos
+  FROM hits GROUP BY 1
+)
+SELECT e.vec_id AS vec_id,
+       coalesce(a.n_hits, 0) AS n_hits,
+       a.max_cos AS max_cos,
+       (a.vec_id IS NULL) AS is_clean
+FROM (SELECT vec_id FROM embeddings WHERE vec_id NOT IN ({ids})) e
+LEFT JOIN agg a USING (vec_id)
+"""
+
+
 def _kmeans_ctes(k: int, iters: int) -> list[str]:
     """Unrolled quantized-Lloyd chain shared by the kmeans_clusters and
     semdedup twins, ending in the final assignment CTE ``a{iters}``.
@@ -2975,6 +3016,7 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
         "ann_srp_bucket": _srp_sql(),
         "ann_ivf_topk": _ivf_sql(),
         "embedding_near_dup": _near_dup_sql(0.35),
+        "embedding_decontaminate": _embedding_decon_sql(),
         "kmeans_clusters": _kmeans_sql(),
         "semdedup": _semdedup_sql(0.35),
         "media_featurize": """

@@ -56,6 +56,10 @@ HEADLINE = [
     "dsir_weights",
     "pack_sequences",
     "bpe_merges",
+    "bpe_encode",
+    "bm25_search",
+    "nb_classifier",
+    "train_split",
     "props_extract",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -87,6 +91,8 @@ HEADLINE = [
     "ann_srp_bucket",
     "ann_ivf_topk",
     "embedding_near_dup",
+    "kmeans_clusters",
+    "semdedup",
     "media_featurize",
     "media_frame_sample",
     "html_main_content",

@@ -364,3 +364,74 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def embedding_decontaminate(
+    embeddings: DataFrame,
+    benchmark_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    threshold: float = 0.35,
+    bits: int = SRP_BITS,
+    tables: int = SRP_TABLES,
+) -> DataFrame:
+    """Semantic decontamination: flag corpus vectors sitting at cosine >=
+    threshold to ANY benchmark vector — the embedding-space complement of
+    the 8-gram `decontaminate` (paraphrased benchmark leakage that exact
+    n-grams cannot see).
+
+    Output: (vec_id, n_hits, max_cos, is_clean) for every NON-benchmark
+    corpus row; max_cos is NULL for clean rows. Candidates come only from
+    shared SRP buckets (multi-table LSH, the embedding_near_dup blocking),
+    so the comparison term is |bucket-local pairs|, never |corpus| x
+    |benchmark|; the benchmark side is broadcast. Zero-norm vectors cannot
+    match and report clean."""
+    base = with_norm(embeddings)
+    tagged = _srp_exploded(base, bits, tables)
+    ids = list(benchmark_ids)
+    bench_tags = tagged.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("table").alias("btable"),
+        F.col("bucket").alias("bbucket"),
+    )
+    cand_ids = (
+        tagged.filter(~F.col("vec_id").isin(ids))
+        .select("vec_id", "table", "bucket")
+        .join(
+            F.broadcast(bench_tags),
+            (F.col("table") == F.col("btable"))
+            & (F.col("bucket") == F.col("bbucket")),
+        )
+        .select("vec_id", "bench_id")
+        .distinct()
+    )
+    bv = base.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("vec").alias("bvec"),
+        F.col("norm").alias("bnorm"),
+    )
+    hits = (
+        cand_ids.join(base.select("vec_id", "vec", "norm"), "vec_id")
+        .join(F.broadcast(bv), "bench_id")
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("vec"), F.col("bvec"))
+                / (F.col("norm") * F.col("bnorm")),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    agg = hits.groupBy("vec_id").agg(
+        F.count("*").cast("long").alias("hit_cnt"), F.max("cos").alias("max_cos")
+    )
+    return (
+        embeddings.select("vec_id")
+        .filter(~F.col("vec_id").isin(ids))
+        .join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("hit_cnt"), F.lit(0)).cast("long").alias("n_hits"),
+            "max_cos",
+            F.col("hit_cnt").isNull().alias("is_clean"),
+        )
+    )

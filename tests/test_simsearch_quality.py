@@ -136,3 +136,51 @@ def test_ivf_engine_config_recall(emb, exact):
     rows = simsearch.ivf_topk(emb, QUERIES, k=K, n_cells=32, n_probe=8).collect()
     r = _recall(rows, exact)
     assert r >= 0.5, f"engine-config IVF recall too low: {r:.2f}"
+
+
+def test_embedding_decontaminate_recall_and_shape(emb):
+    """SRP blocking may miss flagged docs vs the exact benchmark sweep;
+    pin the recall floor and the output contract (every non-benchmark row
+    present exactly once, clean rows carry NULL max_cos)."""
+    bench = (0, 1, 2, 3, 4)
+    tau = 0.35
+    got = simsearch.embedding_decontaminate(
+        emb, benchmark_ids=bench, threshold=tau
+    ).collect()
+    n_total = emb.count()
+    assert len(got) == n_total - len(bench)
+    assert len({r.vec_id for r in got}) == len(got)
+    flagged = {r.vec_id for r in got if not r.is_clean}
+    for r in got:
+        if r.is_clean:
+            assert r.n_hits == 0 and r.max_cos is None
+        else:
+            assert r.n_hits >= 1 and r.max_cos >= tau
+
+    # exact sweep: brute-force cosine of every corpus vector vs the 5
+    # benchmark vectors (495 x 5 — cheap), same rounding discipline
+    base = simsearch.with_norm(emb)
+    bv = base.filter(F.col("vec_id").isin(*bench)).select(
+        F.col("vec").alias("bvec"), F.col("norm").alias("bnorm")
+    )
+    exact_flagged = {
+        r.vec_id
+        for r in base.filter(~F.col("vec_id").isin(*bench))
+        .crossJoin(F.broadcast(bv))
+        .withColumn(
+            "cos",
+            F.round(
+                simsearch._dot(F.col("vec"), F.col("bvec"))
+                / (F.col("norm") * F.col("bnorm")),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= tau)
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    assert flagged <= exact_flagged  # blocking never invents a hit
+    assert exact_flagged, "tau too high: exact sweep found nothing"
+    recall = len(flagged & exact_flagged) / len(exact_flagged)
+    assert recall >= 0.5, (recall, len(flagged), len(exact_flagged))
