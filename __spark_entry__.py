@@ -558,6 +558,14 @@ def q_sentence_stats(spark, sf_dir):
     return textops.sentence_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail selection (textops.ccnet_buckets): per-lang
+    perplexity ranking banded by exact integer (row_number, count)
+    arithmetic; NULLS LAST so token-free docs tail identically in both
+    engines."""
+    return textops.ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
 def q_char_lm_score(spark, sf_dir):
     """CCNet-style char-bigram LM perplexity signal (self-trained)."""
     return textops.char_lm_score(_t(spark, sf_dir, "documents"))
@@ -1017,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "sentence_stats": q_sentence_stats,
         "char_lm_score": q_char_lm_score,
+        "ccnet_buckets": q_ccnet_buckets,
         "char_entropy": q_char_entropy,
         "dup_span_stats": q_dup_span_stats,
         "dedup_spans_clean": q_dedup_spans_clean,
@@ -2143,6 +2152,70 @@ WHERE round(list_dot_product(va, vb) / (na * nb), 6) >= {threshold}
 """
 
 
+# The char-bigram LM chain (norm -> grams -> tf -> model -> tot -> scored)
+# shared by the char_lm_score and ccnet_buckets twins — one definition, the
+# htmlops-twin discipline: a change must land on both engines or neither.
+_CHAR_LM_CTES = r"""norm AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'),
+                        '[0-9]', '0', 'g') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, substring(t, u.i, 2) AS g
+  FROM norm, unnest(generate_series(1, length(t) - 1)) AS u(i)
+),
+tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf FROM grams GROUP BY 1, 2),
+model AS (SELECT g, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS v FROM model),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(tf.tf * CAST(round(
+              ln((model.cnt + 1) * 1.0 / (tot.total + tot.v)) * 1000000)
+              AS BIGINT)) AS BIGINT) AS q_sum
+  FROM tf JOIN model USING (g) CROSS JOIN tot
+  GROUP BY 1
+)"""
+
+
+def _char_lm_score_sql() -> str:
+    return f"""
+WITH {_CHAR_LM_CTES}
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(-s.q_sum / (s.n_bigrams * 1000000.0), 6) AS nll
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def _ccnet_buckets_sql(head_pct: int = 30, middle_pct: int = 40) -> str:
+    """COMPUTING twin of textops.ccnet_buckets: same integer band edges on
+    (row_number, count) per language, same NULLS LAST ordering."""
+    mid_cut = head_pct + middle_pct
+    return f"""
+WITH {_CHAR_LM_CTES},
+lm AS (
+  SELECT d.doc_id, d.lang,
+         round(-s.q_sum / (s.n_bigrams * 1000000.0), 6) AS nll
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, lang, nll,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY nll ASC NULLS LAST, doc_id) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM lm
+)
+SELECT doc_id, lang, nll,
+       CASE WHEN r * 100 <= {head_pct} * n THEN 'head'
+            WHEN r * 100 <= {mid_cut} * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
 def _embedding_decon_sql(
     benchmark_ids=(0, 1, 2, 3, 4), threshold: float = 0.35
 ) -> str:
@@ -2857,35 +2930,8 @@ FROM p
         # micro-nats BEFORE the per-doc sum (exact integer aggregation in
         # both engines — no float summation-order drift); ln() inputs are
         # identical exact int-ratio doubles, so the quantized values agree
-        "char_lm_score": r"""
-WITH norm AS (
-  SELECT doc_id,
-         regexp_replace(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'),
-                        '[0-9]', '0', 'g') AS t
-  FROM documents
-),
-grams AS (
-  SELECT doc_id, substring(t, u.i, 2) AS g
-  FROM norm, unnest(generate_series(1, length(t) - 1)) AS u(i)
-),
-tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf FROM grams GROUP BY 1, 2),
-model AS (SELECT g, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
-tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
-               CAST(count(*) AS BIGINT) AS v FROM model),
-scored AS (
-  SELECT tf.doc_id,
-         CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
-         CAST(sum(tf.tf * CAST(round(
-              ln((model.cnt + 1) * 1.0 / (tot.total + tot.v)) * 1000000)
-              AS BIGINT)) AS BIGINT) AS q_sum
-  FROM tf JOIN model USING (g) CROSS JOIN tot
-  GROUP BY 1
-)
-SELECT d.doc_id,
-       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       round(-s.q_sum / (s.n_bigrams * 1000000.0), 6) AS nll
-FROM documents d LEFT JOIN scored s USING (doc_id)
-""",
+        "char_lm_score": _char_lm_score_sql(),
+        "ccnet_buckets": _ccnet_buckets_sql(),
         "char_entropy": r"""
 WITH norm AS (
   SELECT doc_id,

@@ -1696,3 +1696,45 @@ def train_split(
         .otherwise("train")
         .alias("split"),
     )
+
+
+def ccnet_buckets(
+    documents: DataFrame,
+    train: DataFrame | None = None,
+    head_pct: int = 30,
+    middle_pct: int = 40,
+) -> DataFrame:
+    """CCNet's head/middle/tail selection step: per LANGUAGE, rank pages by
+    char-LM negative log-likelihood (low = closest to the clean-text
+    distribution) and band the ranking into head (best head_pct%), middle
+    (next middle_pct%), tail (rest). Wenzek et al. train on Wikipedia and
+    keep head+middle; here the LM comes from char_lm_score (self- or
+    slice-trained).
+
+    Determinism: band edges are integer arithmetic on (row_number, count)
+    — r*100 <= pct*n — never percent_rank/ntile (whose n=1 and tie
+    behaviour differ across engines); ordering is (nll ASC NULLS LAST,
+    doc_id), so token-free documents (nll NULL) always land in the tail
+    band's end in BOTH engines.
+
+    Scale: one window per language partition over (score join output);
+    languages are a natural near-uniform partition key at crawl scale. The
+    LM model itself is charset²-bounded and broadcast (see char_lm_score).
+    """
+    scored = char_lm_score(documents, train)
+    base = documents.select("doc_id", "lang").join(scored, "doc_id")
+    w = W.partitionBy("lang").orderBy(
+        F.col("nll").asc_nulls_last(), F.col("doc_id")
+    )
+    r = F.row_number().over(w)
+    n = F.count("*").over(W.partitionBy("lang"))
+    head_cut, mid_cut = head_pct, head_pct + middle_pct
+    return base.select(
+        "doc_id",
+        "lang",
+        "nll",
+        F.when(r * 100 <= head_cut * n, "head")
+        .when(r * 100 <= mid_cut * n, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

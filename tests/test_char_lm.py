@@ -58,3 +58,27 @@ def test_char_lm_plan_shape(docs):
     plan = textops.char_lm_score(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # model + totals ride broadcasts
     assert "CartesianProduct" not in plan
+
+
+def test_ccnet_buckets_bands_and_ordering(spark):
+    clean = "the quick brown fox jumps over the lazy dog and runs on"
+    rows = [(i, f"{clean} day {i}", "en") for i in range(10)]
+    rows.append((100, "zzqq xv zzqq xv jjkk ww zzqq", "en"))  # junk -> high nll
+    rows.append((101, "", "en"))  # token-free -> nll NULL -> tail
+    rows += [(200 + i, f"ein kleiner satz nummer {i}", "de") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r.doc_id: r for r in textops.ccnet_buckets(df).collect()}
+    assert len(got) == len(rows)
+    # junk page never lands in head; the NULL-nll page is always tail
+    assert got[100].bucket != "head"
+    assert got[101].bucket == "tail" and got[101].nll is None
+    # per-language band sizes follow the integer edges (12 en docs:
+    # head = floor-ish 30% -> r*100 <= 30*12 -> r <= 3)
+    en = [r for r in got.values() if r.lang == "en"]
+    from collections import Counter
+
+    c = Counter(r.bucket for r in en)
+    assert c["head"] == 3 and c["middle"] == 5 and c["tail"] == 4
+    # 3 de docs: head r<=0 (none ranks r*100<=90), middle r*100<=210 -> r<=2
+    de = Counter(r.bucket for r in got.values() if r.lang == "de")
+    assert de == {"middle": 2, "tail": 1}
