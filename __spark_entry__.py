@@ -833,6 +833,27 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+def q_jsonl_ingest(spark, sf_dir):
+    """JSONL-container ingestion (sources/jsonl.py): native json source
+    with an explicit schema (no inference pass) and PERMISSIVE
+    corrupt-record quarantine — the injected malformed line per shard is
+    quarantined, never fatal, and displaces no neighbour. The oracle is
+    the expected table staged from the SOURCE rows pre-encode, so the hash
+    check certifies the full encode->parse round trip."""
+    from enem_spark.sources import jsonl
+
+    staged = jsonl.stage_jsonl_files(sf_dir)
+    recs = jsonl.read_jsonl(spark, staged["jsonl_dir"])
+    return recs.filter(F.col(jsonl.CORRUPT_COL).isNull()).select(
+        "url",
+        "fetch_ts",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("text_len"),
+        "lang",
+        "source",
+    )
+
+
 def q_iceberg_scan(spark, sf_dir):
     """Iceberg-style table scan with hidden-partition pruning: the filter is
     on the SOURCE column warc_ts; the days(warc_ts) transform prunes whole
@@ -1051,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_paragraph_langid": q_html_paragraph_langid,
         "html_clean_corpus": q_html_clean_corpus,
         "warc_ingest": q_warc_ingest,
+        "jsonl_ingest": q_jsonl_ingest,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_incremental": q_iceberg_incremental,
@@ -2562,6 +2584,11 @@ def oracle_sql() -> dict[str, str]:
     from enem_spark.sources.warc import stage_warc_files
 
     warc_staged = stage_warc_files(oracle_sf)
+    # jsonl twin: same protocol — expected table staged from SOURCE rows
+    # pre-encode; the SELECT certifies the encode->parse round trip
+    from enem_spark.sources.jsonl import stage_jsonl_files
+
+    jsonl_staged = stage_jsonl_files(oracle_sf)
     # icetable twins: expected tables are the SOURCE frames staged BEFORE
     # the pure-Python writer builds the table, so the scan/time-travel
     # hashes certify the write->manifest->prune->read round trip and the
@@ -2629,6 +2656,11 @@ FULL OUTER JOIN read_parquet('{ice_staged["expected_new"]}') n
         "warc_ingest": f"""
 SELECT url, warc_date, html_md5, html_len, http_status
 FROM read_parquet('{warc_staged["expected"]}')
+""",
+        "jsonl_ingest": f"""
+SELECT url, fetch_ts, md5(text) AS text_md5,
+       CAST(length(text) AS BIGINT) AS text_len, lang, source
+FROM read_parquet('{jsonl_staged["expected"]}')
 """,
         # fetch-history twin: UNION ALL of the three staged source frames
         # (same events the pinned as_of + incremental Spark reads see);

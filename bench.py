@@ -109,6 +109,9 @@ HEADLINE = [
     "html_robots",
     "charset_decode",
     "mime_sniff",
+    "jsonl_ingest",
+    "ccnet_buckets",
+    "embedding_decontaminate",
     "cap_per_host",
     "fetch_politeness",
     "recrawl_priority",

@@ -1,0 +1,158 @@
+"""Distributed JSONL ingestion — the web-corpus interchange format.
+
+Most published web corpora ship as JSON-lines shards (one JSON object per
+line). This module mirrors the WARC-source protocol (sources/warc.py): a
+deterministic pure-Python encoder for fixtures and the driver's
+materialized oracle, plus a Spark reader built on the NATIVE json source —
+no Python in the read path at all.
+
+Reader discipline (the parts that matter at 100 TB):
+  * Explicit schema, never inference — inference is a full extra pass over
+    every shard before the real scan.
+  * PERMISSIVE mode with a corrupt-record column: a malformed line becomes
+    a quarantine row (`_corrupt` holds the raw line, data fields NULL)
+    instead of killing the job — the F1 quarantine philosophy applied to
+    the container format. FAILFAST at crawl scale means one mangled line
+    in shard 381,442 kills a day-long job.
+  * Shards are staged UNCOMPRESSED (or at scale: zstd/bzip2) because plain
+    gzip is not splittable — a gzipped 1 GiB shard pins one task for the
+    whole member. Uncompressed/seekable shards let maxPartitionBytes split
+    freely.
+
+Spark quirk pinned in tests/test_jsonl.py: a projection referencing ONLY
+the corrupt column is disallowed by the json source — always select data
+columns alongside it (done here), never `.select("_corrupt")` directly off
+the raw scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+EPOCH_S = 1704067200  # 2024-01-01T00:00:00Z — the documents_bridge epoch
+
+CORRUPT_COL = "_corrupt"
+
+JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("fetch_ts", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField(CORRUPT_COL, T.StringType(), True),
+    ]
+)
+
+
+def doc_url(doc_id: int, source: str) -> str:
+    return f"https://{source}/doc/{doc_id}"
+
+
+def encode_line(row: dict) -> str:
+    """One canonical JSONL line: sorted keys, no whitespace, ensure_ascii
+    False — byte-deterministic for any dict."""
+    return json.dumps(row, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+
+
+# Deterministic malformed lines, one flavour per shard position: the reader
+# must quarantine each without losing neighbours.
+BAD_LINES = [
+    '{"url": "https://bad/1", "text": "truncated',  # unterminated string
+    "not json at all",  # no braces
+    '{"url": "https://bad/3", "fetch_ts": "NaN-ish"}',  # wrong type for long
+]
+
+
+def stage_jsonl_files(sf_dir: str, n_files: int = 8) -> dict[str, str]:
+    """Stage (memoized per process) a JSONL rendering of ``sf_dir``'s
+    documents table plus the expected-rows parquet; returns
+    {"jsonl_dir": ..., "expected": ..., "n_bad": ...}.
+
+    Pure Python (duckdb read, no SparkSession — callable from
+    oracle_sql()). Documents go round-robin to n_files shards in doc_id
+    order; each shard gets one deterministic malformed line spliced after
+    its first record (flavour = shard % len(BAD_LINES)). The expected
+    table is built from the SOURCE rows pre-encode, so the driver's hash
+    check certifies the full encode->parse round trip AND that malformed
+    lines displaced nothing."""
+    import duckdb
+
+    sf_dir = os.path.normpath(sf_dir)
+    if sf_dir in _STAGED:
+        return _STAGED[sf_dir]
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    base = os.path.join("/tmp", f"enem_jsonl_{tag}")
+    os.makedirs(base, exist_ok=True)
+    jsonl_dir = os.path.join(base, "jsonl")
+    os.makedirs(jsonl_dir, exist_ok=True)
+    expected_path = os.path.join(base, "jsonl_expected.parquet")
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text, lang, source FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+    shards: list[list[str]] = [[] for _ in range(n_files)]
+    expected = []
+    for doc_id, text, lang, source in rows:
+        rec = {
+            "url": doc_url(doc_id, source),
+            "fetch_ts": EPOCH_S + int(doc_id),
+            "text": text,
+            "lang": lang,
+            "source": source,
+        }
+        shards[int(doc_id) % n_files].append(encode_line(rec))
+        expected.append(rec)
+    done_marker = os.path.join(base, ".staged")
+    if not os.path.exists(done_marker):
+        for i, lines in enumerate(shards):
+            bad = BAD_LINES[i % len(BAD_LINES)]
+            body = lines[:1] + [bad] + lines[1:] if lines else [bad]
+            with open(os.path.join(jsonl_dir, f"part-{i:05d}.jsonl"), "w") as f:
+                f.write("\n".join(body) + "\n")
+        duckdb.register("expected_df", _to_df(expected))
+        duckdb.sql(
+            f"COPY (SELECT * FROM expected_df ORDER BY url) TO '{expected_path}'"
+            " (FORMAT PARQUET)"
+        )
+        with open(done_marker, "w") as f:
+            f.write("ok")
+    out = {
+        "jsonl_dir": jsonl_dir,
+        "expected": expected_path,
+        "n_bad": str(n_files),
+    }
+    _STAGED[sf_dir] = out
+    return out
+
+
+def _to_df(expected: list[dict]):
+    import pandas as pd
+
+    return pd.DataFrame(
+        expected, columns=["url", "fetch_ts", "text", "lang", "source"]
+    )
+
+
+_STAGED: dict[str, dict[str, str]] = {}
+
+
+def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Native-source JSONL scan: explicit schema, PERMISSIVE corrupt-record
+    capture. Good rows have _corrupt NULL; malformed lines have the raw
+    line in _corrupt and data columns NULL."""
+    return (
+        spark.read.schema(JSONL_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
