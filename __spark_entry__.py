@@ -558,6 +558,13 @@ def q_sentence_stats(spark, sf_dir):
     return textops.sentence_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_unicode_normalize(spark, sf_dir):
+    """Unicode repair (textops.unicode_normalize): NFC + newline
+    canonicalization + control/zero-width strip in ONE Arrow crossing over
+    (doc_id, text); digest + change accounting JVM-side, no shuffle."""
+    return textops.unicode_normalize(_t(spark, sf_dir, "documents"))
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail selection (textops.ccnet_buckets): per-lang
     perplexity ranking banded by exact integer (row_number, count)
@@ -1047,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_stats": q_sentence_stats,
         "char_lm_score": q_char_lm_score,
         "ccnet_buckets": q_ccnet_buckets,
+        "unicode_normalize": q_unicode_normalize,
         "char_entropy": q_char_entropy,
         "dup_span_stats": q_dup_span_stats,
         "dedup_spans_clean": q_dedup_spans_clean,
@@ -2964,6 +2972,27 @@ FROM p
         # identical exact int-ratio doubles, so the quantized values agree
         "char_lm_score": _char_lm_score_sql(),
         "ccnet_buckets": _ccnet_buckets_sql(),
+        # COMPUTING twin of textops.unicode_normalize: utf8proc NFC vs
+        # Python unicodedata NFC — same UAX#15 result on every codepoint in
+        # the corpus (the hash is the Unicode-version-skew canary); length()
+        # counts codepoints in BOTH engines (Spark UTF8String.numChars)
+        "unicode_normalize": r"""
+WITH n AS (
+  SELECT doc_id, text AS t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(nfc_normalize(text), '\r\n', chr(10), 'g'),
+             '\r', chr(10), 'g'),
+           '[\x{0001}-\x{0008}\x{000b}\x{000c}\x{000e}-\x{001f}\x{007f}-\x{009f}\x{200b}\x{200c}\x{200d}\x{feff}]',
+           '', 'g') AS nn
+  FROM documents
+)
+SELECT doc_id, md5(nn) AS norm_md5,
+       CAST(length(t) AS BIGINT) AS n_before,
+       CAST(length(nn) AS BIGINT) AS n_after,
+       (t <> nn) AS changed
+FROM n
+""",
         "char_entropy": r"""
 WITH norm AS (
   SELECT doc_id,

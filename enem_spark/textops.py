@@ -1738,3 +1738,57 @@ def ccnet_buckets(
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# Unicode repair: NFC + newline canonicalization + control/zero-width strip.
+# The one step in the text-quality chain that genuinely needs Python (Spark
+# has no NFC builtin) -- a single Arrow-batched scalar UDF, zero shuffle.
+# The strip class keeps \t and \n; \r is folded into \n first; zero-widths
+# are ZWSP/ZWNJ/ZWJ/BOM. Any change must land on the DuckDB twin too
+# (nfc_normalize + the same classes in RE2 syntax).
+_NORM_STRIP_RE = None  # built lazily so the hot import path stays re-free
+
+
+def normalize_text_py(s: str) -> str:
+    """Pure normalization kernel -- shared by the UDF and tests."""
+    import re
+    import unicodedata
+
+    global _NORM_STRIP_RE
+    if _NORM_STRIP_RE is None:
+        _NORM_STRIP_RE = re.compile(
+            "[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f-\u009f"
+            "\u200b\u200c\u200d\ufeff]"
+        )
+    t = unicodedata.normalize("NFC", s)
+    t = t.replace("\r\n", "\n").replace("\r", "\n")
+    return _NORM_STRIP_RE.sub("", t)
+
+
+def unicode_normalize(documents: DataFrame) -> DataFrame:
+    """(doc_id, norm_md5, n_before, n_after, changed): NFC-normalized,
+    newline-canonicalized, control/zero-width-stripped text, reported as a
+    digest plus change accounting.
+
+    Scale plan: one ArrowEvalPython crossing over (doc_id, text) only --
+    column pruning keeps every other column out of the Arrow transfer --
+    then JVM-side md5/length; no shuffle anywhere. Unicode-version skew
+    between Python's unicodedata and the twin's utf8proc is possible on
+    exotic codepoints; the parity hash at sf0.01 is the canary."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.map(lambda x: None if x is None else normalize_text_py(x))
+
+    return documents.select(
+        "doc_id",
+        F.col("text").alias("_t"),
+        _norm(F.col("text")).alias("_n"),
+    ).select(
+        "doc_id",
+        F.md5("_n").alias("norm_md5"),
+        F.length("_t").cast("long").alias("n_before"),
+        F.length("_n").cast("long").alias("n_after"),
+        (F.col("_t") != F.col("_n")).alias("changed"),
+    )

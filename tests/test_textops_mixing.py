@@ -150,3 +150,46 @@ def test_train_split_duplicates_share_split_and_bands_hold(spark):
     # pure function of the row: a rerun agrees row-for-row
     again = {r.doc_id: r.split for r in textops.train_split(df).collect()}
     assert again == got
+
+
+def test_unicode_normalize_kernel_and_operator(spark):
+    import duckdb
+
+    cases = [
+        (0, "plain ascii"),
+        (1, "e\u0301 decomposed acute"),          # NFC -> single codepoint
+        (2, "a\r\nb\rc"),                        # newline canonicalization
+        (3, "x\u200by\ufeffz\u0007!"),           # zero-widths + control
+        (4, "tab\tand\nnewline kept"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(cases, ["doc_id", "text"])
+    got = {r.doc_id: r for r in textops.unicode_normalize(df).collect()}
+    assert len(got) == 6
+    assert got[0].changed is False and got[0].n_before == got[0].n_after
+    assert got[1].changed is True and got[1].n_after == got[1].n_before - 1
+    k = textops.normalize_text_py
+    assert k("a\r\nb\rc") == "a\nb\nc"
+    assert k("x\u200by\ufeffz\u0007!") == "xyz!"
+    assert got[3].n_after == 4
+    assert got[4].changed is False
+    assert got[5].norm_md5 is None and got[5].changed is None
+    # cross-engine NFC agreement on the tricky rows (utf8proc vs unicodedata)
+    for _, t in cases:
+        if t is None:
+            continue
+        duck = duckdb.sql(
+            "SELECT md5(regexp_replace(regexp_replace(regexp_replace("
+            "nfc_normalize(?), '\r\n', chr(10), 'g'), '\r', chr(10), 'g'),"
+            "'[\\x{0001}-\\x{0008}\\x{000b}\\x{000c}\\x{000e}-\\x{001f}"
+            "\\x{007f}-\\x{009f}\\x{200b}\\x{200c}\\x{200d}\\x{feff}]',"
+            " '', 'g'))", params=[t]).fetchone()[0]
+        import hashlib
+        assert duck == hashlib.md5(k(t).encode()).hexdigest(), t
+
+
+def test_unicode_normalize_plan_one_arrow_crossing_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    plan = textops.unicode_normalize(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Exchange" not in plan, plan
