@@ -156,3 +156,22 @@ def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
+
+
+def read_jsonl_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of read_jsonl: tail a directory of JSONL shards with
+    the same explicit schema + PERMISSIVE quarantine. File-granular
+    micro-batches (the CC-shard arrival pattern); cap batch size with
+    max_files_per_trigger so a backlog catch-up cannot build one giant
+    batch. Corrupt lines flow through as quarantine ROWS — a poisoned
+    shard can never wedge the stream."""
+    reader = (
+        spark.readStream.schema(JSONL_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)

@@ -65,3 +65,31 @@ def test_type_mismatch_line_is_corrupt(spark, tmp_path):
     assert by_url["https://ok/1"][jsonl.CORRUPT_COL] is None
     bad = [r for r in out if r[jsonl.CORRUPT_COL] is not None]
     assert len(bad) == 1
+
+
+def test_jsonl_stream_matches_batch(spark, staged, recs, tmp_path):
+    """availableNow catch-up over the staged shards lands the same rows
+    (good AND quarantined) as the batch read; bounded per-trigger batches."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = jsonl.read_jsonl_stream(
+        spark, staged["jsonl_dir"], max_files_per_trigger=3
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.schema(jsonl.JSONL_SCHEMA).parquet(out)
+    batch = recs
+    assert got.count() == batch.count()
+    gb = got.filter(F.col(jsonl.CORRUPT_COL).isNotNull()).count()
+    bb = batch.filter(F.col(jsonl.CORRUPT_COL).isNotNull()).count()
+    assert gb == bb == int(staged["n_bad"])
+    # value-level: same good rows by url
+    a = {r.url for r in got.filter(F.col(jsonl.CORRUPT_COL).isNull()).collect()}
+    b = {r.url for r in batch.filter(F.col(jsonl.CORRUPT_COL).isNull()).collect()}
+    assert a == b
