@@ -193,3 +193,40 @@ def test_unicode_normalize_plan_one_arrow_crossing_no_shuffle(spark):
     plan = textops.unicode_normalize(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_unicode_normalize_hypothesis_differential():
+    """Property: the Python kernel and the DuckDB twin expression agree on
+    arbitrary text -- combining marks, CRLF soup, controls, zero-widths.
+    (No Spark: this pins the two normalization libraries against each
+    other, the scanner-differential discipline.)"""
+    import duckdb
+    import hashlib
+    from hypothesis import given, settings, strategies as st
+
+    con = duckdb.connect()
+    expr = (
+        "SELECT md5(regexp_replace(regexp_replace(regexp_replace("
+        "nfc_normalize(?), '\\r\\n', chr(10), 'g'), '\\r', chr(10), 'g'),"
+        "'[\\x{0001}-\\x{0008}\\x{000b}\\x{000c}\\x{000e}-\\x{001f}"
+        "\\x{007f}-\\x{009f}\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g'))"
+    )
+    # exclude NUL (VARCHAR cannot carry it) and surrogates (not valid text)
+    alphabet = st.characters(
+        min_codepoint=1, max_codepoint=0x2FFF, exclude_categories=("Cs",)
+    )
+    spice = st.sampled_from(
+        ["e\u0301", "\r\n", "\r", "\u200b", "\ufeff", "\u0007", "a\u030a", "\t"]
+    )
+    texts = st.lists(
+        st.one_of(st.text(alphabet, max_size=6), spice), max_size=12
+    ).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(texts)
+    def check(t):
+        duck = con.execute(expr, [t]).fetchone()[0]
+        mine = hashlib.md5(textops.normalize_text_py(t).encode()).hexdigest()
+        assert duck == mine, repr(t)
+
+    check()
