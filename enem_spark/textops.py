@@ -1765,6 +1765,25 @@ def normalize_text_py(s: str) -> str:
     return _NORM_STRIP_RE.sub("", t)
 
 
+def _norm_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.map(lambda x: None if x is None else normalize_text_py(x))
+
+    return _norm
+
+
+def with_normalized_text(documents: DataFrame) -> DataFrame:
+    """documents with `text` replaced by the normalization kernel's output
+    (same single Arrow crossing as unicode_normalize) -- the form pipeline
+    jobs consume when they want the repaired text itself rather than the
+    change report."""
+    norm = _norm_udf()
+    return documents.withColumn("text", norm(F.col("text")))
+
+
 def unicode_normalize(documents: DataFrame) -> DataFrame:
     """(doc_id, norm_md5, n_before, n_after, changed): NFC-normalized,
     newline-canonicalized, control/zero-width-stripped text, reported as a
@@ -1775,12 +1794,7 @@ def unicode_normalize(documents: DataFrame) -> DataFrame:
     then JVM-side md5/length; no shuffle anywhere. Unicode-version skew
     between Python's unicodedata and the twin's utf8proc is possible on
     exotic codepoints; the parity hash at sf0.01 is the canary."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def _norm(s):
-        return s.map(lambda x: None if x is None else normalize_text_py(x))
-
+    _norm = _norm_udf()
     return documents.select(
         "doc_id",
         F.col("text").alias("_t"),
