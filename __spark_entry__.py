@@ -251,6 +251,10 @@ def q_simhash(spark, sf_dir):
     return textops.simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    return textops.simhash_near_dup(_t(spark, sf_dir, "documents"))
+
+
 def q_langid(spark, sf_dir):
     return textops.langid(_t(spark, sf_dir, "documents"))
 
@@ -1017,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "langid": q_langid,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -1938,6 +1943,54 @@ SELECT doc_id, {bits} AS simhash FROM sums
 """
 
 
+def _simhash_near_dup_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    """COMPUTING twin of textops.simhash_near_dup: same signature CTE as
+    _simhash_sql, banded pigeonhole candidate join, unrolled hamming sum."""
+    bits = textops.SIMHASH_BITS
+    width = bits // bands
+    sums = ",\n    ".join(
+        "sum(CASE WHEN substr(h, {p}, 1) IN ('1','3','5','7','9','b','d','f')"
+        " THEN 1 ELSE -1 END) AS s{j}".format(p=j + 1, j=j)
+        for j in range(bits)
+    )
+    bitstr = " || ".join(
+        f"CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END" for j in range(bits)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substr(sig_a, {j + 1}, 1) <> substr(sig_b, {j + 1}, 1)"
+        " THEN 1 ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS h
+  FROM documents
+),
+sums AS (
+  SELECT doc_id, {sums} FROM tok GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {bitstr} AS simhash FROM sums
+),
+banded AS (
+  SELECT doc_id, simhash, b.band_idx,
+         substr(simhash, b.band_idx * {width} + 1, {width}) AS band_val
+  FROM sigs, (SELECT unnest(range({bands})) AS band_idx) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM banded a
+  JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming
+FROM cand
+WHERE ({ham}) <= {max_hamming}
+"""
+
+
 def _count_occ_sql(expr: str, needle: str) -> str:
     n = len(needle)
     return f"((length({expr}) - length(replace({expr}, '{needle}', ''))) // {n})"
@@ -2838,6 +2891,7 @@ FROM documents GROUP BY 1
         "dedup_minhash_lsh": _minhash_lsh_sql(0.5),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(0.5),
         "simhash": _simhash_sql(),
+        "simhash_near_dup": _simhash_near_dup_sql(),
         "langid": _langid_sql(),
         "quality_score": _quality_sql(),
         "gopher_filters": r"""

@@ -66,6 +66,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "simhash",
+    "simhash_near_dup",
     "langid",
     "quality_score",
     "token_count",
