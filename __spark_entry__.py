@@ -251,6 +251,15 @@ def q_simhash(spark, sf_dir):
     return textops.simhash(_t(spark, sf_dir, "documents"))
 
 
+TOKEN_BUDGET = 8000  # tokens; scale-independent greedy quality cut
+
+
+def q_token_budget_select(spark, sf_dir):
+    return textops.token_budget_select(
+        _t(spark, sf_dir, "documents"), budget_tokens=TOKEN_BUDGET
+    )
+
+
 def q_simhash_near_dup(spark, sf_dir):
     return textops.simhash_near_dup(_t(spark, sf_dir, "documents"))
 
@@ -1022,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
+        "token_budget_select": q_token_budget_select,
         "langid": q_langid,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -1940,6 +1950,36 @@ sums AS (
   SELECT doc_id, {sums} FROM tok GROUP BY doc_id
 )
 SELECT doc_id, {bits} AS simhash FROM sums
+"""
+
+
+def _token_budget_sql(budget: int, buckets: int = 1000) -> str:
+    """COMPUTING twin of textops.token_budget_select: same two-phase
+    bucket-histogram cut over the shared quality-feature CTE."""
+    return f"""
+WITH {_doc_features_cte()},
+docs AS (
+  SELECT doc_id, source, n_tokens, quality,
+         least(CAST(floor(quality * {buckets}) AS INT), {buckets - 1}) AS qb
+  FROM scored
+),
+hist AS (SELECT qb, sum(n_tokens) AS btoks FROM docs GROUP BY qb),
+cum AS (
+  SELECT qb, btoks,
+         sum(btoks) OVER (ORDER BY qb DESC ROWS UNBOUNDED PRECEDING) AS cum_top
+  FROM hist
+),
+j AS (SELECT d.*, c.btoks, c.cum_top FROM docs d JOIN cum c USING (qb)),
+boundary AS (
+  SELECT *, sum(n_tokens) OVER (
+      PARTITION BY qb ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING
+    ) AS run
+  FROM j WHERE cum_top > {budget} AND cum_top - btoks < {budget}
+)
+SELECT doc_id, source, n_tokens, quality FROM j WHERE cum_top <= {budget}
+UNION ALL
+SELECT doc_id, source, n_tokens, quality FROM boundary
+WHERE run <= {budget} - (cum_top - btoks)
 """
 
 
@@ -2892,6 +2932,7 @@ FROM documents GROUP BY 1
         "dedup_ngram_jaccard": _ngram_jaccard_sql(0.5),
         "simhash": _simhash_sql(),
         "simhash_near_dup": _simhash_near_dup_sql(),
+        "token_budget_select": _token_budget_sql(TOKEN_BUDGET),
         "langid": _langid_sql(),
         "quality_score": _quality_sql(),
         "gopher_filters": r"""

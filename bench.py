@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_clusters",
     "simhash",
     "simhash_near_dup",
+    "token_budget_select",
     "langid",
     "quality_score",
     "token_count",

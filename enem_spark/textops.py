@@ -606,6 +606,68 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def token_budget_select(
+    documents: DataFrame,
+    budget_tokens: int,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Fill a token budget with the highest-quality documents — WITHOUT a
+    global sort (the naive rank-then-running-sum plan funnels the whole
+    corpus through one window partition; at 10^12 docs that task never
+    finishes).
+
+    Two-phase bucket-histogram cut:
+      1. quantize quality into `buckets` levels; aggregate tokens per level
+         (one shuffle producing <= buckets rows);
+      2. running total over the TINY histogram (from the best level down)
+         finds the boundary level b*: every level above b* is selected
+         outright with a broadcast semi-join, and only the docs INSIDE b*
+         (~1/buckets of the corpus) pay a per-level window to consume the
+         residual budget in (quality desc, doc_id) order.
+
+    Greedy prefix semantics: docs are taken in quality order until the next
+    doc would overflow the budget; monotone running sums make the filter
+    `run <= residual` exactly that prefix.
+
+    Output: (doc_id, source, n_tokens, quality) of the selected docs.
+    """
+    feats = quality_score(documents).select("doc_id", "n_tokens", "quality")
+    docs = documents.select("doc_id", "source").join(feats, "doc_id")
+    qb = F.least(
+        F.floor(F.col("quality") * buckets).cast("int"), F.lit(buckets - 1)
+    )
+    docs = docs.withColumn("qb", qb)
+    hist = docs.groupBy("qb").agg(F.sum("n_tokens").alias("btoks"))
+    # window over <= `buckets` rows — unpartitioned is fine at any corpus size
+    cum = hist.withColumn(
+        "cum_top",
+        F.sum("btoks").over(
+            W.orderBy(F.col("qb").desc()).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    joined = docs.join(F.broadcast(cum), "qb")
+    budget = F.lit(budget_tokens).cast("long")
+    out_cols = ["doc_id", "source", "n_tokens", "quality"]
+    full = joined.filter(F.col("cum_top") <= budget).select(*out_cols)
+    boundary = joined.filter(
+        (F.col("cum_top") > budget) & (F.col("cum_top") - F.col("btoks") < budget)
+    )
+    run_w = (
+        W.partitionBy("qb")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    residual = budget - (F.col("cum_top") - F.col("btoks"))
+    picked = (
+        boundary.withColumn("run", F.sum("n_tokens").over(run_w))
+        .filter(F.col("run") <= residual)
+        .select(*out_cols)
+    )
+    return full.unionByName(picked)
+
+
 def gopher_filters(documents: DataFrame) -> DataFrame:
     """Gopher-style (Rae et al. 2021, public) heuristic quality rules,
     entirely JVM-side (array higher-order functions, zero Python):

@@ -230,3 +230,49 @@ def test_unicode_normalize_hypothesis_differential():
         assert duck == mine, repr(t)
 
     check()
+
+
+def test_token_budget_select_equals_global_greedy_prefix(documents):
+    """The two-phase bucket cut must select EXACTLY the docs a naive global
+    (quality desc, doc_id) sort + running-sum prefix would — bucketing is a
+    scale optimization, never a semantic change."""
+    budget = 8000
+    feats = textops.quality_score(documents).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    rows = sorted(
+        feats.collect(), key=lambda r: (-r.quality, r.doc_id)
+    )
+    total, expect = 0, set()
+    for r in rows:
+        if total + r.n_tokens > budget:
+            break
+        total += r.n_tokens
+        expect.add(r.doc_id)
+    got = textops.token_budget_select(documents, budget_tokens=budget)
+    got_rows = got.collect()
+    assert {r.doc_id for r in got_rows} == expect
+    assert sum(r.n_tokens for r in got_rows) <= budget
+
+
+def test_token_budget_select_budget_exceeds_corpus(documents):
+    got = textops.token_budget_select(documents, budget_tokens=10**12)
+    assert got.count() == documents.count()
+
+
+def test_token_budget_select_no_global_sort_over_docs(documents):
+    """The only unpartitioned window may run over the <=1000-row histogram;
+    the per-doc frames must never funnel through a single sort partition.
+    Guard: every Window node that orders by quality is partitioned by qb."""
+    plan = (
+        textops.token_budget_select(documents, budget_tokens=8000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re as _re
+
+    doc_windows = _re.findall(r"Window \[sum\(n_tokens[^\]]*\], \[([^\]]*)\]", plan)
+    assert doc_windows, plan[:2000]
+    for spec in doc_windows:
+        assert "qb" in spec, plan[:2000]
