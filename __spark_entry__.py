@@ -260,6 +260,15 @@ def q_token_budget_select(spark, sf_dir):
     )
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio junk signal (textops.compression_ratio): one
+    Arrow crossing carrying only the compressed length back, ratio JVM-side.
+    Oracle is MATERIALIZED (stage_compression_expected — same pure zlib
+    kernel, no Spark); the twin computes the ratio in SQL from the staged
+    integer lengths."""
+    return textops.compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 def q_simhash_near_dup(spark, sf_dir):
     return textops.simhash_near_dup(_t(spark, sf_dir, "documents"))
 
@@ -1032,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "token_budget_select": q_token_budget_select,
+        "compression_ratio": q_compression_ratio,
         "langid": q_langid,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -2933,6 +2943,11 @@ FROM documents GROUP BY 1
         "simhash": _simhash_sql(),
         "simhash_near_dup": _simhash_near_dup_sql(),
         "token_budget_select": _token_budget_sql(TOKEN_BUDGET),
+        "compression_ratio": f"""
+SELECT doc_id, n_bytes, z_bytes,
+       round(z_bytes / greatest(n_bytes, 1), 6) AS comp_ratio
+FROM read_parquet('{textops.stage_compression_expected(oracle_sf)}')
+""",
         "langid": _langid_sql(),
         "quality_score": _quality_sql(),
         "gopher_filters": r"""

@@ -68,6 +68,7 @@ HEADLINE = [
     "simhash",
     "simhash_near_dup",
     "token_budget_select",
+    "compression_ratio",
     "langid",
     "quality_score",
     "token_count",

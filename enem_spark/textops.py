@@ -1891,6 +1891,89 @@ def ccnet_buckets(
 _NORM_STRIP_RE = None  # built lazily so the hot import path stays re-free
 
 
+COMPRESSION_LEVEL = 6  # zlib level; fixed so the signal is reproducible
+
+
+def compression_len_py(s: str) -> int:
+    """Pure kernel: zlib-compressed byte length — shared by the UDF and the
+    materialized oracle so both engines run the identical compressor."""
+    import zlib
+
+    return len(zlib.compress(s.encode("utf-8"), COMPRESSION_LEVEL))
+
+
+def _zlen_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _zlen(s):
+        return s.map(lambda x: None if x is None else compression_len_py(x))
+
+    return _zlen
+
+
+def compression_ratio(documents: DataFrame) -> DataFrame:
+    """zlib compression-ratio quality signal: repetitive/templated junk
+    compresses far below natural prose (ratio under ~0.3 at level 6 flags
+    boilerplate and keyboard-mash; prose sits ~0.4-0.7). A standard webtext
+    curation feature that no closed-form SQL expresses — hence the
+    MATERIALIZED oracle (stage_compression_expected, same pure kernel).
+
+    Scale plan: ONE ArrowEvalPython crossing carrying only (text) in and the
+    compressed LENGTH out — the compressed bytes never leave the executor;
+    n_bytes and the ratio are JVM-side; no shuffle anywhere.
+
+    Output: (doc_id, n_bytes, z_bytes, comp_ratio)."""
+    zlen = _zlen_udf()
+    return documents.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        zlen(F.col("text")).alias("z_bytes"),
+    ).withColumn(
+        "comp_ratio",
+        F.round(F.col("z_bytes") / F.greatest(F.col("n_bytes"), F.lit(1)), 6),
+    )
+
+
+_COMP_STAGED: dict[str, str] = {}
+
+
+def stage_compression_expected(sf_dir: str) -> str:
+    """Stage (memoized per process) the expected (doc_id, n_bytes, z_bytes)
+    parquet for ``sf_dir``: the same pure kernel run without Spark. The
+    RATIO is left to the SQL twin (round(z/greatest(n,1), 6)) so both
+    engines round from identical integer inputs."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    sf_dir = os.path.normpath(sf_dir)
+    if sf_dir in _COMP_STAGED:
+        return _COMP_STAGED[sf_dir]
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    path = f"/tmp/enem_comp_{tag}.parquet"
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "n_bytes": pd.array(
+                [len(t.encode("utf-8")) for t in docs["text"]], dtype="int32"
+            ),
+            "z_bytes": pd.array(
+                [compression_len_py(t) for t in docs["text"]], dtype="int32"
+            ),
+        }
+    ).to_parquet(path, index=False)
+    _COMP_STAGED[sf_dir] = path
+    return path
+
+
 def normalize_text_py(s: str) -> str:
     """Pure normalization kernel -- shared by the UDF and tests."""
     import re

@@ -276,3 +276,27 @@ def test_token_budget_select_no_global_sort_over_docs(documents):
     assert doc_windows, plan[:2000]
     for spec in doc_windows:
         assert "qb" in spec, plan[:2000]
+
+
+def test_compression_ratio_orders_junk_below_prose(spark):
+    rows = [
+        ("junk", "spam spam spam " * 200),
+        ("prose", " ".join(f"w{i}x{i * 7 % 13}" for i in range(600))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in textops.compression_ratio(df).collect()}
+    assert got["junk"].comp_ratio < 0.1 < got["prose"].comp_ratio
+    # kernel identity: the UDF is the same function the oracle stages
+    assert got["junk"].z_bytes == textops.compression_len_py(rows[0][1])
+    assert got["junk"].n_bytes == len(rows[0][1].encode("utf-8"))
+
+
+def test_compression_ratio_plan_one_arrow_crossing_no_shuffle(documents):
+    plan = (
+        textops.compression_ratio(documents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
