@@ -504,6 +504,7 @@ one broadcast (~180 rows/exam key table).
             (
                 i
                 for i in (
+                    old.find("## Skew evidence"),
                     old.find("## HTML main-content scaling"),
                     old.find("## Headline timings"),
                 )
