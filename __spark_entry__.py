@@ -269,6 +269,55 @@ def q_compression_ratio(spark, sf_dir):
     return textops.compression_ratio(_t(spark, sf_dir, "documents"))
 
 
+def _c4_docs(docs):
+    """Deterministic C4-rule exercise lines over the punctuation-free corpus
+    (same planting idiom as _chrome_docs / q_pii_scrub): every doc gets one
+    keepable content line; doc_id residues cycle the drop rules. concat_ws
+    skips NULL branches on both engines."""
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Welcome to the site"),
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("Please enable javascript to continue now."),
+            F.lit("Buy now!"),
+            F.when(
+                did % 5 != 0,
+                F.concat(
+                    F.lit(
+                        "This sentence number two is real. "
+                        "And here is sentence three for "
+                    ),
+                    F.col("source"),
+                    F.lit("."),
+                ),
+            ),
+            F.when(did % 7 == 0, F.lit("lorem ipsum dolor sit amet.")),
+            F.when(did % 11 == 0, F.lit("var x = { a: 1 };")),
+            F.when(did % 13 == 0, F.lit("win big at the casino tonight!")),
+        ).alias("text"),
+    )
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 (Raffel et al. 2020 §2.2) line+page heuristics over deterministic
+    planted lines — line-keep predicate + lorem/brace/badword/min-sentence
+    page rules, all codegen array functions (no UDF, no shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.c4_filters(_c4_docs(docs))
+
+
+def q_mojibake_repair(spark, sf_dir):
+    """ftfy-style double-encoded UTF-8 repair (textops.mojibake_repair):
+    deterministic planted mojibake (module-level constants), ONE Arrow
+    crossing, digest + length accounting JVM-side. MATERIALIZED oracle
+    (stage_mojibake_expected — same pure kernel + same constants)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.mojibake_repair(textops.plant_mojibake(docs))
+
+
 def q_simhash_near_dup(spark, sf_dir):
     return textops.simhash_near_dup(_t(spark, sf_dir, "documents"))
 
@@ -1042,6 +1091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "token_budget_select": q_token_budget_select,
         "compression_ratio": q_compression_ratio,
+        "c4_filters": q_c4_filters,
+        "mojibake_repair": q_mojibake_repair,
         "langid": q_langid,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -2947,6 +2998,63 @@ FROM documents GROUP BY 1
 SELECT doc_id, n_bytes, z_bytes,
        round(z_bytes / greatest(n_bytes, 1), 6) AS comp_ratio
 FROM read_parquet('{textops.stage_compression_expected(oracle_sf)}')
+""",
+        # COMPUTING twin of textops.c4_filters over the SAME planted lines
+        # _c4_docs builds Spark-side (concat_ws skips NULL branches on both
+        # engines; list_filter mirrors F.filter's keep predicate exactly).
+        "c4_filters": r"""
+WITH planted AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      'Welcome to the site',
+      text || '.',
+      'Please enable javascript to continue now.',
+      'Buy now!',
+      CASE WHEN doc_id % 5 <> 0 THEN
+        'This sentence number two is real. And here is sentence three for '
+        || source || '.' END,
+      CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+      CASE WHEN doc_id % 11 = 0 THEN 'var x = { a: 1 };' END,
+      CASE WHEN doc_id % 13 = 0 THEN 'win big at the casino tonight!' END
+    ) AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, text,
+    string_split(text, chr(10)) AS lines,
+    list_filter(string_split(text, chr(10)),
+      x -> regexp_matches(trim(x), '[.!?"]$')
+           AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM planted
+),
+f AS (
+  SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines,
+    CAST(length(array_to_string(kept, chr(10)))
+       - length(translate(array_to_string(kept, chr(10)), '.!?', '')) AS INT)
+      AS n_sentences,
+    NOT contains(lower(text), 'lorem ipsum') AS r_lorem,
+    NOT contains(text, '{') AS r_brace,
+    NOT regexp_matches(text, '\b(casino|viagra|xxx)\b', 'i') AS r_badword,
+    array_to_string(kept, chr(10)) AS kept_text
+  FROM t
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences, r_lorem, r_brace,
+  r_badword, (n_sentences >= 3) AS r_min_sentences,
+  (r_lorem AND r_brace AND r_badword AND n_sentences >= 3) AS c4_pass,
+  md5(kept_text) AS kept_md5
+FROM f
+""",
+        # MATERIALIZED twin of textops.mojibake_repair: the staged table
+        # holds (planted, repaired) from the same pure kernel + constants;
+        # the SQL hashes/measures them itself so both engines digest the
+        # same strings independently.
+        "mojibake_repair": f"""
+SELECT doc_id, md5(repaired) AS repaired_md5,
+       CAST(length(planted) AS BIGINT) AS n_before,
+       CAST(length(repaired) AS BIGINT) AS n_after,
+       (planted <> repaired) AS changed
+FROM read_parquet('{textops.stage_mojibake_expected(oracle_sf)}')
 """,
         "langid": _langid_sql(),
         "quality_score": _quality_sql(),

@@ -2031,3 +2031,189 @@ def unicode_normalize(documents: DataFrame) -> DataFrame:
         F.length("_n").cast("long").alias("n_after"),
         (F.col("_t") != F.col("_n")).alias("changed"),
     )
+
+
+# --- C4 heuristic filters (Raffel et al. 2020, §2.2 — public) -------------
+
+# Word-boundary blocklist (C4 used the public "bad words" list; the engine
+# ships a tiny neutral spam-marker set — extend via the `badwords` param).
+C4_BADWORDS = ("casino", "viagra", "xxx")
+
+
+def c4_filters(
+    documents: DataFrame, badwords: tuple[str, ...] = C4_BADWORDS
+) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020 §2.2), entirely JVM-side:
+
+    line keep rules (applied to each '\\n'-line, predicate on trimmed text):
+      - ends in terminal punctuation ('.', '!', '?', or closing '"')
+      - has >= 5 whitespace words
+      - does not contain 'javascript' (case-insensitive)
+    page drop rules:
+      - contains 'lorem ipsum' (case-insensitive)
+      - contains '{'
+      - contains a blocklist word (word-boundary, case-insensitive)
+      - fewer than 3 sentences after line filtering (terminal-punct count)
+
+    (C4's fourth dedup rule — three-sentence-span dedup — lives in the
+    dedup family: duplicate_spans / remove_duplicate_spans.)
+
+    Output: (doc_id, n_lines, n_kept_lines, n_sentences, r_lorem, r_brace,
+    r_badword, r_min_sentences, c4_pass, kept_md5). kept_md5 digests the
+    kept lines joined by '\\n' (original, untrimmed).
+
+    Scale plan: pure per-row array higher-order functions — no shuffle, no
+    Python; whole-stage codegen end to end, so it composes with any
+    downstream agg at 100 TB without adding an exchange."""
+    text = F.col("text")
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+    kept_text = F.array_join(kept, "\n")
+    n_sent = (
+        F.length(kept_text) - F.length(F.translate(kept_text, ".!?", ""))
+    ).cast("int")
+    bad_re = "(?i)\\b(" + "|".join(badwords) + ")\\b"
+    r_lorem = ~F.lower(text).contains("lorem ipsum")
+    r_brace = ~text.contains("{")
+    r_badword = ~text.rlike(bad_re)
+    r_min_sent = n_sent >= 3
+    return documents.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        r_lorem.alias("r_lorem"),
+        r_brace.alias("r_brace"),
+        r_badword.alias("r_badword"),
+        r_min_sent.alias("r_min_sentences"),
+        (r_lorem & r_brace & r_badword & r_min_sent).alias("c4_pass"),
+        F.md5(kept_text).alias("kept_md5"),
+    )
+
+
+# --- Mojibake repair (ftfy-style, public technique) ------------------------
+
+# Fixed marker planted by the driver query (and by the staging kernel) so the
+# synthetic ASCII corpus exercises the repair path deterministically.
+MOJIBAKE_MARK = "café São Paulo açúcar é ótimo até você"
+
+
+def mojibake_plant_py(s: str) -> str:
+    """UTF-8 bytes misread as cp1252 — the classic double-encoding fault."""
+    return s.encode("utf-8").decode("cp1252")
+
+
+def mojibake_repair_py(s: str) -> str:
+    """Pure repair kernel (shared by the UDF and the materialized oracle):
+    while the text survives a strict cp1252 re-encode AND its bytes form
+    valid UTF-8, undo one mis-decode; cap 3 rounds (handles double/triple
+    encoding). Clean accented text is untouched: its cp1252 bytes are not
+    valid UTF-8, so the very first decode attempt fails and we break."""
+    t = s
+    for _ in range(3):
+        try:
+            u = t.encode("cp1252").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            break
+        if u == t:
+            break
+        t = u
+    return t
+
+
+def _moji_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _moji(s):
+        return s.map(lambda x: None if x is None else mojibake_repair_py(x))
+
+    return _moji
+
+
+def mojibake_repair(documents: DataFrame) -> DataFrame:
+    """(doc_id, repaired_md5, n_before, n_after, changed): double-encoded
+    UTF-8 (mojibake) repaired by the shared pure kernel.
+
+    Scale plan: ONE ArrowEvalPython crossing over (doc_id, text); digest +
+    length accounting JVM-side; no shuffle. The repaired text itself never
+    crosses back to the driver. No closed-form SQL expresses the codec
+    round-trip, hence the MATERIALIZED oracle (stage_mojibake_expected,
+    same kernel, same planted input)."""
+    moji = _moji_udf()
+    return documents.select(
+        "doc_id",
+        F.col("text").alias("_t"),
+        moji(F.col("text")).alias("_r"),
+    ).select(
+        "doc_id",
+        F.md5("_r").alias("repaired_md5"),
+        F.length("_t").cast("long").alias("n_before"),
+        F.length("_r").cast("long").alias("n_after"),
+        (F.col("_t") != F.col("_r")).alias("changed"),
+    )
+
+
+def plant_mojibake(documents: DataFrame) -> DataFrame:
+    """Driver-query input builder: doc_id%3==0 gets a single-encoded marker
+    prefix, doc_id%9==0 a DOUBLE-encoded one, the rest stay clean. The
+    prefixes are module-level constants (pure Python, computed once), so the
+    Spark side is a codegen CASE over literals — the staging kernel builds
+    the identical text from the same constants."""
+    once = mojibake_plant_py(MOJIBAKE_MARK)
+    twice = mojibake_plant_py(once)
+    prefix = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit(twice + " "))
+        .when(F.col("doc_id") % 3 == 0, F.lit(once + " "))
+        .otherwise(F.lit(""))
+    )
+    return documents.select(
+        "doc_id", F.concat(prefix, F.col("text")).alias("text")
+    )
+
+
+_MOJI_STAGED: dict[str, str] = {}
+
+
+def stage_mojibake_expected(sf_dir: str) -> str:
+    """Stage (memoized per process) the expected mojibake_repair output for
+    plant_mojibake(documents) at ``sf_dir`` — same constants, same kernel,
+    no Spark. md5 is left to the SQL twin so both engines hash the staged
+    repaired text themselves."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    sf_dir = os.path.normpath(sf_dir)
+    if sf_dir in _MOJI_STAGED:
+        return _MOJI_STAGED[sf_dir]
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    path = f"/tmp/enem_moji_{tag}.parquet"
+    once = mojibake_plant_py(MOJIBAKE_MARK)
+    twice = mojibake_plant_py(once)
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    planted = [
+        (twice + " " + t) if i % 9 == 0 else (once + " " + t) if i % 3 == 0 else t
+        for i, t in zip(docs["doc_id"], docs["text"])
+    ]
+    repaired = [mojibake_repair_py(t) for t in planted]
+    pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "planted": planted,
+            "repaired": repaired,
+        }
+    ).to_parquet(path, index=False)
+    _MOJI_STAGED[sf_dir] = path
+    return path

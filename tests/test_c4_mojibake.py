@@ -1,0 +1,142 @@
+"""C4 heuristic filters + mojibake repair: kernel unit tests, operator
+behavior on planted rows, and plan-shape guards (c4 must stay pure codegen;
+mojibake must cross Arrow exactly once)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from enem_spark import textops
+
+
+# --- mojibake kernel (pure) -------------------------------------------------
+
+
+def test_mojibake_kernel_roundtrips():
+    m = textops.MOJIBAKE_MARK
+    once = textops.mojibake_plant_py(m)
+    twice = textops.mojibake_plant_py(once)
+    assert once != m and twice != once
+    assert textops.mojibake_repair_py(once) == m
+    assert textops.mojibake_repair_py(twice) == m
+
+
+def test_mojibake_kernel_leaves_clean_text_alone():
+    # pure ASCII: cp1252 -> utf-8 round-trip is the identity, loop breaks
+    assert textops.mojibake_repair_py("plain ascii.") == "plain ascii."
+    # clean accented text: its cp1252 bytes are NOT valid utf-8, so the
+    # first decode attempt fails and the text is untouched
+    assert textops.mojibake_repair_py(textops.MOJIBAKE_MARK) == (
+        textops.MOJIBAKE_MARK
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+    )
+)
+def test_mojibake_repair_inverts_plant_on_marked_text(ascii_tail):
+    """plant is invertible whenever the text carries a non-ASCII marker:
+    repair(plant(marker + ascii)) == marker + ascii, including double
+    encoding. (Pure-ASCII text is a fixpoint of plant, trivially fine.)"""
+    s = textops.MOJIBAKE_MARK + " " + ascii_tail
+    once = textops.mojibake_plant_py(s)
+    assert textops.mojibake_repair_py(once) == s
+    assert textops.mojibake_repair_py(textops.mojibake_plant_py(once)) == s
+
+
+# --- Spark operators ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def c4_docs(spark):
+    rows = [
+        # all-pass page: 1 keepable content line + 3 terminal sentences
+        Row(doc_id=1, text="Welcome\nThis line has five good words.\n"
+                           "One. Two here now go. Three!"),
+        # javascript + short lines dropped; only 1 sentence -> min-sent fail
+        Row(doc_id=2, text="enable JavaScript to see this page now.\n"
+                           "Buy now!\nA good long sentence sits here."),
+        # lorem page flag
+        Row(doc_id=3, text="lorem ipsum dolor sit amet.\n"
+                           "One. Two here we go. Three!"),
+        # brace page flag
+        Row(doc_id=4, text="var x = { a: 1 };\nOne. Two here we go. Three!"),
+        # badword page flag (word-boundary)
+        Row(doc_id=5, text="win big at the casino tonight!\n"
+                           "One. Two here we go. Three!"),
+        # 'casinos' must NOT match the word-boundary blocklist
+        Row(doc_id=6, text="there are no casinos mentioned here at all.\n"
+                           "One. Two here we go. Three!"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_c4_rules_on_planted_rows(spark, c4_docs):
+    got = {r["doc_id"]: r for r in textops.c4_filters(c4_docs).collect()}
+    assert got[1]["c4_pass"] and got[1]["n_kept_lines"] == 2
+    # doc 2: the javascript line is dropped even though it ends in '.'
+    assert got[2]["n_kept_lines"] == 1 and not got[2]["r_min_sentences"]
+    assert not got[2]["c4_pass"]
+    assert not got[3]["r_lorem"] and not got[3]["c4_pass"]
+    assert not got[4]["r_brace"] and not got[4]["c4_pass"]
+    assert not got[5]["r_badword"] and not got[5]["c4_pass"]
+    assert got[6]["r_badword"] and got[6]["c4_pass"]
+
+
+def test_c4_plan_is_pure_codegen(spark, c4_docs):
+    plan = (
+        textops.c4_filters(c4_docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_mojibake_operator_matches_kernel(spark):
+    m = textops.MOJIBAKE_MARK
+    once = textops.mojibake_plant_py(m)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=once), Row(doc_id=2, text="clean ascii text.")]
+    )
+    got = {r["doc_id"]: r for r in textops.mojibake_repair(docs).collect()}
+    assert got[1]["changed"] and not got[2]["changed"]
+    assert got[1]["n_after"] == len(m) and got[1]["n_before"] == len(once)
+    import hashlib
+
+    assert got[1]["repaired_md5"] == hashlib.md5(m.encode()).hexdigest()
+
+
+def test_mojibake_plan_single_arrow_crossing(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="x.")])
+    plan = (
+        textops.mojibake_repair(textops.plant_mojibake(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_plant_mojibake_residue_split(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="t") for i in (0, 3, 9, 1)]
+    )
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in textops.plant_mojibake(docs).collect()
+    }
+    once = textops.mojibake_plant_py(textops.MOJIBAKE_MARK)
+    twice = textops.mojibake_plant_py(once)
+    assert texts[9].startswith(twice) and texts[0].startswith(twice)
+    assert texts[3].startswith(once) and not texts[3].startswith(twice)
+    assert texts[1] == "t"
