@@ -318,6 +318,17 @@ def q_mojibake_repair(spark, sf_dir):
     return textops.mojibake_repair(textops.plant_mojibake(docs))
 
 
+def q_bloom_dedup(spark, sf_dir):
+    """Fixed-memory Bloom membership probe (textops.bloom_dedup): the even
+    doc_ids are the committed corpus, every doc probes the filter. PARITY m
+    (2048 bits) so sf0.01 exercises real bit collisions; engine default is
+    BLOOM_M=4M. COMPUTING twin — both engines build the same filter from
+    md5-derived positions."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return textops.bloom_dedup(docs, corpus, m=textops.PARITY_BLOOM_M)
+
+
 def q_simhash_near_dup(spark, sf_dir):
     return textops.simhash_near_dup(_t(spark, sf_dir, "documents"))
 
@@ -1093,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "c4_filters": q_c4_filters,
         "mojibake_repair": q_mojibake_repair,
+        "bloom_dedup": q_bloom_dedup,
         "langid": q_langid,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -3055,6 +3067,28 @@ SELECT doc_id, md5(repaired) AS repaired_md5,
        CAST(length(repaired) AS BIGINT) AS n_after,
        (planted <> repaired) AS changed
 FROM read_parquet('{textops.stage_mojibake_expected(oracle_sf)}')
+""",
+        # COMPUTING twin of textops.bloom_dedup: both engines derive the
+        # same bit positions (first 48 bits of md5('i:text') mod m) and the
+        # same 4-row probe expansion, so hits AND false positives agree
+        # bit-for-bit.
+        "bloom_dedup": f"""
+WITH seeds AS (SELECT * FROM (VALUES ('0:'), ('1:'), ('2:'), ('3:')) AS s(i)),
+bits AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substr(md5(concat(s.i, text)), 1, 12)) AS BIGINT)
+      % {textops.PARITY_BLOOM_M} AS pos, 1 AS hit
+  FROM documents, seeds s WHERE doc_id % 2 = 0
+),
+ppos AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(concat(s.i, text)), 1, 12)) AS BIGINT)
+      % {textops.PARITY_BLOOM_M} AS pos
+  FROM documents, seeds s
+)
+SELECT p.doc_id, (sum(coalesce(b.hit, 0)) = 4) AS bloom_hit
+FROM ppos p LEFT JOIN bits b ON p.pos = b.pos
+GROUP BY p.doc_id
 """,
         "langid": _langid_sql(),
         "quality_score": _quality_sql(),

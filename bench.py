@@ -73,6 +73,8 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "gopher_filters",
+    "c4_filters",
+    "mojibake_repair",
     "repetition_filters",
     "fingerprint",
     "stratified_sample",
@@ -81,6 +83,7 @@ HEADLINE = [
     "dedup_minhash_estimate",
     "incr_dedup_exact",
     "incr_dedup_minhash",
+    "bloom_dedup",
     "url_canonicalize",
     "source_percentiles",
     "boilerplate_strip",

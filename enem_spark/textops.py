@@ -2217,3 +2217,73 @@ def stage_mojibake_expected(sf_dir: str) -> str:
     ).to_parquet(path, index=False)
     _MOJI_STAGED[sf_dir] = path
     return path
+
+
+# --- Bloom-filter dedup probe (sparse bit-position form) --------------------
+
+BLOOM_M = 1 << 22  # filter bits — the fixed memory budget of the filter
+BLOOM_K = 4        # hash functions
+# twin/test config: small enough that sf0.01 (~250 corpus docs) actually
+# exercises bit collisions and a measurable false-positive rate
+PARITY_BLOOM_M = 2048
+
+
+def _bloom_pos(col, i: int, m: int):
+    """Bit position of hash function ``i``: first 48 bits of md5('i:text'),
+    mod m. Engine-portable (md5 + hex parse exist on both sides)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), col)), 1, 12), 16, 10)
+        .cast("long")
+        % m
+    )
+
+
+def bloom_build(corpus: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Distinct set bit positions of a Bloom filter over ``corpus.text`` —
+    the sparse form of the m-bit array: at most min(k*|corpus|, m) rows of
+    one long each, REGARDLESS of corpus size. The groupBy-distinct dedups
+    repeated positions map-side, so the shuffle carries at most m longs.
+
+    At 100 TB you would fold these positions into per-range bitmap blobs
+    (m/ranges bits each) and broadcast them; the position-set equi-join
+    below is the shuffle-honest equivalent with the same bound, and Spark
+    can broadcast it outright whenever m is small."""
+    stacked = corpus.select(
+        F.explode(F.array(*[_bloom_pos(F.col("text"), i, m) for i in range(k)]))
+        .alias("pos")
+    )
+    return stacked.distinct()
+
+
+def bloom_dedup(
+    probe: DataFrame,
+    corpus: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(doc_id, bloom_hit): probe each document against the Bloom filter of
+    ``corpus`` — bloom_hit=true iff ALL k bit positions are set. No false
+    negatives ever (every true member hits); false positives at the usual
+    (1 - e^{-kn/m})^k rate — with fixed hash seeds the outcome is a pure
+    deterministic function of the two inputs, so reruns and other engines
+    agree bit-for-bit.
+
+    This is the fixed-memory incremental-dedup primitive: the filter's size
+    is capped by m however large the committed corpus grows (contrast
+    incremental_exact_dedup, whose anti-join side grows with the corpus).
+    Docs flagged bloom_hit then go through the exact path; the (usually
+    ~99%) clean remainder skips it.
+
+    Shuffle budget: one distinct over <=m longs (build), one equi-join on
+    pos (<=k rows per probe doc vs <=m build rows), one groupBy doc_id."""
+    bits = bloom_build(corpus, m, k).withColumn("hit", F.lit(1))
+    ppos = probe.select(
+        "doc_id",
+        F.explode(F.array(*[_bloom_pos(F.col("text"), i, m) for i in range(k)]))
+        .alias("pos"),
+    )
+    return (
+        ppos.join(bits, "pos", "left")
+        .groupBy("doc_id")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == k).alias("bloom_hit"))
+    )
