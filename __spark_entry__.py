@@ -933,7 +933,14 @@ def q_jsonl_ingest(spark, sf_dir):
 
     staged = jsonl.stage_jsonl_files(sf_dir)
     recs = jsonl.read_jsonl(spark, staged["jsonl_dir"])
-    return recs.filter(F.col(jsonl.CORRUPT_COL).isNull()).select(
+    # url IS NOT NULL is the schema contract for every valid record (the
+    # corrupt row puts NULLs in all data fields) — keeping it in the filter
+    # anchors a data column in the scan, so a count()-pruned plan never
+    # degenerates to the corrupt-column-only read the json source disallows
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    return recs.filter(
+        F.col(jsonl.CORRUPT_COL).isNull() & F.col("url").isNotNull()
+    ).select(
         "url",
         "fetch_ts",
         F.md5("text").alias("text_md5"),
