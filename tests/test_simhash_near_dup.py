@@ -17,11 +17,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _simhash_py(text: str) -> str:
-    """Pure-python mirror of textops.simhash (md5 nibble parity)."""
+    """Pure-python mirror of textops.simhash (md5 nibble parity; beyond 32
+    bits the hash extends with md5('1:' || token), same as the engine)."""
     toks = re.split(r"\s+", text.strip())
     sums = [0] * textops.SIMHASH_BITS
     for w in toks:
         h = hashlib.md5(w.encode()).hexdigest()
+        if textops.SIMHASH_BITS > 32:
+            h += hashlib.md5(("1:" + w).encode()).hexdigest()
         for j in range(textops.SIMHASH_BITS):
             sums[j] += 1 if h[j] in "13579bdf" else -1
     return "".join("1" if s >= 0 else "0" for s in sums)
@@ -29,8 +32,22 @@ def _simhash_py(text: str) -> str:
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+    """Corpus + planted exact copies and one-token mutants: at 64 bits the
+    raw corpus has no near-collisions, so without planting the differential
+    would compare two empty sets."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
+    )
+    did = F.col("doc_id")
+    df = base.unionByName(
+        base.filter(did % 4 == 0).select((did + 10000).alias("doc_id"), "text")
+    ).unionByName(
+        base.filter(did % 4 == 1).select(
+            (did + 20000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" mutanttoken")).alias("text"),
+        )
     )
     return df, {r.doc_id: r.text for r in df.collect()}
 
