@@ -1082,6 +1082,40 @@ def q_fetch_politeness(spark, sf_dir):
     return icerun.fetch_politeness(hist)
 
 
+def q_robots_txt_allow(spark, sf_dir):
+    """robots.txt FILE parsing + longest-prefix allow/deny decisions
+    (htmlops.robots_txt_allow): four deterministic robots.txt variants per
+    host (overlapping Allow/Disallow, empty Disallow, stacked user-agents,
+    no-star group), five path shapes per doc cycling every rule. Rule table
+    is a broadcast dimension; the twin recomputes the full parse in SQL."""
+    from enem_spark import htmlops
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(F.col("source").alias("host")).distinct()
+    robots = htmlops.synth_robots_txt(hosts)
+    p = F.col("doc_id") % 5
+    path = (
+        F.when(p == 0, F.lit("/a/b/c"))
+        .when(p == 1, F.lit("/a/z"))
+        .when(p == 2, F.lit("/x/y/1"))
+        .when(p == 3, F.lit("/x/priv"))
+        .otherwise(F.lit("/q"))
+    )
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com"),
+            path,
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("source").alias("host"),
+        F.concat(path, F.lit("/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    return htmlops.robots_txt_allow(robots, urls)
+
+
 def q_html_robots(spark, sf_dir):
     """Robots-meta directive extraction (htmlops.html_robots): JVM-side
     regexp + token matching; computing DuckDB twin over staged pages."""
@@ -1128,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "mojibake_repair": q_mojibake_repair,
         "bloom_dedup": q_bloom_dedup,
+        "robots_txt_allow": q_robots_txt_allow,
         "langid": q_langid,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -3134,6 +3169,94 @@ ppos AS (
 SELECT p.doc_id, (sum(coalesce(b.hit, 0)) = 4) AS bloom_hit
 FROM ppos p LEFT JOIN bits b ON p.pos = b.pos
 GROUP BY p.doc_id
+""",
+        # COMPUTING twin of htmlops.robots_txt_allow over the same synthetic
+        # robots.txt variants + url paths the Spark query builds: full parse
+        # (comment strip, UA-block group scan, star-set rules) + longest-
+        # prefix decision, Allow wins length ties, no match = allowed.
+        "robots_txt_allow": r"""
+WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+robots AS (
+  SELECT host,
+    CASE CAST(regexp_extract(host, '(\d+)', 1) AS INT) % 4
+      WHEN 0 THEN '# generic site' || chr(10) || 'User-agent: googlebot'
+        || chr(10) || 'Disallow: /private' || chr(10) || 'User-agent: *'
+        || chr(10) || 'Allow: /a/b' || chr(10) || 'Disallow: /a'
+        || chr(10) || 'Crawl-delay: 2'
+      WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow:'
+      WHEN 2 THEN 'User-agent: bota' || chr(10) || 'User-agent: *'
+        || chr(10) || 'Disallow: /x' || chr(10) || 'Allow: /x/y'
+      ELSE 'User-agent: botb' || chr(10) || 'Disallow: /'
+    END AS robots_txt
+  FROM hosts
+),
+lines AS (
+  SELECT host, i - 1 AS idx,
+         trim(regexp_replace(raw, '#.*', '')) AS line
+  FROM (
+    SELECT host,
+      unnest(string_split(lower(robots_txt), chr(10))) AS raw,
+      generate_subscripts(string_split(lower(robots_txt), chr(10)), 1) AS i
+    FROM robots
+  )
+),
+cls AS (
+  SELECT host, idx,
+    regexp_extract(line, '^(user-agent|allow|disallow)\s*:\s*(.*)$', 1)
+      AS directive,
+    trim(regexp_extract(line, '^(user-agent|allow|disallow)\s*:\s*(.*)$', 2))
+      AS value
+  FROM lines
+),
+marks AS (
+  SELECT *, CASE WHEN directive = 'user-agent'
+                  AND lag(directive, 1, '') OVER (
+                    PARTITION BY host ORDER BY idx) <> 'user-agent'
+                 THEN 1 ELSE 0 END AS ua_start
+  FROM cls
+),
+grouped AS (
+  SELECT *, sum(ua_start) OVER (PARTITION BY host ORDER BY idx
+                                ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marks
+),
+starred AS (
+  SELECT *, max(CASE WHEN directive = 'user-agent' AND value = '*'
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY host, grp) AS star
+  FROM grouped
+),
+rules AS (
+  SELECT host, directive AS rule_type, value AS prefix,
+         length(value) AS prefix_len
+  FROM starred
+  WHERE star = 1 AND directive IN ('allow', 'disallow') AND value <> ''
+),
+urls AS (
+  SELECT 'https://' || source || '.example.com' || p || '/' || doc_id AS url,
+         source AS host, p || '/' || doc_id AS path
+  FROM (
+    SELECT doc_id, source,
+      CASE doc_id % 5 WHEN 0 THEN '/a/b/c' WHEN 1 THEN '/a/z'
+        WHEN 2 THEN '/x/y/1' WHEN 3 THEN '/x/priv' ELSE '/q' END AS p
+    FROM documents
+  )
+),
+cand AS (
+  SELECT u.url, u.host, r.rule_type, r.prefix_len,
+         row_number() OVER (
+           PARTITION BY u.url
+           ORDER BY r.prefix_len DESC NULLS LAST,
+                    CASE WHEN r.rule_type = 'allow' THEN 0 ELSE 1 END
+         ) AS rn
+  FROM urls u
+  LEFT JOIN rules r ON u.host = r.host AND starts_with(u.path, r.prefix)
+)
+SELECT url, host,
+       coalesce(rule_type = 'allow', TRUE) AS allowed,
+       rule_type AS matched_type,
+       CAST(prefix_len AS INT) AS matched_len
+FROM cand WHERE rn = 1
 """,
         "langid": _langid_sql(),
         "quality_score": _quality_sql(),

@@ -113,6 +113,7 @@ HEADLINE = [
     "html_paragraph_langid",
     "html_clean_corpus",
     "html_robots",
+    "robots_txt_allow",
     "charset_decode",
     "mime_sniff",
     "jsonl_ingest",

@@ -1295,3 +1295,151 @@ def stage_html_tables(sf_dir: str) -> dict[str, str]:
     ).to_parquet(paths["robots_pages"], index=False)
     _STAGED[sf_dir] = paths
     return paths
+
+
+# --- robots.txt FILE parsing + allow/deny decisions --------------------------
+# (complements html_robots, which reads per-PAGE robots-meta tags)
+
+
+def synth_robots_txt(hosts: DataFrame) -> DataFrame:
+    """Deterministic robots.txt per host (input: distinct (host) rows with a
+    trailing integer in the name, e.g. 'src7'): four variants cycling on
+    that integer — star group with overlapping Allow/Disallow, empty
+    Disallow (allow-all), stacked user-agents sharing one rule block, and a
+    no-star file. Pure JVM concat, mirrored verbatim by the SQL twin."""
+    v = F.regexp_extract(F.col("host"), r"(\d+)", 1).cast("int") % 4
+    nl = "\n"
+    txt = (
+        F.when(
+            v == 0,
+            F.lit(
+                "# generic site" + nl + "User-agent: googlebot" + nl
+                + "Disallow: /private" + nl + "User-agent: *" + nl
+                + "Allow: /a/b" + nl + "Disallow: /a" + nl + "Crawl-delay: 2"
+            ),
+        )
+        .when(v == 1, F.lit("User-agent: *" + nl + "Disallow:"))
+        .when(
+            v == 2,
+            F.lit(
+                "User-agent: bota" + nl + "User-agent: *" + nl
+                + "Disallow: /x" + nl + "Allow: /x/y"
+            ),
+        )
+        .otherwise(F.lit("User-agent: botb" + nl + "Disallow: /"))
+    )
+    return hosts.select("host", txt.alias("robots_txt"))
+
+
+def robots_txt_rules(robots: DataFrame) -> DataFrame:
+    """Parse (host, robots_txt) into the User-agent:* rule set:
+    (host, rule_idx, rule_type 'allow'|'disallow', prefix, prefix_len).
+
+    Declared simplifications (documented contract, shared with the twin):
+    directives are matched case-insensitively by lower()ing the whole file;
+    '#' comments stripped; plain path prefixes only (no wildcards); an empty
+    Disallow value imposes no restriction (dropped); a rule belongs to the
+    star set iff its CONTIGUOUS preceding User-agent block contains '*'
+    (stacked agents share the block, per the de-facto standard).
+
+    Scale plan: posexplode + two windows per host (group-id running sum,
+    then a group-level star max) — one shuffle on host; a host's robots.txt
+    is bounded (crawlers cap at 500 KiB), so per-host work is O(lines)."""
+    lines = (
+        robots.select(
+            "host",
+            F.posexplode(F.split(F.lower("robots_txt"), "\n")).alias(
+                "idx", "raw"
+            ),
+        )
+        .withColumn("line", F.trim(F.regexp_replace("raw", "#.*", "")))
+        .withColumn(
+            "directive",
+            F.regexp_extract("line", r"^(user-agent|allow|disallow)\s*:\s*(.*)$", 1),
+        )
+        .withColumn(
+            "value",
+            F.trim(
+                F.regexp_extract(
+                    "line", r"^(user-agent|allow|disallow)\s*:\s*(.*)$", 2
+                )
+            ),
+        )
+    )
+    w_scan = W.partitionBy("host").orderBy("idx").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    grouped = lines.withColumn(
+        "grp",
+        F.sum(
+            (
+                (F.col("directive") == "user-agent")
+                & (
+                    F.lag("directive", 1, "").over(
+                        W.partitionBy("host").orderBy("idx")
+                    )
+                    != "user-agent"
+                )
+            ).cast("int")
+        ).over(w_scan),
+    )
+    star = F.max(
+        ((F.col("directive") == "user-agent") & (F.col("value") == "*")).cast(
+            "int"
+        )
+    ).over(W.partitionBy("host", "grp"))
+    return (
+        grouped.withColumn("star", star)
+        .filter(
+            (F.col("star") == 1)
+            & F.col("directive").isin("allow", "disallow")
+            & (F.col("value") != "")
+        )
+        .select(
+            "host",
+            F.col("idx").alias("rule_idx"),
+            F.col("directive").alias("rule_type"),
+            F.col("value").alias("prefix"),
+            F.length("value").alias("prefix_len"),
+        )
+    )
+
+
+def robots_txt_allow(robots: DataFrame, urls: DataFrame) -> DataFrame:
+    """(url, host, allowed, matched_type, matched_len): longest-prefix-match
+    robots decision for each url row (host, path). Longest matching rule
+    wins; on a length tie Allow beats Disallow (Google semantics); no
+    matching rule means allowed.
+
+    Scale plan: rules join on host then prefix-match in the join condition —
+    the rule table is tiny per host (and overall ~rules-per-host x hosts, a
+    dimension table: broadcast-able), so this is a broadcast join + one
+    row_number window over the few matched candidates per url."""
+    rules = robots_txt_rules(robots)
+    cand = urls.join(
+        F.broadcast(rules),
+        (urls["host"] == rules["host"]) & urls["path"].startswith(rules["prefix"]),
+        "left",
+    ).select(
+        "url",
+        urls["host"].alias("host"),
+        "rule_type",
+        "prefix_len",
+    )
+    w = W.partitionBy("url").orderBy(
+        F.col("prefix_len").desc_nulls_last(),
+        F.when(F.col("rule_type") == "allow", 0).otherwise(1),
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "url",
+            "host",
+            F.coalesce(F.col("rule_type") == "allow", F.lit(True)).alias(
+                "allowed"
+            ),
+            F.col("rule_type").alias("matched_type"),
+            F.col("prefix_len").cast("int").alias("matched_len"),
+        )
+    )
