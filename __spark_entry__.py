@@ -1116,6 +1116,31 @@ def q_robots_txt_allow(spark, sf_dir):
     return htmlops.robots_txt_allow(robots, urls)
 
 
+def q_sitemap_discover(spark, sf_dir):
+    """Sitemap-based crawl discovery (htmlops.sitemap_discover): per-host
+    synthetic sitemap.xml (6 entries, cycling lastmod/changefreq) parsed
+    JVM-side, membership-checked against a planted known-url frontier
+    (pages 0/2/4 already crawled), ranked new-first then by changefreq and
+    recency. COMPUTING twin — the SQL builds and regex-parses the same
+    XML."""
+    from enem_spark import htmlops
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(F.col("source").alias("host")).distinct()
+    sitemaps = htmlops.synth_sitemaps(hosts)
+    known = hosts.select(
+        "host", F.explode(F.array(F.lit(0), F.lit(2), F.lit(4))).alias("k")
+    ).select(
+        F.concat(
+            F.lit("https://"),
+            F.col("host"),
+            F.lit(".example.com/page/"),
+            F.col("k").cast("string"),
+        ).alias("url")
+    )
+    return htmlops.sitemap_discover(sitemaps, known)
+
+
 def q_html_robots(spark, sf_dir):
     """Robots-meta directive extraction (htmlops.html_robots): JVM-side
     regexp + token matching; computing DuckDB twin over staged pages."""
@@ -1163,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair": q_mojibake_repair,
         "bloom_dedup": q_bloom_dedup,
         "robots_txt_allow": q_robots_txt_allow,
+        "sitemap_discover": q_sitemap_discover,
         "langid": q_langid,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -3257,6 +3283,57 @@ SELECT url, host,
        rule_type AS matched_type,
        CAST(prefix_len AS INT) AS matched_len
 FROM cand WHERE rn = 1
+""",
+        # COMPUTING twin of htmlops.sitemap_discover: builds the SAME
+        # sitemap.xml strings, regex-parses the <url> blocks, membership-
+        # checks the planted frontier, and ranks with the identical window.
+        "sitemap_discover": r"""
+WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+sitemaps AS (
+  SELECT host, '<?xml version="1.0"?><urlset>'
+    || '<url><loc>https://' || host || '.example.com/page/0</loc>'
+    || '<lastmod>2024-01-01</lastmod><changefreq>daily</changefreq></url>'
+    || '<url><loc>https://' || host || '.example.com/page/1</loc>'
+    || '<lastmod>2024-01-02</lastmod><changefreq>weekly</changefreq></url>'
+    || '<url><loc>https://' || host || '.example.com/page/2</loc>'
+    || '<lastmod>2024-01-03</lastmod><changefreq>monthly</changefreq></url>'
+    || '<url><loc>https://' || host || '.example.com/page/3</loc>'
+    || '<lastmod>2024-01-04</lastmod><changefreq>daily</changefreq></url>'
+    || '<url><loc>https://' || host || '.example.com/page/4</loc>'
+    || '<lastmod>2024-01-05</lastmod><changefreq>weekly</changefreq></url>'
+    || '<url><loc>https://' || host || '.example.com/page/5</loc>'
+    || '<lastmod>2024-01-06</lastmod><changefreq>monthly</changefreq></url>'
+    || '</urlset>' AS sitemap_xml
+  FROM hosts
+),
+entries AS (
+  SELECT host,
+    unnest(regexp_extract_all(sitemap_xml, '<url>(.*?)</url>', 1)) AS entry
+  FROM sitemaps
+),
+parsed AS (
+  SELECT host,
+    regexp_extract(entry, '<loc>(.*?)</loc>', 1) AS loc,
+    regexp_extract(entry, '<lastmod>(.*?)</lastmod>', 1) AS lastmod,
+    regexp_extract(entry, '<changefreq>(.*?)</changefreq>', 1) AS changefreq
+  FROM entries
+),
+known AS (
+  SELECT 'https://' || host || '.example.com/page/' || k AS url
+  FROM hosts, (SELECT unnest([0, 2, 4]) AS k)
+),
+flagged AS (
+  SELECT p.*, (k.url IS NULL) AS is_new
+  FROM parsed p LEFT JOIN known k ON p.loc = k.url
+)
+SELECT host, loc, lastmod, changefreq, is_new,
+  row_number() OVER (
+    PARTITION BY host
+    ORDER BY CAST(is_new AS INT) DESC,
+      CASE changefreq WHEN 'daily' THEN 0 WHEN 'weekly' THEN 1 ELSE 2 END,
+      lastmod DESC, loc
+  ) AS fetch_rank
+FROM flagged
 """,
         "langid": _langid_sql(),
         "quality_score": _quality_sql(),

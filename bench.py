@@ -114,6 +114,7 @@ HEADLINE = [
     "html_clean_corpus",
     "html_robots",
     "robots_txt_allow",
+    "sitemap_discover",
     "charset_decode",
     "mime_sniff",
     "jsonl_ingest",

@@ -1443,3 +1443,95 @@ def robots_txt_allow(robots: DataFrame, urls: DataFrame) -> DataFrame:
             F.col("prefix_len").cast("int").alias("matched_len"),
         )
     )
+
+
+# --- sitemap.xml parsing + crawl discovery -----------------------------------
+
+
+def synth_sitemaps(hosts: DataFrame, per_host: int = 6) -> DataFrame:
+    """Deterministic sitemap.xml per host: `per_host` <url> entries with
+    loc/lastmod/changefreq cycling a fixed pattern — pure JVM concat,
+    mirrored verbatim by the SQL twin. Entry k of host h points at
+    https://{h}.example.com/page/{k}; lastmod day-of-month cycles 1..28,
+    changefreq cycles daily/weekly/monthly."""
+    entries = []
+    for k in range(per_host):
+        freq = ("daily", "weekly", "monthly")[k % 3]
+        entries.append(
+            F.concat(
+                F.lit("<url><loc>https://"),
+                F.col("host"),
+                F.lit(f".example.com/page/{k}</loc>"
+                      f"<lastmod>2024-01-{k % 28 + 1:02d}</lastmod>"
+                      f"<changefreq>{freq}</changefreq></url>"),
+            )
+        )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'), *entries, F.lit("</urlset>")
+    )
+    return hosts.select("host", xml.alias("sitemap_xml"))
+
+
+def sitemap_parse(sitemaps: DataFrame) -> DataFrame:
+    """Parse (host, sitemap_xml) into one row per <url> entry:
+    (host, loc, lastmod, changefreq). JVM-side regexp_extract_all over the
+    <url> blocks — no shuffle, no Python; missing lastmod/changefreq come
+    back as empty strings (the twin's regexp_extract agrees)."""
+    block = F.explode(
+        F.regexp_extract_all("sitemap_xml", F.lit(r"<url>(.*?)</url>"), 1)
+    ).alias("entry")
+    return sitemaps.select("host", block).select(
+        "host",
+        F.regexp_extract("entry", r"<loc>(.*?)</loc>", 1).alias("loc"),
+        F.regexp_extract("entry", r"<lastmod>(.*?)</lastmod>", 1).alias(
+            "lastmod"
+        ),
+        F.regexp_extract(
+            "entry", r"<changefreq>(.*?)</changefreq>", 1
+        ).alias("changefreq"),
+    )
+
+
+def sitemap_discover(sitemaps: DataFrame, known: DataFrame) -> DataFrame:
+    """Crawl discovery: sitemap entries classified against the frontier's
+    known-url set — (host, loc, lastmod, changefreq, is_new) with a
+    deterministic recrawl priority rank per host (new first, then by
+    changefreq daily<weekly<monthly, then most-recent lastmod, loc
+    tiebreak).
+
+    Scale plan: the parse is shuffle-free; the known-set membership is one
+    left join on loc (the known side is the frontier table — equi-join,
+    AQE-broadcast when small); the rank is one window per host over the
+    host's own sitemap entries (bounded: 50k urls per sitemap file by
+    spec)."""
+    parsed = sitemap_parse(sitemaps)
+    flagged = (
+        parsed.join(
+            known.select(F.col("url").alias("loc")).withColumn(
+                "_known", F.lit(1)
+            ),
+            "loc",
+            "left",
+        )
+        .withColumn("is_new", F.col("_known").isNull())
+        .drop("_known")
+    )
+    freq_rank = (
+        F.when(F.col("changefreq") == "daily", 0)
+        .when(F.col("changefreq") == "weekly", 1)
+        .otherwise(2)
+    )
+    w = W.partitionBy("host").orderBy(
+        F.col("is_new").cast("int").desc(),
+        freq_rank.asc(),
+        F.col("lastmod").desc(),
+        F.col("loc"),
+    )
+    return flagged.select(
+        "host",
+        "loc",
+        "lastmod",
+        "changefreq",
+        "is_new",
+        F.row_number().over(w).alias("fetch_rank"),
+    )
