@@ -2162,6 +2162,15 @@ def _moji_udf():
     return _moji
 
 
+def with_repaired_text(documents: DataFrame) -> DataFrame:
+    """documents with `text` replaced by the mojibake-repair kernel's output
+    (same single Arrow crossing as mojibake_repair) — the form pipeline jobs
+    consume when they want the repaired text itself (mirrors
+    with_normalized_text)."""
+    moji = _moji_udf()
+    return documents.withColumn("text", moji(F.col("text")))
+
+
 def mojibake_repair(documents: DataFrame) -> DataFrame:
     """(doc_id, repaired_md5, n_before, n_after, changed): double-encoded
     UTF-8 (mojibake) repaired by the shared pure kernel.

@@ -3,8 +3,13 @@
 Composes the operator set into the standard curation pipeline over a
 documents table (doc_id, text, lang, source):
 
+    [--mojibake]   double-encoded UTF-8 repair (one Arrow crossing)
     [--normalize]  unicode repair (NFC + control strip, one Arrow crossing)
     corpus_curate  language / length / quality / exact-dup keep-list
+    [--c4]         C4 line/page heuristic gate (pure codegen, pre-dedup;
+                   NOTE: the synthetic word-soup testdata has no terminal
+                   punctuation, so this gate correctly drops ~all of it —
+                   meaningful on real prose, see test_c4_and_mojibake_stages)
     [--near-dedup] MinHash-LSH connected components, keep the cluster min
     [--benchmark]  8-gram decontamination against an eval set
     train_split    content-hash train/val/test banding
@@ -12,7 +17,7 @@ documents table (doc_id, text, lang, source):
                    (one row per INPUT doc: final keep + first-fail reason)
 
 Every drop is auditable: the audit table carries a reason per document
-(ok | lang | short | low_quality | dup | near_dup | contaminated), first
+(ok | lang | short | low_quality | c4 | dup | near_dup | contaminated), first
 failing rule wins in that order — a curated corpus you cannot explain is a
 curated corpus you cannot debug at 10^12 documents.
 
@@ -54,15 +59,33 @@ def curate(
     near_dedup: bool = True,
     benchmark: DataFrame | None = None,
     lang: str = "en",
+    mojibake: bool = False,
+    c4: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated, audit). curated = surviving documents + split;
     audit = every input doc_id with (keep, reason, split|NULL)."""
+    if mojibake:
+        docs = textops.with_repaired_text(docs)
     if normalize:
         docs = textops.with_normalized_text(docs)
 
     base = textops.corpus_curate(docs, lang=lang).select(
         "doc_id", "keep", "reason"
     )
+
+    if c4:
+        # heuristic page gate BEFORE the expensive dedup stages: documents
+        # it drops never enter the LSH band join
+        flags = textops.c4_filters(docs).select("doc_id", "c4_pass")
+        base = base.join(flags, "doc_id", "left").select(
+            "doc_id",
+            (F.col("keep") & F.coalesce("c4_pass", F.lit(True))).alias("keep"),
+            F.when(
+                F.col("keep") & ~F.coalesce("c4_pass", F.lit(True)), "c4"
+            )
+            .otherwise(F.col("reason"))
+            .alias("reason"),
+        )
 
     if near_dedup:
         survivors = docs.join(
@@ -111,6 +134,10 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="output dir")
     ap.add_argument("--lang", default="en")
     ap.add_argument("--normalize", action="store_true")
+    ap.add_argument("--mojibake", action="store_true",
+                    help="repair double-encoded UTF-8 before curation")
+    ap.add_argument("--c4", action="store_true",
+                    help="apply the C4 line/page heuristic gate")
     ap.add_argument("--near-dedup", action="store_true")
     ap.add_argument("--benchmark", default=None, help="benchmark parquet for decontamination")
     ap.add_argument("--cores", default=None)
@@ -121,6 +148,8 @@ def main() -> None:
     # discipline); normalization is applied BEFORE the persist so the
     # Arrow crossing runs once, not once per downstream stage
     docs = spark.read.parquet(args.input)
+    if args.mojibake:
+        docs = textops.with_repaired_text(docs)
     if args.normalize:
         docs = textops.with_normalized_text(docs)
     docs = docs.persist()
@@ -130,6 +159,7 @@ def main() -> None:
         near_dedup=args.near_dedup,
         benchmark=bench,
         lang=args.lang,
+        c4=args.c4,
     )
     audit = audit.persist()
     (
