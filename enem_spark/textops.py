@@ -2088,6 +2088,14 @@ def c4_filters(
     r_badword, r_min_sentences, c4_pass, kept_md5). kept_md5 digests the
     kept lines joined by '\\n' (original, untrimmed).
 
+    Regex-dialect note: Java's `$` matches before a FINAL line terminator,
+    so a '...done.\\r' line (from \\r\\n input split on '\\n') passes the
+    terminal-punct rule; RE2 (the DuckDB twin) and Python anchor at
+    end-of-text only. The parity corpus never carries '\\r'; run
+    unicode_normalize first on real crawls (it canonicalizes newlines) and
+    the dialects agree. Pinned by the mirror battery in
+    tests/test_c4_mojibake.py.
+
     Scale plan: pure per-row array higher-order functions — no shuffle, no
     Python; whole-stage codegen end to end, so it composes with any
     downstream agg at 100 TB without adding an exchange."""

@@ -140,3 +140,77 @@ def test_plant_mojibake_residue_split(spark):
     assert texts[9].startswith(twice) and texts[0].startswith(twice)
     assert texts[3].startswith(once) and not texts[3].startswith(twice)
     assert texts[1] == "t"
+
+
+# --- pure mirror differential (edge battery) ---------------------------------
+
+
+def _c4_py(text: str) -> dict:
+    """Pure mirror of textops.c4_filters with JAVA regex semantics (the
+    engine is the spec): \\s is ASCII-only, trim strips 0x20 only."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    # Java's unanchored `$` matches BEFORE a final line terminator, so a
+    # line like 'done.\r' (from \r\n input split on \n) still matches —
+    # mirror that here explicitly
+    term = re.compile(r'[.!?"](?:\r\n|[\n\r  ])?$')
+    bad = re.compile(r"\b(casino|viagra|xxx)\b", re.IGNORECASE | re.ASCII)
+    lines = text.split("\n")
+    kept = [
+        l
+        for l in lines
+        if term.search(l.strip(" "))
+        and len(ws.split(l.strip(" "))) >= 5
+        and "javascript" not in l.lower()
+    ]
+    kept_text = "\n".join(kept)
+    n_sent = sum(kept_text.count(c) for c in ".!?")
+    r_lorem = "lorem ipsum" not in text.lower()
+    r_brace = "{" not in text
+    r_badword = not bad.search(text)
+    return {
+        "n_lines": len(lines),
+        "n_kept_lines": len(kept),
+        "n_sentences": n_sent,
+        "r_lorem": r_lorem,
+        "r_brace": r_brace,
+        "r_badword": bool(r_badword),
+        "r_min_sentences": n_sent >= 3,
+        "c4_pass": r_lorem and r_brace and bool(r_badword) and n_sent >= 3,
+        "kept_md5": hashlib.md5(kept_text.encode()).hexdigest(),
+    }
+
+
+EDGE_TEXTS = [
+    "",                                # empty -> 1 line, 0 kept
+    "\n\n\n",                          # blank lines only
+    "word " * 5 + ".",                 # trailing space before the period
+    "one two three four five.",        # exactly 5 words
+    "one two three four.",             # 4 words -> dropped
+    'he said "stop".',                 # quote inside, period ends
+    'a full quoted line with ending "',  # ends on closing quote
+    "tab\tseparated words make a line.",  # tab is a word separator
+    "line with carriage return.\r\nnext line here with five words.",
+    "nbsp is not a java word separator here okay.",  # \xa0 NOT \s in Java
+    "ALL CAPS JAVASCRIPT WARNING LINE HERE.",  # javascript, case-insensitive
+    "Lorem IPSUM dolor sit amet appears mid page.",
+    "casino",                          # badword alone (short line though)
+    "casinos are not blocked here because word boundary.",
+    "multi. sentence. line. counts. them. all.",
+    "   leading spaces then five proper words here.",
+    "unicode é ação com cinco palavras aqui presentes.",
+]
+
+
+def test_c4_pure_mirror_edge_battery(spark):
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(EDGE_TEXTS)]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textops.c4_filters(spark.createDataFrame(rows)).collect()
+    }
+    for i, t in enumerate(EDGE_TEXTS):
+        exp = _c4_py(t)
+        actual = {k: got[i][k] for k in exp}
+        assert actual == exp, f"doc {i} ({t!r}):\n spark={actual}\n py   ={exp}"
