@@ -155,7 +155,7 @@ def _c4_py(text: str) -> dict:
     # Java's unanchored `$` matches BEFORE a final line terminator, so a
     # line like 'done.\r' (from \r\n input split on \n) still matches —
     # mirror that here explicitly
-    term = re.compile(r'[.!?"](?:\r\n|[\n\r  ])?$')
+    term = re.compile('[.!?"](?:\\r\\n|[\\n\\r\\u0085\\u2028\\u2029])?$')
     bad = re.compile(r"\b(casino|viagra|xxx)\b", re.IGNORECASE | re.ASCII)
     lines = text.split("\n")
     kept = [
