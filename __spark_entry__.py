@@ -515,6 +515,58 @@ def q_incr_dedup_minhash(spark, sf_dir):
     )
 
 
+_SIG_STAGED: set[str] = set()
+
+
+def _sig_store_dir(spark, sf_dir):
+    """Stage (memoized per process; idempotent on disk across processes) a
+    committed PARITY-config signature index over the documents table, built
+    in TWO maintenance runs — evens first, then everyone — so the staging
+    itself exercises the anti-join resume path. The probe query below then
+    hash-matching the plain incremental SQL twin certifies the store's
+    write -> commit-gate -> read round trip, icetable-staging style."""
+    import hashlib
+    import os
+
+    from enem_spark import sigindex
+
+    sf_dir = os.path.normpath(sf_dir)
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    out = f"/tmp/enem_sigidx_{tag}"
+    if out in _SIG_STAGED:
+        return out
+    docs = _t(spark, sf_dir, "documents")
+    p, b = textops.PARITY_PERMS, textops.PARITY_BANDS
+    sigindex.update_signature_index(
+        spark, out, source=docs.filter(F.col("doc_id") % 2 == 0), perms=p, bands=b
+    )
+    sigindex.update_signature_index(spark, out, source=docs, perms=p, bands=b)
+    _SIG_STAGED.add(out)
+    return out
+
+
+def q_sig_probe_near_dup(spark, sf_dir):
+    """Store-backed incremental near-dup (sigindex.probe_near_dups): the
+    new increment LSH-joins the PERSISTED committed signature index — the
+    existing corpus's text is read zero times. Same semantics as
+    incr_dedup_minhash (shared estimator), so the twin is the same SQL."""
+    from enem_spark import sigindex
+
+    out = _sig_store_dir(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return sigindex.probe_near_dups(
+        spark,
+        out,
+        _incr_new(docs),
+        threshold=0.5,
+        perms=textops.PARITY_PERMS,
+        bands=textops.PARITY_BANDS,
+    )
+
+
 def _messy_urls(docs):
     """Deterministic messy-url synthesis (documents carry no url column):
     four variants cycling on doc_id — uppercase scheme/host + default port
@@ -1211,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "incr_dedup_exact": q_incr_dedup_exact,
         "incr_dedup_minhash": q_incr_dedup_minhash,
+        "sig_probe_near_dup": q_sig_probe_near_dup,
         "url_canonicalize": q_url_canonicalize,
         "url_filter": q_url_filter,
         "boilerplate_strip": q_boilerplate_strip,
@@ -3585,6 +3638,11 @@ FROM read_parquet('{pack_expected}')
         "dedup_minhash_estimate": _minhash_est_only_sql(0.25),
         "incr_dedup_exact": _INCR_EXACT_SQL,
         "incr_dedup_minhash": _incr_minhash_sql(0.5),
+        # store-backed probe is semantically identical to the recompute
+        # path (shared estimator) — same twin; the Spark side routes
+        # through the persisted committed index, so a hash match certifies
+        # the store round trip on top of the estimate itself
+        "sig_probe_near_dup": _incr_minhash_sql(0.5),
         "url_canonicalize": _URL_CANON_SQL,
         "url_filter": _url_filter_sql(),
         "boilerplate_strip": _BOILER_SQL,

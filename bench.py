@@ -83,6 +83,7 @@ HEADLINE = [
     "dedup_minhash_estimate",
     "incr_dedup_exact",
     "incr_dedup_minhash",
+    "sig_probe_near_dup",
     "bloom_dedup",
     "url_canonicalize",
     "source_percentiles",

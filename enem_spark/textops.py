@@ -123,6 +123,22 @@ def incremental_minhash_dedup(
     )
     if persist_to is not None:
         persist_to.extend((sig_new, sig_ex))
+    return _estimate_new_vs_existing(sig_new, sig_ex, threshold, perms, bands)
+
+
+def _estimate_new_vs_existing(
+    sig_new: DataFrame,
+    sig_ex: DataFrame,
+    threshold: float,
+    perms: int,
+    bands: int,
+) -> DataFrame:
+    """Shared estimator over two SIGNATURE frames (doc_id, mh0..mh{k-1}):
+    band-bucket join for candidates (new×existing only), then est_jaccard =
+    fraction of agreeing signature components. Callers own persistence of
+    the signature frames (each side is read twice: band table + agree join).
+    sigindex.probe_near_dups feeds the existing side from the PERSISTED
+    store, so this is also the plan the materialized index executes."""
     bn = _band_table(sig_new, perms, bands).alias("n")
     be = _band_table(sig_ex, perms, bands).alias("e")
     candidates = (
