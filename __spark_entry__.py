@@ -990,6 +990,45 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+def q_wet_export(spark, sf_dir):
+    """Distributed WET export (sources/warc.wet_shards): the corpus back
+    into CC's extracted-text container — content-derived shard assignment,
+    url-ordered conversion records, per-record mtime=0 gzip members, so the
+    whole export is a pure function of the input set. The oracle is the
+    byte-level twin: the pure staging builds every shard with the SAME
+    shared functions, and matching wet_md5 certifies the distributed
+    assembly byte-for-byte."""
+    import pandas as pd
+
+    from enem_spark.sources import warc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def gen(batches):
+        # url/date from the SAME pure functions the staging twin uses
+        from enem_spark.htmlops import page_url
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        page_url(i, s)
+                        for i, s in zip(pdf["doc_id"], pdf["source"])
+                    ],
+                    "wet_date": [
+                        warc.iso_date(warc.EPOCH_S + int(i))
+                        for i in pdf["doc_id"]
+                    ],
+                    "text": pdf["text"],
+                }
+            )
+
+    frame = docs.mapInPandas(gen, "url string, wet_date string, text string")
+    return warc.wet_shards(frame, n_shards=8).select(
+        "shard_id", "n_records", "wet_len", "wet_md5"
+    )
+
+
 def q_jsonl_ingest(spark, sf_dir):
     """JSONL-container ingestion (sources/jsonl.py): native json source
     with an explicit schema (no inference pass) and PERMISSIVE
@@ -1305,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_paragraph_langid": q_html_paragraph_langid,
         "html_clean_corpus": q_html_clean_corpus,
         "warc_ingest": q_warc_ingest,
+        "wet_export": q_wet_export,
         "jsonl_ingest": q_jsonl_ingest,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_time_travel": q_iceberg_time_travel,
@@ -2917,6 +2957,12 @@ def oracle_sql() -> dict[str, str]:
     from enem_spark.sources.warc import stage_warc_files
 
     warc_staged = stage_warc_files(oracle_sf)
+    # wet twin: shard bytes rebuilt sequentially with the SAME shared
+    # encode functions — matching wet_md5 is byte-level certification of
+    # the distributed export
+    from enem_spark.sources.warc import stage_wet_expected
+
+    wet_expected = stage_wet_expected(oracle_sf, n_shards=8)
     # jsonl twin: same protocol — expected table staged from SOURCE rows
     # pre-encode; the SELECT certifies the encode->parse round trip
     from enem_spark.sources.jsonl import stage_jsonl_files
@@ -2989,6 +3035,10 @@ FULL OUTER JOIN read_parquet('{ice_staged["expected_new"]}') n
         "warc_ingest": f"""
 SELECT url, warc_date, html_md5, html_len, http_status
 FROM read_parquet('{warc_staged["expected"]}')
+""",
+        "wet_export": f"""
+SELECT shard_id, n_records, wet_len, wet_md5
+FROM read_parquet('{wet_expected}')
 """,
         "jsonl_ingest": f"""
 SELECT url, fetch_ts, md5(text) AS text_md5,

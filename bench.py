@@ -119,6 +119,7 @@ HEADLINE = [
     "charset_decode",
     "mime_sniff",
     "jsonl_ingest",
+    "wet_export",
     "ccnet_buckets",
     "embedding_decontaminate",
     "cap_per_host",

@@ -47,6 +47,7 @@ READ_SCHEMA = T.StructType(
         T.StructField("warc_file", T.StringType(), False),
         T.StructField("record_offset", T.LongType(), True),
         T.StructField("error", T.StringType(), True),
+        T.StructField("warc_type", T.StringType(), True),
     ]
 )
 
@@ -77,6 +78,26 @@ def encode_record(
         + f"Content-Length: {len(http)}\r\n".encode()
     )
     return headers + b"\r\n" + http + b"\r\n\r\n"
+
+
+def encode_conversion_record(url: str, date: str, text: bytes) -> bytes:
+    """One WARC/1.0 conversion record — the WET representation of a page:
+    the extracted plain text, no HTTP envelope. WARC-Refers-To names the
+    response record the same (url, date) would produce, so a WET shard
+    stays joinable back to its WARC original by id."""
+    rec_id = hashlib.md5(f"{url}|{date}|conversion".encode()).hexdigest()
+    refers = hashlib.md5(f"{url}|{date}".encode()).hexdigest()
+    headers = (
+        WARC_MAGIC + b"\r\n"
+        b"WARC-Type: conversion\r\n"
+        + f"WARC-Record-ID: <urn:md5:{rec_id}>\r\n".encode()
+        + f"WARC-Refers-To: <urn:md5:{refers}>\r\n".encode()
+        + f"WARC-Date: {date}\r\n".encode()
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(text)}\r\n".encode()
+    )
+    return headers + b"\r\n" + text + b"\r\n\r\n"
 
 
 def encode_warcinfo(filename: str) -> bytes:
@@ -130,6 +151,7 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> list[dict]:
                 "warc_file": warc_file,
                 "record_offset": offset,
                 "error": msg,
+                "warc_type": None,
             }
         )
 
@@ -194,6 +216,22 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> list[dict]:
                     "warc_file": warc_file,
                     "record_offset": start,
                     "error": None,
+                    "warc_type": "response",
+                }
+            )
+        elif headers.get("warc-type") == "conversion":
+            # WET record: payload is the extracted plain text, no HTTP
+            # envelope — `html` carries the raw text bytes
+            out.append(
+                {
+                    "url": headers.get("warc-target-uri"),
+                    "warc_date": headers.get("warc-date"),
+                    "html": payload,
+                    "http_status": None,
+                    "warc_file": warc_file,
+                    "record_offset": start,
+                    "error": None,
+                    "warc_type": "conversion",
                 }
             )
         # warcinfo / request / metadata records: skipped, no row
@@ -237,6 +275,106 @@ def warc_pages(records: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WET export: the cleaned corpus back into the crawl-container format.
+
+WET_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.IntegerType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("wet_len", T.LongType(), False),
+        T.StructField("wet_md5", T.StringType(), False),
+        T.StructField("wet", T.BinaryType(), False),
+    ]
+)
+
+
+def _wet_shard_expr(n_shards: int):
+    """Shard assignment from the url's md5 head — conv() Spark-side,
+    CAST('0x'||…) DuckDB-side (the bloom_dedup hex convention), and plain
+    int(hex, 16) in the pure staging twin."""
+    return F.pmod(
+        F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+
+
+def _wet_shard_bytes(sid: int, urls, dates, texts, gzip_members: bool) -> bytes:
+    """One WET shard, deterministically: leading warcinfo + conversion
+    records in url order, per-record gzip members (mtime=0). Shared by the
+    Spark sink and the pure staging twin — byte identity by construction."""
+    recs = [encode_warcinfo(f"wet-{sid:05d}.warc.wet.gz")]
+    recs += [
+        encode_conversion_record(u, d, (t or "").encode("utf-8"))
+        for u, d, t in zip(urls, dates, texts)
+    ]
+    return encode_warc_file(recs, gzip_members)
+
+
+def wet_shards(
+    docs: DataFrame, n_shards: int = 8, gzip_members: bool = True
+) -> DataFrame:
+    """Distributed WET export: an (url, wet_date, text) frame -> one
+    `.warc.wet.gz` file image per shard (CC's extracted-text sibling of the
+    WARC archive). Sharding is content-derived (md5(url) head), records
+    within a shard are url-ordered, every gzip member has mtime=0 — the
+    whole export is a pure function of the input set, so re-runs are
+    byte-identical and shards can be diffed across snapshots.
+
+    Plan: one hash exchange on shard_id, then one applyInPandas assembling
+    each shard's bytes — the assembly is per-shard sequential by design
+    (a WET file is one ordered byte stream); parallelism is the shard
+    count, which at crawl scale is the CC convention of many ~100 MB
+    files. Round-trips through read_warc/parse_warc_bytes (conversion
+    records)."""
+    tagged = docs.select(
+        _wet_shard_expr(n_shards).alias("shard_id"), "url", "wet_date", "text"
+    )
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(key[0])
+        pdf = pdf.sort_values("url", kind="mergesort")
+        data = _wet_shard_bytes(
+            sid, pdf["url"], pdf["wet_date"], pdf["text"], gzip_members
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "shard_id": sid,
+                    "n_records": len(pdf),
+                    "wet_len": len(data),
+                    "wet_md5": hashlib.md5(data).hexdigest(),
+                    "wet": data,
+                }
+            ]
+        )
+
+    return tagged.groupBy("shard_id").applyInPandas(build, WET_SCHEMA)
+
+
+def wet_texts(records: DataFrame) -> DataFrame:
+    """Conversion records -> (url, warc_date, text): the WET reader view.
+    Decode is utf-8/replace in an Arrow crossing (charset protocol: one bad
+    record must not kill a job — JVM cast would be strict under ANSI)."""
+    conv = records.filter(
+        F.col("error").isNull() & (F.col("warc_type") == "conversion")
+    ).select("url", "warc_date", "html")
+
+    def dec(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_date": pdf["warc_date"],
+                    "text": [
+                        bytes(b).decode("utf-8", "replace") for b in pdf["html"]
+                    ],
+                }
+            )
+
+    return conv.mapInPandas(dec, "url string, warc_date string, text string")
 
 
 # ---------------------------------------------------------------------------
@@ -314,3 +452,70 @@ def stage_warc_files(
 
     _STAGED[sf_dir] = {"warc_dir": warc_dir, "expected": expected_path}
     return _STAGED[sf_dir]
+
+
+_WET_STAGED: dict[str, str] = {}
+
+
+def stage_wet_expected(sf_dir: str, n_shards: int = 8) -> str:
+    """Pure-Python twin of the wet_export driver query: build every shard's
+    bytes with the SAME shared functions (_wet_shard_bytes over page_url /
+    iso_date inputs) and stage (shard_id, n_records, wet_len, wet_md5) as
+    parquet — a driver hash match certifies the distributed assembly is
+    byte-identical to the sequential reference. No SparkSession (callable
+    from oracle_sql())."""
+    import duckdb
+
+    from ..htmlops import page_url
+
+    sf_dir = os.path.normpath(sf_dir)
+    key = f"{sf_dir}|{n_shards}"
+    if key in _WET_STAGED:
+        return _WET_STAGED[key]
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    base = os.path.join("/tmp", f"enem_warc_{tag}")
+    os.makedirs(base, exist_ok=True)
+    expected_path = os.path.join(base, f"wet_expected_{n_shards}.parquet")
+    if not os.path.exists(expected_path):
+        rows = duckdb.sql(
+            "SELECT doc_id, text, source FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+        shards: list[list[tuple[str, str, str]]] = [[] for _ in range(n_shards)]
+        for doc_id, text, source in rows:
+            doc_id = int(doc_id)
+            url = page_url(doc_id, source)
+            date = iso_date(EPOCH_S + doc_id)
+            sid = int(hashlib.md5(url.encode()).hexdigest()[:8], 16) % n_shards
+            shards[sid].append((url, date, text))
+        expected = []
+        for sid, items in enumerate(shards):
+            if not items:
+                # applyInPandas produces no row for an absent group; an
+                # empty shard must not exist on either side (CC writes no
+                # empty files)
+                continue
+            items.sort(key=lambda t: t[0])
+            data = _wet_shard_bytes(
+                sid,
+                [u for u, _, _ in items],
+                [d for _, d, _ in items],
+                [t or "" for _, _, t in items],
+                gzip_members=True,
+            )
+            expected.append(
+                {
+                    "shard_id": sid,
+                    "n_records": len(items),
+                    "wet_len": len(data),
+                    "wet_md5": hashlib.md5(data).hexdigest(),
+                }
+            )
+        pd.DataFrame(expected).astype(
+            {"shard_id": "int32", "n_records": "int64", "wet_len": "int64"}
+        ).to_parquet(expected_path, index=False)
+    _WET_STAGED[key] = expected_path
+    return expected_path

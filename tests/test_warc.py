@@ -113,3 +113,81 @@ def test_html_payload_composes_with_dom_extraction(spark):
     main = htmlops.extract_main_content(as_html)
     n_nonempty = main.filter(F.length("main_text") > 0).count()
     assert n_nonempty == 500
+
+
+# ---------------------------------------------------------------------------
+# WET export (conversion records)
+
+
+def test_wet_conversion_round_trip_pure():
+    """encode_conversion_record -> parse_warc_bytes: text bytes, type, and
+    the refers-to link back to the response record id."""
+    recs = [
+        (u, d, f"texto extraido {i} do doc.".encode())
+        for i, (u, d, _) in enumerate(_sample_records(4))
+    ]
+    blob = warc.encode_warc_file(
+        [warc.encode_warcinfo("f.warc.wet.gz")]
+        + [warc.encode_conversion_record(u, d, t) for u, d, t in recs],
+        gzip_members=True,
+    )
+    rows = warc.parse_warc_bytes(blob, "f.warc.wet.gz")
+    assert [(r["url"], r["warc_date"], r["html"]) for r in rows] == recs
+    assert all(r["warc_type"] == "conversion" for r in rows)
+    assert all(r["http_status"] is None for r in rows)
+    assert all(r["error"] is None for r in rows)
+    # the raw record names its WARC original
+    raw = warc.encode_conversion_record(*recs[0])
+    refers = hashlib.md5(f"{recs[0][0]}|{recs[0][1]}".encode()).hexdigest()
+    assert f"WARC-Refers-To: <urn:md5:{refers}>".encode() in raw
+
+
+def test_wet_shards_round_trip_spark(spark, tmp_path):
+    """Distributed export -> files on disk -> read_warc -> wet_texts must
+    return the exact (url, wet_date, text) set, and a re-export is
+    byte-identical (determinism across runs)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    frame = docs.select(
+        F.concat(F.lit("cc://"), F.col("source"), F.lit(".example.com/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(warc.iso_date(warc.EPOCH_S)).alias("wet_date"),
+        "text",
+    )
+    shards = warc.wet_shards(frame, n_shards=4).collect()
+    assert sum(r.n_records for r in shards) == docs.count()
+    assert {r.shard_id for r in shards} <= set(range(4))
+    md5s = {r.shard_id: r.wet_md5 for r in shards}
+    for r in shards:
+        assert hashlib.md5(bytes(r.wet)).hexdigest() == r.wet_md5
+
+    # byte determinism: a second export produces the same shard bytes
+    again = {r.shard_id: r.wet_md5 for r in warc.wet_shards(frame, n_shards=4).collect()}
+    assert again == md5s
+
+    wet_dir = tmp_path / "wet"
+    wet_dir.mkdir()
+    for r in shards:
+        (wet_dir / f"wet-{r.shard_id:05d}.warc.wet.gz").write_bytes(bytes(r.wet))
+    back = warc.wet_texts(warc.read_warc(spark, str(wet_dir)))
+    got = {(r.url, r.warc_date, r.text) for r in back.collect()}
+    want = {(r.url, r.wet_date, r.text) for r in frame.collect()}
+    assert got == want
+
+
+def test_wet_expected_staging_matches_spark(spark):
+    """The pure staging twin's shard digests equal the distributed
+    export's over the driver-query input (byte-level equivalence of the
+    sequential reference and the Spark assembly)."""
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    spdf = entry.queries()["wet_export"](spark, SF_DIR).toPandas()
+    exp = pd.read_parquet(warc.stage_wet_expected(SF_DIR, n_shards=8))
+    s = spdf.sort_values("shard_id").reset_index(drop=True)
+    e = exp.sort_values("shard_id").reset_index(drop=True)
+    assert list(s["shard_id"]) == list(e["shard_id"])
+    assert list(s["wet_md5"]) == list(e["wet_md5"])
+    assert list(s["n_records"]) == list(e["n_records"])
