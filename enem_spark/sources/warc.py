@@ -354,6 +354,54 @@ def wet_shards(
     return tagged.groupBy("shard_id").applyInPandas(build, WET_SCHEMA)
 
 
+def write_wet_dir(shards: DataFrame, path: str) -> list[dict]:
+    """Materialize a wet_shards frame as files under ``path`` — written
+    from the EXECUTORS (the shared-storage contract every Spark file sink
+    assumes), one `wet-<shard>.warc.wet.gz` per row, tmp-file + atomic
+    rename so a crashed task never leaves a torn file. Deterministic names
+    and byte-deterministic content make any re-run an idempotent
+    overwrite. Returns the manifest (shard_id, n_records, wet_len,
+    wet_md5, file), collected — one tiny row per shard."""
+    os.makedirs(path, exist_ok=True)
+
+    manifest_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.IntegerType(), False),
+            T.StructField("n_records", T.LongType(), False),
+            T.StructField("wet_len", T.LongType(), False),
+            T.StructField("wet_md5", T.StringType(), False),
+            T.StructField("file", T.StringType(), False),
+        ]
+    )
+
+    def write(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                fname = os.path.join(
+                    path, f"wet-{int(r.shard_id):05d}.warc.wet.gz"
+                )
+                tmp = f"{fname}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as fh:
+                    fh.write(bytes(r.wet))
+                os.replace(tmp, fname)
+                rows.append(
+                    {
+                        "shard_id": int(r.shard_id),
+                        "n_records": int(r.n_records),
+                        "wet_len": int(r.wet_len),
+                        "wet_md5": r.wet_md5,
+                        "file": fname,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in manifest_schema.fields]
+            )
+
+    out = shards.mapInPandas(write, manifest_schema)
+    return [r.asDict() for r in out.collect()]
+
+
 def wet_texts(records: DataFrame) -> DataFrame:
     """Conversion records -> (url, warc_date, text): the WET reader view.
     Decode is utf-8/replace in an Arrow crossing (charset protocol: one bad

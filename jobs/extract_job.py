@@ -25,6 +25,11 @@ Modes:
                    incrementally from the last committed snapshot sequence
                    (--full forces a whole-snapshot re-plan); re-invoking
                    after each table commit is the crawl-tail batch loop
+  --sig-index      with --html: maintain the minhash signature index after
+                   the run (sign ONLY newly committed docs — exactly-once)
+  --wet-out DIR    with --html: export committed main content as CC-style
+                   WET shards (byte-deterministic; re-runs overwrite
+                   idempotently)
 """
 
 from __future__ import annotations
@@ -60,6 +65,14 @@ def main() -> None:
     ap.add_argument("--mime-filter", action="store_true",
                     help="with --iceberg: drop non-text payloads (magic-byte "
                          "triage) before extraction")
+    ap.add_argument("--sig-index", action="store_true",
+                    help="with --html: after the run, sign newly committed "
+                         "main content into the minhash signature index "
+                         "(sigindex.update_signature_index, engine config)")
+    ap.add_argument("--wet-out", default=None,
+                    help="with --html: export the committed main content "
+                         "as CC-style WET shards into this directory")
+    ap.add_argument("--wet-shards", type=int, default=8)
     ap.add_argument("--completeness-delay-s", type=int, default=0)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
@@ -78,6 +91,9 @@ def main() -> None:
     if args.iceberg and (args.streaming or not args.html):
         ap.error("--iceberg requires --html batch mode (the snapshot "
                  "watermark IS the tail: re-invoke after each commit)")
+    if (args.sig_index or args.wet_out) and not args.html:
+        ap.error("--sig-index/--wet-out operate on committed main content "
+                 "(html pipeline outputs)")
 
     if args.html:
         if args.streaming:
@@ -113,6 +129,32 @@ def main() -> None:
                 spark, pages, args.output, args.run_id,
                 with_anchors=args.anchors,
             )
+        if args.sig_index:
+            from enem_spark.sigindex import update_signature_index
+
+            summary["sig_index"] = update_signature_index(spark, args.output)
+        if args.wet_out:
+            from pyspark.sql import functions as F
+
+            from enem_spark.lineage import committed_main_content
+            from enem_spark.sources import warc
+
+            main = committed_main_content(spark, args.output)
+            if main is None:
+                summary["wet"] = []
+            else:
+                # main_content carries no capture timestamp; the export
+                # date is the fixed corpus epoch (determinism over
+                # wall-clock — re-exports stay byte-identical)
+                frame = main.select(
+                    "url",
+                    F.lit(warc.iso_date(warc.EPOCH_S)).alias("wet_date"),
+                    F.col("main_text").alias("text"),
+                )
+                summary["wet"] = warc.write_wet_dir(
+                    warc.wet_shards(frame, n_shards=args.wet_shards),
+                    args.wet_out,
+                )
         print(json.dumps(summary))
         spark.stop()
         return

@@ -125,3 +125,53 @@ def test_spark_submit_py_files(tmp_path, spark):
         [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
     )
     assert summary["input_pages"] > 0 and summary["questions_written"] > 0
+
+
+def test_extract_job_cli_html_sig_index_and_wet(tmp_path, spark):
+    """--html with --sig-index + --wet-out: first run extracts, signs, and
+    exports; the re-run is a document-granular no-op whose sig update
+    commits nothing and whose WET re-export is byte-identical."""
+    from enem_spark.htmlops import synth_html_pages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "pages")
+    synth_html_pages(docs.limit(60)).write.parquet(src)
+    out = str(tmp_path / "out")
+    wet = str(tmp_path / "wet")
+
+    def run(run_id):
+        p = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "jobs", "extract_job.py"),
+                "--input", src, "--output", out, "--html",
+                "--run-id", run_id, "--cores", "2",
+                "--sig-index", "--wet-out", wet, "--wet-shards", "4",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=REPO,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        return json.loads(
+            [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    s1 = run("r1")
+    assert s1["main_rows"] == 60
+    assert s1["sig_index"]["indexed"] == 60
+    assert sum(w["n_records"] for w in s1["wet"]) == 60
+    for w in s1["wet"]:
+        assert os.path.exists(w["file"])
+
+    s2 = run("r2")
+    assert s2["input_pages"] == 0
+    assert s2["sig_index"] == {
+        "indexed": 0,
+        "run_id": "sig128x16_000002",
+        "up_to_date": True,
+    }
+    assert {w["shard_id"]: w["wet_md5"] for w in s2["wet"]} == {
+        w["shard_id"]: w["wet_md5"] for w in s1["wet"]
+    }
