@@ -28,8 +28,8 @@ from __future__ import annotations
 
 import gzip
 import hashlib
-import io
 import os
+import zlib
 from datetime import datetime, timezone
 
 import pandas as pd
@@ -124,11 +124,29 @@ def encode_warc_file(records: list[bytes], gzip_members: bool = True) -> bytes:
     )
 
 
-def _maybe_gunzip(data: bytes) -> bytes:
-    if data[:2] == b"\x1f\x8b":
-        # GzipFile reads ALL concatenated members, not just the first
-        return gzip.GzipFile(fileobj=io.BytesIO(data)).read()
-    return data
+def _maybe_gunzip(data: bytes) -> tuple[bytes, str | None]:
+    """Decompress a concatenated-member gzip stream member by member,
+    salvaging every intact leading member of a corrupt/truncated file
+    (the quarantine philosophy applied to the container itself: one bad
+    shard tail must not kill the ingest task). Returns (decompressed,
+    error_or_None); plain (non-gzip) input passes through untouched."""
+    if data[:2] != b"\x1f\x8b":
+        return data, None
+    out: list[bytes] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            return b"".join(out), "gzip_trailing_garbage"
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error:
+            return b"".join(out), "bad_gzip_member"
+        if not d.eof:
+            return b"".join(out), "truncated_gzip_member"
+        out.append(chunk)
+        pos = n - len(d.unused_data)
+    return b"".join(out), None
 
 
 def parse_warc_bytes(data: bytes, warc_file: str) -> list[dict]:
@@ -136,7 +154,7 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> list[dict]:
     also the driver oracle's staging parser). Returns one dict per response
     record, plus error rows for malformed regions (resynced at the next
     record magic)."""
-    data = _maybe_gunzip(data)
+    data, gz_err = _maybe_gunzip(data)
     out: list[dict] = []
     p = 0
     n = len(data)
@@ -235,6 +253,10 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> list[dict]:
                 }
             )
         # warcinfo / request / metadata records: skipped, no row
+    if gz_err is not None:
+        # after salvaging intact leading members: one error row marking
+        # where the decompressed stream ended
+        err(n, gz_err)
     return out
 
 
