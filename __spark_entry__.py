@@ -1029,6 +1029,54 @@ def q_wet_export(spark, sf_dir):
     )
 
 
+def q_wat_export(spark, sf_dir):
+    """Distributed WAT export (sources/warc.wat_shards): per-page metadata
+    envelopes (canonical JSON: title, outlinks, content length) back into
+    the crawl-container format — the third artifact of the WARC/WET/WAT
+    triple. Byte-level twin like wet_export: the pure staging rebuilds
+    every shard with the SAME shared functions; matching wat_md5 certifies
+    the distributed assembly including the envelope JSON."""
+    import pandas as pd
+
+    from enem_spark.sources import warc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "lang"
+    )
+
+    def gen(batches):
+        # url/date/payload from the SAME pure functions the staging twin uses
+        from enem_spark.htmlops import html_for, page_url
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        page_url(i, s)
+                        for i, s in zip(pdf["doc_id"], pdf["source"])
+                    ],
+                    "wat_date": [
+                        warc.iso_date(warc.EPOCH_S + int(i))
+                        for i in pdf["doc_id"]
+                    ],
+                    "html": [
+                        html_for(i, t, s, g).encode()
+                        for i, t, s, g in zip(
+                            pdf["doc_id"],
+                            pdf["text"],
+                            pdf["source"],
+                            pdf["lang"],
+                        )
+                    ],
+                }
+            )
+
+    frame = docs.mapInPandas(gen, "url string, wat_date string, html binary")
+    return warc.wat_shards(frame, n_shards=8).select(
+        "shard_id", "n_records", "n_links", "wat_len", "wat_md5"
+    )
+
+
 def q_jsonl_ingest(spark, sf_dir):
     """JSONL-container ingestion (sources/jsonl.py): native json source
     with an explicit schema (no inference pass) and PERMISSIVE
@@ -1345,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_clean_corpus": q_html_clean_corpus,
         "warc_ingest": q_warc_ingest,
         "wet_export": q_wet_export,
+        "wat_export": q_wat_export,
         "jsonl_ingest": q_jsonl_ingest,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_time_travel": q_iceberg_time_travel,
@@ -2963,6 +3012,10 @@ def oracle_sql() -> dict[str, str]:
     from enem_spark.sources.warc import stage_wet_expected
 
     wet_expected = stage_wet_expected(oracle_sf, n_shards=8)
+    # wat twin: same byte-level protocol for the metadata-envelope shards
+    from enem_spark.sources.warc import stage_wat_expected
+
+    wat_expected = stage_wat_expected(oracle_sf, n_shards=8)
     # jsonl twin: same protocol — expected table staged from SOURCE rows
     # pre-encode; the SELECT certifies the encode->parse round trip
     from enem_spark.sources.jsonl import stage_jsonl_files
@@ -3039,6 +3092,10 @@ FROM read_parquet('{warc_staged["expected"]}')
         "wet_export": f"""
 SELECT shard_id, n_records, wet_len, wet_md5
 FROM read_parquet('{wet_expected}')
+""",
+        "wat_export": f"""
+SELECT shard_id, n_records, n_links, wat_len, wat_md5
+FROM read_parquet('{wat_expected}')
 """,
         "jsonl_ingest": f"""
 SELECT url, fetch_ts, md5(text) AS text_md5,

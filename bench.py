@@ -120,6 +120,7 @@ HEADLINE = [
     "mime_sniff",
     "jsonl_ingest",
     "wet_export",
+    "wat_export",
     "ccnet_buckets",
     "embedding_decontaminate",
     "cap_per_host",

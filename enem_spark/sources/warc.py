@@ -28,7 +28,9 @@ from __future__ import annotations
 
 import gzip
 import hashlib
+import json
 import os
+import re
 import zlib
 from datetime import datetime, timezone
 
@@ -98,6 +100,27 @@ def encode_conversion_record(url: str, date: str, text: bytes) -> bytes:
         + f"Content-Length: {len(text)}\r\n".encode()
     )
     return headers + b"\r\n" + text + b"\r\n\r\n"
+
+
+def encode_metadata_record(url: str, date: str, body: bytes) -> bytes:
+    """One WARC/1.0 metadata record — the WAT representation of a page: a
+    JSON envelope describing the response, no payload bytes. WARC-Refers-To
+    names the response record the same (url, date) would produce, so a WAT
+    shard stays joinable back to its WARC original by id (the same contract
+    encode_conversion_record gives WET)."""
+    rec_id = hashlib.md5(f"{url}|{date}|metadata".encode()).hexdigest()
+    refers = hashlib.md5(f"{url}|{date}".encode()).hexdigest()
+    headers = (
+        WARC_MAGIC + b"\r\n"
+        b"WARC-Type: metadata\r\n"
+        + f"WARC-Record-ID: <urn:md5:{rec_id}>\r\n".encode()
+        + f"WARC-Refers-To: <urn:md5:{refers}>\r\n".encode()
+        + f"WARC-Date: {date}\r\n".encode()
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + b"Content-Type: application/json\r\n"
+        + f"Content-Length: {len(body)}\r\n".encode()
+    )
+    return headers + b"\r\n" + body + b"\r\n\r\n"
 
 
 def encode_warcinfo(filename: str) -> bytes:
@@ -252,7 +275,22 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> list[dict]:
                     "warc_type": "conversion",
                 }
             )
-        # warcinfo / request / metadata records: skipped, no row
+        elif headers.get("warc-type") == "metadata":
+            # WAT record: payload is the JSON envelope describing the page
+            # — `html` carries the raw JSON bytes
+            out.append(
+                {
+                    "url": headers.get("warc-target-uri"),
+                    "warc_date": headers.get("warc-date"),
+                    "html": payload,
+                    "http_status": None,
+                    "warc_file": warc_file,
+                    "record_offset": start,
+                    "error": None,
+                    "warc_type": "metadata",
+                }
+            )
+        # warcinfo / request records: skipped, no row
     if gz_err is not None:
         # after salvaging intact leading members: one error row marking
         # where the decompressed stream ended
@@ -376,22 +414,25 @@ def wet_shards(
     return tagged.groupBy("shard_id").applyInPandas(build, WET_SCHEMA)
 
 
-def write_wet_dir(shards: DataFrame, path: str) -> list[dict]:
-    """Materialize a wet_shards frame as files under ``path`` — written
-    from the EXECUTORS (the shared-storage contract every Spark file sink
-    assumes), one `wet-<shard>.warc.wet.gz` per row, tmp-file + atomic
-    rename so a crashed task never leaves a torn file. Deterministic names
-    and byte-deterministic content make any re-run an idempotent
-    overwrite. Returns the manifest (shard_id, n_records, wet_len,
-    wet_md5, file), collected — one tiny row per shard."""
+def _write_shard_dir(
+    shards: DataFrame, path: str, kind: str
+) -> list[dict]:
+    """Materialize a wet_shards/wat_shards frame as files under ``path`` —
+    written from the EXECUTORS (the shared-storage contract every Spark
+    file sink assumes), one `<kind>-<shard>.warc.<kind>.gz` per row,
+    tmp-file + atomic rename so a crashed task never leaves a torn file.
+    Deterministic names and byte-deterministic content make any re-run an
+    idempotent overwrite. Returns the manifest (shard_id, n_records,
+    <kind>_len, <kind>_md5, file), collected — one tiny row per shard."""
     os.makedirs(path, exist_ok=True)
+    len_c, md5_c = f"{kind}_len", f"{kind}_md5"
 
     manifest_schema = T.StructType(
         [
             T.StructField("shard_id", T.IntegerType(), False),
             T.StructField("n_records", T.LongType(), False),
-            T.StructField("wet_len", T.LongType(), False),
-            T.StructField("wet_md5", T.StringType(), False),
+            T.StructField(len_c, T.LongType(), False),
+            T.StructField(md5_c, T.StringType(), False),
             T.StructField("file", T.StringType(), False),
         ]
     )
@@ -400,19 +441,20 @@ def write_wet_dir(shards: DataFrame, path: str) -> list[dict]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                sid = int(r.shard_id)
                 fname = os.path.join(
-                    path, f"wet-{int(r.shard_id):05d}.warc.wet.gz"
+                    path, f"{kind}-{sid:05d}.warc.{kind}.gz"
                 )
                 tmp = f"{fname}.tmp.{os.getpid()}"
                 with open(tmp, "wb") as fh:
-                    fh.write(bytes(r.wet))
+                    fh.write(bytes(getattr(r, kind)))
                 os.replace(tmp, fname)
                 rows.append(
                     {
-                        "shard_id": int(r.shard_id),
+                        "shard_id": sid,
                         "n_records": int(r.n_records),
-                        "wet_len": int(r.wet_len),
-                        "wet_md5": r.wet_md5,
+                        len_c: int(getattr(r, len_c)),
+                        md5_c: getattr(r, md5_c),
                         "file": fname,
                     }
                 )
@@ -422,6 +464,16 @@ def write_wet_dir(shards: DataFrame, path: str) -> list[dict]:
 
     out = shards.mapInPandas(write, manifest_schema)
     return [r.asDict() for r in out.collect()]
+
+
+def write_wet_dir(shards: DataFrame, path: str) -> list[dict]:
+    """Executor-side WET file sink; see _write_shard_dir."""
+    return _write_shard_dir(shards, path, "wet")
+
+
+def write_wat_dir(shards: DataFrame, path: str) -> list[dict]:
+    """Executor-side WAT file sink; see _write_shard_dir."""
+    return _write_shard_dir(shards, path, "wat")
 
 
 def wet_texts(records: DataFrame) -> DataFrame:
@@ -588,4 +640,185 @@ def stage_wet_expected(sf_dir: str, n_shards: int = 8) -> str:
             {"shard_id": "int32", "n_records": "int64", "wet_len": "int64"}
         ).to_parquet(expected_path, index=False)
     _WET_STAGED[key] = expected_path
+    return expected_path
+
+
+# ---------------------------------------------------------------------------
+# WAT export: per-page metadata envelopes, completing the container triple
+# (WARC = raw responses, WET = extracted text, WAT = metadata JSON).
+
+_WAT_WS = re.compile(r"\s+")
+
+
+def wat_envelope(url: str, date: str, payload: bytes) -> bytes:
+    """The CC-WAT-style JSON envelope for one response record, as canonical
+    bytes (sorted keys, compact separators — a pure function of (url, date,
+    payload), so the distributed sink and the sequential twin agree
+    byte-for-byte). Title and href extraction reuse the SAME regex
+    constants the htmlops title/outlinks operators ship to their DuckDB
+    twins (htmlops._TITLE_RE/_HREF_RE are deliberately RE2-, java- and
+    Python-compatible), so a page's WAT links agree with html_outlinks."""
+    from ..htmlops import _HREF_RE, _TITLE_RE
+
+    html = payload.decode("utf-8", "replace")
+    m = re.search(_TITLE_RE, html)
+    head: dict = {}
+    if m:
+        head["Title"] = _WAT_WS.sub(" ", m.group(1)).strip()
+    links = [{"path": "A@/href", "url": u} for u in re.findall(_HREF_RE, html)]
+    env = {
+        "Envelope": {
+            "Format": "WARC",
+            "WARC-Header-Metadata": {
+                "WARC-Type": "response",
+                "WARC-Target-URI": url,
+                "WARC-Date": date,
+            },
+            "Payload-Metadata": {
+                "Actual-Content-Length": len(payload),
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {"Head": head, "Links": links}
+                },
+            },
+        }
+    }
+    return json.dumps(env, sort_keys=True, separators=(",", ":")).encode()
+
+
+WAT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.IntegerType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("n_links", T.LongType(), False),
+        T.StructField("wat_len", T.LongType(), False),
+        T.StructField("wat_md5", T.StringType(), False),
+        T.StructField("wat", T.BinaryType(), False),
+    ]
+)
+
+
+def _wat_shard_bytes(
+    sid: int, urls, dates, payloads, gzip_members: bool
+) -> tuple[bytes, int]:
+    """One WAT shard, deterministically: leading warcinfo + metadata
+    records in url order, per-record gzip members (mtime=0). Shared by the
+    Spark sink and the pure staging twin — byte identity by construction.
+    Returns (bytes, total link count across envelopes)."""
+    recs = [encode_warcinfo(f"wat-{sid:05d}.warc.wat.gz")]
+    n_links = 0
+    for u, d, p in zip(urls, dates, payloads):
+        body = wat_envelope(u, d, bytes(p) if p is not None else b"")
+        n_links += body.count(b'"path":"A@/href"')
+        recs.append(encode_metadata_record(u, d, body))
+    return encode_warc_file(recs, gzip_members), n_links
+
+
+def wat_shards(
+    pages: DataFrame, n_shards: int = 8, gzip_members: bool = True
+) -> DataFrame:
+    """Distributed WAT export: an (url, wat_date, html) frame -> one
+    `.warc.wat.gz` file image per shard. Same determinism contract as
+    wet_shards (content-derived shard from md5(url), url-ordered records,
+    mtime=0 gzip members): the export is a pure function of the input set.
+
+    Plan: one hash exchange on shard_id, then one applyInPandas building
+    each shard's bytes; parallelism = shard count (the CC many-files
+    convention). Round-trips through read_warc (metadata records)."""
+    tagged = pages.select(
+        _wet_shard_expr(n_shards).alias("shard_id"), "url", "wat_date", "html"
+    )
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(key[0])
+        pdf = pdf.sort_values("url", kind="mergesort")
+        data, n_links = _wat_shard_bytes(
+            sid, pdf["url"], pdf["wat_date"], pdf["html"], gzip_members
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "shard_id": sid,
+                    "n_records": len(pdf),
+                    "n_links": n_links,
+                    "wat_len": len(data),
+                    "wat_md5": hashlib.md5(data).hexdigest(),
+                    "wat": data,
+                }
+            ]
+        )
+
+    return tagged.groupBy("shard_id").applyInPandas(build, WAT_SCHEMA)
+
+
+_WAT_STAGED: dict[str, str] = {}
+
+
+def stage_wat_expected(sf_dir: str, n_shards: int = 8) -> str:
+    """Pure-Python twin of the wat_export driver query: rebuild every
+    shard's bytes sequentially with the SAME shared functions
+    (_wat_shard_bytes over html_for/page_url/iso_date inputs) and stage
+    (shard_id, n_records, n_links, wat_len, wat_md5) as parquet. A driver
+    hash match certifies the distributed assembly — envelope JSON included
+    — byte-for-byte. No SparkSession (callable from oracle_sql())."""
+    import duckdb
+
+    from ..htmlops import html_for, page_url
+
+    sf_dir = os.path.normpath(sf_dir)
+    key = f"{sf_dir}|{n_shards}"
+    if key in _WAT_STAGED:
+        return _WAT_STAGED[key]
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    base = os.path.join("/tmp", f"enem_warc_{tag}")
+    os.makedirs(base, exist_ok=True)
+    expected_path = os.path.join(base, f"wat_expected_{n_shards}.parquet")
+    if not os.path.exists(expected_path):
+        rows = duckdb.sql(
+            "SELECT doc_id, text, source, lang FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+        shards: list[list[tuple[str, str, bytes]]] = [
+            [] for _ in range(n_shards)
+        ]
+        for doc_id, text, source, lang in rows:
+            doc_id = int(doc_id)
+            url = page_url(doc_id, source)
+            date = iso_date(EPOCH_S + doc_id)
+            sid = int(hashlib.md5(url.encode()).hexdigest()[:8], 16) % n_shards
+            shards[sid].append(
+                (url, date, html_for(doc_id, text, source, lang).encode())
+            )
+        expected = []
+        for sid, items in enumerate(shards):
+            if not items:
+                continue  # no empty files, either side (the WET rule)
+            items.sort(key=lambda t: t[0])
+            data, n_links = _wat_shard_bytes(
+                sid,
+                [u for u, _, _ in items],
+                [d for _, d, _ in items],
+                [p for _, _, p in items],
+                gzip_members=True,
+            )
+            expected.append(
+                {
+                    "shard_id": sid,
+                    "n_records": len(items),
+                    "n_links": n_links,
+                    "wat_len": len(data),
+                    "wat_md5": hashlib.md5(data).hexdigest(),
+                }
+            )
+        pd.DataFrame(expected).astype(
+            {
+                "shard_id": "int32",
+                "n_records": "int64",
+                "n_links": "int64",
+                "wat_len": "int64",
+            }
+        ).to_parquet(expected_path, index=False)
+    _WAT_STAGED[key] = expected_path
     return expected_path

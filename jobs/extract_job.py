@@ -30,6 +30,9 @@ Modes:
   --wet-out DIR    with --html: export committed main content as CC-style
                    WET shards (byte-deterministic; re-runs overwrite
                    idempotently)
+  --wat-out DIR    with --html batch: export the raw input pages' metadata
+                   envelopes (title/links/length JSON) as CC-style WAT
+                   shards (same determinism contract)
 """
 
 from __future__ import annotations
@@ -73,6 +76,10 @@ def main() -> None:
                     help="with --html: export the committed main content "
                          "as CC-style WET shards into this directory")
     ap.add_argument("--wet-shards", type=int, default=8)
+    ap.add_argument("--wat-out", default=None,
+                    help="with --html batch: export the INPUT pages' "
+                         "metadata envelopes (title/links/length) as "
+                         "CC-style WAT shards into this directory")
     ap.add_argument("--completeness-delay-s", type=int, default=0)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
@@ -94,6 +101,9 @@ def main() -> None:
     if (args.sig_index or args.wet_out) and not args.html:
         ap.error("--sig-index/--wet-out operate on committed main content "
                  "(html pipeline outputs)")
+    if args.wat_out and (not args.html or args.streaming or args.iceberg):
+        ap.error("--wat-out reads the raw input pages frame: --html batch "
+                 "mode only (WET covers the committed-output export paths)")
 
     if args.html:
         if args.streaming:
@@ -155,6 +165,24 @@ def main() -> None:
                     warc.wet_shards(frame, n_shards=args.wet_shards),
                     args.wet_out,
                 )
+        if args.wat_out:
+            from pyspark.sql import functions as F
+
+            from enem_spark.sources import warc
+
+            # WAT describes the CRAWL, not the extraction: envelopes are
+            # built from the raw input pages (url, warc_ts, html)
+            pages_in = spark.read.parquet(args.input).select(
+                "url",
+                F.date_format(
+                    "warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                ).alias("wat_date"),
+                "html",
+            )
+            summary["wat"] = warc.write_wat_dir(
+                warc.wat_shards(pages_in, n_shards=args.wet_shards),
+                args.wat_out,
+            )
         print(json.dumps(summary))
         spark.stop()
         return

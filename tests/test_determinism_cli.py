@@ -138,6 +138,7 @@ def test_extract_job_cli_html_sig_index_and_wet(tmp_path, spark):
     synth_html_pages(docs.limit(60)).write.parquet(src)
     out = str(tmp_path / "out")
     wet = str(tmp_path / "wet")
+    wat = str(tmp_path / "wat")
 
     def run(run_id):
         p = subprocess.run(
@@ -147,6 +148,7 @@ def test_extract_job_cli_html_sig_index_and_wet(tmp_path, spark):
                 "--input", src, "--output", out, "--html",
                 "--run-id", run_id, "--cores", "2",
                 "--sig-index", "--wet-out", wet, "--wet-shards", "4",
+                "--wat-out", wat,
             ],
             capture_output=True,
             text=True,
@@ -165,6 +167,10 @@ def test_extract_job_cli_html_sig_index_and_wet(tmp_path, spark):
     for w in s1["wet"]:
         assert os.path.exists(w["file"])
 
+    assert sum(w["n_records"] for w in s1["wat"]) == 60
+    for w in s1["wat"]:
+        assert os.path.exists(w["file"])
+
     s2 = run("r2")
     assert s2["input_pages"] == 0
     assert s2["sig_index"] == {
@@ -174,4 +180,9 @@ def test_extract_job_cli_html_sig_index_and_wet(tmp_path, spark):
     }
     assert {w["shard_id"]: w["wet_md5"] for w in s2["wet"]} == {
         w["shard_id"]: w["wet_md5"] for w in s1["wet"]
+    }
+    # WAT describes the raw input crawl: the re-run re-exports the same
+    # byte-identical shards regardless of extraction state
+    assert {w["shard_id"]: w["wat_md5"] for w in s2["wat"]} == {
+        w["shard_id"]: w["wat_md5"] for w in s1["wat"]
     }

@@ -191,3 +191,121 @@ def test_wet_expected_staging_matches_spark(spark):
     assert list(s["shard_id"]) == list(e["shard_id"])
     assert list(s["wet_md5"]) == list(e["wet_md5"])
     assert list(s["n_records"]) == list(e["n_records"])
+
+
+# ---------------------------------------------------------------------------
+# WAT export (metadata records: JSON envelopes)
+
+
+def test_wat_envelope_contents():
+    """The envelope is canonical JSON carrying title, links, and content
+    length — and its link set agrees with the htmlops _HREF_RE operator
+    contract (same regex constant)."""
+    import json
+
+    url, date = "https://ex.com/p/0", warc.iso_date(warc.EPOCH_S)
+    payload = (
+        b"<html><head><title> Meu  Titulo \n</title></head><body>"
+        b'<a href="https://a.com/x">a</a> texto '
+        b'<a href="/rel">rel</a></body></html>'
+    )
+    body = warc.wat_envelope(url, date, payload)
+    env = json.loads(body)["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == url
+    pm = env["Payload-Metadata"]
+    assert pm["Actual-Content-Length"] == len(payload)
+    hm = pm["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert hm["Head"]["Title"] == "Meu Titulo"  # whitespace-collapsed
+    assert [l["url"] for l in hm["Links"]] == ["https://a.com/x", "/rel"]
+    # canonical bytes: sorted keys, compact separators — re-serialization
+    # of the parsed object reproduces the exact bytes
+    assert (
+        json.dumps(json.loads(body), sort_keys=True, separators=(",", ":"))
+        .encode()
+        == body
+    )
+
+
+def test_wat_metadata_round_trip_pure():
+    """encode_metadata_record -> parse_warc_bytes: JSON bytes, type, and
+    the refers-to link back to the response record id."""
+    recs = [
+        (u, d, warc.wat_envelope(u, d, p)) for u, d, p in _sample_records(4)
+    ]
+    blob = warc.encode_warc_file(
+        [warc.encode_warcinfo("f.warc.wat.gz")]
+        + [warc.encode_metadata_record(u, d, b) for u, d, b in recs],
+        gzip_members=True,
+    )
+    rows = warc.parse_warc_bytes(blob, "f.warc.wat.gz")
+    assert [(r["url"], r["warc_date"], r["html"]) for r in rows] == recs
+    assert all(r["warc_type"] == "metadata" for r in rows)
+    assert all(r["http_status"] is None for r in rows)
+    assert all(r["error"] is None for r in rows)
+    raw = warc.encode_metadata_record(*recs[0])
+    refers = hashlib.md5(f"{recs[0][0]}|{recs[0][1]}".encode()).hexdigest()
+    assert f"WARC-Refers-To: <urn:md5:{refers}>".encode() in raw
+
+
+def test_wat_shards_round_trip_spark(spark, tmp_path):
+    """Distributed WAT export -> files on disk -> read_warc: every metadata
+    record comes back with its envelope bytes intact, link counts add up,
+    and a re-export is byte-identical."""
+    import json
+
+    from enem_spark import htmlops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text", "lang"
+    )
+    pages = htmlops.synth_html_pages(docs).select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("wat_date"),
+        "html",
+    )
+    shards = warc.wat_shards(pages, n_shards=4).collect()
+    assert sum(r.n_records for r in shards) == docs.count()
+    for r in shards:
+        assert hashlib.md5(bytes(r.wat)).hexdigest() == r.wat_md5
+
+    again = {r.shard_id: r.wat_md5 for r in warc.wat_shards(pages, n_shards=4).collect()}
+    assert again == {r.shard_id: r.wat_md5 for r in shards}
+
+    wat_dir = tmp_path / "wat"
+    wat_dir.mkdir()
+    for r in shards:
+        (wat_dir / f"wat-{r.shard_id:05d}.warc.wat.gz").write_bytes(bytes(r.wat))
+    back = (
+        warc.read_warc(spark, str(wat_dir))
+        .filter(F.col("warc_type") == "metadata")
+        .collect()
+    )
+    assert len(back) == docs.count()
+    # parsed-back envelopes: valid JSON, link total matches the shard stats
+    n_links = sum(
+        len(
+            json.loads(bytes(r.html))["Envelope"]["Payload-Metadata"][
+                "HTTP-Response-Metadata"
+            ]["HTML-Metadata"]["Links"]
+        )
+        for r in back
+    )
+    assert n_links == sum(r.n_links for r in shards)
+
+
+def test_wat_expected_staging_matches_spark(spark):
+    """The pure staging twin's shard digests equal the distributed WAT
+    export's over the driver-query input."""
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    spdf = entry.queries()["wat_export"](spark, SF_DIR).toPandas()
+    exp = pd.read_parquet(warc.stage_wat_expected(SF_DIR, n_shards=8))
+    s = spdf.sort_values("shard_id").reset_index(drop=True)
+    e = exp.sort_values("shard_id").reset_index(drop=True)
+    assert list(s["shard_id"]) == list(e["shard_id"])
+    assert list(s["wat_md5"]) == list(e["wat_md5"])
+    assert list(s["n_records"]) == list(e["n_records"])
+    assert list(s["n_links"]) == list(e["n_links"])
+    assert int(s["n_links"].sum()) > 0
