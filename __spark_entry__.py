@@ -1180,6 +1180,40 @@ def q_iceberg_incremental(spark, sf_dir):
     )
 
 
+def q_iceberg_merge(spark, sf_dir):
+    """Row-level MERGE (copy-on-write upsert) on the icetable: the fix-up
+    crawl (sources/icetable.merge_frame — updates that MOVE partition via a
+    45-day re-fetch, plus brand-new companion urls) is merged on url into
+    the first crawl. The merge itself runs HERE, Spark-side (partition
+    prune -> key-column-only touched-file scan -> survivor rewrite ->
+    manifest-filter commit); the oracle is the pure-pandas expected
+    post-merge frame, so the hash match certifies the whole round trip.
+    Idempotent across invocations: once SEQ_MERGE is committed the query
+    is a pinned as_of read."""
+    from enem_spark.sources import icetable
+
+    staged = icetable.stage_ice_merge_base(sf_dir)
+    t = icetable.IceTable(spark, staged["table"])
+    if max(s["sequence"] for s in t.snapshots()) < icetable.SEQ_MERGE:
+        src = spark.createDataFrame(
+            icetable.merge_frame(sf_dir), schema=icetable.PAGES_ICE_SCHEMA
+        )
+        try:
+            t.merge(src, ["url"], sequence=icetable.SEQ_MERGE)
+        except icetable.CommitConflict:
+            # a concurrent process staged the same deterministic merge;
+            # fall through to the pinned read iff it actually landed
+            if max(s["sequence"] for s in t.snapshots()) < icetable.SEQ_MERGE:
+                raise
+    return t.read(as_of=icetable.SEQ_MERGE).select(
+        "url",
+        F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("html_len"),
+        F.md5("text").alias("text_md5"),
+        "lang",
+    )
+
+
 def q_recrawl_priority(spark, sf_dir):
     """Re-crawl scheduling from the icetable's fetch history: the union of
     the pinned first-crawl read, the pinned re-crawl read, and the
@@ -1398,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_scan": q_iceberg_scan,
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_incremental": q_iceberg_incremental,
+        "iceberg_merge": q_iceberg_merge,
         "crawl_delta": q_crawl_delta,
         "recrawl_priority": q_recrawl_priority,
         "charset_decode": q_charset_decode,
@@ -3025,9 +3060,15 @@ def oracle_sql() -> dict[str, str]:
     # the pure-Python writer builds the table, so the scan/time-travel
     # hashes certify the write->manifest->prune->read round trip and the
     # delta twin COMPUTES the CDC classification from first principles
-    from enem_spark.sources.icetable import stage_ice_pages
+    from enem_spark.sources.icetable import (
+        stage_ice_merge_base,
+        stage_ice_pages,
+    )
 
     ice_staged = stage_ice_pages(oracle_sf)
+    # merge twin: expected post-merge frame, pure pandas from the same
+    # source frames the Spark-side IceTable.merge consumes in the query
+    ice_merge_staged = stage_ice_merge_base(oracle_sf)
     # charset twin: expected decode stats from the same pure detector
     # (DuckDB cannot decode cp1252/utf-16 blobs, so this is materialized)
     from enem_spark.charset import (
@@ -3067,6 +3108,11 @@ WHERE warc_ts >= TIMESTAMP '2024-01-03 00:00:00'
         "iceberg_incremental": f"""
 SELECT url, html_md5, md5(text) AS text_md5, lang
 FROM read_parquet('{ice_staged["expected_delta"]}')
+""",
+        "iceberg_merge": f"""
+SELECT url, html_md5, CAST(html_len AS BIGINT) AS html_len,
+       md5(text) AS text_md5, lang
+FROM read_parquet('{ice_merge_staged["expected_merged"]}')
 """,
         "iceberg_time_travel": f"""
 SELECT lang, count(*) AS n_pages,

@@ -121,6 +121,7 @@ HEADLINE = [
     "jsonl_ingest",
     "wet_export",
     "wat_export",
+    "iceberg_merge",
     "ccnet_buckets",
     "embedding_decontaminate",
     "cap_per_host",

@@ -945,6 +945,116 @@ class IceTable:
         out["summary"]["deleted_files"] = dropped
         return out
 
+    def merge(
+        self, source: DataFrame, key_cols: Sequence[str], sequence: int
+    ) -> dict:
+        """Row-level MERGE (upsert) as copy-on-write — Iceberg's
+        ``MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE *
+        WHEN NOT MATCHED THEN INSERT *``: every target row whose key
+        appears in ``source`` is replaced by the source row; source rows
+        with unseen keys are inserted; everything else is untouched —
+        physically untouched: files with no matching key carry over into
+        the new snapshot by manifest reference alone (zero data IO).
+
+        Plan (the 10^12-row story):
+          1. partition pruning — for each partition transform whose source
+             column exists in ``source``, the file set narrows to the
+             partitions the source actually lands in (driver-side manifest
+             filter over O(distinct partitions) collected values);
+          2. touched-file scan — candidates are read projecting ONLY the
+             key columns (parquet column pruning: at web scale that is the
+             url column, not the html payload) and left-semi joined against
+             the distinct source keys; the distinct matched file list comes
+             back to the driver (O(files), tiny);
+          3. rewrite — touched files' survivors (anti-join on key) union
+             the full source are written as new files through the normal
+             partitioned write; the commit drops exactly the touched file
+             entries and keeps every other parent entry.
+
+        The join in (2)/(3) shuffles on the key; AQE broadcasts the source
+        side when it is small (the common re-crawl fix-up). Base version is
+        pinned at operation start, so a racing writer yields
+        ``CommitConflict``, never a silent rebase. NULL keys in ``source``
+        never match (SQL join semantics) and are inserted as-is. If the
+        target holds several rows for one key (multi-version crawl
+        appends), ALL of them are replaced by the single source row — the
+        upsert canonicalizes the key. Time travel to pre-merge snapshots
+        still sees the old rows (rewritten files are reclaimed by
+        ``expire_snapshots``, like any replaced file)."""
+        assert self.spark is not None, "merge() needs a SparkSession"
+        key_cols = list(key_cols)
+        missing = [k for k in key_cols if k not in source.columns]
+        if missing:
+            raise ValueError(f"key columns absent from source: {missing}")
+        base = current_version(self.path)
+        meta = self.metadata(base)
+        snap = self._resolve_snapshot(meta, None, None)
+        entries = self._manifest_entries(snap)
+        schema = T.StructType.fromJson(meta["schema"])
+        for k in key_cols:
+            if k not in schema.fieldNames():
+                raise ValueError(f"key column not in table schema: {k!r}")
+
+        # 1. partition pruning against the source's own partition values
+        candidates = entries
+        for t in self.transforms():
+            if t.source not in source.columns:
+                continue
+            vals = {
+                r[0]
+                for r in source.select(
+                    _transform_col(t).alias("v")
+                ).distinct().collect()
+            }
+            candidates = [
+                e for e in candidates if e["partition"].get(t.name) in vals
+            ]
+
+        # 2. key-column-only scan of the candidates -> touched file list
+        src_keys = source.select(*key_cols).dropDuplicates()
+        touched_rel: set[str] = set()
+        if candidates:
+            cand_paths = [os.path.join(self.path, e["path"]) for e in candidates]
+            keyed = (
+                self.spark.read.schema(schema)
+                .parquet(*cand_paths)
+                .select(*key_cols)
+                .withColumn("_ice_file", F.input_file_name())
+            )
+            uris = (
+                keyed.join(src_keys, on=key_cols, how="leftsemi")
+                .select("_ice_file")
+                .distinct()
+                .collect()
+            )
+            for (uri,) in uris:
+                p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+                touched_rel.add(os.path.relpath(p, self.path))
+
+        # 3. rewrite touched survivors + source into new files
+        if touched_rel:
+            survivors = self._read_files(
+                [os.path.join(self.path, rel) for rel in sorted(touched_rel)],
+                None,
+            ).join(src_keys, on=key_cols, how="left_anti")
+            new_df = survivors.unionByName(source, allowMissingColumns=True)
+        else:
+            new_df = source
+        new_entries = self._write_data(new_df, base + 1)
+        out = self._commit(
+            "merge", new_entries, sequence, source.schema, True,
+            manifest_filter=lambda e: e["path"] not in touched_rel,
+            base_version=base,
+        )
+        out["summary"].update(
+            {
+                "files_candidates": len(candidates),
+                "files_rewritten": len(touched_rel),
+                "files_kept": len(entries) - len(touched_rel),
+            }
+        )
+        return out
+
 
 # ---------------------------------------------------------------------------
 # Pure-Python write path (no SparkSession — usable from oracle_sql staging)
@@ -1135,6 +1245,7 @@ FETCH_SPACING_S = 900  # 15 min between fetches: sf0.01 spans ~5 partition days
 SEQ_OLD = 100  # logical sequence of the first crawl snapshot
 SEQ_NEW = 200  # logical sequence of the re-crawl snapshot
 SEQ_DELTA = 300  # logical sequence of the appended delta crawl
+SEQ_MERGE = 400  # logical sequence of the fix-up-crawl MERGE (upsert)
 
 PAGES_ICE_SCHEMA = T.StructType(
     [
@@ -1241,6 +1352,87 @@ def delta_frame(sf_dir: str):
         rows.append(_ice_row(doc_id, text + " v3", lang, source, ts))
     cols = [f.name for f in PAGES_ICE_SCHEMA.fields]
     return pd.DataFrame(rows, columns=cols)
+
+
+def merge_frame(sf_dir: str):
+    """The fix-up crawl, MERGEd (upsert on url) into the first crawl:
+    doc_id%3==1 pages re-fetched 45 days later with ``text || ' m2'``
+    (updates — note the 45-day shift moves them to a DIFFERENT p_day
+    partition, so the merge exercises cross-partition upsert), and
+    doc_id%11==5 grew a ``?page=9`` companion page (inserts under a new
+    url).  Pure Python — callable from oracle_sql() staging."""
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    ).sort_values("doc_id")
+    rows = []
+    for doc_id, text, lang, source in zip(
+        docs["doc_id"], docs["text"], docs["lang"], docs["source"]
+    ):
+        doc_id, text = int(doc_id), str(text)
+        ts = EPOCH_S + FETCH_SPACING_S * doc_id
+        if doc_id % 3 == 1:
+            rows.append(
+                _ice_row(doc_id, text + " m2", lang, source, ts + 45 * 86400)
+            )
+        if doc_id % 11 == 5:
+            row = _ice_row(doc_id, "p9 " + text, lang, source, ts)
+            row["url"] = ice_url(doc_id, source) + "?page=9"
+            rows.append(row)
+    cols = [f.name for f in PAGES_ICE_SCHEMA.fields]
+    return pd.DataFrame(rows, columns=cols)
+
+
+_ICE_MERGE_STAGED: dict[str, dict[str, Any]] = {}
+
+
+def stage_ice_merge_base(sf_dir: str) -> dict[str, Any]:
+    """Stage (memoized per process) the MERGE story's base table — the
+    first crawl alone, under its own path so the shared three-snapshot
+    table's pinned snapshots stay untouched — plus the EXPECTED post-merge
+    parquet twin, computed purely in pandas from the same source frames
+    the Spark merge consumes (old rows whose url survives + every fix-up
+    row).  The Spark-side ``IceTable.merge`` itself runs in the driver
+    query; a hash match against the twin therefore certifies the whole
+    plan-prune-rewrite-commit-read round trip of the merge."""
+    sf_dir = os.path.normpath(sf_dir)
+    if sf_dir in _ICE_MERGE_STAGED:
+        return _ICE_MERGE_STAGED[sf_dir]
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    base = os.path.join("/tmp", f"enem_ice_{tag}")
+    table_path = os.path.join(base, "pages_merge")
+    old_pdf, _ = crawl_frames(sf_dir)
+    fix_pdf = merge_frame(sf_dir)
+    if current_version(table_path) < 0:
+        os.makedirs(base, exist_ok=True)
+        create_pandas(
+            table_path,
+            old_pdf,
+            PAGES_ICE_SCHEMA,
+            partition_by=ICE_TRANSFORMS,
+            sequence=SEQ_OLD,
+        )
+    expected_path = os.path.join(base, "expected_merged.parquet")
+    if not os.path.exists(expected_path):
+        import pandas as pd
+
+        fixed_urls = set(fix_pdf["url"])
+        merged = pd.concat(
+            [old_pdf[~old_pdf["url"].isin(fixed_urls)], fix_pdf],
+            ignore_index=True,
+        )
+        merged.drop(columns=["html"]).assign(
+            html_md5=[hashlib.md5(h).hexdigest() for h in merged["html"]],
+            html_len=[len(h) for h in merged["html"]],
+        ).to_parquet(expected_path, index=False)
+    out = {"table": table_path, "expected_merged": expected_path}
+    _ICE_MERGE_STAGED[sf_dir] = out
+    return out
 
 
 _ICE_STAGED: dict[str, dict[str, Any]] = {}

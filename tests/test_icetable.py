@@ -475,3 +475,155 @@ def test_staging_is_deterministic_and_memoized(tmp_path):
     ]
     for a, b in zip(orig_files, new_files):
         assert open(a, "rb").read() == open(b, "rb").read()
+
+
+# ---------------------------------------------------------------------------
+# Row-level MERGE (copy-on-write upsert)
+
+
+def _entry_paths(t):
+    snap = t._resolve_snapshot(t.metadata(), None, None)
+    return {e["path"] for e in t._manifest_entries(snap)}
+
+
+def test_merge_upsert_semantics_and_cow(spark, tmp_table):
+    """Updates replace, inserts land, untouched files carry over by
+    manifest reference (byte-untouched on disk), pre-merge time travel
+    intact."""
+    pdf = _toy_pdf(0, 40)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=1,
+    )
+    before_paths = _entry_paths(t)
+    data_files = sorted(
+        glob.glob(os.path.join(tmp_table, "data", "**", "*.parquet"), recursive=True)
+    )
+    mtimes = {f: os.path.getmtime(f) for f in data_files}
+
+    # source: update docs 0-4 (same url, new text), insert 100-104
+    src = _toy_pdf(0, 5)
+    src["text"] = src["text"] + " fixed"
+    src = pd.concat([src, _toy_pdf(100, 105)], ignore_index=True)
+    snap = t.merge(
+        spark.createDataFrame(src, schema=it.PAGES_ICE_SCHEMA), ["url"], sequence=2
+    )
+    assert snap["operation"] == "merge"
+    assert snap["summary"]["files_rewritten"] > 0
+    assert snap["summary"]["files_kept"] > 0
+    assert (
+        snap["summary"]["files_rewritten"] + snap["summary"]["files_kept"]
+        == len(before_paths)
+    )
+
+    expected = pd.concat(
+        [pdf[~pdf["url"].isin(set(src["url"]))], src], ignore_index=True
+    )
+    assert _sorted_rows(t.read()) == _expected_rows(expected)
+    # untouched files: still referenced by the new snapshot, bytes untouched
+    after_paths = _entry_paths(t)
+    kept = before_paths & after_paths
+    assert len(kept) == snap["summary"]["files_kept"]
+    for f in data_files:
+        assert os.path.getmtime(f) == mtimes[f]  # rewrite never edits in place
+    # time travel: the pre-merge snapshot still reads the original rows
+    assert _sorted_rows(t.read(snapshot_id=1)) == _expected_rows(pdf)
+    # key validation
+    with pytest.raises(ValueError):
+        t.merge(
+            spark.createDataFrame(src, schema=it.PAGES_ICE_SCHEMA),
+            ["nope"], sequence=3,
+        )
+
+
+def test_merge_partition_pruning_and_key_canonicalization(spark, tmp_table):
+    """An identity-partitioned table merged with a single-partition source
+    plans only that partition's files as candidates; a key holding several
+    target rows collapses to the single source row."""
+    pdf = _toy_pdf(0, 30)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        (it.Transform("p_lang", "identity", "lang"),), sequence=1,
+    )
+    # second version of one pt url appended (multi-version crawl history)
+    dup = pdf[pdf["lang"] == "pt"].head(1).copy()
+    dup["warc_ts"] = dup["warc_ts"] + pd.Timedelta(days=1)
+    dup["text"] = dup["text"] + " v2"
+    t.append(spark.createDataFrame(dup, schema=it.PAGES_ICE_SCHEMA), sequence=2)
+    n_files = len(_entry_paths(t))
+
+    src = dup.copy()
+    src["text"] = "canonical"
+    snap = t.merge(
+        spark.createDataFrame(src, schema=it.PAGES_ICE_SCHEMA), ["url"], sequence=3
+    )
+    # pruning: only the pt partition's files were candidates
+    assert snap["summary"]["files_candidates"] < n_files
+    assert snap["summary"]["files_rewritten"] <= snap["summary"]["files_candidates"]
+    # canonicalization: BOTH prior versions of the url replaced by one row
+    url = src["url"].iloc[0]
+    rows = t.read().filter(F.col("url") == url).collect()
+    assert [(r["url"], r["text"]) for r in rows] == [(url, "canonical")]
+    assert t.read().count() == 30  # 31 rows pre-merge, duplicate collapsed
+
+
+def test_merge_insert_only_and_commit_conflict(spark, tmp_table):
+    """A source with no matching keys rewrites nothing; a racer claiming
+    the next version mid-merge raises CommitConflict (no silent rebase)."""
+    pdf = _toy_pdf(0, 10)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=1,
+    )
+    ins = _toy_pdf(50, 55)
+    snap = t.merge(
+        spark.createDataFrame(ins, schema=it.PAGES_ICE_SCHEMA), ["url"], sequence=2
+    )
+    assert snap["summary"]["files_rewritten"] == 0
+    assert t.read().count() == 15
+
+    # race: another writer commits between merge's base read and its commit
+    orig = it.IceTable._write_data
+
+    def race_then_write(self, df, snap_hint):
+        v = it.current_version(self.path)
+        it._atomic_create(it._version_file(self.path, v + 1), self.metadata(v))
+        return orig(self, df, snap_hint)
+
+    it.IceTable._write_data = race_then_write
+    try:
+        with pytest.raises(it.CommitConflict):
+            t.merge(
+                spark.createDataFrame(ins, schema=it.PAGES_ICE_SCHEMA),
+                ["url"], sequence=3,
+            )
+    finally:
+        it.IceTable._write_data = orig
+
+
+def test_merge_staging_matches_spark_merge(spark):
+    """The pure-pandas expected post-merge frame equals the Spark-side
+    IceTable.merge result over the staged base table (the driver-twin
+    protocol, exercised directly)."""
+    import __spark_entry__ as entry
+
+    spdf = (
+        entry.queries()["iceberg_merge"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["url", "text_md5"])
+        .reset_index(drop=True)
+    )
+    exp = pd.read_parquet(
+        it.stage_ice_merge_base(SF_DIR)["expected_merged"]
+    )
+    exp = (
+        exp.assign(text_md5=[__import__("hashlib").md5(s.encode()).hexdigest() for s in exp["text"]])
+        [["url", "html_md5", "html_len", "text_md5", "lang"]]
+        .sort_values(["url", "text_md5"])
+        .reset_index(drop=True)
+    )
+    assert len(spdf) == len(exp)
+    assert list(spdf["url"]) == list(exp["url"])
+    assert list(spdf["html_md5"]) == list(exp["html_md5"])
+    assert list(spdf["text_md5"]) == list(exp["text_md5"])
+    assert list(spdf["html_len"].astype(int)) == list(exp["html_len"].astype(int))
