@@ -704,6 +704,27 @@ def q_sessionize(spark, sf_dir):
     return textops.sessionize(_t(spark, sf_dir, "events"))
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located join over bucketBy stores (enem_spark/bucketstore.py):
+    docs and per-doc scores are both bucketed by doc_id into the same
+    bucket count, so the join plans with ZERO Exchange — the shuffle was
+    paid once at write time and amortizes over every maintenance join at
+    10^12 rows. The zero-Exchange property itself is plan-guarded in
+    tests/test_plan_shape.py; this entry certifies the joined VALUES."""
+    from pyspark.sql import functions as F
+
+    from enem_spark import bucketstore
+
+    names = bucketstore.stage_bucketed_pair(spark, sf_dir)
+    left = bucketstore.read_bucketed(spark, names["docs"])
+    right = bucketstore.read_bucketed(spark, names["scores"]).filter(
+        F.col("score") < 500
+    )
+    return left.join(right, "doc_id").select(
+        "doc_id", "source", "text_len", "score"
+    )
+
+
 def q_sentence_stats(spark, sf_dir):
     return textops.sentence_stats(_t(spark, sf_dir, "documents"))
 
@@ -1397,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "props_extract": q_props_extract,
         "sessionize": q_sessionize,
+        "bucketed_join": q_bucketed_join,
         "sentence_stats": q_sentence_stats,
         "char_lm_score": q_char_lm_score,
         "ccnet_buckets": q_ccnet_buckets,
@@ -3721,6 +3743,15 @@ SELECT d.doc_id,
        CAST(coalesce(e.n_chars_norm, 0) AS BIGINT) AS n_chars_norm,
        round(-e.q_sum / (e.n_chars_norm * 1000000.0), 6) AS entropy
 FROM documents d LEFT JOIN ent e USING (doc_id)
+""",
+        # computing twin: the bucketed pair both derive from documents, so
+        # the join collapses to a projection + the same Knuth-hash filter
+        "bucketed_join": """
+SELECT doc_id, source,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CAST((doc_id * 2654435761) % 1000 AS BIGINT) AS score
+FROM documents
+WHERE (doc_id * 2654435761) % 1000 < 500
 """,
         "dup_span_stats": _dup_span_stats_sql(textops.PARITY_SPAN_W),
         "dedup_spans_clean": _dup_span_clean_sql(textops.PARITY_SPAN_W),

@@ -170,3 +170,128 @@ def test_icerun_mime_filter_below_udf(spark):
     assert any(
         "Filter CASE WHEN RLIKE" in line for line in plan.splitlines()
     ), plan
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path_factory):
+    """Two tables bucketed by the same key/count sort-merge-join with ZERO
+    Exchange — the co-location lever bucketstore exists for. The identical
+    join over plain parquet reads of the SAME files shuffles both sides
+    (negative control: the property comes from the catalog bucket spec,
+    not the data)."""
+    import os
+
+    from enem_spark import bucketstore
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    names = bucketstore.stage_bucketed_pair(spark, sf)
+    # tiny test tables would otherwise plan as broadcast joins, which have
+    # a BroadcastExchange regardless of layout — force the SMJ path the
+    # bucket spec exists for (at 10^12 rows neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketstore.colocated_join(
+            spark, names["docs"], names["scores"], ["doc_id"]
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p, p
+        assert "SortMergeJoin" in p, p
+
+        # negative control: path-reads of the same data lose the bucket spec
+        def loc_of(name):
+            rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+            return [r["data_type"] for r in rows if r["col_name"] == "Location"][0]
+
+        plain = spark.read.parquet(loc_of(names["docs"]).replace("file:", "")).join(
+            spark.read.parquet(loc_of(names["scores"]).replace("file:", "")),
+            "doc_id",
+        )
+        pp = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in pp, pp
+
+        # same rows either way (layout is a physical property, not semantics)
+        assert sorted(j.select("doc_id").toPandas()["doc_id"]) == sorted(
+            plain.select("doc_id").toPandas()["doc_id"]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_point_read_prunes_buckets(spark):
+    """An equality filter on the bucket key scans 1 of N buckets — the
+    point-read path a signature-index probe takes against a bucketed
+    store."""
+    import os
+
+    from enem_spark import bucketstore
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    names = bucketstore.stage_bucketed_pair(spark, sf)
+    some_id = bucketstore.read_bucketed(spark, names["docs"]).select(
+        "doc_id"
+    ).first()["doc_id"]
+    # a bare point read has no operator that needs the bucket distribution,
+    # so the planner's autoBucketedScan turns the bucketed scan (and with
+    # it the pruning) off — force it on, as a probe-heavy deploy would
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        q = bucketstore.read_bucketed(spark, names["docs"]).filter(
+            F.col("doc_id") == int(some_id)
+        )
+        p = q._jdf.queryExecution().executedPlan().toString()
+        assert f"SelectedBucketsCount: 1 out of {bucketstore.N_BUCKETS}" in p, p
+        assert q.count() == 1
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
+def test_merge_touched_file_scan_projects_keys_only(spark, tmp_path_factory):
+    """IceTable.merge's touched-file planning scan must read ONLY the key
+    column (url) — at web scale that is the difference between planning
+    over key bytes and re-reading every html payload."""
+    import pandas as pd
+
+    from enem_spark.sources import icetable as it
+
+    tmp = str(tmp_path_factory.mktemp("mplan") / "tbl")
+    rows = []
+    for i in range(20):
+        rows.append(
+            {
+                "url": f"https://s.example.org/doc/{i}",
+                "warc_ts": pd.Timestamp(it.EPOCH_S + i * 86400, unit="s"),
+                "html": f"<p>{i}</p>".encode(),
+                "text": f"doc {i}",
+                "lang": "pt",
+            }
+        )
+    pdf = pd.DataFrame(rows, columns=[f.name for f in it.PAGES_ICE_SCHEMA.fields])
+    t = it.IceTable.create(
+        spark, tmp, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        (it.Transform("p_day", "days", "warc_ts"),), sequence=1,
+    )
+    captured = []
+    # patch the CONCRETE DataFrame class (Spark 4's classic subclass
+    # overrides collect, so patching the pyspark.sql.DataFrame base is a
+    # no-op for method lookup)
+    cls = type(spark.range(1))
+    orig = cls.collect
+
+    def spy(self):
+        captured.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig(self)
+
+    cls.collect = spy
+    try:
+        src = pdf.head(3).copy()
+        src["text"] = "fixed"
+        t.merge(
+            spark.createDataFrame(src, schema=it.PAGES_ICE_SCHEMA),
+            ["url"], sequence=2,
+        )
+    finally:
+        cls.collect = orig
+    touched_plans = [p for p in captured if "_ice_file" in p]
+    assert touched_plans, "touched-file scan not captured"
+    scan = touched_plans[-1]
+    assert "ReadSchema: struct<url:string>" in scan, scan
