@@ -995,52 +995,65 @@ class IceTable:
             if k not in schema.fieldNames():
                 raise ValueError(f"key column not in table schema: {k!r}")
 
-        # 1. partition pruning against the source's own partition values
+        # 1. partition pruning against the source's own partition values —
+        # all transforms in ONE aggregate job (a per-transform distinct
+        # would scan the source once per transform)
         candidates = entries
-        for t in self.transforms():
-            if t.source not in source.columns:
-                continue
-            vals = {
-                r[0]
-                for r in source.select(
-                    _transform_col(t).alias("v")
-                ).distinct().collect()
-            }
-            candidates = [
-                e for e in candidates if e["partition"].get(t.name) in vals
-            ]
+        prunable = [t for t in self.transforms() if t.source in source.columns]
+        if prunable:
+            row = source.agg(
+                *[
+                    F.collect_set(_transform_col(t)).alias(t.name)
+                    for t in prunable
+                ]
+            ).collect()[0]
+            for t in prunable:
+                vals = set(row[t.name])
+                candidates = [
+                    e for e in candidates if e["partition"].get(t.name) in vals
+                ]
 
-        # 2. key-column-only scan of the candidates -> touched file list
-        src_keys = source.select(*key_cols).dropDuplicates()
-        touched_rel: set[str] = set()
-        if candidates:
-            cand_paths = [os.path.join(self.path, e["path"]) for e in candidates]
-            keyed = (
-                self.spark.read.schema(schema)
-                .parquet(*cand_paths)
-                .select(*key_cols)
-                .withColumn("_ice_file", F.input_file_name())
-            )
-            uris = (
-                keyed.join(src_keys, on=key_cols, how="leftsemi")
-                .select("_ice_file")
-                .distinct()
-                .collect()
-            )
-            for (uri,) in uris:
-                p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
-                touched_rel.add(os.path.relpath(p, self.path))
+        # distinct source keys feed BOTH the touched-file plan and the
+        # survivor anti-join — persist so the source is keyed once
+        src_keys = source.select(*key_cols).dropDuplicates().persist()
+        try:
+            # 2. key-column-only scan of the candidates -> touched file list
+            touched_rel: set[str] = set()
+            if candidates:
+                cand_paths = [
+                    os.path.join(self.path, e["path"]) for e in candidates
+                ]
+                keyed = (
+                    self.spark.read.schema(schema)
+                    .parquet(*cand_paths)
+                    .select(*key_cols)
+                    .withColumn("_ice_file", F.input_file_name())
+                )
+                uris = (
+                    keyed.join(src_keys, on=key_cols, how="leftsemi")
+                    .select("_ice_file")
+                    .distinct()
+                    .collect()
+                )
+                for (uri,) in uris:
+                    p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+                    touched_rel.add(os.path.relpath(p, self.path))
 
-        # 3. rewrite touched survivors + source into new files
-        if touched_rel:
-            survivors = self._read_files(
-                [os.path.join(self.path, rel) for rel in sorted(touched_rel)],
-                None,
-            ).join(src_keys, on=key_cols, how="left_anti")
-            new_df = survivors.unionByName(source, allowMissingColumns=True)
-        else:
-            new_df = source
-        new_entries = self._write_data(new_df, base + 1)
+            # 3. rewrite touched survivors + source into new files
+            if touched_rel:
+                survivors = self._read_files(
+                    [
+                        os.path.join(self.path, rel)
+                        for rel in sorted(touched_rel)
+                    ],
+                    None,
+                ).join(src_keys, on=key_cols, how="left_anti")
+                new_df = survivors.unionByName(source, allowMissingColumns=True)
+            else:
+                new_df = source
+            new_entries = self._write_data(new_df, base + 1)
+        finally:
+            src_keys.unpersist()
         out = self._commit(
             "merge", new_entries, sequence, source.schema, True,
             manifest_filter=lambda e: e["path"] not in touched_rel,
