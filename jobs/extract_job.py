@@ -29,7 +29,10 @@ Modes:
                    the run (sign ONLY newly committed docs — exactly-once)
   --wet-out DIR    with --html: export committed main content as CC-style
                    WET shards (byte-deterministic; re-runs overwrite
-                   idempotently)
+                   idempotently). Under --iceberg the export is
+                   INCREMENTAL: each run's new content lands in its own
+                   DIR/<run_id>/ shard set (O(delta), the CC per-crawl
+                   convention); an up-to-date run exports nothing
   --wat-out DIR    with --html batch: export the raw input pages' metadata
                    envelopes (title/links/length JSON) as CC-style WAT
                    shards (same determinism contract)
@@ -150,6 +153,18 @@ def main() -> None:
             from enem_spark.sources import warc
 
             main = committed_main_content(spark, args.output)
+            wet_dir = args.wet_out
+            if args.iceberg:
+                # incremental export, the CC convention: each ice run's NEW
+                # content becomes its own crawl-shard set under
+                # wet_out/<run_id>/ — O(delta) work, never a corpus
+                # re-export (full corpus = the union of the run dirs)
+                rid = summary.get("run_id")
+                if main is not None and rid and not summary.get("up_to_date"):
+                    main = main.filter(F.col("run_id") == rid)
+                    wet_dir = os.path.join(args.wet_out, rid)
+                else:
+                    main = None
             if main is None:
                 summary["wet"] = []
             else:
@@ -163,7 +178,7 @@ def main() -> None:
                 )
                 summary["wet"] = warc.write_wet_dir(
                     warc.wet_shards(frame, n_shards=args.wet_shards),
-                    args.wet_out,
+                    wet_dir,
                 )
         if args.wat_out:
             from pyspark.sql import functions as F

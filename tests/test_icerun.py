@@ -174,7 +174,8 @@ def test_units_are_content_addressed_jvm_side(spark, table_and_out):
 
 def test_job_cli_iceberg_runs_and_resumes(tmp_path, spark):
     tbl, out = str(tmp_path / "tbl"), str(tmp_path / "out")
-    _create(spark, tbl, _rows(range(8), it.EPOCH_S), seq=10)
+    wet = str(tmp_path / "wet")
+    t = _create(spark, tbl, _rows(range(8), it.EPOCH_S), seq=10)
 
     def run():
         p = subprocess.run(
@@ -183,6 +184,7 @@ def test_job_cli_iceberg_runs_and_resumes(tmp_path, spark):
                 os.path.join(REPO, "jobs", "extract_job.py"),
                 "--input", tbl, "--output", out,
                 "--html", "--iceberg", "--cores", "2",
+                "--wet-out", wet, "--wet-shards", "2",
             ],
             capture_output=True,
             text=True,
@@ -192,8 +194,23 @@ def test_job_cli_iceberg_runs_and_resumes(tmp_path, spark):
 
     s1 = run()
     assert s1["input_pages"] == 8
+    # incremental WET export: run 1's content in its own per-run shard dir
+    assert sum(w["n_records"] for w in s1["wet"]) == 8
+    assert all(f"/{s1['run_id']}/" in w["file"] for w in s1["wet"])
+
     s2 = run()
     assert s2["up_to_date"] and s2["input_pages"] == 0
+    assert s2["wet"] == []  # nothing new -> nothing exported
+
+    # delta crawl appended: run 3 exports ONLY the delta, beside run 1's dir
+    _append(spark, t, _rows(range(8, 11), it.EPOCH_S + 100), seq=11)
+    s3 = run()
+    assert s3["input_pages"] == 3
+    assert sum(w["n_records"] for w in s3["wet"]) == 3
+    assert all(f"/{s3['run_id']}/" in w["file"] for w in s3["wet"])
+    assert s3["run_id"] != s1["run_id"]
+    for w in s1["wet"] + s3["wet"]:
+        assert os.path.exists(w["file"])
 
 
 def test_recrawl_priority_buckets(spark):
