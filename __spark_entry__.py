@@ -1235,6 +1235,35 @@ def q_iceberg_merge(spark, sf_dir):
     )
 
 
+def q_iceberg_compact(spark, sf_dir):
+    """rewrite_data_files maintenance, driver-gated: compact the post-merge
+    table (merge leaves touched partitions holding a kept file AND a new
+    file) into one file per partition, then read the `replace` snapshot.
+    The oracle is the SAME expected post-merge frame as iceberg_merge — a
+    hash match certifies compaction is row-preserving bit-for-bit through
+    the full commit->manifest->read round trip. Runs after (and depends
+    on) the merge commit; idempotent via the SEQ_COMPACT watermark."""
+    from enem_spark.sources import icetable
+
+    # ensure the merge snapshot exists first (shared staging + guard)
+    q_iceberg_merge(spark, sf_dir)
+    staged = icetable.stage_ice_merge_base(sf_dir)
+    t = icetable.IceTable(spark, staged["table"])
+    if max(s["sequence"] for s in t.snapshots()) < icetable.SEQ_COMPACT:
+        try:
+            t.compact(sequence=icetable.SEQ_COMPACT)
+        except icetable.CommitConflict:
+            if max(s["sequence"] for s in t.snapshots()) < icetable.SEQ_COMPACT:
+                raise
+    return t.read(as_of=icetable.SEQ_COMPACT).select(
+        "url",
+        F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("html_len"),
+        F.md5("text").alias("text_md5"),
+        "lang",
+    )
+
+
 def q_recrawl_priority(spark, sf_dir):
     """Re-crawl scheduling from the icetable's fetch history: the union of
     the pinned first-crawl read, the pinned re-crawl read, and the
@@ -1455,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_incremental": q_iceberg_incremental,
         "iceberg_merge": q_iceberg_merge,
+        "iceberg_compact": q_iceberg_compact,
         "crawl_delta": q_crawl_delta,
         "recrawl_priority": q_recrawl_priority,
         "charset_decode": q_charset_decode,
@@ -3132,6 +3162,12 @@ SELECT url, html_md5, md5(text) AS text_md5, lang
 FROM read_parquet('{ice_staged["expected_delta"]}')
 """,
         "iceberg_merge": f"""
+SELECT url, html_md5, CAST(html_len AS BIGINT) AS html_len,
+       md5(text) AS text_md5, lang
+FROM read_parquet('{ice_merge_staged["expected_merged"]}')
+""",
+        # compaction is row-preserving by contract: same twin as the merge
+        "iceberg_compact": f"""
 SELECT url, html_md5, CAST(html_len AS BIGINT) AS html_len,
        md5(text) AS text_md5, lang
 FROM read_parquet('{ice_merge_staged["expected_merged"]}')

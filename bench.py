@@ -122,6 +122,7 @@ HEADLINE = [
     "wet_export",
     "wat_export",
     "iceberg_merge",
+    "iceberg_compact",
     "bucketed_join",
     "ccnet_buckets",
     "embedding_decontaminate",

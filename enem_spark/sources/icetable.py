@@ -802,41 +802,39 @@ class IceTable:
         base = current_version(self.path)
         meta = self.metadata(base)
         snap = self._resolve_snapshot(meta, snapshot_id, None)
+        if snap["snapshot_id"] != meta["current_snapshot_id"]:
+            # compacting a non-current snapshot would graft its rewritten
+            # files onto the current manifest set — duplicated rows; only
+            # the table tip is compactable (Iceberg's rewrite_data_files
+            # has the same contract)
+            raise ValueError("compact() targets the current snapshot only")
         entries = self._manifest_entries(snap)
         by_part: dict[str, list[dict]] = {}
         for e in entries:
             key = json.dumps(e["partition"], sort_keys=True)
             by_part.setdefault(key, []).append(e)
-        if all(len(v) == 1 for v in by_part.values()):
+        multi = [g for g in by_part.values() if len(g) > 1]
+        if not multi:
             return snap  # nothing to do — already one file per partition
         schema = T.StructType.fromJson(meta["schema"])
-        transforms = [Transform.from_json(d) for d in meta["partition_by"]]
-        commit_dir = self._attempt_dir(base + 1)
-        new_entries: list[dict] = []
-        for key in sorted(by_part):
-            group = by_part[key]
-            files = [os.path.join(self.path, e["path"]) for e in group]
-            part_dir = (
-                partition_dir(transforms, group[0]["partition"])
-                if transforms
-                else ""
-            )
-            out_dir = os.path.join(commit_dir, part_dir) if part_dir else commit_dir
-            # one output file per partition: coalesce(1) is per-partition
-            # work here (each group is a handful of files), not a global
-            # single-task bottleneck — groups compact independently
-            (
-                self.spark.read.schema(schema)
-                .parquet(*files)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(out_dir)
-            )
-        new_entries = _scan_commit_dir(commit_dir, self.path, transforms)
-        out = self._commit(
-            "replace", new_entries, sequence, None, False, base_version=base
+        # ONE Spark job for the whole compaction: only multi-file
+        # partitions are read, shuffled once on the partition dir (each
+        # partition value lands in one task -> one output file), and
+        # single-file partitions carry over by manifest reference alone —
+        # a per-partition job loop would serialize O(partitions) jobs on
+        # the driver, which at 10^5 partitions IS the bottleneck
+        drop_paths = {e["path"] for g in multi for e in g}
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.path, p) for p in sorted(drop_paths)])
         )
-        out["summary"]["compacted_from_files"] = len(entries)
+        new_entries = self._write_data(df, base + 1)
+        out = self._commit(
+            "replace", new_entries, sequence, None, True,
+            manifest_filter=lambda e: e["path"] not in drop_paths,
+            base_version=base,
+        )
+        out["summary"]["compacted_from_files"] = len(drop_paths)
         return out
 
     def expire_snapshots(self, keep_sequences_from: int) -> dict:
@@ -1259,6 +1257,7 @@ SEQ_OLD = 100  # logical sequence of the first crawl snapshot
 SEQ_NEW = 200  # logical sequence of the re-crawl snapshot
 SEQ_DELTA = 300  # logical sequence of the appended delta crawl
 SEQ_MERGE = 400  # logical sequence of the fix-up-crawl MERGE (upsert)
+SEQ_COMPACT = 500  # logical sequence of the post-merge compaction (replace)
 
 PAGES_ICE_SCHEMA = T.StructType(
     [
