@@ -298,13 +298,11 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> list[dict]:
     return out
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Directory (or glob) of .warc / .warc.gz files -> records DataFrame.
-
-    Plan: FileScan(binaryFile) -> one ArrowEvalPython — no exchange. The
-    `html` column is raw response-body bytes; join-ready with the pages
-    pipeline via `warc_pages`."""
-    files = spark.read.format("binaryFile").load(path)
+def _parse_files_frame(files: DataFrame) -> DataFrame:
+    """(path, content) binaryFile frame -> records frame via ONE
+    mapInPandas crossing — shared by the batch and streaming readers so
+    both parse with exactly the same kernel (resync + quarantine
+    semantics included)."""
 
     def parse(batches):
         for pdf in batches:
@@ -318,6 +316,39 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.select("path", "content").mapInPandas(parse, READ_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Directory (or glob) of .warc / .warc.gz files -> records DataFrame.
+
+    Plan: FileScan(binaryFile) -> one ArrowEvalPython — no exchange. The
+    `html` column is raw response-body bytes; join-ready with the pages
+    pipeline via `warc_pages`."""
+    return _parse_files_frame(spark.read.format("binaryFile").load(path))
+
+
+def read_warc_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming records frame over a live WARC drop directory: the
+    binaryFile file-stream source lists only NEW archive files per trigger
+    (a crawler appends whole containers, never edits them — the exact
+    contract file-stream sources assume), parsed by the same kernel as
+    the batch read. Archive-level parallelism, no exchange."""
+    # the binaryFile source's fixed schema must be spelled out on the
+    # STREAMING reader (file-stream sources refuse to infer)
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType(), False),
+            T.StructField("modificationTime", T.TimestampType(), False),
+            T.StructField("length", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    reader = spark.readStream.format("binaryFile").schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _parse_files_frame(reader.load(path))
 
 
 def warc_pages(records: DataFrame) -> DataFrame:

@@ -571,6 +571,35 @@ def read_html_pages_stream(
     )
 
 
+def read_warc_pages_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Live WARC tail -> crawl-deduped pages stream: binaryFile file-stream
+    source over a crawler's archive drop directory, parsed container-by-
+    container with the batch reader's exact kernel (sources/warc), good
+    responses shaped to the north-rule pages frame, then the same bounded
+    dedup-state pattern as read_html_pages_stream (url state held only
+    inside the event-time horizon). Pipe into start_html_stream for
+    exactly-once extraction of a crawl AS IT LANDS."""
+    from .sources.warc import read_warc_stream, warc_pages
+
+    records = read_warc_stream(spark, input_dir, max_files_per_trigger)
+    pages = warc_pages(records).withColumn(
+        # content-addressed unit, same derivation as the icetable path
+        # (icerun): a replayed container re-yields the same doc_ids, so
+        # the extraction resume anti-join absorbs replays even beyond the
+        # dedup watermark horizon
+        "doc_id",
+        F.xxhash64("url", F.md5("html")),
+    )
+    return pages.select(
+        "doc_id", "url", "warc_ts", "html", "lang"
+    ).withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
+
+
 def start_html_stream(
     pages_stream: DataFrame,
     out_dir: str,

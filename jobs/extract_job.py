@@ -36,6 +36,10 @@ Modes:
   --wat-out DIR    with --html batch: export the raw input pages' metadata
                    envelopes (title/links/length JSON) as CC-style WAT
                    shards (same determinism contract)
+  --warc           with --html: --input is a directory of WARC containers;
+                   batch reads it once (WARC -> extraction, and WARC -> WAT
+                   with --wat-out), --streaming tails it as archives land
+                   (exactly-once via the content-addressed resume)
 """
 
 from __future__ import annotations
@@ -63,6 +67,10 @@ def main() -> None:
                     help="with --html batch: also write the per-anchor table")
     ap.add_argument("--iceberg", action="store_true",
                     help="with --html batch: read --input as an icetable")
+    ap.add_argument("--warc", action="store_true",
+                    help="with --html: --input is a directory of WARC "
+                         "containers (.warc/.warc.gz); batch reads it once, "
+                         "--streaming tails it as archives land")
     ap.add_argument("--full", action="store_true",
                     help="with --iceberg: ignore the incremental watermark")
     ap.add_argument("--normalize", action="store_true",
@@ -107,16 +115,25 @@ def main() -> None:
     if args.wat_out and (not args.html or args.streaming or args.iceberg):
         ap.error("--wat-out reads the raw input pages frame: --html batch "
                  "mode only (WET covers the committed-output export paths)")
+    if args.warc and (not args.html or args.iceberg):
+        ap.error("--warc is an --html input mode (container dir), "
+                 "incompatible with --iceberg")
 
     if args.html:
         if args.streaming:
             from enem_spark.streaming import (
                 read_html_pages_stream,
+                read_warc_pages_stream,
                 start_html_stream,
             )
 
+            stream = (
+                read_warc_pages_stream(spark, args.input)
+                if args.warc
+                else read_html_pages_stream(spark, args.input)
+            )
             q = start_html_stream(
-                read_html_pages_stream(spark, args.input),
+                stream,
                 args.output,
                 f"{args.output}/_checkpoint",
                 with_anchors=args.anchors,
@@ -137,7 +154,16 @@ def main() -> None:
         else:
             from enem_spark.lineage import run_html_extraction
 
-            pages = spark.read.parquet(args.input)
+            if args.warc:
+                from pyspark.sql import functions as F
+
+                from enem_spark.sources.warc import read_warc, warc_pages
+
+                pages = warc_pages(read_warc(spark, args.input)).withColumn(
+                    "doc_id", F.xxhash64("url", F.md5("html"))
+                )
+            else:
+                pages = spark.read.parquet(args.input)
             summary = run_html_extraction(
                 spark, pages, args.output, args.run_id,
                 with_anchors=args.anchors,
@@ -187,7 +213,11 @@ def main() -> None:
 
             # WAT describes the CRAWL, not the extraction: envelopes are
             # built from the raw input pages (url, warc_ts, html)
-            pages_in = spark.read.parquet(args.input).select(
+            if args.warc:
+                raw = warc.warc_pages(warc.read_warc(spark, args.input))
+            else:
+                raw = spark.read.parquet(args.input)
+            pages_in = raw.select(
                 "url",
                 F.date_format(
                     "warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"

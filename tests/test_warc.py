@@ -309,3 +309,70 @@ def test_wat_expected_staging_matches_spark(spark):
     assert list(s["n_records"]) == list(e["n_records"])
     assert list(s["n_links"]) == list(e["n_links"])
     assert int(s["n_links"].sum()) > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming WARC tail (live crawl archives -> exactly-once extraction)
+
+
+def test_warc_stream_tail_extracts_exactly_once(spark, tmp_path):
+    """Containers dropped into a directory are parsed as they land
+    (binaryFile file-stream source, same kernel as the batch reader) and
+    extracted exactly-once: a second invocation picks up only NEW
+    archives, and a replayed page inside a new container is absorbed by
+    the content-addressed resume anti-join."""
+    from enem_spark.lineage import committed_main_content
+    from enem_spark.streaming import read_warc_pages_stream, start_html_stream
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def page(i):
+        url = f"https://ex.com/p/{i}"
+        date = warc.iso_date(warc.EPOCH_S + i)
+        payload = (
+            f"<html><body><p>paragraph body {i} with enough prose to be "
+            f"main content for the densitometric classifier</p>"
+            f"</body></html>"
+        ).encode()
+        return url, date, payload
+
+    def write_archive(name, recs):
+        blob = warc.encode_warc_file(
+            [warc.encode_warcinfo(name)]
+            + [warc.encode_record(u, d, p) for u, d, p in recs],
+            gzip_members=True,
+        )
+        (drop / name).write_bytes(blob)
+
+    write_archive("c0.warc.gz", [page(0), page(1), page(2)])
+    write_archive("c1.warc.gz", [page(3), page(4)])
+
+    def run():
+        q = start_html_stream(
+            read_warc_pages_stream(spark, str(drop), watermark="10 seconds"),
+            out,
+            ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(300)
+
+    run()
+    got = committed_main_content(spark, out)
+    assert got.count() == 5
+    assert got.select("doc_id").distinct().count() == 5
+
+    # the tail: one new container with 2 new pages + 1 byte-identical
+    # replay of p/0 (recrawl) — only the new pages are extracted
+    write_archive("c2.warc.gz", [page(5), page(6), page(0)])
+    run()
+    got2 = committed_main_content(spark, out)
+    assert got2.count() == 7
+    urls = {r.url for r in got2.select("url").collect()}
+    assert urls == {f"https://ex.com/p/{i}" for i in range(7)}
+
+    # a third invocation with nothing new commits no new runs
+    runs_before = spark.read.parquet(f"{out}/runs").count()
+    run()
+    assert spark.read.parquet(f"{out}/runs").count() == runs_before
