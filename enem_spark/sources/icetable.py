@@ -943,6 +943,83 @@ class IceTable:
         out["summary"]["deleted_files"] = dropped
         return out
 
+    def rollback(self, snapshot_id: int, sequence: int) -> dict:
+        """Metadata-only revert (Iceberg's ``rollback_to_snapshot``): commit
+        a NEW snapshot that re-references an earlier snapshot's manifests
+        verbatim — zero data IO, history preserved (the bad snapshots stay
+        time-travelable until ``expire_snapshots``), and the same O_EXCL
+        version-file commit as any write, so a racing writer conflicts
+        rather than silently losing the revert."""
+        base = current_version(self.path)
+        meta = self.metadata(base)
+        target = next(
+            (s for s in meta["snapshots"] if s["snapshot_id"] == snapshot_id),
+            None,
+        )
+        if target is None:
+            raise ValueError(f"no snapshot {snapshot_id} to roll back to")
+        snap = {
+            "snapshot_id": meta["current_snapshot_id"] + 1,
+            "parent_id": meta["current_snapshot_id"],
+            "sequence": sequence,
+            "operation": "rollback",
+            "manifests": list(target["manifests"]),
+            "summary": {
+                "added_files": 0,
+                "added_records": 0,
+                "rolled_back_to": snapshot_id,
+            },
+        }
+        new_meta = dict(
+            meta,
+            current_snapshot_id=snap["snapshot_id"],
+            snapshots=meta["snapshots"] + [snap],
+        )
+        _atomic_create(_version_file(self.path, base + 1), new_meta)
+        return snap
+
+    def remove_orphan_files(self, older_than_s: float = 0.0) -> dict:
+        """Data-prefix GC (Iceberg's ``remove_orphan_files``): delete every
+        ``data/`` file referenced by NO snapshot — the crash leftovers of
+        losing commit attempts (each attempt writes into a private dir, so
+        a loser's files are orphans by construction). Distinct from
+        ``expire_snapshots``, which deletes files referenced only by
+        DROPPED snapshots. Pure driver-side metadata diff + unlink; never
+        touches a referenced file. ``older_than_s`` is the in-flight-
+        attempt guard (Iceberg defaults to 3 days): a writer mid-attempt
+        has unreferenced files on disk that will become referenced when it
+        commits — only files older than the threshold are eligible, so run
+        GC with a threshold comfortably above the longest write attempt."""
+        import time as _time
+
+        cutoff = _time.time() - older_than_s
+        data_root = os.path.join(self.path, "data")
+        on_disk: set[str] = set()
+        for dirpath, _dirnames, filenames in os.walk(data_root):
+            for fname in filenames:
+                if not fname.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fname)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # too young: possibly an in-flight attempt
+                except FileNotFoundError:
+                    continue
+                on_disk.add(os.path.relpath(full, self.path))
+        meta = self.metadata()
+        referenced = {
+            e["path"]
+            for s in meta["snapshots"]
+            for e in self._manifest_entries(s)
+        }
+        orphans = on_disk - referenced
+        for rel in sorted(orphans):
+            try:
+                os.unlink(os.path.join(self.path, rel))
+            except FileNotFoundError:
+                pass
+        return {"deleted_orphans": len(orphans), "live_files": len(referenced)}
+
     def merge(
         self, source: DataFrame, key_cols: Sequence[str], sequence: int
     ) -> dict:

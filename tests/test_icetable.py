@@ -627,3 +627,73 @@ def test_merge_staging_matches_spark_merge(spark):
     assert list(spdf["html_md5"]) == list(exp["html_md5"])
     assert list(spdf["text_md5"]) == list(exp["text_md5"])
     assert list(spdf["html_len"].astype(int)) == list(exp["html_len"].astype(int))
+
+
+# ---------------------------------------------------------------------------
+# rollback + orphan-file GC (maintenance completeness)
+
+
+def test_rollback_is_metadata_only_and_conflict_safe(spark, tmp_table):
+    """Rolling back re-reads the old rows with zero data IO, keeps the bad
+    snapshot time-travelable, participates in optimistic concurrency, and
+    a later append builds on the rolled-back state."""
+    a, b = _toy_pdf(0, 10), _toy_pdf(10, 25)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(a, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=1,
+    )
+    good = t._resolve_snapshot(t.metadata(), None, None)["snapshot_id"]
+    t.overwrite(spark.createDataFrame(b, schema=it.PAGES_ICE_SCHEMA), sequence=2)
+    files_before = sorted(
+        glob.glob(os.path.join(tmp_table, "data", "**", "*.parquet"), recursive=True)
+    )
+
+    snap = t.rollback(good, sequence=3)
+    assert snap["operation"] == "rollback"
+    assert snap["summary"]["rolled_back_to"] == good
+    assert _sorted_rows(t.read()) == _expected_rows(a)
+    # zero data IO: no file added or removed
+    assert sorted(
+        glob.glob(os.path.join(tmp_table, "data", "**", "*.parquet"), recursive=True)
+    ) == files_before
+    # the reverted overwrite is still time-travelable until expired
+    assert t.read(as_of=2).count() == 15
+    # history moves forward from the rollback
+    t.append(spark.createDataFrame(_toy_pdf(30, 33), schema=it.PAGES_ICE_SCHEMA), 4)
+    assert t.read().count() == 13
+    with pytest.raises(ValueError):
+        t.rollback(99, sequence=5)
+
+
+def test_remove_orphan_files_deletes_only_unreferenced(spark, tmp_table):
+    """Crash leftovers (files no snapshot references) are reclaimed; every
+    referenced file — current AND historical — survives; the age guard
+    protects in-flight attempts."""
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 10), schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=1,
+    )
+    t.overwrite(
+        spark.createDataFrame(_toy_pdf(10, 20), schema=it.PAGES_ICE_SCHEMA), 2
+    )
+    # a crashed attempt's private dir: orphan parquet files
+    orphan_dir = os.path.join(tmp_table, "data", "c00099-deadbeef")
+    os.makedirs(orphan_dir)
+    _toy_pdf(0, 3).to_parquet(os.path.join(orphan_dir, "junk.parquet"))
+    old = os.path.join(orphan_dir, "old.parquet")
+    _toy_pdf(3, 5).to_parquet(old)
+    os.utime(old, (1, 1))  # ancient mtime
+
+    # young orphans survive an age-guarded GC
+    out = t.remove_orphan_files(older_than_s=3600)
+    assert out["deleted_orphans"] == 1  # only the ancient one
+    assert os.path.exists(os.path.join(orphan_dir, "junk.parquet"))
+
+    out2 = t.remove_orphan_files()
+    assert out2["deleted_orphans"] == 1
+    assert not os.path.exists(os.path.join(orphan_dir, "junk.parquet"))
+    # both snapshots still read intact (historical files untouched)
+    assert t.read().count() == 10
+    assert t.read(as_of=1).count() == 10
+    assert t.read(as_of=2).count() == 10
