@@ -1264,6 +1264,39 @@ def q_iceberg_compact(spark, sf_dir):
     )
 
 
+def q_iceberg_rollback(spark, sf_dir):
+    """Metadata-only snapshot revert, driver-gated: after the merge and the
+    compaction, roll the table BACK to the first-crawl snapshot (zero data
+    IO — the new snapshot re-references the old manifests verbatim) and
+    read it. The oracle is the first-crawl source frame staged
+    independently by stage_ice_pages, so a hash match certifies the revert
+    reproduces the pre-merge state bit-for-bit while the merge/compact
+    reads above stay pinned to their own sequences."""
+    from enem_spark.sources import icetable
+
+    q_iceberg_compact(spark, sf_dir)
+    staged = icetable.stage_ice_merge_base(sf_dir)
+    t = icetable.IceTable(spark, staged["table"])
+    if max(s["sequence"] for s in t.snapshots()) < icetable.SEQ_ROLLBACK:
+        first = next(
+            s["snapshot_id"]
+            for s in t.snapshots()
+            if s["sequence"] == icetable.SEQ_OLD and s["operation"] != "create"
+        )
+        try:
+            t.rollback(first, sequence=icetable.SEQ_ROLLBACK)
+        except icetable.CommitConflict:
+            if max(s["sequence"] for s in t.snapshots()) < icetable.SEQ_ROLLBACK:
+                raise
+    return t.read(as_of=icetable.SEQ_ROLLBACK).select(
+        "url",
+        F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("html_len"),
+        F.md5("text").alias("text_md5"),
+        "lang",
+    )
+
+
 def q_recrawl_priority(spark, sf_dir):
     """Re-crawl scheduling from the icetable's fetch history: the union of
     the pinned first-crawl read, the pinned re-crawl read, and the
@@ -1485,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_incremental": q_iceberg_incremental,
         "iceberg_merge": q_iceberg_merge,
         "iceberg_compact": q_iceberg_compact,
+        "iceberg_rollback": q_iceberg_rollback,
         "crawl_delta": q_crawl_delta,
         "recrawl_priority": q_recrawl_priority,
         "charset_decode": q_charset_decode,
@@ -3171,6 +3205,13 @@ FROM read_parquet('{ice_merge_staged["expected_merged"]}')
 SELECT url, html_md5, CAST(html_len AS BIGINT) AS html_len,
        md5(text) AS text_md5, lang
 FROM read_parquet('{ice_merge_staged["expected_merged"]}')
+""",
+        # rollback reproduces the pre-merge state: twin = the first-crawl
+        # source frame (staged independently by stage_ice_pages)
+        "iceberg_rollback": f"""
+SELECT url, html_md5, CAST(html_len AS BIGINT) AS html_len,
+       md5(text) AS text_md5, lang
+FROM read_parquet('{ice_staged["expected_old"]}')
 """,
         "iceberg_time_travel": f"""
 SELECT lang, count(*) AS n_pages,

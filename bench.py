@@ -123,6 +123,7 @@ HEADLINE = [
     "wat_export",
     "iceberg_merge",
     "iceberg_compact",
+    "iceberg_rollback",
     "bucketed_join",
     "ccnet_buckets",
     "embedding_decontaminate",

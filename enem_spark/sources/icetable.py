@@ -1335,6 +1335,7 @@ SEQ_NEW = 200  # logical sequence of the re-crawl snapshot
 SEQ_DELTA = 300  # logical sequence of the appended delta crawl
 SEQ_MERGE = 400  # logical sequence of the fix-up-crawl MERGE (upsert)
 SEQ_COMPACT = 500  # logical sequence of the post-merge compaction (replace)
+SEQ_ROLLBACK = 600  # logical sequence of the revert-to-first-crawl rollback
 
 PAGES_ICE_SCHEMA = T.StructType(
     [
