@@ -1,0 +1,97 @@
+"""Icetable maintenance job — the nightly-ops entry point.
+
+spark-submit-shaped CLI bundling the table-format maintenance operators
+(sources/icetable.py) the 10^12-row crawl table needs on a schedule:
+
+  --compact SEQ          rewrite_data_files: coalesce multi-file partitions
+                         (ONE Spark job; single-file partitions carry over
+                         by manifest reference)
+  --expire-from SEQ      snapshot GC: drop snapshots with sequence < SEQ
+                         (except current) and delete files only they
+                         referenced
+  --rollback ID --seq N  metadata-only revert to snapshot ID (zero data IO;
+                         reverted history stays time-travelable until
+                         expired)
+  --orphans              delete data files referenced by NO snapshot
+                         (crash leftovers); --older-than-s guards in-flight
+                         commit attempts (Iceberg defaults to 3 days)
+
+Actions run in the order rollback -> compact -> expire -> orphans (revert
+first so compaction works on the state you mean to keep; GC last). Emits
+ONE JSON summary line. Every action commits through the same O_EXCL
+version-file protocol as any writer, so racing a live ingest yields
+CommitConflict, never corruption — rerun the job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True, help="icetable path")
+    ap.add_argument("--cores", default=None)
+    ap.add_argument("--compact", type=int, default=None, metavar="SEQ",
+                    help="compact multi-file partitions, committing at SEQ")
+    ap.add_argument("--expire-from", type=int, default=None, metavar="SEQ",
+                    help="expire snapshots with sequence < SEQ")
+    ap.add_argument("--rollback", type=int, default=None, metavar="SNAPSHOT",
+                    help="revert to this snapshot id (needs --seq)")
+    ap.add_argument("--seq", type=int, default=None,
+                    help="sequence for the --rollback commit")
+    ap.add_argument("--orphans", action="store_true",
+                    help="delete unreferenced data files")
+    ap.add_argument("--older-than-s", type=float, default=0.0,
+                    help="orphan age guard (seconds; protects in-flight "
+                         "commit attempts)")
+    args = ap.parse_args()
+    if args.rollback is not None and args.seq is None:
+        ap.error("--rollback needs --seq for its commit sequence")
+    if not any(
+        [args.compact is not None, args.expire_from is not None,
+         args.rollback is not None, args.orphans]
+    ):
+        ap.error("nothing to do: pass at least one maintenance action")
+
+    from enem_spark.session import get_spark
+    from enem_spark.sources.icetable import IceTable
+
+    spark = get_spark("enem_spark_ice_maintenance", cores=args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+    t = IceTable(spark, args.table)
+    summary: dict = {"table": args.table}
+    if args.rollback is not None:
+        snap = t.rollback(args.rollback, sequence=args.seq)
+        summary["rollback"] = {
+            "snapshot_id": snap["snapshot_id"],
+            "rolled_back_to": snap["summary"]["rolled_back_to"],
+        }
+    if args.compact is not None:
+        snap = t.compact(sequence=args.compact)
+        summary["compact"] = {
+            "snapshot_id": snap["snapshot_id"],
+            "compacted_from_files": snap["summary"].get(
+                "compacted_from_files", 0
+            ),
+            "added_files": snap["summary"]["added_files"],
+        }
+    if args.expire_from is not None:
+        summary["expire"] = t.expire_snapshots(
+            keep_sequences_from=args.expire_from
+        )
+    if args.orphans:
+        summary["orphans"] = t.remove_orphan_files(
+            older_than_s=args.older_than_s
+        )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -697,3 +697,48 @@ def test_remove_orphan_files_deletes_only_unreferenced(spark, tmp_table):
     assert t.read().count() == 10
     assert t.read(as_of=1).count() == 10
     assert t.read(as_of=2).count() == 10
+
+
+def test_ice_maintenance_cli(tmp_path, spark):
+    """The nightly-ops CLI: rollback -> compact -> expire -> orphan GC over
+    a real table, one JSON summary, correct end state."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tbl = str(tmp_path / "tbl")
+    t = it.IceTable.create(
+        spark, tbl,
+        spark.createDataFrame(_toy_pdf(0, 12), schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    good = t._resolve_snapshot(t.metadata(), None, None)["snapshot_id"]
+    t.append(spark.createDataFrame(_toy_pdf(12, 18), schema=it.PAGES_ICE_SCHEMA), 20)
+    t.overwrite(
+        spark.createDataFrame(_toy_pdf(50, 55), schema=it.PAGES_ICE_SCHEMA), 30
+    )  # the bad overwrite the rollback reverts
+    orphan = os.path.join(tbl, "data", "c00042-dead", "junk.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    _toy_pdf(0, 2).to_parquet(orphan)
+
+    p = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "ice_maintenance.py"),
+            "--table", tbl, "--cores", "2",
+            "--rollback", str(good), "--seq", "40",
+            "--compact", "50",
+            "--expire-from", "40",
+            "--orphans",
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    s = json.loads(p.stdout.strip().splitlines()[-1])
+    assert s["rollback"]["rolled_back_to"] == good
+    assert s["expire"]["expired_snapshots"] > 0
+    assert s["orphans"]["deleted_orphans"] >= 1
+    assert not os.path.exists(orphan)
+    # end state: the first crawl's rows, compacted, bad overwrite expired
+    t2 = it.IceTable(spark, tbl)
+    assert _sorted_rows(t2.read()) == _expected_rows(_toy_pdf(0, 12))
+    with pytest.raises(Exception):
+        t2.read(as_of=30).collect()  # expired overwrite no longer readable
