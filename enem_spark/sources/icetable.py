@@ -1055,7 +1055,10 @@ class IceTable:
         appends), ALL of them are replaced by the single source row — the
         upsert canonicalizes the key. Time travel to pre-merge snapshots
         still sees the old rows (rewritten files are reclaimed by
-        ``expire_snapshots``, like any replaced file)."""
+        ``expire_snapshots``, like any replaced file). A ``source``
+        carrying several rows for one key inserts them ALL (this shim does
+        not enforce Iceberg's one-match-per-target-row rule); pre-reduce
+        the source (e.g. latest-fetch-per-url) when upserting a crawl."""
         assert self.spark is not None, "merge() needs a SparkSession"
         key_cols = list(key_cols)
         missing = [k for k in key_cols if k not in source.columns]
