@@ -742,3 +742,26 @@ def test_ice_maintenance_cli(tmp_path, spark):
     assert _sorted_rows(t2.read()) == _expected_rows(_toy_pdf(0, 12))
     with pytest.raises(Exception):
         t2.read(as_of=30).collect()  # expired overwrite no longer readable
+
+
+def test_merge_with_schema_evolution(spark, tmp_table):
+    """A merge source adding a column evolves the table schema: survivors
+    and kept-file rows read NULL for the new column, source rows carry it."""
+    pdf = _toy_pdf(0, 20)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=1,
+    )
+    src = _toy_pdf(0, 4)
+    src["text"] = src["text"] + " fixed"
+    src["fetcher"] = "crawler-7"
+    schema2 = T.StructType(
+        it.PAGES_ICE_SCHEMA.fields + [T.StructField("fetcher", T.StringType(), True)]
+    )
+    t.merge(spark.createDataFrame(src, schema=schema2), ["url"], sequence=2)
+    got = t.read()
+    assert "fetcher" in got.columns
+    vals = {r["url"]: r["fetcher"] for r in got.select("url", "fetcher").collect()}
+    assert all(v == "crawler-7" for u, v in vals.items() if u in set(src["url"]))
+    assert all(v is None for u, v in vals.items() if u not in set(src["url"]))
+    assert got.count() == 20
