@@ -121,7 +121,9 @@ def stage_bucketed_pair(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     need_write = not all(
         spark.catalog.tableExists(n) for n in names.values()
-    ) or not os.path.isdir(os.path.join(base, "docs"))
+    ) or not all(
+        os.path.isdir(os.path.join(base, d)) for d in ("docs", "scores")
+    )
     if need_write:
         write_bucketed(
             docs.select(

@@ -978,7 +978,7 @@ class IceTable:
         _atomic_create(_version_file(self.path, base + 1), new_meta)
         return snap
 
-    def remove_orphan_files(self, older_than_s: float = 0.0) -> dict:
+    def remove_orphan_files(self, older_than_s: float = 3 * 86400.0) -> dict:
         """Data-prefix GC (Iceberg's ``remove_orphan_files``): delete every
         ``data/`` file referenced by NO snapshot — the crash leftovers of
         losing commit attempts (each attempt writes into a private dir, so
@@ -989,7 +989,10 @@ class IceTable:
         attempt guard (Iceberg defaults to 3 days): a writer mid-attempt
         has unreferenced files on disk that will become referenced when it
         commits — only files older than the threshold are eligible, so run
-        GC with a threshold comfortably above the longest write attempt."""
+        GC with a threshold comfortably above the longest write attempt.
+        Deleting a racing attempt's pre-commit files would NOT conflict:
+        its O_EXCL commit still succeeds and then references deleted files
+        — which is exactly why the default is 3 days, not 0."""
         import time as _time
 
         cutoff = _time.time() - older_than_s
@@ -1075,9 +1078,15 @@ class IceTable:
 
         # 1. partition pruning against the source's own partition values —
         # all transforms in ONE aggregate job (a per-transform distinct
-        # would scan the source once per transform)
+        # would scan the source once per transform). ONLY transforms of a
+        # KEY column are sound to prune on: a matched target row shares the
+        # source row's key (hence its key-derived partitions), but any
+        # non-key column (e.g. days(warc_ts) on a re-fetch 45 days later)
+        # may differ between the old row and its replacement — pruning on
+        # it would hide the old row from the rewrite and leave a duplicate
+        # key behind.
         candidates = entries
-        prunable = [t for t in self.transforms() if t.source in source.columns]
+        prunable = [t for t in self.transforms() if t.source in key_cols]
         if prunable:
             row = source.agg(
                 *[

@@ -426,7 +426,14 @@ def wet_shards(
 
     def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(key[0])
-        pdf = pdf.sort_values("url", kind="mergesort")
+        # full-tuple sort: a url fetched twice (normal in a crawl) needs a
+        # deterministic tiebreak or shard bytes drift between re-runs
+        pdf = pdf.assign(
+            _tk=[
+                hashlib.md5((t or "").encode()).hexdigest()
+                for t in pdf["text"]
+            ]
+        ).sort_values(["url", "wet_date", "_tk"], kind="mergesort")
         data = _wet_shard_bytes(
             sid, pdf["url"], pdf["wet_date"], pdf["text"], gzip_members
         )
@@ -651,7 +658,11 @@ def stage_wet_expected(sf_dir: str, n_shards: int = 8) -> str:
                 # empty shard must not exist on either side (CC writes no
                 # empty files)
                 continue
-            items.sort(key=lambda t: t[0])
+            items.sort(
+                key=lambda t: (
+                    t[0], t[1], hashlib.md5((t[2] or "").encode()).hexdigest()
+                )
+            )
             data = _wet_shard_bytes(
                 sid,
                 [u for u, _, _ in items],
@@ -761,7 +772,13 @@ def wat_shards(
 
     def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(key[0])
-        pdf = pdf.sort_values("url", kind="mergesort")
+        # same full-tuple determinism tiebreak as the WET builder
+        pdf = pdf.assign(
+            _tk=[
+                hashlib.md5(bytes(p) if p is not None else b"").hexdigest()
+                for p in pdf["html"]
+            ]
+        ).sort_values(["url", "wat_date", "_tk"], kind="mergesort")
         data, n_links = _wat_shard_bytes(
             sid, pdf["url"], pdf["wat_date"], pdf["html"], gzip_members
         )
@@ -826,7 +843,9 @@ def stage_wat_expected(sf_dir: str, n_shards: int = 8) -> str:
         for sid, items in enumerate(shards):
             if not items:
                 continue  # no empty files, either side (the WET rule)
-            items.sort(key=lambda t: t[0])
+            items.sort(
+                key=lambda t: (t[0], t[1], hashlib.md5(t[2]).hexdigest())
+            )
             data, n_links = _wat_shard_bytes(
                 sid,
                 [u for u, _, _ in items],

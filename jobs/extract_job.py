@@ -154,12 +154,18 @@ def main() -> None:
         else:
             from enem_spark.lineage import run_html_extraction
 
+            warc_pages_df = None
             if args.warc:
                 from pyspark.sql import functions as F
 
                 from enem_spark.sources.warc import read_warc, warc_pages
 
-                pages = warc_pages(read_warc(spark, args.input)).withColumn(
+                # persist: the container gunzip+parse pass is the job's
+                # most expensive scan, and --wat-out consumes it again
+                warc_pages_df = warc_pages(read_warc(spark, args.input))
+                if args.wat_out:
+                    warc_pages_df.persist()
+                pages = warc_pages_df.withColumn(
                     "doc_id", F.xxhash64("url", F.md5("html"))
                 )
             else:
@@ -179,32 +185,62 @@ def main() -> None:
             from enem_spark.sources import warc
 
             main = committed_main_content(spark, args.output)
-            wet_dir = args.wet_out
-            if args.iceberg:
-                # incremental export, the CC convention: each ice run's NEW
-                # content becomes its own crawl-shard set under
-                # wet_out/<run_id>/ — O(delta) work, never a corpus
-                # re-export (full corpus = the union of the run dirs)
-                rid = summary.get("run_id")
-                if main is not None and rid and not summary.get("up_to_date"):
-                    main = main.filter(F.col("run_id") == rid)
-                    wet_dir = os.path.join(args.wet_out, rid)
-                else:
-                    main = None
-            if main is None:
-                summary["wet"] = []
-            else:
+
+            def wet_frame(df):
                 # main_content carries no capture timestamp; the export
                 # date is the fixed corpus epoch (determinism over
                 # wall-clock — re-exports stay byte-identical)
-                frame = main.select(
+                return df.select(
                     "url",
                     F.lit(warc.iso_date(warc.EPOCH_S)).alias("wet_date"),
                     F.col("main_text").alias("text"),
                 )
+
+            if main is None:
+                summary["wet"] = []
+            elif args.iceberg:
+                # incremental export, the CC convention: each ice run's
+                # content becomes its own crawl-shard set under
+                # wet_out/<run_id>/ — O(delta) work per run, full corpus =
+                # the union of the run dirs. The work list is COMMITTED
+                # runs with content that have no export dir yet (not "the
+                # run this invocation performed"): a crash between a run's
+                # commit marker and its export would otherwise skip that
+                # run's shard set forever; up-to-date invocations self-heal
+                # the hole instead of exporting nothing.
+                rids = sorted(
+                    r["run_id"]
+                    for r in main.select("run_id").distinct().collect()
+                )
+                exports = []
+                for rid in rids:
+                    rdir = os.path.join(args.wet_out, rid)
+                    marker = os.path.join(rdir, "_manifest.json")
+                    # the marker is the export's commit point (written
+                    # LAST): a crash mid-export leaves no marker, and the
+                    # re-run overwrites the byte-deterministic shards
+                    # idempotently before re-writing it
+                    if os.path.exists(marker):
+                        continue
+                    manifest = warc.write_wet_dir(
+                        warc.wet_shards(
+                            wet_frame(main.filter(F.col("run_id") == rid)),
+                            n_shards=args.wet_shards,
+                        ),
+                        rdir,
+                    )
+                    tmp = f"{marker}.tmp.{os.getpid()}"
+                    with open(tmp, "w") as fh:
+                        json.dump(manifest, fh)
+                    os.replace(tmp, marker)
+                    exports.extend(manifest)
+                summary["wet"] = exports
+            else:
                 summary["wet"] = warc.write_wet_dir(
-                    warc.wet_shards(frame, n_shards=args.wet_shards),
-                    wet_dir,
+                    warc.wet_shards(
+                        wet_frame(main), n_shards=args.wet_shards
+                    ),
+                    args.wet_out,
                 )
         if args.wat_out:
             from pyspark.sql import functions as F
@@ -212,11 +248,14 @@ def main() -> None:
             from enem_spark.sources import warc
 
             # WAT describes the CRAWL, not the extraction: envelopes are
-            # built from the raw input pages (url, warc_ts, html)
-            if args.warc:
-                raw = warc.warc_pages(warc.read_warc(spark, args.input))
-            else:
-                raw = spark.read.parquet(args.input)
+            # built from the raw input pages (url, warc_ts, html). Under
+            # --warc the persisted parse from the extraction pass is
+            # reused — never a second gunzip+parse of the containers.
+            raw = (
+                warc_pages_df
+                if warc_pages_df is not None
+                else spark.read.parquet(args.input)
+            )
             pages_in = raw.select(
                 "url",
                 F.date_format(
@@ -228,6 +267,8 @@ def main() -> None:
                 warc.wat_shards(pages_in, n_shards=args.wet_shards),
                 args.wat_out,
             )
+            if warc_pages_df is not None:
+                warc_pages_df.unpersist()
         print(json.dumps(summary))
         spark.stop()
         return

@@ -13,14 +13,18 @@ spark-submit-shaped CLI bundling the table-format maintenance operators
                          reverted history stays time-travelable until
                          expired)
   --orphans              delete data files referenced by NO snapshot
-                         (crash leftovers); --older-than-s guards in-flight
-                         commit attempts (Iceberg defaults to 3 days)
+                         (crash leftovers); --older-than-s (default 3 days,
+                         as in Iceberg) guards in-flight commit attempts —
+                         deleting a live attempt's pre-commit files would
+                         corrupt its successful commit, not conflict it
 
 Actions run in the order rollback -> compact -> expire -> orphans (revert
 first so compaction works on the state you mean to keep; GC last). Emits
-ONE JSON summary line. Every action commits through the same O_EXCL
-version-file protocol as any writer, so racing a live ingest yields
-CommitConflict, never corruption — rerun the job.
+ONE JSON summary line. rollback/compact/expire commit through the same
+O_EXCL version-file protocol as any writer, so racing a live ingest yields
+CommitConflict, never corruption — rerun the job. Orphan GC is the one
+action the protocol cannot referee (it touches files no snapshot names);
+its age threshold is the guard — keep it above the longest write attempt.
 """
 
 from __future__ import annotations
@@ -47,9 +51,12 @@ def main() -> None:
                     help="sequence for the --rollback commit")
     ap.add_argument("--orphans", action="store_true",
                     help="delete unreferenced data files")
-    ap.add_argument("--older-than-s", type=float, default=0.0,
-                    help="orphan age guard (seconds; protects in-flight "
-                         "commit attempts)")
+    ap.add_argument("--older-than-s", type=float, default=3 * 86400.0,
+                    help="orphan age guard in seconds (default 3 days, "
+                         "Iceberg's own default): files younger than this "
+                         "may belong to an IN-FLIGHT commit attempt, whose "
+                         "commit would succeed and then reference deleted "
+                         "files — lower only when no writer can be live")
     args = ap.parse_args()
     if args.rollback is not None and args.seq is None:
         ap.error("--rollback needs --seq for its commit sequence")

@@ -212,6 +212,18 @@ def test_job_cli_iceberg_runs_and_resumes(tmp_path, spark):
     for w in s1["wet"] + s3["wet"]:
         assert os.path.exists(w["file"])
 
+    # crash-hole self-heal: simulate a run whose export died mid-way (its
+    # _manifest.json commit marker missing) — the next up-to-date
+    # invocation re-exports exactly that run, byte-identically
+    os.unlink(os.path.join(wet, s1["run_id"], "_manifest.json"))
+    s4 = run()
+    assert s4["up_to_date"] and s4["input_pages"] == 0
+    assert sum(w["n_records"] for w in s4["wet"]) == 8
+    assert all(f"/{s1['run_id']}/" in w["file"] for w in s4["wet"])
+    assert {w["shard_id"]: w["wet_md5"] for w in s4["wet"]} == {
+        w["shard_id"]: w["wet_md5"] for w in s1["wet"]
+    }
+
 
 def test_recrawl_priority_buckets(spark):
     from datetime import datetime

@@ -537,13 +537,15 @@ def test_merge_upsert_semantics_and_cow(spark, tmp_table):
 
 
 def test_merge_partition_pruning_and_key_canonicalization(spark, tmp_table):
-    """An identity-partitioned table merged with a single-partition source
-    plans only that partition's files as candidates; a key holding several
-    target rows collapses to the single source row."""
+    """A table partitioned by a KEY-derived transform (bucket(url)) merged
+    with a single-key source plans only that bucket's files as candidates
+    (non-key transforms must NOT prune — see
+    test_merge_update_moving_partition_leaves_no_duplicate_key); a key
+    holding several target rows collapses to the single source row."""
     pdf = _toy_pdf(0, 30)
     t = it.IceTable.create(
         spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
-        (it.Transform("p_lang", "identity", "lang"),), sequence=1,
+        (it.Transform("b_url", "bucket", "url", 8),), sequence=1,
     )
     # second version of one pt url appended (multi-version crawl history)
     dup = pdf[pdf["lang"] == "pt"].head(1).copy()
@@ -685,12 +687,12 @@ def test_remove_orphan_files_deletes_only_unreferenced(spark, tmp_table):
     _toy_pdf(3, 5).to_parquet(old)
     os.utime(old, (1, 1))  # ancient mtime
 
-    # young orphans survive an age-guarded GC
-    out = t.remove_orphan_files(older_than_s=3600)
+    # young orphans survive the DEFAULT age-guarded GC (3 days)
+    out = t.remove_orphan_files()
     assert out["deleted_orphans"] == 1  # only the ancient one
     assert os.path.exists(os.path.join(orphan_dir, "junk.parquet"))
 
-    out2 = t.remove_orphan_files()
+    out2 = t.remove_orphan_files(older_than_s=0)  # explicit: no live writers
     assert out2["deleted_orphans"] == 1
     assert not os.path.exists(os.path.join(orphan_dir, "junk.parquet"))
     # both snapshots still read intact (historical files untouched)
@@ -728,7 +730,7 @@ def test_ice_maintenance_cli(tmp_path, spark):
             "--rollback", str(good), "--seq", "40",
             "--compact", "50",
             "--expire-from", "40",
-            "--orphans",
+            "--orphans", "--older-than-s", "0",
         ],
         capture_output=True, text=True, check=True,
     )
@@ -765,3 +767,31 @@ def test_merge_with_schema_evolution(spark, tmp_table):
     assert all(v == "crawler-7" for u, v in vals.items() if u in set(src["url"]))
     assert all(v is None for u, v in vals.items() if u not in set(src["url"]))
     assert got.count() == 20
+
+
+def test_merge_update_moving_partition_leaves_no_duplicate_key(spark, tmp_table):
+    """Regression: an updates-only fix-up whose rows move to a DIFFERENT
+    p_day partition (re-fetch 45 days later) must still rewrite the OLD
+    partition's files — pruning on a non-key transform (days(warc_ts))
+    would hide them and leave duplicate urls behind."""
+    pdf = _toy_pdf(0, 12)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=1,  # (days(warc_ts), bucket(url,4))
+    )
+    src = pdf.head(4).copy()
+    src["warc_ts"] = src["warc_ts"] + pd.Timedelta(days=45)
+    src["text"] = src["text"] + " refetched"
+    snap = t.merge(
+        spark.createDataFrame(src, schema=it.PAGES_ICE_SCHEMA), ["url"], sequence=2
+    )
+    got = t.read()
+    assert got.count() == 12  # NOT 16: old versions replaced, not duplicated
+    assert got.select("url").distinct().count() == 12
+    refetched = {
+        r["url"]: r["text"]
+        for r in got.filter(F.col("text").endswith("refetched")).collect()
+    }
+    assert set(refetched) == set(src["url"])
+    # bucket(url) IS key-derived, so candidate planning still pruned on it
+    assert snap["summary"]["files_candidates"] <= snap["summary"]["files_kept"] + snap["summary"]["files_rewritten"]

@@ -376,3 +376,25 @@ def test_warc_stream_tail_extracts_exactly_once(spark, tmp_path):
     runs_before = spark.read.parquet(f"{out}/runs").count()
     run()
     assert spark.read.parquet(f"{out}/runs").count() == runs_before
+
+
+def test_wat_export_deterministic_under_duplicate_urls(spark):
+    """A url fetched twice (same shard by construction) must export
+    byte-identically across runs regardless of incoming row order — the
+    full-tuple sort tiebreak."""
+    import pandas as pd
+
+    rows = []
+    for i in range(6):
+        url = f"https://ex.com/p/{i % 3}"  # every url appears twice
+        date = warc.iso_date(warc.EPOCH_S + i)
+        rows.append((url, date, f"<html><body>v{i}</body></html>".encode()))
+    pdf = pd.DataFrame(rows, columns=["url", "wat_date", "html"])
+    frames = [pdf, pdf.iloc[::-1].reset_index(drop=True)]  # reversed order
+    digests = []
+    for f in frames:
+        df = spark.createDataFrame(f).repartition(4)
+        out = warc.wat_shards(df, n_shards=2).collect()
+        digests.append({r.shard_id: r.wat_md5 for r in out})
+        assert sum(r.n_records for r in out) == 6
+    assert digests[0] == digests[1]
