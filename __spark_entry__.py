@@ -3291,10 +3291,10 @@ WITH hist AS (
   SELECT url, warc_ts FROM read_parquet('{ice_staged["expected_delta"]}')
 ),
 base AS (
-  SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
+  SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1) AS host,
          CAST(epoch(warc_ts) AS BIGINT) AS ts_s, url
   FROM hist
-  WHERE regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) <> ''
+  WHERE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1) <> ''
 ),
 per_host AS (
   SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,

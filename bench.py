@@ -176,11 +176,10 @@ def _pages_store(spark, sf_dir: str, mult: int = 1) -> tuple[str, int]:
         # url that is neither PV nor GB must stay null so it flows to
         # quarantine — an otherwise("GB") would silently admit noise docs
         # into the answer-key build for the stored-pages path
+        from enem_spark.extract import url_kind
+
         pages = pages_from_documents(documents).withColumn(
-            "kind",
-            F.when(F.col("url").contains("PV"), "PV").when(
-                F.col("url").contains("GB"), "GB"
-            ),
+            "kind", url_kind(F.col("url"))
         )
         pages.repartition(n_files).write.mode("overwrite").partitionBy(
             "kind"

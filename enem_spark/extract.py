@@ -107,10 +107,16 @@ def with_url_metadata(pages: DataFrame) -> DataFrame:
         # become PARTITION PRUNING at the scan instead of a regexp over every
         # row — the answer-key build touches only the tiny GB partition
         return out
-    return out.withColumn(
-        "kind",
-        F.when(url.contains("PV"), "PV").when(url.contains("GB"), "GB"),
-    )
+    return out.withColumn("kind", url_kind(url))
+
+
+def url_kind(url: F.Column) -> F.Column:
+    """THE kind derivation (F1), single-sourced: PV beats GB when both
+    substrings appear, anything else stays NULL (flows to quarantine — no
+    otherwise()). Every kind predicate in the engine (quarantine routing,
+    streaming gb_store split, bench page store) must come through here so
+    a derivation change can never desynchronize them."""
+    return F.when(url.contains("PV"), "PV").when(url.contains("GB"), "GB")
 
 
 def split_quarantine(pages_meta: DataFrame) -> tuple[DataFrame, DataFrame]:

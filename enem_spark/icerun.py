@@ -33,6 +33,8 @@ the same run_id and overwrites per the lineage protocol.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from . import lineage
@@ -119,8 +121,17 @@ def _latest_per_url(pages: DataFrame) -> DataFrame:
 def _mark_noop_run(spark: SparkSession, out_dir: str, run_id: str) -> None:
     """Commit a marker-only run: advances the sequence watermark when a
     snapshot added files but no new content units (pure duplicate append).
-    There are no side outputs to protect, so the marker alone is safe —
-    without it every later invocation would re-scan the same delta."""
+    This run writes no side outputs itself, but a CRASHED prior attempt
+    under the same run_id may have left stale table dirs — committing the
+    marker would make those orphan rows committed-visible (the CLAUDE.md
+    stale-dir invariant), so clear them first, exactly like
+    lineage.run_extraction does for tables an attempt did not write."""
+    import shutil
+
+    for table in ("main_content", "anchors", "processed_docs", "lineage"):
+        stale = f"{out_dir}/{table}/run_id={run_id}"
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     spark.createDataFrame(
         [(run_id, 0, 0)],
         "run_id string, input_pages long, questions_written long",
@@ -153,9 +164,12 @@ def run_html_extraction_ice(
     ``mime_filter`` drops non-text payloads (PDFs, gzip, images shipped
     under a crawl's html column — charset.mime_expr magic-byte triage)
     before extraction: a pure whole-stage-codegen filter below the UDF, no
-    extra action or crossing. Filtered units are simply never extracted;
-    the snapshot watermark still advances, and a later run with the flag
-    off re-considers them (they were never marked processed)."""
+    extra action or crossing. Filtered units are never extracted and never
+    marked processed, but the snapshot watermark STILL advances — an
+    incremental run with the flag off plans only newer snapshots and will
+    NOT re-present them; recovering filtered units needs an explicit
+    ``full=True`` re-plan (the anti-join then extracts exactly the
+    never-processed ones). Choose the flag per corpus, not per run."""
     table = IceTable(spark, table_path)
     tip = max(s["sequence"] for s in table.snapshots())
     committed_seq = last_extracted_sequence(spark, out_dir)
@@ -179,18 +193,39 @@ def run_html_extraction_ice(
 
     work = _latest_per_url(pages.select("url", "warc_ts", "html")).select(
         F.xxhash64("url", F.md5("html")).alias("doc_id"), "url", "html"
-    )
-    if mime_filter:
-        from .charset import mime_expr
+    ).persist()
+    try:
+        # fetch_log: (url, doc_id) of THIS run's latest fetch per url —
+        # written for EVERY unit, including ones whose content was already
+        # extracted by an older run. Content addressing makes the resume
+        # anti-join skip those, so without this log a url whose content
+        # REVERTS to a previously-seen version (A -> B -> A again) would be
+        # served forever as B: the serving view's run-recency proxy only
+        # sees extraction runs, not fetches. Written BEFORE the run's
+        # commit marker (same overwrite-dir + committed-gate protocol as
+        # every side output), so a crash here leaves an invisible orphan
+        # that the deterministic run_id retry overwrites.
+        work.select("url", "doc_id").write.mode("overwrite").parquet(
+            f"{out_dir}/fetch_log/run_id={run_id}"
+        )
+        extract_in = work
+        if mime_filter:
+            from .charset import mime_expr
 
-        work = work.filter(mime_expr(F.col("html")).startswith("text/"))
-    if normalize:
-        from .charset import normalize_encoding
+            extract_in = extract_in.filter(
+                mime_expr(F.col("html")).startswith("text/")
+            )
+        if normalize:
+            from .charset import normalize_encoding
 
-        work = normalize_encoding(work).select("doc_id", "url", "html")
-    summary = lineage.run_html_extraction(
-        spark, work, out_dir, run_id=run_id, with_anchors=with_anchors
-    )
+            extract_in = normalize_encoding(extract_in).select(
+                "doc_id", "url", "html"
+            )
+        summary = lineage.run_html_extraction(
+            spark, extract_in, out_dir, run_id=run_id, with_anchors=with_anchors
+        )
+    finally:
+        work.unpersist()
     if summary["input_pages"] == 0 and (committed_seq is None or committed_seq < tip):
         # scanned files but every unit was already extracted: commit the
         # watermark so the next tail run plans an empty delta (skipped when
@@ -204,12 +239,34 @@ def run_html_extraction_ice(
 
 
 def current_main_content(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    """Serving view: per url, the extraction from the highest committed
-    ice run (run_id order == snapshot order == fetch recency; within-run
-    duplicates were already reduced to the latest fetch pre-extraction)."""
+    """Serving view: per url, the extraction of its LATEST FETCH.
+
+    When the out_dir has a committed fetch_log (every ice run writes one),
+    the view is latest-fetch-per-url (fetch_log, run recency) joined to the
+    committed main_content by content address — this serves correctly even
+    when a url's content REVERTS to a previously-extracted version: the
+    re-fetch commits only a fetch_log row (the extraction was skipped as
+    already done), and the join resolves it back to the old run's
+    extraction. A url whose latest fetch was never extracted (e.g. dropped
+    by mime_filter) has no current row — its current content is not text.
+
+    Without a fetch_log (flat html runs, pre-log dirs) the view falls back
+    to the run-recency proxy over main_content itself, which cannot see
+    extraction-skipped re-fetches."""
     mc = lineage.committed_main_content(spark, out_dir)
     if mc is None:
         return None
+    fl_path = f"{out_dir}/fetch_log"
+    committed = lineage.committed_run_ids(spark, out_dir)
+    if os.path.exists(fl_path) and committed is not None:
+        fl = spark.read.parquet(fl_path).join(committed, "run_id", "left_semi")
+        w = W.partitionBy("url").orderBy(F.col("run_id").desc())
+        latest = (
+            fl.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("url", "doc_id")
+        )
+        return latest.join(mc.drop("url"), "doc_id", "inner")
     w = W.partitionBy("url").orderBy(F.col("run_id").desc())
     return (
         mc.withColumn("_rn", F.row_number().over(w))
@@ -218,7 +275,11 @@ def current_main_content(spark: SparkSession, out_dir: str) -> DataFrame | None:
     )
 
 
-_URL_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/]+)"
+# scheme case is insignificant (RFC 3986 §3.1) and crawl logs do carry
+# mixed-case schemes — a lowercase-only match would silently drop those
+# fetches from the politeness audit and under-count the real rate. The
+# DuckDB twin in __spark_entry__.py spells the same character classes.
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)"
 
 
 def fetch_politeness(history: DataFrame) -> DataFrame:

@@ -46,7 +46,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import lineage, textops
 
 SIG_TABLE = "minhash_sigs"
-_RUN_RE = re.compile(r"^sig(\d+)x(\d+)_(\d{6})$")
+_RUN_RE = re.compile(r"^sig(\d+)x(\d+)_(\d{6,})$")  # {6,}: :06d PADS, never
+# truncates — run 1,000,000 formats as 7 digits, and a {6} anchor would hide
+# it from the committed list, re-deriving (and overwriting) the same run_id
 
 
 def sig_run_id(perms: int, bands: int, n: int) -> str:
@@ -54,12 +56,17 @@ def sig_run_id(perms: int, bands: int, n: int) -> str:
 
 
 def _committed_sig_runs(
-    spark: SparkSession, out_dir: str
+    spark: SparkSession,
+    out_dir: str,
+    committed: DataFrame | None = None,
 ) -> list[tuple[int, int, int]]:
     """(perms, bands, n) per COMMITTED sig run. The runs table is one tiny
     row per run — collecting it is driver-side metadata work, same class as
-    icerun.last_extracted_sequence."""
-    committed = lineage.committed_run_ids(spark, out_dir)
+    icerun.last_extracted_sequence. Pass ``committed`` (the
+    committed_run_ids frame) when the caller already read it — the table
+    is tiny, but one metadata scan per call beats three."""
+    if committed is None:
+        committed = lineage.committed_run_ids(spark, out_dir)
     if committed is None:
         return []
     out = []
@@ -90,12 +97,12 @@ def committed_signatures(
 ) -> DataFrame | None:
     """Reader view of the signature store restricted to committed runs:
     (doc_id, mh0..mh{perms-1}), or None when no committed sig run exists."""
-    runs = _committed_sig_runs(spark, out_dir)
+    committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_sig_runs(spark, out_dir, committed)
     _check_config(runs, perms, bands)
     path = f"{out_dir}/{SIG_TABLE}"
     if not runs or not os.path.exists(path):
         return None
-    committed = lineage.committed_run_ids(spark, out_dir)
     return (
         spark.read.parquet(path)
         .join(committed, "run_id", "left_semi")
@@ -176,10 +183,14 @@ def probe_near_dups(
     sig_ex = committed_signatures(spark, out_dir, perms, bands)
     if sig_ex is None:
         raise ValueError(f"no committed signature index under {out_dir}")
-    sig_new = textops.minhash_signatures(new_docs, None, perms).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sig_new = textops.minhash_signatures(new_docs, None, perms)
     if persist_to is not None:
+        # persist ONLY when the caller owns the lifetime (appends here and
+        # unpersists after consuming): an unowned persist pins a
+        # MEMORY_AND_DISK copy per call for the session's lifetime. The
+        # unpersisted plan recomputes signatures once per reuse — bounded,
+        # the increment is small by definition.
+        sig_new = sig_new.persist(StorageLevel.MEMORY_AND_DISK)
         persist_to.append(sig_new)
     return textops._estimate_new_vs_existing(
         sig_new, sig_ex, threshold, perms, bands

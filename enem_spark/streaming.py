@@ -85,9 +85,9 @@ def start_extraction_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        gb_batch = batch_df.filter(
-            F.col("url").contains("GB") & ~F.col("url").contains("PV")
-        )
+        from .extract import url_kind
+
+        gb_batch = batch_df.filter(url_kind(F.col("url")).eqNullSafe("GB"))
         if not gb_batch.isEmpty():
             gb_batch.write.mode("overwrite").parquet(
                 f"{out_dir}/gb_store/batch_id={batch_id}"
@@ -166,9 +166,11 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30):
     (user_id, session_seq, session_start, session_end, n_events).
 
     applyInPandasWithState + EventTimeTimeout: per-user state is one open
-    session (constant size — the closed ones are emitted and dropped), so
-    state is O(active users), horizontally partitioned by the grouping key
-    like any keyed stream. The input must carry a watermark on ts."""
+    session plus the cumulative session_seq counter (the counter survives
+    timeouts so seq never repeats, matching the batch twin's numbering),
+    so state is O(distinct users) x 4 small fields, horizontally
+    partitioned by the grouping key like any keyed stream. The input must
+    carry a watermark on ts."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -184,7 +186,12 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30):
         if state.hasTimedOut:
             start, last, n, seq = state.get
             closed.append((key[0], seq, start, last, n))
-            state.remove()
+            # keep the seq counter (drop only the open session): removing
+            # state would restart session_seq at 1 after a timeout,
+            # emitting duplicate seq values and diverging from the batch
+            # twin's cumulative per-user numbering. Counter-only state is
+            # O(distinct users) x 4 fields — the bounded-state story holds.
+            state.update((None, None, 0, seq))
         else:
             start, last, n, seq = (
                 state.get if state.exists else (None, None, 0, 0)
@@ -212,10 +219,14 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30):
             # Clamped: a user whose events are older than the global stream
             # frontier can have last+gap already BEHIND the watermark (the
             # API rejects that) — the session is then due immediately, so
-            # arm the earliest allowed instant.
-            target = int(last.timestamp() * 1000) + gap_minutes * 60_000
-            wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(target, wm + 1))
+            # arm the earliest allowed instant. `last` can be None when a
+            # fresh (or just-timed-out) key's events were ALL below the
+            # watermark: nothing is open, so nothing to arm (arming off
+            # None crashed the worker and killed the query).
+            if last is not None:
+                target = int(last.timestamp() * 1000) + gap_minutes * 60_000
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(target, wm + 1))
         yield pd.DataFrame(
             closed,
             columns=[
@@ -454,7 +465,11 @@ def start_document_stream(
             # GB (answer-key) pages go to a separate persistent gb_store so
             # staging compaction never has to choose between bounding the
             # table and keeping the key dimension available to future docs.
-            is_gb = F.col("url").contains("GB") & ~F.col("url").contains("PV")
+            from .extract import url_kind
+
+            # single-sourced kind derivation: gb_store routing can never
+            # disagree with quarantine routing or the release gate
+            is_gb = url_kind(F.col("url")).eqNullSafe("GB")
             gb_batch = batch_df.filter(is_gb)
             rest = batch_df.filter(~is_gb)
             if not gb_batch.isEmpty():

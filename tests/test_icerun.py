@@ -363,3 +363,32 @@ def test_mime_filter_drops_binaries(spark, tmp_path):
     cur = _current(spark, out)
     assert "https://ex.org/d/pdf" not in cur
     assert len(cur) == 4
+
+
+def test_content_revert_serves_latest_fetch(spark, table_and_out):
+    """Regression: url content flip-flops A -> B -> A. The third fetch's
+    content is already extracted (same content address), so the run
+    commits only a fetch_log row — the serving view must still flip back
+    to A (previously it served B forever: run-recency over main_content
+    cannot see extraction-skipped re-fetches)."""
+    tbl, out = table_and_out
+    t = _create(spark, tbl, _rows(range(6), it.EPOCH_S, version=1), seq=10)
+    s1 = icerun.run_html_extraction_ice(spark, tbl, out)
+    assert s1["input_pages"] == 6
+
+    # crawl 2: url 2 re-fetched with NEW content B
+    _append(spark, t, _rows([2], it.EPOCH_S + 5000, version=2), seq=20)
+    s2 = icerun.run_html_extraction_ice(spark, tbl, out)
+    assert s2["input_pages"] == 1
+    assert _current(spark, out)["https://ex.org/d/2"] == _expected_main(
+        _html(2, version=2)
+    )
+
+    # crawl 3: url 2 REVERTS to content A (byte-identical to crawl 1)
+    _append(spark, t, _rows([2], it.EPOCH_S + 9000, version=1), seq=30)
+    s3 = icerun.run_html_extraction_ice(spark, tbl, out)
+    assert s3["input_pages"] == 0  # content-addressed: nothing re-extracted
+    assert icerun.last_extracted_sequence(spark, out) == 30
+    cur = _current(spark, out)
+    assert cur["https://ex.org/d/2"] == _expected_main(_html(2, version=1))
+    assert len(cur) == 6  # every url still served exactly once

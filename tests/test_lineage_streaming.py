@@ -6,6 +6,8 @@ the rows the plain batch pipeline produces."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -721,3 +723,66 @@ def test_streaming_matches_batch(spark, pages_df, tmp_path):
 
     got = spark.read.parquet(f"{out}/questions")
     assert _question_keys(got) == _question_keys(extract_questions(pages_df, cfg))
+
+
+def test_streaming_sessionize_timeout_keeps_seq_and_survives_late_key(
+    spark, tmp_path
+):
+    """Two regressions: (1) a timeout-closed session must NOT reset the
+    user's session_seq — the next session continues the cumulative batch
+    numbering; (2) a fresh key whose events are ALL below the watermark
+    must not crash the worker (previously armed a timeout off last=None)."""
+    import time
+
+    import pandas as pd
+
+    from enem_spark.streaming import streaming_sessionize
+
+    T = pd.Timestamp("2024-01-01 00:00:00")
+
+    def m(mins):
+        return T + pd.Timedelta(minutes=mins)
+
+    files = [
+        # f1: u1 session 1 (2 events); u2 anchor
+        [(1, 10, m(0)), (1, 11, m(1)), (2, 20, m(0))],
+        # f2: u2 advances the watermark past u1's last+gap
+        [(2, 21, m(40))],
+        # f3: u2 keeps flowing; u1 absent -> u1 session 1 closes via TIMEOUT
+        [(2, 22, m(41))],
+        # f4: u1 returns (session 2); u3's only events are far below the
+        # watermark (all dropped -> must not crash, must not emit)
+        [(1, 12, m(60)), (1, 13, m(61)), (3, 30, m(5)), (3, 31, m(6))],
+        # f5+f6: u2 advances the watermark so u1 session 2 times out too
+        [(2, 23, m(200))],
+        [(2, 24, m(201))],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(files):
+        pd.DataFrame(rows, columns=["user_id", "event_id", "ts"]).astype(
+            {"ts": "datetime64[us]"}  # Spark reads micros, not pandas nanos
+        ).to_parquet(f"{src}/f{i}.parquet")
+        time.sleep(1.2)  # mtime order = arrival order
+
+    schema = "user_id long, event_id long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        streaming_sessionize(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("seq_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM seq_sessions").collect()
+    u1 = {r["session_seq"]: r["n_events"] for r in rows if r["user_id"] == 1}
+    assert u1 == {1: 2, 2: 2}  # seq 2, not a duplicated seq 1
+    assert not [r for r in rows if r["user_id"] == 3]  # dropped, no crash
