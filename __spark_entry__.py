@@ -1800,11 +1800,14 @@ requeried AS (
       '^&', '') AS q2
   FROM split_q
 )
+-- path-anchored '/'-strip BEFORE query reassembly, mirroring the engine
+-- (the synthetic urls all carry a scheme, so the engine's schemeless
+-- pass-through branch is unreachable on this input by construction)
 SELECT doc_id,
        scheme || '://' || host ||
-       regexp_replace(
-         CASE WHEN q2 = '' THEN path ELSE path || '?' || q2 END,
-         '/$', '') AS canonical_url
+       CASE WHEN q2 = '' THEN regexp_replace(path, '/$', '')
+            ELSE regexp_replace(path, '/$', '') || '?' || q2 END
+       AS canonical_url
 FROM requeried
 """
 
@@ -2005,7 +2008,7 @@ parts AS (
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
     regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':\d+$', '') AS bare_host,
     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-    regexp_extract(url, '\?([^#]*)', 1) AS query
+    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS query
   FROM urls
 ),
 classified AS (
@@ -3006,7 +3009,11 @@ SELECT doc_id,
        CASE WHEN n_en > n_pt AND n_en > (n - n_en - n_pt) THEN 'en'
             WHEN n_pt > n_en AND n_pt > (n - n_en - n_pt) THEN 'pt'
             ELSE 'und' END AS majority_lang,
-       round((n - greatest(n_en, n_pt, n - n_en - n_pt))
+       -- disagreement vs the REPORTED label (ties report 'und', so the
+       -- denominator pairs with n_und there), mirroring the engine
+       round((n - CASE WHEN n_en > n_pt AND n_en > (n - n_en - n_pt) THEN n_en
+                       WHEN n_pt > n_en AND n_pt > (n - n_en - n_pt) THEN n_pt
+                       ELSE n - n_en - n_pt END)
              / greatest(n, 1), 6) AS minority_frac
 FROM c
 """

@@ -787,7 +787,10 @@ def dedup_paragraphs(main: DataFrame) -> DataFrame:
     (doc_id, pos) order; later occurrences are dropped and each document's
     text is reassembled from its kept paragraphs.
 
-    Output: (doc_id, n_paras, n_kept, text_deduped). Two content-keyed
+    Output: (doc_id, n_paras, n_kept, text_deduped). A document whose
+    main_text has NO non-empty paragraphs (all-chrome page) is absent
+    from the output — corpus_curate is the operator that audits every
+    doc_id; this one ships the cleaned corpus. Two content-keyed
     shuffles (md5(paragraph) for the occurrence window, doc_id for the
     reassembly) — both near-uniform keys; at 10^12 docs the paragraph-hash
     exchange is the big one and salts itself by content."""
@@ -1044,18 +1047,10 @@ def paragraph_langid(main: DataFrame) -> DataFrame:
     paragraphs disagreeing with the plurality / paragraphs."""
     from .textops import EN_MARKERS, PT_MARKERS
 
-    def hits(p, markers):
-        padded = F.concat(F.lit(" "), p, F.lit(" "))
-        return sum(
-            (
-                (
-                    (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit(""))))
-                    / len(m)
-                ).cast("int")
-                for m in markers
-            ),
-            F.lit(0),
-        )
+    # the ONE marker-count kernel (shared with the other per-paragraph
+    # operators): a second inline copy would let the langid heuristic —
+    # which the twin protocol requires landing on both engines — drift
+    hits = _marker_hits
 
     paras = F.filter(F.split(F.col("main_text"), "\n"), lambda p: p != "")
     langs = F.transform(
@@ -1068,14 +1063,20 @@ def paragraph_langid(main: DataFrame) -> DataFrame:
     n_en = F.size(F.filter(langs, lambda l: l == "en"))
     n_pt = F.size(F.filter(langs, lambda l: l == "pt"))
     n_und = n - n_en - n_pt
-    majority_count = F.greatest(n_en, n_pt, n_und)
+    is_en = (n_en > n_pt) & (n_en > n_und)
+    is_pt = (n_pt > n_en) & (n_pt > n_und)
+    # minority_frac counts paragraphs disagreeing with the REPORTED label:
+    # an en/pt tie reports 'und', so its disagreement is measured against
+    # n_und — measuring against greatest(n_en,n_pt,n_und) understated the
+    # mixedness of exactly the most mixed pages (a 2en/2pt page read 0.5
+    # instead of 1.0) and a mixed-page filter under-dropped them
+    majority_count = F.when(is_en, n_en).when(is_pt, n_pt).otherwise(n_und)
     return main.select(
         "doc_id",
         n.alias("n_paras"),
-        F.when((n_en > n_pt) & (n_en > n_und), "en")
-        .when((n_pt > n_en) & (n_pt > n_und), "pt")
-        .otherwise("und")
-        .alias("majority_lang"),
+        F.when(is_en, "en").when(is_pt, "pt").otherwise("und").alias(
+            "majority_lang"
+        ),
         F.round(
             (n - majority_count) / F.greatest(n, F.lit(1)), 6
         ).alias("minority_frac"),
@@ -1130,6 +1131,15 @@ def host_pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # a page set with no matching outlinks (e.g. single-quoted hrefs)
+        # has an empty host graph — emit an empty ranks frame instead of
+        # dividing by zero on the driver (one bad batch must not kill a
+        # job: the quarantine philosophy, and the CLAUDE.md division rule)
+        nodes.unpersist()
+        return pages.sparkSession.createDataFrame(
+            [], "host string, rank double"
+        )
     outw = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -1507,7 +1517,10 @@ def sitemap_discover(sitemaps: DataFrame, known: DataFrame) -> DataFrame:
     parsed = sitemap_parse(sitemaps)
     flagged = (
         parsed.join(
-            known.select(F.col("url").alias("loc")).withColumn(
+            # distinct: a frontier url crawled twice must not multiply the
+            # left join's output rows (duplicate ranks shift every
+            # lower-priority entry and overrun a rank<=K fetch budget)
+            known.select(F.col("url").alias("loc")).distinct().withColumn(
                 "_known", F.lit(1)
             ),
             "loc",

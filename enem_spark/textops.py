@@ -312,14 +312,22 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
+    sh: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold,
     rounded to 6 dp. Candidates = pairs sharing at least one band signature;
-    verification joins the shingle sets (equi-join on shingle)."""
-    sh = shingle_table(documents, cache=True)
-    sig = minhash_signatures(documents, sh, perms)
+    verification joins the shingle sets (equi-join on shingle). Pass an
+    already-built (sh, sig) pair to reuse them — the shingle explode and
+    the perms min-aggregates are the dominant cost, and a caller that also
+    needs the signatures (minhash_jaccard_estimate) must not pay them
+    twice (nor pin two caches of the same shingle table)."""
+    if sh is None:
+        sh = shingle_table(documents, cache=True)
+    if sig is None:
+        sig = minhash_signatures(documents, sh, perms)
     candidates = _band_candidates(sig, perms, bands)
     return _verified_jaccard(sh, candidates, threshold)
 
@@ -1141,7 +1149,10 @@ def strip_boilerplate(
     boilerplate line (see boilerplate_lines) and reassemble each document's
     remaining lines in original order.
 
-    Output: (doc_id, text). Three shuffles — line-doc counts, the
+    Output: (doc_id, text). A document whose EVERY line is boilerplate
+    drops out of the output entirely (a pure-template page has no main
+    content to keep) — join back to the documents table when full doc_id
+    coverage matters. Three shuffles — line-doc counts, the
     (source, line) anti-join, and the doc_id reassembly — all on
     near-uniform keys; the boilerplate table is small (templates per
     source) and AQE broadcasts it."""
@@ -1190,9 +1201,17 @@ def canonicalize_url(url):
     query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
     q2 = F.regexp_replace(F.concat(F.lit("&"), query), r"&utm_[^&]*", "")
     q2 = F.regexp_replace(q2, r"^&", "")
+    # trailing-'/' strip applies to the PATH, before query reassembly — a
+    # query VALUE ending in '/' (?x=/) is data, not a path separator, and
+    # stripping after reassembly mutated it (collapsing '?x=/' with '?x=')
+    path = F.regexp_replace(path, r"/$", "")
     rest = F.when(q2 == "", path).otherwise(F.concat(path, F.lit("?"), q2))
-    rest = F.regexp_replace(rest, r"/$", "")
-    return F.concat(scheme, F.lit("://"), host, rest)
+    # a url with no recognizable scheme cannot be canonicalized — pass it
+    # through unchanged (each stays its own dedup key) instead of
+    # collapsing every malformed url into one giant '://' cluster
+    return F.when(scheme == "", url).otherwise(
+        F.concat(scheme, F.lit("://"), host, rest)
+    )
 
 
 def source_length_percentiles(documents: DataFrame) -> DataFrame:
@@ -1302,7 +1321,9 @@ def minhash_jaccard_estimate(
     that avoids it is `minhash_estimate_pairs`."""
     sh = shingle_table(documents, cache=True)
     sig = minhash_signatures(documents, sh, perms)
-    pairs = minhash_lsh_pairs(documents, threshold=0.0, perms=perms, bands=bands)
+    pairs = minhash_lsh_pairs(
+        documents, threshold=0.0, perms=perms, bands=bands, sh=sh, sig=sig
+    )
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{s}").alias(f"a{s}") for s in range(perms)],
@@ -1412,7 +1433,10 @@ def crawl_url_filter(
     path = F.regexp_extract(
         url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
     )
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # anchored before any '#': a '?' inside the FRAGMENT is not a query
+    # (e.g. 'https://h/p#sec?junk' has no query at all) — the unanchored
+    # form misclassified such urls as long_query at the frontier
+    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1))
     depth = F.length(path) - F.length(F.regexp_replace(path, r"/", ""))
     reason = (
@@ -1714,7 +1738,9 @@ def doc_chunk(
     last chunk clamped at end-of-doc).
 
     Chunk count is 1 + ceil(max(0, n - window) / stride), so every doc
-    emits at least one chunk and every token is covered. Entirely narrow
+    with non-blank text emits at least one chunk and every token is
+    covered; blank/NULL-text docs emit none (there is nothing to train
+    on — join back to documents when coverage accounting matters). Entirely narrow
     (tokenize once, explode chunk ids, slice the token array) — zero
     shuffles, so at crawl scale it is pure map work that pipelines into
     whatever consumes the chunks. Skew-free: cost is linear in document

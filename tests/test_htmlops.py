@@ -610,7 +610,9 @@ def test_paragraph_langid_mixed_doc(spark):
             (1, "the cat and the dog of the house\n"
                 "the sum of the work and the rest\n"
                 "a casa de pedra que vale mais"),
-            # 1 en, 1 pt -> tie -> und, minority = (2 - 1)/2
+            # 1 en, 1 pt -> tie -> reported 'und'; NO paragraph agrees with
+            # the reported label, so minority_frac = 1.0 (the most mixed
+            # page must read as fully mixed, not 0.5)
             (2, "the cat and the dog of it\na casa de pedra que vale"),
             # marker-free -> all und, majority und, 0 minority
             (3, "sem marcadores aqui\nnada reconhecivel"),
@@ -622,7 +624,7 @@ def test_paragraph_langid_mixed_doc(spark):
         for r in H.paragraph_langid(main).collect()
     }
     assert got[1] == (3, "en", round(1 / 3, 6))
-    assert got[2] == (2, "und", 0.5)
+    assert got[2] == (2, "und", 1.0)
     assert got[3] == (2, "und", 0.0)
 
 

@@ -260,15 +260,22 @@ def test_url_canonicalization_adversarial_cases(spark):
     NAME contains utm_, adjacent utm params, literal '&' in the path, a
     second '?' inside a value, non-http default ports."""
     cases = {
-        "http://a.com/?id=1&myutm_x=2&foo=1": "http://a.com/?id=1&myutm_x=2&foo=1",
+        # path-final '/' strips BEFORE query reassembly: '/?q' == '?q'
+        "http://a.com/?id=1&myutm_x=2&foo=1": "http://a.com?id=1&myutm_x=2&foo=1",
         "https://A.com:443/p?utm_a=1&utm_b=2&id=3#f": "https://a.com/p?id=3",
         "http://b.com/p?utm_only=1": "http://b.com/p",
-        "https://c.com/p/?utm_a=1&id=2": "https://c.com/p/?id=2",
+        "https://c.com/p/?utm_a=1&id=2": "https://c.com/p?id=2",
         "ftp://Files.x.com:21/p/9": "ftp://files.x.com:21/p/9",
         "http://h/r&d": "http://h/r&d",
         "http://h/a&b?c=1": "http://h/a&b?c=1",
         "http://h/p?x=a?b&utm_z=1": "http://h/p?x=a?b",
         "HTTP://WWW.E.com:80/P/Q?utm_source=z": "http://www.e.com/P/Q",
+        # a query VALUE ending in '/' is data — must survive canonicalization
+        "http://h/p?x=/": "http://h/p?x=/",
+        # schemeless/malformed urls pass through unchanged (one bad url must
+        # not collapse every malformed url into a single '://' dedup key)
+        "not a url at all": "not a url at all",
+        "www.h.com/p": "www.h.com/p",
     }
     df = spark.createDataFrame(pd.DataFrame({"url": list(cases)}))
     got = {
