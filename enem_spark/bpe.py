@@ -218,8 +218,13 @@ def encode_reference(
 ) -> tuple[int, int]:
     """Pure-Python encode twin: (n_words, n_subwords) for one document
     under the given merge list — same marker, same greedy left-to-right
-    non-overlapping merge application, in merge order."""
-    words = [w for w in text.strip().split() if w]
+    non-overlapping merge application, in merge order. Tokenization uses
+    the engine's EXPLICIT whitespace class (textops.TOKEN_WS_RE): str
+    .split() is Unicode-aware and would split 'a\\u00a0b' into two words
+    where the engine keeps one."""
+    import re
+
+    words = [w for w in re.split(r"[ \t\n\f\r]+", text.strip(" \t\n\f\r")) if w]
     n_sub = 0
     for w in words:
         syms = list(w) + ["</w>"]

@@ -466,6 +466,12 @@ def stage_charset_tables(sf_dir: str) -> dict[str, str]:
         "charset_stats": os.path.join(base, "charset_stats.parquet"),
         "mime_payloads": os.path.join(base, "mime_payloads.parquet"),
     }
+    # skip-if-complete + tmp-file atomic rename (the sibling stagers'
+    # protocol): a fresh process must not redundantly rewrite — and never
+    # rewrite IN PLACE under a concurrent reader (torn parquet)
+    if all(os.path.exists(p) for p in paths.values()):
+        _STAGED[sf_dir] = paths
+        return paths
     docs = pd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "source", "lang"],
@@ -479,22 +485,31 @@ def stage_charset_tables(sf_dir: str) -> dict[str, str]:
     urls = [
         htmlops.page_url(d, s) for d, s in zip(docs["doc_id"], docs["source"])
     ]
-    decoded_frame(docs["doc_id"], urls, payloads).to_parquet(
-        paths["charset_stats"], index=False
+
+    def _atomic_parquet(frame: pd.DataFrame, path: str) -> None:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        frame.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+
+    _atomic_parquet(
+        decoded_frame(docs["doc_id"], urls, payloads), paths["charset_stats"]
     )
     # mime INPUT twin: same bytes the Spark synth stage emits (byte-identity
     # tested) — the DuckDB mime oracle COMPUTES the classification over it
-    pd.DataFrame(
-        {
-            "doc_id": docs["doc_id"].astype("int64"),
-            "url": urls,
-            "html": [
-                payload_for(d, t, s, g)
-                for d, t, s, g in zip(
-                    docs["doc_id"], docs["text"], docs["source"], docs["lang"]
-                )
-            ],
-        }
-    ).to_parquet(paths["mime_payloads"], index=False)
+    _atomic_parquet(
+        pd.DataFrame(
+            {
+                "doc_id": docs["doc_id"].astype("int64"),
+                "url": urls,
+                "html": [
+                    payload_for(d, t, s, g)
+                    for d, t, s, g in zip(
+                        docs["doc_id"], docs["text"], docs["source"], docs["lang"]
+                    )
+                ],
+            }
+        ),
+        paths["mime_payloads"],
+    )
     _STAGED[sf_dir] = paths
     return paths

@@ -112,7 +112,17 @@ def _update(assigned: DataFrame, k: int) -> list[list[int]]:
 
 
 def initial_centroids(qdf: DataFrame, k: int) -> list[list[int]]:
+    """Seed = the vectors with vec_id 0..k-1, cluster label = vec_id. The
+    DuckDB twin keys its seed clusters by vec_id, so EVERY id in [0, k)
+    must exist — a gap would make Spark relabel by list position while the
+    twin keeps the true ids, silently diverging from round 1 on. Validate
+    instead of assuming."""
     rows = qdf.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    got = [int(r["vec_id"]) for r in rows]
+    if got != list(range(k)):
+        raise ValueError(
+            f"kmeans seed needs vec_ids 0..{k - 1} present; got {got[:10]}"
+        )
     return [list(r["q"]) for r in rows]
 
 

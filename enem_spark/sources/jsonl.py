@@ -10,9 +10,10 @@ Reader discipline (the parts that matter at 100 TB):
   * Explicit schema, never inference — inference is a full extra pass over
     every shard before the real scan.
   * PERMISSIVE mode with a corrupt-record column: a malformed line becomes
-    a quarantine row (`_corrupt` holds the raw line, data fields NULL)
-    instead of killing the job — the F1 quarantine philosophy applied to
-    the container format. FAILFAST at crawl scale means one mangled line
+    a quarantine row (`_corrupt` holds the raw line; data fields NULL for
+    unparseable JSON, partially populated on type mismatches — route on
+    `_corrupt`, not on NULLs) instead of killing the job — the F1
+    quarantine philosophy applied to the container format. FAILFAST at crawl scale means one mangled line
     in shard 381,442 kills a day-long job.
   * Shards are staged UNCOMPRESSED (or at scale: zstd/bzip2) because plain
     gzip is not splittable — a gzipped 1 GiB shard pins one task for the
@@ -83,11 +84,15 @@ def stage_jsonl_files(sf_dir: str, n_files: int = 8) -> dict[str, str]:
     import duckdb
 
     sf_dir = os.path.normpath(sf_dir)
-    if sf_dir in _STAGED:
-        return _STAGED[sf_dir]
+    # the shard count SHAPES the staged layout — key the memo, the /tmp
+    # dir, and the done-marker on it, or a second call with a different
+    # n_files would silently get the first call's layout back
+    key = f"{sf_dir}|{n_files}"
+    if key in _STAGED:
+        return _STAGED[key]
     tag = (
         f"{os.path.basename(sf_dir)}_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{n_files}"
     )
     base = os.path.join("/tmp", f"enem_jsonl_{tag}")
     os.makedirs(base, exist_ok=True)
@@ -95,29 +100,37 @@ def stage_jsonl_files(sf_dir: str, n_files: int = 8) -> dict[str, str]:
     os.makedirs(jsonl_dir, exist_ok=True)
     expected_path = os.path.join(base, "jsonl_expected.parquet")
 
-    rows = duckdb.sql(
-        "SELECT doc_id, text, lang, source FROM "
-        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
-    ).fetchall()
-
-    shards: list[list[str]] = [[] for _ in range(n_files)]
-    expected = []
-    for doc_id, text, lang, source in rows:
-        rec = {
-            "url": doc_url(doc_id, source),
-            "fetch_ts": EPOCH_S + int(doc_id),
-            "text": text,
-            "lang": lang,
-            "source": source,
-        }
-        shards[int(doc_id) % n_files].append(encode_line(rec))
-        expected.append(rec)
     done_marker = os.path.join(base, ".staged")
     if not os.path.exists(done_marker):
+        # the corpus read + encode live INSIDE the guard: they are the
+        # whole staging cost, and an already-staged process must not pay
+        # them just to throw the result away
+        rows = duckdb.sql(
+            "SELECT doc_id, text, lang, source FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+        shards: list[list[str]] = [[] for _ in range(n_files)]
+        expected = []
+        for doc_id, text, lang, source in rows:
+            rec = {
+                "url": doc_url(doc_id, source),
+                "fetch_ts": EPOCH_S + int(doc_id),
+                "text": text,
+                "lang": lang,
+                "source": source,
+            }
+            shards[int(doc_id) % n_files].append(encode_line(rec))
+            expected.append(rec)
         for i, lines in enumerate(shards):
             bad = BAD_LINES[i % len(BAD_LINES)]
             body = lines[:1] + [bad] + lines[1:] if lines else [bad]
-            with open(os.path.join(jsonl_dir, f"part-{i:05d}.jsonl"), "w") as f:
+            # explicit utf-8: encode_line is ensure_ascii=False, and the
+            # locale default would mojibake (or refuse) non-ASCII text
+            with open(
+                os.path.join(jsonl_dir, f"part-{i:05d}.jsonl"),
+                "w",
+                encoding="utf-8",
+            ) as f:
                 f.write("\n".join(body) + "\n")
         duckdb.register("expected_df", _to_df(expected))
         duckdb.sql(
@@ -131,7 +144,7 @@ def stage_jsonl_files(sf_dir: str, n_files: int = 8) -> dict[str, str]:
         "expected": expected_path,
         "n_bad": str(n_files),
     }
-    _STAGED[sf_dir] = out
+    _STAGED[key] = out
     return out
 
 
@@ -148,8 +161,11 @@ _STAGED: dict[str, dict[str, str]] = {}
 
 def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """Native-source JSONL scan: explicit schema, PERMISSIVE corrupt-record
-    capture. Good rows have _corrupt NULL; malformed lines have the raw
-    line in _corrupt and data columns NULL."""
+    capture. Good rows have _corrupt NULL. Malformed lines carry the raw
+    line in _corrupt; their data columns are NULL for unparseable JSON,
+    but a TYPE-MISMATCH row keeps the fields that did parse (PERMISSIVE
+    semantics) — quarantine on `_corrupt IS NOT NULL`, never on a data
+    column being NULL."""
     return (
         spark.read.schema(JSONL_SCHEMA)
         .option("mode", "PERMISSIVE")

@@ -54,8 +54,17 @@ PT_MARKERS = (" de ", " que ", " da ")
 ODD_HEX = "13579bdf"  # hex digits with low bit set
 
 
+# THE tokenizer whitespace class, spelled explicitly: Java's \s is
+# [ \t\n\x0B\f\r] while DuckDB/RE2's \s is [ \t\n\f\r] — they differ on
+# vertical tab only, and an implicit \s+ here would shift every token
+# count (hence the whole greedy packing plan) against the RE2 twins on a
+# document containing \x0B. This class is what RE2's \s+ already matches,
+# so every regexp_split_to_array(..., '\s+') twin stays valid verbatim.
+TOKEN_WS_RE = r"[ \t\n\f\r]+"
+
+
 def _tokens(col):
-    return F.split(F.trim(col), r"\s+")
+    return F.split(F.trim(col), TOKEN_WS_RE)
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
