@@ -327,15 +327,19 @@ def with_page_numbering(
         )
     chunk = F.floor(F.col("page_idx") / salt_chunk_size).alias("chunk_id")
     pages = pages.withColumn("chunk_id", chunk)
-    if cache:
+    if cache and persist_to is not None:
+        # persist ONLY with an owner (the caller appends here and
+        # unpersists after consuming): an unowned persist pins a
+        # MEMORY_AND_DISK copy of the post-UDF frame per call until the
+        # ContextCleaner happens to GC the plan — notebooks/retries/
+        # streams accumulate them. An unowned salted call instead
+        # recomputes the upstream subtree for the offsets join (bounded,
+        # 2x) — production paths all own: extract_pages threads
+        # persist_to, lineage pre-persists and passes cache=False.
         from pyspark import StorageLevel
 
         pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
-        if persist_to is not None:
-            # the caller owns the persist lifetime: long-running streams
-            # call this per micro-batch, and an unowned cache block would
-            # accumulate until the ContextCleaner happens to GC the plan
-            persist_to.append(pages)
+        persist_to.append(pages)
     w_in = (
         W.partitionBy("doc_id", "chunk_id")
         .orderBy("page_idx")
@@ -443,6 +447,19 @@ def build_answer_keys(pages_meta: DataFrame) -> DataFrame:
 # full pipeline
 # ---------------------------------------------------------------------------
 
+def dedup_latest_per_url(pages: DataFrame) -> DataFrame:
+    """Newest-wins re-crawl dedup (cfg.dedup_pages): one row per url, the
+    latest warc_ts kept — shared by every entry point that honors the flag
+    (a duplicated page otherwise doubles its q_count in the numbering
+    window and shifts every later question's positional answer join)."""
+    w_dedup = W.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        pages.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def extract_pages(
     pages: DataFrame, cfg: ExtractorConfig, persist_to: list | None = None
 ) -> DataFrame:
@@ -452,12 +469,7 @@ def extract_pages(
     main content — the byte-identity invariant), q_count, candidate
     questions, page_first_question."""
     if cfg.dedup_pages:
-        w_dedup = W.partitionBy("url").orderBy(F.desc("warc_ts"))
-        pages = (
-            pages.withColumn("_rn", F.row_number().over(w_dedup))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        pages = dedup_latest_per_url(pages)
     meta = with_url_metadata(pages.filter(F.col("lang") == "pt"))
     valid, _ = split_quarantine(meta)
     pv = valid.filter((F.col("kind") == "PV") & (F.col("page_idx") >= 1))  # F2

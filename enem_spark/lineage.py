@@ -108,30 +108,42 @@ def instrumented_page_stage(pv: DataFrame, cfg: ExtractorConfig) -> DataFrame:
     return pv.select(*cols).mapInPandas(run, INSTRUMENTED_SCHEMA)
 
 
-def partition_lineage(paged: DataFrame, run_id: str) -> DataFrame:
-    """Per-partition metrics aggregate over the instrumented page stage."""
+def partition_lineage(paged: DataFrame) -> DataFrame:
+    """Per-partition metrics aggregate over the instrumented page stage.
+    No run_id column: the table is written under lineage/run_id=<id>, so
+    the id lives in the partition path (adding the column here only to
+    drop it at the write site was dead threading)."""
     failures = F.size(F.filter(F.col("questions"), lambda q: ~q.ok))
-    return (
-        paged.groupBy("part_id")
-        .agg(
-            F.count("*").alias("input_pages"),
-            F.sum((F.col("q_count") > 0).cast("long")).alias("marker_pages"),
-            F.sum(F.coalesce(F.col("q_count"), F.lit(0)).cast("long")).alias(
-                "q_candidates"
-            ),
-            F.sum(failures.cast("long")).alias("parse_failures"),
-            F.round(F.sum("wall_ms"), 3).alias("wall_ms"),
-        )
-        .select(F.lit(run_id).alias("run_id"), "*")
+    return paged.groupBy("part_id").agg(
+        F.count("*").alias("input_pages"),
+        F.sum((F.col("q_count") > 0).cast("long")).alias("marker_pages"),
+        F.sum(F.coalesce(F.col("q_count"), F.lit(0)).cast("long")).alias(
+            "q_candidates"
+        ),
+        F.sum(failures.cast("long")).alias("parse_failures"),
+        F.round(F.sum("wall_ms"), 3).alias("wall_ms"),
     )
 
 
 def _exists(path: str) -> bool:
-    return os.path.exists(path) and any(
-        f.endswith(".parquet") or f.startswith("part-")
-        for _, _, fs in os.walk(path)
-        for f in fs
-    )
+    """True iff the dir holds COMMITTED parquet data Spark will read.
+    Files under Spark's in-flight `_temporary` (or any other _-/.-prefixed)
+    directories must not count: a crash mid-write leaves only those, and
+    treating them as data makes the read-back throw UNABLE_TO_INFER_SCHEMA
+    on every retry — wedging the exactly-once resume this module exists
+    for. Spark's own readers skip _-/.-prefixed paths; mirror that."""
+    if not os.path.exists(path):
+        return False
+    for dirpath, dirnames, fs in os.walk(path):
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith(("_", "."))
+        ]
+        for f in fs:
+            if f.startswith(("_", ".")):
+                continue
+            if f.endswith(".parquet") or f.startswith("part-"):
+                return True
+    return False
 
 
 def committed_run_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -188,6 +200,14 @@ def run_extraction(
 
     Calling again over the same pages with a NEW run_id is a no-op: every
     document already committed is anti-joined away and nothing is written."""
+    if cfg.dedup_pages:
+        # the batch entry point must honor the flag exactly like
+        # extract_pages does — a duplicated re-crawl page otherwise doubles
+        # its q_count in the numbering window and shifts every later
+        # question's positional answer join
+        from .extract import dedup_latest_per_url
+
+        pages = dedup_latest_per_url(pages)
     meta = with_url_metadata(pages.filter(F.col("lang") == "pt"))
     valid, quarantined = split_quarantine(meta)
     pv = valid.filter((F.col("kind") == "PV") & (F.col("page_idx") >= 1))
@@ -241,7 +261,12 @@ def run_extraction(
             counted = with_page_numbering(
                 paged.filter(F.col("q_count") > 0), chunk, cache=False
             )
-            keys = build_answer_keys(valid)
+            # keys from ALL pages (no lang filter), matching
+            # extract_questions: an answer-key page is mostly digit/letter
+            # tables and a langid stage can plausibly tag it non-pt — the
+            # lang guard is for exam-text noise, and filtering the key side
+            # turned whole exams into MISSING_ANSWER on this path only
+            keys = build_answer_keys(with_url_metadata(pages))
             questions = questions_from_counted(counted, keys, cfg).persist()
             # Count BEFORE the write: an all-pages-markerless run (pt PV
             # pages with no 'QUESTÃO' marker, or every parse failing) yields
@@ -258,9 +283,9 @@ def run_extraction(
                 ).parquet(f"{out_dir}/questions/run_id={run_id}")
             questions.unpersist()
 
-            partition_lineage(paged, run_id).drop("run_id").write.mode(
-                "overwrite"
-            ).parquet(f"{out_dir}/lineage/run_id={run_id}")
+            partition_lineage(paged).write.mode("overwrite").parquet(
+                f"{out_dir}/lineage/run_id={run_id}"
+            )
 
             paged.select("doc_id").distinct().write.mode("overwrite").parquet(
                 f"{out_dir}/processed_docs/run_id={run_id}"

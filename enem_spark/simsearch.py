@@ -172,12 +172,19 @@ def srp_bucket_topk(
     k: int = 5,
     bits: int = SRP_BITS,
     tables: int = SRP_TABLES,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """Multi-table LSH approximate top-k: candidates share ANY table bucket
     with the query. Same output shape as cosine_topk; recall < 1 by design
-    (the scale path — the shuffle key (table, bucket) is near-uniform)."""
+    (the scale path — the shuffle key (table, bucket) is near-uniform).
+    ``persist_to``: see embedding_near_dup — base/tagged feed the query
+    side, the candidate side, AND scoring; owned persistence avoids the
+    recompute."""
     base = with_norm(embeddings)
     tagged = _srp_exploded(base, bits, tables)
+    if persist_to is not None:
+        base, tagged = base.persist(), tagged.persist()
+        persist_to.extend([base, tagged])
     queries = tagged.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -318,14 +325,24 @@ def embedding_near_dup(
     threshold: float = 0.95,
     bits: int = SRP_BITS,
     tables: int = SRP_TABLES,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table SRP blocking.
 
     Output: (vec_a, vec_b, cosine) with vec_a < vec_b and cosine >= threshold.
     Blocking on (table, bucket) keeps the pairwise term bucket-local; the
-    distinct() collapses pairs colliding in several tables."""
+    distinct() collapses pairs colliding in several tables.
+
+    base/tagged each feed BOTH sides of the self-join, so the full-corpus
+    norm + bits*tables projection hashing would otherwise execute twice —
+    pass ``persist_to`` (a list; caller unpersists after consuming) to pin
+    them for the join's duration. Left unowned, the plan recomputes
+    (bounded, but ~2x the dominant stage at 10^9 vectors)."""
     base = with_norm(embeddings)
     tagged = _srp_exploded(base, bits, tables)
+    if persist_to is not None:
+        base, tagged = base.persist(), tagged.persist()
+        persist_to.extend([base, tagged])
     a = tagged.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
     b = tagged.select(
         F.col("vec_id").alias("vec_b"),
@@ -372,6 +389,7 @@ def embedding_decontaminate(
     threshold: float = 0.35,
     bits: int = SRP_BITS,
     tables: int = SRP_TABLES,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """Semantic decontamination: flag corpus vectors sitting at cosine >=
     threshold to ANY benchmark vector — the embedding-space complement of
@@ -383,9 +401,12 @@ def embedding_decontaminate(
     shared SRP buckets (multi-table LSH, the embedding_near_dup blocking),
     so the comparison term is |bucket-local pairs|, never |corpus| x
     |benchmark|; the benchmark side is broadcast. Zero-norm vectors cannot
-    match and report clean."""
+    match and report clean. ``persist_to``: see embedding_near_dup."""
     base = with_norm(embeddings)
     tagged = _srp_exploded(base, bits, tables)
+    if persist_to is not None:
+        base, tagged = base.persist(), tagged.persist()
+        persist_to.extend([base, tagged])
     ids = list(benchmark_ids)
     bench_tags = tagged.filter(F.col("vec_id").isin(ids)).select(
         F.col("vec_id").alias("bench_id"),
