@@ -451,8 +451,16 @@ def dedup_latest_per_url(pages: DataFrame) -> DataFrame:
     """Newest-wins re-crawl dedup (cfg.dedup_pages): one row per url, the
     latest warc_ts kept — shared by every entry point that honors the flag
     (a duplicated page otherwise doubles its q_count in the numbering
-    window and shifts every later question's positional answer join)."""
-    w_dedup = W.partitionBy("url").orderBy(F.desc("warc_ts"))
+    window and shifts every later question's positional answer join).
+
+    Ties on warc_ts (second-granularity crawl timestamps DO collide) are
+    broken by content hash, not shuffle order — same hazard and same fix
+    as icerun._window_latest: an order-dependent winner would flip q_count
+    between reruns and shift every later positional answer join. html can
+    be legitimately NULL on synthetic/test frames, so hash the text bytes
+    then; identical-content ties are interchangeable either way."""
+    tie = F.md5(F.coalesce(F.col("html"), F.encode(F.col("text"), "UTF-8")))
+    w_dedup = W.partitionBy("url").orderBy(F.desc("warc_ts"), tie.asc())
     return (
         pages.withColumn("_rn", F.row_number().over(w_dedup))
         .filter(F.col("_rn") == 1)

@@ -28,7 +28,10 @@ snapshot's fetch of that url (true of the staged crawls and of CC).
 
 Run ids are ``ice{sequence:012d}`` so lexicographic order equals snapshot
 order (sequences must be non-negative); a crashed attempt re-runs under
-the same run_id and overwrites per the lineage protocol.
+the same run_id and overwrites per the lineage protocol.  A ``full=True``
+re-plan at an already-committed tip gets ``ice{seq:012d}f{n:06d}`` — a
+fresh id (never overwrite a COMMITTED run's outputs) that still sorts
+between its sequence and the next for the serving view's recency order.
 """
 
 from __future__ import annotations
@@ -172,9 +175,30 @@ def run_html_extraction_ice(
     never-processed ones). Choose the flag per corpus, not per run."""
     table = IceTable(spark, table_path)
     tip = max(s["sequence"] for s in table.snapshots())
-    committed_seq = last_extracted_sequence(spark, out_dir)
+    committed = lineage.committed_run_ids(spark, out_dir)
+    committed_ids = (
+        [r.run_id for r in committed.collect()] if committed is not None else []
+    )
+    seqs = [
+        int(i[len(_RUN_PREFIX) :])
+        for i in committed_ids
+        if i.startswith(_RUN_PREFIX) and i[len(_RUN_PREFIX) :].isdigit()
+    ]
+    committed_seq = max(seqs, default=None)
     since = None if full else committed_seq
     run_id = run_id_for(tip)
+    if full and committed_seq is not None and committed_seq >= tip:
+        # full re-plan at an ALREADY-COMMITTED tip (the documented recovery
+        # flow for mime-filtered units): run_id_for(tip) names a committed
+        # run, and reusing it would overwrite that run's committed side
+        # outputs in place (the overwrite-dir protocol is for retrying
+        # CRASHED attempts only). Derive a distinct recovery id that still
+        # sorts between ice{tip} and ice{tip+1} so the serving view's
+        # run-recency order stays correct; deriving n from COMMITTED
+        # recovery runs keeps a crashed recovery attempt's retry on the
+        # same id (deterministic overwrite, per the lineage protocol).
+        n = 1 + sum(1 for i in committed_ids if i.startswith(f"{run_id}f"))
+        run_id = f"{run_id}f{n:06d}"
 
     if since is not None and since >= tip:
         return {
@@ -185,11 +209,12 @@ def run_html_extraction_ice(
             "up_to_date": True,
         }
     if since is None:
-        _files, scan = table.plan_files()
-        pages = table.read()
+        files, scan = table.plan_files()
     else:
-        _files, scan = table.plan_incremental(from_seq=since)
-        pages = table.read_incremental(from_seq=since)
+        files, scan = table.plan_incremental(from_seq=since)
+    # read the plan we already have — read()/read_incremental() would walk
+    # the snapshot manifests a second time for the identical file list
+    pages = table.read_planned(files)
 
     work = _latest_per_url(pages.select("url", "warc_ts", "html")).select(
         F.xxhash64("url", F.md5("html")).alias("doc_id"), "url", "html"

@@ -94,10 +94,14 @@ def committed_signatures(
     out_dir: str,
     perms: int = textops.MINHASH_PERMS,
     bands: int = textops.LSH_BANDS,
+    committed: DataFrame | None = None,
 ) -> DataFrame | None:
     """Reader view of the signature store restricted to committed runs:
-    (doc_id, mh0..mh{perms-1}), or None when no committed sig run exists."""
-    committed = lineage.committed_run_ids(spark, out_dir)
+    (doc_id, mh0..mh{perms-1}), or None when no committed sig run exists.
+    Pass ``committed`` (the committed_run_ids frame) when the caller
+    already read it — one runs-table scan per maintenance step, not three."""
+    if committed is None:
+        committed = lineage.committed_run_ids(spark, out_dir)
     runs = _committed_sig_runs(spark, out_dir, committed)
     _check_config(runs, perms, bands)
     path = f"{out_dir}/{SIG_TABLE}"
@@ -131,7 +135,8 @@ def update_signature_index(
     dir must not erase a previous attempt's output — lineage invariant);
     there is no watermark to advance here because the anti-join IS the
     resume cursor."""
-    runs = _committed_sig_runs(spark, out_dir)
+    committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_sig_runs(spark, out_dir, committed)
     _check_config(runs, perms, bands)
     if source is None:
         main = lineage.committed_main_content(spark, out_dir)
@@ -139,7 +144,7 @@ def update_signature_index(
             return {"indexed": 0, "run_id": None, "up_to_date": True}
         source = main.select("doc_id", F.col("main_text").alias("text"))
     docs = source.select("doc_id", "text")
-    existing = committed_signatures(spark, out_dir, perms, bands)
+    existing = committed_signatures(spark, out_dir, perms, bands, committed)
     if existing is not None:
         # unbounded across runs -> no broadcast hint; AQE handles small case
         docs = docs.join(existing.select("doc_id"), "doc_id", "left_anti")

@@ -351,25 +351,34 @@ def current_version(path: str) -> int:
 
 
 def _atomic_create(path: str, payload: dict) -> None:
-    """O_CREAT|O_EXCL write — the commit point. Loser raises CommitConflict."""
+    """Content-atomic exclusive create — the commit point. Loser raises
+    CommitConflict.
+
+    The version file must appear with its FULL content in one step: an
+    O_EXCL create-then-write window would let a concurrent reader observe
+    (or a crash leave behind) an empty/truncated version file that every
+    later metadata() read chokes on. So the JSON is written and fsynced to
+    a private tmp name first, then ``os.link`` publishes it under the
+    version name — link(2) is atomic and fails with EEXIST for the race
+    loser, giving the same winner-takes-all semantics as O_EXCL but with
+    the content already durable at publish time."""
     blob = json.dumps(payload, indent=1, sort_keys=True).encode("utf-8")
-    tmp = path + ".tmp"
+    tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as fh:
         fh.write(blob)
         fh.flush()
         os.fsync(fh.fileno())
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
     except FileExistsError:
-        os.unlink(tmp)
         raise CommitConflict(f"lost commit race for {os.path.basename(path)}")
-    try:
-        with os.fdopen(fd, "wb") as fh:
-            fh.write(blob)
-            fh.flush()
-            os.fsync(fh.fileno())
     finally:
         os.unlink(tmp)
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)  # make the new directory entry itself durable
+    finally:
+        os.close(dfd)
 
 
 def _merge_schema(old: T.StructType, new: T.StructType) -> T.StructType:
@@ -501,7 +510,11 @@ class IceTable:
             file may carry rows whose content did not change);
           * ``delete`` — subtracts the files it dropped (those rows are
             gone; partition-aligned deletes drop whole files, so the
-            subtraction is exact).
+            subtraction is exact);
+          * ``merge`` / ``rollback`` / anything unrecognized — full rescan
+            (default-deny): a COW merge rewrites files mixing changed and
+            unchanged rows, and a rollback reverts the live row set, so an
+            append-only walk would miss live-content changes.
 
         A ``from_seq`` older than the oldest retained snapshot (expired
         history) degrades to a full rescan — same contract as Iceberg,
@@ -515,9 +528,17 @@ class IceTable:
             if from_seq < s["sequence"] <= target["sequence"]
         ]
         files_of = {s["snapshot_id"]: self._manifest_entries(s) for s in ordered}
-        full_rescan = any(s["operation"] == "overwrite" for s in walk) or not any(
-            s["sequence"] <= from_seq for s in ordered
-        )
+        # Default-deny: only operations whose incremental meaning is known
+        # are walked file-by-file. ``merge`` (COW upsert: rewritten files
+        # mix changed and unchanged rows), ``rollback`` (the live row set
+        # reverts wholesale), ``overwrite``, and any future operation all
+        # degrade to a full rescan — row-level exactness then stays with
+        # the caller's content-addressed anti-join, which re-extracts only
+        # changed content. An append-only walk that silently skipped a
+        # merge would serve pre-merge content forever.
+        full_rescan = any(
+            s["operation"] not in ("append", "replace", "delete") for s in walk
+        ) or not any(s["sequence"] <= from_seq for s in ordered)
         added: dict[str, dict] = {}
         if not full_rescan:
             for s in walk:
@@ -581,6 +602,17 @@ class IceTable:
         pushes it into the parquet scan for row-group skipping."""
         assert self.spark is not None, "read() needs a SparkSession"
         files, _report = self.plan_files(filters, snapshot_id, as_of)
+        return self._read_files(files, filters)
+
+    def read_planned(
+        self, files: list[str], filters: Sequence[tuple] | None = None
+    ) -> DataFrame:
+        """Rows of an already-planned file list (from plan_files /
+        plan_incremental). Lets a caller that needs BOTH the scan report
+        and the rows plan once instead of walking the snapshot manifests
+        twice — at many-snapshot steady state the duplicated metadata walk
+        doubles planning latency for nothing."""
+        assert self.spark is not None, "read_planned() needs a SparkSession"
         return self._read_files(files, filters)
 
     def _read_files(

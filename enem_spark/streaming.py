@@ -181,6 +181,20 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30):
     state_schema = "start timestamp, last timestamp, n long, seq int"
     gap = pd.Timedelta(minutes=gap_minutes)
 
+    # Arrow hands the UDF tz-NAIVE wall times in the session timezone, but
+    # getCurrentWatermarkMs()/setTimeoutTimestamp speak true epoch ms — a
+    # naive Timestamp.timestamp() call reads the wall time as UTC, which in
+    # a non-UTC session drops on-time events as late and arms timeouts
+    # hours early. Capture the session tz driver-side and localize before
+    # every epoch conversion (the repo's session factory pins UTC, but the
+    # operator must not depend on that).
+    tz = events_stream.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+
+    def epoch_ms(ts) -> int:
+        if ts.tzinfo is None:
+            ts = ts.tz_localize(tz)
+        return int(ts.timestamp() * 1000)
+
     def update(key, pdfs, state):
         closed = []
         if state.hasTimedOut:
@@ -199,7 +213,7 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30):
             events = pd.concat(list(pdfs))
             wm_ms = state.getCurrentWatermarkMs()
             for ts in events.sort_values("ts")["ts"]:
-                if int(ts.timestamp() * 1000) < wm_ms:
+                if epoch_ms(ts) < wm_ms:
                     continue  # later than the watermark allows: dropped,
                     # like every watermarked stateful operator
                 if last is not None and ts < last:
@@ -224,7 +238,7 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30):
             # watermark: nothing is open, so nothing to arm (arming off
             # None crashed the worker and killed the query).
             if last is not None:
-                target = int(last.timestamp() * 1000) + gap_minutes * 60_000
+                target = epoch_ms(last) + gap_minutes * 60_000
                 wm = state.getCurrentWatermarkMs()
                 state.setTimeoutTimestamp(max(target, wm + 1))
         yield pd.DataFrame(
@@ -627,7 +641,11 @@ def start_html_stream(
     Far simpler than the exam path: a web document is one row, so there is
     no completeness horizon, no staging table, and no cross-batch key store
     — each micro-batch feeds `lineage.run_html_extraction` directly with
-    run_id=html_batch_<id>. foreachBatch is at-least-once; the run protocol
+    run_id=html_batch_<id:012d> (zero-padded: icerun.current_main_content's
+    fallback recency window orders run_id as a STRING, and an unpadded
+    html_batch_10 would sort before html_batch_9, serving stale batch-9
+    content for any url re-extracted later). foreachBatch is at-least-once;
+    the run protocol
     absorbs replays (same run_id -> overwrite; docs committed by the first
     attempt -> anti-joined to a no-op), so the output table is exactly-once
     without any append anywhere."""
@@ -640,7 +658,7 @@ def start_html_stream(
             batch_df.sparkSession,
             batch_df,
             out_dir,
-            run_id=f"html_batch_{batch_id}",
+            run_id=f"html_batch_{batch_id:012d}",
             with_anchors=with_anchors,
         )
 

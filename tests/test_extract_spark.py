@@ -385,3 +385,42 @@ def test_contract_violations_quarantined_not_crash(spark, pages_df):
     )
     bad_df = spark.createDataFrame(bad, schema=pages_df.schema)
     assert extract_questions(bad_df, ExtractorConfig()).count() == 0
+
+
+def test_dedup_latest_per_url_tie_breaks_by_content_hash(spark):
+    """Two fetches of one url sharing a warc_ts (second-granularity crawl
+    timestamps collide) must resolve to a deterministic winner — the lower
+    content hash — not whichever row the shuffle ordered first: an
+    order-dependent winner flips q_count between reruns and shifts every
+    later positional answer join."""
+    import hashlib
+
+    import pandas as pd
+
+    from enem_spark.extract import dedup_latest_per_url
+
+    ts = pd.Timestamp("2024-05-05 12:00:00")
+    rows = [
+        {"url": "u", "warc_ts": ts, "html": None, "text": t, "lang": "pt"}
+        for t in ("texto bbb", "texto aaa", "texto ccc")
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    expect = min(
+        (hashlib.md5(t.encode()).hexdigest(), t)
+        for t in ("texto bbb", "texto aaa", "texto ccc")
+    )[1]
+    for _ in range(2):  # stable across invocations
+        got = dedup_latest_per_url(df).collect()
+        assert len(got) == 1 and got[0]["text"] == expect
+    # a strictly newer fetch still wins regardless of hash order
+    rows.append(
+        {
+            "url": "u",
+            "warc_ts": ts + pd.Timedelta(seconds=1),
+            "html": None,
+            "text": "texto zzz",
+            "lang": "pt",
+        }
+    )
+    got = dedup_latest_per_url(spark.createDataFrame(pd.DataFrame(rows))).collect()
+    assert len(got) == 1 and got[0]["text"] == "texto zzz"

@@ -392,3 +392,86 @@ def test_content_revert_serves_latest_fetch(spark, table_and_out):
     cur = _current(spark, out)
     assert cur["https://ex.org/d/2"] == _expected_main(_html(2, version=1))
     assert len(cur) == 6  # every url still served exactly once
+
+
+def test_full_replan_at_committed_tip_gets_fresh_run_id(spark, tmp_path):
+    """The documented mime-filter recovery flow: full=True at an
+    already-committed tip must NOT reuse the committed run_id (the
+    overwrite-dir protocol would erase that run's committed outputs) — it
+    runs under ice{seq}f{n} and the first run's extractions keep serving."""
+    tbl = str(tmp_path / "tbl")
+    rows = _rows(range(4), it.EPOCH_S)
+    rows.append(
+        {
+            "url": "https://ex.org/d/pdf",
+            "warc_ts": pd.Timestamp(it.EPOCH_S + 99, unit="s"),
+            "html": b"%PDF-1.7\nbinary body here",
+            "text": "pdf",
+            "lang": "pt",
+        }
+    )
+    _create(spark, tbl, rows, seq=1)
+    out = str(tmp_path / "out")
+    s1 = icerun.run_html_extraction_ice(spark, tbl, out, mime_filter=True)
+    assert s1["input_pages"] == 4
+    base_id = icerun.run_id_for(1)
+    assert s1["run_id"] == base_id
+    before = _current(spark, out)
+    assert len(before) == 4
+
+    s2 = icerun.run_html_extraction_ice(spark, tbl, out, full=True)
+    assert s2["run_id"] == f"{base_id}f000001"
+    # only the never-processed unit is re-extracted
+    assert s2["input_pages"] == 1
+    after = _current(spark, out)
+    for url, text in before.items():  # run 1's committed outputs intact
+        assert after[url] == text
+    # a second recovery re-plan gets the NEXT id, not an overwrite of f1
+    s3 = icerun.run_html_extraction_ice(spark, tbl, out, full=True)
+    assert s3["run_id"] == f"{base_id}f000002"
+    assert s3["input_pages"] == 0
+    # and the runs table carries no duplicated run_id
+    ids = [
+        r.run_id
+        for r in lineage.committed_run_ids(spark, out).collect()
+    ]
+    assert len(ids) == len(set(ids))
+    # the watermark still reads the tip: a plain tail run is a no-op
+    s4 = icerun.run_html_extraction_ice(spark, tbl, out)
+    assert s4["up_to_date"] is True
+
+
+def test_serving_view_orders_numeric_batch_runs_correctly(spark, tmp_path):
+    """current_main_content's fetch-log-free fallback orders run_id as a
+    string; streaming batch ids must therefore be zero-padded — an
+    unpadded html_batch_10 sorts BEFORE html_batch_9 and would serve the
+    stale batch-9 extraction forever."""
+    out = str(tmp_path / "out")
+    html_a = _html(0, version=1)
+    html_b = _html(0, version=2)
+
+    def batch(html, batch_id):
+        pdf = _frame(
+            [
+                {
+                    "url": "https://ex.org/d/0",
+                    "warc_ts": pd.Timestamp(it.EPOCH_S + batch_id, unit="s"),
+                    "html": html,
+                    "text": "doc 0",
+                    "lang": "pt",
+                }
+            ]
+        )
+        lineage.run_html_extraction(
+            spark,
+            spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA).select(
+                F.xxhash64("url", F.md5("html")).alias("doc_id"), "url", "html"
+            ),
+            out,
+            run_id=f"html_batch_{batch_id:012d}",
+        )
+
+    batch(html_a, 9)
+    batch(html_b, 10)  # re-fetch with changed content in a LATER batch
+    cur = _current(spark, out)
+    assert cur["https://ex.org/d/0"] == _expected_main(html_b)

@@ -795,3 +795,55 @@ def test_merge_update_moving_partition_leaves_no_duplicate_key(spark, tmp_table)
     assert set(refetched) == set(src["url"])
     # bucket(url) IS key-derived, so candidate planning still pruned on it
     assert snap["summary"]["files_candidates"] <= snap["summary"]["files_kept"] + snap["summary"]["files_rewritten"]
+
+
+def test_incremental_scan_after_merge_and_rollback_is_full(spark, tmp_table):
+    """`merge` and `rollback` snapshots change the LIVE row set without an
+    append an incremental walk could see — planning across either must
+    degrade to a full rescan (default-deny), or an incremental extraction
+    tail would serve pre-merge content forever and advance its watermark
+    past the change."""
+    pdf0 = _toy_pdf(0, 20)
+    t = it.IceTable.create(
+        spark,
+        tmp_table,
+        spark.createDataFrame(pdf0, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS,
+        sequence=10,
+    )
+    # the data snapshot, not the empty `create` marker snapshot before it
+    first_snap = next(s for s in t.snapshots() if s["sequence"] == 10)[
+        "snapshot_id"
+    ]
+    src = _toy_pdf(5, 6)
+    src["text"] = "doc 5 body REFETCHED"
+    t.merge(
+        spark.createDataFrame(src, schema=it.PAGES_ICE_SCHEMA), ["url"], sequence=20
+    )
+    _files, report = t.plan_incremental(from_seq=10)
+    assert report["files_new"] == report["files_total_snapshot"]
+    inc = {r.url: r.text for r in t.read_incremental(from_seq=10).collect()}
+    assert len(inc) == 20
+    assert inc[src["url"][0]] == "doc 5 body REFETCHED"
+    # rollback reverts the live row set the same way: full rescan, and the
+    # incremental reader sees the PRE-merge content again
+    t.rollback(first_snap, sequence=30)
+    _files, report = t.plan_incremental(from_seq=20)
+    assert report["files_new"] == report["files_total_snapshot"]
+    inc = {r.url: r.text for r in t.read_incremental(from_seq=20).collect()}
+    assert inc[src["url"][0]] == "doc 5 body"
+
+
+def test_commit_point_is_content_atomic(tmp_path):
+    """The version file must never be observable without its full JSON: the
+    loser of a commit race gets CommitConflict, the winner's content stays
+    intact, and no tmp files leak."""
+    md = tmp_path / "meta"
+    md.mkdir()
+    path = str(md / "v00007.json")
+    it._atomic_create(path, {"winner": 1})
+    with pytest.raises(it.CommitConflict):
+        it._atomic_create(path, {"loser": 2})
+    with open(path) as fh:
+        assert json.load(fh) == {"winner": 1}
+    assert [n for n in os.listdir(md) if ".tmp" in n] == []
