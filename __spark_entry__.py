@@ -138,7 +138,9 @@ def q_ordered_concat(spark, sf_dir):
 def q_segment_explode(spark, sf_dir):
     """X2 segmentation: one-to-many explode with positional sequence."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # EXPLICIT whitespace class — Java \s+ includes \x0B, the DuckDB
+    # twin's RE2 \s+ does not (CLAUDE.md tokenizer rule)
+    toks = F.split(F.trim(F.col("text")), textops.TOKEN_WS_RE)
     return docs.select(
         "doc_id", F.posexplode(toks).alias("seq", "token")
     )
@@ -2539,7 +2541,7 @@ feat AS (
          {stop} AS stop_hits,
          CAST({en} AS INT) AS en_hits,
          CAST({pt} AS INT) AS pt_hits
-  FROM documents
+  FROM (SELECT doc_id, source, coalesce(text, '') AS text FROM documents)
 ),
 scored AS (
   SELECT *,
@@ -3081,7 +3083,13 @@ def _html_curate_sql(html_staged: dict) -> str:
         PAGERANK_DAMPING,
     )
 
-    thr = f"{CURATE_RANK_FLOOR_MULT * (1.0 - PAGERANK_DAMPING)!r} / n.n"
+    # empty host graph disables the rank gate (mirror of the Spark
+    # when(count>0).otherwise(0.0) guard against c/0 = +Infinity)
+    thr = (
+        f"CASE WHEN n.n > 0 THEN "
+        f"{CURATE_RANK_FLOOR_MULT * (1.0 - PAGERANK_DAMPING)!r} / n.n "
+        f"ELSE 0.0 END"
+    )
     return f"""
 WITH pr AS ({_pagerank_sql(html_staged["html_pages"])}),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pr),
@@ -3620,14 +3628,14 @@ sitemaps AS (
 ),
 entries AS (
   SELECT host,
-    unnest(regexp_extract_all(sitemap_xml, '<url>(.*?)</url>', 1)) AS entry
+    unnest(regexp_extract_all(sitemap_xml, '(?s)<url>(.*?)</url>', 1)) AS entry
   FROM sitemaps
 ),
 parsed AS (
   SELECT host,
-    regexp_extract(entry, '<loc>(.*?)</loc>', 1) AS loc,
-    regexp_extract(entry, '<lastmod>(.*?)</lastmod>', 1) AS lastmod,
-    regexp_extract(entry, '<changefreq>(.*?)</changefreq>', 1) AS changefreq
+    trim(regexp_extract(entry, '(?s)<loc>(.*?)</loc>', 1)) AS loc,
+    trim(regexp_extract(entry, '(?s)<lastmod>(.*?)</lastmod>', 1)) AS lastmod,
+    trim(regexp_extract(entry, '(?s)<changefreq>(.*?)</changefreq>', 1)) AS changefreq
   FROM entries
 ),
 known AS (

@@ -394,7 +394,11 @@ def _scan_blocks(s: str) -> list[tuple[str, int]]:
                 frags.append((html_mod.unescape("<" + part), anchor > 0))
             continue
         is_end = c0 == "/"
-        is_start = c0.isalpha()
+        # ASCII letters ONLY, like html.parser's starttagopen '<[a-zA-Z]':
+        # a Unicode-aware isalpha() would route '<é'/'<中' here and then
+        # crash on the ASCII-only _NAME_RE (None.group()) — both parsers
+        # must treat a non-ASCII-letter '<' as data
+        is_start = "a" <= c0 <= "z" or "A" <= c0 <= "Z"
         is_drop = c0 == "!" or c0 == "?"
         if not (is_end or is_start or is_drop):
             # stray '<' before a non-construct char: '<' is data, and the
@@ -658,6 +662,17 @@ _TITLE_RE = r"(?s)<title>(.*?)</title>"
 _META_DESC_RE = r'<meta name="description" content="([^"]*)"'
 
 
+def _html_str(col=None):
+    """ANSI-safe lenient UTF-8 view of the binary html column for JVM-side
+    operators: cast is non-validating and make_valid_utf8 replaces invalid
+    sequences with U+FFFD — the JVM twin of the Python paths'
+    decode("utf-8", "replace") (charset protocol: one mojibake page must
+    never kill a strip/outlinks/robots/pagerank/title job, which strict
+    F.decode does under Spark 4 ANSI)."""
+    c = F.col("html") if col is None else col
+    return F.make_valid_utf8(c.cast("string"))
+
+
 def strip_tags_expr(col):
     """Whole-stage-codegen tag strip + entity decode + whitespace collapse.
     Flat text only (no block structure) — the cheap JVM-side sibling of
@@ -670,7 +685,7 @@ def strip_tags_expr(col):
 
 
 def html_strip_tags(pages: DataFrame) -> DataFrame:
-    s = F.decode(F.col("html"), "UTF-8")
+    s = _html_str()
     return pages.select(
         "doc_id",
         "url",
@@ -681,7 +696,7 @@ def html_strip_tags(pages: DataFrame) -> DataFrame:
 def html_outlinks(pages: DataFrame) -> DataFrame:
     """Outlink host graph: href targets -> absolute-URL hosts -> per-host
     degree. One shuffle on `host` (near-uniform); relative links dropped."""
-    s = F.decode(F.col("html"), "UTF-8")
+    s = _html_str()
     links = pages.select(
         "doc_id",
         F.explode(F.regexp_extract_all(s, F.lit(_HREF_RE), F.lit(1))).alias("link"),
@@ -715,7 +730,7 @@ def html_robots(pages: DataFrame) -> DataFrame:
     tokens of the lowercased content attribute, so 'noindexing' never
     false-positives. JVM-side regexp (whole-stage codegen, no Python,
     no shuffle)."""
-    s = F.decode(F.col("html"), "UTF-8")
+    s = _html_str()
     content = F.lower(F.regexp_extract(s, ROBOTS_CONTENT_RE, 1))
     return pages.select(
         "doc_id",
@@ -930,12 +945,16 @@ def anchor_text_profile(pages: DataFrame, top_k: int = 3) -> DataFrame:
     (n DESC, term). Shuffles once on (host, term) for the count and once
     on host for the rank window — both content-derived keys; anchor text
     is tiny relative to pages, so this stays cheap at crawl scale."""
+    from .textops import TOKEN_WS_RE
+
     anchors = extract_anchor_texts(pages)
     terms = (
         anchors.select(
             F.regexp_extract("href", _HOST_RE, 1).alias("host"),
             F.explode(
-                F.split(F.lower(F.col("anchor_text")), r"\s+")
+                # EXPLICIT whitespace class (CLAUDE.md tokenizer rule):
+                # Java \s+ would desync term counts from RE2 twins on \x0B
+                F.split(F.lower(F.col("anchor_text")), TOKEN_WS_RE)
             ).alias("term"),
         )
         .filter((F.col("host") != "") & (F.col("term") != ""))
@@ -951,17 +970,15 @@ def anchor_text_profile(pages: DataFrame, top_k: int = 3) -> DataFrame:
 
 def _marker_hits(col, markers) -> "F.Column":
     """Marker occurrence count on a string column (textops.langid's
-    heuristic, shared by the per-paragraph operators)."""
+    heuristic, shared by the per-paragraph operators). Delegates to the
+    ONE replace-based counting kernel — a second inline copy would let a
+    counting-semantics fix land on one engine path and silently diverge
+    doc-level from paragraph-level langid (both have DuckDB twins)."""
+    from .textops import _count_occurrences
+
     padded = F.concat(F.lit(" "), col, F.lit(" "))
     return sum(
-        (
-            (
-                (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit(""))))
-                / len(m)
-            ).cast("int")
-            for m in markers
-        ),
-        F.lit(0),
+        (_count_occurrences(padded, m) for m in markers), F.lit(0)
     )
 
 
@@ -1087,7 +1104,7 @@ def host_edges(pages: DataFrame) -> DataFrame:
     """Weighted outlink edge list (src_host, dst_host, weight): the page's
     own host (from its cc:// url) linking to every absolute-URL host in its
     html. One shuffle on the (src, dst) pair."""
-    s = F.decode(F.col("html"), "UTF-8")
+    s = _html_str()
     links = pages.select(
         F.regexp_extract("url", r"^cc://([^/]+)", 1).alias("src"),
         F.explode(F.regexp_extract_all(s, F.lit(_HREF_RE), F.lit(1))).alias("link"),
@@ -1137,8 +1154,11 @@ def host_pagerank(
         # dividing by zero on the driver (one bad batch must not kill a
         # job: the quarantine philosophy, and the CLAUDE.md division rule)
         nodes.unpersist()
+        # same schema as the populated path ('pagerank', not 'rank'):
+        # curate_main_content selects by name and would otherwise fail
+        # resolution on exactly the degenerate batch this branch protects
         return pages.sparkSession.createDataFrame(
-            [], "host string, rank double"
+            [], "host string, pagerank double"
         )
     outw = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -1193,10 +1213,19 @@ def curate_main_content(
     over the rank table (no driver action)."""
     main = extract_main_content(pages)
     ranks = host_pagerank(pages)
+    # empty host graph (host_pagerank's graceful no-edges frame) must
+    # DISABLE the rank gate, not make it unpassable: c/0 is +Infinity in
+    # double arithmetic (no ANSI error), and coalesce(pagerank,0) >= Inf
+    # would silently reject the whole corpus instead of degrading to the
+    # min_chars/min_blocks rules
+    n_hosts = F.count("*")
     thr = ranks.agg(
-        (
-            F.lit(rank_floor_mult * (1.0 - PAGERANK_DAMPING)) / F.count("*")
-        ).alias("rank_thr")
+        F.when(
+            n_hosts > 0,
+            F.lit(rank_floor_mult * (1.0 - PAGERANK_DAMPING)) / n_hosts,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rank_thr")
     )
     return (
         main.withColumn(
@@ -1221,7 +1250,7 @@ def curate_main_content(
 
 
 def html_title_meta(pages: DataFrame) -> DataFrame:
-    s = F.decode(F.col("html"), "UTF-8")
+    s = _html_str()
     return pages.select(
         "doc_id",
         "url",
@@ -1486,19 +1515,23 @@ def sitemap_parse(sitemaps: DataFrame) -> DataFrame:
     """Parse (host, sitemap_xml) into one row per <url> entry:
     (host, loc, lastmod, changefreq). JVM-side regexp_extract_all over the
     <url> blocks — no shuffle, no Python; missing lastmod/changefreq come
-    back as empty strings (the twin's regexp_extract agrees)."""
+    back as empty strings (the twin's regexp_extract agrees).
+
+    All block/field regexes run in (?s) mode: real sitemaps pretty-print
+    one tag per line, so a '.' that stops at \\n would match ZERO <url>
+    blocks and silently parse the whole sitemap to nothing (the field
+    extracts then tolerate whitespace-padded values via trim)."""
     block = F.explode(
-        F.regexp_extract_all("sitemap_xml", F.lit(r"<url>(.*?)</url>"), 1)
+        F.regexp_extract_all("sitemap_xml", F.lit(r"(?s)<url>(.*?)</url>"), 1)
     ).alias("entry")
+
+    def field(tag: str):
+        return F.trim(
+            F.regexp_extract("entry", rf"(?s)<{tag}>(.*?)</{tag}>", 1)
+        ).alias(tag if tag != "loc" else "loc")
+
     return sitemaps.select("host", block).select(
-        "host",
-        F.regexp_extract("entry", r"<loc>(.*?)</loc>", 1).alias("loc"),
-        F.regexp_extract("entry", r"<lastmod>(.*?)</lastmod>", 1).alias(
-            "lastmod"
-        ),
-        F.regexp_extract(
-            "entry", r"<changefreq>(.*?)</changefreq>", 1
-        ).alias("changefreq"),
+        "host", field("loc"), field("lastmod"), field("changefreq")
     )
 
 

@@ -353,15 +353,21 @@ def read_warc_stream(
 
 def warc_pages(records: DataFrame) -> DataFrame:
     """Records -> the north-rule pages shape (url, warc_ts, html, text,
-    lang): good responses only; text/lang are NULL until extraction."""
+    lang): good responses only; text/lang are NULL until extraction.
+
+    The date parse is try_to_timestamp: under Spark 4 ANSI a strict
+    to_timestamp would abort the whole ingest on ONE malformed/fractional
+    WARC-Date header (the parser never validates the date), violating the
+    module's quarantine philosophy — an unparseable date degrades to a
+    NULL warc_ts row, never a job failure."""
     ok = records.filter(
         F.col("error").isNull() & (F.col("http_status") == 200)
     )
     return ok.select(
         "url",
-        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
-            "warc_ts"
-        ),
+        F.try_to_timestamp(
+            F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
+        ).alias("warc_ts"),
         "html",
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),

@@ -878,13 +878,15 @@ def props_extract(events: DataFrame) -> DataFrame:
 def sentence_stats(documents: DataFrame) -> DataFrame:
     """Per-document sentence segmentation stats (n, mean/max chars) — the
     sentence-level quality signal corpus filters use alongside the word
-    ones. Boundary = punctuation run + whitespace ('[.!?]+\\s+'): RE2 has
-    no lookbehind, so the DuckDB twin can run the IDENTICAL regex. All
+    ones. Boundary = punctuation run + whitespace run, with the whitespace
+    class spelled EXPLICITLY ([ \\t\\n\\f\\r] == RE2's \\s; Java's \\s
+    adds \\x0B) so the DuckDB twin's '[.!?]+\\s+' is the identical
+    language. All
     JVM-side (split/filter/transform/aggregate — no Python); mean is ONE
     exact-int division, so no float summation-order drift between engines.
     """
     parts = F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), r"[.!?]+\s+"),
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"[.!?]+[ \t\n\f\r]+"),
         lambda p: F.trim(p) != "",
     )
     lens = F.transform(parts, lambda p: F.length(F.trim(p)))
@@ -1030,7 +1032,15 @@ def corpus_curate(
     keep-list, not a silently filtered corpus. reason in
     {'ok','dup','lang','short','low_quality'} (first failing rule wins, in
     that order). All three inputs are single-pass aggregates/joins over the
-    same scan; the dedup keeper join broadcasts only (hash, keeper) pairs."""
+    same scan; the dedup keeper join broadcasts only (hash, keeper) pairs.
+
+    NULL text is coalesced to '' up front (the _gram_rows discipline):
+    md5(NULL) is NULL and NULL join keys never match, so without this a
+    NULL-text document would silently VANISH from the keep-list —
+    breaking the every-document contract the audit reconciles against."""
+    documents = documents.withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
     q = quality_score(documents).select("doc_id", "n_tokens", "quality")
     l = langid(documents).select("doc_id", "lang_pred")
     keepers = exact_dedup(documents).select(
@@ -1244,7 +1254,12 @@ def source_stats(documents: DataFrame) -> DataFrame:
     """Per-source corpus profile: volume, dedup rate, quality/length means.
 
     The dashboard aggregate a crawl-curation pipeline reports per domain.
-    One shuffle on `source` (low cardinality, partial-agg collapses first)."""
+    One shuffle on `source` (low cardinality, partial-agg collapses first).
+    NULL text hashes as '' (countDistinct skips NULL — a NULL-text doc
+    would otherwise be missing from n_distinct but present in n_docs)."""
+    documents = documents.withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
     q = quality_score(documents).select("doc_id", "n_tokens", "quality")
     hashed = documents.select("doc_id", "source", F.md5("text").alias("h"))
     base = hashed.join(q, "doc_id")
@@ -1615,11 +1630,12 @@ LM_QUANT = 1_000_000
 
 def _char_norm(col):
     """CCNet-ish text normalization: lowercase, digits->0, whitespace runs
-    collapsed to one space. Plain regexps (no lookaround) — Java regex and
-    RE2 agree on every class used here ('\\s' is the same 6-char ASCII set
-    in both)."""
+    collapsed to one space. The whitespace class is the EXPLICIT
+    TOKEN_WS_RE, not '\\s+': Java's \\s includes \\x0B while RE2's does
+    not, so an implicit class desyncs every char-LM/entropy/ccnet twin on
+    documents carrying a vertical tab."""
     t = F.lower(F.coalesce(col, F.lit("")))
-    t = F.regexp_replace(t, r"\s+", " ")
+    t = F.regexp_replace(t, TOKEN_WS_RE, " ")
     return F.regexp_replace(t, r"[0-9]", "0")
 
 
@@ -2155,7 +2171,7 @@ def c4_filters(
     kept = F.filter(
         lines,
         lambda l: F.trim(l).rlike('[.!?"]$')
-        & (F.size(F.split(F.trim(l), r"\s+")) >= 5)
+        & (F.size(F.split(F.trim(l), TOKEN_WS_RE)) >= 5)
         & ~F.lower(l).contains("javascript"),
     )
     kept_text = F.array_join(kept, "\n")

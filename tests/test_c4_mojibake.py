@@ -146,12 +146,14 @@ def test_plant_mojibake_residue_split(spark):
 
 
 def _c4_py(text: str) -> dict:
-    """Pure mirror of textops.c4_filters with JAVA regex semantics (the
-    engine is the spec): \\s is ASCII-only, trim strips 0x20 only."""
+    """Pure mirror of textops.c4_filters' regex semantics (the engine is
+    the spec): the word split is the EXPLICIT TOKEN_WS_RE class (no \\x0B
+    — Java's \\s has it, RE2's does not, and the engine now spells the
+    class so both twins agree), trim strips 0x20 only."""
     import hashlib
     import re
 
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    ws = re.compile(r"[ \t\n\f\r]+")
     # Java's unanchored `$` matches BEFORE a final line terminator, so a
     # line like 'done.\r' (from \r\n input split on \n) still matches —
     # mirror that here explicitly
@@ -201,6 +203,7 @@ EDGE_TEXTS = [
     "multi. sentence. line. counts. them. all.",
     "   leading spaces then five proper words here.",
     "unicode é ação com cinco palavras aqui presentes.",
+    "vertical\x0btab separated maybe four words.",  # \x0B NOT ws (RE2 class)
 ]
 
 

@@ -179,6 +179,7 @@ _SOUP = st.lists(
          "<!--", "-->", "-- >", "</ p>", "</p x>", "</p<div>", "</script x>",
          "<!doctype html>", "<?pi?>", "</", "</ x>", "<P Class='y'>", "<<",
          "<a href='a>b'>", "<a href=\"q>z\">", "<p <p>", "<noscript>",
+         "<é>", "x<é acentuada", "<中文>", "<Ñao tag>",
          "</noscript>", "<em>", "</em>", "<td>", "</td>",
          "<style>", "</style>", "palavras soltas de enchimento para blocos"]
     ),
@@ -694,3 +695,34 @@ def test_robots_synth_byte_identity_with_staging(spark):
     got = synth_robots_pages(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert list(got["url"]) == list(exp["url"])
     assert [bytes(b).decode("utf-8") for b in got["html"]] == list(exp["html"])
+
+
+def test_non_ascii_after_lt_is_data_not_a_tag():
+    """html.parser's starttagopen is '<[a-zA-Z]': '<é' / '<中' are DATA.
+    A Unicode-aware isalpha() routed these into the ASCII-only name regex
+    and crashed (None.group()) — real crawl pages do contain them."""
+    soup = "<p>texto util com muitas palavras boas aqui x<é acentuada e <中文> mais</p>"
+    got = H.extract_main_py(soup)
+    assert got == H.extract_main_reference(soup)
+    assert "é" in got[0] or got[2] == 0  # never raises; data survives
+
+
+def test_curate_empty_host_graph_disables_rank_gate(spark):
+    """A batch whose hrefs produce no host edges must degrade to the
+    min_chars/min_blocks rules: host_pagerank returns its empty frame
+    (schema identical to the populated path) and the threshold guard keeps
+    c/0 from becoming +Infinity (which silently rejected every page)."""
+    from pyspark.sql import Row
+
+    para = (
+        "<p>"
+        + " ".join(f"palavra{i} util aqui mesmo" for i in range(15))
+        + "</p>"
+    )
+    pages = spark.createDataFrame(
+        [Row(doc_id=4, url="cc://h4/d", html=(para + para).encode())]
+    )
+    ranks = H.host_pagerank(pages)
+    assert ranks.columns == ["host", "pagerank"] and ranks.count() == 0
+    cur = H.curate_main_content(pages).collect()
+    assert len(cur) == 1 and cur[0].keep and cur[0].host_rank == 0.0

@@ -56,3 +56,29 @@ def test_discover_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_parse_handles_pretty_printed_sitemaps(spark):
+    """Real sitemap.xml pretty-prints one tag per line; a '.'-stops-at-
+    newline regex would match zero <url> blocks and silently lose the
+    whole host."""
+    xml = (
+        '<?xml version="1.0"?>\n<urlset>\n'
+        "  <url>\n"
+        "    <loc>https://h3.example.com/a</loc>\n"
+        "    <lastmod>2024-02-01</lastmod>\n"
+        "    <changefreq>daily</changefreq>\n"
+        "  </url>\n"
+        "  <url>\n"
+        "    <loc>https://h3.example.com/b</loc>\n"
+        "  </url>\n"
+        "</urlset>\n"
+    )
+    parsed = htmlops.sitemap_parse(
+        spark.createDataFrame([Row(host="h3", sitemap_xml=xml)])
+    ).collect()
+    assert len(parsed) == 2
+    got = {r["loc"]: r for r in parsed}
+    assert got["https://h3.example.com/a"]["lastmod"] == "2024-02-01"
+    assert got["https://h3.example.com/a"]["changefreq"] == "daily"
+    assert got["https://h3.example.com/b"]["lastmod"] == ""  # absent field

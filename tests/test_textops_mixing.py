@@ -300,3 +300,25 @@ def test_compression_ratio_plan_one_arrow_crossing_no_shuffle(documents):
     )
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
+
+
+def test_curate_and_stats_keep_null_text_documents(spark):
+    """md5(NULL) is NULL and NULL join keys never match — without the
+    coalesce-to-'' a NULL-text document silently VANISHED from the
+    keep-list, breaking the every-document audit contract; source_stats
+    similarly under-counted n_distinct."""
+    from pyspark.sql import Row
+
+    from enem_spark import textops
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="good text with many many tokens here " * 5, source="a"),
+            Row(doc_id=2, text=None, source="a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = textops.corpus_curate(docs).collect()
+    assert sorted(r.doc_id for r in out) == [1, 2]
+    stats = textops.source_stats(docs).collect()
+    assert stats[0].n_docs == 2 and stats[0].n_distinct == 2

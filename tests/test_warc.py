@@ -398,3 +398,26 @@ def test_wat_export_deterministic_under_duplicate_urls(spark):
         digests.append({r.shard_id: r.wat_md5 for r in out})
         assert sum(r.n_records for r in out) == 6
     assert digests[0] == digests[1]
+
+
+def test_warc_pages_malformed_date_degrades_to_null_ts(spark):
+    """A WARC-Date the pattern cannot parse (WARC 1.1 fractional seconds,
+    or garbage) must yield a NULL warc_ts row — under Spark 4 ANSI a
+    strict to_timestamp would abort the whole ingest on one bad header,
+    violating the quarantine philosophy."""
+    from pyspark.sql import Row
+
+    recs = spark.createDataFrame(
+        [
+            Row(url="a", warc_date="2024-01-01T00:00:00Z",
+                http_status=200, html=b"<p>x</p>", error=None),
+            Row(url="b", warc_date="2024-01-01T00:00:00.123Z",
+                http_status=200, html=b"<p>y</p>", error=None),
+            Row(url="c", warc_date="not-a-date",
+                http_status=200, html=b"<p>z</p>", error=None),
+        ],
+        "url string, warc_date string, http_status int, html binary, error string",
+    )
+    got = {r.url: r.warc_ts for r in warc.warc_pages(recs).collect()}
+    assert got["a"] is not None
+    assert got["b"] is None and got["c"] is None  # degraded, job alive
