@@ -116,7 +116,15 @@ def learn_merges(
             nxt = vocab.select(
                 merge_pair(F.col("sym"), a, b).alias("sym"), "freq"
             ).persist()
-            nxt.count()
+            try:
+                nxt.count()
+            except Exception:
+                # the finally below releases only the current `vocab`
+                # binding — without this, a count() failure mid-round
+                # (executor loss, later-added ANSI error) leaks the
+                # just-persisted frame for the session lifetime
+                nxt.unpersist()
+                raise
             vocab.unpersist()
             vocab = nxt
     finally:

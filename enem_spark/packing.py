@@ -124,7 +124,10 @@ def stage_pack_expected(
     counts = duckdb.sql(
         rf"""
         SELECT doc_id,
-               doc_id % {n_shards} AS shard,
+               -- pmod, not DuckDB's sign-preserving %: a content-addressed
+               -- doc_id (xxhash64, negative ~half the time) must land in
+               -- the same shard the engine's F.pmod puts it in
+               ((doc_id % {n_shards}) + {n_shards}) % {n_shards} AS shard,
                len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
                  AS n_tokens
         FROM read_parquet('{os.path.join(sf_dir, "documents.parquet")}')

@@ -34,29 +34,52 @@ SRP_VECTORS: list[list[float]] = [
     for _ in range(SRP_BITS * SRP_TABLES)
 ]
 
-_VEC_CACHE: dict[tuple[int, int], list[list[float]]] = {
-    (SRP_BITS, SRP_TABLES): SRP_VECTORS
+_VEC_CACHE: dict[tuple[int, int, int], list[list[float]]] = {
+    (SRP_BITS, SRP_TABLES, SRP_DIM): SRP_VECTORS
 }
 
 
-def srp_config_vectors(bits: int, tables: int) -> list[list[float]]:
-    """Deterministic projection set per (bits, tables) config — the parity
-    config keeps its original literals (the oracle embeds them)."""
-    key = (bits, tables)
+def srp_config_vectors(
+    bits: int, tables: int, dim: int = SRP_DIM
+) -> list[list[float]]:
+    """Deterministic projection set per (bits, tables, dim) config — the
+    parity config (dim=SRP_DIM) keeps its original literals and seed
+    stream (the DuckDB oracle embeds them); other embedding
+    dimensionalities mix ``dim`` into the seed. A projection shorter than
+    the vectors would be SILENT poison: zip_with pads with NULLs, the dot
+    goes NULL, every bucket bit falls to '0', and the LSH blocking
+    degenerates to one global bucket (full O(n^2) pair join)."""
+    key = (bits, tables, dim)
     if key not in _VEC_CACHE:
-        rng = random.Random(0xE5EED ^ (bits * 1_000_003 + tables))
+        seed = 0xE5EED ^ (bits * 1_000_003 + tables)
+        if dim != SRP_DIM:
+            seed ^= dim * 0x9E3779B1
+        rng = random.Random(seed)
         _VEC_CACHE[key] = [
-            [round(rng.uniform(-1.0, 1.0), 6) for _ in range(SRP_DIM)]
+            [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
             for _ in range(bits * tables)
         ]
     return _VEC_CACHE[key]
 
 
 def srp_table_vectors(
-    table: int, bits: int = SRP_BITS, tables: int = SRP_TABLES
+    table: int,
+    bits: int = SRP_BITS,
+    tables: int = SRP_TABLES,
+    dim: int = SRP_DIM,
 ) -> list[list[float]]:
-    vecs = srp_config_vectors(bits, tables)
+    vecs = srp_config_vectors(bits, tables, dim)
     return vecs[table * bits : (table + 1) * bits]
+
+
+def _resolve_dim(embeddings: DataFrame, dim: int | None) -> int:
+    """Embedding dimensionality for the projection set: explicit wins;
+    otherwise probed from one row (tiny driver action). Empty frames keep
+    the default — nothing will hash anyway."""
+    if dim is not None:
+        return dim
+    row = embeddings.select(F.size("embedding").alias("d")).first()
+    return SRP_DIM if row is None else int(row["d"])
 
 
 def _dot(a, b):
@@ -124,20 +147,24 @@ def cosine_topk(
 
 
 def srp_bucket(
-    col, table: int = 0, bits: int = SRP_BITS, tables: int = SRP_TABLES
+    col,
+    table: int = 0,
+    bits: int = SRP_BITS,
+    tables: int = SRP_TABLES,
+    dim: int = SRP_DIM,
 ) -> F.Column:
     """Sign-random-projection bucket id for one hash table: one char/bit."""
     cols = [
         F.when(
             _dot(col, F.array(*[F.lit(x) for x in vec])) >= 0, F.lit("1")
         ).otherwise(F.lit("0"))
-        for vec in srp_table_vectors(table, bits, tables)
+        for vec in srp_table_vectors(table, bits, tables, dim)
     ]
     return F.concat(*cols)
 
 
 def srp_buckets(
-    col, bits: int = SRP_BITS, tables: int = SRP_TABLES
+    col, bits: int = SRP_BITS, tables: int = SRP_TABLES, dim: int = SRP_DIM
 ) -> F.Column:
     """array<struct<table, bucket>> over all SRP_TABLES hash tables —
     exploded for the multi-table candidate join (classic L-table LSH: a
@@ -148,7 +175,7 @@ def srp_buckets(
         *[
             F.struct(
                 F.lit(t).alias("table"),
-                srp_bucket(col, t, bits, tables).alias("bucket"),
+                srp_bucket(col, t, bits, tables, dim).alias("bucket"),
             )
             for t in range(tables)
         ]
@@ -156,13 +183,16 @@ def srp_buckets(
 
 
 def _srp_exploded(
-    base: DataFrame, bits: int = SRP_BITS, tables: int = SRP_TABLES
+    base: DataFrame,
+    bits: int = SRP_BITS,
+    tables: int = SRP_TABLES,
+    dim: int = SRP_DIM,
 ) -> DataFrame:
     return base.select(
         "vec_id",
         "vec",
         "norm",
-        F.explode(srp_buckets(F.col("vec"), bits, tables)).alias("tb"),
+        F.explode(srp_buckets(F.col("vec"), bits, tables, dim)).alias("tb"),
     ).select("vec_id", "vec", "norm", "tb.table", "tb.bucket")
 
 
@@ -173,6 +203,7 @@ def srp_bucket_topk(
     bits: int = SRP_BITS,
     tables: int = SRP_TABLES,
     persist_to: list | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-table LSH approximate top-k: candidates share ANY table bucket
     with the query. Same output shape as cosine_topk; recall < 1 by design
@@ -180,8 +211,9 @@ def srp_bucket_topk(
     ``persist_to``: see embedding_near_dup — base/tagged feed the query
     side, the candidate side, AND scoring; owned persistence avoids the
     recompute."""
+    dim = _resolve_dim(embeddings, dim)
     base = with_norm(embeddings)
-    tagged = _srp_exploded(base, bits, tables)
+    tagged = _srp_exploded(base, bits, tables, dim)
     if persist_to is not None:
         base, tagged = base.persist(), tagged.persist()
         persist_to.extend([base, tagged])
@@ -241,13 +273,24 @@ def ivf_assignments(embeddings: DataFrame, n_cells: int = IVF_CELLS) -> DataFram
     Centroids are the vectors with vec_id < n_cells (seeded corpus => a fixed
     pseudo-random sample; a production run would swap in k-means centroids —
     the plan shape is identical). Every vector is assigned to its max-cosine
-    centroid. Output: base columns + (cell, cell_cos)."""
+    centroid. Output: base columns + (cell, cell_cos).
+
+    The id convention is VALIDATED: a table whose ids don't start at 0
+    would otherwise yield zero (or too few) centroids and ivf_topk would
+    return empty/degraded results indistinguishable from 'no neighbors'
+    (same misconfiguration class clustering.initial_centroids raises on)."""
     base = with_norm(embeddings)
     cents = base.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cent_id"),
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
+    n_found = cents.count()
+    if n_found < n_cells:
+        raise ValueError(
+            f"ivf centroid convention needs vec_ids 0..{n_cells - 1} "
+            f"present with non-zero norm; found only {n_found}"
+        )
     scored = base.crossJoin(F.broadcast(cents)).withColumn(
         "ccos",
         F.round(_dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm")), 6),
@@ -326,6 +369,7 @@ def embedding_near_dup(
     bits: int = SRP_BITS,
     tables: int = SRP_TABLES,
     persist_to: list | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table SRP blocking.
 
@@ -338,8 +382,9 @@ def embedding_near_dup(
     pass ``persist_to`` (a list; caller unpersists after consuming) to pin
     them for the join's duration. Left unowned, the plan recomputes
     (bounded, but ~2x the dominant stage at 10^9 vectors)."""
+    dim = _resolve_dim(embeddings, dim)
     base = with_norm(embeddings)
-    tagged = _srp_exploded(base, bits, tables)
+    tagged = _srp_exploded(base, bits, tables, dim)
     if persist_to is not None:
         base, tagged = base.persist(), tagged.persist()
         persist_to.extend([base, tagged])
@@ -390,6 +435,7 @@ def embedding_decontaminate(
     bits: int = SRP_BITS,
     tables: int = SRP_TABLES,
     persist_to: list | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Semantic decontamination: flag corpus vectors sitting at cosine >=
     threshold to ANY benchmark vector — the embedding-space complement of
@@ -402,12 +448,29 @@ def embedding_decontaminate(
     so the comparison term is |bucket-local pairs|, never |corpus| x
     |benchmark|; the benchmark side is broadcast. Zero-norm vectors cannot
     match and report clean. ``persist_to``: see embedding_near_dup."""
+    ids = list(benchmark_ids)
+    present = {
+        r["vec_id"]
+        for r in embeddings.filter(F.col("vec_id").isin(ids))
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    missing = sorted(set(ids) - present)
+    if missing:
+        # a benchmark set that is not actually in the table would make the
+        # operator report the ENTIRE corpus clean — the one answer a
+        # decontamination gate must never give by accident (same
+        # misconfiguration class clustering.initial_centroids raises on)
+        raise ValueError(
+            f"benchmark_ids absent from embeddings table: {missing}"
+        )
+    dim = _resolve_dim(embeddings, dim)
     base = with_norm(embeddings)
-    tagged = _srp_exploded(base, bits, tables)
+    tagged = _srp_exploded(base, bits, tables, dim)
     if persist_to is not None:
         base, tagged = base.persist(), tagged.persist()
         persist_to.extend([base, tagged])
-    ids = list(benchmark_ids)
     bench_tags = tagged.filter(F.col("vec_id").isin(ids)).select(
         F.col("vec_id").alias("bench_id"),
         F.col("table").alias("btable"),

@@ -17,8 +17,9 @@ documents table (doc_id, text, lang, source):
                    (one row per INPUT doc: final keep + first-fail reason)
 
 Every drop is auditable: the audit table carries a reason per document
-(ok | lang | short | low_quality | c4 | dup | near_dup | contaminated), first
-failing rule wins in that order — a curated corpus you cannot explain is a
+(ok | dup | lang | short | low_quality | c4 | near_dup | contaminated), first
+failing rule wins in that order — 'dup' leads because corpus_curate's
+keep-list checks the exact-dup keeper before its lang/length/quality rules — a curated corpus you cannot explain is a
 curated corpus you cannot debug at 10^12 documents.
 
 Determinism/idempotence: every stage is a pure function of the input

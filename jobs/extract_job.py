@@ -118,6 +118,12 @@ def main() -> None:
     if args.warc and (not args.html or args.iceberg):
         ap.error("--warc is an --html input mode (container dir), "
                  "incompatible with --iceberg")
+    if (args.normalize or args.mime_filter) and not args.iceberg:
+        # silently ignoring a requested charset repair / payload triage
+        # would extract raw bytes and report success — same guard class
+        # as the other mode-scoped flags above
+        ap.error("--normalize/--mime-filter are --iceberg run options "
+                 "(icerun.run_html_extraction_ice)")
 
     if args.html:
         if args.streaming:
@@ -263,10 +269,19 @@ def main() -> None:
                 ).alias("wat_date"),
                 "html",
             )
+            # a page whose WARC-Date failed try_to_timestamp has NULL
+            # warc_ts; f-stringing that into the record would emit a
+            # malformed 'WARC-Date: None' envelope with an unjoinable
+            # record id — skip them, but REPORT the drop (no silent caps)
+            n_undated = pages_in.filter(F.col("wat_date").isNull()).count()
             summary["wat"] = warc.write_wat_dir(
-                warc.wat_shards(pages_in, n_shards=args.wet_shards),
+                warc.wat_shards(
+                    pages_in.filter(F.col("wat_date").isNotNull()),
+                    n_shards=args.wet_shards,
+                ),
                 args.wat_out,
             )
+            summary["wat_undated_skipped"] = n_undated
             if warc_pages_df is not None:
                 warc_pages_df.unpersist()
         print(json.dumps(summary))

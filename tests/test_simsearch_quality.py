@@ -184,3 +184,64 @@ def test_embedding_decontaminate_recall_and_shape(emb):
     assert exact_flagged, "tau too high: exact sweep found nothing"
     recall = len(flagged & exact_flagged) / len(exact_flagged)
     assert recall >= 0.5, (recall, len(flagged), len(exact_flagged))
+
+
+def test_srp_projections_follow_embedding_dim(spark):
+    """128-dim embeddings must hash into real buckets: a projection set
+    hardcoded at 64 dims made zip_with pad with NULLs, every bit fall to
+    '0', and the LSH blocking silently degenerate to ONE global bucket
+    (full O(n^2) pair join — the exact failure the blocking exists to
+    avoid)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [math.sin(i * 131 + j) + rng.uniform(-0.1, 0.1) for j in range(128)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = simsearch.with_norm(emb)
+    tagged = simsearch._srp_exploded(
+        base, simsearch.SRP_BITS, simsearch.SRP_TABLES,
+        simsearch._resolve_dim(emb, None),
+    )
+    per_table = (
+        tagged.groupBy("table").agg(
+            F.countDistinct("bucket").alias("n_buckets")
+        ).collect()
+    )
+    assert all(r.n_buckets > 1 for r in per_table), per_table
+    # end-to-end: near-dup over the 128-dim frame must not crash and the
+    # default config must still find the planted duplicate pair
+    dup = emb.union(
+        spark.createDataFrame(
+            [(1000, rows[0][1])], "vec_id long, embedding array<double>"
+        )
+    )
+    pairs = simsearch.embedding_near_dup(dup, threshold=0.99).collect()
+    assert any(p.vec_a == 0 and p.vec_b == 1000 for p in pairs)
+
+
+def test_decontaminate_rejects_absent_benchmark_ids(spark):
+    """A benchmark set missing from the table must raise, not report the
+    whole corpus clean."""
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="absent"):
+        simsearch.embedding_decontaminate(
+            emb, benchmark_ids=(5000, 5001), dim=4
+        )
+
+
+def test_ivf_rejects_missing_centroid_ids(spark):
+    """ids not starting at 0 -> zero/partial centroids -> must raise, not
+    silently return empty results."""
+    emb = spark.createDataFrame(
+        [(i + 1000, [float(i + j) for j in range(4)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="centroid"):
+        simsearch.ivf_assignments(emb, n_cells=8)
