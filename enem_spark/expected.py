@@ -199,9 +199,19 @@ def stage_expected_tables(sf_dir: str) -> dict[str, str]:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     all_rows = expected_question_rows(documents, keep_unparsed=True)
-    _questions_frame([r for r in all_rows if r["parse_ok"]]).to_parquet(
-        paths["extract_questions"], index=False
-    )
-    _spans_frame(all_rows).to_parquet(paths["extract_question_spans"], index=False)
+    frames = {
+        "extract_questions": _questions_frame(
+            [r for r in all_rows if r["parse_ok"]]
+        ),
+        "extract_question_spans": _spans_frame(all_rows),
+    }
+    for name, frame in frames.items():
+        # write-then-rename: a concurrent reader (driver harness + pytest
+        # sharing /tmp) must never see a half-written parquet; the staged
+        # bytes are deterministic, so racing writers converge and
+        # os.replace's last-wins is safe
+        tmp = f"{paths[name]}.tmp.{os.getpid()}"
+        frame.to_parquet(tmp, index=False)
+        os.replace(tmp, paths[name])
     _STAGED[sf_dir] = paths
     return paths

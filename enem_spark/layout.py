@@ -71,7 +71,7 @@ def image_spans(html: bytes | bytearray | None, url: str) -> list[dict]:
     (url#imgK, K in span order) so the two tables join."""
     if html is None:
         return []
-    spans = json.loads(bytes(html).decode("utf-8"))
+    spans = _parse_spans(html)
     out = []
     k = 0
     for s in spans:
@@ -81,19 +81,39 @@ def image_spans(html: bytes | bytearray | None, url: str) -> list[dict]:
     return out
 
 
+def _parse_spans(html: bytes | bytearray) -> list[dict]:
+    """Span payload decode for the page UDF — lenient, never raising: the
+    charset invariant (one bad page must not kill a job) applies inside
+    ArrowEvalPython too, where an exception aborts the whole extraction.
+    Invalid UTF-8 decodes with U+FFFD; a payload that is not the span-JSON
+    contract degrades to zero spans, so the page flows through as empty
+    (same downstream behavior as the F4 image-page skip) instead of
+    crashing the stage."""
+    try:
+        spans = json.loads(bytes(html).decode("utf-8", "replace"))
+    except ValueError:
+        return []
+    if not isinstance(spans, list):
+        return []
+    return [s for s in spans if isinstance(s, dict) and "text" in s]
+
+
 def reconstruct_page(html: bytes | bytearray | None) -> tuple[str, int]:
     """(reading-order text, number of image spans) from the span payload."""
     if html is None:
         return "", 0
-    spans = json.loads(bytes(html).decode("utf-8"))
+    spans = _parse_spans(html)
     n_images = 0
     keep = []
     for s in spans:
         if s["text"] == IMG_MARKER:
             n_images += 1
             continue
-        mid = (s["x0"] + s["x1"]) / 2.0
+        # .get with defaults: a corrupt span missing coordinates must
+        # degrade (sorts first), not KeyError inside the UDF
+        x0, x1, y0 = s.get("x0", 0.0), s.get("x1", 0.0), s.get("y0", 0.0)
+        mid = (x0 + x1) / 2.0
         col = 0 if mid < MIDLINE else 1
-        keep.append((col, s["y0"], s["x0"], s["text"]))
+        keep.append((col, y0, x0, s["text"]))
     keep.sort(key=lambda t: (t[0], t[1], t[2]))
     return "\n".join(t[3] for t in keep), n_images

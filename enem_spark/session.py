@@ -28,6 +28,7 @@ def package_zip() -> str:
         if p and zipfile.is_zipfile(p):
             return p
     out = os.path.join(tempfile.gettempdir(), "enem_spark_pkg.zip")
+    n_entries = 0
     with zipfile.ZipFile(out, "w") as zf:
         for root, _, files in os.walk(pkg_dir):
             if "__pycache__" in root:
@@ -37,6 +38,17 @@ def package_zip() -> str:
                     full = os.path.join(root, f)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     zf.write(full, rel)
+                    n_entries += 1
+    if n_entries == 0:
+        # a failed archive-probe above falls through to os.walk over a
+        # nonexistent dir, which yields nothing — shipping that empty zip
+        # would surface hours later as ModuleNotFoundError on the workers,
+        # far from the cause
+        raise RuntimeError(
+            f"package_zip found no .py files under {pkg_dir!r} and the "
+            "containing archive could not be identified — cannot ship "
+            "enem_spark to executors"
+        )
     return out
 
 

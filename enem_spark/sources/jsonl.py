@@ -34,7 +34,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, types as T
 
-EPOCH_S = 1704067200  # 2024-01-01T00:00:00Z — the documents_bridge epoch
+from .documents_bridge import EPOCH_S  # one epoch: jsonl fetch_ts must sit
+# on the same timeline as the bridge's warc_ts (cross-source joins and
+# decontamination windows key on it) — a re-declared literal could drift
+
+# bump when encode_line/BAD_LINES/record shape change: the staging tag
+# hashes this, so stale /tmp staging cannot silently certify an old encoder
+_STAGING_VERSION = 2
 
 CORRUPT_COL = "_corrupt"
 
@@ -90,10 +96,15 @@ def stage_jsonl_files(sf_dir: str, n_files: int = 8) -> dict[str, str]:
     key = f"{sf_dir}|{n_files}"
     if key in _STAGED:
         return _STAGED[key]
-    tag = (
-        f"{os.path.basename(sf_dir)}_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{n_files}"
-    )
+    # the tag fingerprints the INPUT (size + mtime of documents.parquet)
+    # and the encoder version, not just the path: a regenerated corpus or
+    # a changed encode_line would otherwise reuse stale /tmp staging and
+    # the parity gate would go green against old data
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v{_STAGING_VERSION}".encode()
+    ).hexdigest()[:8]
+    tag = f"{os.path.basename(sf_dir)}_{fp}_{n_files}"
     base = os.path.join("/tmp", f"enem_jsonl_{tag}")
     os.makedirs(base, exist_ok=True)
     jsonl_dir = os.path.join(base, "jsonl")

@@ -424,3 +424,36 @@ def test_dedup_latest_per_url_tie_breaks_by_content_hash(spark):
     )
     got = dedup_latest_per_url(spark.createDataFrame(pd.DataFrame(rows))).collect()
     assert len(got) == 1 and got[0]["text"] == "texto zzz"
+
+
+def test_corrupt_span_payload_degrades_not_crashes(spark, pages_df):
+    """A pages row whose html is not valid span-JSON (truncated payload,
+    wrong charset) must flow through the page UDF as an empty page — the
+    charset invariant applies inside ArrowEvalPython too, where one
+    raising row aborts the whole extraction job."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from enem_spark.layout import image_spans, reconstruct_page
+
+    for bad in (b"\xff\xfe garbage", b"{not json", b'{"a": 1}', b"[1, 2]"):
+        assert reconstruct_page(bad) == ("", 0)
+        assert image_spans(bad, "u") == []
+    # end-to-end: corrupt rows alongside good ones, text=None so the UDF
+    # must reconstruct from the payload
+    pv = (
+        pages_df.filter(F.col("url").contains("PV"))
+        .limit(3)
+        .collect()
+    )
+    rows = [
+        {"url": r["url"], "warc_ts": r["warc_ts"], "html": b"\xff\xfenot json",
+         "text": None, "lang": "pt"}
+        for r in pv
+    ]
+    noisy = pages_df.unionByName(
+        spark.createDataFrame(pd.DataFrame(rows), schema=pages_df.schema)
+    )
+    base = extract_questions(pages_df, ExtractorConfig()).count()
+    got = extract_questions(noisy, ExtractorConfig()).count()
+    assert got == base  # corrupt rows contributed nothing and killed nothing
