@@ -808,7 +808,11 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_srp_bucket(spark, sf_dir):
-    return simsearch.srp_bucket_topk(_t(spark, sf_dir, "embeddings"))
+    # dim passed explicitly: the driver KNOWS its tables are 64-dim, and
+    # skipping the one-row probe action keeps the benched plan minimal
+    return simsearch.srp_bucket_topk(
+        _t(spark, sf_dir, "embeddings"), dim=simsearch.SRP_DIM
+    )
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -819,7 +823,9 @@ def q_embedding_decontaminate(spark, sf_dir):
     """Semantic decontamination (simsearch.embedding_decontaminate): flag
     corpus vectors at cosine >= 0.35 to any of the 5 designated benchmark
     vectors — SRP-bucketed candidates, broadcast benchmark side."""
-    return simsearch.embedding_decontaminate(_t(spark, sf_dir, "embeddings"))
+    return simsearch.embedding_decontaminate(
+        _t(spark, sf_dir, "embeddings"), dim=simsearch.SRP_DIM
+    )
 
 
 def q_kmeans_clusters(spark, sf_dir):
@@ -847,7 +853,9 @@ def q_embedding_near_dup(spark, sf_dir):
     # 0.35 sits just under the synthetic embeddings' max pairwise cosine
     # (~0.51), so the check exercises non-empty results; real corpora use
     # ~0.95 for true near-dups
-    return simsearch.embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return simsearch.embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=simsearch.SRP_DIM
+    )
 
 
 def q_media_featurize(spark, sf_dir):

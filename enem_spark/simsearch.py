@@ -449,14 +449,16 @@ def embedding_decontaminate(
     |benchmark|; the benchmark side is broadcast. Zero-norm vectors cannot
     match and report clean. ``persist_to``: see embedding_near_dup."""
     ids = list(benchmark_ids)
-    present = {
-        r["vec_id"]
-        for r in embeddings.filter(F.col("vec_id").isin(ids))
-        .select("vec_id")
-        .distinct()
-        .collect()
-    }
-    missing = sorted(set(ids) - present)
+    # ONE aggregate action answers both probes (per-action overhead on a
+    # busy cluster dwarfs this tiny scan): which benchmark ids exist, and
+    # the embedding dimensionality for the projection set
+    probe = embeddings.agg(
+        F.collect_set(
+            F.when(F.col("vec_id").isin(ids), F.col("vec_id"))
+        ).alias("present"),
+        F.first(F.size("embedding")).alias("d"),
+    ).first()
+    missing = sorted(set(ids) - set(probe["present"] or []))
     if missing:
         # a benchmark set that is not actually in the table would make the
         # operator report the ENTIRE corpus clean — the one answer a
@@ -465,7 +467,8 @@ def embedding_decontaminate(
         raise ValueError(
             f"benchmark_ids absent from embeddings table: {missing}"
         )
-    dim = _resolve_dim(embeddings, dim)
+    if dim is None:
+        dim = SRP_DIM if probe["d"] is None else int(probe["d"])
     base = with_norm(embeddings)
     tagged = _srp_exploded(base, bits, tables, dim)
     if persist_to is not None:
