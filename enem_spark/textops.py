@@ -475,6 +475,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def _simhash_batch(texts, bits: int):
+    """Vectorized per-document SimHash used inside the Arrow UDF.
+
+    Mirrors the declarative definition exactly (tokens =
+    split(trim-spaces(text), TOKEN_WS_RE) with Java limit=-1 semantics —
+    leading AND trailing empty fields kept, so '' yields the single token
+    ''); hash = md5(token) hex, extended with md5('1:' || token) beyond 32
+    bits; vote per nibble = +1 if odd else -1; bit_j = 1 iff sum_j >= 0.
+    Nibble parity is the low bit of each half-byte, so the votes come
+    straight off the digest bytes — no hex strings, no per-bit Python."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    pat = re.compile(TOKEN_WS_RE)
+    ext = bits > 32
+    out = []
+    for s in texts:
+        toks = pat.split(s.strip(" "))
+        n = len(toks)
+        buf = bytearray()
+        for w in toks:
+            b = w.encode("utf-8")
+            buf += hashlib.md5(b).digest()
+            if ext:
+                buf += hashlib.md5(b"1:" + b).digest()
+        arr = np.frombuffer(bytes(buf), np.uint8).reshape(n, -1)
+        nib = np.empty((n, arr.shape[1] * 2), np.uint16)
+        nib[:, 0::2] = (arr >> 4) & 1
+        nib[:, 1::2] = arr & 1
+        ones = nib[:, :bits].sum(axis=0, dtype=np.int64)
+        # vote sum = ones - (n - ones) = 2*ones - n; bit = 1 iff sum >= 0
+        out.append("".join("1" if 2 * o >= n else "0" for o in ones))
+    return out
+
+
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash from token md5 nibble parities (default 64-bit).
 
@@ -482,34 +519,30 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     hash is odd else -1), where the hash is md5(token) for bits <= 32 and
     md5(token) || md5('1:' || token) beyond (64 portable hex nibbles).
     Output: (doc_id, simhash) with simhash as a '0'/'1' string (portable
-    across engines; no 64-bit int semantics to match)."""
+    across engines; no 64-bit int semantics to match).
+
+    Physical plan: ONE scalar Arrow crossing over (doc_id, text) — no token
+    explode, no shuffle. The declarative alternative (explode + 64
+    sum(when(substring...)) aggregates) exceeds spark.sql.codegen.maxFields,
+    so the whole HashAggregate runs INTERPRETED: measured 12.8 s vs ~0.6 s
+    for this UDF on 6k sf0.1 docs. Signature computation is embarrassingly
+    parallel per document, so the Arrow path is also the 100 TB shape.
+    NULL-text rows are dropped (explode(NULL) semantics of the original
+    plan); doc_id is assumed unique per row (the documents contract)."""
     if bits > 64:
         raise ValueError("simhash supports at most 64 bits")
-    w = F.col("w")
-    h = (
-        F.md5(w)
-        if bits <= 32
-        else F.concat(F.md5(w), F.md5(F.concat(F.lit("1:"), w)))
+
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def _sig(texts):
+        return pd.Series(
+            _simhash_batch(texts.tolist(), bits), index=texts.index
+        )
+
+    return documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", _sig("text").alias("simhash")
     )
-    tok = documents.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
-    ).withColumn("h", h)
-    bit_aggs = [
-        F.sum(
-            F.when(
-                F.substring(F.col("h"), j + 1, 1).isin(*ODD_HEX), F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"s{j}")
-        for j in range(bits)
-    ]
-    sums = tok.groupBy("doc_id").agg(*bit_aggs)
-    bitstr = F.concat(
-        *[
-            F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for j in range(bits)
-        ]
-    )
-    return sums.select("doc_id", bitstr.alias("simhash"))
 
 
 def simhash_near_dup(
@@ -546,14 +579,37 @@ def simhash_near_dup(
     if bits % bands:
         raise ValueError("bands must divide bits")
     width = bits // bands
-    # persist the signatures: the self-join would otherwise recompute the
-    # token explode + `bits` aggregates on BOTH sides (and double the plan
-    # the driver has to codegen — measured 4x wall on the 64-bit config).
-    # One row per doc, so the cache is tiny; same idiom as shingle_table.
-    sigs = simhash(documents, bits=bits).persist()
+    # Persist the signatures: the self-join would otherwise recompute the
+    # Arrow sig stage on BOTH sides. The repartition matters as much as the
+    # persist: the scalar-UDF sigs inherit the input's FILE partitioning
+    # (3 partitions at sf0.1), and the banded self-join's candidate +
+    # hamming evaluation runs at the cached frame's parallelism — measured
+    # 32 s on 3 cores vs ~3 s spread across the default shuffle width.
+    # The bitstring is also packed ONCE per signature into 32-bit integer
+    # halves here, so per-candidate hamming is bit_count(xor) on longs —
+    # the unrolled per-character CASE chain (64 substring compares) blows
+    # the codegen size limit and falls back to interpreted eval, which at
+    # ~600k candidates dominated the whole operator.
+    n_half = (bits + 31) // 32
+    halves = [
+        F.conv(
+            F.substring(F.col("simhash"), h * 32 + 1, min(32, bits - h * 32)),
+            2,
+            10,
+        )
+        .cast("long")
+        .alias(f"half{h}")
+        for h in range(n_half)
+    ]
+    sigs = (
+        simhash(documents, bits=bits)
+        .select("doc_id", "simhash", *halves)
+        .repartition(F.col("doc_id"))
+        .persist()
+    )
     banded = sigs.select(
         "doc_id",
-        "simhash",
+        *[f"half{h}" for h in range(n_half)],
         F.posexplode(
             F.array(
                 *[
@@ -576,18 +632,14 @@ def simhash_near_dup(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            *[F.col(f"a.half{h}").alias(f"ha{h}") for h in range(n_half)],
+            *[F.col(f"b.half{h}").alias(f"hb{h}") for h in range(n_half)],
         )
     )
     ham = sum(
         (
-            F.when(
-                F.substring(F.col("sig_a"), j + 1, 1)
-                != F.substring(F.col("sig_b"), j + 1, 1),
-                F.lit(1),
-            ).otherwise(F.lit(0))
-            for j in range(bits)
+            F.bit_count(F.col(f"ha{h}").bitwiseXOR(F.col(f"hb{h}")))
+            for h in range(n_half)
         ),
         F.lit(0),
     ).cast("int")
@@ -953,8 +1005,14 @@ def dedup_clusters(
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
+    # iterate over the edge-induced vertex set ONLY: singletons (the vast
+    # majority of a real corpus) never change label, so carrying them
+    # through every round's join + count would scale each iteration with
+    # corpus size instead of duplicate-graph size. They re-enter via the
+    # final left join. Edges are symmetric, so doc_a alone covers all
+    # vertices.
     labels = (
-        documents.select("doc_id")
+        edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
@@ -993,7 +1051,17 @@ def dedup_clusters(
             "(pathological >64-diameter duplicate chain); raise the bound or "
             "switch to pointer-jumping"
         )
-    return labels.select("doc_id", "cluster_id")
+    # singletons map to themselves; the propagated labels cover only the
+    # duplicate-graph vertices
+    return (
+        documents.select("doc_id")
+        .distinct()
+        .join(labels.select("doc_id", "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
 
 
 def top_terms(documents: DataFrame, k: int = 50) -> DataFrame:
