@@ -1003,6 +1003,26 @@ def q_html_clean_corpus(spark, sf_dir):
     )
 
 
+def q_extraction_eval(spark, sf_dir):
+    # CleanEval-style extractor scoring (htmlops.extraction_eval): token-
+    # multiset precision/recall/F1 of the bare tag-strip extractor against
+    # the DOM classifier's main content as gold — real spread by
+    # construction (strip keeps nav/ads/footer chrome, so precision < 1
+    # while recall stays 1). COMPUTING twin: DuckDB re-derives both texts
+    # (staged DOM output as gold, the strip regex chain over staged pages)
+    # and the same multiset-F1 algebra.
+    from enem_spark import htmlops
+
+    pages = _html_pages(spark, sf_dir)
+    gold = htmlops.extract_main_content(pages).select(
+        "doc_id", F.col("main_text").alias("text")
+    )
+    extracted = htmlops.html_strip_tags(pages).select(
+        "doc_id", F.col("text_stripped").alias("text")
+    )
+    return htmlops.extraction_eval(gold, extracted)
+
+
 def q_warc_ingest(spark, sf_dir):
     """Distributed WARC-container ingestion: binaryFile scan -> one
     mapInPandas record parser (no shuffle). The oracle is the expected
@@ -1519,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_anchor_profile": q_html_anchor_profile,
         "html_paragraph_langid": q_html_paragraph_langid,
         "html_clean_corpus": q_html_clean_corpus,
+        "extraction_eval": q_extraction_eval,
         "warc_ingest": q_warc_ingest,
         "wet_export": q_wet_export,
         "wat_export": q_wat_export,
@@ -4064,6 +4085,61 @@ SELECT doc_id,
        coalesce(string_agg(CASE WHEN rk = 1 THEN para END, chr(10) ORDER BY pos), '')
          AS text_deduped
 FROM ranked GROUP BY doc_id
+""",
+        # computing twin: both texts re-derived (staged DOM output as gold,
+        # the strip regex chain over staged pages), then the same multiset
+        # precision/recall/F1 algebra — F1 as 2c/(g+e) so both engines
+        # divide the same exact integers once
+        "extraction_eval": f"""
+WITH gold AS (
+  SELECT doc_id, main_text AS text FROM read_parquet('{html_staged["html_main"]}')
+),
+stripped AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(html,
+          '(?s)<(script|style|noscript)[^>]*>.*?</(script|style|noscript)>', ' ', 'g'),
+          '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#x27;', CHR(39)), '&amp;', '&'),
+      '\\s+', ' ', 'g')) AS text
+  FROM read_parquet('{html_staged["html_pages"]}')
+),
+gt AS (
+  SELECT doc_id, tok, count(*) AS g FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM gold
+  ) WHERE tok <> '' GROUP BY doc_id, tok
+),
+et AS (
+  SELECT doc_id, tok, count(*) AS e FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM stripped
+  ) WHERE tok <> '' GROUP BY doc_id, tok
+),
+j AS (
+  SELECT doc_id, coalesce(g, 0) AS g, coalesce(e, 0) AS e
+  FROM gt FULL JOIN et USING (doc_id, tok)
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(g) AS BIGINT) AS n_gold,
+         CAST(sum(e) AS BIGINT) AS n_extracted,
+         CAST(sum(least(g, e)) AS BIGINT) AS n_common
+  FROM j GROUP BY doc_id
+),
+ids AS (
+  SELECT doc_id FROM gold UNION SELECT doc_id FROM stripped
+)
+SELECT ids.doc_id,
+       coalesce(n_gold, 0) AS n_gold,
+       coalesce(n_extracted, 0) AS n_extracted,
+       coalesce(n_common, 0) AS n_common,
+       CASE WHEN coalesce(n_extracted, 0) > 0
+            THEN round(n_common * 1.0 / n_extracted, 6) ELSE 0.0 END AS "precision",
+       CASE WHEN coalesce(n_gold, 0) > 0
+            THEN round(n_common * 1.0 / n_gold, 6) ELSE 0.0 END AS recall,
+       CASE WHEN coalesce(n_gold, 0) + coalesce(n_extracted, 0) > 0
+            THEN round(2.0 * n_common / (n_gold + n_extracted), 6) ELSE 0.0 END AS f1
+FROM ids LEFT JOIN per_doc USING (doc_id)
 """,
         # computing twin for the ITERATIVE graph algorithm: one CTE per
         # PageRank iteration, same damping/teleport and the same 9-dp

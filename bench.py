@@ -113,6 +113,7 @@ HEADLINE = [
     "html_anchor_profile",
     "html_paragraph_langid",
     "html_clean_corpus",
+    "extraction_eval",
     "html_robots",
     "robots_txt_allow",
     "sitemap_discover",

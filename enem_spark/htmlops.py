@@ -1100,6 +1100,90 @@ def paragraph_langid(main: DataFrame) -> DataFrame:
     )
 
 
+def extraction_eval(gold: DataFrame, extracted: DataFrame) -> DataFrame:
+    """CleanEval-style extraction-quality scoring: token-multiset
+    precision/recall/F1 of an extractor's output against gold main content,
+    per document. The standard way to compare boilerplate-removal strategies
+    (e.g. the DOM classifier vs a bare tag strip) on a corpus where gold is
+    known — which this engine's synthetic pages make true by construction.
+
+    Inputs: two (doc_id, text) frames. Tokens are the engine-wide whitespace
+    split (textops.TOKEN_WS_RE — the explicit class, never \\s+); matching is
+    a MULTISET intersection (a token appearing twice in gold must be
+    extracted twice to count twice):
+
+        n_common  = sum_t min(tf_gold(t), tf_extracted(t))
+        precision = n_common / n_extracted       (0 when nothing extracted)
+        recall    = n_common / n_gold            (0 when gold is empty)
+        f1        = 2*n_common / (n_gold + n_extracted)   (harmonic mean —
+                    the 2PR/(P+R) algebra reduced to integer counts, so both
+                    engines divide the same exact integers once)
+
+    Output: (doc_id, n_gold, n_extracted, n_common, precision, recall, f1)
+    for EVERY doc_id present in either input (all-zero row when both texts
+    are empty). ANSI guard: every division sits behind a CASE on its
+    denominator.
+
+    Scale plan: one token explode per side (map-side), ONE full-outer
+    equi-join on (doc_id, token), one groupBy(doc_id) — O(tokens) work, no
+    driver collect, no cartesian. The (doc_id, token) shuffle key is
+    near-unique, so skew needs a pathological single document (same profile
+    as every other per-doc token op here)."""
+    from .textops import _tokens
+
+    def _tf(df: DataFrame, cname: str) -> DataFrame:
+        return (
+            df.select(
+                "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").cast("long").alias(cname))
+        )
+
+    g, e = _tf(gold, "g"), _tf(extracted, "e")
+    per_doc = (
+        g.join(e, ["doc_id", "tok"], "full")
+        .select(
+            "doc_id",
+            F.coalesce("g", F.lit(0)).alias("g"),
+            F.coalesce("e", F.lit(0)).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("g").cast("long").alias("n_gold"),
+            F.sum("e").cast("long").alias("n_extracted"),
+            F.sum(F.least("g", "e")).cast("long").alias("n_common"),
+        )
+    )
+    ids = gold.select("doc_id").union(extracted.select("doc_id")).distinct()
+    c, ng, ne = F.col("n_common"), F.col("n_gold"), F.col("n_extracted")
+    return (
+        ids.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(ng, F.lit(0)).alias("n_gold"),
+            F.coalesce(ne, F.lit(0)).alias("n_extracted"),
+            F.coalesce(c, F.lit(0)).alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_gold",
+            "n_extracted",
+            "n_common",
+            F.when(ne > 0, F.round(c / ne, 6)).otherwise(F.lit(0.0)).alias(
+                "precision"
+            ),
+            F.when(ng > 0, F.round(c / ng, 6)).otherwise(F.lit(0.0)).alias(
+                "recall"
+            ),
+            F.when(
+                ng + ne > 0, F.round(F.lit(2) * c / (ng + ne), 6)
+            ).otherwise(F.lit(0.0)).alias("f1"),
+        )
+    )
+
+
 def host_edges(pages: DataFrame) -> DataFrame:
     """Weighted outlink edge list (src_host, dst_host, weight): the page's
     own host (from its cc:// url) linking to every absolute-URL host in its

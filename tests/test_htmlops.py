@@ -726,3 +726,51 @@ def test_curate_empty_host_graph_disables_rank_gate(spark):
     assert ranks.columns == ["host", "pagerank"] and ranks.count() == 0
     cur = H.curate_main_content(pages).collect()
     assert len(cur) == 1 and cur[0].keep and cur[0].host_rank == 0.0
+
+
+def test_extraction_eval_hand_computed(spark):
+    """Hand-checked multiset P/R/F1: gold 'a b b c' vs extracted 'a b x'
+    -> common = {a:1, b:min(2,1)=1} = 2, P = 2/3, R = 2/4, F1 = 4/7. Empty
+    and NULL texts yield all-zero rows (ANSI-guarded divisions), and every
+    doc_id from EITHER side appears exactly once."""
+    gold = spark.createDataFrame(
+        [(1, "a b b c"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    extracted = spark.createDataFrame(
+        [(1, "a b x"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    out = H.extraction_eval(gold, extracted).collect()
+    assert len(out) == 3
+    rows = {r["doc_id"]: r for r in out}
+    r1 = rows[1]
+    assert (r1["n_gold"], r1["n_extracted"], r1["n_common"]) == (4, 3, 2)
+    assert r1["precision"] == round(2 / 3, 6)
+    assert r1["recall"] == 0.5
+    assert r1["f1"] == round(4 / 7, 6)
+    r2 = rows[2]  # empty gold: nothing to recall, one spurious token
+    assert (r2["n_gold"], r2["n_extracted"], r2["n_common"]) == (0, 1, 0)
+    assert (r2["precision"], r2["recall"], r2["f1"]) == (0.0, 0.0, 0.0)
+    r3 = rows[3]  # NULL gold behaves like '' (engine-wide NULL-text rule)
+    assert (r3["n_gold"], r3["n_extracted"], r3["n_common"]) == (0, 0, 0)
+    assert (r3["precision"], r3["recall"], r3["f1"]) == (0.0, 0.0, 0.0)
+
+
+def test_extraction_eval_strip_vs_dom_signal(spark):
+    """On the synthetic corpus the DOM classifier IS gold (recovery test),
+    so scoring the bare tag strip against it must show the designed spread:
+    recall exactly 1.0 everywhere (the strip is a superset — main tokens
+    all survive tag removal) and precision strictly < 1 (chrome tokens are
+    spurious)."""
+    docs = spark.createDataFrame(_docs())
+    pages = H.synth_html_pages(docs)
+    gold = H.extract_main_content(pages).select(
+        "doc_id", F.col("main_text").alias("text")
+    )
+    extracted = H.html_strip_tags(pages).select(
+        "doc_id", F.col("text_stripped").alias("text")
+    )
+    ev = H.extraction_eval(gold, extracted).toPandas()
+    assert len(ev) == len(_docs())
+    assert (ev["recall"] == 1.0).all()
+    assert (ev["precision"] < 1.0).all()
+    assert ((ev["f1"] > 0.0) & (ev["f1"] < 1.0)).all()
