@@ -226,6 +226,150 @@ def _html_pages_store(spark, sf_dir: str, mult: int = 1) -> tuple[str, int]:
     return store, n_rows
 
 
+def _dedup_docs_store(spark, sf_dir: str, mult: int = 1) -> tuple[str, int]:
+    """Materialize a replicated documents table for the dedup-scaling
+    evidence. Plain replication would make every document a near-dup of its
+    mult-1 copies — candidate pairs (and so the job itself) would grow
+    quadratically with ``mult``, measuring the corpus's dup rate instead of
+    the engine's scaling. Each replica therefore gets its own VOWEL
+    PERMUTATION applied to the text (deterministic, length-preserving):
+    within-replica similarity structure is preserved exactly (both sides of
+    a near-dup pair rotate identically), while cross-replica shingle overlap
+    collapses — total work scales linearly with ``mult``, like a real
+    larger crawl. 120 distinct permutations bound mult."""
+    import itertools
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    sf = _sf_from_dir(sf_dir)
+    suffix = f"x{mult}" if mult > 1 else ""
+    store = os.path.join(tempfile.gettempdir(), f"enem_dedup_docs_sf{sf}{suffix}")
+    marker = os.path.join(store, "_SUCCESS")
+    if not os.path.exists(marker):
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_base = base.count()
+        docs = _replicate_documents(base, mult)
+        if mult > 1:
+            perms = [
+                "".join(p) for p in itertools.permutations("aeiou")
+            ][:mult]
+            if mult > len(perms):
+                raise ValueError("dedup store supports mult <= 120")
+            rep = (F.col("doc_id") / F.lit(n_base)).cast("int")
+            rotated = F.col("text")
+            expr = None
+            for k, perm in enumerate(perms):
+                branch = F.translate(F.col("text"), "aeiou", perm)
+                expr = (
+                    F.when(rep == k, branch)
+                    if expr is None
+                    else expr.when(rep == k, branch)
+                )
+            docs = docs.withColumn("text", expr.otherwise(rotated))
+        n_files = max(32, mult * 8)
+        docs.repartition(n_files).write.mode("overwrite").parquet(store)
+    n_docs = spark.read.parquet(store).count()
+    return store, n_docs
+
+
+def run_dedup_bench(sf_dir: str, cpus: str) -> dict:
+    """Shuffle-heavy dedup throughput: textops.minhash_estimate_pairs at the
+    ENGINE config (128 perms / 16 bands) over the stored replicated
+    documents table — signature aggregation over the shingle explode, band
+    self-join, signature-agreement estimate. This is the operator family
+    whose scaling a map-side bench cannot evidence (two wide exchanges:
+    the signature groupBy and the band-bucket join). Emits the same JSON
+    keys as the other --*-extract-only modes so run_scaling can drive it."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from enem_spark import textops
+    from enem_spark.session import get_spark
+
+    n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    hw_probe = (
+        None
+        if os.environ.get("SPARK_GRAFT_SKIP_HW_PROBE")
+        else _mp_probe(min(n_cores, os.cpu_count() or 8))
+    )
+    spark = get_spark("enem_spark_dedup", cores=cpus)
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "4"))
+    store, n_docs = _dedup_docs_store(spark, sf_dir, mult)
+    docs = spark.read.parquet(store)
+
+    def job() -> int:
+        # persist-with-owner: each timed run pays the full signature
+        # computation and releases its cache, so runs are independent and
+        # a 3-trial sweep doesn't accumulate orphaned blocks
+        holders: list = []
+        try:
+            return textops.minhash_estimate_pairs(
+                docs, threshold=0.5, persist_to=holders
+            ).count()
+        finally:
+            for h in holders:
+                h.unpersist()
+
+    job()  # warm every worker + codegen, untimed
+    runs = []
+    n_pairs = 0
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        n_pairs = job()
+        runs.append(round(time.perf_counter() - t0, 3))
+    return {
+        "metric": "docs/sec minhash near-dup estimate (sign + band join + estimate)",
+        "value": round(n_docs / min(runs), 2),
+        "unit": "docs/sec",
+        "sf": _sf_from_dir(sf_dir),
+        "cpus": cpus,
+        "extract_runs_sec": runs,
+        "n_pages": n_docs,
+        "n_pairs": n_pairs,
+        "hw_probe_mops": hw_probe,
+    }
+
+
+def update_dedup_bench_md(summary: dict, path: str = "BENCH.md") -> None:
+    """Insert/replace the '## Dedup scaling' section in BENCH.md."""
+    lo, hi = summary["low_cpus"], summary["high_cpus"]
+    section = f"""## Dedup scaling (MinHash sign + banded-LSH estimate, engine config)
+
+The map-heavy extraction benches above cannot evidence the SHUFFLE-heavy
+operator family, so the same two-parallelism protocol runs
+`minhash_estimate_pairs` at the engine config (128 perms / 16 bands):
+shingle explode -> 128 min-aggregates (signature groupBy exchange) ->
+band-bucket self-join (second exchange) -> signature-agreement estimate.
+Replicas are vowel-permuted so candidate pairs (and total work) scale
+linearly with the corpus, not quadratically:
+
+| config | dedup docs/sec | raw-hardware M-ops/s |
+|---|---|---|
+| {lo} cores | {summary['docs_per_sec_low']} | {summary['hw_mhash_low']} |
+| {hi} cores | {summary['docs_per_sec_high']} | {summary['hw_mhash_high']} |
+
+scaling efficiency = **{summary['scaling_efficiency']}**, hardware ceiling
+that window = {summary['hw_scaling_efficiency']}, normalized =
+**{summary['normalized_efficiency']}** ({summary['n_pages']} documents,
+sf={summary['sf']} x{summary['scale_mult']}; trial picked by the same
+credible-probe rule as the exam job).
+"""
+    old = open(path).read() if os.path.exists(path) else ""
+    start = old.find("## Dedup scaling")
+    if start != -1:
+        nxt = old.find("\n## ", start + 1)
+        old = old[:start] + (old[nxt + 1 :] if nxt != -1 else "")
+    anchor = old.find("## Iceberg-path extraction")
+    if anchor == -1:
+        anchor = old.find("## Headline timings")
+    if anchor != -1:
+        new = old[:anchor] + section + "\n" + old[anchor:]
+    else:
+        new = (old.rstrip() + "\n\n" if old else "") + section
+    with open(path, "w") as f:
+        f.write(new)
+
+
 def run_html_bench(sf_dir: str, cpus: str) -> dict:
     """DOM main-content extraction throughput over the stored html pages
     table — the html sibling of the --extract-only mode; emits the same
@@ -927,6 +1071,8 @@ def main() -> None:
     ap.add_argument("--iceberg", action="store_true")
     ap.add_argument("--ice-extract-only", action="store_true")
     ap.add_argument("--ice-scaling", action="store_true")
+    ap.add_argument("--dedup-scaling", action="store_true")
+    ap.add_argument("--dedup-extract-only", action="store_true")
     # N=2 / 4N=8 is the measurement-valid range on this host: CLAUDE.md's
     # scaling discipline — above ~8-16 busy cores the hypervisor throttle
     # (not the job) caps efficiency near 0.5, so an 8->32 default would
@@ -970,6 +1116,22 @@ def main() -> None:
         )
         update_ice_bench_md(summary)
         print(json.dumps(summary))
+        return
+    if args.dedup_scaling:
+        summary = run_scaling(
+            sf_dir, args.low, args.high,
+            # dedup default x4 (20k docs): the 128-perm sign stage is ~40x
+            # the per-page UDF cost, so the exam job's x48 would take an
+            # hour per trial without adding signal
+            args.mult if args.mult != 48 else 4,
+            args.trials,
+            flag="--dedup-extract-only",
+        )
+        update_dedup_bench_md(summary)
+        print(json.dumps(summary))
+        return
+    if args.dedup_extract_only:
+        print(json.dumps(run_dedup_bench(sf_dir, cpus)))
         return
     if args.html_extract_only:
         print(json.dumps(run_html_bench(sf_dir, cpus)))
