@@ -1448,6 +1448,88 @@ def q_html_dedup_paragraphs(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (relops.asof_join): every view event gains the
+    user's latest click at-or-before it — the union+window rewrite (ONE
+    equi-shuffle, no inequality join). The right side is pre-reduced to one
+    row per (user_id, ts) so the tie-break can't differ from DuckDB's
+    native ASOF LEFT JOIN, which is the twin."""
+    from enem_spark import relops
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.round(F.max("value"), 6).alias("click_value"),
+        )
+    )
+    return relops.asof_join(views, clicks, on=["user_id"])
+
+
+def q_range_join(spark, sf_dir):
+    """Interval join (relops.range_join): clicks inside each error event's
+    1-hour window, aggregated per window with zero-count windows kept via
+    the join-back. Scale path is the epoch-bucket equi-join; the DuckDB
+    twin is the plain inequality join this rewrite replaces."""
+    from enem_spark import relops
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 3600 SECONDS")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    pairs = relops.range_join(clicks, errors, on=["user_id"], bucket_s=3600)
+    agg = pairs.groupBy("error_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    return (
+        errors.select("error_id", "user_id")
+        .join(agg, "error_id", "left")
+        .select(
+            "error_id",
+            "user_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct sketch (textops.hll_distinct) at PARITY_HLL_P:
+    two datasets in one result — vocabulary per source (raw-estimate
+    branch) and distinct users per event_type (linear-counting branch).
+    COMPUTING twin: both engines build identical md5-derived registers and
+    the exact-integer register sum, so the estimates agree to the rounded
+    digit — including the estimator's error vs the true count, which is
+    part of the contract (the accuracy gate at the engine config lives in
+    tests/test_relops.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+    toks = docs.select(
+        F.col("source").alias("grp"),
+        F.explode(textops._tokens(F.col("text"))).alias("v"),
+    )
+    a = textops.hll_distinct(toks, ["grp"], "v", p=textops.PARITY_HLL_P)
+    users = ev.select(
+        F.col("event_type").alias("grp"), F.col("user_id").alias("v")
+    )
+    b = textops.hll_distinct(users, ["grp"], "v", p=textops.PARITY_HLL_P)
+    return a.withColumn("dataset", F.lit("tokens")).unionByName(
+        b.withColumn("dataset", F.lit("users"))
+    ).select("dataset", "grp", "approx_distinct")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_questions": q_extract_questions,
@@ -1556,6 +1638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_sniff": q_mime_sniff,
         "fetch_politeness": q_fetch_politeness,
         "html_robots": q_html_robots,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -3136,6 +3221,61 @@ FROM m LEFT JOIN pr ON m.host = pr.host CROSS JOIN n
 """
 
 
+def _hll_sql() -> str:
+    """COMPUTING twin of textops.hll_distinct over the same two datasets
+    the Spark query unions. Float constants are inlined via repr() from the
+    SAME Python doubles the Spark side F.lit()s, so both engines perform
+    the identical IEEE operations on identical inputs; the register sum is
+    exact integer arithmetic (HUGEINT here, decimal(38,0) Spark-side)."""
+    m = 1 << textops.PARITY_HLL_P
+    amm = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    p61 = float(1 << 61)
+    return f"""
+WITH tok AS (
+  SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\\s+')) AS v
+  FROM documents
+),
+u AS (
+  SELECT 'tokens' AS dataset, grp, v FROM tok
+  UNION ALL
+  SELECT 'users' AS dataset, event_type AS grp, CAST(user_id AS VARCHAR) AS v
+  FROM events
+),
+rr AS (
+  SELECT dataset, grp,
+         CAST(concat('0x', substr(md5(v), 1, 4)) AS BIGINT) % {m} AS bucket,
+         CAST(concat('0x', substr(md5(v), 5, 15)) AS BIGINT) AS rem
+  FROM u
+),
+regs AS (
+  SELECT dataset, grp, bucket,
+         max(CASE WHEN rem = 0 THEN 61 ELSE 61 - length(bin(rem)) END) AS reg
+  FROM rr GROUP BY dataset, grp, bucket
+),
+agg AS (
+  SELECT dataset, grp,
+         sum(CAST(1::BIGINT << (61 - reg) AS HUGEINT)) AS s_present,
+         count(*) AS n_regs
+  FROM regs GROUP BY dataset, grp
+),
+est AS (
+  SELECT dataset, grp, {m} - n_regs AS v0,
+         {amm!r} * {p61!r}
+           / CAST(s_present + ({m} - n_regs) * CAST({1 << 61} AS HUGEINT)
+                  AS DOUBLE) AS raw
+  FROM agg
+)
+SELECT dataset, grp,
+       round(CASE WHEN raw <= {2.5 * m!r} AND v0 > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / v0)
+                  ELSE raw END, 4) AS approx_distinct
+FROM est
+"""
+
+
+_HLL_SQL = _hll_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     # The flagship pipeline is a stateful cross-page string machine — not
     # SQL-expressible directly. Its oracle is therefore MATERIALIZED: the
@@ -4174,4 +4314,43 @@ SELECT host, term, n, rank FROM (
   FROM counted
 ) WHERE rank <= 3
 """,
+        # DuckDB's NATIVE asof join is the twin of the union+window rewrite
+        # (right side pre-reduced to one row per (user_id, ts) on BOTH
+        # engines so tie-breaks can't diverge)
+        "asof_join": """
+WITH v AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT user_id, ts AS asof_ts,
+         CAST(max(event_id) AS BIGINT) AS click_id,
+         round(max(value), 6) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT v.user_id, v.ts, v.event_id, c.asof_ts, c.click_id, c.click_value
+FROM v ASOF LEFT JOIN c
+  ON v.user_id = c.user_id AND v.ts >= c.asof_ts
+""",
+        # the plain inequality join the bucketed rewrite replaces — fine at
+        # sf0.01, quadratic at scale (which is the point of relops.range_join)
+        "range_join": """
+WITH e AS (
+  SELECT event_id AS error_id, user_id, ts AS start_ts,
+         ts + INTERVAL 3600 SECOND AS end_ts
+  FROM events WHERE event_type = 'error'
+),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT e.error_id, e.user_id,
+       CAST(count(c.ts) AS BIGINT) AS n_clicks,
+       round(coalesce(sum(c.value), 0), 6) AS sum_value
+FROM e LEFT JOIN c
+  ON e.user_id = c.user_id AND c.ts >= e.start_ts AND c.ts < e.end_ts
+GROUP BY e.error_id, e.user_id
+""",
+        # COMPUTING twin of textops.hll_distinct: identical md5-derived
+        # registers (bucket = first 16 bits mod m, rho = 61 - MSB position
+        # of the next 60 bits via integer-exact length(bin(x))), EXACT
+        # integer register sum in HUGEINT, float constants inlined from the
+        # same Python doubles the Spark side uses.
+        "hll_distinct": _HLL_SQL,
     }

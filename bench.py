@@ -131,6 +131,9 @@ HEADLINE = [
     "cap_per_host",
     "fetch_politeness",
     "recrawl_priority",
+    "asof_join",
+    "range_join",
+    "hll_distinct",
 ]
 
 

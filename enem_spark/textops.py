@@ -2465,3 +2465,79 @@ def bloom_dedup(
         .groupBy("doc_id")
         .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == k).alias("bloom_hit"))
     )
+
+
+# HyperLogLog distinct-count sketch. Engine default p=12 (4096 registers,
+# ~1.6% rel error) — the web-scale shape for "distinct urls per host" /
+# "vocabulary per source" where an exact distinct would shuffle the full
+# value set. The driver query passes PARITY_HLL_P so the DuckDB twin's
+# register table stays tiny; estimator quality at the engine config is
+# gated separately in tests/test_relops.py.
+HLL_P = 12
+PARITY_HLL_P = 6
+
+
+def _hll_registers(df: DataFrame, group_cols: list, value, m: int) -> DataFrame:
+    """(group_cols..., bucket, reg): max-rho register table. Deterministic
+    md5 hashing (identical hex in both engines): bucket = first 16 hash
+    bits mod m (unbiased for power-of-two m <= 65536), rho = 1 + leading
+    zeros of the next 60 bits. length(bin(x)) is integer-exact MSB position
+    on BOTH engines — no float log2 near power-of-two boundaries."""
+    hex_ = F.md5(value.cast("string"))
+    bucket = F.conv(F.substring(hex_, 1, 4), 16, 10).cast("long") % m
+    rem = F.conv(F.substring(hex_, 5, 15), 16, 10).cast("long")
+    rho = F.when(F.col("_rem") == 0, F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.bin(F.col("_rem")))
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rem.alias("_rem"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max(rho).alias("reg"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list, value_col: str, p: int = HLL_P
+) -> DataFrame:
+    """(group_cols..., approx_distinct): HyperLogLog estimate of
+    count(distinct value_col) per group, as one groupBy over m=2^p
+    registers — memory per group is m bytes however many distinct values
+    flow through, which is the whole point at 10^12 rows (exact distinct
+    shuffles the value set; this shuffles at most m rows per group).
+
+    Cross-engine determinism: the register sum is EXACT integer arithmetic
+    (sum of 1<<(61-reg) in decimal/hugeint — no float-order drift), cast to
+    double once; Flajolet's alpha_m raw estimate with the linear-counting
+    small-range correction (est <= 2.5m and empty registers exist). Output
+    rounded to 4 dp. No large-range correction: 60-bit hashes make
+    collisions irrelevant below ~10^17 distinct values.
+
+    Not spark.sql.functions.approx_count_distinct because that sketch's
+    registers are engine-private — this one is reproducible bit-for-bit by
+    the DuckDB twin, the same contract bloom_dedup keeps."""
+    m = 1 << p
+    regs = _hll_registers(df, list(group_cols), F.col(value_col), m)
+    # SQL shiftleft takes a column shift amount (the python wrapper's
+    # numBits is int-only); 61-reg is in [0, 60] so the bigint never
+    # overflows, and the decimal cast happens per-term BEFORE the sum so
+    # 2^p registers x up to 2^61 can't overflow the aggregate either.
+    term = F.expr("shiftleft(1L, 61 - reg)").cast("decimal(38,0)")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    per_group = regs.groupBy(*group_cols).agg(
+        F.sum(term).alias("s_present"),
+        F.count("*").alias("n_regs"),
+    )
+    v = F.lit(m) - F.col("n_regs")  # empty registers (reg = 0)
+    s = F.col("s_present") + v.cast("decimal(38,0)") * F.lit(1 << 61).cast(
+        "decimal(38,0)"
+    )
+    raw = (
+        F.lit(alpha * m * m) * F.lit(float(1 << 61)) / s.cast("double")
+    )
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols, F.round(est, 4).alias("approx_distinct")
+    )
