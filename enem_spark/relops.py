@@ -71,6 +71,13 @@ def asof_join(
     overlap = set(lpay) & set(rpay)
     if overlap:
         raise ValueError(f"rename right payload columns colliding with left: {overlap}")
+    reserved = {"_t", "_side", "_r", "_m", "asof_ts"} & (
+        set(left.columns) | set(right.columns)
+    )
+    if reserved:
+        raise ValueError(
+            f"rename input columns shadowing asof_join internals/output: {reserved}"
+        )
 
     # timestamp types pass through untouched (a cast would silently turn
     # TIMESTAMP_NTZ into LTZ and shift the output schema); the two sides
@@ -107,10 +114,21 @@ def asof_join(
     )
     m = F.col("_m")
     if tolerance_s is not None:
-        in_tol = F.unix_timestamp(m["asof_ts"]) >= F.unix_timestamp(
-            F.col("_t")
-        ) - int(tolerance_s)
-        matched = matched.withColumn("_m", F.when(in_tol, m))
+        # exact to the microsecond: interval arithmetic for timestamp keys
+        # (unix_timestamp would truncate sub-second fractions and keep
+        # matches up to ~1 s staler than the tolerance), plain subtraction
+        # for numeric ts columns
+        from pyspark.sql.types import NumericType
+
+        if isinstance(l_side.schema["_t"].dataType, NumericType):
+            floor_expr = F.col("_t") - int(tolerance_s)
+        else:
+            floor_expr = F.col("_t") - F.expr(
+                f"INTERVAL {int(tolerance_s)} SECONDS"
+            )
+        matched = matched.withColumn(
+            "_m", F.when(m["asof_ts"] >= floor_expr, m)
+        )
     return matched.select(
         *on,
         F.col("_t").alias(left_ts),
@@ -145,21 +163,48 @@ def range_join(
     that need zero-counts join the aggregate back to the interval table —
     a broadcast-or-colocated join on the interval key, which keeps THIS
     operator free of the exploded-copy collapse an outer variant would
-    need.
+    need. Empty/inverted intervals (end_ts <= start_ts) are dropped before
+    the explode — they can contain nothing, and an unguarded descending
+    sequence would otherwise fan a corrupt row out to |diff| junk buckets.
     """
+    from pyspark.sql.types import NumericType
+
     on = list(on)
-    # unix_timestamp handles TIMESTAMP and TIMESTAMP_NTZ alike (a bare
-    # cast-to-long is rejected for NTZ); only relative epoch consistency
-    # between the two sides matters for bucketing.
-    pb = F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_s)
+    shared = (set(points.columns) - set(on)) & (set(intervals.columns) - set(on))
+    if shared:
+        raise ValueError(
+            f"rename non-key columns shared by points and intervals: {shared}"
+        )
+    if "_bkt" in points.columns or "_bkt" in intervals.columns:
+        raise ValueError("'_bkt' shadows a range_join internal column")
+
+    def _epoch(name: str, df: DataFrame):
+        # unix_timestamp handles TIMESTAMP and TIMESTAMP_NTZ alike (a bare
+        # cast-to-long is rejected for NTZ); numeric ts columns pass through.
+        # Only relative epoch consistency between the sides matters.
+        if isinstance(df.schema[name].dataType, NumericType):
+            return F.col(name)
+        return F.unix_timestamp(F.col(name))
+
+    pb = F.floor(_epoch(point_ts, points) / bucket_s)
     p = points.withColumn("_bkt", pb.cast("long"))
-    span = F.sequence(
-        F.floor(F.unix_timestamp(F.col(start_ts)) / bucket_s),
-        # end is exclusive: a window ending exactly on a bucket boundary
-        # does not reach into the next bucket
-        F.floor((F.unix_timestamp(F.col(end_ts)) - 1) / bucket_s),
+    # end is exclusive: a window ending exactly on a bucket boundary does
+    # not reach into the next bucket — but unix_timestamp TRUNCATES
+    # sub-second fractions, so "ends exactly on a boundary" must be tested
+    # on the full-precision value (a .4-fraction end DOES cover the next
+    # bucket's opening instants).
+    end_sec = _epoch(end_ts, intervals)
+    if isinstance(intervals.schema[end_ts].dataType, NumericType):
+        last_bkt = F.floor((end_sec - 1) / bucket_s)
+    else:
+        whole_second = F.col(end_ts) == F.date_trunc("second", F.col(end_ts))
+        last_bkt = F.floor(
+            (end_sec - F.when(whole_second, 1).otherwise(0)) / bucket_s
+        )
+    span = F.sequence(F.floor(_epoch(start_ts, intervals) / bucket_s), last_bkt)
+    iv = intervals.filter(F.col(end_ts) > F.col(start_ts)).withColumn(
+        "_bkt", F.explode(span)
     )
-    iv = intervals.withColumn("_bkt", F.explode(span))
     contained = (F.col(point_ts) >= F.col(start_ts)) & (
         F.col(point_ts) < F.col(end_ts)
     )

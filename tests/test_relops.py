@@ -216,3 +216,68 @@ def test_hll_register_memory_is_bounded(spark):
     regs = textops._hll_registers(toks, ["source"], F.col("tok"), m)
     per_group = regs.groupBy("source").count().agg(F.max("count")).collect()[0][0]
     assert per_group <= m
+
+
+def test_range_join_fractional_end_covers_boundary_bucket(spark):
+    # end_ts = 02:00:00.4 covers instants in [02:00:00, 02:00:00.4) — the
+    # bucket AFTER the truncated end second; a point at 02:00:00.1 must
+    # match (unix_timestamp truncation would otherwise drop the end bucket)
+    iv = spark.createDataFrame(
+        [(1, 1, "2024-01-01 01:00:00.4", "2024-01-01 02:00:00.4")],
+        "iid int, k int, s string, e string",
+    ).select(
+        "iid", "k",
+        F.col("s").cast("timestamp").alias("start_ts"),
+        F.col("e").cast("timestamp").alias("end_ts"),
+    )
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 02:00:00.1"), (1, "2024-01-01 02:00:00.5")],
+        "k int, t string",
+    ).select("k", F.col("t").cast("timestamp").alias("ts"))
+    got = relops.range_join(pts, iv, on=["k"], bucket_s=3600).select("ts").collect()
+    assert len(got) == 1 and got[0]["ts"].microsecond == 100000
+
+
+def test_range_join_inverted_interval_yields_nothing(spark):
+    # a corrupt end-before-start row must produce zero pairs, not a
+    # descending-sequence fan-out of junk bucket rows
+    iv = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "2023-12-01 00:00:00")],
+        "iid int, k int, s string, e string",
+    ).select(
+        "iid", "k",
+        F.col("s").cast("timestamp").alias("start_ts"),
+        F.col("e").cast("timestamp").alias("end_ts"),
+    )
+    pts = spark.createDataFrame(
+        [(1, "2023-12-15 00:00:00")], "k int, t string"
+    ).select("k", F.col("t").cast("timestamp").alias("ts"))
+    assert relops.range_join(pts, iv, on=["k"], bucket_s=600).count() == 0
+
+
+def test_asof_tolerance_exact_to_the_microsecond(spark):
+    # staleness 3600.5 s vs tolerance 3600: must be nulled (second-level
+    # truncation would keep it)
+    l = spark.createDataFrame([(1, "2024-01-01 02:00:00.9", "a")],
+                              "k int, t string, lv string").select(
+        "k", F.col("t").cast("timestamp").alias("ts"), "lv")
+    r = spark.createDataFrame([(1, "2024-01-01 01:00:00.4", "x")],
+                              "k int, t string, rv string").select(
+        "k", F.col("t").cast("timestamp").alias("ts"), "rv")
+    row = relops.asof_join(l, r, on=["k"], tolerance_s=3600).collect()[0]
+    assert row["asof_ts"] is None and row["rv"] is None
+    row2 = relops.asof_join(l, r, on=["k"], tolerance_s=3601).collect()[0]
+    assert row2["rv"] == "x"
+
+
+def test_relops_reserved_and_shared_name_guards(spark, events, views, clicks):
+    with pytest.raises(ValueError, match="asof_join internals"):
+        relops.asof_join(
+            views.withColumn("asof_ts", F.col("ts")), clicks, on=["user_id"]
+        )
+    with pytest.raises(ValueError, match="shared by points and intervals"):
+        relops.range_join(
+            events.select("user_id", "ts", "value"),
+            _intervals(events, 3600).withColumn("value", F.lit(1.0)),
+            on=["user_id"],
+        )
