@@ -1530,6 +1530,18 @@ def q_hll_distinct(spark, sf_dir):
     ).select("dataset", "grp", "approx_distinct")
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable log-histogram quantile sketch (textops.quantile_sketch):
+    p50/p90/p99 of n_chars per source from <= ~64*8 integer bin counts per
+    group — the partial-aggregatable path exact percentile can't take at
+    scale. COMPUTING twin: binning is integer-exact (length(bin(x)) MSB,
+    shift-reconstructed edges), so both engines produce identical BIGINT
+    estimates — no float rounding anywhere in the output."""
+    return textops.quantile_sketch(
+        _t(spark, sf_dir, "documents"), ["source"], "n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_questions": q_extract_questions,
@@ -1641,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "hll_distinct": q_hll_distinct,
+        "quantile_sketch": q_quantile_sketch,
     }
 
 
@@ -3276,6 +3289,44 @@ FROM est
 _HLL_SQL = _hll_sql()
 
 
+def _qsketch_sql() -> str:
+    sub = 1 << textops.QSKETCH_SUB_BITS
+    return f"""
+WITH base AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+bins AS (
+  SELECT source, CASE WHEN x <= 0 THEN 0
+    ELSE length(bin(x)) * {sub} +
+         ((x - (1::BIGINT << (length(bin(x)) - 1))) * {sub})
+           // (1::BIGINT << (length(bin(x)) - 1)) END AS bin_id
+  FROM base
+),
+hist AS (SELECT source, bin_id, count(*) AS n FROM bins GROUP BY source, bin_id),
+cum AS (
+  SELECT source, bin_id,
+         sum(n) OVER (PARTITION BY source ORDER BY bin_id) AS cum,
+         sum(n) OVER (PARTITION BY source) AS total
+  FROM hist
+),
+tall AS (
+  SELECT source, bin_id, cum, total, unnest([0.5, 0.9, 0.99]) AS q FROM cum
+),
+pick AS (
+  SELECT source, q, min(bin_id) AS bin_id
+  FROM tall WHERE cum >= ceil(q * total) GROUP BY source, q
+)
+SELECT source, q,
+  CAST(CASE WHEN bin_id = 0 THEN 0
+    ELSE (1::BIGINT << (CAST(bin_id // {sub} AS INT) - 1))
+         + ((bin_id % {sub}) * (1::BIGINT << (CAST(bin_id // {sub} AS INT) - 1)))
+             // {sub}
+  END AS BIGINT) AS q_est
+FROM pick
+"""
+
+
+_QSKETCH_SQL = _qsketch_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     # The flagship pipeline is a stateful cross-page string machine — not
     # SQL-expressible directly. Its oracle is therefore MATERIALIZED: the
@@ -4353,4 +4404,9 @@ GROUP BY e.error_id, e.user_id
         # integer register sum in HUGEINT, float constants inlined from the
         # same Python doubles the Spark side uses.
         "hll_distinct": _HLL_SQL,
+        # COMPUTING twin of textops.quantile_sketch: identical integer-exact
+        # binning (MSB via length(bin(x)), sub-bin by integer division) and
+        # shift-reconstructed lower edges; // is DuckDB floor division,
+        # matching Spark's `div` on the all-positive operands here
+        "quantile_sketch": _QSKETCH_SQL,
     }

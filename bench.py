@@ -134,6 +134,7 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "hll_distinct",
+    "quantile_sketch",
 ]
 
 

@@ -2541,3 +2541,99 @@ def hll_distinct(
     return per_group.select(
         *group_cols, F.round(est, 4).alias("approx_distinct")
     )
+
+
+# Mergeable quantile sketch: log2 octaves split into 2^QSKETCH_SUB_BITS
+# sub-bins (relative bin width 1/8 at the default 3) — the partial-
+# aggregatable scale path source_length_percentiles' exact percentile
+# cannot take at 10^12 rows (exact percentile materializes each group's
+# value multiset; this keeps <= ~64 * 8 bin counts per group, and two
+# sketches merge by adding histograms — see merge tests).
+QSKETCH_SUB_BITS = 3
+
+
+def qsketch_hist(
+    df: DataFrame, group_cols: list, value_col: str, sub_bits: int = QSKETCH_SUB_BITS
+) -> DataFrame:
+    """(group_cols..., bin_id, n): the sketch state — a log-histogram with
+    integer-exact binning. Octave = MSB position via length(bin(x)) (never
+    float log2, which disagrees across engines at power-of-two
+    boundaries); sub-bin = the next ``sub_bits`` bits. x <= 0 lands in bin
+    0. Two sketches over disjoint data merge by unioning and summing n per
+    (group, bin_id) — the property that lets per-shard sketches combine
+    without touching raw values again."""
+    sub = 1 << sub_bits
+    base = df.select(*group_cols, F.col(value_col).cast("long").alias("_x"))
+    m = F.length(F.bin(F.col("_x")))
+    lo = F.expr("shiftleft(1L, length(bin(_x)) - 1)")
+    # sub_idx < 2^sub_bits, so the double division can't round across an
+    # integer boundary (result ulp << 1/lo); stays equal to integer //
+    sub_idx = F.floor(((F.col("_x") - lo) * sub) / lo)
+    bin_id = (
+        F.when(F.col("_x") <= 0, F.lit(0))
+        .otherwise(m * sub + sub_idx)
+        .cast("long")
+    )
+    return (
+        base.select(*group_cols, bin_id.alias("bin_id"))
+        .groupBy(*group_cols, "bin_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def qsketch_quantiles(
+    hist: DataFrame,
+    group_cols: list,
+    qs: tuple = (0.5, 0.9, 0.99),
+    sub_bits: int = QSKETCH_SUB_BITS,
+) -> DataFrame:
+    """(group_cols..., q, q_est): quantile estimates from a qsketch_hist
+    state. q_est is the LOWER EDGE of the bin whose cumulative count first
+    reaches ceil(q * total) — an integer, exact on both engines (the edge
+    is reconstructed from bin_id with shifts, no floats), and an
+    underestimate by at most one sub-bin width (12.5% relative at the
+    default 3 sub-bits)."""
+    sub = 1 << sub_bits
+    w = (
+        W.partitionBy(*group_cols)
+        .orderBy("bin_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wg = W.partitionBy(*group_cols)
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wg)
+    )
+    tall = cum.select(
+        *group_cols,
+        "bin_id",
+        "cum",
+        "total",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    pick = (
+        tall.filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy(*group_cols, "q")
+        .agg(F.min("bin_id").alias("bin_id"))
+    )
+    lo2 = F.expr(f"shiftleft(1L, cast(bin_id div {sub} as int) - 1)")
+    ss = F.col("bin_id") % sub
+    edge = F.when(F.col("bin_id") == 0, F.lit(0)).otherwise(
+        lo2 + F.floor((ss * lo2) / sub)
+    )
+    return pick.select(*group_cols, "q", edge.cast("long").alias("q_est"))
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    sub_bits: int = QSKETCH_SUB_BITS,
+) -> DataFrame:
+    """One-call form: histogram + quantile extraction. One shuffle on
+    (group, bin_id), one on group (the tiny histogram) — never a per-group
+    sort of the raw values, which is what exact percentile costs and what
+    makes it a non-starter at 10^12 rows."""
+    return qsketch_quantiles(
+        qsketch_hist(df, group_cols, value_col, sub_bits), group_cols, qs, sub_bits
+    )

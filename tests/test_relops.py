@@ -281,3 +281,47 @@ def test_relops_reserved_and_shared_name_guards(spark, events, views, clicks):
             _intervals(events, 3600).withColumn("value", F.lit(1.0)),
             on=["user_id"],
         )
+
+
+def test_qsketch_within_one_subbin_of_exact(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    est = textops.quantile_sketch(docs, ["source"], "n_chars").toPandas()
+    exact = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("0.5"),
+        F.expr("percentile(n_chars, 0.9)").alias("0.9"),
+        F.expr("percentile(n_chars, 0.99)").alias("0.99"),
+    ).toPandas().set_index("source")
+    piv = est.pivot(index="source", columns="q", values="q_est")
+    for q in (0.5, 0.9, 0.99):
+        ratio = piv[q] / exact[str(q)]
+        # lower-edge estimate: within one sub-bin (12.5%) below, and the
+        # ceil-rank pick can sit at most a hair above the interpolated exact
+        assert (ratio > 1 - 2 ** -textops.QSKETCH_SUB_BITS).all(), (q, ratio.min())
+        assert (ratio < 1 + 2 ** -textops.QSKETCH_SUB_BITS).all(), (q, ratio.max())
+
+
+def test_qsketch_merge_equals_whole(spark):
+    # the property that makes it a sketch: per-shard histograms summed ==
+    # one histogram over the union, so quantiles agree exactly
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    whole = sorted(
+        map(tuple, textops.quantile_sketch(docs, ["source"], "n_chars")
+            .toPandas().itertuples(index=False))
+    )
+    h1 = textops.qsketch_hist(docs.filter(F.col("doc_id") % 2 == 0), ["source"], "n_chars")
+    h2 = textops.qsketch_hist(docs.filter(F.col("doc_id") % 2 == 1), ["source"], "n_chars")
+    merged = h1.unionByName(h2).groupBy("source", "bin_id").agg(F.sum("n").alias("n"))
+    got = sorted(
+        map(tuple, textops.qsketch_quantiles(merged, ["source"])
+            .toPandas().itertuples(index=False))
+    )
+    assert got == whole
+
+
+def test_qsketch_state_is_bounded(spark):
+    # sketch state per group is tiny however many rows flow through:
+    # bin ids are <= 64 octaves * 2^sub_bits
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    hist = textops.qsketch_hist(docs, ["source"], "n_chars")
+    mx = hist.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= 64 * (1 << textops.QSKETCH_SUB_BITS)
