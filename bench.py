@@ -138,23 +138,24 @@ HEADLINE = [
 ]
 
 
-def _replicate_documents(documents, mult: int):
+def _replicate_documents(documents, mult: int, keep_rep: bool = False):
     """Replicate the documents table ``mult``x with DISJOINT doc_id ranges
     (doc_id + rep * n_docs). ONE implementation: the pages store, the html
-    store, and the iceberg delta selection must replicate identically, or
-    the delta bench would diff against a store built with different ids."""
+    store, the dedup store, and the iceberg delta selection must replicate
+    identically, or the delta bench would diff against a store built with
+    different ids. ``keep_rep`` keeps the replica index column so callers
+    that vary content per replica read it directly instead of re-deriving
+    it from the id layout (which would silently break if this scheme ever
+    changed)."""
     from pyspark.sql import functions as F
 
     if mult <= 1:
-        return documents
+        return documents.withColumn("rep", F.lit(0)) if keep_rep else documents
     n_docs = documents.count()
-    return (
-        documents.withColumn(
-            "rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
-        )
-        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(n_docs))
-        .drop("rep")
-    )
+    out = documents.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+    ).withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(n_docs))
+    return out if keep_rep else out.drop("rep")
 
 
 def _pages_store(spark, sf_dir: str, mult: int = 1) -> tuple[str, int]:
@@ -252,15 +253,16 @@ def _dedup_docs_store(spark, sf_dir: str, mult: int = 1) -> tuple[str, int]:
     marker = os.path.join(store, "_SUCCESS")
     if not os.path.exists(marker):
         base = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        n_base = base.count()
-        docs = _replicate_documents(base, mult)
+        # keep_rep: read the replica index from the shared replication
+        # helper rather than re-deriving it from the id layout
+        docs = _replicate_documents(base, mult, keep_rep=True)
         if mult > 1:
             perms = [
                 "".join(p) for p in itertools.permutations("aeiou")
             ][:mult]
             if mult > len(perms):
                 raise ValueError("dedup store supports mult <= 120")
-            rep = (F.col("doc_id") / F.lit(n_base)).cast("int")
+            rep = F.col("rep")
             rotated = F.col("text")
             expr = None
             for k, perm in enumerate(perms):
@@ -271,6 +273,7 @@ def _dedup_docs_store(spark, sf_dir: str, mult: int = 1) -> tuple[str, int]:
                     else expr.when(rep == k, branch)
                 )
             docs = docs.withColumn("text", expr.otherwise(rotated))
+        docs = docs.drop("rep")
         n_files = max(32, mult * 8)
         docs.repartition(n_files).write.mode("overwrite").parquet(store)
     n_docs = spark.read.parquet(store).count()
@@ -311,7 +314,9 @@ def run_dedup_bench(sf_dir: str, cpus: str) -> dict:
             ).count()
         finally:
             for h in holders:
-                h.unpersist()
+                # blocking: the next timed run must start with the previous
+                # run's cache blocks actually gone, not releasing async
+                h.unpersist(blocking=True)
 
     job()  # warm every worker + codegen, untimed
     runs = []
@@ -358,20 +363,7 @@ that window = {summary['hw_scaling_efficiency']}, normalized =
 sf={summary['sf']} x{summary['scale_mult']}; trial picked by the same
 credible-probe rule as the exam job).
 """
-    old = open(path).read() if os.path.exists(path) else ""
-    start = old.find("## Dedup scaling")
-    if start != -1:
-        nxt = old.find("\n## ", start + 1)
-        old = old[:start] + (old[nxt + 1 :] if nxt != -1 else "")
-    anchor = old.find("## Iceberg-path extraction")
-    if anchor == -1:
-        anchor = old.find("## Headline timings")
-    if anchor != -1:
-        new = old[:anchor] + section + "\n" + old[anchor:]
-    else:
-        new = (old.rstrip() + "\n\n" if old else "") + section
-    with open(path, "w") as f:
-        f.write(new)
+    _upsert_section(path, "## Dedup scaling", section)
 
 
 def run_html_bench(sf_dir: str, cpus: str) -> dict:
@@ -627,6 +619,41 @@ def run_scaling(
     return summary
 
 
+# canonical BENCH.md section order: every upsert replaces its own heading
+# in place and inserts before the first LATER section present, so
+# alternating --*-scaling reruns never churn the document order, and
+# write_bench_md preserves everything from the first known section on
+_BENCH_SECTIONS = [
+    "## Skew evidence",
+    "## HTML main-content scaling",
+    "## Icetable-input scaling",
+    "## Dedup scaling",
+    "## Iceberg-path extraction",
+    "## Headline timings",
+]
+
+
+def _upsert_section(path: str, heading: str, section: str) -> None:
+    """Replace the ``heading`` section of BENCH.md (to the next '## ') or
+    insert it at its canonical position; every other section is untouched."""
+    old = open(path).read() if os.path.exists(path) else ""
+    start = old.find(heading)
+    if start != -1:
+        nxt = old.find("\n## ", start + 1)
+        old = old[:start] + (old[nxt + 1 :] if nxt != -1 else "")
+    anchor = -1
+    for later in _BENCH_SECTIONS[_BENCH_SECTIONS.index(heading) + 1 :]:
+        anchor = old.find(later)
+        if anchor != -1:
+            break
+    if anchor != -1:
+        new = old[:anchor] + section + "\n" + old[anchor:]
+    else:
+        new = (old.rstrip() + "\n\n" if old else "") + section
+    with open(path, "w") as f:
+        f.write(new)
+
+
 def write_bench_md(summary: dict, path: str = "BENCH.md") -> None:
     lo, hi = summary["low_cpus"], summary["high_cpus"]
     trials_json = json.dumps(
@@ -680,20 +707,12 @@ real cluster; the only cross-task coordination is the doc_id window shuffle
 (salted variant available for pathological documents, `salt_chunk_size`) and
 one broadcast (~180 rows/exam key table).
 """
-    # preserve manually/separately maintained sections (html scaling,
-    # headline timings) — a --scaling rerun must not clobber them
+    # preserve the separately maintained sections — a --scaling rerun must
+    # not clobber ANY of them (every known heading anchors the cut)
     if os.path.exists(path):
         old = open(path).read()
         cut = min(
-            (
-                i
-                for i in (
-                    old.find("## Skew evidence"),
-                    old.find("## HTML main-content scaling"),
-                    old.find("## Headline timings"),
-                )
-                if i != -1
-            ),
+            (i for i in (old.find(h) for h in _BENCH_SECTIONS) if i != -1),
             default=-1,
         )
         if cut != -1:
@@ -722,18 +741,7 @@ that window = {summary['hw_scaling_efficiency']}, normalized =
 pages, sf={summary['sf']} x{summary['scale_mult']}; trial picked by the
 same credible-probe rule as the exam job).
 """
-    old = open(path).read() if os.path.exists(path) else ""
-    start = old.find("## HTML main-content scaling")
-    if start != -1:
-        nxt = old.find("\n## ", start + 1)
-        old = old[:start] + (old[nxt + 1 :] if nxt != -1 else "")
-    anchor = old.find("## Headline timings")
-    if anchor != -1:
-        new = old[:anchor] + section + "\n" + old[anchor:]
-    else:
-        new = (old.rstrip() + "\n\n" if old else "") + section
-    with open(path, "w") as f:
-        f.write(new)
+    _upsert_section(path, "## HTML main-content scaling", section)
 
 
 def run_skew(cpus: str = "8") -> dict:
@@ -930,20 +938,7 @@ that window = {summary['hw_scaling_efficiency']}, normalized =
 sf={summary['sf']} x{summary['scale_mult']}; trial picked by the same
 credible-probe rule as the exam job).
 """
-    old = open(path).read() if os.path.exists(path) else ""
-    start = old.find("## Icetable-input scaling")
-    if start != -1:
-        nxt = old.find("\n## ", start + 1)
-        old = old[:start] + (old[nxt + 1 :] if nxt != -1 else "")
-    anchor = old.find("## Iceberg-path extraction")
-    if anchor == -1:
-        anchor = old.find("## Headline timings")
-    if anchor != -1:
-        new = old[:anchor] + section + "\n" + old[anchor:]
-    else:
-        new = (old.rstrip() + "\n\n" if old else "") + section
-    with open(path, "w") as f:
-        f.write(new)
+    _upsert_section(path, "## Icetable-input scaling", section)
 
 
 def run_iceberg_bench(sf_dir: str, cpus: str, mult: int = 8) -> dict:
@@ -1083,7 +1078,9 @@ def main() -> None:
     # overwrite BENCH.md with self-contradictory evidence
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
-    ap.add_argument("--mult", type=int, default=48)
+    # None = per-mode default (exam 48 / html 8 / ice 16 / dedup 4); an
+    # explicit value is honored by EVERY mode (no sentinel-on-the-default)
+    ap.add_argument("--mult", type=int, default=None)
     ap.add_argument("--trials", type=int, default=3)
     args = ap.parse_args()
 
@@ -1091,7 +1088,10 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     if args.scaling:
-        summary = run_scaling(sf_dir, args.low, args.high, args.mult, args.trials)
+        summary = run_scaling(
+            sf_dir, args.low, args.high,
+            args.mult if args.mult is not None else 48, args.trials,
+        )
         write_bench_md(summary)
         print(json.dumps(summary))
         return
@@ -1100,7 +1100,7 @@ def main() -> None:
             sf_dir,
             args.low,
             args.high,
-            args.mult,
+            args.mult if args.mult is not None else 8,
             args.trials,
             flag="--html-extract-only",
         )
@@ -1115,7 +1115,8 @@ def main() -> None:
         return
     if args.ice_scaling:
         summary = run_scaling(
-            sf_dir, args.low, args.high, args.mult, args.trials,
+            sf_dir, args.low, args.high,
+            args.mult if args.mult is not None else 16, args.trials,
             flag="--ice-extract-only",
         )
         update_ice_bench_md(summary)
@@ -1127,7 +1128,7 @@ def main() -> None:
             # dedup default x4 (20k docs): the 128-perm sign stage is ~40x
             # the per-page UDF cost, so the exam job's x48 would take an
             # hour per trial without adding signal
-            args.mult if args.mult != 48 else 4,
+            args.mult if args.mult is not None else 4,
             args.trials,
             flag="--dedup-extract-only",
         )
