@@ -1530,6 +1530,31 @@ def q_hll_distinct(spark, sf_dir):
     ).select("dataset", "grp", "approx_distinct")
 
 
+def q_incr_corpus_stats(spark, sf_dir):
+    """Incremental corpus-stats store (enem_spark/statstore.py): fold the
+    even-doc_id half, then the full table (delta = odd half), under the
+    exactly-once runs protocol; report per-source n_docs / n_tokens /
+    vocab_est (HLL registers merged by max) / p50-p90-p99 (qsketch
+    histograms merged by sum) from the STORE, never re-reading committed
+    text. All three merges are exact, so the DuckDB twin is the one-shot
+    full recompute — a hash match PROVES incremental == full. Replays are
+    no-ops (doc_id cursor anti-join), so re-running the driver is a pinned
+    read."""
+    import os
+    import tempfile
+
+    from enem_spark import statstore
+
+    docs = _t(spark, sf_dir, "documents")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = os.path.join(tempfile.gettempdir(), f"enem_stats_sf{sf}")
+    statstore.update_corpus_stats(spark, out, docs.filter(F.col("doc_id") % 2 == 0))
+    statstore.update_corpus_stats(spark, out, docs)
+    return statstore.corpus_stat_report(spark, out).withColumnRenamed(
+        "grp", "source"
+    )
+
+
 def q_quantile_sketch(spark, sf_dir):
     """Mergeable log-histogram quantile sketch (textops.quantile_sketch):
     p50/p90/p99 of n_chars per source from <= ~64*8 integer bin counts per
@@ -1654,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "hll_distinct": q_hll_distinct,
         "quantile_sketch": q_quantile_sketch,
+        "incr_corpus_stats": q_incr_corpus_stats,
     }
 
 
@@ -3327,6 +3353,102 @@ FROM pick
 _QSKETCH_SQL = _qsketch_sql()
 
 
+def _stats_sql() -> str:
+    """One-shot full-recompute twin of statstore.corpus_stat_report:
+    exact counts, HLL vocabulary (same register construction as _HLL_SQL),
+    and qsketch percentiles (same binning as _QSKETCH_SQL) per source."""
+    m = 1 << textops.PARITY_HLL_P
+    amm = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    p61 = float(1 << 61)
+    sub = 1 << textops.QSKETCH_SUB_BITS
+    return f"""
+WITH tok AS (
+  SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\\s+')) AS v
+  FROM documents
+),
+counts AS (
+  SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+rr AS (
+  SELECT grp,
+         CAST(concat('0x', substr(md5(v), 1, 4)) AS BIGINT) % {m} AS bucket,
+         CAST(concat('0x', substr(md5(v), 5, 15)) AS BIGINT) AS rem
+  FROM tok
+),
+regs AS (
+  SELECT grp, bucket,
+         max(CASE WHEN rem = 0 THEN 61 ELSE 61 - length(bin(rem)) END) AS reg
+  FROM rr GROUP BY grp, bucket
+),
+hagg AS (
+  SELECT grp,
+         sum(CAST(1::BIGINT << (61 - reg) AS HUGEINT)) AS s_present,
+         count(*) AS n_regs
+  FROM regs GROUP BY grp
+),
+vocab AS (
+  SELECT grp,
+         round(CASE WHEN raw <= {2.5 * m!r} AND v0 > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / v0)
+                    ELSE raw END, 4) AS vocab_est
+  FROM (
+    SELECT grp, {m} - n_regs AS v0,
+           {amm!r} * {p61!r}
+             / CAST(s_present + ({m} - n_regs) * CAST({1 << 61} AS HUGEINT)
+                    AS DOUBLE) AS raw
+    FROM hagg
+  )
+),
+qbase AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x FROM documents),
+qbins AS (
+  SELECT grp, CASE WHEN x <= 0 THEN 0
+    ELSE length(bin(x)) * {sub} +
+         ((x - (1::BIGINT << (length(bin(x)) - 1))) * {sub})
+           // (1::BIGINT << (length(bin(x)) - 1)) END AS bin_id
+  FROM qbase
+),
+qhist AS (SELECT grp, bin_id, count(*) AS n FROM qbins GROUP BY grp, bin_id),
+qcum AS (
+  SELECT grp, bin_id,
+         sum(n) OVER (PARTITION BY grp ORDER BY bin_id) AS cum,
+         sum(n) OVER (PARTITION BY grp) AS total
+  FROM qhist
+),
+qtall AS (
+  SELECT grp, bin_id, cum, total, unnest([0.5, 0.9, 0.99]) AS q FROM qcum
+),
+qpick AS (
+  SELECT grp, q, min(bin_id) AS bin_id
+  FROM qtall WHERE cum >= ceil(q * total) GROUP BY grp, q
+),
+qest AS (
+  SELECT grp, q,
+    CAST(CASE WHEN bin_id = 0 THEN 0
+      ELSE (1::BIGINT << (CAST(bin_id // {sub} AS INT) - 1))
+           + ((bin_id % {sub}) * (1::BIGINT << (CAST(bin_id // {sub} AS INT) - 1)))
+               // {sub}
+    END AS BIGINT) AS q_est
+  FROM qpick
+),
+quants AS (
+  SELECT grp,
+         max(CASE WHEN q = 0.5 THEN q_est END) AS p50,
+         max(CASE WHEN q = 0.9 THEN q_est END) AS p90,
+         max(CASE WHEN q = 0.99 THEN q_est END) AS p99
+  FROM qest GROUP BY grp
+)
+SELECT c.grp AS source, c.n_docs, c.n_tokens, v.vocab_est,
+       q.p50, q.p90, q.p99
+FROM counts c JOIN vocab v ON c.grp = v.grp JOIN quants q ON c.grp = q.grp
+"""
+
+
+_STATS_SQL = _stats_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     # The flagship pipeline is a stateful cross-page string machine — not
     # SQL-expressible directly. Its oracle is therefore MATERIALIZED: the
@@ -4409,4 +4531,8 @@ GROUP BY e.error_id, e.user_id
         # shift-reconstructed lower edges; // is DuckDB floor division,
         # matching Spark's `div` on the all-positive operands here
         "quantile_sketch": _QSKETCH_SQL,
+        # the ONE-SHOT full recompute — matching it proves the incremental
+        # store's three merges (max registers, summed histograms, summed
+        # counters) lose nothing vs re-scanning the whole corpus
+        "incr_corpus_stats": _STATS_SQL,
     }

@@ -1,0 +1,278 @@
+"""Persisted corpus-statistics store: mergeable sketches maintained
+exactly-once.
+
+A curation dashboard needs per-source corpus stats — document counts, token
+volume, vocabulary size, length percentiles — continuously, over a corpus
+that only ever grows by crawl increments. Recomputing them is an O(corpus)
+scan per refresh; this module keeps them O(delta) by persisting MERGEABLE
+state instead of answers:
+
+  * HyperLogLog registers (vocabulary): registers over disjoint increments
+    merge by max(reg) per (group, bucket) — the merged registers are
+    IDENTICAL to a one-shot pass over the union, so the estimate is too.
+  * qsketch log-histogram (length percentiles): histograms merge by
+    sum(n) per (group, bin_id) — again exactly the one-shot histogram.
+  * exact counters (n_docs, n_tokens): merge by sum.
+
+All three merges are exact, so `corpus_stat_report` over the incremental
+store equals the full recompute bit-for-bit (gated in
+tests/test_statstore.py and by the incr_corpus_stats driver twin, whose
+DuckDB oracle IS the full recompute).
+
+The store lives under an extraction ``out_dir`` and is governed by the SAME
+run protocol as every other lineage table (CLAUDE.md exactly-once
+invariant): each maintenance run writes ``corpus_stats/run_id=<id>`` and
+``stats_docs/run_id=<id>`` (the doc_id cursor for the delta anti-join) with
+overwrite, then appends the tiny ``runs`` marker LAST (the commit point);
+readers trust only committed runs; a retry re-derives the same next run id
+from committed ids only and overwrites the orphan. The (hll_p, sub_bits)
+config is encoded in every stats run id (``stats{P}q{S}_{n:06d}``) and
+validated on every entry point — one store, one config (mixing bucket
+widths would silently corrupt every merge).
+
+Unified state schema: (grp, sketch, slot, val) —
+  sketch='hll'    slot=register bucket   val=reg        merge: max
+  sketch='qhist'  slot=bin_id            val=count      merge: sum
+  sketch='count'  slot=0 docs / 1 tokens val=count      merge: sum
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import lineage, textops
+
+STATS_TABLE = "corpus_stats"
+DOCS_TABLE = "stats_docs"
+_RUN_RE = re.compile(r"^stats(\d+)q(\d+)_(\d{6,})$")  # {6,}: :06d pads, never
+# truncates (same guard as sigindex._RUN_RE)
+
+
+def stats_run_id(p: int, sub_bits: int, n: int) -> str:
+    return f"stats{p}q{sub_bits}_{n:06d}"
+
+
+def _committed_stats_runs(
+    spark: SparkSession,
+    out_dir: str,
+    committed: DataFrame | None = None,
+) -> list[tuple[int, int, int]]:
+    """(hll_p, sub_bits, n) per COMMITTED stats run (tiny driver-side
+    metadata collect, same class as sigindex._committed_sig_runs)."""
+    if committed is None:
+        committed = lineage.committed_run_ids(spark, out_dir)
+    if committed is None:
+        return []
+    out = []
+    for r in committed.collect():
+        m = _RUN_RE.match(r.run_id)
+        if m:
+            out.append((int(m.group(1)), int(m.group(2)), int(m.group(3))))
+    return out
+
+
+def _check_config(
+    runs: list[tuple[int, int, int]], p: int, sub_bits: int
+) -> None:
+    bad = sorted({(a, b) for a, b, _ in runs if (a, b) != (p, sub_bits)})
+    if bad:
+        raise ValueError(
+            f"stats store holds config(s) {bad}, requested ({p}, {sub_bits})"
+            " — one store, one config; use a fresh out_dir to re-profile"
+        )
+
+
+def _delta_state(
+    docs: DataFrame, group_col: str, p: int, sub_bits: int
+) -> DataFrame:
+    """The (grp, sketch, slot, val) state rows for one increment. Pure
+    composition of the mergeable-sketch operators — no new hashing logic,
+    so the store can never drift from the one-shot queries it must equal."""
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(textops._tokens(F.col("text"))).alias("v"),
+    )
+    hll = textops._hll_registers(toks, ["grp"], F.col("v"), 1 << p).select(
+        "grp",
+        F.lit("hll").alias("sketch"),
+        F.col("bucket").alias("slot"),
+        F.col("reg").cast("long").alias("val"),
+    )
+    qh = textops.qsketch_hist(
+        docs.select(F.col(group_col).alias("grp"), "n_chars"),
+        ["grp"],
+        "n_chars",
+        sub_bits,
+    ).select(
+        "grp",
+        F.lit("qhist").alias("sketch"),
+        F.col("bin_id").alias("slot"),
+        F.col("n").cast("long").alias("val"),
+    )
+    counts = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.size(textops._tokens(F.col("text"))).alias("ntok"),
+        )
+        .groupBy("grp")
+        .agg(F.count("*").alias("nd"), F.sum("ntok").alias("nt"))
+        .selectExpr(
+            "grp",
+            "stack(2, 0L, nd, 1L, nt) AS (slot, val)",
+        )
+        .select("grp", F.lit("count").alias("sketch"), "slot", "val")
+    )
+    return hll.unionByName(qh).unionByName(counts)
+
+
+def committed_stats(
+    spark: SparkSession,
+    out_dir: str,
+    p: int = textops.PARITY_HLL_P,
+    sub_bits: int = textops.QSKETCH_SUB_BITS,
+    committed: DataFrame | None = None,
+) -> DataFrame | None:
+    """MERGED state over all committed runs: one row per (grp, sketch,
+    slot) — max for hll registers, sum for histograms/counters. None when
+    no committed stats run exists."""
+    if committed is None:
+        committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_stats_runs(spark, out_dir, committed)
+    _check_config(runs, p, sub_bits)
+    path = f"{out_dir}/{STATS_TABLE}"
+    if not runs or not os.path.exists(path):
+        return None
+    state = (
+        spark.read.parquet(path)
+        .join(committed, "run_id", "left_semi")
+        .drop("run_id")
+    )
+    agg = state.groupBy("grp", "sketch", "slot").agg(
+        F.max("val").alias("_mx"), F.sum("val").alias("_sm")
+    )
+    return agg.select(
+        "grp",
+        "sketch",
+        "slot",
+        F.when(F.col("sketch") == "hll", F.col("_mx"))
+        .otherwise(F.col("_sm"))
+        .alias("val"),
+    )
+
+
+def _committed_stat_docs(
+    spark: SparkSession, out_dir: str, committed: DataFrame
+) -> DataFrame | None:
+    path = f"{out_dir}/{DOCS_TABLE}"
+    if not os.path.exists(path):
+        return None
+    return (
+        spark.read.parquet(path)
+        .join(committed, "run_id", "left_semi")
+        .drop("run_id")
+    )
+
+
+def update_corpus_stats(
+    spark: SparkSession,
+    out_dir: str,
+    source: DataFrame,
+    group_col: str = "source",
+    p: int = textops.PARITY_HLL_P,
+    sub_bits: int = textops.QSKETCH_SUB_BITS,
+) -> dict:
+    """One exactly-once stats-maintenance run: fold every source doc absent
+    from the committed cursor into the store. ``source`` is any (doc_id,
+    <group_col>, text, n_chars) frame. Returns {"folded": n, "run_id": id,
+    "up_to_date": bool}. Empty deltas write nothing and commit nothing
+    (lineage invariant: an empty overwrite of a reused run_id dir must not
+    erase a previous attempt's output)."""
+    committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_stats_runs(spark, out_dir, committed)
+    _check_config(runs, p, sub_bits)
+    docs = source.select("doc_id", group_col, "text", "n_chars")
+    if committed is not None:
+        seen = _committed_stat_docs(spark, out_dir, committed)
+        if seen is not None:
+            # unbounded across runs -> no broadcast hint; AQE handles it
+            docs = docs.join(seen.select("doc_id"), "doc_id", "left_anti")
+    run_id = stats_run_id(
+        p, sub_bits, max((n for _, _, n in runs), default=0) + 1
+    )
+    docs = docs.persist()
+    try:
+        n = docs.count()
+        if n == 0:
+            return {"folded": 0, "run_id": run_id, "up_to_date": True}
+        _delta_state(docs, group_col, p, sub_bits).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{STATS_TABLE}/run_id={run_id}")
+        docs.select("doc_id").write.mode("overwrite").parquet(
+            f"{out_dir}/{DOCS_TABLE}/run_id={run_id}"
+        )
+        # COMMIT POINT
+        spark.createDataFrame(
+            [(run_id, n, 0)],
+            "run_id string, input_pages long, questions_written long",
+        ).write.mode("append").parquet(f"{out_dir}/runs")
+    finally:
+        docs.unpersist()
+    return {"folded": n, "run_id": run_id, "up_to_date": False}
+
+
+def corpus_stat_report(
+    spark: SparkSession,
+    out_dir: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    p: int = textops.PARITY_HLL_P,
+    sub_bits: int = textops.QSKETCH_SUB_BITS,
+) -> DataFrame:
+    """(grp, n_docs, n_tokens, vocab_est, p50, p90, p99) from the committed
+    store — never touching raw text. Exactly equals the one-shot report
+    over the union of all committed increments (all three merges are
+    exact)."""
+    state = committed_stats(spark, out_dir, p, sub_bits)
+    if state is None:
+        raise ValueError(f"no committed stats run under {out_dir}")
+    # no persist: the state table is <= groups * (2^p + bins + 2) rows —
+    # re-reading the committed parquet per branch is cheaper than owning a
+    # cache lifetime here (persist-with-owner rule)
+    counts = (
+        state.filter(F.col("sketch") == "count")
+        .groupBy("grp")
+        .agg(
+            F.sum(F.when(F.col("slot") == 0, F.col("val"))).alias("n_docs"),
+            F.sum(F.when(F.col("slot") == 1, F.col("val"))).alias("n_tokens"),
+        )
+    )
+    vocab = textops.hll_estimate(
+        state.filter(F.col("sketch") == "hll").select(
+            "grp", F.col("slot").alias("bucket"), F.col("val").alias("reg")
+        ),
+        ["grp"],
+        p,
+    ).withColumnRenamed("approx_distinct", "vocab_est")
+    quants = textops.qsketch_quantiles(
+        state.filter(F.col("sketch") == "qhist").select(
+            "grp", F.col("slot").alias("bin_id"), F.col("val").alias("n")
+        ),
+        ["grp"],
+        qs,
+        sub_bits,
+    )
+    qcols = quants.groupBy("grp").agg(
+        *[
+            F.max(F.when(F.col("q") == float(q), F.col("q_est"))).alias(
+                f"p{int(q * 100)}"
+            )
+            for q in qs
+        ]
+    )
+    out = counts.join(vocab, "grp").join(qcols, "grp")
+    return out.select(
+        "grp", "n_docs", "n_tokens", "vocab_est",
+        *[f"p{int(q * 100)}" for q in qs],
+    )

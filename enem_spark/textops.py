@@ -2517,6 +2517,16 @@ def hll_distinct(
     the DuckDB twin, the same contract bloom_dedup keeps."""
     m = 1 << p
     regs = _hll_registers(df, list(group_cols), F.col(value_col), m)
+    return hll_estimate(regs, list(group_cols), p)
+
+
+def hll_estimate(regs: DataFrame, group_cols: list, p: int = HLL_P) -> DataFrame:
+    """(group_cols..., approx_distinct) from a (group_cols..., bucket, reg)
+    register table — the finalize step, split out so a PERSISTED register
+    store (statstore) estimates without re-hashing any value. Registers
+    over disjoint data merge by max(reg) per (group, bucket); merged
+    registers estimate EXACTLY what a one-shot pass over the union would."""
+    m = 1 << p
     # SQL shiftleft takes a column shift amount (the python wrapper's
     # numBits is int-only); 61-reg is in [0, 60] so the bigint never
     # overflows, and the decimal cast happens per-term BEFORE the sum so

@@ -1,0 +1,127 @@
+"""Incremental corpus-statistics store (statstore.py): incremental folds
+must equal the one-shot full recompute bit-for-bit (all three merges —
+max registers, summed histograms, summed counters — are exact), replays
+are committed-nothing no-ops, crashed runs are invisible and get
+overwritten by the retry, and the (hll_p, sub_bits) config is pinned per
+store."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from enem_spark import statstore, textops
+
+SF_DIR = "/root/testdata/sf0.001"
+P, S = textops.PARITY_HLL_P, textops.QSKETCH_SUB_BITS
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+
+
+def _report_rows(spark, out):
+    return sorted(
+        tuple(r) for r in statstore.corpus_stat_report(spark, out).collect()
+    )
+
+
+def test_incremental_equals_one_shot(spark, tmp_path):
+    """Fold even half then the full table (delta = odd half); the report
+    from the two-increment store must be bit-identical to a fresh store
+    folded in one pass. This is the whole point of mergeable sketches."""
+    docs = _docs(spark)
+    incr, full = str(tmp_path / "incr"), str(tmp_path / "full")
+
+    r1 = statstore.update_corpus_stats(
+        spark, incr, docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    assert r1["run_id"] == statstore.stats_run_id(P, S, 1)
+    assert not r1["up_to_date"] and r1["folded"] > 0
+    r2 = statstore.update_corpus_stats(spark, incr, docs)
+    assert r2["folded"] == docs.count() - r1["folded"]
+
+    statstore.update_corpus_stats(spark, full, docs)
+    assert _report_rows(spark, incr) == _report_rows(spark, full)
+
+
+def test_replay_is_noop(spark, tmp_path):
+    """A third run over already-folded docs commits nothing: no new runs
+    marker, folded=0, and the report is unchanged."""
+    docs = _docs(spark)
+    out = str(tmp_path / "s")
+    statstore.update_corpus_stats(spark, out, docs)
+    before = _report_rows(spark, out)
+
+    r = statstore.update_corpus_stats(spark, out, docs)
+    assert r == {
+        "folded": 0,
+        "run_id": statstore.stats_run_id(P, S, 2),
+        "up_to_date": True,
+    }
+    runs = spark.read.parquet(f"{out}/runs")
+    assert runs.count() == 1
+    assert _report_rows(spark, out) == before
+
+
+def test_crashed_run_invisible_then_overwritten(spark, tmp_path):
+    """An orphan run directory with NO commit marker (a crashed attempt)
+    must not leak into the report; the retry derives the SAME run id from
+    committed ids only and overwrites the orphan."""
+    docs = _docs(spark)
+    out = str(tmp_path / "s")
+    statstore.update_corpus_stats(
+        spark, out, docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    clean = _report_rows(spark, out)
+
+    # simulate a crash: the run-2 state dir exists (with absurd counter
+    # rows that would be unmissable in the report) but runs was never
+    # appended
+    orphan = statstore.stats_run_id(P, S, 2)
+    spark.createDataFrame(
+        [("web", "count", 0, 10**12), ("web", "count", 1, 10**12)],
+        "grp string, sketch string, slot long, val long",
+    ).write.mode("overwrite").parquet(
+        f"{out}/{statstore.STATS_TABLE}/run_id={orphan}"
+    )
+    assert _report_rows(spark, out) == clean
+
+    # retry reuses run id 2, overwrites the junk, and commits
+    r = statstore.update_corpus_stats(spark, out, docs)
+    assert r["run_id"] == orphan and not r["up_to_date"]
+    full = str(tmp_path / "full")
+    statstore.update_corpus_stats(spark, full, docs)
+    assert _report_rows(spark, out) == _report_rows(spark, full)
+
+
+def test_config_is_pinned(spark, tmp_path):
+    """One store, one (hll_p, sub_bits) config: both the updater and every
+    reader must refuse a mismatched request instead of silently merging
+    incompatible bucket widths."""
+    docs = _docs(spark)
+    out = str(tmp_path / "s")
+    statstore.update_corpus_stats(spark, out, docs, p=P, sub_bits=S)
+    with pytest.raises(ValueError, match="one store, one config"):
+        statstore.update_corpus_stats(spark, out, docs, p=P + 1, sub_bits=S)
+    with pytest.raises(ValueError, match="one store, one config"):
+        statstore.corpus_stat_report(spark, out, p=P, sub_bits=S + 1)
+    with pytest.raises(ValueError, match="no committed stats run"):
+        statstore.corpus_stat_report(spark, str(tmp_path / "empty"))
+
+
+def test_empty_delta_writes_nothing(spark, tmp_path):
+    """An empty increment must not write run directories (an empty
+    overwrite of a reused run id would erase a previous attempt's
+    output) nor append a marker."""
+    docs = _docs(spark)
+    out = str(tmp_path / "s")
+    statstore.update_corpus_stats(spark, out, docs)
+    r = statstore.update_corpus_stats(spark, out, docs.limit(0))
+    assert r["folded"] == 0 and r["up_to_date"]
+    assert not os.path.exists(
+        f"{out}/{statstore.STATS_TABLE}/run_id={statstore.stats_run_id(P, S, 2)}"
+    )
+    assert spark.read.parquet(f"{out}/runs").count() == 1
