@@ -1540,17 +1540,26 @@ def q_incr_corpus_stats(spark, sf_dir):
     full recompute — a hash match PROVES incremental == full. Replays are
     no-ops (doc_id cursor anti-join), so re-running the driver is a pinned
     read."""
+    import hashlib
     import os
     import tempfile
 
     from enem_spark import statstore
 
     docs = _t(spark, sf_dir, "documents")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    out = os.path.join(tempfile.gettempdir(), f"enem_stats_sf{sf}")
-    statstore.update_corpus_stats(spark, out, docs.filter(F.col("doc_id") % 2 == 0))
-    statstore.update_corpus_stats(spark, out, docs)
-    return statstore.corpus_stat_report(spark, out).withColumnRenamed(
+    # basename+path-md5 store key (same idiom as the icetable driver
+    # stores): distinct corpora must never share a doc_id cursor
+    sfn = os.path.normpath(sf_dir)
+    tag = f"{os.path.basename(sfn)}_{hashlib.md5(sfn.encode()).hexdigest()[:8]}"
+    out = os.path.join(tempfile.gettempdir(), f"enem_stats_{tag}")
+    # parity config (engine default is HLL_P=12; the twin recomputes every
+    # register, so keep it at 2^6)
+    pp = textops.PARITY_HLL_P
+    statstore.update_corpus_stats(
+        spark, out, docs.filter(F.col("doc_id") % 2 == 0), p=pp
+    )
+    statstore.update_corpus_stats(spark, out, docs, p=pp)
+    return statstore.corpus_stat_report(spark, out, p=pp).withColumnRenamed(
         "grp", "source"
     )
 
@@ -3260,15 +3269,100 @@ FROM m LEFT JOIN pr ON m.host = pr.host CROSS JOIN n
 """
 
 
-def _hll_sql() -> str:
-    """COMPUTING twin of textops.hll_distinct over the same two datasets
-    the Spark query unions. Float constants are inlined via repr() from the
-    SAME Python doubles the Spark side F.lit()s, so both engines perform
-    the identical IEEE operations on identical inputs; the register sum is
-    exact integer arithmetic (HUGEINT here, decimal(38,0) Spark-side)."""
+def _hll_ctes(src: str, keys: str, prefix: str = "") -> str:
+    """The HLL register/estimate CTE chain over ``src``, a CTE exposing
+    ({keys}, v): buckets+rho from md5, max per bucket, exact HUGEINT
+    register sum, raw estimate + linear-counting inputs. Exists ONCE so
+    the hll_distinct and incr_corpus_stats twins can never drift (the SQL
+    mirror of the never-fork-hashing invariant). Float constants are
+    inlined via repr() from the SAME Python doubles the Spark side
+    F.lit()s, so both engines perform identical IEEE operations. The
+    consumer SELECTs _hll_final_expr() FROM {prefix}est."""
     m = 1 << textops.PARITY_HLL_P
     amm = (0.7213 / (1.0 + 1.079 / m)) * m * m
     p61 = float(1 << 61)
+    return f"""{prefix}rr AS (
+  SELECT {keys},
+         CAST(concat('0x', substr(md5(v), 1, 4)) AS BIGINT) % {m} AS bucket,
+         CAST(concat('0x', substr(md5(v), 5, 15)) AS BIGINT) AS rem
+  FROM {src}
+),
+{prefix}regs AS (
+  SELECT {keys}, bucket,
+         max(CASE WHEN rem = 0 THEN 61 ELSE 61 - length(bin(rem)) END) AS reg
+  FROM {prefix}rr GROUP BY {keys}, bucket
+),
+{prefix}agg AS (
+  SELECT {keys},
+         sum(CAST(1::BIGINT << (61 - reg) AS HUGEINT)) AS s_present,
+         count(*) AS n_regs
+  FROM {prefix}regs GROUP BY {keys}
+),
+{prefix}est AS (
+  SELECT {keys}, {m} - n_regs AS v0,
+         {amm!r} * {p61!r}
+           / CAST(s_present + ({m} - n_regs) * CAST({1 << 61} AS HUGEINT)
+                  AS DOUBLE) AS raw
+  FROM {prefix}agg
+)"""
+
+
+def _hll_final_expr() -> str:
+    """Linear-counting-or-raw finalization over ({prefix}est's) v0/raw."""
+    m = 1 << textops.PARITY_HLL_P
+    return (
+        f"round(CASE WHEN raw <= {2.5 * m!r} AND v0 > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / v0) ELSE raw END, 4)"
+    )
+
+
+def _qsketch_pick_ctes(src: str, keys: str, prefix: str = "") -> str:
+    """The qsketch bin/hist/pick CTE chain over ``src``, a CTE exposing
+    ({keys}, x): log-histogram bin ids (bin arithmetic exists ONCE here),
+    cumulative counts, and the picked bin per quantile. The consumer
+    SELECTs _qsketch_est_expr() FROM {prefix}pick."""
+    sub = 1 << textops.QSKETCH_SUB_BITS
+    return f"""{prefix}bins AS (
+  SELECT {keys}, CASE WHEN x <= 0 THEN 0
+    ELSE length(bin(x)) * {sub} +
+         ((x - (1::BIGINT << (length(bin(x)) - 1))) * {sub})
+           // (1::BIGINT << (length(bin(x)) - 1)) END AS bin_id
+  FROM {src}
+),
+{prefix}hist AS (
+  SELECT {keys}, bin_id, count(*) AS n
+  FROM {prefix}bins GROUP BY {keys}, bin_id
+),
+{prefix}cum AS (
+  SELECT {keys}, bin_id,
+         sum(n) OVER (PARTITION BY {keys} ORDER BY bin_id) AS cum,
+         sum(n) OVER (PARTITION BY {keys}) AS total
+  FROM {prefix}hist
+),
+{prefix}tall AS (
+  SELECT {keys}, bin_id, cum, total, unnest([0.5, 0.9, 0.99]) AS q
+  FROM {prefix}cum
+),
+{prefix}pick AS (
+  SELECT {keys}, q, min(bin_id) AS bin_id
+  FROM {prefix}tall WHERE cum >= ceil(q * total) GROUP BY {keys}, q
+)"""
+
+
+def _qsketch_est_expr() -> str:
+    """Bin-id -> lower-edge value reconstruction (// is DuckDB floor
+    division, matching Spark's `div` on the all-positive operands)."""
+    sub = 1 << textops.QSKETCH_SUB_BITS
+    return f"""CAST(CASE WHEN bin_id = 0 THEN 0
+    ELSE (1::BIGINT << (CAST(bin_id // {sub} AS INT) - 1))
+         + ((bin_id % {sub}) * (1::BIGINT << (CAST(bin_id // {sub} AS INT) - 1)))
+             // {sub}
+  END AS BIGINT)"""
+
+
+def _hll_sql() -> str:
+    """COMPUTING twin of textops.hll_distinct over the same two datasets
+    the Spark query unions; register construction shared via _hll_ctes."""
     return f"""
 WITH tok AS (
   SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\\s+')) AS v
@@ -3280,34 +3374,8 @@ u AS (
   SELECT 'users' AS dataset, event_type AS grp, CAST(user_id AS VARCHAR) AS v
   FROM events
 ),
-rr AS (
-  SELECT dataset, grp,
-         CAST(concat('0x', substr(md5(v), 1, 4)) AS BIGINT) % {m} AS bucket,
-         CAST(concat('0x', substr(md5(v), 5, 15)) AS BIGINT) AS rem
-  FROM u
-),
-regs AS (
-  SELECT dataset, grp, bucket,
-         max(CASE WHEN rem = 0 THEN 61 ELSE 61 - length(bin(rem)) END) AS reg
-  FROM rr GROUP BY dataset, grp, bucket
-),
-agg AS (
-  SELECT dataset, grp,
-         sum(CAST(1::BIGINT << (61 - reg) AS HUGEINT)) AS s_present,
-         count(*) AS n_regs
-  FROM regs GROUP BY dataset, grp
-),
-est AS (
-  SELECT dataset, grp, {m} - n_regs AS v0,
-         {amm!r} * {p61!r}
-           / CAST(s_present + ({m} - n_regs) * CAST({1 << 61} AS HUGEINT)
-                  AS DOUBLE) AS raw
-  FROM agg
-)
-SELECT dataset, grp,
-       round(CASE WHEN raw <= {2.5 * m!r} AND v0 > 0
-                  THEN {float(m)!r} * ln({float(m)!r} / v0)
-                  ELSE raw END, 4) AS approx_distinct
+{_hll_ctes("u", "dataset, grp")}
+SELECT dataset, grp, {_hll_final_expr()} AS approx_distinct
 FROM est
 """
 
@@ -3319,33 +3387,8 @@ def _qsketch_sql() -> str:
     sub = 1 << textops.QSKETCH_SUB_BITS
     return f"""
 WITH base AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
-bins AS (
-  SELECT source, CASE WHEN x <= 0 THEN 0
-    ELSE length(bin(x)) * {sub} +
-         ((x - (1::BIGINT << (length(bin(x)) - 1))) * {sub})
-           // (1::BIGINT << (length(bin(x)) - 1)) END AS bin_id
-  FROM base
-),
-hist AS (SELECT source, bin_id, count(*) AS n FROM bins GROUP BY source, bin_id),
-cum AS (
-  SELECT source, bin_id,
-         sum(n) OVER (PARTITION BY source ORDER BY bin_id) AS cum,
-         sum(n) OVER (PARTITION BY source) AS total
-  FROM hist
-),
-tall AS (
-  SELECT source, bin_id, cum, total, unnest([0.5, 0.9, 0.99]) AS q FROM cum
-),
-pick AS (
-  SELECT source, q, min(bin_id) AS bin_id
-  FROM tall WHERE cum >= ceil(q * total) GROUP BY source, q
-)
-SELECT source, q,
-  CAST(CASE WHEN bin_id = 0 THEN 0
-    ELSE (1::BIGINT << (CAST(bin_id // {sub} AS INT) - 1))
-         + ((bin_id % {sub}) * (1::BIGINT << (CAST(bin_id // {sub} AS INT) - 1)))
-             // {sub}
-  END AS BIGINT) AS q_est
+{_qsketch_pick_ctes("base", "source")}
+SELECT source, q, {_qsketch_est_expr()} AS q_est
 FROM pick
 """
 
@@ -3355,12 +3398,10 @@ _QSKETCH_SQL = _qsketch_sql()
 
 def _stats_sql() -> str:
     """One-shot full-recompute twin of statstore.corpus_stat_report:
-    exact counts, HLL vocabulary (same register construction as _HLL_SQL),
-    and qsketch percentiles (same binning as _QSKETCH_SQL) per source."""
-    m = 1 << textops.PARITY_HLL_P
-    amm = (0.7213 / (1.0 + 1.079 / m)) * m * m
-    p61 = float(1 << 61)
-    sub = 1 << textops.QSKETCH_SUB_BITS
+    exact counts, HLL vocabulary, and qsketch percentiles per source —
+    the register construction and bin arithmetic come from the SAME
+    builders as _HLL_SQL/_QSKETCH_SQL (prefixed 'h'/'q' to keep CTE names
+    unique), so the three twins cannot drift apart."""
     return f"""
 WITH tok AS (
   SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\\s+')) AS v
@@ -3372,66 +3413,14 @@ counts AS (
            AS n_tokens
   FROM documents GROUP BY source
 ),
-rr AS (
-  SELECT grp,
-         CAST(concat('0x', substr(md5(v), 1, 4)) AS BIGINT) % {m} AS bucket,
-         CAST(concat('0x', substr(md5(v), 5, 15)) AS BIGINT) AS rem
-  FROM tok
-),
-regs AS (
-  SELECT grp, bucket,
-         max(CASE WHEN rem = 0 THEN 61 ELSE 61 - length(bin(rem)) END) AS reg
-  FROM rr GROUP BY grp, bucket
-),
-hagg AS (
-  SELECT grp,
-         sum(CAST(1::BIGINT << (61 - reg) AS HUGEINT)) AS s_present,
-         count(*) AS n_regs
-  FROM regs GROUP BY grp
-),
+{_hll_ctes("tok", "grp", prefix="h")},
 vocab AS (
-  SELECT grp,
-         round(CASE WHEN raw <= {2.5 * m!r} AND v0 > 0
-                    THEN {float(m)!r} * ln({float(m)!r} / v0)
-                    ELSE raw END, 4) AS vocab_est
-  FROM (
-    SELECT grp, {m} - n_regs AS v0,
-           {amm!r} * {p61!r}
-             / CAST(s_present + ({m} - n_regs) * CAST({1 << 61} AS HUGEINT)
-                    AS DOUBLE) AS raw
-    FROM hagg
-  )
+  SELECT grp, {_hll_final_expr()} AS vocab_est FROM hest
 ),
 qbase AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x FROM documents),
-qbins AS (
-  SELECT grp, CASE WHEN x <= 0 THEN 0
-    ELSE length(bin(x)) * {sub} +
-         ((x - (1::BIGINT << (length(bin(x)) - 1))) * {sub})
-           // (1::BIGINT << (length(bin(x)) - 1)) END AS bin_id
-  FROM qbase
-),
-qhist AS (SELECT grp, bin_id, count(*) AS n FROM qbins GROUP BY grp, bin_id),
-qcum AS (
-  SELECT grp, bin_id,
-         sum(n) OVER (PARTITION BY grp ORDER BY bin_id) AS cum,
-         sum(n) OVER (PARTITION BY grp) AS total
-  FROM qhist
-),
-qtall AS (
-  SELECT grp, bin_id, cum, total, unnest([0.5, 0.9, 0.99]) AS q FROM qcum
-),
-qpick AS (
-  SELECT grp, q, min(bin_id) AS bin_id
-  FROM qtall WHERE cum >= ceil(q * total) GROUP BY grp, q
-),
+{_qsketch_pick_ctes("qbase", "grp", prefix="q")},
 qest AS (
-  SELECT grp, q,
-    CAST(CASE WHEN bin_id = 0 THEN 0
-      ELSE (1::BIGINT << (CAST(bin_id // {sub} AS INT) - 1))
-           + ((bin_id % {sub}) * (1::BIGINT << (CAST(bin_id // {sub} AS INT) - 1)))
-               // {sub}
-    END AS BIGINT) AS q_est
-  FROM qpick
+  SELECT grp, q, {_qsketch_est_expr()} AS q_est FROM qpick
 ),
 quants AS (
   SELECT grp,

@@ -28,7 +28,10 @@ readers trust only committed runs; a retry re-derives the same next run id
 from committed ids only and overwrites the orphan. The (hll_p, sub_bits)
 config is encoded in every stats run id (``stats{P}q{S}_{n:06d}``) and
 validated on every entry point — one store, one config (mixing bucket
-widths would silently corrupt every merge).
+widths would silently corrupt every merge). Defaults are the ENGINE
+config (HLL_P=12, ~1.6% vocab error); the driver query passes
+PARITY_HLL_P explicitly so its DuckDB twin stays tractable — the same
+engine/parity split every sketch operator keeps.
 
 Unified state schema: (grp, sketch, slot, val) —
   sketch='hll'    slot=register bucket   val=reg        merge: max
@@ -38,7 +41,6 @@ Unified state schema: (grp, sketch, slot, val) —
 
 from __future__ import annotations
 
-import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -131,7 +133,7 @@ def _delta_state(
 def committed_stats(
     spark: SparkSession,
     out_dir: str,
-    p: int = textops.PARITY_HLL_P,
+    p: int = textops.HLL_P,
     sub_bits: int = textops.QSKETCH_SUB_BITS,
     committed: DataFrame | None = None,
 ) -> DataFrame | None:
@@ -143,7 +145,7 @@ def committed_stats(
     runs = _committed_stats_runs(spark, out_dir, committed)
     _check_config(runs, p, sub_bits)
     path = f"{out_dir}/{STATS_TABLE}"
-    if not runs or not os.path.exists(path):
+    if not runs or not lineage._exists(path):
         return None
     state = (
         spark.read.parquet(path)
@@ -167,7 +169,11 @@ def _committed_stat_docs(
     spark: SparkSession, out_dir: str, committed: DataFrame
 ) -> DataFrame | None:
     path = f"{out_dir}/{DOCS_TABLE}"
-    if not os.path.exists(path):
+    # lineage._exists, not os.path.exists: a crashed attempt can leave only
+    # _temporary under the table dir, and reading that wedges every retry
+    # in UNABLE_TO_INFER_SCHEMA (the exact failure the runs protocol exists
+    # to survive)
+    if not lineage._exists(path):
         return None
     return (
         spark.read.parquet(path)
@@ -181,7 +187,7 @@ def update_corpus_stats(
     out_dir: str,
     source: DataFrame,
     group_col: str = "source",
-    p: int = textops.PARITY_HLL_P,
+    p: int = textops.HLL_P,
     sub_bits: int = textops.QSKETCH_SUB_BITS,
 ) -> dict:
     """One exactly-once stats-maintenance run: fold every source doc absent
@@ -227,7 +233,7 @@ def corpus_stat_report(
     spark: SparkSession,
     out_dir: str,
     qs: tuple = (0.5, 0.9, 0.99),
-    p: int = textops.PARITY_HLL_P,
+    p: int = textops.HLL_P,
     sub_bits: int = textops.QSKETCH_SUB_BITS,
 ) -> DataFrame:
     """(grp, n_docs, n_tokens, vocab_est, p50, p90, p99) from the committed

@@ -16,6 +16,10 @@ SF_DIR = "/root/testdata/sf0.001"
 P, S = textops.PARITY_HLL_P, textops.QSKETCH_SUB_BITS
 
 
+KW = dict(p=P, sub_bits=S)  # parity config, passed explicitly: the
+# engine default is HLL_P=12 and tests should pin what they assert on
+
+
 def _docs(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "source", "text", "n_chars"
@@ -24,7 +28,7 @@ def _docs(spark):
 
 def _report_rows(spark, out):
     return sorted(
-        tuple(r) for r in statstore.corpus_stat_report(spark, out).collect()
+        tuple(r) for r in statstore.corpus_stat_report(spark, out, **KW).collect()
     )
 
 
@@ -36,14 +40,14 @@ def test_incremental_equals_one_shot(spark, tmp_path):
     incr, full = str(tmp_path / "incr"), str(tmp_path / "full")
 
     r1 = statstore.update_corpus_stats(
-        spark, incr, docs.filter(F.col("doc_id") % 2 == 0)
+        spark, incr, docs.filter(F.col("doc_id") % 2 == 0), **KW
     )
     assert r1["run_id"] == statstore.stats_run_id(P, S, 1)
     assert not r1["up_to_date"] and r1["folded"] > 0
-    r2 = statstore.update_corpus_stats(spark, incr, docs)
+    r2 = statstore.update_corpus_stats(spark, incr, docs, **KW)
     assert r2["folded"] == docs.count() - r1["folded"]
 
-    statstore.update_corpus_stats(spark, full, docs)
+    statstore.update_corpus_stats(spark, full, docs, **KW)
     assert _report_rows(spark, incr) == _report_rows(spark, full)
 
 
@@ -52,10 +56,10 @@ def test_replay_is_noop(spark, tmp_path):
     marker, folded=0, and the report is unchanged."""
     docs = _docs(spark)
     out = str(tmp_path / "s")
-    statstore.update_corpus_stats(spark, out, docs)
+    statstore.update_corpus_stats(spark, out, docs, **KW)
     before = _report_rows(spark, out)
 
-    r = statstore.update_corpus_stats(spark, out, docs)
+    r = statstore.update_corpus_stats(spark, out, docs, **KW)
     assert r == {
         "folded": 0,
         "run_id": statstore.stats_run_id(P, S, 2),
@@ -73,7 +77,7 @@ def test_crashed_run_invisible_then_overwritten(spark, tmp_path):
     docs = _docs(spark)
     out = str(tmp_path / "s")
     statstore.update_corpus_stats(
-        spark, out, docs.filter(F.col("doc_id") % 2 == 0)
+        spark, out, docs.filter(F.col("doc_id") % 2 == 0), **KW
     )
     clean = _report_rows(spark, out)
 
@@ -90,10 +94,10 @@ def test_crashed_run_invisible_then_overwritten(spark, tmp_path):
     assert _report_rows(spark, out) == clean
 
     # retry reuses run id 2, overwrites the junk, and commits
-    r = statstore.update_corpus_stats(spark, out, docs)
+    r = statstore.update_corpus_stats(spark, out, docs, **KW)
     assert r["run_id"] == orphan and not r["up_to_date"]
     full = str(tmp_path / "full")
-    statstore.update_corpus_stats(spark, full, docs)
+    statstore.update_corpus_stats(spark, full, docs, **KW)
     assert _report_rows(spark, out) == _report_rows(spark, full)
 
 
@@ -118,8 +122,8 @@ def test_empty_delta_writes_nothing(spark, tmp_path):
     output) nor append a marker."""
     docs = _docs(spark)
     out = str(tmp_path / "s")
-    statstore.update_corpus_stats(spark, out, docs)
-    r = statstore.update_corpus_stats(spark, out, docs.limit(0))
+    statstore.update_corpus_stats(spark, out, docs, **KW)
+    r = statstore.update_corpus_stats(spark, out, docs.limit(0), **KW)
     assert r["folded"] == 0 and r["up_to_date"]
     assert not os.path.exists(
         f"{out}/{statstore.STATS_TABLE}/run_id={statstore.stats_run_id(P, S, 2)}"
