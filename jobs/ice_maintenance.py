@@ -17,9 +17,20 @@ spark-submit-shaped CLI bundling the table-format maintenance operators
                          as in Iceberg) guards in-flight commit attempts —
                          deleting a live attempt's pre-commit files would
                          corrupt its successful commit, not conflict it
+  --stats DIR            incremental corpus-stats refresh (statstore.py):
+                         fold pages absent from the store's doc_id cursor
+                         (content-addressed, xxhash64(url, md5(html))) into
+                         the mergeable sketch store at DIR, grouped by
+                         --stats-group (default lang), and report per-group
+                         n_docs/n_tokens/vocab_est/p50/p90/p99. Cost is
+                         O(new content versions since the last refresh),
+                         never O(table); the report equals a full recompute
+                         over every version ever folded (re-crawled urls
+                         contribute each content version once)
 
-Actions run in the order rollback -> compact -> expire -> orphans (revert
-first so compaction works on the state you mean to keep; GC last). Emits
+Actions run in the order rollback -> compact -> expire -> orphans -> stats
+(revert first so compaction works on the state you mean to keep; GC before
+profiling; stats last so the night's report reflects the kept state). Emits
 ONE JSON summary line. rollback/compact/expire commit through the same
 O_EXCL version-file protocol as any writer, so racing a live ingest yields
 CommitConflict, never corruption — rerun the job. Orphan GC is the one
@@ -57,12 +68,19 @@ def main() -> None:
                          "may belong to an IN-FLIGHT commit attempt, whose "
                          "commit would succeed and then reference deleted "
                          "files — lower only when no writer can be live")
+    ap.add_argument("--stats", default=None, metavar="DIR",
+                    help="fold the current snapshot's new content versions "
+                         "into the incremental corpus-stats store at DIR "
+                         "and print the per-group report")
+    ap.add_argument("--stats-group", default="lang",
+                    help="pages column to group the stats report by "
+                         "(default: lang)")
     args = ap.parse_args()
     if args.rollback is not None and args.seq is None:
         ap.error("--rollback needs --seq for its commit sequence")
     if not any(
         [args.compact is not None, args.expire_from is not None,
-         args.rollback is not None, args.orphans]
+         args.rollback is not None, args.orphans, args.stats]
     ):
         ap.error("nothing to do: pass at least one maintenance action")
 
@@ -96,6 +114,34 @@ def main() -> None:
         summary["orphans"] = t.remove_orphan_files(
             older_than_s=args.older_than_s
         )
+    if args.stats:
+        from pyspark.sql import functions as F
+
+        from enem_spark import statstore
+
+        pages = t.read()
+        # content-addressed doc_id (icerun's identity): a re-crawl that
+        # changes a page folds the new version as a new doc; an unchanged
+        # or replayed page is absorbed by the store's cursor anti-join.
+        # dropDuplicates guards against duplicate rows WITHIN a snapshot —
+        # identical doc_id means identical content, so any row serves.
+        docs = pages.select(
+            F.xxhash64("url", F.md5("html")).alias("doc_id"),
+            F.coalesce(F.col(args.stats_group).cast("string"), F.lit("und"))
+            .alias(args.stats_group),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+        ).dropDuplicates(["doc_id"])
+        res = statstore.update_corpus_stats(
+            spark, args.stats, docs, group_col=args.stats_group
+        )
+        report = [
+            r.asDict()
+            for r in statstore.corpus_stat_report(spark, args.stats)
+            .orderBy("grp")
+            .collect()
+        ]
+        summary["stats"] = {**res, "report": report}
     print(json.dumps(summary))
     spark.stop()
 

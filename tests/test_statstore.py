@@ -129,3 +129,92 @@ def test_empty_delta_writes_nothing(spark, tmp_path):
         f"{out}/{statstore.STATS_TABLE}/run_id={statstore.stats_run_id(P, S, 2)}"
     )
     assert spark.read.parquet(f"{out}/runs").count() == 1
+
+
+def test_ice_maintenance_stats_cli(spark, tmp_path):
+    """The nightly-ops CLI's --stats action: folds the current snapshot
+    incrementally (content-addressed cursor), re-runs are no-ops, an
+    appended crawl delta folds only the new content versions, and the
+    resulting report equals a one-shot in-process store over the same
+    pages."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from enem_spark.sources import icetable as it
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tbl, store = str(tmp_path / "tbl"), str(tmp_path / "stats")
+
+    def rows(ids, lang):
+        return [
+            {
+                "url": f"https://ex.org/{lang}/{i}",
+                "warc_ts": pd.Timestamp(it.EPOCH_S + i, unit="s"),
+                "html": f"<html><body>doc {i} {lang}</body></html>".encode(),
+                "text": " ".join(f"w{lang}{(i * 3 + k) % 11}" for k in range(6)),
+                "lang": lang,
+            }
+            for i in ids
+        ]
+
+    def frame(rs):
+        return spark.createDataFrame(
+            pd.DataFrame(rs, columns=[f.name for f in it.PAGES_ICE_SCHEMA.fields]),
+            schema=it.PAGES_ICE_SCHEMA,
+        )
+
+    base = rows(range(4), "pt") + rows(range(4), "en")
+    t = it.IceTable.create(spark, tbl, frame(base), sequence=10)
+
+    def run_cli():
+        p = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "jobs", "ice_maintenance.py"),
+                "--table", tbl, "--stats", store, "--cores", "2",
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])["stats"]
+
+    s1 = run_cli()
+    assert s1["folded"] == 8 and not s1["up_to_date"]
+    assert {r["grp"] for r in s1["report"]} == {"en", "pt"}
+    assert all(r["n_docs"] == 4 for r in s1["report"])
+
+    s2 = run_cli()
+    assert s2["folded"] == 0 and s2["up_to_date"]
+    assert s2["report"] == s1["report"]
+
+    # crawl delta: 3 new pt pages + 1 byte-identical replay of an old one
+    t.append(frame(rows(range(4, 7), "pt") + rows(range(1), "pt")), 20)
+    s3 = run_cli()
+    assert s3["folded"] == 3
+
+    # the incremental store must equal a one-shot fold over the SAME pages
+    # (identical doc_id derivation to the CLI's)
+    docs = (
+        t.read()
+        .select(
+            F.xxhash64("url", F.md5("html")).alias("doc_id"),
+            "lang",
+            "text",
+            F.length("text").alias("n_chars"),
+        )
+        .dropDuplicates(["doc_id"])
+    )
+    one_shot = str(tmp_path / "oneshot")
+    statstore.update_corpus_stats(spark, one_shot, docs, group_col="lang")
+    expected = sorted(
+        (
+            r.asDict()
+            for r in statstore.corpus_stat_report(spark, one_shot).collect()
+        ),
+        key=lambda r: r["grp"],
+    )
+    assert sorted(s3["report"], key=lambda r: r["grp"]) == expected
