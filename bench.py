@@ -1059,6 +1059,96 @@ def run_iceberg_bench(sf_dir: str, cpus: str, mult: int = 8) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def run_stats_bench(sf_dir: str, cpus: str, mult: int = 8) -> dict:
+    """Incremental-stats evidence (statstore.py): one-shot fold of the
+    whole corpus into a fresh store, then a ~2% batch of new content
+    versions folded incrementally (cursor anti-join + delta sketches +
+    report from persisted state), vs the no-store counterfactual (full
+    recompute over corpus+delta from raw text). The incr/recompute wall
+    ratio is the O(delta) refresh claim measured, not asserted. The
+    incremental wall honestly includes the doc_id cursor anti-join — at
+    scale that shuffles narrow longs while the recompute re-tokenizes
+    every byte of text, which is the whole point. Self-contained: fresh
+    temp stores per trial (committed state changes fold semantics, so
+    phases can't be re-timed in place)."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from enem_spark import statstore
+    from enem_spark.session import get_spark
+
+    n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    hw_probe = (
+        None
+        if os.environ.get("SPARK_GRAFT_SKIP_HW_PROBE")
+        else _mp_probe(min(n_cores, os.cpu_count() or 8))
+    )
+    spark = get_spark("enem_spark_stats_bench", cores=cpus)
+    docs = _replicate_documents(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), mult
+    ).select("doc_id", "source", "text", "n_chars")
+    n_docs = docs.count()
+    # ~2% new content versions: fresh doc_ids, lightly mutated text
+    delta = docs.filter(F.col("doc_id") % 53 == 0).select(
+        (F.col("doc_id") + F.lit(mult * 10_000_000)).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" conteudo atualizado")).alias("text"),
+        (F.col("n_chars") + F.lit(20)).alias("n_chars"),
+    )
+    both = docs.unionByName(delta)
+    n_delta = delta.count()
+    base = tempfile.mkdtemp(prefix="enem_stats_bench_")
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    walls: dict = {"full": [], "incr": [], "recompute": []}
+    try:
+        for k in range(n_trials):
+            store = os.path.join(base, f"store{k}")
+            t0 = time.perf_counter()
+            statstore.update_corpus_stats(spark, store, docs)
+            walls["full"].append(round(time.perf_counter() - t0, 3))
+
+            # the nightly refresh: fold whatever is new, report from the
+            # persisted state (never re-reading committed text)
+            t1 = time.perf_counter()
+            r = statstore.update_corpus_stats(spark, store, both)
+            statstore.corpus_stat_report(spark, store).collect()
+            walls["incr"].append(round(time.perf_counter() - t1, 3))
+            assert r["folded"] == n_delta, (r, n_delta)
+
+            # the no-store counterfactual: same report recomputed from the
+            # grown corpus's raw text
+            fresh = os.path.join(base, f"fresh{k}")
+            t2 = time.perf_counter()
+            statstore.update_corpus_stats(spark, fresh, both)
+            statstore.corpus_stat_report(spark, fresh).collect()
+            walls["recompute"].append(round(time.perf_counter() - t2, 3))
+        full_wall = min(walls["full"])
+        incr_wall = min(walls["incr"])
+        rec_wall = min(walls["recompute"])
+        return {
+            "mode": "stats-incremental",
+            "metric": "docs/sec one-shot corpus-stats fold",
+            "value": round(n_docs / full_wall, 2),
+            "unit": "docs/sec",
+            "sf": _sf_from_dir(sf_dir),
+            "cpus": cpus,
+            "n_docs": n_docs,
+            "n_delta": n_delta,
+            "delta_fraction": round(n_delta / n_docs, 4),
+            "full_wall_sec": full_wall,
+            "incr_wall_sec": incr_wall,
+            "recompute_wall_sec": rec_wall,
+            "trial_walls": walls,
+            "wall_ratio_incr_vs_recompute": round(incr_wall / rec_wall, 4),
+            "hw_probe_mops": hw_probe,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -1071,6 +1161,7 @@ def main() -> None:
     ap.add_argument("--ice-extract-only", action="store_true")
     ap.add_argument("--ice-scaling", action="store_true")
     ap.add_argument("--dedup-scaling", action="store_true")
+    ap.add_argument("--stats-incremental", action="store_true")
     ap.add_argument("--dedup-extract-only", action="store_true")
     # N=2 / 4N=8 is the measurement-valid range on this host: CLAUDE.md's
     # scaling discipline — above ~8-16 busy cores the hypervisor throttle
@@ -1109,6 +1200,11 @@ def main() -> None:
         return
     if args.iceberg:
         print(json.dumps(run_iceberg_bench(sf_dir, cpus, mult=8)))
+        return
+    if args.stats_incremental:
+        print(json.dumps(run_stats_bench(
+            sf_dir, cpus, mult=args.mult if args.mult is not None else 8
+        )))
         return
     if args.ice_extract_only:
         print(json.dumps(run_ice_extract_bench(sf_dir, cpus)))
