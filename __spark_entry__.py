@@ -1576,6 +1576,25 @@ def q_quantile_sketch(spark, sf_dir):
     )
 
 
+def q_cms_topk_terms(spark, sf_dir):
+    """Count-min-sketch heavy hitters (textops.cms_topk): top-5 terms per
+    source estimated from a depth x width counter sketch (bounded memory
+    however large the vocabulary) with candidates from a deterministic
+    content-hash doc sample. PARITY config (3x64) so the twin's sketch is
+    tiny and collisions actually happen at sf0.01 — the overestimate is
+    part of the contract (min-over-rows of md5-derived cells is a pure
+    deterministic function of the input, reproduced bit-for-bit by the
+    twin). Engine config is 4x16384; estimate quality there is gated in
+    tests/test_cms.py."""
+    return textops.cms_topk(
+        _t(spark, sf_dir, "documents"),
+        k=5,
+        depth=textops.PARITY_CMS_DEPTH,
+        width=textops.PARITY_CMS_WIDTH,
+        sample_mod=textops.CMS_SAMPLE_MOD,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_questions": q_extract_questions,
@@ -1689,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "quantile_sketch": q_quantile_sketch,
         "incr_corpus_stats": q_incr_corpus_stats,
+        "cms_topk_terms": q_cms_topk_terms,
     }
 
 
@@ -3438,6 +3458,59 @@ FROM counts c JOIN vocab v ON c.grp = v.grp JOIN quants q ON c.grp = q.grp
 _STATS_SQL = _stats_sql()
 
 
+def _cms_sql() -> str:
+    """COMPUTING twin of textops.cms_topk at the parity config: the same
+    depth-replicated md5 cells, min-over-rows estimate, and (est DESC,
+    term) tie-broken rank — collisions and all."""
+    d = textops.PARITY_CMS_DEPTH
+    w = textops.PARITY_CMS_WIDTH
+    mod = textops.CMS_SAMPLE_MOD
+    rows = ", ".join(str(i) for i in range(d))
+    col = (
+        "CAST(concat('0x', substr(md5(concat(CAST(row AS VARCHAR), ':', v)),"
+        f" 1, 15)) AS BIGINT) % {w}"
+    )
+    return f"""
+WITH tok AS (
+  SELECT source AS grp, doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS v
+  FROM documents
+),
+cells AS (
+  SELECT grp, v, row, {col} AS col
+  FROM (SELECT grp, v, unnest([{rows}]) AS row FROM tok)
+),
+sk AS (SELECT grp, row, col, count(*) AS cnt FROM cells GROUP BY grp, row, col),
+cand AS (
+  SELECT DISTINCT grp, v FROM tok
+  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % {mod} = 0
+),
+probe AS (
+  SELECT grp, v, row, {col} AS col
+  FROM (SELECT grp, v, unnest([{rows}]) AS row FROM cand)
+),
+est AS (
+  SELECT p.grp, p.v, min(coalesce(s.cnt, 0)) AS est_count
+  FROM probe p
+  LEFT JOIN sk s ON p.grp = s.grp AND p.row = s.row AND p.col = s.col
+  GROUP BY p.grp, p.v
+),
+rk AS (
+  SELECT grp, v, est_count,
+         row_number() OVER (PARTITION BY grp ORDER BY est_count DESC, v)
+           AS rank
+  FROM est
+)
+SELECT grp AS source, v AS term, CAST(est_count AS BIGINT) AS est_count,
+       CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 5
+"""
+
+
+_CMS_SQL = _cms_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     # The flagship pipeline is a stateful cross-page string machine — not
     # SQL-expressible directly. Its oracle is therefore MATERIALIZED: the
@@ -4524,4 +4597,7 @@ GROUP BY e.error_id, e.user_id
         # store's three merges (max registers, summed histograms, summed
         # counters) lose nothing vs re-scanning the whole corpus
         "incr_corpus_stats": _STATS_SQL,
+        # same md5 cells, same min-over-rows, same sample predicate —
+        # the sketch's collision overestimates reproduce bit-for-bit
+        "cms_topk_terms": _CMS_SQL,
     }

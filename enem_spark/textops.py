@@ -2647,3 +2647,134 @@ def quantile_sketch(
     return qsketch_quantiles(
         qsketch_hist(df, group_cols, value_col, sub_bits), group_cols, qs, sub_bits
     )
+
+
+# Count-min sketch: frequency estimation / heavy hitters with bounded
+# memory. Engine default 4x16384 counters per group (~0.6 MB of longs)
+# however many occurrences flow through — the web-scale shape for "top
+# terms per source" where exact counting shuffles the full vocabulary.
+# The driver query passes the PARITY config so the DuckDB twin's sketch
+# stays tiny; estimate quality at the engine config is gated in
+# tests/test_textops_mixing.py. Sketches over disjoint data merge by SUM
+# per (group, row, col) — mergeable like hll/qsketch/bloom, so a
+# persisted store could fold them incrementally (statstore pattern).
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 14
+PARITY_CMS_DEPTH = 3
+PARITY_CMS_WIDTH = 64
+CMS_SAMPLE_MOD = 8
+
+
+def _cms_col(value, row, width: int):
+    """Column index of ``value`` under hash-row ``row``: md5("{row}:{v}")
+    first 15 hex -> bigint (60 bits, never overflows) mod width. Identical
+    hex on both engines; row is rendered through string concat so the
+    DuckDB twin's concat(row, ':', v) matches byte-for-byte."""
+    hex_ = F.md5(F.concat_ws(":", row.cast("string"), value.cast("string")))
+    return F.conv(F.substring(hex_, 1, 15), 16, 10).cast("long") % width
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(group_cols..., row, col, cnt): count-min sketch of value
+    OCCURRENCES per group (Cormode & Muthukrishnan 2005). One groupBy over
+    the depth-replicated value stream; output is <= depth*width rows per
+    group whatever the stream size. Partial (map-side) aggregation does
+    the heavy lifting: the shuffle carries at most depth*width rows per
+    (group, map task), not the token stream."""
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    tall = df.select(
+        *group_cols, F.col(value_col).alias("v")
+    ).select(*group_cols, "v", rows)
+    return (
+        tall.withColumn("col", _cms_col(F.col("v"), F.col("row"), width))
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    group_cols: list,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(group_cols..., <value_col>, est_count): count-min estimate (min
+    over the depth cells) for each candidate value. Never underestimates;
+    overestimates by colliding mass at the usual eps = e/width rate — with
+    fixed md5 seeds the outcome is a pure deterministic function of the
+    inputs, so reruns and other engines agree bit-for-bit. A candidate
+    absent from the stream estimates its colliders' mass (>= 0), which is
+    why candidates should come from the data (cms_topk's sample does).
+
+    Shuffle budget: one distinct over the candidates, one equi-join on
+    (group, row, col) against the <= depth*width-per-group sketch."""
+    cand = candidates.select(
+        *group_cols, F.col(value_col).alias("v")
+    ).distinct()
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    probes = cand.select(*group_cols, "v", rows).withColumn(
+        "col", _cms_col(F.col("v"), F.col("row"), width)
+    )
+    return (
+        probes.join(sketch, [*group_cols, "row", "col"], "left")
+        .groupBy(*group_cols, "v")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .withColumnRenamed("v", value_col)
+    )
+
+
+def cms_topk(
+    documents: DataFrame,
+    k: int = 10,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    sample_mod: int = CMS_SAMPLE_MOD,
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, term, est_count, rank): heavy-hitter terms per group with
+    bounded memory. The sketch counts EVERY occurrence exactly once (so
+    estimates cover the full corpus); the candidate set comes from a
+    deterministic 1/sample_mod doc sample (content-hash on doc_id,
+    rerun-stable like stratified_sample) — a term heavy in the corpus
+    appears in the sample w.h.p., while the full distinct-vocabulary pass
+    exact top-k needs (top_terms) is exactly what the sketch exists to
+    avoid. Ties rank by term for engine-stable output."""
+    toks = documents.select(
+        F.col(group_col).alias("grp"),
+        F.col("doc_id"),
+        F.explode(_tokens(F.col("text"))).alias("v"),
+    )
+    sketch = cms_sketch(toks, ["grp"], "v", depth, width)
+    sampled = toks.filter(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % sample_mod
+        == 0
+    )
+    est = cms_estimate(sketch, sampled, ["grp"], "v", depth, width)
+    w = W.partitionBy("grp").orderBy(
+        F.desc("est_count"), F.asc("v")
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("v").alias("term"),
+            "est_count",
+            "rank",
+        )
+    )
