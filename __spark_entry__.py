@@ -1588,7 +1588,7 @@ def q_cms_topk_terms(spark, sf_dir):
     tests/test_cms.py."""
     return textops.cms_topk(
         _t(spark, sf_dir, "documents"),
-        k=5,
+        k=_CMS_K,
         depth=textops.PARITY_CMS_DEPTH,
         width=textops.PARITY_CMS_WIDTH,
         sample_mod=textops.CMS_SAMPLE_MOD,
@@ -3458,6 +3458,12 @@ FROM counts c JOIN vocab v ON c.grp = v.grp JOIN quants q ON c.grp = q.grp
 _STATS_SQL = _stats_sql()
 
 
+# k shared between q_cms_topk_terms and its twin — every other parity
+# knob (depth/width/sample_mod) is a shared constant too; a k edited on
+# one side only would silently shrink the twin's coverage
+_CMS_K = 5
+
+
 def _cms_sql() -> str:
     """COMPUTING twin of textops.cms_topk at the parity config: the same
     depth-replicated md5 cells, min-over-rows estimate, and (est DESC,
@@ -3504,7 +3510,7 @@ rk AS (
 )
 SELECT grp AS source, v AS term, CAST(est_count AS BIGINT) AS est_count,
        CAST(rank AS INT) AS rank
-FROM rk WHERE rank <= 5
+FROM rk WHERE rank <= {_CMS_K}
 """
 
 

@@ -2655,7 +2655,7 @@ def quantile_sketch(
 # terms per source" where exact counting shuffles the full vocabulary.
 # The driver query passes the PARITY config so the DuckDB twin's sketch
 # stays tiny; estimate quality at the engine config is gated in
-# tests/test_textops_mixing.py. Sketches over disjoint data merge by SUM
+# tests/test_cms.py. Sketches over disjoint data merge by SUM
 # per (group, row, col) — mergeable like hll/qsketch/bloom, so a
 # persisted store could fold them incrementally (statstore pattern).
 CMS_DEPTH = 4

@@ -98,8 +98,10 @@ def test_sketches_merge_by_sum(spark):
     committed text."""
     docs = _docs(spark)
     toks_all = _toks(docs)
+    # != 0 (not == 1): Spark % is a signed remainder, so a content-addressed
+    # negative doc_id would otherwise fall into neither slice
     a = _toks(docs.filter(F.col("doc_id") % 2 == 0))
-    b = _toks(docs.filter(F.col("doc_id") % 2 == 1))
+    b = _toks(docs.filter(F.col("doc_id") % 2 != 0))
     kw = (textops.PARITY_CMS_DEPTH, textops.PARITY_CMS_WIDTH)
     merged = (
         textops.cms_sketch(a, ["grp"], "v", *kw)
