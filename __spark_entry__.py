@@ -1595,6 +1595,38 @@ def q_cms_topk_terms(spark, sf_dir):
     )
 
 
+def q_incr_top_terms(spark, sf_dir):
+    """Incremental heavy hitters (statstore.update_term_sketch /
+    top_term_report): fold the even-doc_id half, then the full table
+    (delta = odd half), at the PARITY CMS config; report top-5 per source
+    from the committed registers + candidate set alone — never re-reading
+    committed text. Register merges are cell-wise SUM and candidate merges
+    are distinct union of a per-doc deterministic sample, both exact, so
+    the twin is the SAME one-shot SQL as cms_topk_terms — a hash match
+    PROVES incremental == one-shot. Replays are no-ops (term cursor), so
+    re-running the driver is a pinned read."""
+    import hashlib
+    import os
+    import tempfile
+
+    from enem_spark import statstore
+
+    docs = _t(spark, sf_dir, "documents")
+    sfn = os.path.normpath(sf_dir)
+    tag = f"{os.path.basename(sfn)}_{hashlib.md5(sfn.encode()).hexdigest()[:8]}"
+    out = os.path.join(tempfile.gettempdir(), f"enem_terms_{tag}")
+    kw = dict(
+        depth=textops.PARITY_CMS_DEPTH,
+        width=textops.PARITY_CMS_WIDTH,
+        sample_mod=textops.CMS_SAMPLE_MOD,
+    )
+    statstore.update_term_sketch(
+        spark, out, docs.filter(F.col("doc_id") % 2 == 0), **kw
+    )
+    statstore.update_term_sketch(spark, out, docs, **kw)
+    return statstore.top_term_report(spark, out, k=_CMS_K, **kw)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_questions": q_extract_questions,
@@ -1709,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "incr_corpus_stats": q_incr_corpus_stats,
         "cms_topk_terms": q_cms_topk_terms,
+        "incr_top_terms": q_incr_top_terms,
     }
 
 
@@ -4606,4 +4639,8 @@ GROUP BY e.error_id, e.user_id
         # same md5 cells, same min-over-rows, same sample predicate —
         # the sketch's collision overestimates reproduce bit-for-bit
         "cms_topk_terms": _CMS_SQL,
+        # deliberately the SAME one-shot SQL: the incremental term store's
+        # two merges are exact, so matching the one-shot recompute proves
+        # the store loses nothing
+        "incr_top_terms": _CMS_SQL,
     }

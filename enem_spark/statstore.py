@@ -165,14 +165,15 @@ def committed_stats(
     )
 
 
-def _committed_stat_docs(
-    spark: SparkSession, out_dir: str, committed: DataFrame
+def _committed_table(
+    spark: SparkSession, out_dir: str, table: str, committed: DataFrame
 ) -> DataFrame | None:
-    path = f"{out_dir}/{DOCS_TABLE}"
-    # lineage._exists, not os.path.exists: a crashed attempt can leave only
-    # _temporary under the table dir, and reading that wedges every retry
-    # in UNABLE_TO_INFER_SCHEMA (the exact failure the runs protocol exists
-    # to survive)
+    """Committed rows of one side-output table. lineage._exists, not
+    os.path.exists: a crashed attempt can leave only _temporary under the
+    table dir, and reading that wedges every retry in
+    UNABLE_TO_INFER_SCHEMA (the exact failure the runs protocol exists to
+    survive)."""
+    path = f"{out_dir}/{table}"
     if not lineage._exists(path):
         return None
     return (
@@ -201,7 +202,7 @@ def update_corpus_stats(
     _check_config(runs, p, sub_bits)
     docs = source.select("doc_id", group_col, "text", "n_chars")
     if committed is not None:
-        seen = _committed_stat_docs(spark, out_dir, committed)
+        seen = _committed_table(spark, out_dir, DOCS_TABLE, committed)
         if seen is not None:
             # unbounded across runs -> no broadcast hint; AQE handles it
             docs = docs.join(seen.select("doc_id"), "doc_id", "left_anti")
@@ -282,3 +283,147 @@ def corpus_stat_report(
         "grp", "n_docs", "n_tokens", "vocab_est",
         *[f"p{int(q * 100)}" for q in qs],
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental heavy hitters: a persisted count-min sketch + candidate set
+# under the same runs protocol, in its OWN run-id namespace ("terms...")
+# with its OWN doc_id cursor — a stats run and a terms run over one
+# out_dir never interact, so neither store can corrupt the other's
+# watermark. Both CMS merges are exact: registers over disjoint
+# increments merge by cell-wise SUM (= the one-shot sketch), candidate
+# sets by distinct union (= the one-shot sample, since the sample
+# predicate is a pure per-doc function). top_term_report over increments
+# therefore equals textops.cms_topk over the union bit-for-bit — the
+# incr_top_terms driver twin IS the one-shot SQL.
+
+TERMS_TABLE = "term_cms"
+CANDS_TABLE = "term_cands"
+TERM_DOCS_TABLE = "term_docs"
+_TERM_RUN_RE = re.compile(r"^terms(\d+)x(\d+)m(\d+)_(\d{6,})$")
+
+
+def term_run_id(depth: int, width: int, sample_mod: int, n: int) -> str:
+    return f"terms{depth}x{width}m{sample_mod}_{n:06d}"
+
+
+def _committed_term_runs(
+    spark: SparkSession,
+    out_dir: str,
+    committed: DataFrame | None = None,
+) -> list[tuple[int, int, int, int]]:
+    if committed is None:
+        committed = lineage.committed_run_ids(spark, out_dir)
+    if committed is None:
+        return []
+    out = []
+    for r in committed.collect():
+        m = _TERM_RUN_RE.match(r.run_id)
+        if m:
+            out.append(tuple(int(g) for g in m.groups()))
+    return out
+
+
+def _check_term_config(
+    runs: list[tuple[int, int, int, int]],
+    depth: int,
+    width: int,
+    sample_mod: int,
+) -> None:
+    bad = sorted({r[:3] for r in runs if r[:3] != (depth, width, sample_mod)})
+    if bad:
+        raise ValueError(
+            f"term store holds config(s) {bad}, requested"
+            f" ({depth}, {width}, {sample_mod})"
+            " — one store, one config; use a fresh out_dir to re-profile"
+        )
+
+
+def _term_tokens(docs: DataFrame, group_col: str) -> DataFrame:
+    return docs.select(
+        F.col(group_col).alias("grp"),
+        "doc_id",
+        F.explode(textops._tokens(F.col("text"))).alias("v"),
+    )
+
+
+def update_term_sketch(
+    spark: SparkSession,
+    out_dir: str,
+    source: DataFrame,
+    group_col: str = "source",
+    depth: int = textops.CMS_DEPTH,
+    width: int = textops.CMS_WIDTH,
+    sample_mod: int = textops.CMS_SAMPLE_MOD,
+) -> dict:
+    """One exactly-once term-sketch maintenance run: for every source doc
+    absent from the term cursor, add its token occurrences to the CMS
+    registers and its sampled tokens to the candidate set. State written
+    per run: <= depth*width register rows per group + the delta's sampled
+    vocabulary — never the token stream."""
+    committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_term_runs(spark, out_dir, committed)
+    _check_term_config(runs, depth, width, sample_mod)
+    docs = source.select("doc_id", group_col, "text")
+    if committed is not None:
+        seen = _committed_table(spark, out_dir, TERM_DOCS_TABLE, committed)
+        if seen is not None:
+            # unbounded across runs -> no broadcast hint; AQE handles it
+            docs = docs.join(seen.select("doc_id"), "doc_id", "left_anti")
+    run_id = term_run_id(
+        depth, width, sample_mod, max((r[3] for r in runs), default=0) + 1
+    )
+    docs = docs.persist()
+    try:
+        n = docs.count()
+        if n == 0:
+            return {"folded": 0, "run_id": run_id, "up_to_date": True}
+        toks = _term_tokens(docs, group_col)
+        textops.cms_sketch(toks, ["grp"], "v", depth, width).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{TERMS_TABLE}/run_id={run_id}")
+        toks.filter(
+            textops._cms_doc_sampled(F.col("doc_id"), sample_mod)
+        ).select("grp", "v").distinct().write.mode("overwrite").parquet(
+            f"{out_dir}/{CANDS_TABLE}/run_id={run_id}"
+        )
+        docs.select("doc_id").write.mode("overwrite").parquet(
+            f"{out_dir}/{TERM_DOCS_TABLE}/run_id={run_id}"
+        )
+        # COMMIT POINT
+        spark.createDataFrame(
+            [(run_id, n, 0)],
+            "run_id string, input_pages long, questions_written long",
+        ).write.mode("append").parquet(f"{out_dir}/runs")
+    finally:
+        docs.unpersist()
+    return {"folded": n, "run_id": run_id, "up_to_date": False}
+
+
+def top_term_report(
+    spark: SparkSession,
+    out_dir: str,
+    k: int = 10,
+    group_col: str = "source",
+    depth: int = textops.CMS_DEPTH,
+    width: int = textops.CMS_WIDTH,
+    sample_mod: int = textops.CMS_SAMPLE_MOD,
+) -> DataFrame:
+    """(source, term, est_count, rank): heavy hitters over everything ever
+    folded, from the committed store alone — registers merged by SUM,
+    candidates by distinct union, then the same estimate+rank kernel as
+    the one-shot cms_topk (shared functions, so the two paths cannot
+    drift). Never re-reads committed text."""
+    committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_term_runs(spark, out_dir, committed)
+    _check_term_config(runs, depth, width, sample_mod)
+    if not runs:
+        raise ValueError(f"no committed term run under {out_dir}")
+    sketch = (
+        _committed_table(spark, out_dir, TERMS_TABLE, committed)
+        .groupBy("grp", "row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cands = _committed_table(spark, out_dir, CANDS_TABLE, committed)
+    est = textops.cms_estimate(sketch, cands, ["grp"], "v", depth, width)
+    return textops._cms_rank_topk(est, k, group_col)

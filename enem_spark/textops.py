@@ -2735,6 +2735,35 @@ def cms_estimate(
     )
 
 
+def _cms_doc_sampled(doc_id_col, sample_mod: int):
+    """Deterministic 1/sample_mod doc-sample predicate (content hash on
+    doc_id, rerun-stable like stratified_sample). ONE implementation: the
+    one-shot cms_topk and the persisted term store must sample identically
+    or incremental != one-shot."""
+    return (
+        F.conv(F.substring(F.md5(doc_id_col.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % sample_mod
+        == 0
+    )
+
+
+def _cms_rank_topk(est: DataFrame, k: int, group_col: str) -> DataFrame:
+    """(group_col, term, est_count, rank) from a (grp, v, est_count)
+    estimate frame; ties rank by term for engine-stable output."""
+    w = W.partitionBy("grp").orderBy(F.desc("est_count"), F.asc("v"))
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("v").alias("term"),
+            "est_count",
+            "rank",
+        )
+    )
+
+
 def cms_topk(
     documents: DataFrame,
     k: int = 10,
@@ -2757,24 +2786,6 @@ def cms_topk(
         F.explode(_tokens(F.col("text"))).alias("v"),
     )
     sketch = cms_sketch(toks, ["grp"], "v", depth, width)
-    sampled = toks.filter(
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        % sample_mod
-        == 0
-    )
+    sampled = toks.filter(_cms_doc_sampled(F.col("doc_id"), sample_mod))
     est = cms_estimate(sketch, sampled, ["grp"], "v", depth, width)
-    w = W.partitionBy("grp").orderBy(
-        F.desc("est_count"), F.asc("v")
-    )
-    return (
-        est.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("grp").alias(group_col),
-            F.col("v").alias("term"),
-            "est_count",
-            "rank",
-        )
-    )
+    return _cms_rank_topk(est, k, group_col)

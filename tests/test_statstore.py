@@ -218,3 +218,73 @@ def test_ice_maintenance_stats_cli(spark, tmp_path):
         key=lambda r: r["grp"],
     )
     assert sorted(s3["report"], key=lambda r: r["grp"]) == expected
+
+
+TKW = dict(
+    depth=textops.PARITY_CMS_DEPTH,
+    width=textops.PARITY_CMS_WIDTH,
+    sample_mod=textops.CMS_SAMPLE_MOD,
+)
+
+
+def test_term_store_incremental_equals_one_shot(spark, tmp_path):
+    """Three uneven term-sketch increments must reproduce textops.cms_topk
+    over the whole corpus bit-for-bit: registers merge by SUM, candidates
+    by distinct union of the per-doc sample — both exact."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out = str(tmp_path / "terms")
+    statstore.update_term_sketch(
+        spark, out, docs.filter(F.col("doc_id") % 3 == 0), **TKW
+    )
+    statstore.update_term_sketch(
+        spark, out, docs.filter(F.col("doc_id") % 3 <= 1), **TKW
+    )
+    r = statstore.update_term_sketch(spark, out, docs, **TKW)
+    assert not r["up_to_date"]
+
+    got = sorted(
+        tuple(x)
+        for x in statstore.top_term_report(spark, out, k=7, **TKW).collect()
+    )
+    want = sorted(
+        tuple(x) for x in textops.cms_topk(docs, k=7, **TKW).collect()
+    )
+    assert got == want
+
+
+def test_term_and_stats_stores_share_out_dir_independently(spark, tmp_path):
+    """The two stores live in one out_dir with separate run-id namespaces
+    and separate cursors: folding docs into one must not advance the
+    other's watermark, and replays stay per-store no-ops."""
+    docs = _docs(spark)
+    out = str(tmp_path / "both")
+    statstore.update_corpus_stats(spark, out, docs, **KW)
+    # the stats fold must NOT have consumed the term cursor
+    t1 = statstore.update_term_sketch(spark, out, docs, **TKW)
+    assert t1["folded"] == docs.count()
+    assert t1["run_id"] == statstore.term_run_id(
+        TKW["depth"], TKW["width"], TKW["sample_mod"], 1
+    )
+    # both replay as no-ops, each under its own namespace
+    assert statstore.update_corpus_stats(spark, out, docs, **KW)["up_to_date"]
+    assert statstore.update_term_sketch(spark, out, docs, **TKW)["up_to_date"]
+    # and both reports work off the shared runs table
+    assert statstore.corpus_stat_report(spark, out, **KW).count() > 0
+    assert statstore.top_term_report(spark, out, **TKW).count() > 0
+
+
+def test_term_store_config_pinned(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out = str(tmp_path / "terms")
+    statstore.update_term_sketch(spark, out, docs, **TKW)
+    with pytest.raises(ValueError, match="one store, one config"):
+        statstore.update_term_sketch(
+            spark, out, docs, depth=TKW["depth"] + 1,
+            width=TKW["width"], sample_mod=TKW["sample_mod"],
+        )
+    with pytest.raises(ValueError, match="no committed term run"):
+        statstore.top_term_report(spark, str(tmp_path / "empty"), **TKW)
