@@ -135,6 +135,9 @@ HEADLINE = [
     "range_join",
     "hll_distinct",
     "quantile_sketch",
+    "incr_corpus_stats",
+    "cms_topk_terms",
+    "incr_top_terms",
 ]
 
 

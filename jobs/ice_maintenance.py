@@ -27,10 +27,17 @@ spark-submit-shaped CLI bundling the table-format maintenance operators
                          never O(table); the report equals a full recompute
                          over every version ever folded (re-crawled urls
                          contribute each content version once)
+  --terms DIR            same shape for heavy hitters: fold new content
+                         versions into the incremental CMS term store at
+                         DIR and report top --terms-k terms per group
+                         (registers merge by SUM, candidates by union —
+                         report == one-shot cms_topk over everything
+                         folded)
 
-Actions run in the order rollback -> compact -> expire -> orphans -> stats
-(revert first so compaction works on the state you mean to keep; GC before
-profiling; stats last so the night's report reflects the kept state). Emits
+Actions run in the order rollback -> compact -> expire -> orphans ->
+stats/terms (revert first so compaction works on the state you mean to
+keep; GC before profiling; profiling last so the night's reports reflect
+the kept state). Emits
 ONE JSON summary line. rollback/compact/expire commit through the same
 O_EXCL version-file protocol as any writer, so racing a live ingest yields
 CommitConflict, never corruption — rerun the job. Orphan GC is the one
@@ -73,14 +80,19 @@ def main() -> None:
                          "into the incremental corpus-stats store at DIR "
                          "and print the per-group report")
     ap.add_argument("--stats-group", default="lang",
-                    help="pages column to group the stats report by "
+                    help="pages column to group the stats/terms reports by "
                          "(default: lang)")
+    ap.add_argument("--terms", default=None, metavar="DIR",
+                    help="fold new content versions into the incremental "
+                         "heavy-hitters (CMS) term store at DIR and print "
+                         "the top --terms-k terms per group")
+    ap.add_argument("--terms-k", type=int, default=10)
     args = ap.parse_args()
     if args.rollback is not None and args.seq is None:
         ap.error("--rollback needs --seq for its commit sequence")
     if not any(
         [args.compact is not None, args.expire_from is not None,
-         args.rollback is not None, args.orphans, args.stats]
+         args.rollback is not None, args.orphans, args.stats, args.terms]
     ):
         ap.error("nothing to do: pass at least one maintenance action")
 
@@ -114,7 +126,7 @@ def main() -> None:
         summary["orphans"] = t.remove_orphan_files(
             older_than_s=args.older_than_s
         )
-    if args.stats:
+    if args.stats or args.terms:
         from pyspark.sql import functions as F
 
         from enem_spark import statstore
@@ -132,16 +144,31 @@ def main() -> None:
             F.coalesce(F.col("text"), F.lit("")).alias("text"),
             F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
         ).dropDuplicates(["doc_id"])
-        res = statstore.update_corpus_stats(
-            spark, args.stats, docs, group_col=args.stats_group
-        )
-        report = [
-            r.asDict()
-            for r in statstore.corpus_stat_report(spark, args.stats)
-            .orderBy("grp")
-            .collect()
-        ]
-        summary["stats"] = {**res, "report": report}
+        if args.stats:
+            res = statstore.update_corpus_stats(
+                spark, args.stats, docs, group_col=args.stats_group
+            )
+            report = [
+                r.asDict()
+                for r in statstore.corpus_stat_report(spark, args.stats)
+                .orderBy("grp")
+                .collect()
+            ]
+            summary["stats"] = {**res, "report": report}
+        if args.terms:
+            res = statstore.update_term_sketch(
+                spark, args.terms, docs, group_col=args.stats_group
+            )
+            report = [
+                r.asDict()
+                for r in statstore.top_term_report(
+                    spark, args.terms, k=args.terms_k,
+                    group_col=args.stats_group,
+                )
+                .orderBy(args.stats_group, "rank")
+                .collect()
+            ]
+            summary["terms"] = {**res, "report": report}
     print(json.dumps(summary))
     spark.stop()
 

@@ -147,6 +147,7 @@ def test_ice_maintenance_stats_cli(spark, tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tbl, store = str(tmp_path / "tbl"), str(tmp_path / "stats")
+    tstore = str(tmp_path / "terms")
 
     def rows(ids, lang):
         return [
@@ -175,26 +176,53 @@ def test_ice_maintenance_stats_cli(spark, tmp_path):
                 sys.executable,
                 os.path.join(repo, "jobs", "ice_maintenance.py"),
                 "--table", tbl, "--stats", store, "--cores", "2",
+                "--terms", tstore, "--terms-k", "3",
             ],
             capture_output=True,
             text=True,
             check=True,
         )
-        return json.loads(p.stdout.strip().splitlines()[-1])["stats"]
+        return json.loads(p.stdout.strip().splitlines()[-1])
 
-    s1 = run_cli()
+    o1 = run_cli()
+    s1, t1 = o1["stats"], o1["terms"]
     assert s1["folded"] == 8 and not s1["up_to_date"]
     assert {r["grp"] for r in s1["report"]} == {"en", "pt"}
     assert all(r["n_docs"] == 4 for r in s1["report"])
+    assert t1["folded"] == 8 and t1["report"]
+    assert all(r["rank"] <= 3 for r in t1["report"])
 
-    s2 = run_cli()
+    o2 = run_cli()
+    s2, t2 = o2["stats"], o2["terms"]
     assert s2["folded"] == 0 and s2["up_to_date"]
     assert s2["report"] == s1["report"]
+    assert t2["folded"] == 0 and t2["report"] == t1["report"]
 
     # crawl delta: 3 new pt pages + 1 byte-identical replay of an old one
     t.append(frame(rows(range(4, 7), "pt") + rows(range(1), "pt")), 20)
-    s3 = run_cli()
-    assert s3["folded"] == 3
+    o3 = run_cli()
+    s3, t3 = o3["stats"], o3["terms"]
+    assert s3["folded"] == 3 and t3["folded"] == 3
+
+    # incremental term report == one-shot cms_topk over the same docs
+    tdocs = (
+        t.read()
+        .select(
+            F.xxhash64("url", F.md5("html")).alias("doc_id"),
+            F.col("lang").alias("source"),
+            "text",
+        )
+        .dropDuplicates(["doc_id"])
+    )
+    want = sorted(
+        (r.source, r.term, r.est_count, r.rank)
+        for r in textops.cms_topk(tdocs, k=3, group_col="source").collect()
+    )
+    got = sorted(
+        (r["lang"], r["term"], r["est_count"], r["rank"])
+        for r in t3["report"]
+    )
+    assert got == want
 
     # the incremental store must equal a one-shot fold over the SAME pages
     # (identical doc_id derivation to the CLI's)
