@@ -86,7 +86,9 @@ def main() -> None:
                     help="fold new content versions into the incremental "
                          "heavy-hitters (CMS) term store at DIR and print "
                          "the top --terms-k terms per group")
-    ap.add_argument("--terms-k", type=int, default=10)
+    ap.add_argument("--terms-k", type=int, default=10,
+                    help="how many top terms per group the --terms report "
+                         "prints (default 10)")
     args = ap.parse_args()
     if args.rollback is not None and args.seq is None:
         ap.error("--rollback needs --seq for its commit sequence")
@@ -137,38 +139,50 @@ def main() -> None:
         # or replayed page is absorbed by the store's cursor anti-join.
         # dropDuplicates guards against duplicate rows WITHIN a snapshot —
         # identical doc_id means identical content, so any row serves.
+        # CLI owns the persist (persist-with-owner rule): the O(table)
+        # content-hash + dropDuplicates shuffle would otherwise run once
+        # per store when both flags are on
         docs = pages.select(
             F.xxhash64("url", F.md5("html")).alias("doc_id"),
             F.coalesce(F.col(args.stats_group).cast("string"), F.lit("und"))
             .alias(args.stats_group),
             F.coalesce(F.col("text"), F.lit("")).alias("text"),
             F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
-        ).dropDuplicates(["doc_id"])
-        if args.stats:
-            res = statstore.update_corpus_stats(
-                spark, args.stats, docs, group_col=args.stats_group
-            )
-            report = [
-                r.asDict()
-                for r in statstore.corpus_stat_report(spark, args.stats)
-                .orderBy("grp")
-                .collect()
-            ]
-            summary["stats"] = {**res, "report": report}
-        if args.terms:
-            res = statstore.update_term_sketch(
-                spark, args.terms, docs, group_col=args.stats_group
-            )
-            report = [
-                r.asDict()
-                for r in statstore.top_term_report(
-                    spark, args.terms, k=args.terms_k,
-                    group_col=args.stats_group,
+        ).dropDuplicates(["doc_id"]).persist()
+
+        def profile(update, report) -> dict:
+            res = update()
+            try:
+                rep = [r.asDict() for r in report().collect()]
+            except ValueError:
+                # empty table + never-committed store: the no-op fold
+                # commits nothing, so there is nothing to report — the
+                # earlier actions' summary must still print
+                rep = []
+            return {**res, "report": rep}
+
+        try:
+            if args.stats:
+                summary["stats"] = profile(
+                    lambda: statstore.update_corpus_stats(
+                        spark, args.stats, docs, group_col=args.stats_group
+                    ),
+                    lambda: statstore.corpus_stat_report(
+                        spark, args.stats
+                    ).orderBy("grp"),
                 )
-                .orderBy(args.stats_group, "rank")
-                .collect()
-            ]
-            summary["terms"] = {**res, "report": report}
+            if args.terms:
+                summary["terms"] = profile(
+                    lambda: statstore.update_term_sketch(
+                        spark, args.terms, docs, group_col=args.stats_group
+                    ),
+                    lambda: statstore.top_term_report(
+                        spark, args.terms, k=args.terms_k,
+                        group_col=args.stats_group,
+                    ).orderBy(args.stats_group, "rank"),
+                )
+        finally:
+            docs.unpersist()
     print(json.dumps(summary))
     spark.stop()
 
