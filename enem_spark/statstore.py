@@ -427,3 +427,38 @@ def top_term_report(
     cands = _committed_table(spark, out_dir, CANDS_TABLE, committed)
     est = textops.cms_estimate(sketch, cands, ["grp"], "v", depth, width)
     return textops._cms_rank_topk(est, k, group_col)
+
+
+def main_content_docs(
+    main: DataFrame,
+    langs: DataFrame | None = None,
+    group_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, <group_col>, text, n_chars) from a main_content frame
+    (htmlops MAIN_SCHEMA rows), optionally joined to a (doc_id,
+    <group_col>) frame — a missing or undetected group folds under 'und'.
+    ONE implementation: the streaming fold and its equality tests must
+    derive identically or incremental != one-shot."""
+    out = main.select(
+        "doc_id",
+        F.coalesce(F.col("main_text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("main_chars").cast("long"), F.lit(0)).alias(
+            "n_chars"
+        ),
+    )
+    if langs is not None:
+        out = out.join(
+            langs.select(
+                "doc_id", F.col(group_col).cast("string").alias(group_col)
+            ).dropDuplicates(["doc_id"]),
+            "doc_id",
+            "left",
+        )
+    else:
+        out = out.withColumn(group_col, F.lit(None).cast("string"))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col(group_col), F.lit("und")).alias(group_col),
+        "text",
+        "n_chars",
+    )

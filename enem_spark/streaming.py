@@ -635,6 +635,8 @@ def start_html_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     with_anchors: bool = False,
+    stats_dir: str | None = None,
+    stats_group: str = "lang",
 ):
     """DOM main-content extraction per micro-batch, exactly-once.
 
@@ -648,19 +650,53 @@ def start_html_stream(
     the run protocol
     absorbs replays (same run_id -> overwrite; docs committed by the first
     attempt -> anti-joined to a no-op), so the output table is exactly-once
-    without any append anywhere."""
+    without any append anywhere.
+
+    ``stats_dir`` turns on continuous profiling: each micro-batch's
+    committed extraction output is folded into the incremental
+    corpus-stats store (statstore) grouped by ``stats_group`` from the
+    pages frame, so per-language counts / token volume / vocabulary /
+    length percentiles stay current WITH the tail at O(batch) cost. The
+    fold reads back only this batch's run directory (never the corpus)
+    and the store's content-addressed cursor makes it replay-proof: a
+    crash between the extraction commit and the stats commit is healed on
+    the foreachBatch replay — the extraction no-ops but the committed run
+    dir is still there to fold, and rows the first attempt DID fold are
+    absorbed by the cursor anti-join."""
+    from . import lineage, statstore
     from .lineage import run_html_extraction
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        run_id = f"html_batch_{batch_id:012d}"
+        spark = batch_df.sparkSession
         run_html_extraction(
-            batch_df.sparkSession,
+            spark,
             batch_df,
             out_dir,
-            run_id=f"html_batch_{batch_id:012d}",
+            run_id=run_id,
             with_anchors=with_anchors,
         )
+        if stats_dir:
+            run_dir = f"{out_dir}/main_content/run_id={run_id}"
+            # by the time run_html_extraction returns, an existing dir for
+            # THIS run_id is committed (a crashed attempt's orphan was
+            # either overwritten+committed just now, or could not exist
+            # because a no-op run extracts nothing); absent dir == the
+            # whole batch was already-committed content, already folded
+            # when its original batch ran
+            if lineage._exists(run_dir):
+                statstore.update_corpus_stats(
+                    spark,
+                    stats_dir,
+                    statstore.main_content_docs(
+                        spark.read.parquet(run_dir),
+                        batch_df.select("doc_id", stats_group),
+                        group_col=stats_group,
+                    ),
+                    group_col=stats_group,
+                )
 
     writer = (
         pages_stream.writeStream.foreachBatch(process_batch)

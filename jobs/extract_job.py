@@ -91,6 +91,12 @@ def main() -> None:
                     help="with --html batch: export the INPUT pages' "
                          "metadata envelopes (title/links/length) as "
                          "CC-style WAT shards into this directory")
+    ap.add_argument("--stats-store", default=None, metavar="DIR",
+                    help="(html streaming) fold each micro-batch's "
+                         "extraction output into the incremental "
+                         "corpus-stats store at DIR (continuous per-lang "
+                         "profiling of the tail) and report it in the "
+                         "summary")
     ap.add_argument("--completeness-delay-s", type=int, default=0)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
@@ -143,12 +149,22 @@ def main() -> None:
                 args.output,
                 f"{args.output}/_checkpoint",
                 with_anchors=args.anchors,
+                stats_dir=args.stats_store,
             )
             q.awaitTermination()
             from enem_spark.lineage import committed_main_content
 
             main = committed_main_content(spark, args.output)
             summary = {"main_rows": main.count() if main is not None else 0}
+            if args.stats_store:
+                from enem_spark import statstore
+
+                summary["stats"] = [
+                    r.asDict()
+                    for r in statstore.corpus_stat_report(
+                        spark, args.stats_store
+                    ).orderBy("grp").collect()
+                ]
         elif args.iceberg:
             from enem_spark.icerun import run_html_extraction_ice
 

@@ -316,3 +316,64 @@ def test_term_store_config_pinned(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="no committed term run"):
         statstore.top_term_report(spark, str(tmp_path / "empty"), **TKW)
+
+
+def test_streaming_stats_fold_matches_one_shot(spark, tmp_path):
+    """start_html_stream(stats_dir=...): per-micro-batch folds of the
+    extraction output (several batches via maxFilesPerTrigger=1) must
+    leave the stats store EQUAL to a one-shot store folded from the final
+    committed main_content — continuous profiling loses nothing. A second
+    stream invocation over the same checkpoint folds nothing."""
+    from enem_spark import htmlops as H
+    from enem_spark.lineage import committed_main_content
+    from enem_spark.streaming import read_html_pages_stream, start_html_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pages = H.synth_html_pages(docs)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stats = str(tmp_path / "stats")
+    # several files -> several micro-batches
+    pages.repartition(4).write.parquet(src)
+
+    q = start_html_stream(
+        read_html_pages_stream(
+            spark, src, max_files_per_trigger=1, watermark="10 seconds"
+        ),
+        out, ckpt, available_now=True, stats_dir=stats,
+    )
+    q.awaitTermination(300)
+    n_batches = spark.read.parquet(f"{stats}/runs").count()
+    assert n_batches >= 2  # the fold really was incremental
+
+    got = sorted(
+        tuple(r)
+        for r in statstore.corpus_stat_report(spark, stats).collect()
+    )
+
+    one_shot = str(tmp_path / "oneshot")
+    langs = pages.select("doc_id", "lang")
+    statstore.update_corpus_stats(
+        spark,
+        one_shot,
+        statstore.main_content_docs(
+            committed_main_content(spark, out).drop("run_id"), langs
+        ),
+        group_col="lang",
+    )
+    want = sorted(
+        tuple(r)
+        for r in statstore.corpus_stat_report(spark, one_shot).collect()
+    )
+    assert got == want
+
+    # replayed stream: extraction no-ops, stats folds nothing new
+    q2 = start_html_stream(
+        read_html_pages_stream(
+            spark, src, max_files_per_trigger=1, watermark="10 seconds"
+        ),
+        out, ckpt, available_now=True, stats_dir=stats,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{stats}/runs").count() == n_batches
