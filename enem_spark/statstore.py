@@ -49,21 +49,26 @@ from . import lineage, textops
 
 STATS_TABLE = "corpus_stats"
 DOCS_TABLE = "stats_docs"
-_RUN_RE = re.compile(r"^stats(\d+)q(\d+)_(\d{6,})$")  # {6,}: :06d pads, never
-# truncates (same guard as sigindex._RUN_RE)
+# trailing 'c' marks a COMPACTION run: its state/cursor INCLUDE every run
+# numbered below it, and readers trust only runs at-or-after the latest
+# compaction number — that reader rule (not the cleanup delete) is what
+# makes compaction crash-safe. {6,}: :06d pads, never truncates (same
+# guard as sigindex._RUN_RE).
+_RUN_RE = re.compile(r"^stats(\d+)q(\d+)_(\d{6,})(c?)$")
 
 
-def stats_run_id(p: int, sub_bits: int, n: int) -> str:
-    return f"stats{p}q{sub_bits}_{n:06d}"
+def stats_run_id(p: int, sub_bits: int, n: int, compaction: bool = False) -> str:
+    return f"stats{p}q{sub_bits}_{n:06d}" + ("c" if compaction else "")
 
 
 def _committed_stats_runs(
     spark: SparkSession,
     out_dir: str,
     committed: DataFrame | None = None,
-) -> list[tuple[int, int, int]]:
-    """(hll_p, sub_bits, n) per COMMITTED stats run (tiny driver-side
-    metadata collect, same class as sigindex._committed_sig_runs)."""
+) -> list[tuple[int, int, int, bool]]:
+    """(hll_p, sub_bits, n, is_compaction) per COMMITTED stats run (tiny
+    driver-side metadata collect, same class as
+    sigindex._committed_sig_runs)."""
     if committed is None:
         committed = lineage.committed_run_ids(spark, out_dir)
     if committed is None:
@@ -72,19 +77,56 @@ def _committed_stats_runs(
     for r in committed.collect():
         m = _RUN_RE.match(r.run_id)
         if m:
-            out.append((int(m.group(1)), int(m.group(2)), int(m.group(3))))
+            out.append(
+                (
+                    int(m.group(1)),
+                    int(m.group(2)),
+                    int(m.group(3)),
+                    m.group(4) == "c",
+                )
+            )
     return out
 
 
 def _check_config(
-    runs: list[tuple[int, int, int]], p: int, sub_bits: int
+    runs: list[tuple[int, int, int, bool]], p: int, sub_bits: int
 ) -> None:
-    bad = sorted({(a, b) for a, b, _ in runs if (a, b) != (p, sub_bits)})
+    bad = sorted({(a, b) for a, b, _, _ in runs if (a, b) != (p, sub_bits)})
     if bad:
         raise ValueError(
             f"stats store holds config(s) {bad}, requested ({p}, {sub_bits})"
             " — one store, one config; use a fresh out_dir to re-profile"
         )
+
+
+def _active_run_ids(runs: list[tuple[int, int, int, bool]]) -> list[str]:
+    """Run ids the readers trust: everything numbered at-or-after the
+    latest compaction run. The compacted run's state INCLUDES every
+    earlier run, so a pre-compaction dir that a crashed cleanup left
+    behind must contribute NOTHING — filtering here (not the delete) is
+    the double-count guard."""
+    ncomp = max((n for _, _, n, c in runs if c), default=0)
+    return [
+        stats_run_id(p, s, n, compaction=c)
+        for p, s, n, c in runs
+        if n >= ncomp
+    ]
+
+
+def _active_table(
+    spark: SparkSession, out_dir: str, table: str, active_ids: list[str]
+) -> DataFrame | None:
+    """Rows of one stats side-output table restricted to the ACTIVE run
+    set (lineage._exists for the same _temporary-wedge reason as
+    _committed_table)."""
+    path = f"{out_dir}/{table}"
+    if not active_ids or not lineage._exists(path):
+        return None
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("run_id").isin(active_ids))
+        .drop("run_id")
+    )
 
 
 def _delta_state(
@@ -144,14 +186,11 @@ def committed_stats(
         committed = lineage.committed_run_ids(spark, out_dir)
     runs = _committed_stats_runs(spark, out_dir, committed)
     _check_config(runs, p, sub_bits)
-    path = f"{out_dir}/{STATS_TABLE}"
-    if not runs or not lineage._exists(path):
-        return None
-    state = (
-        spark.read.parquet(path)
-        .join(committed, "run_id", "left_semi")
-        .drop("run_id")
+    state = _active_table(
+        spark, out_dir, STATS_TABLE, _active_run_ids(runs)
     )
+    if state is None:
+        return None
     agg = state.groupBy("grp", "sketch", "slot").agg(
         F.max("val").alias("_mx"), F.sum("val").alias("_sm")
     )
@@ -201,13 +240,12 @@ def update_corpus_stats(
     runs = _committed_stats_runs(spark, out_dir, committed)
     _check_config(runs, p, sub_bits)
     docs = source.select("doc_id", group_col, "text", "n_chars")
-    if committed is not None:
-        seen = _committed_table(spark, out_dir, DOCS_TABLE, committed)
-        if seen is not None:
-            # unbounded across runs -> no broadcast hint; AQE handles it
-            docs = docs.join(seen.select("doc_id"), "doc_id", "left_anti")
+    seen = _active_table(spark, out_dir, DOCS_TABLE, _active_run_ids(runs))
+    if seen is not None:
+        # unbounded across runs -> no broadcast hint; AQE handles it
+        docs = docs.join(seen.select("doc_id"), "doc_id", "left_anti")
     run_id = stats_run_id(
-        p, sub_bits, max((n for _, _, n in runs), default=0) + 1
+        p, sub_bits, max((n for _, _, n, _ in runs), default=0) + 1
     )
     docs = docs.persist()
     try:
@@ -228,6 +266,69 @@ def update_corpus_stats(
     finally:
         docs.unpersist()
     return {"folded": n, "run_id": run_id, "up_to_date": False}
+
+
+def folded_doc_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """(doc_id) cursor of everything the stats store has folded — the
+    cheap completeness probe: comparing its count with the corpus the
+    store is supposed to profile detects a backfill gap (runs committed
+    before profiling was turned on)."""
+    committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_stats_runs(spark, out_dir, committed)
+    return _active_table(spark, out_dir, DOCS_TABLE, _active_run_ids(runs))
+
+
+def compact_stats(
+    spark: SparkSession,
+    out_dir: str,
+    p: int = textops.HLL_P,
+    sub_bits: int = textops.QSKETCH_SUB_BITS,
+) -> dict:
+    """Fold every active stats run into ONE compaction run so a
+    long-lived per-micro-batch fold (start_html_stream stats_dir) doesn't
+    leave the reader merging one state dir per batch forever: write the
+    MERGED state and the full cursor under `stats..._{n}c`, append the
+    marker (the commit point), then best-effort delete every superseded
+    run directory. Crash-safe by the READER RULE, not the delete: readers
+    trust only runs numbered >= the latest compaction, so a crash after
+    the commit but before the cleanup leaves invisible garbage, never a
+    double count — the next compaction's cleanup sweep (numbered-below
+    scan of the dirs on disk) removes it."""
+    import os
+    import shutil
+
+    committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_stats_runs(spark, out_dir, committed)
+    _check_config(runs, p, sub_bits)
+    active = _active_run_ids(runs)
+    if len(active) <= 1:
+        return {"compacted_runs": 0, "run_id": None}
+    n_new = max(n for _, _, n, _ in runs) + 1
+    run_id = stats_run_id(p, sub_bits, n_new, compaction=True)
+    state = committed_stats(spark, out_dir, p, sub_bits, committed)
+    cursor = _active_table(spark, out_dir, DOCS_TABLE, active)
+    state.write.mode("overwrite").parquet(
+        f"{out_dir}/{STATS_TABLE}/run_id={run_id}"
+    )
+    cursor.write.mode("overwrite").parquet(
+        f"{out_dir}/{DOCS_TABLE}/run_id={run_id}"
+    )
+    # COMMIT POINT
+    spark.createDataFrame(
+        [(run_id, len(active), 0)],
+        "run_id string, input_pages long, questions_written long",
+    ).write.mode("append").parquet(f"{out_dir}/runs")
+    # cleanup: every stats run dir on DISK numbered below the compaction
+    # (markers or not — this is where crash-orphaned garbage goes away)
+    for table in (STATS_TABLE, DOCS_TABLE):
+        base = f"{out_dir}/{table}"
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            m = _RUN_RE.match(d.removeprefix("run_id="))
+            if m and int(m.group(3)) < n_new:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    return {"compacted_runs": len(active), "run_id": run_id}
 
 
 def corpus_stat_report(
@@ -433,12 +534,18 @@ def main_content_docs(
     main: DataFrame,
     langs: DataFrame | None = None,
     group_col: str = "lang",
+    how: str = "left",
 ) -> DataFrame:
     """(doc_id, <group_col>, text, n_chars) from a main_content frame
     (htmlops MAIN_SCHEMA rows), optionally joined to a (doc_id,
     <group_col>) frame — a missing or undetected group folds under 'und'.
-    ONE implementation: the streaming fold and its equality tests must
-    derive identically or incremental != one-shot."""
+    The group pick for a duplicated doc_id is min(), not an arbitrary
+    dropDuplicates row, so every caller derives the same label.
+    ``how="inner"`` restricts the output to docs present in ``langs`` —
+    the streaming fold passes the batch's own frame there so a colliding
+    run directory from an older stream incarnation can never contribute
+    foreign rows. ONE implementation: the streaming fold and its equality
+    tests must derive identically or incremental != one-shot."""
     out = main.select(
         "doc_id",
         F.coalesce(F.col("main_text"), F.lit("")).alias("text"),
@@ -448,11 +555,11 @@ def main_content_docs(
     )
     if langs is not None:
         out = out.join(
-            langs.select(
-                "doc_id", F.col(group_col).cast("string").alias(group_col)
-            ).dropDuplicates(["doc_id"]),
+            langs.groupBy("doc_id").agg(
+                F.min(F.col(group_col).cast("string")).alias(group_col)
+            ),
             "doc_id",
-            "left",
+            how,
         )
     else:
         out = out.withColumn(group_col, F.lit(None).cast("string"))

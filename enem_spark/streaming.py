@@ -687,6 +687,13 @@ def start_html_stream(
             # whole batch was already-committed content, already folded
             # when its original batch ran
             if lineage._exists(run_dir):
+                # how="inner": fold ONLY this batch's docs. A fresh
+                # checkpoint incarnation restarts batch ids at 0, so this
+                # run_id can collide with an older incarnation's committed
+                # (or crash-orphaned) directory holding foreign docs —
+                # those rows must neither fold nor borrow this batch's
+                # group labels. Rows of this batch that the dir does hold
+                # are committed output; the cursor absorbs re-folds.
                 statstore.update_corpus_stats(
                     spark,
                     stats_dir,
@@ -694,6 +701,7 @@ def start_html_stream(
                         spark.read.parquet(run_dir),
                         batch_df.select("doc_id", stats_group),
                         group_col=stats_group,
+                        how="inner",
                     ),
                     group_col=stats_group,
                 )

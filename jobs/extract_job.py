@@ -124,6 +124,12 @@ def main() -> None:
     if args.warc and (not args.html or args.iceberg):
         ap.error("--warc is an --html input mode (container dir), "
                  "incompatible with --iceberg")
+    if args.stats_store and not (args.html and args.streaming):
+        # silently skipping the requested profiling would report success
+        # with no stats — same guard class as the other mode-scoped flags
+        ap.error("--stats-store folds per micro-batch: --html --streaming "
+                 "mode only (batch/iceberg profiling is "
+                 "ice_maintenance --stats)")
     if (args.normalize or args.mime_filter) and not args.iceberg:
         # silently ignoring a requested charset repair / payload triage
         # would extract raw bytes and report success — same guard class
@@ -155,16 +161,35 @@ def main() -> None:
             from enem_spark.lineage import committed_main_content
 
             main = committed_main_content(spark, args.output)
-            summary = {"main_rows": main.count() if main is not None else 0}
+            n_main = main.count() if main is not None else 0
+            summary = {"main_rows": n_main}
             if args.stats_store:
                 from enem_spark import statstore
 
-                summary["stats"] = [
-                    r.asDict()
-                    for r in statstore.corpus_stat_report(
-                        spark, args.stats_store
-                    ).orderBy("grp").collect()
-                ]
+                # one run dir per micro-batch accrues forever on a tail;
+                # fold them into one compaction run at the end of each
+                # invocation so the store stays O(1) dirs per job
+                summary["stats_compaction"] = statstore.compact_stats(
+                    spark, args.stats_store
+                )
+                try:
+                    report = [
+                        r.asDict()
+                        for r in statstore.corpus_stat_report(
+                            spark, args.stats_store
+                        ).orderBy("grp").collect()
+                    ]
+                except ValueError:
+                    # zero micro-batches fired and the store was never
+                    # committed: nothing to report, but the job succeeded
+                    report = []
+                summary["stats"] = report
+                folded = statstore.folded_doc_ids(spark, args.stats_store)
+                n_folded = folded.count() if folded is not None else 0
+                # runs committed before profiling was enabled never fold
+                # (each fold reads only its own batch's run dir) — surface
+                # the gap instead of reporting a silently partial profile
+                summary["stats_backfill_needed"] = n_folded != n_main
         elif args.iceberg:
             from enem_spark.icerun import run_html_extraction_ice
 

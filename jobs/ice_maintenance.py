@@ -140,15 +140,26 @@ def main() -> None:
         # dropDuplicates guards against duplicate rows WITHIN a snapshot —
         # identical doc_id means identical content, so any row serves.
         # CLI owns the persist (persist-with-owner rule): the O(table)
-        # content-hash + dropDuplicates shuffle would otherwise run once
-        # per store when both flags are on
-        docs = pages.select(
-            F.xxhash64("url", F.md5("html")).alias("doc_id"),
-            F.coalesce(F.col(args.stats_group).cast("string"), F.lit("und"))
-            .alias(args.stats_group),
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
-        ).dropDuplicates(["doc_id"]).persist()
+        # content-hash + per-doc reduce would otherwise run once per
+        # store when both flags are on. The per-doc pick is min(), not an
+        # arbitrary dropDuplicates row, so reruns and the twin tests
+        # derive identical labels for a duplicated doc_id.
+        docs = (
+            pages.select(
+                F.xxhash64("url", F.md5("html")).alias("doc_id"),
+                F.coalesce(
+                    F.col(args.stats_group).cast("string"), F.lit("und")
+                ).alias(args.stats_group),
+                F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.min(args.stats_group).alias(args.stats_group),
+                F.min("text").alias("text"),
+            )
+            .withColumn("n_chars", F.length("text"))
+            .persist()
+        )
 
         def profile(update, report) -> dict:
             res = update()

@@ -377,3 +377,102 @@ def test_streaming_stats_fold_matches_one_shot(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert spark.read.parquet(f"{stats}/runs").count() == n_batches
+
+
+def test_compaction_preserves_report_and_prunes_dirs(spark, tmp_path):
+    """compact_stats folds N active runs into one compaction run: the
+    report is bit-identical before/after, superseded run directories are
+    removed from disk, the cursor survives (replays still fold 0), and
+    crash-orphaned garbage numbered below the compaction is invisible to
+    readers and swept by the next compaction."""
+    docs = _docs(spark)
+    out = str(tmp_path / "s")
+    for m in (0, 1, 2):
+        statstore.update_corpus_stats(
+            spark, out, docs.filter(F.col("doc_id") % 3 <= m), **KW
+        )
+    before = _report_rows(spark, out)
+
+    r = statstore.compact_stats(spark, out, **KW)
+    assert r["compacted_runs"] == 3
+    assert r["run_id"] == statstore.stats_run_id(P, S, 4, compaction=True)
+    assert _report_rows(spark, out) == before
+    for table in (statstore.STATS_TABLE, statstore.DOCS_TABLE):
+        assert os.listdir(f"{out}/{table}") == [f"run_id={r['run_id']}"]
+
+    # cursor intact: a full replay folds nothing
+    assert statstore.update_corpus_stats(spark, out, docs, **KW)[
+        "up_to_date"
+    ]
+    # single active run -> compaction is a no-op
+    assert statstore.compact_stats(spark, out, **KW)["compacted_runs"] == 0
+
+    # crash-orphaned garbage below the compaction number: invisible to
+    # the report (reader rule), swept by the next compaction's cleanup
+    junk = statstore.stats_run_id(P, S, 2)
+    spark.createDataFrame(
+        [("web", "count", 0, 10**12)],
+        "grp string, sketch string, slot long, val long",
+    ).write.mode("overwrite").parquet(
+        f"{out}/{statstore.STATS_TABLE}/run_id={junk}"
+    )
+    assert _report_rows(spark, out) == before
+    statstore.update_corpus_stats(
+        spark,
+        out,
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000),
+        **KW,
+    )
+    r2 = statstore.compact_stats(spark, out, **KW)
+    assert r2["compacted_runs"] == 2
+    assert not os.path.exists(
+        f"{out}/{statstore.STATS_TABLE}/run_id={junk}"
+    )
+
+
+def test_streaming_fold_ignores_foreign_rows_in_colliding_run_dir(
+    spark, tmp_path
+):
+    """A fresh checkpoint incarnation restarts batch ids at 0, so its
+    run_id can collide with an older incarnation's committed directory.
+    The fold must take ONLY the current batch's docs from it — foreign
+    rows must neither fold nor be mislabeled 'und'."""
+    from enem_spark import htmlops as H
+    from enem_spark.lineage import run_html_extraction
+    from enem_spark.streaming import read_html_pages_stream, start_html_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pages = H.synth_html_pages(docs).persist()
+    out = str(tmp_path / "out")
+    stats = str(tmp_path / "stats")
+
+    # incarnation 1 (NO profiling): batch 0 committed the whole corpus
+    run_html_extraction(
+        spark, pages, out, run_id="html_batch_000000000000"
+    )
+
+    # incarnation 2 (fresh checkpoint, profiling ON): its batch 0 holds
+    # ONE already-committed page -> extraction no-ops, the colliding run
+    # dir still holds the whole corpus
+    one = pages.orderBy("doc_id").limit(1).persist()
+    one_lang = one.collect()[0]["lang"]
+    src = str(tmp_path / "src")
+    one.write.parquet(src)
+    q = start_html_stream(
+        read_html_pages_stream(spark, src, watermark="10 seconds"),
+        out,
+        str(tmp_path / "ckpt2"),
+        available_now=True,
+        stats_dir=stats,
+    )
+    q.awaitTermination(300)
+    pages.unpersist()
+    one.unpersist()
+
+    rep = statstore.corpus_stat_report(spark, stats).collect()
+    assert {r.grp for r in rep} == {one_lang}
+    assert sum(r.n_docs for r in rep) == 1
+
+    # and the completeness probe sees the gap the old incarnation left
+    n_folded = statstore.folded_doc_ids(spark, stats).count()
+    assert n_folded == 1 and n_folded != pages.count()
