@@ -401,18 +401,23 @@ def corpus_stat_report(
 TERMS_TABLE = "term_cms"
 CANDS_TABLE = "term_cands"
 TERM_DOCS_TABLE = "term_docs"
-_TERM_RUN_RE = re.compile(r"^terms(\d+)x(\d+)m(\d+)_(\d{6,})$")
+# trailing 'c' = compaction run, same reader rule as the stats store
+_TERM_RUN_RE = re.compile(r"^terms(\d+)x(\d+)m(\d+)_(\d{6,})(c?)$")
 
 
-def term_run_id(depth: int, width: int, sample_mod: int, n: int) -> str:
-    return f"terms{depth}x{width}m{sample_mod}_{n:06d}"
+def term_run_id(
+    depth: int, width: int, sample_mod: int, n: int, compaction: bool = False
+) -> str:
+    return f"terms{depth}x{width}m{sample_mod}_{n:06d}" + (
+        "c" if compaction else ""
+    )
 
 
 def _committed_term_runs(
     spark: SparkSession,
     out_dir: str,
     committed: DataFrame | None = None,
-) -> list[tuple[int, int, int, int]]:
+) -> list[tuple[int, int, int, int, bool]]:
     if committed is None:
         committed = lineage.committed_run_ids(spark, out_dir)
     if committed is None:
@@ -421,12 +426,24 @@ def _committed_term_runs(
     for r in committed.collect():
         m = _TERM_RUN_RE.match(r.run_id)
         if m:
-            out.append(tuple(int(g) for g in m.groups()))
+            out.append(
+                tuple(int(g) for g in m.groups()[:4]) + (m.group(5) == "c",)
+            )
     return out
 
 
+def _active_term_ids(runs: list[tuple[int, int, int, int, bool]]) -> list[str]:
+    """Same reader rule as _active_run_ids, for the terms namespace."""
+    ncomp = max((n for _, _, _, n, c in runs if c), default=0)
+    return [
+        term_run_id(d, w, m, n, compaction=c)
+        for d, w, m, n, c in runs
+        if n >= ncomp
+    ]
+
+
 def _check_term_config(
-    runs: list[tuple[int, int, int, int]],
+    runs: list[tuple[int, int, int, int, bool]],
     depth: int,
     width: int,
     sample_mod: int,
@@ -466,11 +483,12 @@ def update_term_sketch(
     runs = _committed_term_runs(spark, out_dir, committed)
     _check_term_config(runs, depth, width, sample_mod)
     docs = source.select("doc_id", group_col, "text")
-    if committed is not None:
-        seen = _committed_table(spark, out_dir, TERM_DOCS_TABLE, committed)
-        if seen is not None:
-            # unbounded across runs -> no broadcast hint; AQE handles it
-            docs = docs.join(seen.select("doc_id"), "doc_id", "left_anti")
+    seen = _active_table(
+        spark, out_dir, TERM_DOCS_TABLE, _active_term_ids(runs)
+    )
+    if seen is not None:
+        # unbounded across runs -> no broadcast hint; AQE handles it
+        docs = docs.join(seen.select("doc_id"), "doc_id", "left_anti")
     run_id = term_run_id(
         depth, width, sample_mod, max((r[3] for r in runs), default=0) + 1
     )
@@ -520,14 +538,72 @@ def top_term_report(
     _check_term_config(runs, depth, width, sample_mod)
     if not runs:
         raise ValueError(f"no committed term run under {out_dir}")
+    active = _active_term_ids(runs)
     sketch = (
-        _committed_table(spark, out_dir, TERMS_TABLE, committed)
+        _active_table(spark, out_dir, TERMS_TABLE, active)
         .groupBy("grp", "row", "col")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    cands = _committed_table(spark, out_dir, CANDS_TABLE, committed)
+    cands = _active_table(spark, out_dir, CANDS_TABLE, active)
     est = textops.cms_estimate(sketch, cands, ["grp"], "v", depth, width)
     return textops._cms_rank_topk(est, k, group_col)
+
+
+def compact_terms(
+    spark: SparkSession,
+    out_dir: str,
+    depth: int = textops.CMS_DEPTH,
+    width: int = textops.CMS_WIDTH,
+    sample_mod: int = textops.CMS_SAMPLE_MOD,
+) -> dict:
+    """compact_stats for the terms namespace: merged registers (cell-wise
+    SUM), distinct-union candidates, and the full cursor written under
+    `terms..._{n}c`, marker committed, superseded dirs swept. Same reader
+    rule: a crash after the commit leaves invisible garbage, never a
+    double count."""
+    import os
+    import shutil
+
+    committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_term_runs(spark, out_dir, committed)
+    _check_term_config(runs, depth, width, sample_mod)
+    active = _active_term_ids(runs)
+    if len(active) <= 1:
+        return {"compacted_runs": 0, "run_id": None}
+    n_new = max(n for _, _, _, n, _ in runs) + 1
+    run_id = term_run_id(depth, width, sample_mod, n_new, compaction=True)
+    (
+        _active_table(spark, out_dir, TERMS_TABLE, active)
+        .groupBy("grp", "row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/{TERMS_TABLE}/run_id={run_id}")
+    )
+    (
+        _active_table(spark, out_dir, CANDS_TABLE, active)
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/{CANDS_TABLE}/run_id={run_id}")
+    )
+    (
+        _active_table(spark, out_dir, TERM_DOCS_TABLE, active)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/{TERM_DOCS_TABLE}/run_id={run_id}")
+    )
+    # COMMIT POINT
+    spark.createDataFrame(
+        [(run_id, len(active), 0)],
+        "run_id string, input_pages long, questions_written long",
+    ).write.mode("append").parquet(f"{out_dir}/runs")
+    for table in (TERMS_TABLE, CANDS_TABLE, TERM_DOCS_TABLE):
+        base = f"{out_dir}/{table}"
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            m = _TERM_RUN_RE.match(d.removeprefix("run_id="))
+            if m and int(m.group(4)) < n_new:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    return {"compacted_runs": len(active), "run_id": run_id}
 
 
 def main_content_docs(

@@ -161,8 +161,11 @@ def main() -> None:
             .persist()
         )
 
-        def profile(update, report) -> dict:
+        def profile(update, compact, report) -> dict:
             res = update()
+            # nightly auto-compaction keeps the store at O(1) run dirs
+            # however many nights accrue (no-op at <= 1 active run)
+            comp = compact()
             try:
                 rep = [r.asDict() for r in report().collect()]
             except ValueError:
@@ -170,7 +173,7 @@ def main() -> None:
                 # commits nothing, so there is nothing to report — the
                 # earlier actions' summary must still print
                 rep = []
-            return {**res, "report": rep}
+            return {**res, "compaction": comp, "report": rep}
 
         try:
             if args.stats:
@@ -178,6 +181,7 @@ def main() -> None:
                     lambda: statstore.update_corpus_stats(
                         spark, args.stats, docs, group_col=args.stats_group
                     ),
+                    lambda: statstore.compact_stats(spark, args.stats),
                     lambda: statstore.corpus_stat_report(
                         spark, args.stats
                     ).orderBy("grp"),
@@ -187,6 +191,7 @@ def main() -> None:
                     lambda: statstore.update_term_sketch(
                         spark, args.terms, docs, group_col=args.stats_group
                     ),
+                    lambda: statstore.compact_terms(spark, args.terms),
                     lambda: statstore.top_term_report(
                         spark, args.terms, k=args.terms_k,
                         group_col=args.stats_group,

@@ -476,3 +476,42 @@ def test_streaming_fold_ignores_foreign_rows_in_colliding_run_dir(
     # and the completeness probe sees the gap the old incarnation left
     n_folded = statstore.folded_doc_ids(spark, stats).count()
     assert n_folded == 1 and n_folded != pages.count()
+
+
+def test_term_compaction_preserves_report_and_prunes_dirs(spark, tmp_path):
+    """compact_terms: top_term_report is identical before/after, the three
+    term tables are pruned to the single compaction run, and the cursor
+    survives (full replay folds 0)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out = str(tmp_path / "t")
+    for m in (0, 1, 2):
+        statstore.update_term_sketch(
+            spark, out, docs.filter(F.col("doc_id") % 3 <= m), **TKW
+        )
+    before = sorted(
+        tuple(x)
+        for x in statstore.top_term_report(spark, out, k=7, **TKW).collect()
+    )
+
+    r = statstore.compact_terms(spark, out, **TKW)
+    assert r["compacted_runs"] == 3
+    assert r["run_id"] == statstore.term_run_id(
+        TKW["depth"], TKW["width"], TKW["sample_mod"], 4, compaction=True
+    )
+    after = sorted(
+        tuple(x)
+        for x in statstore.top_term_report(spark, out, k=7, **TKW).collect()
+    )
+    assert after == before
+    for table in (
+        statstore.TERMS_TABLE,
+        statstore.CANDS_TABLE,
+        statstore.TERM_DOCS_TABLE,
+    ):
+        assert os.listdir(f"{out}/{table}") == [f"run_id={r['run_id']}"]
+    assert statstore.update_term_sketch(spark, out, docs, **TKW)[
+        "up_to_date"
+    ]
+    assert statstore.compact_terms(spark, out, **TKW)["compacted_runs"] == 0
