@@ -117,8 +117,10 @@ def _active_table(
     spark: SparkSession, out_dir: str, table: str, active_ids: list[str]
 ) -> DataFrame | None:
     """Rows of one stats side-output table restricted to the ACTIVE run
-    set (lineage._exists for the same _temporary-wedge reason as
-    _committed_table)."""
+    set. lineage._exists, not os.path.exists: a crashed attempt can leave
+    only _temporary under the table dir, and reading that wedges every
+    retry in UNABLE_TO_INFER_SCHEMA (the exact failure the runs protocol
+    exists to survive)."""
     path = f"{out_dir}/{table}"
     if not active_ids or not lineage._exists(path):
         return None
@@ -204,22 +206,23 @@ def committed_stats(
     )
 
 
-def _committed_table(
-    spark: SparkSession, out_dir: str, table: str, committed: DataFrame
-) -> DataFrame | None:
-    """Committed rows of one side-output table. lineage._exists, not
-    os.path.exists: a crashed attempt can leave only _temporary under the
-    table dir, and reading that wedges every retry in
-    UNABLE_TO_INFER_SCHEMA (the exact failure the runs protocol exists to
-    survive)."""
-    path = f"{out_dir}/{table}"
-    if not lineage._exists(path):
-        return None
-    return (
-        spark.read.parquet(path)
-        .join(committed, "run_id", "left_semi")
-        .drop("run_id")
-    )
+def _sweep_below(
+    out_dir: str, tables: tuple, run_re: re.Pattern, n_group: int, n_new: int
+) -> None:
+    """Delete every run dir on DISK numbered below a compaction (markers
+    or not — this is where crash-orphaned garbage goes away). Shared by
+    both namespaces' compactions."""
+    import os
+    import shutil
+
+    for table in tables:
+        base = f"{out_dir}/{table}"
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            m = run_re.match(d.removeprefix("run_id="))
+            if m and int(m.group(n_group)) < n_new:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
 
 def update_corpus_stats(
@@ -283,6 +286,7 @@ def compact_stats(
     out_dir: str,
     p: int = textops.HLL_P,
     sub_bits: int = textops.QSKETCH_SUB_BITS,
+    min_runs: int = 2,
 ) -> dict:
     """Fold every active stats run into ONE compaction run so a
     long-lived per-micro-batch fold (start_html_stream stats_dir) doesn't
@@ -293,15 +297,18 @@ def compact_stats(
     trust only runs numbered >= the latest compaction, so a crash after
     the commit but before the cleanup leaves invisible garbage, never a
     double count — the next compaction's cleanup sweep (numbered-below
-    scan of the dirs on disk) removes it."""
-    import os
-    import shutil
+    scan of the dirs on disk) removes it.
 
+    Compaction rewrites the FULL cursor (O(corpus) doc_ids), so a caller
+    on a schedule should amortize it: ``min_runs`` fires it only once the
+    active set reaches that many runs (default 2 = whenever there is
+    anything to merge — right for an end-of-stream-job compaction of many
+    micro-batch runs, too eager for a nightly tick over a huge table)."""
     committed = lineage.committed_run_ids(spark, out_dir)
     runs = _committed_stats_runs(spark, out_dir, committed)
     _check_config(runs, p, sub_bits)
     active = _active_run_ids(runs)
-    if len(active) <= 1:
+    if len(active) < max(min_runs, 2):
         return {"compacted_runs": 0, "run_id": None}
     n_new = max(n for _, _, n, _ in runs) + 1
     run_id = stats_run_id(p, sub_bits, n_new, compaction=True)
@@ -318,16 +325,7 @@ def compact_stats(
         [(run_id, len(active), 0)],
         "run_id string, input_pages long, questions_written long",
     ).write.mode("append").parquet(f"{out_dir}/runs")
-    # cleanup: every stats run dir on DISK numbered below the compaction
-    # (markers or not — this is where crash-orphaned garbage goes away)
-    for table in (STATS_TABLE, DOCS_TABLE):
-        base = f"{out_dir}/{table}"
-        if not os.path.isdir(base):
-            continue
-        for d in os.listdir(base):
-            m = _RUN_RE.match(d.removeprefix("run_id="))
-            if m and int(m.group(3)) < n_new:
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    _sweep_below(out_dir, (STATS_TABLE, DOCS_TABLE), _RUN_RE, 3, n_new)
     return {"compacted_runs": len(active), "run_id": run_id}
 
 
@@ -539,14 +537,23 @@ def top_term_report(
     if not runs:
         raise ValueError(f"no committed term run under {out_dir}")
     active = _active_term_ids(runs)
-    sketch = (
+    sketch = _merged_term_sketch(spark, out_dir, active)
+    cands = _active_table(spark, out_dir, CANDS_TABLE, active)
+    est = textops.cms_estimate(sketch, cands, ["grp"], "v", depth, width)
+    return textops._cms_rank_topk(est, k, group_col)
+
+
+def _merged_term_sketch(
+    spark: SparkSession, out_dir: str, active: list[str]
+) -> DataFrame:
+    """Cell-wise SUM merge of the active CMS register runs — ONE
+    implementation shared by the report and the compaction, so compacted
+    state can never diverge from what the report computes."""
+    return (
         _active_table(spark, out_dir, TERMS_TABLE, active)
         .groupBy("grp", "row", "col")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    cands = _active_table(spark, out_dir, CANDS_TABLE, active)
-    est = textops.cms_estimate(sketch, cands, ["grp"], "v", depth, width)
-    return textops._cms_rank_topk(est, k, group_col)
 
 
 def compact_terms(
@@ -555,27 +562,24 @@ def compact_terms(
     depth: int = textops.CMS_DEPTH,
     width: int = textops.CMS_WIDTH,
     sample_mod: int = textops.CMS_SAMPLE_MOD,
+    min_runs: int = 2,
 ) -> dict:
     """compact_stats for the terms namespace: merged registers (cell-wise
     SUM), distinct-union candidates, and the full cursor written under
     `terms..._{n}c`, marker committed, superseded dirs swept. Same reader
     rule: a crash after the commit leaves invisible garbage, never a
-    double count."""
-    import os
-    import shutil
-
+    double count. Same ``min_runs`` amortization: the rewrite is
+    O(cursor + sampled vocabulary), so fire it once enough runs accrue."""
     committed = lineage.committed_run_ids(spark, out_dir)
     runs = _committed_term_runs(spark, out_dir, committed)
     _check_term_config(runs, depth, width, sample_mod)
     active = _active_term_ids(runs)
-    if len(active) <= 1:
+    if len(active) < max(min_runs, 2):
         return {"compacted_runs": 0, "run_id": None}
     n_new = max(n for _, _, _, n, _ in runs) + 1
     run_id = term_run_id(depth, width, sample_mod, n_new, compaction=True)
     (
-        _active_table(spark, out_dir, TERMS_TABLE, active)
-        .groupBy("grp", "row", "col")
-        .agg(F.sum("cnt").alias("cnt"))
+        _merged_term_sketch(spark, out_dir, active)
         .write.mode("overwrite")
         .parquet(f"{out_dir}/{TERMS_TABLE}/run_id={run_id}")
     )
@@ -595,14 +599,13 @@ def compact_terms(
         [(run_id, len(active), 0)],
         "run_id string, input_pages long, questions_written long",
     ).write.mode("append").parquet(f"{out_dir}/runs")
-    for table in (TERMS_TABLE, CANDS_TABLE, TERM_DOCS_TABLE):
-        base = f"{out_dir}/{table}"
-        if not os.path.isdir(base):
-            continue
-        for d in os.listdir(base):
-            m = _TERM_RUN_RE.match(d.removeprefix("run_id="))
-            if m and int(m.group(4)) < n_new:
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    _sweep_below(
+        out_dir,
+        (TERMS_TABLE, CANDS_TABLE, TERM_DOCS_TABLE),
+        _TERM_RUN_RE,
+        4,
+        n_new,
+    )
     return {"compacted_runs": len(active), "run_id": run_id}
 
 

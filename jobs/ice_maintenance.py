@@ -161,10 +161,13 @@ def main() -> None:
             .persist()
         )
 
+        # compaction rewrites the full cursor (O(corpus) doc_ids), so the
+        # nightly tick amortizes it over ~a week of delta runs instead of
+        # paying it every night
+        NIGHTLY_COMPACT_MIN_RUNS = 8
+
         def profile(update, compact, report) -> dict:
             res = update()
-            # nightly auto-compaction keeps the store at O(1) run dirs
-            # however many nights accrue (no-op at <= 1 active run)
             comp = compact()
             try:
                 rep = [r.asDict() for r in report().collect()]
@@ -181,7 +184,10 @@ def main() -> None:
                     lambda: statstore.update_corpus_stats(
                         spark, args.stats, docs, group_col=args.stats_group
                     ),
-                    lambda: statstore.compact_stats(spark, args.stats),
+                    lambda: statstore.compact_stats(
+                        spark, args.stats,
+                        min_runs=NIGHTLY_COMPACT_MIN_RUNS,
+                    ),
                     lambda: statstore.corpus_stat_report(
                         spark, args.stats
                     ).orderBy("grp"),
@@ -191,7 +197,10 @@ def main() -> None:
                     lambda: statstore.update_term_sketch(
                         spark, args.terms, docs, group_col=args.stats_group
                     ),
-                    lambda: statstore.compact_terms(spark, args.terms),
+                    lambda: statstore.compact_terms(
+                        spark, args.terms,
+                        min_runs=NIGHTLY_COMPACT_MIN_RUNS,
+                    ),
                     lambda: statstore.top_term_report(
                         spark, args.terms, k=args.terms_k,
                         group_col=args.stats_group,
