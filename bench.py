@@ -1094,9 +1094,11 @@ def run_stats_bench(sf_dir: str, cpus: str, mult: int = 8) -> dict:
         spark.read.parquet(f"{sf_dir}/documents.parquet"), mult
     ).select("doc_id", "source", "text", "n_chars")
     n_docs = docs.count()
-    # ~2% new content versions: fresh doc_ids, lightly mutated text
+    # ~2% new content versions: fresh doc_ids ((mult+1)* so the offset
+    # clears the replicated id range at ANY --mult, including 0/1),
+    # lightly mutated text
     delta = docs.filter(F.col("doc_id") % 53 == 0).select(
-        (F.col("doc_id") + F.lit(mult * 10_000_000)).alias("doc_id"),
+        (F.col("doc_id") + F.lit((mult + 1) * 10_000_000)).alias("doc_id"),
         "source",
         F.concat(F.col("text"), F.lit(" conteudo atualizado")).alias("text"),
         (F.col("n_chars") + F.lit(20)).alias("n_chars"),
@@ -1113,21 +1115,36 @@ def run_stats_bench(sf_dir: str, cpus: str, mult: int = 8) -> dict:
             statstore.update_corpus_stats(spark, store, docs)
             walls["full"].append(round(time.perf_counter() - t0, 3))
 
-            # the nightly refresh: fold whatever is new, report from the
-            # persisted state (never re-reading committed text)
+            # the nightly refresh: fold the delta (the incremental-input
+            # shape — a crawl increment / streaming batch arrives as its
+            # own frame), report from persisted state. Committed text is
+            # never re-read; the cursor anti-join still runs (replay
+            # safety) but probes only the delta.
             t1 = time.perf_counter()
-            r = statstore.update_corpus_stats(spark, store, both)
+            r = statstore.update_corpus_stats(spark, store, delta)
             statstore.corpus_stat_report(spark, store).collect()
             walls["incr"].append(round(time.perf_counter() - t1, 3))
             assert r["folded"] == n_delta, (r, n_delta)
 
-            # the no-store counterfactual: same report recomputed from the
-            # grown corpus's raw text
-            fresh = os.path.join(base, f"fresh{k}")
+            # the no-store counterfactual: the same report computed
+            # straight from the grown corpus's raw text — NO store build,
+            # writes, or commit actions in the timed window (that would
+            # inflate this column by ~3 write actions and flatter the
+            # ratio); one persisted tokenize shared by the report branches
             t2 = time.perf_counter()
-            statstore.update_corpus_stats(spark, fresh, both)
-            statstore.corpus_stat_report(spark, fresh).collect()
+            owned: list = []
+            statstore.one_shot_report(both, persist_to=owned).collect()
             walls["recompute"].append(round(time.perf_counter() - t2, 3))
+            for df in owned:
+                df.unpersist()
+        # this host's per-Spark-action latency floor (shared VM): a 1-row
+        # write, timed — the constant that dominates the incr wall at toy
+        # sizes, recorded so cross-run readers can normalize
+        t3 = time.perf_counter()
+        spark.createDataFrame(
+            [("probe", 0, 0)], "a string, b long, c long"
+        ).write.mode("overwrite").parquet(os.path.join(base, "probe"))
+        action_floor = time.perf_counter() - t3
         full_wall = min(walls["full"])
         incr_wall = min(walls["incr"])
         rec_wall = min(walls["recompute"])
@@ -1146,6 +1163,7 @@ def run_stats_bench(sf_dir: str, cpus: str, mult: int = 8) -> dict:
             "recompute_wall_sec": rec_wall,
             "trial_walls": walls,
             "wall_ratio_incr_vs_recompute": round(incr_wall / rec_wall, 4),
+            "action_floor_sec": round(action_floor, 3),
             "hw_probe_mops": hw_probe,
         }
     finally:

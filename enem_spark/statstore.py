@@ -343,8 +343,38 @@ def corpus_stat_report(
     state = committed_stats(spark, out_dir, p, sub_bits)
     if state is None:
         raise ValueError(f"no committed stats run under {out_dir}")
+    return _report_from_state(state, qs, p, sub_bits)
+
+
+def one_shot_report(
+    docs: DataFrame,
+    group_col: str = "source",
+    qs: tuple = (0.5, 0.9, 0.99),
+    p: int = textops.HLL_P,
+    sub_bits: int = textops.QSKETCH_SUB_BITS,
+    persist_to: list | None = None,
+) -> DataFrame:
+    """The report computed straight from raw text with NO store, writes,
+    or commits — what a dashboard without the incremental store pays per
+    refresh, and the honest recompute counterfactual the bench times.
+    Composes the same _delta_state / _report_from_state kernels the store
+    uses, so it equals corpus_stat_report over any partition of ``docs``
+    into committed increments. The report reads its state three times
+    (counts / vocab / quantile branches); pass ``persist_to`` (the
+    persist-with-owner rule: caller unpersists after consuming) to
+    tokenize the corpus once instead of once per branch."""
+    state = _delta_state(docs, group_col, p, sub_bits)
+    if persist_to is not None:
+        state = state.persist()
+        persist_to.append(state)
+    return _report_from_state(state, qs, p, sub_bits)
+
+
+def _report_from_state(
+    state: DataFrame, qs: tuple, p: int, sub_bits: int
+) -> DataFrame:
     # no persist: the state table is <= groups * (2^p + bins + 2) rows —
-    # re-reading the committed parquet per branch is cheaper than owning a
+    # re-reading the source per branch is cheaper than owning a
     # cache lifetime here (persist-with-owner rule)
     counts = (
         state.filter(F.col("sketch") == "count")
