@@ -666,11 +666,32 @@ def start_html_stream(
     from . import lineage, statstore
     from .lineage import run_html_extraction
 
+    # a live tail never reaches the end-of-job compaction, so the fold
+    # compacts itself once this many run dirs accrue — one O(cursor)
+    # rewrite amortized over 64 micro-batches
+    STATS_COMPACT_MIN_RUNS = 64
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        run_id = f"html_batch_{batch_id:012d}"
         spark = batch_df.sparkSession
+        # A fresh checkpoint incarnation restarts batch ids at 0, so the
+        # base id can already be COMMITTED by an older incarnation with
+        # DIFFERENT content — overwriting that dir would destroy committed
+        # rows. Suffix-derive a new id exactly like icerun's replay scheme
+        # (the f-suffix sorts after the base and before the next batch, so
+        # current_main_content's string-ordered recency stays correct).
+        base_id = f"html_batch_{batch_id:012d}"
+        committed = lineage.committed_run_ids(spark, out_dir)
+        ids = (
+            {r.run_id for r in committed.collect()}
+            if committed is not None
+            else set()
+        )
+        run_id = base_id
+        if base_id in ids:
+            n = 1 + sum(1 for i in ids if i.startswith(f"{base_id}f"))
+            run_id = f"{base_id}f{n:06d}"
         run_html_extraction(
             spark,
             batch_df,
@@ -679,31 +700,39 @@ def start_html_stream(
             with_anchors=with_anchors,
         )
         if stats_dir:
-            run_dir = f"{out_dir}/main_content/run_id={run_id}"
-            # by the time run_html_extraction returns, an existing dir for
-            # THIS run_id is committed (a crashed attempt's orphan was
-            # either overwritten+committed just now, or could not exist
-            # because a no-op run extracts nothing); absent dir == the
-            # whole batch was already-committed content, already folded
-            # when its original batch ran
-            if lineage._exists(run_dir):
-                # how="inner": fold ONLY this batch's docs. A fresh
-                # checkpoint incarnation restarts batch ids at 0, so this
-                # run_id can collide with an older incarnation's committed
-                # (or crash-orphaned) directory holding foreign docs —
-                # those rows must neither fold nor borrow this batch's
-                # group labels. Rows of this batch that the dir does hold
-                # are committed output; the cursor absorbs re-folds.
+            # fold from every COMMITTED dir of this batch family — the one
+            # just written plus base/f-suffixed dirs committed by earlier
+            # attempts (a crash between THEIR extraction commit and stats
+            # fold heals here, since the cursor absorbs rows already
+            # folded). A family dir that exists but was never committed is
+            # impossible by now: its docs were uncommitted, so this
+            # attempt re-derived the same run_id and overwrote it.
+            family = {i for i in ids if i == base_id or i.startswith(f"{base_id}f")}
+            family.add(run_id)
+            dirs = [
+                d
+                for i in sorted(family)
+                if lineage._exists(d := f"{out_dir}/main_content/run_id={i}")
+            ]
+            if dirs:
+                # how="inner": fold ONLY this batch's docs — a colliding
+                # dir can hold rows of a different batch composition, and
+                # those must neither fold nor borrow this batch's group
+                # labels (they fold when THEIR batch runs, or surface in
+                # the backfill probe if profiling started later).
                 statstore.update_corpus_stats(
                     spark,
                     stats_dir,
                     statstore.main_content_docs(
-                        spark.read.parquet(run_dir),
+                        spark.read.parquet(*dirs),
                         batch_df.select("doc_id", stats_group),
                         group_col=stats_group,
                         how="inner",
                     ),
                     group_col=stats_group,
+                )
+                statstore.compact_stats(
+                    spark, stats_dir, min_runs=STATS_COMPACT_MIN_RUNS
                 )
 
     writer = (

@@ -515,3 +515,52 @@ def test_term_compaction_preserves_report_and_prunes_dirs(spark, tmp_path):
         "up_to_date"
     ]
     assert statstore.compact_terms(spark, out, **TKW)["compacted_runs"] == 0
+
+
+def test_colliding_incarnation_mixed_batch_preserves_committed_rows(
+    spark, tmp_path
+):
+    """If a fresh incarnation's batch 0 contains a NEW doc, the extraction
+    must commit it under a suffix-derived run id — overwriting the old
+    incarnation's html_batch_000000000000 dir would destroy committed
+    rows. The stats fold covers both the new doc (from the new dir) and
+    the batch's already-committed doc (healed from the base dir)."""
+    from enem_spark import htmlops as H
+    from enem_spark.lineage import committed_main_content, run_html_extraction
+    from enem_spark.streaming import read_html_pages_stream, start_html_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pages = H.synth_html_pages(docs).persist()
+    n_all = pages.count()
+    out = str(tmp_path / "out")
+    stats = str(tmp_path / "stats")
+    run_html_extraction(spark, pages, out, run_id="html_batch_000000000000")
+
+    # batch 0 of the new incarnation: one committed page + one NEW page
+    old_one = pages.orderBy("doc_id").limit(1)
+    new_one = old_one.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("url"), F.lit("?v=2")).alias("url"),
+        "warc_ts",
+        "html",
+        "lang",
+    )
+    src = str(tmp_path / "src")
+    old_one.unionByName(new_one).write.parquet(src)
+    q = start_html_stream(
+        read_html_pages_stream(spark, src, watermark="10 seconds"),
+        out,
+        str(tmp_path / "ckpt2"),
+        available_now=True,
+        stats_dir=stats,
+    )
+    q.awaitTermination(300)
+    pages.unpersist()
+
+    got = committed_main_content(spark, out)
+    # every old committed row survived, plus the new doc
+    assert got.count() == n_all + 1
+    runs = {r.run_id for r in spark.read.parquet(f"{out}/runs").select("run_id").collect()}
+    assert "html_batch_000000000000f000001" in runs
+    # stats folded exactly the batch's two docs (new + healed old)
+    assert statstore.folded_doc_ids(spark, stats).count() == 2
