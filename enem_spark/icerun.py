@@ -197,8 +197,7 @@ def run_html_extraction_ice(
         # run-recency order stays correct; deriving n from COMMITTED
         # recovery runs keeps a crashed recovery attempt's retry on the
         # same id (deterministic overwrite, per the lineage protocol).
-        n = 1 + sum(1 for i in committed_ids if i.startswith(f"{run_id}f"))
-        run_id = f"{run_id}f{n:06d}"
+        run_id = lineage.derive_replay_run_id(committed_ids, run_id)
 
     if since is not None and since >= tip:
         return {
@@ -285,7 +284,18 @@ def current_main_content(spark: SparkSession, out_dir: str) -> DataFrame | None:
     committed = lineage.committed_run_ids(spark, out_dir)
     if os.path.exists(fl_path) and committed is not None:
         fl = spark.read.parquet(fl_path).join(committed, "run_id", "left_semi")
-        w = W.partitionBy("url").orderBy(F.col("run_id").desc())
+        # stream fetch logs carry event time: micro-batch run ids are NOT
+        # monotonic across checkpoint incarnations (a replay-suffixed
+        # batch-0 id sorts below an older incarnation's batch-5), so
+        # recency is the fetch's own warc_ts; run_id only breaks exact
+        # ties. Ice logs omit the column — their snapshot-sequenced ids
+        # ARE monotonic.
+        order = (
+            [F.col("warc_ts").desc(), F.col("run_id").desc()]
+            if "warc_ts" in fl.columns
+            else [F.col("run_id").desc()]
+        )
+        w = W.partitionBy("url").orderBy(*order)
         latest = (
             fl.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -146,6 +146,21 @@ def _exists(path: str) -> bool:
     return False
 
 
+def derive_replay_run_id(committed_ids, base_id: str) -> str:
+    """``base_id`` if it was never committed, else ``base_idf{n:06d}`` —
+    the deterministic replay-id scheme shared by icerun's recovery flow
+    and the html stream's checkpoint-incarnation collisions. Reusing a
+    COMMITTED id would overwrite that run's committed side outputs in
+    place (the overwrite-dir protocol is for retrying CRASHED attempts
+    only); the f-suffix sorts between the base and the next base id, and
+    counting n from COMMITTED suffixed ids keeps a crashed attempt's
+    retry on the same id (deterministic overwrite)."""
+    if base_id not in committed_ids:
+        return base_id
+    n = 1 + sum(1 for i in committed_ids if i.startswith(f"{base_id}f"))
+    return f"{base_id}f{n:06d}"
+
+
 def committed_run_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = f"{out_dir}/runs"
     if not _exists(path):
@@ -437,6 +452,7 @@ def run_html_extraction(
     out_dir: str,
     run_id: str,
     with_anchors: bool = False,
+    fetch_log: DataFrame | None = None,
 ) -> dict:
     """One checkpoint-resumable DOM-extraction run over a CC pages table
     (doc_id, url, html binary, ...) — the north rule's web-page pipeline
@@ -457,7 +473,18 @@ def run_html_extraction(
     out_dir with committed anchor-less runs yields an anchors table that
     covers only the docs processed from then on (the returned summary's
     `anchors_backfill_needed` flags this). Backfilling means a fresh
-    out_dir or an explicit re-run of the old inputs there."""
+    out_dir or an explicit re-run of the old inputs there.
+
+    ``fetch_log`` is the streaming path's event-time serving anchor: a
+    (url, warc_ts, doc_id) frame of THIS run's fetches, written for EVERY
+    unit — including ones whose content was already extracted — and
+    committed even when the extraction itself no-ops (a marker-only run).
+    Without it, a url whose content re-arrives or REVERTS never advances
+    its latest-fetch pointer, and the serving view's run-recency fallback
+    mis-ranks replay-suffixed run ids (stream batch ids are NOT monotonic
+    across checkpoint incarnations — warc_ts is, which is why the stream
+    log carries it while icerun's snapshot-sequenced log does not need
+    to)."""
     work = pages.select("doc_id", "url", "html")
     done = processed_doc_ids(spark, out_dir)
     # definitely-missing detection: prior committed runs exist and the
@@ -472,9 +499,38 @@ def run_html_extraction(
     extracted = instrumented_html_stage(work, with_anchors=with_anchors).persist()
     try:
         n_pages = extracted.count()
+        if fetch_log is not None:
+            fetch_log.select("url", "warc_ts", "doc_id").write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/fetch_log/run_id={run_id}")
         if n_pages == 0:
-            # nothing to do — write nothing (an empty overwrite of a reused
-            # run_id dir must not erase a previous attempt's output)
+            if fetch_log is None:
+                # nothing to do — write nothing (an empty overwrite of a
+                # reused run_id dir must not erase a previous attempt's
+                # output)
+                return {
+                    "run_id": run_id,
+                    "input_pages": 0,
+                    "main_rows": 0,
+                    "anchors_backfill_needed": backfill_needed,
+                }
+            # marker-only commit: the fetch_log above must become visible
+            # (the revert/re-arrival case extracts nothing but still moves
+            # the url's latest-fetch pointer). Committing makes THIS
+            # run_id's dirs visible, so clear stale orphans a crashed
+            # prior attempt of an abandoned incarnation may have left for
+            # tables this attempt did not write.
+            import shutil
+
+            for table in ("main_content", "anchors", "lineage",
+                          "processed_docs"):
+                stale = f"{out_dir}/{table}/run_id={run_id}"
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+            spark.createDataFrame(
+                [(run_id, 0, 0)],
+                "run_id string, input_pages long, questions_written long",
+            ).write.mode("append").parquet(f"{out_dir}/runs")
             return {
                 "run_id": run_id,
                 "input_pages": 0,
@@ -518,10 +574,15 @@ def run_html_extraction(
 
         # n_pages > 0 here, so this attempt wrote every unconditional table
         # wholesale (overwrite dirs — no stale rows can survive). The ONE
-        # conditional table is anchors: a crashed prior attempt of this
-        # run_id may have written it while THIS attempt runs with
-        # with_anchors=False; committing without clearing would make those
-        # stale rows visible (the CLAUDE.md stale-dir invariant).
+        # conditional table this function owns is anchors: a crashed prior
+        # attempt of this run_id may have written it while THIS attempt
+        # runs with with_anchors=False; committing without clearing would
+        # make those stale rows visible (the CLAUDE.md stale-dir
+        # invariant). fetch_log is deliberately NOT cleared when the param
+        # is None — icerun writes fetch_log/run_id=<id> ITSELF before
+        # delegating here, and clearing it would destroy that same
+        # attempt's log (its callers never flip the flag between attempts
+        # of one run id).
         if not with_anchors:
             import shutil
 

@@ -683,32 +683,43 @@ def start_html_stream(
         # current_main_content's string-ordered recency stays correct).
         base_id = f"html_batch_{batch_id:012d}"
         committed = lineage.committed_run_ids(spark, out_dir)
+        # collect ONLY this batch family's ids — the full marker table
+        # grows by one row per batch forever, and an unfiltered collect
+        # per batch would be quadratic over a long tail's lifetime
         ids = (
-            {r.run_id for r in committed.collect()}
-            if committed is not None
-            else set()
+            set()
+            if committed is None
+            else {
+                r.run_id
+                for r in committed.filter(
+                    F.col("run_id").startswith(base_id)
+                ).collect()
+            }
         )
-        run_id = base_id
-        if base_id in ids:
-            n = 1 + sum(1 for i in ids if i.startswith(f"{base_id}f"))
-            run_id = f"{base_id}f{n:06d}"
-        run_html_extraction(
+        run_id = lineage.derive_replay_run_id(ids, base_id)
+        summary = run_html_extraction(
             spark,
             batch_df,
             out_dir,
             run_id=run_id,
             with_anchors=with_anchors,
+            # event-time serving anchor: every fetch in this batch moves
+            # its url's latest-fetch pointer even when the extraction
+            # no-ops (revert/re-arrival), and warc_ts recency is immune to
+            # the non-monotonic batch ids a fresh incarnation produces
+            fetch_log=batch_df.select("url", "warc_ts", "doc_id"),
         )
         if stats_dir:
             # fold from every COMMITTED dir of this batch family — the one
             # just written plus base/f-suffixed dirs committed by earlier
             # attempts (a crash between THEIR extraction commit and stats
             # fold heals here, since the cursor absorbs rows already
-            # folded). A family dir that exists but was never committed is
-            # impossible by now: its docs were uncommitted, so this
-            # attempt re-derived the same run_id and overwrote it.
-            family = {i for i in ids if i == base_id or i.startswith(f"{base_id}f")}
-            family.add(run_id)
+            # folded). run_id joins the family only when THIS attempt
+            # extracted (a marker-only no-op wrote no main dir, and the
+            # commit cleared any abandoned orphan under the id).
+            family = set(ids)
+            if summary["input_pages"] > 0:
+                family.add(run_id)
             dirs = [
                 d
                 for i in sorted(family)

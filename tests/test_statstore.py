@@ -564,3 +564,63 @@ def test_colliding_incarnation_mixed_batch_preserves_committed_rows(
     assert "html_batch_000000000000f000001" in runs
     # stats folded exactly the batch's two docs (new + healed old)
     assert statstore.folded_doc_ids(spark, stats).count() == 2
+
+
+def test_cross_incarnation_refetch_serves_new_content(spark, tmp_path):
+    """A fresh checkpoint incarnation restarts batch ids at 0, so its runs
+    sort BELOW an older incarnation's later batches — run-id recency would
+    serve the OLD extraction for a re-fetched url forever. The streaming
+    fetch_log carries warc_ts, and the serving view ranks fetches by event
+    time, so the re-fetch wins; a later re-delivery of the ORIGINAL fetch
+    (older warc_ts, marker-only commit) must not flip it back."""
+    from enem_spark import htmlops as H, icerun
+    from enem_spark.lineage import run_html_extraction
+    from enem_spark.streaming import read_html_pages_stream, start_html_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pages = H.synth_html_pages(docs).persist()
+    out = str(tmp_path / "out")
+
+    # incarnation 1 reached batch 5
+    run_html_extraction(
+        spark, pages, out, run_id="html_batch_000000000005",
+        fetch_log=pages.select("url", "warc_ts", "doc_id"),
+    )
+    target = pages.orderBy("doc_id").limit(1).collect()[0]
+
+    def stream(src_df, ckpt):
+        src = str(tmp_path / f"src_{ckpt}")
+        src_df.write.parquet(src)
+        q = start_html_stream(
+            read_html_pages_stream(spark, src, watermark="10 seconds"),
+            out, str(tmp_path / ckpt), available_now=True,
+        )
+        q.awaitTermination(300)
+
+    # incarnation 2, batch 0: the SAME url re-fetched with NEW content
+    refetch = (
+        pages.orderBy("doc_id").limit(1)
+        .select(
+            "doc_id", "url",
+            (F.col("warc_ts") + F.expr("INTERVAL 30 DAYS")).alias("warc_ts"),
+            F.concat(F.col("html"), F.lit(b"<p>conteudo novo v2</p>")).alias("html"),
+            "lang",
+        )
+        .withColumn("doc_id", F.xxhash64("url", F.md5("html")))
+    )
+    stream(refetch, "ckpt2")
+    row = (
+        icerun.current_main_content(spark, out)
+        .filter(F.col("url") == target["url"]).collect()
+    )
+    assert len(row) == 1 and row[0]["doc_id"] != target["doc_id"]
+
+    # incarnation 3 re-delivers the ORIGINAL fetch: marker-only commit
+    # (content already extracted), and the older warc_ts must NOT win
+    stream(pages.orderBy("doc_id").limit(1), "ckpt3")
+    row = (
+        icerun.current_main_content(spark, out)
+        .filter(F.col("url") == target["url"]).collect()
+    )
+    assert len(row) == 1 and row[0]["doc_id"] != target["doc_id"]
+    pages.unpersist()
