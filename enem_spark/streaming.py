@@ -643,26 +643,31 @@ def start_html_stream(
     Far simpler than the exam path: a web document is one row, so there is
     no completeness horizon, no staging table, and no cross-batch key store
     — each micro-batch feeds `lineage.run_html_extraction` directly with
-    run_id=html_batch_<id:012d> (zero-padded: icerun.current_main_content's
-    fallback recency window orders run_id as a STRING, and an unpadded
-    html_batch_10 would sort before html_batch_9, serving stale batch-9
-    content for any url re-extracted later). foreachBatch is at-least-once;
-    the run protocol
-    absorbs replays (same run_id -> overwrite; docs committed by the first
-    attempt -> anti-joined to a no-op), so the output table is exactly-once
-    without any append anywhere.
+    run_id=html_batch_<id:012d> (zero-padded so ids order as strings;
+    when a fresh checkpoint incarnation makes a base id collide with a
+    COMMITTED run, derive_replay_run_id suffixes it rather than
+    overwriting committed dirs). Every batch also commits a
+    (url, warc_ts, doc_id) fetch_log — even when the extraction no-ops —
+    so icerun.current_main_content serves each url's latest fetch by
+    EVENT TIME, which stays correct across incarnations where batch-id
+    order does not. foreachBatch is at-least-once; the run protocol
+    absorbs replays (crashed attempt -> same derived id -> overwrite;
+    docs committed by the first attempt -> anti-joined to a no-op), so
+    the output table is exactly-once without any append anywhere.
 
     ``stats_dir`` turns on continuous profiling: each micro-batch's
     committed extraction output is folded into the incremental
     corpus-stats store (statstore) grouped by ``stats_group`` from the
     pages frame, so per-language counts / token volume / vocabulary /
     length percentiles stay current WITH the tail at O(batch) cost. The
-    fold reads back only this batch's run directory (never the corpus)
-    and the store's content-addressed cursor makes it replay-proof: a
-    crash between the extraction commit and the stats commit is healed on
-    the foreachBatch replay — the extraction no-ops but the committed run
-    dir is still there to fold, and rows the first attempt DID fold are
-    absorbed by the cursor anti-join."""
+    fold reads back only this batch family's committed run directories
+    (never the corpus) and the store's content-addressed cursor makes it
+    replay-proof: a crash between the extraction commit and the stats
+    commit is healed on the foreachBatch replay — the extraction no-ops
+    but the committed run dir is still there to fold, and rows the first
+    attempt DID fold are absorbed by the cursor anti-join. The fold
+    self-compacts once 64 run dirs accrue, so a live tail's store stays
+    bounded."""
     from . import lineage, statstore
     from .lineage import run_html_extraction
 
