@@ -958,6 +958,16 @@ def q_html_host_pagerank(spark, sf_dir):
     return htmlops.host_pagerank(_html_pages(spark, sf_dir))
 
 
+def q_html_host_components(spark, sf_dir):
+    # connected components (site clusters) over the same host graph: the
+    # Spark side iterates min-label propagation to fixpoint; the DuckDB
+    # twin computes the SAME components via a recursive reachability CTE,
+    # so the iterative fixpoint semantics are hash-checked end-to-end
+    from enem_spark import htmlops
+
+    return htmlops.host_components(_html_pages(spark, sf_dir))
+
+
 def q_html_curate(spark, sf_dir):
     # full web-curation composition: DOM extraction (materialized-oracle
     # side) + unrolled-PageRank host prior (computing side) + keep rule
@@ -1713,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_title_meta": q_html_title_meta,
         "html_dedup_paragraphs": q_html_dedup_paragraphs,
         "html_host_pagerank": q_html_host_pagerank,
+        "html_host_components": q_html_host_components,
         "html_curate": q_html_curate,
         "html_anchor_texts": q_html_anchor_texts,
         "html_anchor_profile": q_html_anchor_profile,
@@ -3194,6 +3205,44 @@ SELECT host, round(rank, 6) AS pagerank FROM r{iterations}
 """
 
 
+def _components_sql(html_pages_path: str) -> str:
+    """Twin of htmlops.host_components: same edge derivation as
+    _pagerank_sql (href extraction, dst <> ''), self-links dropped,
+    symmetric closure, then components via a recursive reachability CTE —
+    (host, label) pairs grow along undirected edges until fixpoint (UNION
+    dedups, so it terminates), and min(label) per host is exactly the
+    min-label-propagation fixpoint the Spark side iterates to. Node set =
+    page hosts UNION edge endpoints; linkless hosts label themselves."""
+    return f"""
+WITH RECURSIVE hrefs AS (
+  SELECT regexp_extract(url, '^cc://([^/]+)', 1) AS src,
+         unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
+  FROM read_parquet('{html_pages_path}')
+),
+dedges AS (
+  SELECT DISTINCT src, dst
+  FROM (SELECT src, regexp_extract(link, '^https?://([^/]+)', 1) AS dst FROM hrefs)
+  WHERE dst <> '' AND dst <> src
+),
+uedges AS (
+  SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges
+),
+nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT regexp_extract(url, '^cc://([^/]+)', 1) AS host
+    FROM read_parquet('{html_pages_path}')
+    UNION ALL SELECT src FROM uedges
+  ) WHERE host <> ''
+),
+reach(host, label) AS (
+  SELECT host, host FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN uedges e ON e.src = r.host
+)
+SELECT host, min(label) AS component FROM reach GROUP BY host
+"""
+
+
 def _paragraph_langid_sql(html_main_path: str) -> str:
     """Twin of htmlops.paragraph_langid: per-paragraph marker heuristic via
     SQL list comprehensions over the staged DOM output, same plurality and
@@ -4559,6 +4608,8 @@ FROM ids LEFT JOIN per_doc USING (doc_id)
         # PageRank iteration, same damping/teleport and the same 9-dp
         # per-iteration rounding as htmlops.host_pagerank
         "html_host_pagerank": _pagerank_sql(html_staged["html_pages"]),
+        # recursive-CTE twin of the min-label-propagation fixpoint
+        "html_host_components": _components_sql(html_staged["html_pages"]),
         # curation composition: staged DOM output joined to the computed
         # PageRank twin; the keep-rule constants are interpolated from
         # htmlops itself so engine and oracle cannot desynchronize

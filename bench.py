@@ -108,6 +108,7 @@ HEADLINE = [
     "html_title_meta",
     "html_dedup_paragraphs",
     "html_host_pagerank",
+    "html_host_components",
     "html_curate",
     "html_anchor_texts",
     "html_anchor_profile",

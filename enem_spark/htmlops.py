@@ -1268,6 +1268,90 @@ def host_pagerank(
     return ranks.select("host", F.round("rank", 6).alias("pagerank"))
 
 
+def host_components(pages: DataFrame) -> DataFrame:
+    """Connected components over the undirected outlink host graph — site
+    clusters. Every host (page hosts + every host linked from a page) gets
+    its component's lexicographically smallest host as ``component``;
+    hosts with no (non-self) links map to themselves. Completes the
+    link-analysis pair with :func:`host_pagerank`.
+
+    Same iterated min-label propagation as textops.dedup_clusters (join
+    current labels across edges, keep the min, driver-side convergence
+    probe): rounds = O(component diameter), each round one equi-join
+    shuffle on the edge list plus a host aggregation. Vertices iterate over
+    the EDGE-INDUCED set only — linkless hosts (the long tail of a real
+    crawl) re-enter via the final left join, so per-round cost scales with
+    the link graph, not the host universe. At 10^12 docs the host graph is
+    ~10^8 nodes / ~10^9 edges: rounds stay single-digit for web-like
+    diameters; a pathological >64-hop chain raises rather than spinning
+    (escalation path: pointer-jumping, same as dedup_clusters documents).
+
+    String min is byte-order on BOTH engines (Spark UTF8Binary default,
+    DuckDB binary varchar min), so the label choice is engine-stable."""
+    page_hosts = (
+        pages.select(F.regexp_extract("url", r"^cc://([^/]+)", 1).alias("host"))
+        .filter(F.col("host") != "")
+        .distinct()
+    )
+    directed = host_edges(pages).select("src", "dst").filter(
+        F.col("src") != F.col("dst")  # self-links are CC no-ops
+    )
+    edges = (
+        directed.union(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        # symmetric edges: src alone covers every edge endpoint
+        edges.select(F.col("src").alias("host"))
+        .distinct()
+        .withColumn("component", F.col("host"))
+        .persist()
+    )
+    prev_cache = labels
+    converged = False
+    for _ in range(64):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.host)
+            .groupBy(F.col("src").alias("host"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "host", "left").withColumn(
+                "new_component",
+                F.least(F.col("component"), F.coalesce("nbr_min", "component")),
+            )
+        ).persist()
+        # FULL count so the cache is materialized before the previous
+        # round's blocks are released (see dedup_clusters for the rationale)
+        changed = updated.filter(
+            F.col("new_component") != F.col("component")
+        ).count()
+        labels = updated.select("host", F.col("new_component").alias("component"))
+        prev_cache.unpersist()
+        prev_cache = updated
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "host_components: label propagation did not converge in 64 "
+            "rounds (>64-diameter link chain); raise the bound or switch "
+            "to pointer-jumping"
+        )
+    nodes = page_hosts.unionByName(
+        labels.select("host")
+    ).distinct()
+    # prev_cache stays persisted: the returned plan reads it; harnesses
+    # clearCache() between queries (repo convention, see host_pagerank)
+    return nodes.join(labels, "host", "left").select(
+        "host", F.coalesce("component", F.col("host")).alias("component")
+    )
+
+
 # curation keep-rule defaults — the DuckDB twin interpolates THESE (one
 # source of truth; see __spark_entry__._curate_sql)
 CURATE_MIN_CHARS = 200

@@ -450,6 +450,40 @@ def test_host_pagerank_hand_graph(spark):
     spark.catalog.clearCache()
 
 
+def test_host_components_hand_graph(spark):
+    # chain a->b->c (multi-round convergence), isolated d, 2-cycle e<->f;
+    # c appears ONLY as a link target and must still be labeled
+    def page(src, hrefs):
+        body = " ".join(f'<a href="https://{h}/x">l</a>' for h in hrefs)
+        return (f"cc://{src}/1", f"<html><body>{body}</body></html>".encode())
+
+    rows = [
+        page("a", ["b"]),
+        page("b", ["c"]),
+        page("d", []),
+        page("e", ["f"]),
+        page("f", ["e"]),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["host"]: r["component"] for r in H.host_components(pages).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "e", "f": "e"}
+    spark.catalog.clearCache()
+
+
+def test_host_components_consistent_with_edges(spark, pages):
+    comp = {r["host"]: r["component"] for r in H.host_components(pages).collect()}
+    edges = H.host_edges(pages).collect()
+    assert edges
+    for e in edges:
+        # linked hosts always share a component
+        assert comp[e["src"]] == comp[e["dst"]]
+    # every label is the lexicographic min of its members and is a root
+    for host, label in comp.items():
+        assert label <= host
+        assert comp[label] == label
+    spark.catalog.clearCache()
+
+
 def test_curate_main_content_splits(spark, pages):
     """Curation must actually split the corpus: hub-hosted docs with enough
     text are kept, and the keep rule matches its own columns row-by-row."""
