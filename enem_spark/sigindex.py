@@ -188,14 +188,17 @@ def probe_near_dups(
     sig_ex = committed_signatures(spark, out_dir, perms, bands)
     if sig_ex is None:
         raise ValueError(f"no committed signature index under {out_dir}")
-    sig_new = textops.minhash_signatures(new_docs, None, perms)
+    # always persisted: the estimator reads sig_new twice (band table +
+    # agreement join) and the zero-shuffle signature build has no exchange
+    # for ReuseExchange to dedupe — unpersisted, the whole shingle+md5
+    # chain would run twice from storage. Callers that pass persist_to own
+    # the lifetime (unpersist after consuming); otherwise the
+    # ContextCleaner reclaims the blocks when the plan is dropped (the
+    # increment is small by definition).
+    sig_new = textops.minhash_signatures(new_docs, None, perms).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if persist_to is not None:
-        # persist ONLY when the caller owns the lifetime (appends here and
-        # unpersists after consuming): an unowned persist pins a
-        # MEMORY_AND_DISK copy per call for the session's lifetime. The
-        # unpersisted plan recomputes signatures once per reuse — bounded,
-        # the increment is small by definition.
-        sig_new = sig_new.persist(StorageLevel.MEMORY_AND_DISK)
         persist_to.append(sig_new)
     return textops._estimate_new_vs_existing(
         sig_new, sig_ex, threshold, perms, bands

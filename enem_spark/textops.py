@@ -237,7 +237,10 @@ def _gram_rows(
 
 
 def shingle_table(documents: DataFrame, cache: bool = False) -> DataFrame:
-    """One row per (doc_id, distinct shingle).
+    """One row per (doc_id, distinct shingle) — explode of
+    :func:`_shingle_arrays` (one narrow generator, no window, no
+    dropDuplicates shuffle; distinctness comes from array_distinct inside
+    the array kernel).
 
     ``cache=True`` persists the exploded table (MEMORY_AND_DISK) for plans
     that branch over it several times (LSH candidates + both sides of the
@@ -246,12 +249,72 @@ def shingle_table(documents: DataFrame, cache: bool = False) -> DataFrame:
     the blocks once the plan is garbage collected. At 100 TB the same role
     is played by materializing the shingle table to storage once per corpus
     snapshot and reusing it across dedup jobs."""
-    sh = _gram_rows(documents, SHINGLE_N).dropDuplicates(["doc_id", "shingle"])
+    sh = _shingle_arrays(documents).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
     if cache:
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     return sh
+
+
+def _shingle_arrays(documents: DataFrame) -> DataFrame:
+    """(doc_id, shingles array<string>) — the per-document DISTINCT shingle
+    set as a single array column, built with ZERO exchanges.
+
+    Grams come from zipping n shifted slices of the token array and
+    concat_ws-ing each zipped struct. This does NOT fall into the
+    project-collapse re-split trap that rules out transform(sequence, i ->
+    element_at(toks, i+j)) (see _gram_rows): the lambda here references
+    only the zipped array — the tokenizing split appears solely in the n
+    slice arguments of one projection, where whole-stage codegen's
+    subexpression elimination evaluates it once per row. Byte-identical to
+    the _gram_rows window path (posexplode + lead) and measured ~2x faster
+    on long documents even before counting the two shuffles it removes
+    (the lead window's doc_id exchange and the dropDuplicates exchange).
+
+    short-doc semantics match _gram_rows(short_doc_whole=True): a document
+    with fewer than SHINGLE_N tokens contributes its whole (trimmed,
+    space-renormalized) text as one shingle; NULL text behaves like ''."""
+    n = SHINGLE_N
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    m = F.size(toks)
+    full_len = F.greatest(m - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, full_len) for i in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
+    shingles = F.array_distinct(
+        F.when(m >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+    return documents.select("doc_id", shingles.alias("shingles"))
+
+
+def _mh_expr(s: int):
+    """Per-seed MinHash element hash (shared by both signature paths)."""
+
+    def fn(x):
+        return F.md5(F.concat(F.lit(f"{s}:"), x))
+
+    return fn
+
+
+def _signatures_from_arrays(arr: DataFrame, perms: int) -> DataFrame:
+    """(doc_id, mh0..mh{perms-1}) from a (doc_id, shingles) array table —
+    array_min over per-seed md5, all inside one codegen projection: the
+    signature build carries NO exchange at any corpus size (the groupBy
+    formulation shuffles the full exploded shingle table through a
+    perms-wide min aggregate). Parallelism is scan-bound (input splits) —
+    exactly right at corpus scale; a single-file toy input runs the md5
+    work on one core, which is the price of removing the exchange."""
+    return arr.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("shingles", _mh_expr(s))).alias(f"mh{s}")
+            for s in range(perms)
+        ],
+    )
 
 
 def minhash_signatures(
@@ -262,11 +325,16 @@ def minhash_signatures(
     """MinHash via k md5 'permutations': min(md5(seed || shingle)) per seed.
 
     Lexicographic min over md5 hex is a valid random-permutation min — and is
-    bit-identical across Spark and DuckDB, unlike numeric hash functions."""
+    bit-identical across Spark and DuckDB, unlike numeric hash functions.
+
+    With ``sh=None`` (the normal call) signatures come from the zero-shuffle
+    array kernel (:func:`_signatures_from_arrays`); passing an exploded
+    (doc_id, shingle) table keeps the groupBy formulation for callers that
+    already hold one."""
     if sh is None:
-        sh = shingle_table(documents)
+        return _signatures_from_arrays(_shingle_arrays(documents), perms)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        F.min(_mh_expr(s)(F.col("shingle"))).alias(f"mh{s}")
         for s in range(perms)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -329,16 +397,34 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold,
     rounded to 6 dp. Candidates = pairs sharing at least one band signature;
     verification joins the shingle sets (equi-join on shingle). Pass an
-    already-built (sh, sig) pair to reuse them — the shingle explode and
-    the perms min-aggregates are the dominant cost, and a caller that also
-    needs the signatures (minhash_jaccard_estimate) must not pay them
-    twice (nor pin two caches of the same shingle table)."""
+    already-built (sh, sig) pair to reuse them — the shingle build is the
+    dominant cost, and a caller that also needs the signatures
+    (minhash_jaccard_estimate) must not pay it twice (nor pin two caches
+    of the same shingle table).
+
+    Default path: ONE persisted (doc_id, shingles-array) table feeds the
+    signature projection (zero-shuffle), the exploded verification join,
+    and the set sizes (size(shingles), replacing a groupBy-count exchange).
+    The sig frame is persisted too: the band self-join reads it twice, and
+    with no exchange in the zero-shuffle build there is no ReuseExchange to
+    dedupe the per-seed md5 work (the narrow doc_id+hashes rows are tiny).
+    ContextCleaner reclaims the blocks once the plan is garbage collected
+    (same ownership story shingle_table(cache=True) documents)."""
+    sizes = None
     if sh is None:
-        sh = shingle_table(documents, cache=True)
-    if sig is None:
+        from pyspark import StorageLevel
+
+        arr = _shingle_arrays(documents).persist(StorageLevel.MEMORY_AND_DISK)
+        if sig is None:
+            sig = _signatures_from_arrays(arr, perms).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        sh = arr.select("doc_id", F.explode("shingles").alias("shingle"))
+        sizes = arr.select("doc_id", F.size("shingles").alias("n_shingles"))
+    elif sig is None:
         sig = minhash_signatures(documents, sh, perms)
     candidates = _band_candidates(sig, perms, bands)
-    return _verified_jaccard(sh, candidates, threshold)
+    return _verified_jaccard(sh, candidates, threshold, sizes=sizes)
 
 
 def minhash_estimate_pairs(
@@ -398,13 +484,19 @@ def minhash_estimate_pairs(
 
 
 def _verified_jaccard(
-    sh: DataFrame, candidates: DataFrame, threshold: float
+    sh: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs, from a (doc_id, shingle) table.
 
-    Shingles are already distinct per doc (_shingles applies array_distinct),
-    so counts are true set sizes."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    Shingles are already distinct per doc (array_distinct in the shingle
+    kernel), so counts are true set sizes. Pass a precomputed
+    (doc_id, n_shingles) frame to skip the groupBy-count exchange (the
+    array path gets it free as size(shingles))."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa = sh.withColumnRenamed("doc_id", "doc_a")
     sb = sh.withColumnRenamed("doc_id", "doc_b")
     common = (
@@ -993,12 +1085,16 @@ def dedup_clusters(
     a cluster gets the cluster's minimum doc_id as its cluster_id.
 
     Pairs come from minhash_lsh_pairs (verified Jaccard >= threshold). The
-    component computation is iterated min-label propagation — each round
-    joins current labels across edges and keeps the min — run to fixpoint
-    with a driver-side convergence check (the standard large/small-star
-    simplification; rounds = O(log diameter), and dup clusters in corpus
-    dedup have tiny diameters). Output: (doc_id, cluster_id) for EVERY doc
-    (singletons map to themselves)."""
+    component computation is iterated min-label propagation WITH
+    pointer-jumping (min over own label, neighbors' labels, and
+    label-of-own-label), run to fixpoint with a driver-side convergence
+    check: rounds = O(log diameter) even for pathological duplicate
+    chains. Each round localCheckpoints its labels — the self-join
+    references the frame three times per round, so an un-truncated
+    logical plan grows 3^rounds and Catalyst planning would dominate
+    (same fix as htmlops.host_components, where it was measured 5x).
+    Output: (doc_id, cluster_id) for EVERY doc (singletons map to
+    themselves)."""
     pairs = minhash_lsh_pairs(documents, threshold, perms, bands).select(
         "doc_a", "doc_b"
     )
@@ -1015,41 +1111,47 @@ def dedup_clusters(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    prev_cache = labels
     converged = False
-    for _ in range(64):  # graph diameter bound; dup graphs converge in 2-3
+    for _ in range(64):  # log2(diameter) bound under pointer-jumping
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # pointer jump: my label's CURRENT label — labels are always doc
+        # ids inside the labeled set, so the join is total and the hop
+        # distance doubles per round
+        jump = labels.alias("a").join(
+            labels.alias("b"), F.col("a.cluster_id") == F.col("b.doc_id")
+        ).select(
+            F.col("a.doc_id").alias("doc_id"), F.col("b.cluster_id").alias("jump")
+        )
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
+            .join(jump, "doc_id", "left")
             .withColumn(
                 "new_cluster",
-                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", "cluster_id"),
+                    F.coalesce("jump", "cluster_id"),
+                ),
             )
-        ).persist()
-        # FULL count (not limit(1)) so the cache is completely materialized
-        # before the previous round's blocks are released — a partial probe
-        # would leave the next round recomputing through unpersisted lineage
+        ).localCheckpoint(eager=True)
         changed = updated.filter(F.col("new_cluster") != F.col("cluster_id")).count()
         labels = updated.select("doc_id", F.col("new_cluster").alias("cluster_id"))
-        prev_cache.unpersist()
-        prev_cache = updated
         if changed == 0:
             converged = True
             break
     edges.unpersist()
-    # prev_cache stays persisted: the returned plan reads it; ContextCleaner
-    # reclaims the blocks once the caller drops the DataFrame
+    # the returned plan reads the final round's checkpoint blocks; the
+    # ContextCleaner reclaims them once the caller drops the DataFrame
     if not converged:
         raise RuntimeError(
             "dedup_clusters: label propagation did not converge in 64 rounds "
-            "(pathological >64-diameter duplicate chain); raise the bound or "
-            "switch to pointer-jumping"
+            "(pathological >2^64-diameter duplicate chain)"
         )
     # singletons map to themselves; the propagated labels cover only the
     # duplicate-graph vertices
@@ -1411,10 +1513,18 @@ def minhash_jaccard_estimate(
     LSH candidate pair, so the sketch's error is itself observable. This
     deliberately executes the exact shingle verification — the scale path
     that avoids it is `minhash_estimate_pairs`."""
-    sh = shingle_table(documents, cache=True)
-    sig = minhash_signatures(documents, sh, perms)
-    pairs = minhash_lsh_pairs(
-        documents, threshold=0.0, perms=perms, bands=bands, sh=sh, sig=sig
+    from pyspark import StorageLevel
+
+    arr = _shingle_arrays(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    # four consumers (band self-join twice + both agreement sides) and no
+    # exchange in the array build -> persist, or the md5 work runs 4x
+    sig = _signatures_from_arrays(arr, perms).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = arr.select("doc_id", F.explode("shingles").alias("shingle"))
+    pairs = _verified_jaccard(
+        sh,
+        _band_candidates(sig, perms, bands),
+        0.0,
+        sizes=arr.select("doc_id", F.size("shingles").alias("n_shingles")),
     )
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
