@@ -30,7 +30,7 @@ keeps exactly one generation of the vocab cached.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from .textops import _tokens
@@ -68,17 +68,18 @@ def _symbolize(words: DataFrame) -> DataFrame:
 
 def _pair_counts(words: DataFrame) -> DataFrame:
     """(a, b, cnt): adjacent-symbol pair frequencies, weighted by word
-    freq. posexplode + lead window (the _gram_rows discipline — split each
-    sym exactly once); syms are distinct rows so `sym` is a valid
-    partition key."""
-    toks = words.select(
-        "sym", "freq", F.posexplode(F.split("sym", " ")).alias("pos", "s")
-    )
-    w = W.partitionBy("sym").orderBy("pos")
+    freq. Adjacent pairs come from zipping the symbol array with itself
+    shifted by one (the textops._shingle_arrays discipline: the split runs
+    once inside one projection, CSE dedupes the two slice references, and
+    the explode is a narrow generator) — the groupBy(a, b) is the ONLY
+    exchange, where the previous formulation also shuffled every symbol
+    row through a partitionBy(sym) window first."""
+    syms = F.split("sym", " ")
+    m = F.size(syms)
+    zipped = F.arrays_zip(F.slice(syms, 1, m - 1), F.slice(syms, 2, m - 1))
     return (
-        toks.withColumn("nxt", F.lead("s", 1).over(w))
-        .filter(F.col("nxt").isNotNull())
-        .groupBy(F.col("s").alias("a"), F.col("nxt").alias("b"))
+        words.select("freq", F.explode(zipped).alias("p"))
+        .groupBy(F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b"))
         .agg(F.sum("freq").cast("long").alias("cnt"))
     )
 

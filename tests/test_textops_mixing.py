@@ -322,3 +322,35 @@ def test_curate_and_stats_keep_null_text_documents(spark):
     assert sorted(r.doc_id for r in out) == [1, 2]
     stats = textops.source_stats(docs).collect()
     assert stats[0].n_docs == 2 and stats[0].n_distinct == 2
+
+
+def test_dedup_clusters_long_chain(spark):
+    """Path-graph regression for the pointer-jumping propagation: doc i
+    overlaps doc i+1 at jaccard 0.6 (5 of 6+... sliding 6-token windows,
+    stride 1) but doc i vs i+2 only 0.33, and 1-row bands (perms=bands=8)
+    surface every consecutive pair — so the near-dup graph is EXACTLY an
+    11-edge path (diameter 11). All 12 docs must collapse to cluster 0 in
+    the 64-round cap (plain propagation walks 11 rounds; pointer jumping
+    ~4), and the edge set itself is pinned so a future LSH-parameter
+    change that silently breaks the chain fails loudly here."""
+    from enem_spark import textops
+
+    n = 12
+    stream = [f"tok{j:03d}" for j in range(2 * n + 8)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(stream[i : i + 6])) for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in textops.minhash_lsh_pairs(
+            docs, threshold=0.55, perms=8, bands=8
+        ).collect()
+    )
+    assert pairs == [(i, i + 1) for i in range(n - 1)]
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in textops.dedup_clusters(docs, 0.55, 8, 8).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    spark.catalog.clearCache()
