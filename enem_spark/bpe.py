@@ -24,8 +24,10 @@ Scale: after the one corpus-wide word-count shuffle, every round costs
 O(|vocab|), independent of corpus size — the vocabulary table is the only
 thing iterated, and the per-round argmax is a single-row ``limit(1)``
 (driver sees one row per round, the convergence-probe pattern of
-dedup_clusters/pagerank, not a data collect). Persist/unpersist hygiene
-keeps exactly one generation of the vocab cached.
+dedup_clusters/pagerank, not a data collect). Each round runs exactly ONE
+Spark job: the argmax scan doubles as the materializer of the new vocab
+generation, and the parent generation is unpersisted only after that scan
+returns — at most two generations are cached at any instant.
 """
 
 from __future__ import annotations
@@ -100,36 +102,38 @@ def learn_merges(
     round's argmax is a single-row limit(1) — one row per round crosses to
     the driver, never the vocabulary."""
     vocab = _symbolize(_word_freqs(documents)).persist()
-    vocab.count()
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, str, int]] = []
     try:
         for rnd in range(1, rounds + 1):
+            # ONE job per round: this argmax scan also materializes the
+            # just-persisted vocab generation, so no separate count() is
+            # needed. The parent generation stays persisted until here —
+            # unpersisting it before this job would put the whole lineage
+            # back on the recompute path.
             top = (
                 _pair_counts(vocab)
                 .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
             merges.append((rnd, a, b, a + b, cnt))
+            if rnd == rounds:
+                break  # last merge recorded — the rewrite would never be read
             nxt = vocab.select(
                 merge_pair(F.col("sym"), a, b).alias("sym"), "freq"
             ).persist()
-            try:
-                nxt.count()
-            except Exception:
-                # the finally below releases only the current `vocab`
-                # binding — without this, a count() failure mid-round
-                # (executor loss, later-added ANSI error) leaks the
-                # just-persisted frame for the session lifetime
-                nxt.unpersist()
-                raise
-            vocab.unpersist()
-            vocab = nxt
+            prev, vocab = vocab, nxt
     finally:
         vocab.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 
