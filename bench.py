@@ -139,6 +139,20 @@ HEADLINE = [
     "incr_corpus_stats",
     "cms_topk_terms",
     "incr_top_terms",
+    # full queries() coverage — every driver entry gets a perf datapoint
+    "extract_question_spans",
+    "filter_normalize",
+    "segment_explode",
+    "numbering_gaps",
+    "unicode_normalize",
+    "url_filter",
+    "dup_span_stats",
+    "dedup_spans_clean",
+    "warc_ingest",
+    "iceberg_scan",
+    "iceberg_time_travel",
+    "iceberg_incremental",
+    "crawl_delta",
 ]
 
 

@@ -124,6 +124,18 @@ def test_every_query_has_oracle_or_is_declared():
     assert undeclared == set(), undeclared
 
 
+def test_bench_headline_covers_every_query():
+    # every driver query gets a per-round perf datapoint; a query added to
+    # queries() without a bench.HEADLINE row would silently drop out of the
+    # recorded timing profile
+    import bench
+
+    assert set(bench.HEADLINE) == set(QUERIES), {
+        "unbenched": sorted(set(QUERIES) - set(bench.HEADLINE)),
+        "stale": sorted(set(bench.HEADLINE) - set(QUERIES)),
+    }
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.limit(5).collect()
