@@ -1051,6 +1051,57 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+def q_pdf_decode(spark, sf_dir):
+    """Binary-PDF decode round trip (S1): deterministic exam-style PDFs
+    are SYNTHESIZED per document (pdfbin.synth_pdf — valid classic-xref
+    bytes, no timestamps) and decoded back by the from-scratch stdlib
+    parser inside ONE Arrow crossing, no shuffle. The oracle is the
+    expected table staged from the SOURCE lines pre-encode, certifying
+    the synth->parse round trip the way the WARC twin certifies its
+    container format. The same decoder is golden-gated on the REAL
+    reference PDFs in tests/test_pdfbin.py (every golden question
+    recovered, 102/102 answer letters equal, token recall >= 0.93)."""
+    import json as _json
+
+    import pandas as pd
+
+    from enem_spark import pdfbin
+    from enem_spark.layout import reconstruct_page
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(pdfbin.PDF_DECODE_DOCS)
+        .select("doc_id", "text")
+    )
+
+    def roundtrip(batches):
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = pdfbin.synth_pdf(pdfbin.doc_pdf_lines(text))
+                for page_idx, payload in enumerate(
+                    pdfbin.pdf_to_span_payloads(data)
+                ):
+                    t, _ = reconstruct_page(payload)
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "page_idx": page_idx,
+                            "page_text": t,
+                            "n_spans": len(_json.loads(payload.decode("utf-8"))),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page_idx", "page_text", "n_spans"]
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        "doc_id long, page_idx long, page_text string, n_spans long",
+    )
+
+
 def q_wet_export(spark, sf_dir):
     """Distributed WET export (sources/warc.wet_shards): the corpus back
     into CC's extracted-text container — content-derived shard assignment,
@@ -1731,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_clean_corpus": q_html_clean_corpus,
         "extraction_eval": q_extraction_eval,
         "warc_ingest": q_warc_ingest,
+        "pdf_decode": q_pdf_decode,
         "wet_export": q_wet_export,
         "wat_export": q_wat_export,
         "jsonl_ingest": q_jsonl_ingest,
@@ -3634,6 +3686,10 @@ def oracle_sql() -> dict[str, str]:
     from enem_spark.sources.warc import stage_warc_files
 
     warc_staged = stage_warc_files(oracle_sf)
+    # pdf twin: source lines staged pre-encode (round-trip certification)
+    from enem_spark.pdfbin import stage_pdf_expected
+
+    pdf_expected = stage_pdf_expected(oracle_sf)
     # wet twin: shard bytes rebuilt sequentially with the SAME shared
     # encode functions — matching wet_md5 is byte-level certification of
     # the distributed export
@@ -3740,6 +3796,14 @@ FULL OUTER JOIN read_parquet('{ice_staged["expected_new"]}') n
         "warc_ingest": f"""
 SELECT url, warc_date, html_md5, html_len, http_status
 FROM read_parquet('{warc_staged["expected"]}')
+""",
+        # pdf twin: expected staged from the SOURCE lines BEFORE any PDF
+        # byte exists — the Spark side synthesizes real PDF bytes and
+        # parses them back, so the hash certifies the full round trip
+        "pdf_decode": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(page_idx AS BIGINT) AS page_idx,
+       page_text, CAST(n_spans AS BIGINT) AS n_spans
+FROM read_parquet('{pdf_expected}')
 """,
         "wet_export": f"""
 SELECT shard_id, n_records, wet_len, wet_md5

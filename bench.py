@@ -149,6 +149,7 @@ HEADLINE = [
     "dup_span_stats",
     "dedup_spans_clean",
     "warc_ingest",
+    "pdf_decode",
     "iceberg_scan",
     "iceberg_time_travel",
     "iceberg_incremental",

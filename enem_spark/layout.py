@@ -103,6 +103,23 @@ def reconstruct_page(html: bytes | bytearray | None) -> tuple[str, int]:
     if html is None:
         return "", 0
     spans = _parse_spans(html)
+    # Document-order mode: spans carrying a "seq" field (the real-PDF
+    # decoder, pdfbin.py) are already in reading order — PDF content
+    # streams emit one text frame (column) at a time, which is exactly
+    # the order PyMuPDF's get_text() gave the reference
+    # (enem_pdf_extractor.py:235,276: fitz blocks are emission-ordered,
+    # not geometrically re-sorted). Geometric re-clustering of such
+    # pages is strictly worse: an in-column table fills the x histogram
+    # and defeats any column-split heuristic. Spans without "seq" (the
+    # synthetic corpus, which shuffles spans precisely to exercise this
+    # path) reconstruct by column clustering as before.
+    if spans and all("seq" in s for s in spans):
+        ordered = sorted(spans, key=lambda s: s["seq"])
+        n_images = sum(1 for s in ordered if s["text"] == IMG_MARKER)
+        return (
+            "\n".join(s["text"] for s in ordered if s["text"] != IMG_MARKER),
+            n_images,
+        )
     n_images = 0
     keep = []
     for s in spans:

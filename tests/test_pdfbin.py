@@ -1,0 +1,195 @@
+"""Real binary-PDF decode (S1): the stdlib decoder against the reference's
+own shipped exam PDFs and golden outputs.
+
+The bar: for every exam with BOTH the questions (PV) and answer-key (GB)
+PDFs shipped, our extraction must (a) recover EVERY question the reference's
+golden output has, (b) match every golden answer letter exactly, and (c)
+cover >= 93% of the goldens' decodable tokens per question. Byte-identity
+against the goldens is NOT the gate on this path, deliberately: the shipped
+goldens contain ~21k U+FFFD where fitz had no ToUnicode entry for the
+subset fonts — this decoder recovers the actual text the reference lost
+(pdfbin.py module docstring), so it extracts strictly MORE questions than
+the goldens hold.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+
+import pytest
+
+from enem_spark import oracle, pdfbin
+from enem_spark.layout import IMG_MARKER, reconstruct_page
+
+PDF_DIR = "/root/reference/pdfs_enem"
+GOLD_DIR = "/root/reference/test_output"
+# exams with PV+GB both shipped: (year, day, caderno)
+FULL_EXAMS = [(2021, 1, 1), (2021, 2, 7), (2023, 2, 7)]
+
+_decode_cache: dict[str, list[bytes]] = {}
+
+
+def payloads(path: str) -> list[bytes]:
+    if path not in _decode_cache:
+        with open(path, "rb") as f:
+            _decode_cache[path] = pdfbin.pdf_to_span_payloads(f.read())
+    return _decode_cache[path]
+
+
+def extract_exam(year: int, day: int, cd: int):
+    d = f"D{day}"
+    pv = payloads(f"{PDF_DIR}/{year}/{year}_PV_impresso_{d}_CD{cd}.pdf")
+    gb = payloads(f"{PDF_DIR}/{year}/{year}_GB_impresso_{d}_CD{cd}.pdf")
+    texts, imgs = [], []
+    for p in pv:
+        t, n = reconstruct_page(p)
+        texts.append(t)
+        imgs.append(n > 0)
+    gb_text = "\n".join(reconstruct_page(p)[0] for p in gb)
+    rows = oracle.extract_document(
+        texts, imgs, gb_text, year, day_one=(day == 1)
+    )
+    return {(r.subject, r.payload["question_num"]): r.payload for r in rows}
+
+
+def golden_rows(year: int, day: int):
+    out = {}
+    for f in glob.glob(f"{GOLD_DIR}/{year}_D{day}_/*_questions.json"):
+        subj = f.split("/")[-1].split("_")[1]
+        for q in json.load(open(f)):
+            out[(subj, q["question_num"])] = q
+    return out
+
+
+def test_all_reference_pdfs_decode():
+    """Every shipped PDF parses: pages, text volume, markers, bounded
+    replacement chars (only glyphs beyond the 258-name standard order)."""
+    for path in sorted(glob.glob(f"{PDF_DIR}/*/*.pdf")):
+        pls = payloads(path)
+        assert pls, path
+        total = sum(len(reconstruct_page(p)[0]) for p in pls)
+        is_pv = "_PV_" in path
+        assert total > (20_000 if is_pv else 400), (path, total)
+        if is_pv:
+            assert len(pls) == 32, (path, len(pls))
+            joined = "\n".join(reconstruct_page(p)[0] for p in pls)
+            n_marks = len(re.findall(r"QUESTÃO|Questão", joined))
+            assert n_marks >= 90, (path, n_marks)
+            assert joined.count("�") / max(total, 1) < 0.01, path
+
+
+@pytest.mark.parametrize("year,day,cd", FULL_EXAMS)
+def test_golden_superset_answers_and_token_recall(year, day, cd):
+    ours = extract_exam(year, day, cd)
+    gold = golden_rows(year, day)
+    assert gold, "goldens missing"
+    missing = [k for k in gold if k not in ours]
+    assert missing == [], f"{year} D{day}: golden questions lost: {missing}"
+    tok_tot = tok_hit = 0
+    for k, g in gold.items():
+        o = ours[k]
+        assert o["correct_answer"] == g["correct_answer"], (
+            f"{year} D{day} {k}: answer {o['correct_answer']!r} "
+            f"vs golden {g['correct_answer']!r}"
+        )
+        gtoks = [
+            t
+            for t in re.split(r"\s+", g["question_text"])
+            if t and "�" not in t
+        ]
+        otoks = set(re.split(r"\s+", o["question_text"]))
+        tok_tot += len(gtoks)
+        tok_hit += sum(1 for t in gtoks if t in otoks)
+    assert tok_hit / max(tok_tot, 1) >= 0.93, (
+        f"{year} D{day}: token recall {tok_hit}/{tok_tot}"
+    )
+    # we must recover at least as many questions as the reference did
+    assert len(ours) >= len(gold)
+
+
+def test_gb_grid_is_cell_per_line():
+    """The decoded answer key must survive the reference's >=4-char line
+    blanking (enem_pdf_extractor.py:951-952) — numbers and letters on
+    separate short lines, row-major."""
+    gb = payloads(f"{PDF_DIR}/2020/2020_GB_impresso_D1_CD1.pdf")
+    text = "\n".join(reconstruct_page(p)[0] for p in gb)
+    filt = oracle.filter_answer_key_text(text)
+    for n in (1, 23, 45, 46, 67, 90):
+        assert re.search(rf"\b{n}\b", filt), n
+    # probe three known rows end-to-end through the oracle's offset logic
+    # (exam number n > 5 maps to key row n-5: exam 11 -> key 6 -> 'C')
+    assert oracle.find_correct_answer(filt, 11, day_one=True) == "C"
+    assert oracle.find_correct_answer(filt, 50, day_one=True) == "B"
+    assert oracle.find_correct_answer(filt, 1, day_one=True, is_spanish=True) == "A"
+
+
+def test_seq_mode_preserves_document_order():
+    spans = [
+        {"text": "right col", "x0": 320.0, "y0": 50.0, "x1": 560.0, "y1": 60.0, "seq": 1},
+        {"text": "left col", "x0": 40.0, "y0": 50.0, "x1": 280.0, "y1": 60.0, "seq": 0},
+        {"text": IMG_MARKER, "x0": 10.0, "y0": 10.0, "x1": 20.0, "y1": 20.0, "seq": 2},
+    ]
+    payload = json.dumps(spans).encode()
+    text, n_img = reconstruct_page(payload)
+    assert text == "left col\nright col"
+    assert n_img == 1
+    # without seq the geometric clustering applies (synthetic corpus path)
+    for s in spans:
+        del s["seq"]
+    text2, _ = reconstruct_page(json.dumps(spans).encode())
+    assert text2 == "left col\nright col"  # same here: distinct columns
+
+
+def test_corrupt_pdf_degrades_to_empty():
+    assert pdfbin.decode_pdf_pages(b"not a pdf at all") == []
+    assert pdfbin.pdf_to_span_payloads(b"%PDF-1.4\ngarbage\n%%EOF") == []
+    # truncated real PDF: must not raise
+    with open(f"{PDF_DIR}/2022/2022_GB_impresso_D1_CD1.pdf", "rb") as f:
+        head = f.read(40_000)
+    pdfbin.decode_pdf_pages(head)
+
+
+def test_glyph_name_decoding():
+    g = pdfbin.glyph_name_to_unicode
+    assert g("g70") == "c" and g("g3") == " " and g("g89") == "v"
+    # Arial subsets skip mac-order nonbreakingspace: >=172 shifts by one
+    assert g("g191") == "ﬁ" and g("g179") == "“" and g("g182") == "’"
+    assert g("g125") == "õ" and g("g111") == "ç" and g("g116") == "í"
+    assert g("ccedilla") == "ç" and g("Eacute") == "É"
+    assert g("uni0041") == "A"
+    assert g("g9999") == "�"  # beyond the table: replacement, not crash
+    assert g("notaglyphname") is None
+
+
+def test_cmap_bfrange_forms():
+    cm = pdfbin.parse_cmap(
+        b"beginbfchar <41> <0042> endbfchar\n"
+        b"beginbfrange <50> <52> <0061> <60> <61> [<0058> <0059>] endbfrange"
+    )
+    assert cm[0x41] == "B"
+    assert cm[0x50] == "a" and cm[0x52] == "c"
+    assert cm[0x60] == "X" and cm[0x61] == "Y"
+
+
+def test_spark_source_matches_pure_oracle(spark):
+    """The distributed path (binaryFile -> mapInPandas decode -> the full
+    extraction pipeline) must equal the pure per-document oracle run on
+    the same PDFs — same questions, same text, same answers."""
+    from enem_spark.extract import ExtractorConfig, extract_questions
+    from enem_spark.sources.pdfsource import pdf_pages_frame
+
+    pages = pdf_pages_frame(spark, f"{PDF_DIR}/2021")
+    cfg = ExtractorConfig(output_type="json", process_images=False)
+    got = {
+        (r.subject, r.question_num): r
+        for r in extract_questions(pages, cfg).collect()
+        if r.day == "D1"
+    }
+    pure = extract_exam(2021, 1, 1)
+    assert set(got) == set(pure)
+    for k, row in got.items():
+        assert row.correct_answer == pure[k]["correct_answer"], k
+        assert row.question_text == pure[k]["question_text"], k
+    assert len(got) == 60  # the reference's goldens hold only 9 of these
