@@ -39,10 +39,10 @@ import json
 import re
 import zlib
 
+from .layout import IMG_MARKER  # layout.py is pure stdlib — one sentinel
+
 WS = b"\x00\t\n\x0c\r "
 DELIM = b"()<>[]{}/%"
-
-IMG_MARKER = "⟦IMG⟧"  # layout.IMG_MARKER (kept literal: no Spark imports here)
 
 # Standard Macintosh glyph order, TrueType spec 'post' table format 1
 # (public). Names resolve to unicode below; '' = no text contribution.
@@ -104,6 +104,15 @@ _ACCENTS = {
 }
 
 
+def _safe_chr(cp: int) -> str:
+    """chr() that never yields a lone UTF-16 surrogate or out-of-range
+    code point — either would crash the payload's .encode('utf-8') far
+    outside the per-document corruption guards."""
+    if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF or cp < 0:
+        return "�"
+    return chr(cp)
+
+
 def glyph_name_to_unicode(name: str) -> str | None:
     """Glyph name -> text, or None if unknown. ``gNN`` indexes the mac
     order (Arial subsets skip nonbreakingspace/172 — verified against the
@@ -122,7 +131,7 @@ def glyph_name_to_unicode(name: str) -> str | None:
         return name
     m = re.fullmatch(r"uni([0-9A-Fa-f]{4,6})", name)
     if m:
-        return chr(int(m.group(1), 16))
+        return _safe_chr(int(m.group(1), 16))
     for suf, comb in _ACCENTS.items():
         if name.endswith(suf) and len(name) == len(suf) + 1:
             import unicodedata
@@ -306,6 +315,8 @@ def parse_litstring(lx: Lexer) -> bytes:
         if c == 0x5C:  # backslash escape
             p += 1
             c2 = d[p : p + 1]
+            if not c2:  # truncated at the escape: stop, keep the prefix
+                break
             if c2 == b"n":
                 out += b"\n"
             elif c2 == b"r":
@@ -317,8 +328,14 @@ def parse_litstring(lx: Lexer) -> bytes:
             elif c2 == b"f":
                 out += b"\x0c"
             elif c2 in b"01234567":
+                # length guards matter: an EMPTY slice is "in" any bytes,
+                # so a string truncated mid-octal would otherwise spin
                 oct_ = bytes(c2)
-                while len(oct_) < 3 and d[p + 1 : p + 2] in b"01234567":
+                while (
+                    len(oct_) < 3
+                    and len(d[p + 1 : p + 2]) == 1
+                    and d[p + 1 : p + 2] in b"01234567"
+                ):
                     p += 1
                     oct_ += d[p : p + 1]
                 out.append(int(oct_, 8) & 0xFF)
@@ -358,43 +375,67 @@ def parse_hexstring(lx: Lexer) -> bytes:
 class PDFFile:
     """Object store over one PDF byte string.
 
-    Objects are located by SCANNING for ``N G obj`` headers (newest wins —
-    incremental updates append) and by expanding every /ObjStm found, which
-    makes xref tables, xref streams, and their predictors all unnecessary:
-    the same loader handles the reference corpus's classic-xref (2020/22/23)
-    and xref-stream + object-stream (2021) files alike."""
+    Objects are located by a SEQUENTIAL WALK over ``N G obj ... endobj``
+    units — each object is parsed in place and the scan resumes after it,
+    so ``N G obj`` byte patterns INSIDE stream bodies can never shadow a
+    real object. Later definitions override earlier ones (incremental
+    updates append), and /ObjStm containers are expanded with the same
+    offset-ordered newest-wins rule, which makes xref tables, xref
+    streams, and their predictors all unnecessary: the same loader
+    handles the reference corpus's classic-xref (2020/22/23) and
+    xref-stream + object-stream (2021) files alike."""
 
     def __init__(self, data: bytes):
         self.data = data
         self.objs: dict[int, int] = {}
-        for m in re.finditer(rb"(?:^|[\r\n\x20])(\d+)\s+(\d+)\s+obj\b", data):
-            self.objs[int(m.group(1))] = m.start(1)
         self.cache: dict[int, object] = {}
-        for num in list(self.objs):
-            obj = self.get(Ref(num))
+        header = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+        pos = 0
+        while True:
+            m = header.search(data, pos)
+            if m is None:
+                break
+            off = m.start(1)
+            lx = Lexer(data, m.end())
+            try:
+                val = parse_object(lx, resolve=self.get)
+            except Exception:
+                pos = m.end()
+                continue
+            num = int(m.group(1))
+            self.objs[num] = off  # later (appended update) wins
+            self.cache[num] = val
+            pos = max(lx.p, m.end())
+        for num in sorted(self.objs, key=self.objs.__getitem__):
+            obj = self.cache.get(num)
             if isinstance(obj, dict) and obj.get(b"/Type") == b"/ObjStm":
-                try:
-                    body = self.stream_data(obj)
-                    first = self.get(obj[b"/First"])
-                    hlx = Lexer(body)
-                    pairs = []
-                    for _ in range(self.get(obj[b"/N"])):
-                        onum = parse_object(hlx)
-                        ooff = parse_object(hlx)
-                        if not isinstance(onum, int) or not isinstance(ooff, int):
-                            break
-                        pairs.append((onum, ooff))
-                    for onum, ooff in pairs:
-                        if onum in self.objs:
-                            continue  # a classic (appended) definition wins
-                        olx = Lexer(body, first + ooff)
-                        self.cache[onum] = parse_object(
-                            olx, resolve=self.get
-                        )
-                except Exception:
-                    continue  # one bad container must not kill the doc
+                self._expand_objstm(obj, self.objs[num])
         roots = re.findall(rb"/Root\s+(\d+)\s+\d+\s+R", data)
         self.root = self.get(Ref(int(roots[-1]))) if roots else None
+
+    def _expand_objstm(self, obj: dict, container_off: int) -> None:
+        """Expand one object stream; an embedded definition wins over a
+        prior one only when its CONTAINER sits later in the file (the
+        revision that appended it is newer)."""
+        try:
+            body = self.stream_data(obj)
+            first = self.get(obj[b"/First"])
+            hlx = Lexer(body)
+            pairs = []
+            for _ in range(self.get(obj[b"/N"])):
+                onum = parse_object(hlx)
+                ooff = parse_object(hlx)
+                if not isinstance(onum, int) or not isinstance(ooff, int):
+                    break
+                pairs.append((onum, ooff))
+            for onum, ooff in pairs:
+                if onum in self.objs and self.objs[onum] >= container_off:
+                    continue
+                olx = Lexer(body, first + ooff)
+                self.cache[onum] = parse_object(olx, resolve=self.get)
+                self.objs[onum] = container_off
+        except Exception:
+            return  # one bad container must not kill the doc
 
     def get(self, ref):
         if not isinstance(ref, Ref):
@@ -494,7 +535,7 @@ def parse_cmap(data: bytes) -> dict[int, str]:
             elif isinstance(dst, bytes):
                 base = int(dst.hex(), 16) if dst else 0
                 for i in range(hi_i - lo_i + 1):
-                    out[lo_i + i] = chr(base + i) if base + i <= 0x10FFFF else "�"
+                    out[lo_i + i] = _safe_chr(base + i)
     return out
 
 
@@ -645,10 +686,24 @@ def _interpret(pdf, data, resources, ctm0, runs, depth=0):
             break
         try:
             if op == b"q":
-                gs_stack.append(ctm)
+                # ISO 32000-1 §8.4.2: the saved graphics state includes
+                # the TEXT state — a font/size/spacing set inside q..Q
+                # must not leak (an inflated size would change the
+                # assembly's em-relative gap splits downstream)
+                gs_stack.append(
+                    (ctm, font, size, char_sp, word_sp, hscale, leading)
+                )
             elif op == b"Q":
                 if gs_stack:
-                    ctm = gs_stack.pop()
+                    (
+                        ctm,
+                        font,
+                        size,
+                        char_sp,
+                        word_sp,
+                        hscale,
+                        leading,
+                    ) = gs_stack.pop()
             elif op == b"cm" and len(operands) >= 6:
                 ctm = _mat_mul(tuple(float(x) for x in operands[-6:]), ctm)
             elif op == b"BT":
@@ -896,9 +951,14 @@ def _assemble_spans(runs, page_w: float, page_h: float) -> list[dict]:
 
 
 def pdf_to_span_payloads(data: bytes) -> list[bytes]:
-    """Per-page UTF-8 span-JSON payloads — the pages-table ``html`` column."""
+    """Per-page UTF-8 span-JSON payloads — the pages-table ``html`` column.
+
+    errors="replace" is the last line of the one-bad-document defense: a
+    surrogate that slipped through every decode guard (e.g. via a
+    ToUnicode dst decoded with utf-16 "replace" semantics) must become
+    U+FFFD in the payload, never an executor-killing UnicodeEncodeError."""
     return [
-        json.dumps(spans, ensure_ascii=False).encode("utf-8")
+        json.dumps(spans, ensure_ascii=False).encode("utf-8", "replace")
         for spans in decode_pdf_pages(data)
     ]
 

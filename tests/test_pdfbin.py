@@ -193,3 +193,46 @@ def test_spark_source_matches_pure_oracle(spark):
         assert row.correct_answer == pure[k]["correct_answer"], k
         assert row.question_text == pure[k]["question_text"], k
     assert len(got) == 60  # the reference's goldens hold only 9 of these
+
+
+def test_truncated_literal_string_terminates():
+    """A literal string cut off at a backslash (or mid-octal) must parse to
+    its prefix, not spin — truncated streams are exactly what the zlib
+    prefix-salvage produces."""
+    assert pdfbin.parse_litstring(pdfbin.Lexer(b"(abc\\")) == b"abc"
+    assert pdfbin.parse_litstring(pdfbin.Lexer(b"(abc\\4")) == b"abc\x04"
+
+
+def test_surrogate_code_points_never_reach_payloads():
+    cm = pdfbin.parse_cmap(b"beginbfrange <00> <02> <d800> endbfrange")
+    assert cm[0] == "\N{REPLACEMENT CHARACTER}"
+    assert pdfbin.glyph_name_to_unicode("uniD800") == "\N{REPLACEMENT CHARACTER}"
+
+
+def test_in_stream_obj_header_cannot_shadow_objects():
+    """'N 0 obj' byte patterns inside a stream body must not shadow real
+    objects: the sequential walk parses past whole objects instead of
+    regex-scanning the raw file."""
+    pages = pdfbin.doc_pdf_lines("decoy test 1 0 obj shadow attempt " * 6)
+    decoded = pdfbin.pdf_to_span_payloads(pdfbin.synth_pdf(pages))
+    assert len(decoded) == 2 and decoded[0] != b"[]"
+    texts = [reconstruct_page(p)[0] for p in decoded]
+    assert "1 0 obj" in texts[0]  # the decoy really was in page text
+
+
+def test_q_Q_restores_text_state():
+    """Tf inside q..Q must not leak (ISO 32000-1 §8.4.2: text state is part
+    of the saved graphics state)."""
+    content = (
+        b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (base) Tj "
+        b"q /F1 40 Tf 1 0 0 1 50 600 Tm (big) Tj Q "
+        b"1 0 0 1 50 500 Tm (after) Tj ET"
+    )
+    # interpret the custom stream directly against a synth PDF's font
+    f = pdfbin.PDFFile(pdfbin.synth_pdf([["x"]]))
+    page, inh = f.pages()[0]
+    runs: list = []
+    pdfbin._interpret(f, content, inh.get(b"/Resources"), pdfbin._ID, runs)
+    sizes = {t: s for _, _, t, s, _ in runs}
+    assert sizes["base"] == 10 and sizes["big"] == 40
+    assert sizes["after"] == 10, "text state leaked out of q..Q"
