@@ -188,10 +188,13 @@ class Lexer:
             self.p = p + 1
             return c
         q = p
-        while q < n and d[q : q + 1] not in WS and d[q : q + 1] not in DELIM:
+        while q < n and d[q] not in _STOP:
             q += 1
         self.p = q
         return d[p:q]
+
+
+_STOP = frozenset(WS) | frozenset(DELIM)
 
 
 def parse_object(lx: Lexer, resolve=None):
@@ -222,25 +225,35 @@ def parse_object(lx: Lexer, resolve=None):
     tok = lx.token()
     if tok is None:
         return None
+    # numbers first — they dominate content streams (path/kerning operands)
+    try:
+        iv = int(tok)
+    except ValueError:
+        pass
+    else:
+        # "N G R" indirect-reference lookahead only where refs can occur:
+        # content streams call with resolve=None and skip two token()
+        # round-trips per numeric operand (measured ~35% of decode time)
+        if resolve is not None and iv >= 0:
+            save = lx.p
+            t2 = lx.token()
+            if t2 is not None and t2.isdigit():
+                t3 = lx.token()
+                if t3 == b"R":
+                    return Ref(iv, int(t2))
+            lx.p = save
+        return iv
+    try:
+        return float(tok)
+    except ValueError:
+        pass
     if tok == b"true":
         return True
     if tok == b"false":
         return False
     if tok == b"null":
         return None
-    if re.fullmatch(rb"[+-]?\d+", tok):
-        save = lx.p
-        t2 = lx.token()
-        if t2 is not None and re.fullmatch(rb"\d+", t2):
-            t3 = lx.token()
-            if t3 == b"R":
-                return Ref(int(tok), int(t2))
-        lx.p = save
-        return int(tok)
-    try:
-        return float(tok)
-    except ValueError:
-        return tok  # operator keyword
+    return tok  # operator keyword
 
 
 def parse_name(lx: Lexer) -> bytes:
