@@ -896,9 +896,30 @@ def _assemble_spans(runs, page_w: float, page_h: float) -> list[dict]:
             )
             continue
         lines.setdefault(round(-y, 1), []).append((x, y, text, size, width, idx))
+    # merge a SMALLER-font near baseline (within 0.4 em, size <= 0.75x)
+    # into the line above: subscripts sit a few points off the text line
+    # (ZnSO4, matrix indices) and must join it in x order, as fitz's
+    # overlap-based lines did. The size gate keeps same-size neighbors
+    # (alternative-letter marks drawn slightly off the body baseline)
+    # on their own lines — the oracle's letter formats depend on that.
+    merged: list[list] = []
+    last_y = None
+    last_sz = 0.0
+    for baseline in sorted(lines):
+        runs_at = lines[baseline]
+        sz = max(r[3] for r in runs_at)
+        if (
+            last_y is not None
+            and (-baseline) >= last_y - 0.4 * max(last_sz, 1.0)
+            and sz <= 0.75 * last_sz
+        ):
+            merged[-1].extend(runs_at)  # anchor stays: no chain-merging
+        else:
+            merged.append(list(runs_at))
+            last_y = -baseline
+            last_sz = sz
     keyed: list[tuple[int, int, dict]] = [(i, 1, s) for i, s in img_spans]
-    for baseline in lines:
-        raw = lines[baseline]
+    for raw in merged:
         seen: set = set()
         parts, dups = [], []
         for r in sorted(raw, key=lambda r: (r[0], r[5])):
