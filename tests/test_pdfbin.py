@@ -236,3 +236,28 @@ def test_q_Q_restores_text_state():
     sizes = {t: s for _, _, t, s, _ in runs}
     assert sizes["base"] == 10 and sizes["big"] == 40
     assert sizes["after"] == 10, "text state leaked out of q..Q"
+
+
+def test_images_mode_over_real_pdfs(spark):
+    """S3 on real bytes: the binary images table materializes one row per
+    image marker the decoder emitted on valid PV pages (page >= 1), and
+    every ref joins back to its page url."""
+    from enem_spark.extract import materialize_images
+    from enem_spark.sources.pdfsource import pdf_pages_frame
+
+    pages = pdf_pages_frame(spark, f"{PDF_DIR}/2021")
+    imgs = materialize_images(pages).collect()
+    # pure-side expectation: marker counts over the same decoded payloads
+    import enem_spark.layout as layout
+
+    expected = 0
+    for year_pdf in ("2021_PV_impresso_D1_CD1", "2021_PV_impresso_D2_CD7"):
+        for idx, p in enumerate(payloads(f"{PDF_DIR}/2021/{year_pdf}.pdf")):
+            if idx >= 1:  # cover page excluded (F2)
+                expected += layout.count_image_spans(p)
+    assert len(imgs) == expected > 0
+    for row in imgs[:20]:
+        assert row.image_ref.rsplit("#img", 1)[0].endswith(
+            tuple(f"/page/{i}" for i in range(33))
+        )
+        assert row.png.startswith(b"\x89PNG")
