@@ -261,3 +261,26 @@ def test_images_mode_over_real_pdfs(spark):
             tuple(f"/page/{i}" for i in range(33))
         )
         assert row.png.startswith(b"\x89PNG")
+
+
+def test_fuzz_decode_never_raises():
+    """Arbitrary byte soup — including mutated valid PDFs, the nastier
+    case — must decode to a (possibly empty) page list, never raise or
+    spin. Mirrors the WARC fuzz gate: one bad document cannot kill a job."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = pdfbin.synth_pdf(pdfbin.doc_pdf_lines("fuzz seed text " * 20))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=400), st.data())
+    def run(blob, data):
+        # raw soup
+        pdfbin.decode_pdf_pages(blob)
+        # splice the soup into a valid PDF at a random offset
+        cut = data.draw(st.integers(0, len(base)))
+        pdfbin.decode_pdf_pages(base[:cut] + blob + base[cut:])
+        # truncation
+        pdfbin.decode_pdf_pages(base[: data.draw(st.integers(0, len(base)))])
+
+    run()
