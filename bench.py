@@ -426,6 +426,100 @@ def run_html_bench(sf_dir: str, cpus: str) -> dict:
     }
 
 
+def _pdf_files_store(sf_dir: str, mult: int) -> tuple[str, int]:
+    """Stage one synthesized 2-page PDF per (document x replica) under
+    /tmp (written once; _DONE marker carries the file count). Replica
+    text is prefixed so no two files are byte-identical."""
+    import duckdb
+
+    base = f"/tmp/enem_pdfstore_{_sf_from_dir(sf_dir)}x{mult}"
+    done = os.path.join(base, "_DONE")
+    if os.path.isfile(done):
+        with open(done) as f:
+            return base, int(f.read())
+    from enem_spark.pdfbin import doc_pdf_lines, synth_pdf
+
+    os.makedirs(base, exist_ok=True)
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    n = 0
+    for rep in range(mult):
+        for doc_id, text in rows:
+            pdf = synth_pdf(doc_pdf_lines(f"rep{rep} " + (text or "")))
+            name = os.path.join(base, f"doc_{rep}_{int(doc_id):07d}.pdf")
+            with open(name, "wb") as f:
+                f.write(pdf)
+            n += 1
+    with open(done, "w") as f:
+        f.write(str(n))
+    return base, n
+
+
+def run_pdf_bench(sf_dir: str, cpus: str) -> dict:
+    """Binary-PDF decode throughput: binaryFile scan over the staged PDF
+    store -> one mapInPandas decode/explode (sources/pdfsource.py) -> page
+    count. Emits the same JSON keys as the other *-extract-only children
+    so run_scaling can drive it."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from enem_spark.session import get_spark
+    from enem_spark.sources.pdfsource import pdf_pages_frame
+
+    n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    hw_probe = (
+        None
+        if os.environ.get("SPARK_GRAFT_SKIP_HW_PROBE")
+        else _mp_probe(min(n_cores, os.cpu_count() or 8))
+    )
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "4"))
+    store, n_files = _pdf_files_store(sf_dir, mult)
+    spark = get_spark("enem_spark_pdf_bench", cores=cpus)
+    pages = pdf_pages_frame(spark, store)
+    n_pages = pages.count()  # warm every worker, untimed
+    runs = []
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        pdf_pages_frame(spark, store).count()
+        runs.append(round(time.perf_counter() - t0, 3))
+    best = min(runs)
+    return {
+        "metric": "pages/sec binary-PDF decode (stdlib parser, binaryFile -> mapInPandas)",
+        "value": round(n_pages / best, 2),
+        "unit": "pages/sec",
+        "sf": _sf_from_dir(sf_dir),
+        "cpus": cpus,
+        "extract_runs_sec": runs,
+        "n_pages": n_pages,
+        "n_files": n_files,
+        "hw_probe_mops": hw_probe,
+    }
+
+
+def update_pdf_bench_md(summary: dict, path: str = "BENCH.md") -> None:
+    """Insert/replace the '## Binary-PDF decode scaling' section."""
+    lo, hi = summary["low_cpus"], summary["high_cpus"]
+    section = f"""## Binary-PDF decode scaling (stdlib parser job)
+
+Same two-parallelism evidence for the real-input path (`pdf_pages_frame`:
+binaryFile scan -> one mapInPandas decode/explode, no shuffle; input is
+the deterministic synthesized PDF store, one 2-page file per document):
+
+| config | PDF decode pages/sec | raw-hardware M-ops/s |
+|---|---|---|
+| {lo} cores | {summary['docs_per_sec_low']} | {summary['hw_mhash_low']} |
+| {hi} cores | {summary['docs_per_sec_high']} | {summary['hw_mhash_high']} |
+
+scaling efficiency = **{summary['scaling_efficiency']}**, hardware ceiling
+that window = {summary['hw_scaling_efficiency']}, normalized =
+**{summary['normalized_efficiency']}** ({summary['n_pages']} pages from
+sf={summary['sf']} x{summary['scale_mult']} PDFs; trial picked by the
+same credible-probe rule as the exam job).
+"""
+    _upsert_section(path, "## Binary-PDF decode scaling", section)
+
+
 def run_bench(sf_dir: str, cpus: str, extract_only: bool = False) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
@@ -644,6 +738,7 @@ def run_scaling(
 # write_bench_md preserves everything from the first known section on
 _BENCH_SECTIONS = [
     "## Skew evidence",
+    "## Binary-PDF decode scaling",
     "## HTML main-content scaling",
     "## Icetable-input scaling",
     "## Dedup scaling",
@@ -1194,6 +1289,8 @@ def main() -> None:
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--html-scaling", action="store_true")
     ap.add_argument("--html-extract-only", action="store_true")
+    ap.add_argument("--pdf-scaling", action="store_true")
+    ap.add_argument("--pdf-extract-only", action="store_true")
     ap.add_argument("--iceberg", action="store_true")
     ap.add_argument("--ice-extract-only", action="store_true")
     ap.add_argument("--ice-scaling", action="store_true")
@@ -1270,6 +1367,21 @@ def main() -> None:
         return
     if args.dedup_extract_only:
         print(json.dumps(run_dedup_bench(sf_dir, cpus)))
+        return
+    if args.pdf_scaling:
+        summary = run_scaling(
+            sf_dir,
+            args.low,
+            args.high,
+            args.mult if args.mult is not None else 4,
+            args.trials,
+            flag="--pdf-extract-only",
+        )
+        update_pdf_bench_md(summary)
+        print(json.dumps(summary))
+        return
+    if args.pdf_extract_only:
+        print(json.dumps(run_pdf_bench(sf_dir, cpus)))
         return
     if args.html_extract_only:
         print(json.dumps(run_html_bench(sf_dir, cpus)))
