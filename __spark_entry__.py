@@ -1388,6 +1388,69 @@ def q_iceberg_rollback(spark, sf_dir):
     )
 
 
+def _ice_rowdel_ladder(spark, sf_dir, up_to_seq):
+    """Shared driver ladder for the row-delete story (its OWN staged table,
+    `pages_rowdel` — separate from the pinned three-snapshot table and the
+    merge ladder): first crawl at SEQ_OLD, url-takedown `delete_rows` at
+    SEQ_ROWDEL (merge-on-read: one tiny key file committed, zero data
+    files rewritten), delete-materializing `purge_deletes` at SEQ_PURGE.
+    Each rung commits at most once (guarded on the committed max sequence,
+    CommitConflict = a racing process staged the same deterministic rung);
+    every read is pinned `as_of` its own sequence, so re-runs are pinned
+    reads — same protocol as the merge ladder."""
+    from enem_spark.sources import icetable
+
+    staged = icetable.stage_ice_rowdel(sf_dir)
+    t = icetable.IceTable(spark, staged["table"])
+
+    def _max_seq():
+        return max(s["sequence"] for s in t.snapshots())
+
+    if up_to_seq >= icetable.SEQ_ROWDEL and _max_seq() < icetable.SEQ_ROWDEL:
+        keys = spark.createDataFrame(icetable.takedown_frame(sf_dir))
+        try:
+            t.delete_rows(keys, sequence=icetable.SEQ_ROWDEL)
+        except icetable.CommitConflict:
+            if _max_seq() < icetable.SEQ_ROWDEL:
+                raise
+    if up_to_seq >= icetable.SEQ_PURGE and _max_seq() < icetable.SEQ_PURGE:
+        try:
+            t.purge_deletes(sequence=icetable.SEQ_PURGE)
+        except icetable.CommitConflict:
+            if _max_seq() < icetable.SEQ_PURGE:
+                raise
+    return t.read(as_of=up_to_seq).select(
+        "url",
+        F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("html_len"),
+        F.md5("text").alias("text_md5"),
+        "lang",
+    )
+
+
+def q_iceberg_row_delete(spark, sf_dir):
+    """Merge-on-read url takedown (Iceberg v2 equality-delete files): the
+    `delete_rows` commit runs HERE, Spark-side — a tiny key-list file, no
+    data file rewritten — and the pinned read anti-joins it at scan time
+    (sequence-scoped). The oracle is the pure-pandas expected post-takedown
+    frame, so the hash match certifies the whole MOR commit -> scoped
+    anti-join -> read round trip."""
+    from enem_spark.sources import icetable
+
+    return _ice_rowdel_ladder(spark, sf_dir, icetable.SEQ_ROWDEL)
+
+
+def q_iceberg_delete_purge(spark, sf_dir):
+    """Delete materialization, driver-gated: `purge_deletes` rewrites ONLY
+    the data files holding taken-down urls (key-column-only planning scan)
+    and drops the delete entries; the pinned read of the `replace`
+    snapshot must be bit-identical to the MOR read — same twin as
+    iceberg_row_delete, which is exactly the row-preservation claim."""
+    from enem_spark.sources import icetable
+
+    return _ice_rowdel_ladder(spark, sf_dir, icetable.SEQ_PURGE)
+
+
 def q_recrawl_priority(spark, sf_dir):
     """Re-crawl scheduling from the icetable's fetch history: the union of
     the pinned first-crawl read, the pinned re-crawl read, and the
@@ -1792,6 +1855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_merge": q_iceberg_merge,
         "iceberg_compact": q_iceberg_compact,
         "iceberg_rollback": q_iceberg_rollback,
+        "iceberg_row_delete": q_iceberg_row_delete,
+        "iceberg_delete_purge": q_iceberg_delete_purge,
         "crawl_delta": q_crawl_delta,
         "recrawl_priority": q_recrawl_priority,
         "charset_decode": q_charset_decode,
@@ -3718,6 +3783,12 @@ def oracle_sql() -> dict[str, str]:
     # merge twin: expected post-merge frame, pure pandas from the same
     # source frames the Spark-side IceTable.merge consumes in the query
     ice_merge_staged = stage_ice_merge_base(oracle_sf)
+    # row-delete twin: expected post-takedown frame, pure pandas from the
+    # same first-crawl + takedown-list frames the Spark-side delete_rows /
+    # purge_deletes queries consume
+    from enem_spark.sources.icetable import stage_ice_rowdel
+
+    ice_rowdel_staged = stage_ice_rowdel(oracle_sf)
     # charset twin: expected decode stats from the same pure detector
     # (DuckDB cannot decode cp1252/utf-16 blobs, so this is materialized)
     from enem_spark.charset import (
@@ -3768,6 +3839,18 @@ FROM read_parquet('{ice_merge_staged["expected_merged"]}')
 SELECT url, html_md5, CAST(html_len AS BIGINT) AS html_len,
        md5(text) AS text_md5, lang
 FROM read_parquet('{ice_merge_staged["expected_merged"]}')
+""",
+        # merge-on-read takedown: twin = pure-pandas post-takedown frame
+        "iceberg_row_delete": f"""
+SELECT url, html_md5, CAST(html_len AS BIGINT) AS html_len,
+       md5(text) AS text_md5, lang
+FROM read_parquet('{ice_rowdel_staged["expected_rowdel"]}')
+""",
+        # the purge is row-preserving by contract: same twin as the delete
+        "iceberg_delete_purge": f"""
+SELECT url, html_md5, CAST(html_len AS BIGINT) AS html_len,
+       md5(text) AS text_md5, lang
+FROM read_parquet('{ice_rowdel_staged["expected_rowdel"]}')
 """,
         # rollback reproduces the pre-merge state: twin = the first-crawl
         # source frame (staged independently by stage_ice_pages)

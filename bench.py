@@ -126,6 +126,8 @@ HEADLINE = [
     "iceberg_merge",
     "iceberg_compact",
     "iceberg_rollback",
+    "iceberg_row_delete",
+    "iceberg_delete_purge",
     "bucketed_join",
     "ccnet_buckets",
     "embedding_decontaminate",

@@ -31,6 +31,14 @@ implementation:
   * **Metadata-only deletes.**  ``delete_where`` on a partition-aligned
     predicate rewrites manifests to drop whole files — zero data IO, the
     Iceberg "drop a crawl" operation.
+  * **Merge-on-read equality deletes** (Iceberg v2 delete files).
+    ``delete_rows`` commits a tiny key-list file instead of rewriting data
+    (the 10^12-row takedown/opt-out story: removing 10k urls must not
+    rewrite 100 TB); readers anti-join applicable delete files at scan
+    time, and ``purge_deletes`` later materializes them in one maintenance
+    rewrite.  Sequence scoping matches the spec: an equality delete applies
+    only to data files whose commit sequence is STRICTLY below the
+    delete's, so rows (re-)appended after a takedown survive it.
   * **Schema evolution.**  Appends may add columns; the merged schema lives
     in table metadata (never inferred from footers), and old files read
     back with nulls for the new columns.  Renames/drops would need Iceberg
@@ -205,6 +213,27 @@ def _file_entry(
         "partition": _parse_partition_dir(rel, transforms),
         "bounds": bounds,
     }
+
+
+_EQ_DELETES = "eq-deletes"
+
+
+def _split_entries(entries: list[dict]) -> tuple[list[dict], list[dict]]:
+    """(data entries, equality-delete entries). Entries without a
+    ``content`` field are data files (every pre-MOR manifest)."""
+    data = [e for e in entries if e.get("content") != _EQ_DELETES]
+    dels = [e for e in entries if e.get("content") == _EQ_DELETES]
+    return data, dels
+
+
+def _delete_applies(data_entry: dict, delete_entry: dict) -> bool:
+    """Iceberg v2 sequence scoping: an equality delete hits only data files
+    committed STRICTLY before it. A data entry with no recorded ``seq``
+    (written before MOR landed) is treated as older than every delete —
+    conservative in the only direction that matters (a takedown must never
+    silently miss rows)."""
+    seq = data_entry.get("seq")
+    return seq is None or seq < delete_entry["applies_below"]
 
 
 def _scan_commit_dir(
@@ -454,20 +483,18 @@ class IceTable:
 
     # -- scan planning -----------------------------------------------------
 
-    def plan_files(
+    def _plan_entries(
         self,
         filters: Sequence[tuple] | None = None,
         snapshot_id: int | None = None,
         as_of: int | None = None,
-    ) -> tuple[list[str], dict]:
-        """Manifest-level scan plan: (kept absolute file paths, report).
-
-        Driver-side metadata work only — O(manifest entries), no listing of
-        the data prefix, no footer reads (bounds were captured at commit)."""
+    ) -> tuple[list[dict], list[dict], dict]:
+        """Manifest-level scan plan over ENTRIES: (kept data entries,
+        equality-delete entries, report). Driver-side metadata work only."""
         meta = self.metadata()
         snap = self._resolve_snapshot(meta, snapshot_id, as_of)
         transforms = [Transform.from_json(d) for d in meta["partition_by"]]
-        entries = self._manifest_entries(snap)
+        entries, dels = _split_entries(self._manifest_entries(snap))
         filters = list(filters or [])
         kept = [e for e in entries if _keep_file(e, filters, transforms)]
         report = {
@@ -475,22 +502,41 @@ class IceTable:
             "sequence": snap["sequence"],
             "files_total": len(entries),
             "files_kept": len(kept),
+            "delete_files": len(dels),
             "records_total": sum(e["records"] for e in entries),
             "records_kept_max": sum(e["records"] for e in kept),
             "bytes_kept": sum(e["bytes"] for e in kept),
         }
+        return kept, dels, report
+
+    def plan_files(
+        self,
+        filters: Sequence[tuple] | None = None,
+        snapshot_id: int | None = None,
+        as_of: int | None = None,
+    ) -> tuple[list[str], dict]:
+        """Manifest-level scan plan: (kept absolute DATA file paths, report).
+
+        Driver-side metadata work only — O(manifest entries), no listing of
+        the data prefix, no footer reads (bounds were captured at commit).
+        When the snapshot carries equality-delete files the report says so
+        (``delete_files``); a caller reading the planned paths raw sees
+        pre-delete rows — row-exact reads go through ``read``, which
+        anti-joins the applicable deletes."""
+        kept, _dels, report = self._plan_entries(filters, snapshot_id, as_of)
         return [os.path.join(self.path, e["path"]) for e in kept], report
 
-    def plan_incremental(
+    def _plan_incremental_entries(
         self,
         from_seq: int,
         filters: Sequence[tuple] | None = None,
         snapshot_id: int | None = None,
         as_of: int | None = None,
-    ) -> tuple[list[str], dict]:
+    ) -> tuple[list[dict], list[dict], dict]:
         """Incremental scan plan: the target snapshot's files MINUS every
         file already referenced by the newest snapshot at or before
         ``from_seq`` (none committed that early -> the full file set).
+        Returns (kept data entries, applicable delete entries, report).
 
         This is the Iceberg incremental-read shape: planning stays
         O(manifest entries) driver-side, and at 10^12 rows a re-crawl
@@ -527,7 +573,13 @@ class IceTable:
             for s in ordered
             if from_seq < s["sequence"] <= target["sequence"]
         ]
-        files_of = {s["snapshot_id"]: self._manifest_entries(s) for s in ordered}
+        # data entries only: equality-delete files are not scannable rows
+        # (a `rowdelete` op in the walk forces a full rescan below anyway —
+        # rows VANISH, which an append-only walk cannot express)
+        files_of = {
+            s["snapshot_id"]: _split_entries(self._manifest_entries(s))[0]
+            for s in ordered
+        }
         # Default-deny: only operations whose incremental meaning is known
         # are walked file-by-file. ``merge`` (COW upsert: rewritten files
         # mix changed and unchanged rows), ``rollback`` (the live row set
@@ -564,16 +616,39 @@ class IceTable:
             else [added[p] for p in sorted(added)]
         )
         kept = [e for e in entries if _keep_file(e, filters, transforms)]
+        target_data, target_dels = _split_entries(self._manifest_entries(target))
         report = {
             "snapshot_id": target["snapshot_id"],
             "sequence": target["sequence"],
             "from_sequence": from_seq,
-            "files_total_snapshot": len(self._manifest_entries(target)),
+            "full_rescan": full_rescan,
+            "files_total_snapshot": len(target_data),
             "files_new": len(entries),
             "files_kept": len(kept),
+            "delete_files": len(target_dels),
             "records_kept_max": sum(e["records"] for e in kept),
             "bytes_kept": sum(e["bytes"] for e in kept),
         }
+        # Deletes matter only on the full-rescan path: a non-rescan walk
+        # contains no `rowdelete` op, so every delete in the target was
+        # committed at sequence <= from_seq, and every incremental file at
+        # sequence > from_seq — never strictly below the delete's, hence
+        # never applicable (the sequence-scoping rule doing real work).
+        return kept, (target_dels if full_rescan else []), report
+
+    def plan_incremental(
+        self,
+        from_seq: int,
+        filters: Sequence[tuple] | None = None,
+        snapshot_id: int | None = None,
+        as_of: int | None = None,
+    ) -> tuple[list[str], dict]:
+        """Path-level wrapper over ``_plan_incremental_entries`` (kept for
+        callers that feed paths to their own reader; row-exactness under
+        equality deletes lives in ``read_incremental``)."""
+        kept, _dels, report = self._plan_incremental_entries(
+            from_seq, filters, snapshot_id, as_of
+        )
         return [os.path.join(self.path, e["path"]) for e in kept], report
 
     def read_incremental(
@@ -584,10 +659,13 @@ class IceTable:
         as_of: int | None = None,
     ) -> DataFrame:
         """Rows of the files added since ``from_seq`` (see plan_incremental
-        for the exactness contract), with residual row-level filters."""
+        for the exactness contract), with residual row-level filters and
+        applicable equality deletes anti-joined."""
         assert self.spark is not None, "read_incremental() needs a SparkSession"
-        files, _report = self.plan_incremental(from_seq, filters, snapshot_id, as_of)
-        return self._read_files(files, filters)
+        kept, dels, _report = self._plan_incremental_entries(
+            from_seq, filters, snapshot_id, as_of
+        )
+        return self._read_entries(kept, dels, filters)
 
     def read(
         self,
@@ -599,10 +677,11 @@ class IceTable:
 
         The residual predicate is applied row-level too (pruning is
         conservative), so callers get exact filter semantics; Spark also
-        pushes it into the parquet scan for row-group skipping."""
+        pushes it into the parquet scan for row-group skipping. Equality
+        deletes carried by the snapshot are anti-joined (merge-on-read)."""
         assert self.spark is not None, "read() needs a SparkSession"
-        files, _report = self.plan_files(filters, snapshot_id, as_of)
-        return self._read_files(files, filters)
+        kept, dels, _report = self._plan_entries(filters, snapshot_id, as_of)
+        return self._read_entries(kept, dels, filters)
 
     def read_planned(
         self, files: list[str], filters: Sequence[tuple] | None = None
@@ -614,6 +693,61 @@ class IceTable:
         doubles planning latency for nothing."""
         assert self.spark is not None, "read_planned() needs a SparkSession"
         return self._read_files(files, filters)
+
+    def _read_entries(
+        self,
+        data_entries: list[dict],
+        delete_entries: list[dict],
+        filters: Sequence[tuple] | None,
+    ) -> DataFrame:
+        """Merge-on-read: read the data entries, anti-joining every
+        equality-delete file that applies (sequence-scoped per data file).
+
+        Data files are grouped by their applicable-delete set — the groups
+        are equivalence classes over at most ``len(delete_entries)``
+        boundaries, so the union has O(distinct delete sequences) branches,
+        not O(files). Delete key sets are takedown lists (tiny by
+        construction — a big delete should be a `merge`/`overwrite`), so
+        each anti-join broadcasts the keys: zero extra shuffle on the scan,
+        which is the whole point of MOR at 10^12 rows."""
+        if not delete_entries:
+            return self._read_files(
+                [os.path.join(self.path, e["path"]) for e in data_entries],
+                filters,
+            )
+        dels = sorted(
+            delete_entries, key=lambda e: (e["applies_below"], e["path"])
+        )
+        groups: dict[tuple, list[dict]] = {}
+        for e in data_entries:
+            key = tuple(
+                i for i, d in enumerate(dels) if _delete_applies(e, d)
+            )
+            groups.setdefault(key, []).append(e)
+        out: DataFrame | None = None
+        for key in sorted(groups):
+            df = self._read_files(
+                [os.path.join(self.path, e["path"]) for e in groups[key]],
+                filters,
+            )
+            by_cols: dict[tuple, list[dict]] = {}
+            for i in key:
+                by_cols.setdefault(tuple(dels[i]["delete_cols"]), []).append(
+                    dels[i]
+                )
+            for cols, group in sorted(by_cols.items()):
+                keys = (
+                    self.spark.read.parquet(
+                        *[os.path.join(self.path, d["path"]) for d in group]
+                    )
+                    .select(*cols)
+                    .dropDuplicates()
+                )
+                df = df.join(F.broadcast(keys), on=list(cols), how="left_anti")
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            return self._read_files([], filters)
+        return out
 
     def _read_files(
         self, files: list[str], filters: Sequence[tuple] | None
@@ -661,6 +795,12 @@ class IceTable:
         v = current_version(self.path) if base_version is None else base_version
         if v < 0:
             raise FileNotFoundError(f"no icetable at {self.path}; use create()")
+        # Stamp each NEW entry with its commit sequence — the data-file side
+        # of the equality-delete scoping rule (_delete_applies). Entries
+        # carried over from parent manifests keep the seq they were born
+        # with; pre-MOR entries have none and read as infinitely old.
+        for e in new_entries:
+            e.setdefault("seq", sequence)
         meta = self.metadata(v)
         snap_id = meta["current_snapshot_id"] + 1
         old_schema = T.StructType.fromJson(meta["schema"])
@@ -840,7 +980,7 @@ class IceTable:
             # the table tip is compactable (Iceberg's rewrite_data_files
             # has the same contract)
             raise ValueError("compact() targets the current snapshot only")
-        entries = self._manifest_entries(snap)
+        entries, dels = _split_entries(self._manifest_entries(snap))
         by_part: dict[str, list[dict]] = {}
         for e in entries:
             key = json.dumps(e["partition"], sort_keys=True)
@@ -848,18 +988,19 @@ class IceTable:
         multi = [g for g in by_part.values() if len(g) > 1]
         if not multi:
             return snap  # nothing to do — already one file per partition
-        schema = T.StructType.fromJson(meta["schema"])
         # ONE Spark job for the whole compaction: only multi-file
         # partitions are read, shuffled once on the partition dir (each
         # partition value lands in one task -> one output file), and
         # single-file partitions carry over by manifest reference alone —
         # a per-partition job loop would serialize O(partitions) jobs on
-        # the driver, which at 10^5 partitions IS the bottleneck
+        # the driver, which at 10^5 partitions IS the bottleneck.
+        # Pending equality deletes are APPLIED to the rewritten rows (a raw
+        # re-write would resurrect deleted rows: the new files' seq >= the
+        # deletes' applies_below, so the deletes no longer scope to them);
+        # the delete entries stay in the manifest for the single-file
+        # partitions carried by reference — purge_deletes retires them.
         drop_paths = {e["path"] for g in multi for e in g}
-        df = (
-            self.spark.read.schema(schema)
-            .parquet(*[os.path.join(self.path, p) for p in sorted(drop_paths)])
-        )
+        df = self._read_entries([e for g in multi for e in g], dels, None)
         new_entries = self._write_data(df, base + 1)
         out = self._commit(
             "replace", new_entries, sequence, None, True,
@@ -1102,7 +1243,7 @@ class IceTable:
         base = current_version(self.path)
         meta = self.metadata(base)
         snap = self._resolve_snapshot(meta, None, None)
-        entries = self._manifest_entries(snap)
+        entries, dels = _split_entries(self._manifest_entries(snap))
         schema = T.StructType.fromJson(meta["schema"])
         for k in key_cols:
             if k not in schema.fieldNames():
@@ -1158,13 +1299,15 @@ class IceTable:
                     p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
                     touched_rel.add(os.path.relpath(p, self.path))
 
-            # 3. rewrite touched survivors + source into new files
+            # 3. rewrite touched survivors + source into new files.
+            # Survivors are read DELETE-AWARE: a raw file read would
+            # resurrect rows an equality delete had removed (the rewrite
+            # escapes the delete's sequence scope); untouched files keep
+            # the delete entries applying via the carried manifests.
             if touched_rel:
-                survivors = self._read_files(
-                    [
-                        os.path.join(self.path, rel)
-                        for rel in sorted(touched_rel)
-                    ],
+                survivors = self._read_entries(
+                    [e for e in entries if e["path"] in touched_rel],
+                    dels,
                     None,
                 ).join(src_keys, on=key_cols, how="left_anti")
                 new_df = survivors.unionByName(source, allowMissingColumns=True)
@@ -1183,6 +1326,139 @@ class IceTable:
                 "files_candidates": len(candidates),
                 "files_rewritten": len(touched_rel),
                 "files_kept": len(entries) - len(touched_rel),
+            }
+        )
+        return out
+
+    def delete_rows(self, keys: DataFrame, sequence: int) -> dict:
+        """Merge-on-read row delete (Iceberg v2 equality-delete files):
+        commit a tiny key-list parquet instead of rewriting data files —
+        the takedown/opt-out operation at 10^12 rows, where removing 10k
+        urls must not rewrite 100 TB. Every column of ``keys`` is a delete
+        key (rows matching ALL of them are deleted); readers anti-join the
+        committed key list at scan time, and ``purge_deletes`` materializes
+        it later in one maintenance rewrite.
+
+        Sequence scoping (the spec's rule): the delete applies only to data
+        files committed STRICTLY before ``sequence`` — a page re-appended
+        by a later crawl is a new document and survives an old takedown.
+        Note what this deliberately is NOT: extraction side outputs already
+        derived from a deleted page are downstream tables with their own
+        lineage; re-serve from `current_main_content` after re-extraction,
+        or purge + re-run, to propagate a takedown end-to-end."""
+        assert self.spark is not None, "delete_rows() needs a SparkSession"
+        key_cols = list(keys.columns)
+        if not key_cols:
+            raise ValueError("delete_rows() needs at least one key column")
+        base = current_version(self.path)
+        schema = self.schema()
+        for k in key_cols:
+            if k not in schema.fieldNames():
+                raise ValueError(f"delete key column not in schema: {k!r}")
+        commit_dir = self._attempt_dir(base + 1)
+        # one file: delete key lists are small by contract (a big delete
+        # wants overwrite/merge); coalesce keeps the manifest one entry
+        keys.dropDuplicates().coalesce(1).write.mode("overwrite").parquet(
+            commit_dir
+        )
+        entries = _scan_commit_dir(commit_dir, self.path, [])
+        n_keys = sum(e["records"] for e in entries)
+        if n_keys == 0:
+            import shutil
+
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            return {"operation": "noop", "deleted_keys": 0}
+        for e in entries:
+            e["content"] = _EQ_DELETES
+            e["delete_cols"] = key_cols
+            e["applies_below"] = sequence
+        out = self._commit(
+            "rowdelete", entries, sequence, None, True, base_version=base
+        )
+        out["summary"].update(
+            {"delete_files": len(entries), "deleted_keys": n_keys}
+        )
+        return out
+
+    def purge_deletes(self, sequence: int) -> dict:
+        """Materialize every pending equality delete (Iceberg's
+        ``rewrite_position_delete_files`` + data rewrite rolled into one):
+        rewrite ONLY the data files that actually contain deleted keys —
+        planned by a key-column-only scan (parquet column pruning: url
+        bytes, not html payload) semi-joined against the broadcast key
+        lists — then commit a ``replace`` snapshot that drops the delete
+        entries. Rows are bit-identical to the MOR read before the purge;
+        untouched files carry over by manifest reference (zero data IO).
+        Read latency then stops paying the per-scan anti-join, which is
+        the point of running this in maintenance windows."""
+        assert self.spark is not None, "purge_deletes() needs a SparkSession"
+        base = current_version(self.path)
+        meta = self.metadata(base)
+        snap = self._resolve_snapshot(meta, None, None)
+        data, dels = _split_entries(self._manifest_entries(snap))
+        if not dels:
+            return {
+                "operation": "noop",
+                "files_rewritten": 0,
+                "delete_files_removed": 0,
+            }
+        schema = T.StructType.fromJson(meta["schema"])
+        # group delete files by (key columns, scope) -> one planning job per
+        # group over exactly the data files that delete group applies to
+        by_group: dict[tuple, list[dict]] = {}
+        for d in dels:
+            by_group.setdefault(
+                (tuple(d["delete_cols"]), d["applies_below"]), []
+            ).append(d)
+        touched_rel: set[str] = set()
+        for (cols, _below), group in sorted(by_group.items()):
+            applicable = [
+                e for e in data if _delete_applies(e, group[0])
+            ]
+            if not applicable:
+                continue
+            keys = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, d["path"]) for d in group]
+                )
+                .select(*cols)
+                .dropDuplicates()
+            )
+            keyed = (
+                self.spark.read.schema(schema)
+                .parquet(
+                    *[os.path.join(self.path, e["path"]) for e in applicable]
+                )
+                .select(*cols)
+                .withColumn("_ice_file", F.input_file_name())
+            )
+            uris = (
+                keyed.join(F.broadcast(keys), on=list(cols), how="leftsemi")
+                .select("_ice_file")
+                .distinct()
+                .collect()
+            )
+            for (uri,) in uris:
+                p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+                touched_rel.add(os.path.relpath(p, self.path))
+        touched_entries = [e for e in data if e["path"] in touched_rel]
+        drop = touched_rel | {d["path"] for d in dels}
+        new_entries = (
+            self._write_data(
+                self._read_entries(touched_entries, dels, None), base + 1
+            )
+            if touched_entries
+            else []
+        )
+        out = self._commit(
+            "replace", new_entries, sequence, None, True,
+            manifest_filter=lambda e: e["path"] not in drop,
+            base_version=base,
+        )
+        out["summary"].update(
+            {
+                "files_rewritten": len(touched_rel),
+                "delete_files_removed": len(dels),
             }
         )
         return out
@@ -1377,6 +1653,8 @@ FETCH_SPACING_S = 900  # 15 min between fetches: sf0.01 spans ~5 partition days
 SEQ_OLD = 100  # logical sequence of the first crawl snapshot
 SEQ_NEW = 200  # logical sequence of the re-crawl snapshot
 SEQ_DELTA = 300  # logical sequence of the appended delta crawl
+SEQ_ROWDEL = 200  # pages_rowdel table: the url-takedown rowdelete commit
+SEQ_PURGE = 300  # pages_rowdel table: the delete-materializing purge
 SEQ_MERGE = 400  # logical sequence of the fix-up-crawl MERGE (upsert)
 SEQ_COMPACT = 500  # logical sequence of the post-merge compaction (replace)
 SEQ_ROLLBACK = 600  # logical sequence of the revert-to-first-crawl rollback
@@ -1566,6 +1844,70 @@ def stage_ice_merge_base(sf_dir: str) -> dict[str, Any]:
         ).to_parquet(expected_path, index=False)
     out = {"table": table_path, "expected_merged": expected_path}
     _ICE_MERGE_STAGED[sf_dir] = out
+    return out
+
+
+def takedown_frame(sf_dir: str):
+    """The takedown request list: every first-crawl url whose doc_id % 7
+    == 3 (deterministic, ~14% of the corpus — big enough that several data
+    files are touched, small enough that the delete stays a broadcast).
+    Pure Python — callable from oracle_sql() staging."""
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    ).sort_values("doc_id")
+    urls = [
+        ice_url(int(d), s)
+        for d, s in zip(docs["doc_id"], docs["source"])
+        if int(d) % 7 == 3
+    ]
+    return pd.DataFrame({"url": urls})
+
+
+_ICE_ROWDEL_STAGED: dict[str, dict[str, Any]] = {}
+
+
+def stage_ice_rowdel(sf_dir: str) -> dict[str, Any]:
+    """Stage (memoized per process) the ROW-DELETE story's base table —
+    the first crawl alone under its own path (`pages_rowdel`, separate
+    from the pinned three-snapshot table and the merge ladder) — plus the
+    EXPECTED post-takedown parquet twin (first-crawl rows whose url is not
+    on the takedown list, computed purely in pandas).  The Spark-side
+    ``delete_rows`` / ``purge_deletes`` commits run in the driver queries;
+    a hash match against the twin therefore certifies the whole
+    MOR-commit -> sequence-scoped anti-join -> read round trip (and, for
+    the purge, the touched-file rewrite)."""
+    sf_dir = os.path.normpath(sf_dir)
+    if sf_dir in _ICE_ROWDEL_STAGED:
+        return _ICE_ROWDEL_STAGED[sf_dir]
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    base = os.path.join("/tmp", f"enem_ice_{tag}")
+    table_path = os.path.join(base, "pages_rowdel")
+    old_pdf, _ = crawl_frames(sf_dir)
+    if current_version(table_path) < 0:
+        os.makedirs(base, exist_ok=True)
+        create_pandas(
+            table_path,
+            old_pdf,
+            PAGES_ICE_SCHEMA,
+            partition_by=ICE_TRANSFORMS,
+            sequence=SEQ_OLD,
+        )
+    expected_path = os.path.join(base, "expected_rowdel.parquet")
+    if not os.path.exists(expected_path):
+        gone = set(takedown_frame(sf_dir)["url"])
+        kept = old_pdf[~old_pdf["url"].isin(gone)]
+        kept.drop(columns=["html"]).assign(
+            html_md5=[hashlib.md5(h).hexdigest() for h in kept["html"]],
+            html_len=[len(h) for h in kept["html"]],
+        ).to_parquet(expected_path, index=False)
+    out = {"table": table_path, "expected_rowdel": expected_path}
+    _ICE_ROWDEL_STAGED[sf_dir] = out
     return out
 
 

@@ -12,6 +12,16 @@ spark-submit-shaped CLI bundling the table-format maintenance operators
   --rollback ID --seq N  metadata-only revert to snapshot ID (zero data IO;
                          reverted history stays time-travelable until
                          expired)
+  --delete-keys PARQUET --delete-seq N
+                         merge-on-read takedown: commit the parquet's rows
+                         (every column a delete key, e.g. one `url` column)
+                         as an equality-delete file — zero data files
+                         rewritten; readers anti-join it, sequence-scoped,
+                         so later re-crawls of a url survive the takedown
+  --purge-deletes SEQ    materialize pending equality deletes: rewrite ONLY
+                         the data files holding deleted keys (key-column
+                         planning scan) and drop the delete entries; reads
+                         stop paying the per-scan anti-join
   --orphans              delete data files referenced by NO snapshot
                          (crash leftovers); --older-than-s (default 3 days,
                          as in Iceberg) guards in-flight commit attempts —
@@ -34,10 +44,11 @@ spark-submit-shaped CLI bundling the table-format maintenance operators
                          report == one-shot cms_topk over everything
                          folded)
 
-Actions run in the order rollback -> compact -> expire -> orphans ->
-stats/terms (revert first so compaction works on the state you mean to
-keep; GC before profiling; profiling last so the night's reports reflect
-the kept state). Emits
+Actions run in the order rollback -> delete-keys -> purge-deletes ->
+compact -> expire -> orphans -> stats/terms (revert first so compaction
+works on the state you mean to keep; takedowns land before maintenance
+rewrites so purge/compact materialize them; GC before profiling;
+profiling last so the night's reports reflect the kept state). Emits
 ONE JSON summary line. rollback/compact/expire commit through the same
 O_EXCL version-file protocol as any writer, so racing a live ingest yields
 CommitConflict, never corruption — rerun the job. Orphan GC is the one
@@ -67,6 +78,15 @@ def main() -> None:
                     help="revert to this snapshot id (needs --seq)")
     ap.add_argument("--seq", type=int, default=None,
                     help="sequence for the --rollback commit")
+    ap.add_argument("--delete-keys", default=None, metavar="PARQUET",
+                    help="equality-delete takedown: commit this parquet's "
+                         "rows as a merge-on-read delete file (needs "
+                         "--delete-seq)")
+    ap.add_argument("--delete-seq", type=int, default=None,
+                    help="commit sequence for --delete-keys")
+    ap.add_argument("--purge-deletes", type=int, default=None, metavar="SEQ",
+                    help="materialize pending equality deletes (targeted "
+                         "rewrite) and drop the delete files")
     ap.add_argument("--orphans", action="store_true",
                     help="delete unreferenced data files")
     ap.add_argument("--older-than-s", type=float, default=3 * 86400.0,
@@ -92,9 +112,12 @@ def main() -> None:
     args = ap.parse_args()
     if args.rollback is not None and args.seq is None:
         ap.error("--rollback needs --seq for its commit sequence")
+    if args.delete_keys is not None and args.delete_seq is None:
+        ap.error("--delete-keys needs --delete-seq for its commit sequence")
     if not any(
         [args.compact is not None, args.expire_from is not None,
-         args.rollback is not None, args.orphans, args.stats, args.terms]
+         args.rollback is not None, args.orphans, args.stats, args.terms,
+         args.delete_keys is not None, args.purge_deletes is not None]
     ):
         ap.error("nothing to do: pass at least one maintenance action")
 
@@ -111,6 +134,32 @@ def main() -> None:
             "snapshot_id": snap["snapshot_id"],
             "rolled_back_to": snap["summary"]["rolled_back_to"],
         }
+    if args.delete_keys is not None:
+        snap = t.delete_rows(
+            spark.read.parquet(args.delete_keys), sequence=args.delete_seq
+        )
+        summary["row_delete"] = (
+            snap
+            if snap.get("operation") == "noop"
+            else {
+                "snapshot_id": snap["snapshot_id"],
+                "deleted_keys": snap["summary"]["deleted_keys"],
+                "delete_files": snap["summary"]["delete_files"],
+            }
+        )
+    if args.purge_deletes is not None:
+        snap = t.purge_deletes(sequence=args.purge_deletes)
+        summary["purge_deletes"] = (
+            snap
+            if snap.get("operation") == "noop"
+            else {
+                "snapshot_id": snap["snapshot_id"],
+                "files_rewritten": snap["summary"]["files_rewritten"],
+                "delete_files_removed": snap["summary"][
+                    "delete_files_removed"
+                ],
+            }
+        )
     if args.compact is not None:
         snap = t.compact(sequence=args.compact)
         summary["compact"] = {

@@ -847,3 +847,203 @@ def test_commit_point_is_content_atomic(tmp_path):
     with open(path) as fh:
         assert json.load(fh) == {"winner": 1}
     assert [n for n in os.listdir(md) if ".tmp" in n] == []
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read equality deletes (Iceberg v2 delete files)
+# ---------------------------------------------------------------------------
+
+
+def _urls(lo, hi):
+    return [f"https://s{i % 3}.example.org/doc/{i}" for i in range(lo, hi)]
+
+
+def _keys_df(spark, urls):
+    return spark.createDataFrame(pd.DataFrame({"url": urls}))
+
+
+def test_row_delete_mor_visibility_and_time_travel(spark, tmp_table):
+    pdf = _toy_pdf(0, 40)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    files_before, _ = t.plan_files()
+    snap = t.delete_rows(_keys_df(spark, _urls(0, 10)), sequence=20)
+    assert snap["operation"] == "rowdelete"
+    assert snap["summary"]["deleted_keys"] == 10
+    # zero data IO: the data file set is untouched, one delete file added
+    files_after, rep = t.plan_files()
+    assert sorted(files_before) == sorted(files_after)
+    assert rep["delete_files"] == 1
+    got = _sorted_rows(t.read())
+    assert got == _expected_rows(pdf[10:])
+    # time travel BEFORE the delete still sees every row
+    assert _sorted_rows(t.read(as_of=10)) == _expected_rows(pdf)
+    # residual filters compose with the MOR anti-join
+    assert (
+        t.read([("lang", "=", "pt")]).count()
+        == sum(1 for i in range(10, 40) if i % 2)
+    )
+
+
+def test_row_delete_sequence_scoping_reappend_survives(spark, tmp_table):
+    pdf = _toy_pdf(0, 20)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.delete_rows(_keys_df(spark, _urls(0, 5)), sequence=20)
+    # the same urls come back in a LATER crawl: new data files commit at
+    # sequence 30 > applies_below 20, so the old takedown must not hit them
+    re_pdf = _toy_pdf(0, 5)
+    re_pdf["text"] = re_pdf["text"] + " RECRAWLED"
+    t.append(spark.createDataFrame(re_pdf, schema=it.PAGES_ICE_SCHEMA), sequence=30)
+    got = dict(
+        (r["url"], r["text"]) for r in t.read().select("url", "text").collect()
+    )
+    for u in _urls(0, 5):
+        assert got[u].endswith("RECRAWLED")
+    assert len(got) == 20
+
+
+def test_purge_deletes_is_row_preserving_and_targeted(spark, tmp_table):
+    pdf = _toy_pdf(0, 60)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.delete_rows(_keys_df(spark, _urls(0, 6)), sequence=20)
+    before = _sorted_rows(t.read())
+    _, rep0 = t.plan_files()
+    snap = t.purge_deletes(sequence=30)
+    assert snap["operation"] == "replace"
+    assert snap["summary"]["delete_files_removed"] == 1
+    # only files actually holding deleted keys were rewritten
+    assert 0 < snap["summary"]["files_rewritten"] < rep0["files_total"]
+    _, rep1 = t.plan_files()
+    assert rep1["delete_files"] == 0
+    assert _sorted_rows(t.read()) == before == _expected_rows(pdf[6:])
+    # time travel to the MOR snapshot still applies the delete file
+    assert _sorted_rows(t.read(as_of=20)) == before
+    # a second purge is a no-op
+    assert t.purge_deletes(sequence=40)["operation"] == "noop"
+
+
+def test_compact_applies_pending_deletes(spark, tmp_table):
+    a, b = _toy_pdf(0, 20), _toy_pdf(20, 40)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(a, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.append(spark.createDataFrame(b, schema=it.PAGES_ICE_SCHEMA), sequence=20)
+    t.delete_rows(_keys_df(spark, _urls(0, 8)), sequence=30)
+    expected = _expected_rows(pd.concat([a[8:], b]))
+    t.compact(sequence=40)
+    # compacted rows must NOT resurrect deleted ones (rewritten files
+    # escape the delete's sequence scope, so the rewrite itself applies it)
+    assert _sorted_rows(t.read()) == expected
+
+
+def test_merge_after_row_delete_no_resurrection(spark, tmp_table):
+    pdf = _toy_pdf(0, 30)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.delete_rows(_keys_df(spark, _urls(0, 6)), sequence=20)
+    # upsert OTHER urls that share data files with the deleted ones
+    src = _toy_pdf(10, 12)
+    src["text"] = src["text"] + " MERGED"
+    t.merge(
+        spark.createDataFrame(src, schema=it.PAGES_ICE_SCHEMA), ["url"], sequence=30
+    )
+    got = dict(
+        (r["url"], r["text"]) for r in t.read().select("url", "text").collect()
+    )
+    for u in _urls(0, 6):
+        assert u not in got
+    for u in _urls(10, 12):
+        assert got[u].endswith("MERGED")
+    assert len(got) == 24
+
+
+def test_row_delete_incremental_forces_full_rescan(spark, tmp_table):
+    pdf = _toy_pdf(0, 20)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.delete_rows(_keys_df(spark, _urls(0, 4)), sequence=20)
+    _files, report = t.plan_incremental(from_seq=10)
+    assert report["full_rescan"] is True
+    # the rescan read is delete-aware: rows VANISHED, so the incremental
+    # reader re-sees the live set, never the deleted rows
+    assert _sorted_rows(t.read_incremental(from_seq=10)) == _expected_rows(pdf[4:])
+
+
+def test_delete_rows_empty_keys_is_noop(spark, tmp_table):
+    pdf = _toy_pdf(0, 10)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    n_snaps = len(t.snapshots())
+    out = t.delete_rows(spark.createDataFrame([], "url string"), sequence=20)
+    assert out == {"operation": "noop", "deleted_keys": 0}
+    assert len(t.snapshots()) == n_snaps
+    with pytest.raises(ValueError):
+        t.delete_rows(
+            spark.createDataFrame(pd.DataFrame({"nope": ["x"]})), sequence=20
+        )
+
+
+def test_expire_keeps_live_delete_files(spark, tmp_table):
+    pdf = _toy_pdf(0, 20)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.delete_rows(_keys_df(spark, _urls(0, 5)), sequence=20)
+    t.append(spark.createDataFrame(_toy_pdf(20, 25), schema=it.PAGES_ICE_SCHEMA), sequence=30)
+    t.expire_snapshots(keep_sequences_from=20)
+    # the delete file is referenced by live snapshots -> must survive GC,
+    # and the MOR read stays correct after expiry
+    assert t.read().count() == 20
+    t.remove_orphan_files(older_than_s=0.0)
+    assert t.read().count() == 20
+
+
+def test_ice_maintenance_cli_takedown(tmp_path, spark):
+    """The takedown flow through the nightly-ops CLI: --delete-keys commits
+    a merge-on-read equality delete, --purge-deletes materializes it."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tbl = str(tmp_path / "tbl")
+    pdf = _toy_pdf(0, 30)
+    it.IceTable.create(
+        spark, tbl, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    keys_path = str(tmp_path / "takedown.parquet")
+    pd.DataFrame({"url": _urls(0, 6)}).to_parquet(keys_path)
+
+    p = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "ice_maintenance.py"),
+            "--table", tbl, "--cores", "2",
+            "--delete-keys", keys_path, "--delete-seq", "20",
+            "--purge-deletes", "30",
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    s = json.loads(p.stdout.strip().splitlines()[-1])
+    assert s["row_delete"]["deleted_keys"] == 6
+    assert s["purge_deletes"]["delete_files_removed"] == 1
+    assert s["purge_deletes"]["files_rewritten"] > 0
+    t2 = it.IceTable(spark, tbl)
+    assert _sorted_rows(t2.read()) == _expected_rows(pdf[6:])
+    _, rep = t2.plan_files()
+    assert rep["delete_files"] == 0
