@@ -1419,6 +1419,14 @@ def _ice_rowdel_ladder(spark, sf_dir, up_to_seq):
         except icetable.CommitConflict:
             if _max_seq() < icetable.SEQ_PURGE:
                 raise
+    if up_to_seq >= icetable.SEQ_CLUSTER and _max_seq() < icetable.SEQ_CLUSTER:
+        try:
+            t.cluster_files(
+                ["warc_ts", "url"], sequence=icetable.SEQ_CLUSTER
+            )
+        except icetable.CommitConflict:
+            if _max_seq() < icetable.SEQ_CLUSTER:
+                raise
     return t.read(as_of=up_to_seq).select(
         "url",
         F.md5("html").alias("html_md5"),
@@ -1449,6 +1457,19 @@ def q_iceberg_delete_purge(spark, sf_dir):
     from enem_spark.sources import icetable
 
     return _ice_rowdel_ladder(spark, sf_dir, icetable.SEQ_PURGE)
+
+
+def q_iceberg_cluster(spark, sf_dir):
+    """Z-order clustering rewrite, driver-gated: after the takedown purge,
+    `cluster_files` re-sorts the table by the interleaved (warc_ts, url)
+    key so every output file covers a narrow range of BOTH columns — time
+    slices and url point probes each skip most files on manifest bounds
+    alone. Rows must be bit-identical through the layout rewrite, so the
+    twin is the SAME expected post-takedown frame as iceberg_row_delete —
+    that sharing IS the row-preservation claim (compact's protocol)."""
+    from enem_spark.sources import icetable
+
+    return _ice_rowdel_ladder(spark, sf_dir, icetable.SEQ_CLUSTER)
 
 
 def q_recrawl_priority(spark, sf_dir):
@@ -1857,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_rollback": q_iceberg_rollback,
         "iceberg_row_delete": q_iceberg_row_delete,
         "iceberg_delete_purge": q_iceberg_delete_purge,
+        "iceberg_cluster": q_iceberg_cluster,
         "crawl_delta": q_crawl_delta,
         "recrawl_priority": q_recrawl_priority,
         "charset_decode": q_charset_decode,
@@ -3848,6 +3870,12 @@ FROM read_parquet('{ice_rowdel_staged["expected_rowdel"]}')
 """,
         # the purge is row-preserving by contract: same twin as the delete
         "iceberg_delete_purge": f"""
+SELECT url, html_md5, CAST(html_len AS BIGINT) AS html_len,
+       md5(text) AS text_md5, lang
+FROM read_parquet('{ice_rowdel_staged["expected_rowdel"]}')
+""",
+        # z-order rewrite is row-preserving by contract: same twin again
+        "iceberg_cluster": f"""
 SELECT url, html_md5, CAST(html_len AS BIGINT) AS html_len,
        md5(text) AS text_md5, lang
 FROM read_parquet('{ice_rowdel_staged["expected_rowdel"]}')

@@ -128,6 +128,7 @@ HEADLINE = [
     "iceberg_rollback",
     "iceberg_row_delete",
     "iceberg_delete_purge",
+    "iceberg_cluster",
     "bucketed_join",
     "ccnet_buckets",
     "embedding_decontaminate",

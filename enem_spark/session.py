@@ -85,6 +85,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         # large text rows: keep scan partitions bounded
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # TIMESTAMP_MICROS (not legacy INT96): INT96 writes NO parquet
+        # footer stats, which blinds min/max data skipping on warc_ts —
+        # the icetable manifest bounds and row-group skipping both need
+        # the stats (cluster_files falls back to an extra scan without)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

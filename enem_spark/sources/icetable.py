@@ -1010,6 +1010,206 @@ class IceTable:
         out["summary"]["compacted_from_files"] = len(drop_paths)
         return out
 
+    def _zvalue_col(
+        self, cols: Sequence[str], entries: list[dict], bits: int
+    ) -> F.Column:
+        """Z-order key: per column, fixed-point normalize into ``bits``
+        bits using GLOBAL bounds read from the MANIFESTS (driver-side,
+        zero data IO — the footer stats were captured at commit), then
+        interleave the columns' bits. Linear normalization is the
+        spec-simple choice (Iceberg's zorder uses byte interleave of type
+        encodings); under heavy value skew the low bits carry less
+        information but pruning stays correct — bounds-based skipping is
+        conservative by construction."""
+        schema = self.schema()
+        dtypes = {f.name: f.dataType for f in schema.fields}
+        for c in cols:
+            if c not in dtypes:
+                raise ValueError(f"cluster column not in schema: {c!r}")
+
+        def _to_float(dt: T.DataType, v: Any) -> float:
+            if isinstance(dt, T.TimestampType):
+                if isinstance(v, str):
+                    v = datetime.fromisoformat(v)
+                # bounds are naive-UTC (session tz is UTC); .timestamp()
+                # on a naive datetime would read the HOST tz instead
+                return v.replace(tzinfo=timezone.utc).timestamp()
+            if isinstance(dt, T.StringType):
+                return float(
+                    int.from_bytes(
+                        str(v).encode("utf-8")[:4].ljust(4, b"\0"), "big"
+                    )
+                )
+            return float(v)
+
+        # global bounds from the manifests (driver-side, free); columns
+        # whose stats a writer skipped (e.g. INT96 timestamps from other
+        # engines) fall back to ONE min/max aggregate over the candidate
+        # files, projecting only those columns
+        bounds: dict[str, tuple[float, float]] = {}
+        missing = [
+            c for c in cols if any(c not in e["bounds"] for e in entries)
+        ]
+        for c in cols:
+            if c in missing:
+                continue
+            dt = dtypes[c]
+            bounds[c] = (
+                min(_to_float(dt, e["bounds"][c][0]) for e in entries),
+                max(_to_float(dt, e["bounds"][c][1]) for e in entries),
+            )
+        if missing:
+            row = (
+                self.spark.read.schema(schema)
+                .parquet(*[os.path.join(self.path, e["path"]) for e in entries])
+                .agg(
+                    *[F.min(c).alias(f"lo_{c}") for c in missing],
+                    *[F.max(c).alias(f"hi_{c}") for c in missing],
+                )
+                .collect()[0]
+            )
+            for c in missing:
+                lo_v, hi_v = row[f"lo_{c}"], row[f"hi_{c}"]
+                if lo_v is None or hi_v is None:
+                    raise ValueError(f"cluster column is all-null: {c!r}")
+                bounds[c] = (
+                    _to_float(dtypes[c], lo_v),
+                    _to_float(dtypes[c], hi_v),
+                )
+
+        exprs: list[F.Column] = []
+        for c in cols:
+            lo_n, hi_n = bounds[c]
+            dt = dtypes[c]
+            if isinstance(dt, T.TimestampType):
+                val = F.unix_timestamp(F.col(c)).cast("double")
+            elif isinstance(dt, T.StringType):
+                # first 4 utf-8 bytes as a big-endian int: locality-
+                # preserving for byte-lexicographic order (same order the
+                # bounds are min/maxed in, and the same prefix _to_float
+                # used for the bounds themselves)
+                val = F.coalesce(
+                    F.conv(
+                        F.substring(
+                            F.hex(F.encode(F.col(c), "utf-8")), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("double"),
+                    F.lit(0.0),
+                )
+                # conv of fewer than 8 hex digits (short strings) still
+                # yields the left-aligned prefix? No — hex of a 2-byte
+                # string gives 4 digits, conv reads them as the LOW bytes;
+                # left-shift to big-endian alignment:
+                val = val * F.pow(
+                    F.lit(256.0),
+                    F.greatest(
+                        F.lit(0),
+                        F.lit(4)
+                        - F.length(F.encode(F.col(c), "utf-8")),
+                    ).cast("double"),
+                )
+            else:
+                val = F.col(c).cast("double")
+            span = max(hi_n - lo_n, 1e-12)
+            top = (1 << bits) - 1
+            norm = F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.coalesce(val, F.lit(lo_n)) - F.lit(lo_n))
+                        / F.lit(span)
+                        * F.lit(float(top))
+                    ),
+                ),
+            ).cast("long")
+            exprs.append(norm)
+        n = len(cols)
+        z = F.lit(0).cast("long")
+        for i, norm in enumerate(exprs):
+            for b in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(norm, b).bitwiseAND(F.lit(1)), b * n + i
+                )
+        return z
+
+    def cluster_files(
+        self,
+        cols: Sequence[str],
+        sequence: int,
+        filters: Sequence[tuple] | None = None,
+        bits: int = 10,
+        target_files: int | None = None,
+    ) -> dict:
+        """Z-order clustering rewrite (Iceberg's ``rewrite_data_files``
+        with the zorder sort strategy): rewrite the matching data files
+        sorted by an interleaved-bit key over ``cols``, so each output
+        file covers a narrow range of EVERY cluster column and the
+        manifest min/max bounds prune multi-dimensionally.  A time-ordered
+        crawl table answers ``url = ?`` by reading every file; after
+        clustering on (warc_ts, url), both a time slice AND a url point
+        probe skip most files — data skipping without an index.
+
+        ``filters`` scopes the rewrite (e.g. one partition day) so the
+        maintenance job can cluster incrementally instead of rewriting
+        10^12 rows in one commit; file count is preserved by default
+        (``target_files``) and each output file stays partition-pure (the
+        range partitioner keys on the partition dir first).  Pending
+        equality deletes are applied during the rewrite, like compact."""
+        assert self.spark is not None, "cluster_files() needs a SparkSession"
+        cols = list(cols)
+        if len(cols) < 1:
+            raise ValueError("cluster_files() needs at least one column")
+        base = current_version(self.path)
+        kept, dels, _report = self._plan_entries(filters, None, None)
+        if not kept:
+            return {"operation": "noop", "files_rewritten": 0}
+        drop_paths = {e["path"] for e in kept}
+        df = self._read_entries(kept, dels, None)
+        z = self._zvalue_col(cols, kept, bits).alias("_ice_z")
+        n_out = target_files if target_files is not None else len(kept)
+        transforms = self.transforms()
+        commit_dir = self._attempt_dir(base + 1)
+        staged = df.withColumn("_ice_z", z)
+        if transforms:
+            parts = [
+                F.concat(F.lit(f"{t.name}="), _transform_col(t))
+                for t in transforms
+            ]
+            staged = (
+                staged.withColumn(_PART_DIR, F.concat_ws("|", *parts))
+                .repartitionByRange(
+                    max(n_out, 1), F.col(_PART_DIR), F.col("_ice_z")
+                )
+                .sortWithinPartitions(_PART_DIR, "_ice_z")
+                .drop("_ice_z")
+            )
+            staged.write.mode("overwrite").partitionBy(_PART_DIR).parquet(
+                commit_dir
+            )
+        else:
+            staged = (
+                staged.repartitionByRange(max(n_out, 1), F.col("_ice_z"))
+                .sortWithinPartitions("_ice_z")
+                .drop("_ice_z")
+            )
+            staged.write.mode("overwrite").parquet(commit_dir)
+        new_entries = _scan_commit_dir(commit_dir, self.path, transforms)
+        out = self._commit(
+            "replace", new_entries, sequence, None, True,
+            manifest_filter=lambda e: e["path"] not in drop_paths,
+            base_version=base,
+        )
+        out["summary"].update(
+            {
+                "files_rewritten": len(drop_paths),
+                "cluster_cols": cols,
+            }
+        )
+        return out
+
     def expire_snapshots(self, keep_sequences_from: int) -> dict:
         """Snapshot GC (Iceberg's ``expire_snapshots``): drop every snapshot
         with ``sequence < keep_sequences_from`` (except the current one)
@@ -1655,6 +1855,7 @@ SEQ_NEW = 200  # logical sequence of the re-crawl snapshot
 SEQ_DELTA = 300  # logical sequence of the appended delta crawl
 SEQ_ROWDEL = 200  # pages_rowdel table: the url-takedown rowdelete commit
 SEQ_PURGE = 300  # pages_rowdel table: the delete-materializing purge
+SEQ_CLUSTER = 400  # pages_rowdel table: the (warc_ts, url) z-order rewrite
 SEQ_MERGE = 400  # logical sequence of the fix-up-crawl MERGE (upsert)
 SEQ_COMPACT = 500  # logical sequence of the post-merge compaction (replace)
 SEQ_ROLLBACK = 600  # logical sequence of the revert-to-first-crawl rollback

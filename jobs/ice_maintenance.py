@@ -22,6 +22,13 @@ spark-submit-shaped CLI bundling the table-format maintenance operators
                          the data files holding deleted keys (key-column
                          planning scan) and drop the delete entries; reads
                          stop paying the per-scan anti-join
+  --zorder COLS --zorder-seq N
+                         z-order clustering rewrite: re-sort the data files
+                         by the interleaved key over the comma-separated
+                         COLS so manifest min/max bounds prune on EVERY
+                         cluster column (time slice + url probe both skip);
+                         runs after compact — compact coalesces to one file
+                         per partition, zorder re-splits on the sort key
   --orphans              delete data files referenced by NO snapshot
                          (crash leftovers); --older-than-s (default 3 days,
                          as in Iceberg) guards in-flight commit attempts —
@@ -45,10 +52,12 @@ spark-submit-shaped CLI bundling the table-format maintenance operators
                          folded)
 
 Actions run in the order rollback -> delete-keys -> purge-deletes ->
-compact -> expire -> orphans -> stats/terms (revert first so compaction
-works on the state you mean to keep; takedowns land before maintenance
-rewrites so purge/compact materialize them; GC before profiling;
-profiling last so the night's reports reflect the kept state). Emits
+compact -> zorder -> expire -> orphans -> stats/terms (revert first so
+compaction works on the state you mean to keep; takedowns land before
+maintenance rewrites so purge/compact materialize them; zorder after
+compact because compact coalesces per-partition files that zorder then
+re-splits on the sort key; GC before profiling; profiling last so the
+night's reports reflect the kept state). Emits
 ONE JSON summary line. rollback/compact/expire commit through the same
 O_EXCL version-file protocol as any writer, so racing a live ingest yields
 CommitConflict, never corruption — rerun the job. Orphan GC is the one
@@ -87,6 +96,11 @@ def main() -> None:
     ap.add_argument("--purge-deletes", type=int, default=None, metavar="SEQ",
                     help="materialize pending equality deletes (targeted "
                          "rewrite) and drop the delete files")
+    ap.add_argument("--zorder", default=None, metavar="COLS",
+                    help="comma-separated columns for a z-order clustering "
+                         "rewrite (needs --zorder-seq)")
+    ap.add_argument("--zorder-seq", type=int, default=None,
+                    help="commit sequence for --zorder")
     ap.add_argument("--orphans", action="store_true",
                     help="delete unreferenced data files")
     ap.add_argument("--older-than-s", type=float, default=3 * 86400.0,
@@ -114,10 +128,13 @@ def main() -> None:
         ap.error("--rollback needs --seq for its commit sequence")
     if args.delete_keys is not None and args.delete_seq is None:
         ap.error("--delete-keys needs --delete-seq for its commit sequence")
+    if args.zorder is not None and args.zorder_seq is None:
+        ap.error("--zorder needs --zorder-seq for its commit sequence")
     if not any(
         [args.compact is not None, args.expire_from is not None,
          args.rollback is not None, args.orphans, args.stats, args.terms,
-         args.delete_keys is not None, args.purge_deletes is not None]
+         args.delete_keys is not None, args.purge_deletes is not None,
+         args.zorder is not None]
     ):
         ap.error("nothing to do: pass at least one maintenance action")
 
@@ -169,6 +186,20 @@ def main() -> None:
             ),
             "added_files": snap["summary"]["added_files"],
         }
+    if args.zorder is not None:
+        snap = t.cluster_files(
+            [c.strip() for c in args.zorder.split(",") if c.strip()],
+            sequence=args.zorder_seq,
+        )
+        summary["zorder"] = (
+            snap
+            if snap.get("operation") == "noop"
+            else {
+                "snapshot_id": snap["snapshot_id"],
+                "files_rewritten": snap["summary"]["files_rewritten"],
+                "cluster_cols": snap["summary"]["cluster_cols"],
+            }
+        )
     if args.expire_from is not None:
         summary["expire"] = t.expire_snapshots(
             keep_sequences_from=args.expire_from

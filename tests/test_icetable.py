@@ -1047,3 +1047,85 @@ def test_ice_maintenance_cli_takedown(tmp_path, spark):
     assert _sorted_rows(t2.read()) == _expected_rows(pdf[6:])
     _, rep = t2.plan_files()
     assert rep["delete_files"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering rewrite (multi-column data skipping)
+# ---------------------------------------------------------------------------
+
+XY_SCHEMA = T.StructType(
+    [
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+
+def _xy_chunk(c: int, per: int = 250) -> pd.DataFrame:
+    # each chunk spans the FULL x/y range (deterministic stride walk), so
+    # every pre-cluster file has near-total min/max bounds — the
+    # time-ordered-crawl worst case for value probes
+    rows = [
+        {
+            "x": (j * 37 + c * 13) % 1000,
+            "y": (j * 61 + c * 29) % 1000,
+            "payload": f"p{c}-{j}",
+        }
+        for j in range(per)
+    ]
+    return pd.DataFrame(rows, columns=["x", "y", "payload"])
+
+
+def test_cluster_files_zorder_improves_2d_skipping(spark, tmp_table):
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(_xy_chunk(0), schema=XY_SCHEMA), (), sequence=10,
+    )
+    for c in range(1, 8):
+        t.append(spark.createDataFrame(_xy_chunk(c), schema=XY_SCHEMA), sequence=10 + c)
+    before_rows = sorted(
+        (r["x"], r["y"], r["payload"]) for r in t.read().collect()
+    )
+    x_slab = [("x", ">=", 100), ("x", "<=", 199)]
+    _, rep_before = t.plan_files(x_slab)
+    assert rep_before["files_kept"] == rep_before["files_total"]  # no skipping
+
+    snap = t.cluster_files(["x", "y"], sequence=50, bits=8)
+    assert snap["operation"] == "replace"
+    assert snap["summary"]["files_rewritten"] == rep_before["files_total"]
+    # rows bit-identical through the rewrite
+    after_rows = sorted(
+        (r["x"], r["y"], r["payload"]) for r in t.read().collect()
+    )
+    assert after_rows == before_rows
+    # BOTH dimensions now skip files (each output file covers a narrow
+    # x-range AND a narrow y-range — the point of the interleave)
+    _, rx = t.plan_files(x_slab)
+    _, ry = t.plan_files([("y", ">=", 100), ("y", "<=", 199)])
+    assert rx["files_kept"] < rx["files_total"]
+    assert ry["files_kept"] < ry["files_total"]
+    # and the 2-D probe prunes harder than either alone
+    _, rxy = t.plan_files(x_slab + [("y", ">=", 100), ("y", "<=", 199)])
+    assert rxy["files_kept"] <= min(rx["files_kept"], ry["files_kept"])
+    # filter results stay exact (pruning is conservative + residual row filter)
+    got = t.read(x_slab).count()
+    assert got == sum(1 for x, _y, _p in before_rows if 100 <= x <= 199)
+    # time travel to the pre-cluster snapshot still reads the old layout
+    assert t.read(as_of=17).count() == len(before_rows)
+
+
+def test_cluster_files_applies_pending_deletes_and_partitions(spark, tmp_table):
+    pdf = _toy_pdf(0, 40)
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.delete_rows(_keys_df(spark, _urls(0, 5)), sequence=20)
+    snap = t.cluster_files(["warc_ts", "url"], sequence=30)
+    assert snap["summary"]["files_rewritten"] > 0
+    # the rewrite applied the pending takedown — no resurrection — and
+    # partition purity held (hidden-partition pruning still works)
+    assert _sorted_rows(t.read()) == _expected_rows(pdf[5:])
+    target = pdf["url"][20]
+    assert [r["url"] for r in t.read([("url", "=", target)]).collect()] == [target]
