@@ -1306,17 +1306,17 @@ def q_iceberg_merge(spark, sf_dir):
 
     staged = icetable.stage_ice_merge_base(sf_dir)
     t = icetable.IceTable(spark, staged["table"])
-    if max(s["sequence"] for s in t.snapshots()) < icetable.SEQ_MERGE:
-        src = spark.createDataFrame(
-            icetable.merge_frame(sf_dir), schema=icetable.PAGES_ICE_SCHEMA
-        )
-        try:
-            t.merge(src, ["url"], sequence=icetable.SEQ_MERGE)
-        except icetable.CommitConflict:
-            # a concurrent process staged the same deterministic merge;
-            # fall through to the pinned read iff it actually landed
-            if max(s["sequence"] for s in t.snapshots()) < icetable.SEQ_MERGE:
-                raise
+    _guarded_rung(
+        t,
+        icetable.SEQ_MERGE,
+        lambda: t.merge(
+            spark.createDataFrame(
+                icetable.merge_frame(sf_dir), schema=icetable.PAGES_ICE_SCHEMA
+            ),
+            ["url"],
+            sequence=icetable.SEQ_MERGE,
+        ),
+    )
     return t.read(as_of=icetable.SEQ_MERGE).select(
         "url",
         F.md5("html").alias("html_md5"),
@@ -1340,12 +1340,11 @@ def q_iceberg_compact(spark, sf_dir):
     q_iceberg_merge(spark, sf_dir)
     staged = icetable.stage_ice_merge_base(sf_dir)
     t = icetable.IceTable(spark, staged["table"])
-    if max(s["sequence"] for s in t.snapshots()) < icetable.SEQ_COMPACT:
-        try:
-            t.compact(sequence=icetable.SEQ_COMPACT)
-        except icetable.CommitConflict:
-            if max(s["sequence"] for s in t.snapshots()) < icetable.SEQ_COMPACT:
-                raise
+    _guarded_rung(
+        t,
+        icetable.SEQ_COMPACT,
+        lambda: t.compact(sequence=icetable.SEQ_COMPACT),
+    )
     return t.read(as_of=icetable.SEQ_COMPACT).select(
         "url",
         F.md5("html").alias("html_md5"),
@@ -1368,17 +1367,16 @@ def q_iceberg_rollback(spark, sf_dir):
     q_iceberg_compact(spark, sf_dir)
     staged = icetable.stage_ice_merge_base(sf_dir)
     t = icetable.IceTable(spark, staged["table"])
-    if max(s["sequence"] for s in t.snapshots()) < icetable.SEQ_ROLLBACK:
+
+    def _rollback():
         first = next(
             s["snapshot_id"]
             for s in t.snapshots()
             if s["sequence"] == icetable.SEQ_OLD and s["operation"] != "create"
         )
-        try:
-            t.rollback(first, sequence=icetable.SEQ_ROLLBACK)
-        except icetable.CommitConflict:
-            if max(s["sequence"] for s in t.snapshots()) < icetable.SEQ_ROLLBACK:
-                raise
+        t.rollback(first, sequence=icetable.SEQ_ROLLBACK)
+
+    _guarded_rung(t, icetable.SEQ_ROLLBACK, _rollback)
     return t.read(as_of=icetable.SEQ_ROLLBACK).select(
         "url",
         F.md5("html").alias("html_md5"),
@@ -1386,6 +1384,25 @@ def q_iceberg_rollback(spark, sf_dir):
         F.md5("text").alias("text_md5"),
         "lang",
     )
+
+
+def _guarded_rung(t, seq, commit_fn):
+    """Commit one ladder rung at most once: guarded on the committed max
+    sequence, and a CommitConflict re-raises only if the rung did NOT land
+    (a racing process staging the same deterministic rung is success).
+    This is THE ladder protocol (CLAUDE.md: extend at the top rung only) —
+    both the merge ladder and the rowdel ladder go through here."""
+    from enem_spark.sources.icetable import CommitConflict
+
+    def _max_seq():
+        return max(s["sequence"] for s in t.snapshots())
+
+    if _max_seq() < seq:
+        try:
+            commit_fn()
+        except CommitConflict:
+            if _max_seq() < seq:
+                raise
 
 
 def _ice_rowdel_ladder(spark, sf_dir, up_to_seq):
@@ -1403,30 +1420,25 @@ def _ice_rowdel_ladder(spark, sf_dir, up_to_seq):
     staged = icetable.stage_ice_rowdel(sf_dir)
     t = icetable.IceTable(spark, staged["table"])
 
-    def _max_seq():
-        return max(s["sequence"] for s in t.snapshots())
-
-    if up_to_seq >= icetable.SEQ_ROWDEL and _max_seq() < icetable.SEQ_ROWDEL:
-        keys = spark.createDataFrame(icetable.takedown_frame(sf_dir))
-        try:
-            t.delete_rows(keys, sequence=icetable.SEQ_ROWDEL)
-        except icetable.CommitConflict:
-            if _max_seq() < icetable.SEQ_ROWDEL:
-                raise
-    if up_to_seq >= icetable.SEQ_PURGE and _max_seq() < icetable.SEQ_PURGE:
-        try:
-            t.purge_deletes(sequence=icetable.SEQ_PURGE)
-        except icetable.CommitConflict:
-            if _max_seq() < icetable.SEQ_PURGE:
-                raise
-    if up_to_seq >= icetable.SEQ_CLUSTER and _max_seq() < icetable.SEQ_CLUSTER:
-        try:
-            t.cluster_files(
+    rungs = [
+        (
+            icetable.SEQ_ROWDEL,
+            lambda: t.delete_rows(
+                spark.createDataFrame(icetable.takedown_frame(sf_dir)),
+                sequence=icetable.SEQ_ROWDEL,
+            ),
+        ),
+        (icetable.SEQ_PURGE, lambda: t.purge_deletes(sequence=icetable.SEQ_PURGE)),
+        (
+            icetable.SEQ_CLUSTER,
+            lambda: t.cluster_files(
                 ["warc_ts", "url"], sequence=icetable.SEQ_CLUSTER
-            )
-        except icetable.CommitConflict:
-            if _max_seq() < icetable.SEQ_CLUSTER:
-                raise
+            ),
+        ),
+    ]
+    for seq, fn in rungs:
+        if up_to_seq >= seq:
+            _guarded_rung(t, seq, fn)
     return t.read(as_of=up_to_seq).select(
         "url",
         F.md5("html").alias("html_md5"),

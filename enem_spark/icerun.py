@@ -208,12 +208,14 @@ def run_html_extraction_ice(
             "up_to_date": True,
         }
     if since is None:
-        files, scan = table.plan_files()
+        kept, dels, scan = table._plan_entries()
     else:
-        files, scan = table.plan_incremental(from_seq=since)
+        kept, dels, scan = table._plan_incremental_entries(from_seq=since)
     # read the plan we already have — read()/read_incremental() would walk
-    # the snapshot manifests a second time for the identical file list
-    pages = table.read_planned(files)
+    # the snapshot manifests a second time for the identical file list.
+    # Entry-level (not path-level) so the read applies equality deletes:
+    # a taken-down page must never be re-extracted by a rescan.
+    pages = table._read_entries(kept, dels, None)
 
     work = _latest_per_url(pages.select("url", "warc_ts", "html")).select(
         F.xxhash64("url", F.md5("html")).alias("doc_id"), "url", "html"
@@ -262,6 +264,70 @@ def run_html_extraction_ice(
     return summary
 
 
+_TAKEDOWN_PREFIX = "takedown"
+
+
+def apply_takedown(
+    spark: SparkSession,
+    table_path: str,
+    out_dir: str,
+    keys: DataFrame,
+    sequence: int,
+) -> dict:
+    """End-to-end url takedown: the table-side merge-on-read delete
+    (`IceTable.delete_rows` — no data rewrite, sequence-scoped so later
+    re-crawls of the url are new documents) PLUS a committed ``takedowns``
+    url log under out_dir that `current_main_content` anti-joins — without
+    the log, extraction side outputs derived from the page BEFORE the
+    takedown would be served forever (they are downstream tables with
+    their own lineage; the table delete alone cannot reach them).
+
+    ``keys`` must carry a ``url`` column (the serving view's key).  Crash
+    safety: the table delete commits first; the log write + runs marker
+    follow the lineage overwrite-dir protocol, and a re-run with the same
+    ``sequence`` skips the already-committed table delete (guarded on the
+    snapshot log) and re-commits only what is missing — idempotent."""
+    if "url" not in keys.columns:
+        raise ValueError("takedown keys need a url column")
+    table = IceTable(spark, table_path)
+    already = any(
+        s["operation"] == "rowdelete" and s["sequence"] == sequence
+        for s in table.snapshots()
+    )
+    summary: dict = {"sequence": sequence}
+    if not already:
+        summary["table_delete"] = table.delete_rows(keys, sequence=sequence)
+    run_id = f"{_TAKEDOWN_PREFIX}{sequence:012d}"
+    committed = lineage.committed_run_ids(spark, out_dir)
+    committed_ids = (
+        {r.run_id for r in committed.collect()} if committed is not None else set()
+    )
+    if run_id not in committed_ids:
+        keys.select("url").dropDuplicates().write.mode("overwrite").parquet(
+            f"{out_dir}/takedowns/run_id={run_id}"
+        )
+        # COMMIT POINT for the serving-side log
+        spark.createDataFrame(
+            [(run_id, 0, 0)],
+            "run_id string, input_pages long, questions_written long",
+        ).write.mode("append").parquet(f"{out_dir}/runs")
+    summary["run_id"] = run_id
+    return summary
+
+
+def _committed_takedowns(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = f"{out_dir}/takedowns"
+    committed = lineage.committed_run_ids(spark, out_dir)
+    if committed is None or not lineage._exists(path):
+        return None
+    return (
+        spark.read.parquet(path)
+        .join(committed, "run_id", "left_semi")
+        .select("url")
+        .dropDuplicates()
+    )
+
+
 def current_main_content(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """Serving view: per url, the extraction of its LATEST FETCH.
 
@@ -274,12 +340,23 @@ def current_main_content(spark: SparkSession, out_dir: str) -> DataFrame | None:
     extraction. A url whose latest fetch was never extracted (e.g. dropped
     by mime_filter) has no current row — its current content is not text.
 
+    Committed takedowns (`apply_takedown`) are anti-joined LAST: a
+    taken-down url is never served, whatever runs extracted it — the
+    takedown list is small by contract, so the anti-join broadcasts.
+
     Without a fetch_log (flat html runs, pre-log dirs) the view falls back
     to the run-recency proxy over main_content itself, which cannot see
     extraction-skipped re-fetches."""
     mc = lineage.committed_main_content(spark, out_dir)
     if mc is None:
         return None
+    gone = _committed_takedowns(spark, out_dir)
+
+    def _served(df: DataFrame) -> DataFrame:
+        if gone is None:
+            return df
+        return df.join(F.broadcast(gone), "url", "left_anti")
+
     fl_path = f"{out_dir}/fetch_log"
     committed = lineage.committed_run_ids(spark, out_dir)
     if os.path.exists(fl_path) and committed is not None:
@@ -301,9 +378,9 @@ def current_main_content(spark: SparkSession, out_dir: str) -> DataFrame | None:
             .filter(F.col("_rn") == 1)
             .select("url", "doc_id")
         )
-        return latest.join(mc.drop("url"), "doc_id", "inner")
+        return _served(latest.join(mc.drop("url"), "doc_id", "inner"))
     w = W.partitionBy("url").orderBy(F.col("run_id").desc())
-    return (
+    return _served(
         mc.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")

