@@ -1189,6 +1189,33 @@ def q_wat_export(spark, sf_dir):
     )
 
 
+def q_csv_ingest(spark, sf_dir):
+    """CSV-container ingestion (sources/csvsrc.py): native csv source with
+    an explicit schema (no inference pass), RFC-4180 quoting (embedded
+    commas/quotes/newlines round-trip), and PERMISSIVE corrupt-record
+    quarantine — the injected malformed row per shard (type mismatch /
+    short / extra-column flavours) is quarantined, never fatal, and
+    displaces no neighbour. The oracle is the expected table staged from
+    the SOURCE rows pre-encode, so the hash check certifies the full
+    encode->parse round trip."""
+    from enem_spark.sources import csvsrc
+
+    staged = csvsrc.stage_csv_files(sf_dir)
+    recs = csvsrc.read_csv_docs(spark, staged["csv_dir"])
+    # anchor a data column next to the corrupt filter, same rationale as
+    # q_jsonl_ingest (never a corrupt-column-only projection)
+    return recs.filter(
+        F.col(csvsrc.CORRUPT_COL).isNull() & F.col("url").isNotNull()
+    ).select(
+        "url",
+        "fetch_ts",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("text_len"),
+        "lang",
+        "source",
+    )
+
+
 def q_jsonl_ingest(spark, sf_dir):
     """JSONL-container ingestion (sources/jsonl.py): native json source
     with an explicit schema (no inference pass) and PERMISSIVE
@@ -1882,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_export": q_wet_export,
         "wat_export": q_wat_export,
         "jsonl_ingest": q_jsonl_ingest,
+        "csv_ingest": q_csv_ingest,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_incremental": q_iceberg_incremental,
@@ -3804,6 +3832,11 @@ def oracle_sql() -> dict[str, str]:
     from enem_spark.sources.jsonl import stage_jsonl_files
 
     jsonl_staged = stage_jsonl_files(oracle_sf)
+    # csv twin: same protocol — expected table staged from SOURCE rows
+    # pre-encode; the SELECT certifies the encode->parse round trip
+    from enem_spark.sources.csvsrc import stage_csv_files
+
+    csv_staged = stage_csv_files(oracle_sf)
     # icetable twins: expected tables are the SOURCE frames staged BEFORE
     # the pure-Python writer builds the table, so the scan/time-travel
     # hashes certify the write->manifest->prune->read round trip and the
@@ -3940,6 +3973,11 @@ FROM read_parquet('{wat_expected}')
 SELECT url, fetch_ts, md5(text) AS text_md5,
        CAST(length(text) AS BIGINT) AS text_len, lang, source
 FROM read_parquet('{jsonl_staged["expected"]}')
+""",
+        "csv_ingest": f"""
+SELECT url, fetch_ts, md5(text) AS text_md5,
+       CAST(length(text) AS BIGINT) AS text_len, lang, source
+FROM read_parquet('{csv_staged["expected"]}')
 """,
         # fetch-history twin: UNION ALL of the three staged source frames
         # (same events the pinned as_of + incremental Spark reads see);

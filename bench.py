@@ -123,6 +123,7 @@ HEADLINE = [
     "jsonl_ingest",
     "wet_export",
     "wat_export",
+    "csv_ingest",
     "iceberg_merge",
     "iceberg_compact",
     "iceberg_rollback",
