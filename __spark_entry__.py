@@ -1511,6 +1511,66 @@ def q_iceberg_cluster(spark, sf_dir):
     return _ice_rowdel_ladder(spark, sf_dir, icetable.SEQ_CLUSTER)
 
 
+def q_iceberg_wap(spark, sf_dir):
+    """Write-audit-publish, driver-gated: the delta crawl is appended to
+    an `audit` BRANCH (main readers — including pinned as_of reads — see
+    nothing), audited via a ref read, then `publish_branch` fast-forwards
+    main in one atomic metadata commit. The oracle is first-crawl UNION
+    delta-crawl (two twins stage_ice_pages already materializes), so the
+    hash match certifies the published state is exactly base+delta —
+    nothing lost in staging, nothing visible early. Guarded on the
+    PUBLISHED sequence (main ancestry only): a crash between branch
+    append and publish re-runs the missing steps, never re-stages."""
+    from enem_spark.sources import icetable
+
+    staged = icetable.stage_ice_wap(sf_dir)
+    t = icetable.IceTable(spark, staged["table"])
+
+    def _published_seq() -> int:
+        meta = t.metadata()
+        anc = t._ancestry(meta, meta["current_snapshot_id"])
+        return max(
+            s["sequence"]
+            for s in meta["snapshots"]
+            if s["snapshot_id"] in anc
+        )
+
+    if _published_seq() < icetable.SEQ_WAP:
+        try:
+            if "audit" not in t.refs():
+                t.create_branch("audit")
+            head_id = t.refs()["audit"]["snapshot_id"]
+            head_seq = next(
+                s["sequence"]
+                for s in t.snapshots()
+                if s["snapshot_id"] == head_id
+            )
+            if head_seq < icetable.SEQ_WAP:
+                delta = spark.createDataFrame(
+                    icetable.delta_frame(sf_dir),
+                    schema=icetable.PAGES_ICE_SCHEMA,
+                )
+                t.append(delta, sequence=icetable.SEQ_WAP, branch="audit")
+            # AUDIT: the staged state must be exactly base + delta before
+            # anyone can see it — this count gate is the WAP point
+            n_expected = t.read(as_of=icetable.SEQ_OLD).count() + len(
+                icetable.delta_frame(sf_dir)
+            )
+            assert t.read(ref="audit").count() == n_expected
+            t.publish_branch("audit")
+        except icetable.CommitConflict:
+            # a racing process ran the same deterministic ladder
+            if _published_seq() < icetable.SEQ_WAP:
+                raise
+    return t.read(as_of=icetable.SEQ_WAP).select(
+        "url",
+        F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("html_len"),
+        F.md5("text").alias("text_md5"),
+        "lang",
+    )
+
+
 def q_recrawl_priority(spark, sf_dir):
     """Re-crawl scheduling from the icetable's fetch history: the union of
     the pinned first-crawl read, the pinned re-crawl read, and the
@@ -1919,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_row_delete": q_iceberg_row_delete,
         "iceberg_delete_purge": q_iceberg_delete_purge,
         "iceberg_cluster": q_iceberg_cluster,
+        "iceberg_wap": q_iceberg_wap,
         "crawl_delta": q_crawl_delta,
         "recrawl_priority": q_recrawl_priority,
         "charset_decode": q_charset_decode,
@@ -3856,6 +3917,10 @@ def oracle_sql() -> dict[str, str]:
     from enem_spark.sources.icetable import stage_ice_rowdel
 
     ice_rowdel_staged = stage_ice_rowdel(oracle_sf)
+    # wap twin: published main state == first crawl UNION delta crawl
+    from enem_spark.sources.icetable import stage_ice_wap
+
+    ice_wap_staged = stage_ice_wap(oracle_sf)
     # charset twin: expected decode stats from the same pure detector
     # (DuckDB cannot decode cp1252/utf-16 blobs, so this is materialized)
     from enem_spark.charset import (
@@ -3918,6 +3983,17 @@ FROM read_parquet('{ice_rowdel_staged["expected_rowdel"]}')
 SELECT url, html_md5, CAST(html_len AS BIGINT) AS html_len,
        md5(text) AS text_md5, lang
 FROM read_parquet('{ice_rowdel_staged["expected_rowdel"]}')
+""",
+        # write-audit-publish: published main == base UNION delta, no row
+        # lost in staging, none visible early
+        "iceberg_wap": f"""
+SELECT url, html_md5, CAST(html_len AS BIGINT) AS html_len,
+       md5(text) AS text_md5, lang
+FROM (
+  SELECT * FROM read_parquet('{ice_wap_staged["expected_old"]}')
+  UNION ALL
+  SELECT * FROM read_parquet('{ice_wap_staged["expected_delta"]}')
+)
 """,
         # z-order rewrite is row-preserving by contract: same twin again
         "iceberg_cluster": f"""

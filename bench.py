@@ -130,6 +130,7 @@ HEADLINE = [
     "iceberg_row_delete",
     "iceberg_delete_purge",
     "iceberg_cluster",
+    "iceberg_wap",
     "bucketed_join",
     "ccnet_buckets",
     "embedding_decontaminate",

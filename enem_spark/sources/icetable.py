@@ -39,6 +39,13 @@ implementation:
     rewrite.  Sequence scoping matches the spec: an equality delete applies
     only to data files whose commit sequence is STRICTLY below the
     delete's, so rows (re-)appended after a takedown survive it.
+  * **Branches, tags, write-audit-publish.**  Named refs in table
+    metadata: commits with ``branch=`` advance a branch head while main
+    readers see nothing; ``publish_branch`` fast-forwards main in ONE
+    metadata commit (the WAP pattern: stage a crawl on an audit branch,
+    run quality checks against ``read(ref=...)``, publish atomically —
+    or drop the ref and let the staged snapshots expire). Tags pin a
+    snapshot readable-by-name and exempt from expiry.
   * **Schema evolution.**  Appends may add columns; the merged schema lives
     in table metadata (never inferred from footers), and old files read
     back with nulls for the new columns.  Renames/drops would need Iceberg
@@ -469,17 +476,52 @@ class IceTable:
     def transforms(self, version: int | None = None) -> list[Transform]:
         return [Transform.from_json(d) for d in self.metadata(version)["partition_by"]]
 
+    def refs(self) -> dict:
+        """Named refs: {name: {"snapshot_id": int, "type": "branch"|"tag"}}.
+        Absent in pre-ref metadata — read as empty."""
+        return self.metadata().get("refs", {})
+
+    @staticmethod
+    def _ancestry(meta: dict, head_id: int) -> set[int]:
+        """Snapshot ids reachable from ``head_id`` via parent links."""
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        out: set[int] = set()
+        cur: int | None = head_id
+        while cur is not None and cur in by_id and cur not in out:
+            out.add(cur)
+            cur = by_id[cur]["parent_id"]
+        return out
+
     def _resolve_snapshot(
-        self, meta: dict, snapshot_id: int | None, as_of: int | None
+        self,
+        meta: dict,
+        snapshot_id: int | None,
+        as_of: int | None,
+        ref: str | None = None,
     ) -> dict:
         snaps = meta["snapshots"]
+        if ref is not None:
+            if snapshot_id is not None or as_of is not None:
+                raise ValueError("ref is exclusive with snapshot_id/as_of")
+            refs = meta.get("refs", {})
+            if ref not in refs:
+                raise KeyError(f"no ref {ref!r} in {self.path}")
+            snapshot_id = refs[ref]["snapshot_id"]
         if snapshot_id is not None:
             for s in snaps:
                 if s["snapshot_id"] == snapshot_id:
                     return s
             raise KeyError(f"snapshot {snapshot_id} not in {self.path}")
         if as_of is not None:
-            live = [s for s in snaps if s["sequence"] <= as_of]
+            # MAIN ancestry only: unpublished branch snapshots carry
+            # sequences too, and a pinned as_of read on main must never
+            # resolve to work an audit branch has not published yet
+            ancestry = self._ancestry(meta, meta["current_snapshot_id"])
+            live = [
+                s
+                for s in snaps
+                if s["sequence"] <= as_of and s["snapshot_id"] in ancestry
+            ]
             if not live:
                 raise KeyError(f"no snapshot at or before sequence {as_of}")
             return max(live, key=lambda s: s["sequence"])
@@ -499,11 +541,12 @@ class IceTable:
         filters: Sequence[tuple] | None = None,
         snapshot_id: int | None = None,
         as_of: int | None = None,
+        ref: str | None = None,
     ) -> tuple[list[dict], list[dict], dict]:
         """Manifest-level scan plan over ENTRIES: (kept data entries,
         equality-delete entries, report). Driver-side metadata work only."""
         meta = self.metadata()
-        snap = self._resolve_snapshot(meta, snapshot_id, as_of)
+        snap = self._resolve_snapshot(meta, snapshot_id, as_of, ref)
         transforms = [Transform.from_json(d) for d in meta["partition_by"]]
         entries, dels = _split_entries(self._manifest_entries(snap))
         filters = list(filters or [])
@@ -691,15 +734,18 @@ class IceTable:
         filters: Sequence[tuple] | None = None,
         snapshot_id: int | None = None,
         as_of: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read of the pruned file set.
 
         The residual predicate is applied row-level too (pruning is
         conservative), so callers get exact filter semantics; Spark also
         pushes it into the parquet scan for row-group skipping. Equality
-        deletes carried by the snapshot are anti-joined (merge-on-read)."""
+        deletes carried by the snapshot are anti-joined (merge-on-read).
+        ``ref`` reads a named branch/tag head (the AUDIT half of
+        write-audit-publish reads the staging branch this way)."""
         assert self.spark is not None, "read() needs a SparkSession"
-        kept, dels, _report = self._plan_entries(filters, snapshot_id, as_of)
+        kept, dels, _report = self._plan_entries(filters, snapshot_id, as_of, ref)
         return self._read_entries(kept, dels, filters)
 
     def read_planned(
@@ -811,6 +857,7 @@ class IceTable:
         keep_parent_manifests: bool,
         manifest_filter=None,
         base_version: int | None = None,
+        branch: str | None = None,
     ) -> dict:
         """Commit against the metadata observed at ``base_version`` (the
         version read when the operation STARTED). The new version file is
@@ -818,7 +865,12 @@ class IceTable:
         in between makes this one fail with CommitConflict — optimistic
         concurrency, never a silent rebase onto unseen metadata. The caller
         retries from fresh metadata (re-writing its data files: each
-        attempt gets a private data dir, so losers never pollute it)."""
+        attempt gets a private data dir, so losers never pollute it).
+
+        With ``branch``, the commit advances that ref instead of main:
+        parent = the branch head, ``current_snapshot_id`` untouched — the
+        write-audit-publish staging step. Readers on main cannot see it
+        until ``publish_branch`` fast-forwards."""
         v = current_version(self.path) if base_version is None else base_version
         if v < 0:
             raise FileNotFoundError(f"no icetable at {self.path}; use create()")
@@ -829,7 +881,15 @@ class IceTable:
         for e in new_entries:
             e.setdefault("seq", sequence)
         meta = self.metadata(v)
-        snap_id = meta["current_snapshot_id"] + 1
+        refs = dict(meta.get("refs", {}))
+        if branch is not None:
+            if branch not in refs or refs[branch]["type"] != "branch":
+                raise KeyError(f"no branch {branch!r} in {self.path}")
+            head_id = refs[branch]["snapshot_id"]
+        else:
+            head_id = meta["current_snapshot_id"]
+        # ids are unique across ALL refs' histories, not just main's chain
+        snap_id = max(s["snapshot_id"] for s in meta["snapshots"]) + 1
         old_schema = T.StructType.fromJson(meta["schema"])
         schema = _merge_schema(old_schema, df_schema) if df_schema else old_schema
 
@@ -843,7 +903,7 @@ class IceTable:
         token = uuid.uuid4().hex[:12]
         manifests: list[str] = []
         if keep_parent_manifests:
-            parent = self._resolve_snapshot(meta, None, None)
+            parent = self._resolve_snapshot(meta, head_id, None)
             if manifest_filter is None:
                 manifests = list(parent["manifests"])
             else:
@@ -871,7 +931,7 @@ class IceTable:
 
         snap = {
             "snapshot_id": snap_id,
-            "parent_id": meta["current_snapshot_id"],
+            "parent_id": head_id,
             "sequence": sequence,
             "operation": operation,
             "manifests": manifests,
@@ -880,13 +940,19 @@ class IceTable:
                 "added_records": sum(e["records"] for e in new_entries),
             },
         }
+        if branch is not None:
+            refs[branch] = {"snapshot_id": snap_id, "type": "branch"}
         new_meta = {
             "format_version": FORMAT_VERSION,
             "schema": json.loads(schema.json()),
             "partition_by": meta["partition_by"],
-            "current_snapshot_id": snap_id,
+            "current_snapshot_id": (
+                meta["current_snapshot_id"] if branch is not None else snap_id
+            ),
             "snapshots": meta["snapshots"] + [snap],
         }
+        if refs:
+            new_meta["refs"] = refs
         _atomic_create(_version_file(self.path, v + 1), new_meta)
         return snap
 
@@ -956,19 +1022,114 @@ class IceTable:
         t.append(df, sequence=sequence)
         return t
 
-    def append(self, df: DataFrame, sequence: int) -> dict:
+    def append(
+        self, df: DataFrame, sequence: int, branch: str | None = None
+    ) -> dict:
         base = current_version(self.path)
         entries = self._write_data(df, base + 1)
         return self._commit(
-            "append", entries, sequence, df.schema, True, base_version=base
+            "append", entries, sequence, df.schema, True,
+            base_version=base, branch=branch,
         )
 
-    def overwrite(self, df: DataFrame, sequence: int) -> dict:
+    def overwrite(
+        self, df: DataFrame, sequence: int, branch: str | None = None
+    ) -> dict:
         base = current_version(self.path)
         entries = self._write_data(df, base + 1)
         return self._commit(
-            "overwrite", entries, sequence, df.schema, False, base_version=base
+            "overwrite", entries, sequence, df.schema, False,
+            base_version=base, branch=branch,
         )
+
+    # -- refs: branches, tags, write-audit-publish -------------------------
+
+    def _commit_refs(self, mutate) -> dict:
+        """Metadata-only ref change through the same O_EXCL version-file
+        commit as any write — a racing writer conflicts, never a silent
+        overwrite of its ref state. ``mutate(refs, meta)`` edits the refs
+        dict in place and may return a current_snapshot_id override."""
+        base = current_version(self.path)
+        meta = self.metadata(base)
+        refs = dict(meta.get("refs", {}))
+        new_current = mutate(refs, meta)
+        new_meta = dict(meta, refs=refs)
+        if not refs:
+            new_meta.pop("refs", None)
+        if new_current is not None:
+            new_meta["current_snapshot_id"] = new_current
+        _atomic_create(_version_file(self.path, base + 1), new_meta)
+        return new_meta
+
+    def create_branch(
+        self, name: str, from_snapshot_id: int | None = None
+    ) -> dict:
+        """Named branch ref (Iceberg branches): commits with
+        ``branch=name`` advance it while main stays untouched — the
+        staging half of write-audit-publish."""
+
+        def mutate(refs, meta):
+            if name in refs:
+                raise ValueError(f"ref already exists: {name!r}")
+            sid = (
+                meta["current_snapshot_id"]
+                if from_snapshot_id is None
+                else from_snapshot_id
+            )
+            self._resolve_snapshot(meta, sid, None)  # must exist
+            refs[name] = {"snapshot_id": sid, "type": "branch"}
+            return None
+
+        return self._commit_refs(mutate)
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Named immutable tag (e.g. ``crawl-2024-02``): keeps its
+        snapshot expirable-proof and readable by name forever."""
+
+        def mutate(refs, meta):
+            if name in refs:
+                raise ValueError(f"ref already exists: {name!r}")
+            sid = (
+                meta["current_snapshot_id"]
+                if snapshot_id is None
+                else snapshot_id
+            )
+            self._resolve_snapshot(meta, sid, None)
+            refs[name] = {"snapshot_id": sid, "type": "tag"}
+            return None
+
+        return self._commit_refs(mutate)
+
+    def drop_ref(self, name: str) -> dict:
+        def mutate(refs, meta):
+            if name not in refs:
+                raise KeyError(f"no ref {name!r}")
+            del refs[name]
+            return None
+
+        return self._commit_refs(mutate)
+
+    def publish_branch(self, name: str, drop: bool = True) -> dict:
+        """Fast-forward main to the branch head — the PUBLISH half of
+        write-audit-publish: the audited snapshots become visible to every
+        main reader in ONE metadata commit (atomic; zero data IO). Refuses
+        a diverged branch (main not an ancestor of the branch head) — that
+        needs an explicit rollback or a fresh branch, never a silent
+        merge."""
+
+        def mutate(refs, meta):
+            if name not in refs or refs[name]["type"] != "branch":
+                raise KeyError(f"no branch {name!r}")
+            head = refs[name]["snapshot_id"]
+            if meta["current_snapshot_id"] not in self._ancestry(meta, head):
+                raise ValueError(
+                    f"branch {name!r} diverged from main; cannot fast-forward"
+                )
+            if drop:
+                del refs[name]
+            return head
+
+        return self._commit_refs(mutate)
 
     def append_with_retry(
         self, df: DataFrame, sequence: int, max_attempts: int = 5
@@ -1258,10 +1419,15 @@ class IceTable:
         base = current_version(self.path)
         meta = self.metadata(base)
         current_id = meta["current_snapshot_id"]
+        ref_targets = {
+            r["snapshot_id"] for r in meta.get("refs", {}).values()
+        }
         keep = [
             s
             for s in meta["snapshots"]
-            if s["sequence"] >= keep_sequences_from or s["snapshot_id"] == current_id
+            if s["sequence"] >= keep_sequences_from
+            or s["snapshot_id"] == current_id
+            or s["snapshot_id"] in ref_targets
         ]
         dropped = [s for s in meta["snapshots"] if s not in keep]
         if not dropped:
@@ -1898,6 +2064,7 @@ SEQ_DELTA = 300  # logical sequence of the appended delta crawl
 SEQ_ROWDEL = 200  # pages_rowdel table: the url-takedown rowdelete commit
 SEQ_PURGE = 300  # pages_rowdel table: the delete-materializing purge
 SEQ_CLUSTER = 400  # pages_rowdel table: the (warc_ts, url) z-order rewrite
+SEQ_WAP = 200  # pages_wap table: the audited-branch delta, post-publish
 SEQ_MERGE = 400  # logical sequence of the fix-up-crawl MERGE (upsert)
 SEQ_COMPACT = 500  # logical sequence of the post-merge compaction (replace)
 SEQ_ROLLBACK = 600  # logical sequence of the revert-to-first-crawl rollback
@@ -2151,6 +2318,48 @@ def stage_ice_rowdel(sf_dir: str) -> dict[str, Any]:
         ).to_parquet(expected_path, index=False)
     out = {"table": table_path, "expected_rowdel": expected_path}
     _ICE_ROWDEL_STAGED[sf_dir] = out
+    return out
+
+
+_ICE_WAP_STAGED: dict[str, dict[str, Any]] = {}
+
+
+def stage_ice_wap(sf_dir: str) -> dict[str, Any]:
+    """Stage (memoized per process) the WRITE-AUDIT-PUBLISH story's base
+    table — the first crawl alone under its own path (`pages_wap`) — and
+    return it together with the expected twins stage_ice_pages already
+    materializes (the published state = first crawl UNION delta crawl, so
+    the twin is a UNION ALL over two existing parquets — zero new staging
+    IO).  The branch-append + audit + publish run Spark-side in the
+    driver query; the hash match certifies that the published main state
+    equals exactly base+delta — nothing lost in staging, nothing visible
+    early."""
+    sf_dir = os.path.normpath(sf_dir)
+    if sf_dir in _ICE_WAP_STAGED:
+        return _ICE_WAP_STAGED[sf_dir]
+    shared = stage_ice_pages(sf_dir)
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    base = os.path.join("/tmp", f"enem_ice_{tag}")
+    table_path = os.path.join(base, "pages_wap")
+    if current_version(table_path) < 0:
+        os.makedirs(base, exist_ok=True)
+        old_pdf, _ = crawl_frames(sf_dir)
+        create_pandas(
+            table_path,
+            old_pdf,
+            PAGES_ICE_SCHEMA,
+            partition_by=ICE_TRANSFORMS,
+            sequence=SEQ_OLD,
+        )
+    out = {
+        "table": table_path,
+        "expected_old": shared["expected_old"],
+        "expected_delta": shared["expected_delta"],
+    }
+    _ICE_WAP_STAGED[sf_dir] = out
     return out
 
 

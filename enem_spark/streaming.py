@@ -767,6 +767,7 @@ def start_ice_ingest_stream(
     checkpoint_dir: str,
     partition_by=None,
     available_now: bool = True,
+    branch: str | None = None,
 ):
     """Crawl tail -> icetable: each micro-batch commits as one append
     snapshot with ``sequence = batch_id``, making the table the durable,
@@ -784,7 +785,15 @@ def start_ice_ingest_stream(
 
     The stream is assumed to be this table's single writer (the streaming
     analogue of one Iceberg writer per table branch); an unrelated
-    concurrent committer would surface as a re-raised CommitConflict."""
+    concurrent committer would surface as a re-raised CommitConflict.
+
+    ``branch`` stages every micro-batch on a named branch instead of main
+    (the write half of write-audit-publish: the tail accrues snapshots no
+    main reader sees until `publish_branch` fast-forwards after audit).
+    Branch mode requires an EXISTING table — the published base the
+    branch forks from — committed at a sequence BELOW the stream's batch
+    ids (e.g. -1): the replay guard reads any snapshot whose sequence
+    equals a batch id as that batch already committed."""
     from .sources.icetable import CommitConflict, IceTable
 
     transforms = tuple(partition_by or ())
@@ -804,12 +813,24 @@ def start_ice_ingest_stream(
         t = IceTable(spark, table_path)
         try:
             if not t.exists():
+                if branch is not None:
+                    raise FileNotFoundError(
+                        f"branch ingest needs an existing table at "
+                        f"{table_path} (the published base to fork from)"
+                    )
                 IceTable.create(
                     spark, table_path, batch_df,
                     partition_by=transforms, sequence=batch_id,
                 )
             else:
-                t.append(batch_df, sequence=batch_id)
+                if branch is not None and branch not in t.refs():
+                    try:
+                        t.create_branch(branch)
+                    except (CommitConflict, ValueError):
+                        # racer created it (ValueError: exists) — re-check
+                        if branch not in t.refs():
+                            raise
+                t.append(batch_df, sequence=batch_id, branch=branch)
         except (CommitConflict, FileExistsError):
             if _committed(spark, batch_id):
                 return

@@ -32,6 +32,13 @@ spark-submit-shaped CLI bundling the table-format maintenance operators
                          cluster column (time slice + url probe both skip);
                          runs after compact — compact coalesces to one file
                          per partition, zorder re-splits on the sort key
+  --publish BRANCH       fast-forward main to BRANCH's head (the PUBLISH
+                         half of write-audit-publish): one atomic metadata
+                         commit makes the audited snapshots visible to
+                         every main reader; refuses a diverged branch
+  --tag NAME             pin the current snapshot under an immutable name
+                         (e.g. crawl-2024-02): readable by ref forever,
+                         exempt from snapshot expiry
   --orphans              delete data files referenced by NO snapshot
                          (crash leftovers); --older-than-s (default 3 days,
                          as in Iceberg) guards in-flight commit attempts —
@@ -54,8 +61,10 @@ spark-submit-shaped CLI bundling the table-format maintenance operators
                          report == one-shot cms_topk over everything
                          folded)
 
-Actions run in the order rollback -> delete-keys -> purge-deletes ->
-compact -> zorder -> expire -> orphans -> stats/terms (revert first so
+Actions run in the order rollback -> publish -> tag -> delete-keys ->
+purge-deletes -> compact -> zorder -> expire -> orphans -> stats/terms
+(publish before maintenance so the night's rewrites cover the audited
+state; tag after publish pins what was just published; revert first so
 compaction works on the state you mean to keep; takedowns land before
 maintenance rewrites so purge/compact materialize them; zorder after
 compact because compact coalesces per-partition files that zorder then
@@ -117,6 +126,11 @@ def main() -> None:
                          "warc_ts:>=:2024-01-10T00:00:00 — at 10^12 rows "
                          "cluster incrementally per partition window, "
                          "never the whole table in one commit")
+    ap.add_argument("--publish", default=None, metavar="BRANCH",
+                    help="fast-forward main to this branch head and drop "
+                         "the ref (write-audit-publish)")
+    ap.add_argument("--tag", default=None, metavar="NAME",
+                    help="tag the current snapshot under this name")
     ap.add_argument("--orphans", action="store_true",
                     help="delete unreferenced data files")
     ap.add_argument("--older-than-s", type=float, default=3 * 86400.0,
@@ -150,7 +164,8 @@ def main() -> None:
         [args.compact is not None, args.expire_from is not None,
          args.rollback is not None, args.orphans, args.stats, args.terms,
          args.delete_keys is not None, args.purge_deletes is not None,
-         args.zorder is not None]
+         args.zorder is not None, args.publish is not None,
+         args.tag is not None]
     ):
         ap.error("nothing to do: pass at least one maintenance action")
 
@@ -166,6 +181,18 @@ def main() -> None:
         summary["rollback"] = {
             "snapshot_id": snap["snapshot_id"],
             "rolled_back_to": snap["summary"]["rolled_back_to"],
+        }
+    if args.publish is not None:
+        meta = t.publish_branch(args.publish)
+        summary["publish"] = {
+            "branch": args.publish,
+            "current_snapshot_id": meta["current_snapshot_id"],
+        }
+    if args.tag is not None:
+        t.tag(args.tag)
+        summary["tag"] = {
+            "name": args.tag,
+            "snapshot_id": t.refs()[args.tag]["snapshot_id"],
         }
     if args.delete_keys is not None:
         keys = spark.read.parquet(args.delete_keys)

@@ -116,3 +116,66 @@ def test_batch_sequences_map_to_snapshots(spark, tmp_path):
     # one append per non-empty micro-batch, sequence == batch_id, strictly
     # increasing (create's bootstrap snapshot sits below the first batch)
     assert seqs == sorted(seqs) and len(seqs) == len(set(seqs)) == 2
+
+
+def test_stream_ingest_to_branch_then_publish(spark, tmp_path):
+    """The streaming write half of write-audit-publish: the crawl tail
+    accrues micro-batch snapshots on the audit branch — main readers see
+    the published base only — until publish fast-forwards."""
+    import pandas as pd
+
+    from enem_spark import streaming as st
+    from enem_spark.sources import icetable as it
+
+    tbl = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def _pdf(ids):
+        rows = [
+            {
+                "url": f"https://ex.org/d/{i}",
+                "warc_ts": pd.Timestamp(it.EPOCH_S + i, unit="s"),
+                "html": f"<p>doc {i}</p>".encode(),
+                "text": f"doc {i}",
+                "lang": "pt",
+            }
+            for i in ids
+        ]
+        return pd.DataFrame(
+            rows, columns=[f.name for f in it.PAGES_ICE_SCHEMA.fields]
+        )
+
+    # published base BELOW the stream's batch-id sequences: snapshots with
+    # sequence == a batch id read as that batch's replay (the documented
+    # sequence=batch_id contract), so an externally-created base must sit
+    # under the first batch id
+    it.IceTable.create(
+        spark, tbl,
+        spark.createDataFrame(_pdf(range(5)), schema=it.PAGES_ICE_SCHEMA),
+        (), sequence=-1,
+    )
+    # tail two shards onto the audit branch (Spark-written so the parquet
+    # timestamp physical type matches the stream schema)
+    for i, ids in enumerate([range(5, 8), range(8, 10)]):
+        spark.createDataFrame(
+            _pdf(ids), schema=it.PAGES_ICE_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(it.PAGES_ICE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    q = st.start_ice_ingest_stream(
+        stream, tbl, ckpt, available_now=True, branch="audit"
+    )
+    q.awaitTermination(120)
+
+    t = it.IceTable(spark, tbl)
+    assert t.read().count() == 5  # main: published base only
+    assert t.read(ref="audit").count() == 10  # audit: base + both batches
+    t.publish_branch("audit")
+    assert t.read().count() == 10

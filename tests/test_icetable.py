@@ -1180,3 +1180,85 @@ def test_row_delete_null_key_matches_null_rows(spark, tmp_table):
     t.purge_deletes(sequence=30)
     got2 = {r["text"] for r in t.read().select("text").collect()}
     assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# Branches, tags, write-audit-publish
+# ---------------------------------------------------------------------------
+
+
+def test_branch_write_audit_publish(spark, tmp_table):
+    """The WAP flow: stage on a branch (main readers blind to it, even
+    via as_of), audit via ref reads, publish = one atomic metadata
+    fast-forward that makes the staged snapshot the main head."""
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 20), schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.create_branch("audit")
+    t.append(
+        spark.createDataFrame(_toy_pdf(20, 30), schema=it.PAGES_ICE_SCHEMA),
+        sequence=20, branch="audit",
+    )
+    # main is blind to the staged work — including pinned as_of reads at
+    # the branch commit's own sequence (ancestry-scoped resolution)
+    assert t.read().count() == 20
+    assert t.read(as_of=20).count() == 20
+    # the audit read sees base + staged rows
+    assert t.read(ref="audit").count() == 30
+    assert _sorted_rows(t.read(ref="audit")) == _expected_rows(_toy_pdf(0, 30))
+
+    t.publish_branch("audit")
+    assert t.read().count() == 30
+    assert t.read(as_of=20).count() == 30  # published: now in main ancestry
+    assert "audit" not in t.refs()
+
+
+def test_branch_divergence_refused_and_abandon(spark, tmp_table):
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 10), schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.create_branch("audit")
+    t.append(
+        spark.createDataFrame(_toy_pdf(10, 12), schema=it.PAGES_ICE_SCHEMA),
+        sequence=20, branch="audit",
+    )
+    # main moves on independently -> the branch is diverged
+    t.append(
+        spark.createDataFrame(_toy_pdf(20, 25), schema=it.PAGES_ICE_SCHEMA),
+        sequence=30,
+    )
+    with pytest.raises(ValueError):
+        t.publish_branch("audit")
+    # abandoning a failed audit is just dropping the ref; main unaffected
+    t.drop_ref("audit")
+    assert "audit" not in t.refs()
+    assert t.read().count() == 15
+    with pytest.raises(KeyError):
+        t.read(ref="audit").collect()
+
+
+def test_tag_pins_snapshot_through_expiry(spark, tmp_table):
+    pdf0 = _toy_pdf(0, 10)
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(pdf0, schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.tag("crawl-0")
+    t.overwrite(
+        spark.createDataFrame(_toy_pdf(10, 15), schema=it.PAGES_ICE_SCHEMA),
+        sequence=20,
+    )
+    t.overwrite(
+        spark.createDataFrame(_toy_pdf(20, 24), schema=it.PAGES_ICE_SCHEMA),
+        sequence=30,
+    )
+    out = t.expire_snapshots(keep_sequences_from=30)
+    assert out["expired_snapshots"] > 0
+    # the tagged snapshot and its files survive GC and read by name
+    assert _sorted_rows(t.read(ref="crawl-0")) == _expected_rows(pdf0)
+    assert t.read().count() == 4
