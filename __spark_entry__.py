@@ -1526,16 +1526,7 @@ def q_iceberg_wap(spark, sf_dir):
     staged = icetable.stage_ice_wap(sf_dir)
     t = icetable.IceTable(spark, staged["table"])
 
-    def _published_seq() -> int:
-        meta = t.metadata()
-        anc = t._ancestry(meta, meta["current_snapshot_id"])
-        return max(
-            s["sequence"]
-            for s in meta["snapshots"]
-            if s["snapshot_id"] in anc
-        )
-
-    if _published_seq() < icetable.SEQ_WAP:
+    if t.published_sequence() < icetable.SEQ_WAP:
         try:
             if "audit" not in t.refs():
                 t.create_branch("audit")
@@ -1558,9 +1549,12 @@ def q_iceberg_wap(spark, sf_dir):
             )
             assert t.read(ref="audit").count() == n_expected
             t.publish_branch("audit")
-        except icetable.CommitConflict:
-            # a racing process ran the same deterministic ladder
-            if _published_seq() < icetable.SEQ_WAP:
+        except (icetable.CommitConflict, ValueError, KeyError):
+            # a racing process ran the same deterministic ladder: its
+            # create_branch surfaces here as ValueError("ref already
+            # exists"), its completed publish as KeyError("no branch") —
+            # success in disguise iff the published watermark landed
+            if t.published_sequence() < icetable.SEQ_WAP:
                 raise
     return t.read(as_of=icetable.SEQ_WAP).select(
         "url",

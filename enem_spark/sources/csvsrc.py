@@ -25,19 +25,24 @@ Reader discipline (the parts that matter at 100 TB):
     bounded to that window and the job survives; detecting it is a
     content check (tests pin the behavior), not a parser flag. This is
     inherent to CSV — corpora that cannot tolerate it should ship JSONL.
+  * DECLARED DIVERGENCE — carriage returns inside quoted fields: the
+    multiLine parser (univocity) normalizes line endings inside quotes,
+    so a field containing "\\r" or "\\r\\n" reads back with "\\n" — there is
+    no Spark option to disable it. The round trip is byte-exact for every
+    CR-free field (tests pin both directions); corpora where bare-CR
+    fidelity matters should ship JSONL, which round-trips it exactly.
 """
 
 from __future__ import annotations
 
 import csv
-import hashlib
 import io
 import os
 
 from pyspark.sql import DataFrame, SparkSession, types as T
 
-from .documents_bridge import EPOCH_S  # same timeline as warc_ts/fetch_ts
-from .jsonl import doc_url  # one url scheme across container formats
+from .jsonl import doc_url  # one url scheme across container formats (re-exported
+# for tests; the staging helper itself lives in jsonl.stage_line_shards)
 
 # bump when encode_row/BAD_ROWS/record shape change: the staging tag
 # hashes this, so stale /tmp staging cannot silently certify an old encoder
@@ -95,77 +100,17 @@ _STAGED: dict[str, dict[str, str]] = {}
 
 
 def stage_csv_files(sf_dir: str, n_files: int = 8) -> dict[str, str]:
-    """Stage (memoized per process) a CSV rendering of ``sf_dir``'s
-    documents table plus the expected-rows parquet; returns
-    {"csv_dir": ..., "expected": ..., "n_bad": ...}.
+    """CSV instance of the shared `jsonl.stage_line_shards` protocol
+    (round-robin shards, one malformed row per shard, expected parquet
+    from SOURCE rows pre-encode); returns
+    {"csv_dir": ..., "expected": ..., "n_bad": ...}."""
+    from .jsonl import stage_line_shards
 
-    Pure Python (duckdb read, no SparkSession — callable from
-    oracle_sql()). Documents go round-robin to n_files shards in doc_id
-    order; each shard gets one deterministic malformed row spliced after
-    its first record (flavour = shard % len(BAD_ROWS)). The expected
-    table is built from the SOURCE rows pre-encode, so the driver's hash
-    check certifies the full encode->parse round trip — including every
-    quoted comma/quote/newline the corpus text carries — AND that the
-    malformed rows displaced nothing."""
-    import duckdb
-
-    sf_dir = os.path.normpath(sf_dir)
-    key = f"{sf_dir}|{n_files}"
-    if key in _STAGED:
-        return _STAGED[key]
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    fp = hashlib.md5(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v{_STAGING_VERSION}".encode()
-    ).hexdigest()[:8]
-    tag = f"{os.path.basename(sf_dir)}_{fp}_{n_files}"
-    base = os.path.join("/tmp", f"enem_csv_{tag}")
-    os.makedirs(base, exist_ok=True)
-    csv_dir = os.path.join(base, "csv")
-    os.makedirs(csv_dir, exist_ok=True)
-    expected_path = os.path.join(base, "csv_expected.parquet")
-
-    done_marker = os.path.join(base, ".staged")
-    if not os.path.exists(done_marker):
-        rows = duckdb.sql(
-            "SELECT doc_id, text, lang, source FROM "
-            f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
-        ).fetchall()
-        shards: list[list[str]] = [[] for _ in range(n_files)]
-        expected = []
-        for doc_id, text, lang, source in rows:
-            rec = {
-                "url": doc_url(doc_id, source),
-                "fetch_ts": EPOCH_S + int(doc_id),
-                "text": text,
-                "lang": lang,
-                "source": source,
-            }
-            shards[int(doc_id) % n_files].append(encode_row(rec))
-            expected.append(rec)
-        for i, lines in enumerate(shards):
-            bad = BAD_ROWS[i % len(BAD_ROWS)]
-            body = lines[:1] + [bad] + lines[1:] if lines else [bad]
-            with open(
-                os.path.join(csv_dir, f"part-{i:05d}.csv"),
-                "w",
-                encoding="utf-8",
-                newline="",
-            ) as f:
-                f.write("\n".join(body) + "\n")
-        import pandas as pd
-
-        duckdb.register(
-            "expected_df", pd.DataFrame(expected, columns=_DATA_COLS)
-        )
-        duckdb.sql(
-            f"COPY (SELECT * FROM expected_df ORDER BY url) TO '{expected_path}'"
-            " (FORMAT PARQUET)"
-        )
-        with open(done_marker, "w") as f:
-            f.write("ok")
-    out = {"csv_dir": csv_dir, "expected": expected_path, "n_bad": str(n_files)}
-    _STAGED[key] = out
-    return out
+    out = stage_line_shards(
+        sf_dir, n_files, "csv", _STAGING_VERSION, "csv",
+        encode_row, BAD_ROWS, _STAGED,
+    )
+    return {"csv_dir": out["dir"], **{k: v for k, v in out.items() if k != "dir"}}
 
 
 def _reader_options(reader):

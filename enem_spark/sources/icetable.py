@@ -476,6 +476,15 @@ class IceTable:
     def transforms(self, version: int | None = None) -> list[Transform]:
         return [Transform.from_json(d) for d in self.metadata(version)["partition_by"]]
 
+    def published_sequence(self) -> int:
+        """Highest sequence visible to MAIN readers (marker-based — robust
+        to expired parent chains). The WAP ladder guards on this, never on
+        the global max, which unpublished branch commits already raise."""
+        meta = self.metadata()
+        return max(
+            s["sequence"] for s in meta["snapshots"] if self._is_main(s)
+        )
+
     def refs(self) -> dict:
         """Named refs: {name: {"snapshot_id": int, "type": "branch"|"tag"}}.
         Absent in pre-ref metadata — read as empty."""
@@ -483,7 +492,10 @@ class IceTable:
 
     @staticmethod
     def _ancestry(meta: dict, head_id: int) -> set[int]:
-        """Snapshot ids reachable from ``head_id`` via parent links."""
+        """Snapshot ids reachable from ``head_id`` via parent links.
+        Used for publish-time fast-forward checks only — MAIN visibility
+        is the per-snapshot ``branch`` marker (`_is_main`), which unlike a
+        parent walk survives snapshot expiry breaking the chain."""
         by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
         out: set[int] = set()
         cur: int | None = head_id
@@ -491,6 +503,12 @@ class IceTable:
             out.add(cur)
             cur = by_id[cur]["parent_id"]
         return out
+
+    @staticmethod
+    def _is_main(snap: dict) -> bool:
+        """Main-visible snapshot: committed to main, or published there.
+        Pre-ref snapshots carry no marker — all main by construction."""
+        return snap.get("branch", "main") == "main"
 
     def _resolve_snapshot(
         self,
@@ -513,14 +531,14 @@ class IceTable:
                     return s
             raise KeyError(f"snapshot {snapshot_id} not in {self.path}")
         if as_of is not None:
-            # MAIN ancestry only: unpublished branch snapshots carry
+            # MAIN-visible only: unpublished branch snapshots carry
             # sequences too, and a pinned as_of read on main must never
             # resolve to work an audit branch has not published yet
-            ancestry = self._ancestry(meta, meta["current_snapshot_id"])
+            # (publish flips the markers, making them as_of-visible)
             live = [
                 s
                 for s in snaps
-                if s["sequence"] <= as_of and s["snapshot_id"] in ancestry
+                if s["sequence"] <= as_of and self._is_main(s)
             ]
             if not live:
                 raise KeyError(f"no snapshot at or before sequence {as_of}")
@@ -628,7 +646,20 @@ class IceTable:
         where incremental reads cannot cross expired snapshots."""
         meta = self.metadata()
         target = self._resolve_snapshot(meta, snapshot_id, as_of)
-        ordered = sorted(meta["snapshots"], key=lambda s: s["sequence"])
+        # visibility scoping: a main-target incremental walk must never
+        # absorb unpublished branch snapshots (they carry sequences in the
+        # window but main readers cannot see their rows — the same WAP
+        # invariant as_of resolution enforces); a branch-target walk sees
+        # main history plus its own branch's commits
+        target_branch = target.get("branch", "main")
+        ordered = sorted(
+            (
+                s
+                for s in meta["snapshots"]
+                if self._is_main(s) or s.get("branch") == target_branch
+            ),
+            key=lambda s: s["sequence"],
+        )
         walk = [
             s
             for s in ordered
@@ -746,7 +777,14 @@ class IceTable:
         write-audit-publish reads the staging branch this way)."""
         assert self.spark is not None, "read() needs a SparkSession"
         kept, dels, _report = self._plan_entries(filters, snapshot_id, as_of, ref)
-        return self._read_entries(kept, dels, filters)
+        schema = None
+        if ref is not None:
+            r = self.refs().get(ref, {})
+            if "schema" in r:
+                # a branch's private schema evolution (main readers keep
+                # the table schema until publish folds it in)
+                schema = T.StructType.fromJson(r["schema"])
+        return self._read_entries(kept, dels, filters, schema=schema)
 
     def read_planned(
         self, files: list[str], filters: Sequence[tuple] | None = None
@@ -764,6 +802,7 @@ class IceTable:
         data_entries: list[dict],
         delete_entries: list[dict],
         filters: Sequence[tuple] | None,
+        schema: T.StructType | None = None,
     ) -> DataFrame:
         """Merge-on-read: read the data entries, anti-joining every
         equality-delete file that applies (sequence-scoped per data file).
@@ -779,6 +818,7 @@ class IceTable:
             return self._read_files(
                 [os.path.join(self.path, e["path"]) for e in data_entries],
                 filters,
+                schema=schema,
             )
         dels = sorted(
             delete_entries, key=lambda e: (e["applies_below"], e["path"])
@@ -799,6 +839,7 @@ class IceTable:
             df = self._read_files(
                 [os.path.join(self.path, e["path"]) for e in groups[key]],
                 filters,
+                schema=schema,
             )
             by_cols: dict[tuple, list[dict]] = {}
             for i in key:
@@ -823,9 +864,12 @@ class IceTable:
         return out
 
     def _read_files(
-        self, files: list[str], filters: Sequence[tuple] | None
+        self,
+        files: list[str],
+        filters: Sequence[tuple] | None,
+        schema: T.StructType | None = None,
     ) -> DataFrame:
-        schema = self.schema()
+        schema = schema or self.schema()
         if not files:
             df = self.spark.createDataFrame([], schema)
         else:
@@ -890,8 +934,27 @@ class IceTable:
             head_id = meta["current_snapshot_id"]
         # ids are unique across ALL refs' histories, not just main's chain
         snap_id = max(s["snapshot_id"] for s in meta["snapshots"]) + 1
+        # schema evolution scope: a MAIN commit merges into the table
+        # schema; a BRANCH commit merges into the ref's private schema so
+        # main readers' column set cannot change before publish (the WAP
+        # contract) — publish_branch folds it into the table schema
         old_schema = T.StructType.fromJson(meta["schema"])
-        schema = _merge_schema(old_schema, df_schema) if df_schema else old_schema
+        if branch is not None:
+            branch_base = T.StructType.fromJson(
+                refs[branch]["schema"]
+            ) if "schema" in refs[branch] else old_schema
+            branch_schema = (
+                _merge_schema(branch_base, df_schema)
+                if df_schema
+                else branch_base
+            )
+            schema = old_schema
+        else:
+            schema = (
+                _merge_schema(old_schema, df_schema)
+                if df_schema
+                else old_schema
+            )
 
         # Manifest filenames carry an attempt-unique token: two writers
         # racing for the same target version would otherwise both write
@@ -933,6 +996,7 @@ class IceTable:
             "snapshot_id": snap_id,
             "parent_id": head_id,
             "sequence": sequence,
+            "branch": branch if branch is not None else "main",
             "operation": operation,
             "manifests": manifests,
             "summary": {
@@ -942,6 +1006,8 @@ class IceTable:
         }
         if branch is not None:
             refs[branch] = {"snapshot_id": snap_id, "type": "branch"}
+            if json.loads(branch_schema.json()) != meta["schema"]:
+                refs[branch]["schema"] = json.loads(branch_schema.json())
         new_meta = {
             "format_version": FORMAT_VERSION,
             "schema": json.loads(schema.json()),
@@ -1048,7 +1114,8 @@ class IceTable:
         """Metadata-only ref change through the same O_EXCL version-file
         commit as any write — a racing writer conflicts, never a silent
         overwrite of its ref state. ``mutate(refs, meta)`` edits the refs
-        dict in place and may return a current_snapshot_id override."""
+        dict (and, for publish, meta's snapshots/schema) in place and may
+        return a current_snapshot_id override."""
         base = current_version(self.path)
         meta = self.metadata(base)
         refs = dict(meta.get("refs", {}))
@@ -1121,10 +1188,32 @@ class IceTable:
             if name not in refs or refs[name]["type"] != "branch":
                 raise KeyError(f"no branch {name!r}")
             head = refs[name]["snapshot_id"]
-            if meta["current_snapshot_id"] not in self._ancestry(meta, head):
+            by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+            # walk the branch's own commits back to the fork point; the
+            # fast-forward condition is fork == current main head. An
+            # EXPIRED fork point reads as diverged (cur falls off the
+            # dict) — correct: main moved past it.
+            chain: set[int] = set()
+            cur: int | None = head
+            while (
+                cur is not None
+                and cur in by_id
+                and by_id[cur].get("branch") == name
+            ):
+                chain.add(cur)
+                cur = by_id[cur]["parent_id"]
+            if cur != meta["current_snapshot_id"]:
                 raise ValueError(
                     f"branch {name!r} diverged from main; cannot fast-forward"
                 )
+            # the published snapshots become main: as_of reads, incremental
+            # walks, and expiry now treat them like any main commit
+            for snap in meta["snapshots"]:
+                if snap["snapshot_id"] in chain:
+                    snap["branch"] = "main"
+            if "schema" in refs[name]:
+                # fold the branch's private schema evolution into the table
+                meta["schema"] = refs[name]["schema"]
             if drop:
                 del refs[name]
             return head
@@ -1419,8 +1508,14 @@ class IceTable:
         base = current_version(self.path)
         meta = self.metadata(base)
         current_id = meta["current_snapshot_id"]
-        ref_targets = {
-            r["snapshot_id"] for r in meta.get("refs", {}).values()
+        refs = meta.get("refs", {})
+        ref_targets = {r["snapshot_id"] for r in refs.values()}
+        # every snapshot of a LIVE branch is protected, not just the head:
+        # publish needs the parent chain back to the fork point, and
+        # expiring it would strand the staged work as "diverged" forever.
+        # Dropping the ref releases them to normal expiry.
+        live_branches = {
+            n for n, r in refs.items() if r["type"] == "branch"
         }
         keep = [
             s
@@ -1428,6 +1523,7 @@ class IceTable:
             if s["sequence"] >= keep_sequences_from
             or s["snapshot_id"] == current_id
             or s["snapshot_id"] in ref_targets
+            or s.get("branch") in live_branches
         ]
         dropped = [s for s in meta["snapshots"] if s not in keep]
         if not dropped:
@@ -1533,9 +1629,12 @@ class IceTable:
         if target is None:
             raise ValueError(f"no snapshot {snapshot_id} to roll back to")
         snap = {
-            "snapshot_id": meta["current_snapshot_id"] + 1,
+            # max over ALL snapshots: branch commits allocate from the same
+            # id space, and a collision would corrupt ref resolution
+            "snapshot_id": max(x["snapshot_id"] for x in meta["snapshots"]) + 1,
             "parent_id": meta["current_snapshot_id"],
             "sequence": sequence,
+            "branch": "main",
             "operation": "rollback",
             "manifests": list(target["manifests"]),
             "summary": {

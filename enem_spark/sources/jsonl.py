@@ -75,41 +75,47 @@ BAD_LINES = [
 ]
 
 
-def stage_jsonl_files(sf_dir: str, n_files: int = 8) -> dict[str, str]:
-    """Stage (memoized per process) a JSONL rendering of ``sf_dir``'s
-    documents table plus the expected-rows parquet; returns
-    {"jsonl_dir": ..., "expected": ..., "n_bad": ...}.
+def stage_line_shards(
+    sf_dir: str,
+    n_files: int,
+    prefix: str,
+    version: int,
+    ext: str,
+    encode_fn,
+    bad_lines: list[str],
+    memo: dict,
+) -> dict[str, str]:
+    """Shared line-shard staging protocol for the text container sources
+    (JSONL + CSV): render ``sf_dir``'s documents table through
+    ``encode_fn`` into n_files round-robin shards (doc_id order), splice
+    one deterministic malformed line per shard after its first record
+    (flavour = shard % len(bad_lines)), and stage the expected-rows
+    parquet from the SOURCE rows pre-encode — so a driver hash check
+    certifies the full encode->parse round trip AND that malformed lines
+    displaced nothing. Returns {"dir": ..., "expected": ..., "n_bad": ...}.
 
     Pure Python (duckdb read, no SparkSession — callable from
-    oracle_sql()). Documents go round-robin to n_files shards in doc_id
-    order; each shard gets one deterministic malformed line spliced after
-    its first record (flavour = shard % len(BAD_LINES)). The expected
-    table is built from the SOURCE rows pre-encode, so the driver's hash
-    check certifies the full encode->parse round trip AND that malformed
-    lines displaced nothing."""
+    oracle_sql()). The shard count SHAPES the staged layout, so the memo
+    key, /tmp dir, and done-marker all include it; the dir tag
+    fingerprints the INPUT (size + mtime of documents.parquet) and the
+    encoder ``version`` — a regenerated corpus or a changed encoder can
+    never silently certify against stale /tmp staging."""
     import duckdb
 
     sf_dir = os.path.normpath(sf_dir)
-    # the shard count SHAPES the staged layout — key the memo, the /tmp
-    # dir, and the done-marker on it, or a second call with a different
-    # n_files would silently get the first call's layout back
     key = f"{sf_dir}|{n_files}"
-    if key in _STAGED:
-        return _STAGED[key]
-    # the tag fingerprints the INPUT (size + mtime of documents.parquet)
-    # and the encoder version, not just the path: a regenerated corpus or
-    # a changed encode_line would otherwise reuse stale /tmp staging and
-    # the parity gate would go green against old data
+    if key in memo:
+        return memo[key]
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     fp = hashlib.md5(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v{_STAGING_VERSION}".encode()
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v{version}".encode()
     ).hexdigest()[:8]
     tag = f"{os.path.basename(sf_dir)}_{fp}_{n_files}"
-    base = os.path.join("/tmp", f"enem_jsonl_{tag}")
+    base = os.path.join("/tmp", f"enem_{prefix}_{tag}")
     os.makedirs(base, exist_ok=True)
-    jsonl_dir = os.path.join(base, "jsonl")
-    os.makedirs(jsonl_dir, exist_ok=True)
-    expected_path = os.path.join(base, "jsonl_expected.parquet")
+    shard_dir = os.path.join(base, prefix)
+    os.makedirs(shard_dir, exist_ok=True)
+    expected_path = os.path.join(base, f"{prefix}_expected.parquet")
 
     done_marker = os.path.join(base, ".staged")
     if not os.path.exists(done_marker):
@@ -130,17 +136,20 @@ def stage_jsonl_files(sf_dir: str, n_files: int = 8) -> dict[str, str]:
                 "lang": lang,
                 "source": source,
             }
-            shards[int(doc_id) % n_files].append(encode_line(rec))
+            shards[int(doc_id) % n_files].append(encode_fn(rec))
             expected.append(rec)
         for i, lines in enumerate(shards):
-            bad = BAD_LINES[i % len(BAD_LINES)]
+            bad = bad_lines[i % len(bad_lines)]
             body = lines[:1] + [bad] + lines[1:] if lines else [bad]
-            # explicit utf-8: encode_line is ensure_ascii=False, and the
-            # locale default would mojibake (or refuse) non-ASCII text
+            # explicit utf-8 + newline="": encoders may emit non-ASCII
+            # (ensure_ascii=False) and CR-bearing quoted fields — the
+            # locale default would mojibake, and universal-newline
+            # translation would corrupt embedded \r
             with open(
-                os.path.join(jsonl_dir, f"part-{i:05d}.jsonl"),
+                os.path.join(shard_dir, f"part-{i:05d}.{ext}"),
                 "w",
                 encoding="utf-8",
+                newline="",
             ) as f:
                 f.write("\n".join(body) + "\n")
         duckdb.register("expected_df", _to_df(expected))
@@ -150,13 +159,19 @@ def stage_jsonl_files(sf_dir: str, n_files: int = 8) -> dict[str, str]:
         )
         with open(done_marker, "w") as f:
             f.write("ok")
-    out = {
-        "jsonl_dir": jsonl_dir,
-        "expected": expected_path,
-        "n_bad": str(n_files),
-    }
-    _STAGED[key] = out
+    out = {"dir": shard_dir, "expected": expected_path, "n_bad": str(n_files)}
+    memo[key] = out
     return out
+
+
+def stage_jsonl_files(sf_dir: str, n_files: int = 8) -> dict[str, str]:
+    """JSONL instance of `stage_line_shards`; returns
+    {"jsonl_dir": ..., "expected": ..., "n_bad": ...}."""
+    out = stage_line_shards(
+        sf_dir, n_files, "jsonl", _STAGING_VERSION, "jsonl",
+        encode_line, BAD_LINES, _STAGED,
+    )
+    return {"jsonl_dir": out["dir"], **{k: v for k, v in out.items() if k != "dir"}}
 
 
 def _to_df(expected: list[dict]):

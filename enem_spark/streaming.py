@@ -828,7 +828,10 @@ def start_ice_ingest_stream(
                         t.create_branch(branch)
                     except (CommitConflict, ValueError):
                         # racer created it (ValueError: exists) — re-check
-                        if branch not in t.refs():
+                        # the TYPE too: a same-named TAG would otherwise be
+                        # swallowed here and every append would then die on
+                        # a misleading KeyError("no branch")
+                        if t.refs().get(branch, {}).get("type") != "branch":
                             raise
                 t.append(batch_df, sequence=batch_id, branch=branch)
         except (CommitConflict, FileExistsError):

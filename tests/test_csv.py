@@ -133,3 +133,23 @@ def test_csv_stream_matches_batch(spark, staged, recs, tmp_path):
     a = {r.url for r in got.filter(F.col(csvsrc.CORRUPT_COL).isNull()).collect()}
     b = {r.url for r in recs.filter(F.col(csvsrc.CORRUPT_COL).isNull()).collect()}
     assert a == b
+
+
+def test_carriage_return_normalization_is_pinned(spark, tmp_path):
+    """Declared divergence (module docstring): the multiLine parser
+    normalizes line endings INSIDE quoted fields, so \r and \r\n read
+    back as \n. Pin it so a silent univocity behavior change (either
+    direction) is caught rather than shipping a surprise."""
+    row = {
+        "url": "https://cr/1",
+        "fetch_ts": 1,
+        "text": "a\rb\r\nc",
+        "lang": "pt",
+        "source": "s",
+    }
+    p = tmp_path / "cr.csv"
+    p.write_text(csvsrc.encode_row(row) + "\n", encoding="utf-8", newline="")
+    out = csvsrc.read_csv_docs(spark, str(p)).collect()
+    assert len(out) == 1 and out[0][csvsrc.CORRUPT_COL] is None
+    # each line-ending char normalizes to \n: bare \r -> \n, \r\n -> \n\n
+    assert out[0].text == "a\nb\n\nc"

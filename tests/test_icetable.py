@@ -1262,3 +1262,107 @@ def test_tag_pins_snapshot_through_expiry(spark, tmp_table):
     # the tagged snapshot and its files survive GC and read by name
     assert _sorted_rows(t.read(ref="crawl-0")) == _expected_rows(pdf0)
     assert t.read().count() == 4
+
+
+def test_branch_does_not_leak_into_incremental(spark, tmp_table):
+    """The WAP invariant on the INCREMENTAL path: a main-target delta scan
+    must never absorb unpublished branch snapshots, even when their
+    sequences fall inside the window."""
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 10), schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.create_branch("audit")
+    t.append(
+        spark.createDataFrame(_toy_pdf(10, 15), schema=it.PAGES_ICE_SCHEMA),
+        sequence=20, branch="audit",
+    )
+    t.append(
+        spark.createDataFrame(_toy_pdf(20, 24), schema=it.PAGES_ICE_SCHEMA),
+        sequence=30,
+    )
+    got = _sorted_rows(t.read_incremental(from_seq=10))
+    assert got == _expected_rows(_toy_pdf(20, 24))  # main delta only
+    assert t.published_sequence() == 30
+
+
+def test_branch_schema_private_until_publish(spark, tmp_table):
+    """Branch schema evolution must not change main readers' column set
+    before publish; publish folds it into the table schema."""
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 8), schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.create_branch("audit")
+    evolved = it._merge_schema(
+        it.PAGES_ICE_SCHEMA,
+        T.StructType([T.StructField("http_status", T.IntegerType(), True)]),
+    )
+    staged = _toy_pdf(8, 12).assign(http_status=200)
+    t.append(
+        spark.createDataFrame(staged, schema=evolved), sequence=20,
+        branch="audit",
+    )
+    # main: neither the rows nor the new column are visible
+    main_df = t.read()
+    assert "http_status" not in main_df.columns
+    assert main_df.count() == 8
+    # audit read carries the evolved schema
+    audit_df = t.read(ref="audit")
+    assert "http_status" in audit_df.columns
+    assert audit_df.count() == 12
+    t.publish_branch("audit")
+    pub = t.read()
+    assert "http_status" in pub.columns
+    assert pub.filter(F.col("http_status") == 200).count() == 4
+
+
+def test_expire_preserves_unpublished_branch(spark, tmp_table):
+    """Snapshot expiry must not strand a staged branch: every snapshot of
+    a LIVE branch survives (publish needs the chain to the fork point);
+    dropping the ref releases them."""
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 6), schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.create_branch("audit")
+    for seq, lo in ((20, 6), (21, 9)):
+        t.append(
+            spark.createDataFrame(
+                _toy_pdf(lo, lo + 3), schema=it.PAGES_ICE_SCHEMA
+            ),
+            sequence=seq, branch="audit",
+        )
+    t.expire_snapshots(keep_sequences_from=50)
+    # the staged chain survived and publishes cleanly
+    t.publish_branch("audit")
+    assert t.read().count() == 12
+
+
+def test_rollback_snapshot_ids_stay_unique_with_branches(spark, tmp_table):
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 5), schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    first = t._resolve_snapshot(t.metadata(), None, None)["snapshot_id"]
+    t.append(
+        spark.createDataFrame(_toy_pdf(5, 8), schema=it.PAGES_ICE_SCHEMA),
+        sequence=20,
+    )
+    t.create_branch("audit")
+    t.append(
+        spark.createDataFrame(_toy_pdf(8, 10), schema=it.PAGES_ICE_SCHEMA),
+        sequence=30, branch="audit",
+    )
+    t.rollback(first, sequence=40)
+    ids = [s["snapshot_id"] for s in t.snapshots()]
+    assert len(ids) == len(set(ids))  # no collision with the branch head
+    # main reverted; the branch forked from the pre-rollback head -> the
+    # fast-forward check reports divergence instead of corrupting refs
+    assert t.read().count() == 5
+    with pytest.raises(ValueError):
+        t.publish_branch("audit")
