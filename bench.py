@@ -1060,6 +1060,81 @@ credible-probe rule as the exam job).
     _upsert_section(path, "## Icetable-input scaling", section)
 
 
+def run_zorder_bench(sf_dir: str, cpus: str, n_files: int = 32) -> dict:
+    """Z-order data-skipping evidence: a fresh unpartitioned icetable of
+    the first-crawl pages written as ``n_files`` hash-spread files (each
+    file spans the full url and time range — the ingest-order worst case
+    a time-ordered crawl produces), probed with a url point-read and a
+    2-day time slice BEFORE and AFTER cluster_files(["warc_ts", "url"]).
+    The per-probe files-kept ratios are the multi-column skipping claim
+    MEASURED (manifest-level plan, zero data IO per probe); row
+    preservation through the rewrite is asserted. Self-contained temp
+    table; deleted afterwards."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from enem_spark.session import get_spark
+    from enem_spark.sources import icetable as it
+
+    spark = get_spark("enem_spark_zorder_bench", cores=cpus)
+    old_pdf, _ = it.crawl_frames(sf_dir)
+    base = tempfile.mkdtemp(prefix="enem_zorder_")
+    tbl = os.path.join(base, "tbl")
+    try:
+        df = spark.createDataFrame(
+            old_pdf, schema=it.PAGES_ICE_SCHEMA
+        ).repartition(n_files)
+        t = it.IceTable.create(spark, tbl, df, (), sequence=10)
+        n_rows = t.read().count()
+        mid = old_pdf["url"].iloc[len(old_pdf) // 2]
+        ts_lo = old_pdf["warc_ts"].min().to_pydatetime()
+        import datetime as _dt
+
+        probes = {
+            "url_point": [("url", "=", mid)],
+            "time_slice_2d": [
+                ("warc_ts", ">=", ts_lo + _dt.timedelta(days=2)),
+                ("warc_ts", "<=", ts_lo + _dt.timedelta(days=4)),
+            ],
+        }
+
+        def plan(filters):
+            _files, rep = t.plan_files(filters)
+            return {"kept": rep["files_kept"], "total": rep["files_total"]}
+
+        before = {k: plan(f) for k, f in probes.items()}
+        t0 = time.perf_counter()
+        t.cluster_files(["warc_ts", "url"], sequence=20)
+        rewrite_s = round(time.perf_counter() - t0, 3)
+        after = {k: plan(f) for k, f in probes.items()}
+        assert t.read().count() == n_rows, "cluster_files lost rows"
+        for k in probes:
+            # exactness: the pruned plan returns the same rows
+            assert t.read(probes[k]).count() == t.read(
+                probes[k], as_of=10
+            ).count(), k
+        return {
+            "metric": "zorder files-kept ratio (before -> after)",
+            "mode": "zorder-skip",
+            "sf": _sf_from_dir(sf_dir),
+            "n_rows": n_rows,
+            "n_files": n_files,
+            "rewrite_s": rewrite_s,
+            "probes": {
+                k: {
+                    "before_kept": before[k]["kept"],
+                    "after_kept": after[k]["kept"],
+                    "files_total_before": before[k]["total"],
+                    "files_total_after": after[k]["total"],
+                }
+                for k in probes
+            },
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def run_iceberg_bench(sf_dir: str, cpus: str, mult: int = 8) -> dict:
     """Iceberg-path evidence: full extraction run over a fresh icetable of
     the stored html pages, then a ~2% delta append extracted incrementally.
@@ -1297,6 +1372,9 @@ def main() -> None:
     ap.add_argument("--pdf-scaling", action="store_true")
     ap.add_argument("--pdf-extract-only", action="store_true")
     ap.add_argument("--iceberg", action="store_true")
+    ap.add_argument("--zorder-skip", action="store_true",
+                    help="z-order data-skipping evidence: files-kept "
+                         "ratios before/after cluster_files")
     ap.add_argument("--ice-extract-only", action="store_true")
     ap.add_argument("--ice-scaling", action="store_true")
     ap.add_argument("--dedup-scaling", action="store_true")
@@ -1339,6 +1417,9 @@ def main() -> None:
         return
     if args.iceberg:
         print(json.dumps(run_iceberg_bench(sf_dir, cpus, mult=8)))
+        return
+    if args.zorder_skip:
+        print(json.dumps(run_zorder_bench(sf_dir, cpus)))
         return
     if args.stats_incremental:
         print(json.dumps(run_stats_bench(

@@ -1304,36 +1304,29 @@ class IceTable:
             if c not in dtypes:
                 raise ValueError(f"cluster column not in schema: {c!r}")
 
-        def _to_float(dt: T.DataType, v: Any) -> float:
-            if isinstance(dt, T.TimestampType):
-                if isinstance(v, str):
-                    v = datetime.fromisoformat(v)
-                # bounds are naive-UTC (session tz is UTC); .timestamp()
-                # on a naive datetime would read the HOST tz instead
-                return v.replace(tzinfo=timezone.utc).timestamp()
-            if isinstance(dt, T.StringType):
-                return float(
-                    int.from_bytes(
-                        str(v).encode("utf-8")[:4].ljust(4, b"\0"), "big"
-                    )
-                )
-            return float(v)
+        def _to_raw(v: Any) -> Any:
+            # one comparable representation per type: timestamps as the
+            # manifests' naive-UTC isoformat (sorts == chronological)
+            if isinstance(v, datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(timezone.utc).replace(tzinfo=None)
+                return v.isoformat()
+            return v
 
-        # global bounds from the manifests (driver-side, free); columns
-        # whose stats a writer skipped (e.g. INT96 timestamps from other
-        # engines) fall back to ONE min/max aggregate over the candidate
-        # files, projecting only those columns
-        bounds: dict[str, tuple[float, float]] = {}
+        # global RAW bounds from the manifests (driver-side, free);
+        # columns whose stats a writer skipped (e.g. INT96 timestamps from
+        # other engines) fall back to ONE min/max aggregate over the
+        # candidate files, projecting only those columns
+        raw_bounds: dict[str, tuple[Any, Any]] = {}
         missing = [
             c for c in cols if any(c not in e["bounds"] for e in entries)
         ]
         for c in cols:
             if c in missing:
                 continue
-            dt = dtypes[c]
-            bounds[c] = (
-                min(_to_float(dt, e["bounds"][c][0]) for e in entries),
-                max(_to_float(dt, e["bounds"][c][1]) for e in entries),
+            raw_bounds[c] = (
+                min(e["bounds"][c][0] for e in entries),
+                max(e["bounds"][c][1] for e in entries),
             )
         if missing:
             row = (
@@ -1349,10 +1342,7 @@ class IceTable:
                 lo_v, hi_v = row[f"lo_{c}"], row[f"hi_{c}"]
                 if lo_v is None or hi_v is None:
                     raise ValueError(f"cluster column is all-null: {c!r}")
-                bounds[c] = (
-                    _to_float(dtypes[c], lo_v),
-                    _to_float(dtypes[c], hi_v),
-                )
+                raw_bounds[c] = (_to_raw(lo_v), _to_raw(hi_v))
 
         # the interleave must fit a signed 64-bit long: JVM shiftleft wraps
         # shift counts mod 64 (position 63 flips the sign), which would
@@ -1364,38 +1354,69 @@ class IceTable:
             )
         exprs: list[F.Column] = []
         for c in cols:
-            lo_n, hi_n = bounds[c]
+            lo_raw, hi_raw = raw_bounds[c]
             dt = dtypes[c]
             if isinstance(dt, T.TimestampType):
+                lo_n = (
+                    datetime.fromisoformat(lo_raw)
+                    .replace(tzinfo=timezone.utc)
+                    .timestamp()
+                )
+                hi_n = (
+                    datetime.fromisoformat(hi_raw)
+                    .replace(tzinfo=timezone.utc)
+                    .timestamp()
+                )
                 val = F.unix_timestamp(F.col(c)).cast("double")
             elif isinstance(dt, T.StringType):
-                # first 4 utf-8 bytes as a big-endian int: locality-
-                # preserving for byte-lexicographic order (same order the
-                # bounds are min/maxed in, and the same prefix _to_float
-                # used for the bounds themselves)
+                # 4 utf-8 bytes AFTER the global common prefix, as a
+                # big-endian int — locality-preserving for lexicographic
+                # order. Stripping the common prefix matters: crawl urls
+                # all start "https://", so the raw first 4 bytes carry
+                # ZERO discrimination and the column's z-bits would be
+                # constant (measured: url-point skipping barely moved)
+                lo_b = str(lo_raw).encode("utf-8")
+                hi_b = str(hi_raw).encode("utf-8")
+                lcp = 0
+                while (
+                    lcp < min(len(lo_b), len(hi_b))
+                    and lo_b[lcp] == hi_b[lcp]
+                ):
+                    lcp += 1
+
+                def _p4(b: bytes, _lcp: int = lcp) -> float:
+                    return float(
+                        int.from_bytes(
+                            b[_lcp:_lcp + 4].ljust(4, b"\0"), "big"
+                        )
+                    )
+
+                lo_n, hi_n = _p4(lo_b), _p4(hi_b)
+                byte_len = F.length(F.encode(F.col(c), "utf-8"))
                 val = F.coalesce(
                     F.conv(
                         F.substring(
-                            F.hex(F.encode(F.col(c), "utf-8")), 1, 8
+                            F.hex(F.encode(F.col(c), "utf-8")),
+                            2 * lcp + 1,
+                            8,
                         ),
                         16,
                         10,
                     ).cast("double"),
                     F.lit(0.0),
                 )
-                # conv of fewer than 8 hex digits (short strings) still
-                # yields the left-aligned prefix? No — hex of a 2-byte
-                # string gives 4 digits, conv reads them as the LOW bytes;
-                # left-shift to big-endian alignment:
+                # hex of fewer than lcp+4 bytes yields fewer than 8
+                # digits, and conv reads them as the LOW bytes —
+                # left-shift to big-endian alignment
                 val = val * F.pow(
                     F.lit(256.0),
                     F.greatest(
                         F.lit(0),
-                        F.lit(4)
-                        - F.length(F.encode(F.col(c), "utf-8")),
+                        F.lit(4) - (byte_len - F.lit(lcp)),
                     ).cast("double"),
                 )
             else:
+                lo_n, hi_n = float(lo_raw), float(hi_raw)
                 val = F.col(c).cast("double")
             span = max(hi_n - lo_n, 1e-12)
             top = (1 << bits) - 1
