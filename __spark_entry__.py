@@ -819,6 +819,19 @@ def q_ann_ivf_topk(spark, sf_dir):
     return simsearch.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (simsearch.pq_topk): the corpus compressed
+    to m=4 integer codes per vector (the memory-bounded scale path — dim
+    floats become m bytes), queries ranked by exact-integer ADC distance
+    against broadcast per-query lookup tables. The twin recomputes the
+    codebooks, codes, and ADC sums from first principles in SQL — every
+    argmin and distance is integer-exact on the 1e-6 grid, so the hash
+    match certifies the whole quantize->encode->search path."""
+    return simsearch.pq_topk(
+        _t(spark, sf_dir, "embeddings"), dim=simsearch.SRP_DIM
+    )
+
+
 def q_embedding_decontaminate(spark, sf_dir):
     """Semantic decontamination (simsearch.embedding_decontaminate): flag
     corpus vectors at cosine >= 0.35 to any of the 5 designated benchmark
@@ -1939,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_bucket": q_ann_srp_bucket,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_decontaminate": q_embedding_decontaminate,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3119,6 +3133,67 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+def _pq_sql(k=5, m=None, n_cent=None, dim=None) -> str:
+    """Computing PQ twin: quantize -> per-subspace codebooks (vec_id <
+    n_cent convention) -> argmin codes -> integer ADC sums. sqdist uses
+    the dot-product identity aa - 2ab + bb: every term is an integer
+    below 2^53, so DuckDB's double list_dot_product is EXACT and equals
+    Spark's long-arithmetic left fold."""
+    m = m or simsearch.PQ_M
+    n_cent = n_cent or simsearch.PQ_K
+    dim = dim or simsearch.SRP_DIM
+    sub = dim // m
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {simsearch.PQ_QUANT}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+subsp AS (
+  SELECT vec_id, s.s AS s,
+         list_transform(qv[s.s*{sub}+1 : (s.s+1)*{sub}], v -> v::DOUBLE) AS sv
+  FROM q, (SELECT unnest(range({m})) AS s) s
+),
+cents AS (
+  SELECT s, vec_id AS j, sv AS cv FROM subsp WHERE vec_id < {n_cent}
+),
+dists AS (
+  SELECT x.vec_id, x.s, c.j,
+         CAST(list_dot_product(x.sv, x.sv)
+              - 2 * list_dot_product(x.sv, c.cv)
+              + list_dot_product(c.cv, c.cv) AS BIGINT) AS d
+  FROM subsp x JOIN cents c USING (s)
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT qs.vec_id AS query_id, cx.vec_id AS neighbor_id,
+         CAST(SUM(CAST(list_dot_product(qs.sv, qs.sv)
+                       - 2 * list_dot_product(qs.sv, ce.cv)
+                       + list_dot_product(ce.cv, ce.cv) AS BIGINT))
+              AS BIGINT) AS approx_dist
+  FROM codes cx
+  JOIN cents ce ON ce.s = cx.s AND ce.j = cx.code
+  JOIN subsp qs ON qs.s = cx.s
+  WHERE qs.vec_id IN (0,1,2,3,4) AND cx.vec_id <> qs.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_dist, neighbor_id
+  ) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, approx_dist
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -4740,6 +4815,7 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
         "ann_cosine_topk": _cosine_topk_sql(),
         "ann_srp_bucket": _srp_sql(),
         "ann_ivf_topk": _ivf_sql(),
+        "ann_pq_topk": _pq_sql(),
         "embedding_near_dup": _near_dup_sql(0.35),
         "embedding_decontaminate": _embedding_decon_sql(),
         "kmeans_clusters": _kmeans_sql(),

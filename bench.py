@@ -97,6 +97,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_srp_bucket",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "embedding_near_dup",
     "kmeans_clusters",
     "semdedup",

@@ -522,3 +522,204 @@ def embedding_decontaminate(
             F.col("hit_cnt").isNull().alias("is_clean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bounded ANN path
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (dim must divide evenly)
+PQ_K = 8  # centroids per subspace -> one byte-ish code per subspace
+PQ_QUANT = 1_000_000  # 1e-6 grid: same exact-integer discipline as clustering
+
+
+def _pq_quantized(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, q array<long>): coordinates on the 1e-6 integer grid.
+    Integer arithmetic end to end is what makes the PQ codes and ADC
+    distances bit-identical across engines — float sub-distances differ
+    in the last ulp and flip argmins (the clustering.py lesson)."""
+    return embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * PQ_QUANT).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _pq_sqdist(slice_col, centroid: list[int]):
+    """Exact integer squared distance from an array<long> slice to a
+    centroid literal (left-fold sum — order-deterministic)."""
+    lit = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(slice_col, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K, dim: int | None = None
+) -> list[list[list[int]]]:
+    """cents[s][j] = subvector s of quantized vec_id j — the deterministic
+    seeding convention shared with ivf_assignments/kmeans (vec_id < k are
+    the codewords; a production run swaps in per-subspace k-means
+    centroids, same shapes). Validated: ids 0..k-1 must exist, dim % m
+    == 0. Driver-held (m*k*dim/m = dim*k ints — tiny, broadcast as plan
+    literals; no shuffle anywhere in encode)."""
+    dim = _resolve_dim(embeddings, dim)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    rows = (
+        _pq_quantized(embeddings)
+        .filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .collect()
+    )
+    got = [int(r["vec_id"]) for r in rows]
+    if got != list(range(k)):
+        raise ValueError(
+            f"pq codebook convention needs vec_ids 0..{k - 1}; got {got[:10]}"
+        )
+    return [
+        [list(r["q"])[s * sub : (s + 1) * sub] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, q, codes array<int>): each vector compressed to m small
+    codes — dim floats become m indices (the 10^9-vector memory story:
+    64 float32 -> 4 bytes here; a billion vectors fit one executor's
+    RAM as codes). Encoding is pure per-row expressions over broadcast
+    codebook literals: zero shuffle, whole-stage codegen."""
+    dim = _resolve_dim(embeddings, dim)
+    sub = dim // m
+    cents = pq_codebooks(embeddings, m, k, dim)
+    qdf = _pq_quantized(embeddings)
+    code_cols = []
+    for s in range(m):
+        sl = F.slice(F.col("q"), s * sub + 1, sub)
+        dists = F.array(*[_pq_sqdist(sl, cents[s][j]) for j in range(k)])
+        # array_position -> FIRST minimum: ties to the lowest codeword id
+        # in both engines
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return qdf.select("vec_id", "q", F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 5,
+    m: int = PQ_M,
+    n_cent: int = PQ_K,
+    dim: int | None = None,
+    refine: int = 0,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: neighbors ranked by
+    sum_s sqdist(query_subvec_s, codeword(s, code_x[s])) — the query stays
+    exact, the corpus is its codes. The scale shape: per query a tiny
+    m x n_cent distance TABLE is computed driver-side and broadcast; each
+    candidate costs m array lookups + a sum (never a dim-length dot), the
+    only shuffle is the final per-query top-k window, and the corpus-side
+    state is the code table. Output (query_id, neighbor_id, rank,
+    approx_dist) — approx_dist is the exact-integer ADC distance, so the
+    DuckDB twin reproduces it bit-for-bit (recall vs exact cosine is
+    measured in tests, not assumed).
+
+    ``refine`` > 0 is the deployment shape: an ADC shortlist of
+    ``refine * k`` candidates per query, then EXACT cosine re-ranking of
+    just the shortlist (output columns switch to cosine, matching the
+    other ANN operators). The expensive exact math touches refine*k rows
+    per query instead of the corpus — codes select, vectors verify."""
+    dim = _resolve_dim(embeddings, dim)
+    sub = dim // m
+    cents = pq_codebooks(embeddings, m, n_cent, dim)
+    enc = pq_codes(embeddings, m, n_cent, dim)
+    qrows = (
+        enc.filter(F.col("vec_id").isin(*query_ids))
+        .select("vec_id", "q")
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    qtab_rows = []
+    for r in qrows:
+        qv = list(r["q"])
+        tab = [
+            [
+                sum(
+                    (int(qv[s * sub + i]) - int(cents[s][j][i])) ** 2
+                    for i in range(sub)
+                )
+                for j in range(n_cent)
+            ]
+            for s in range(m)
+        ]
+        qtab_rows.append((int(r["vec_id"]), tab))
+    queries = spark.createDataFrame(
+        qtab_rows, "query_id long, qtab array<array<long>>"
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "approx_dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qtab"),
+                    F.col("codes"),
+                    lambda t, c: F.element_at(t, c + F.lit(1)),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine <= 0:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            "approx_dist",
+        )
+    shortlist = ranked.filter(F.col("rank") <= refine * k).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    base = with_norm(embeddings)
+    cand = shortlist.join(
+        base.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("vec").alias("nvec"),
+            F.col("norm").alias("nnorm"),
+        ),
+        "neighbor_id",
+    )
+    queries = base.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    rescored = cand.join(F.broadcast(queries), "query_id").withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("nvec"), F.col("qvec"))
+            / (F.col("nnorm") * F.col("qnorm")),
+            6,
+        ),
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

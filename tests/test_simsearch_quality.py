@@ -245,3 +245,31 @@ def test_ivf_rejects_missing_centroid_ids(spark):
     )
     with pytest.raises(ValueError, match="centroid"):
         simsearch.ivf_assignments(emb, n_cells=8)
+
+
+def test_pq_recall_floors_and_refine(emb, exact):
+    """PQ floors on this near-random corpus: pure integer-ADC recall sits
+    in the SRP/IVF-parity regime, and the refine path (ADC shortlist ->
+    exact cosine re-rank of refine*k rows per query) buys recall back —
+    the codes-select / vectors-verify deployment shape."""
+    adc = simsearch.pq_topk(emb, QUERIES, k=K, n_cent=16).collect()
+    r_adc = _recall(adc, exact)
+    assert r_adc >= 0.2, f"PQ ADC recall collapsed: {r_adc:.2f}"
+    refined = simsearch.pq_topk(emb, QUERIES, k=K, n_cent=16, refine=4).collect()
+    r_ref = _recall(refined, exact)
+    assert r_ref >= 0.4, f"refined PQ recall too low: {r_ref:.2f}"
+    assert r_ref >= r_adc, "refine must not lose recall vs raw ADC"
+    # refined rows carry exact cosines consistent with the ground truth's
+    # value range (sanity on the re-rank join, not just the ids)
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in refined)
+
+
+def test_pq_codes_are_bounded_state(emb):
+    """The memory claim is structural: every vector compresses to m codes
+    in [0, n_cent) — the corpus-side search state is m small ints per
+    vector, never the dim floats."""
+    rows = simsearch.pq_codes(emb, m=simsearch.PQ_M, k=simsearch.PQ_K).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == simsearch.PQ_M
+        assert all(0 <= c < simsearch.PQ_K for c in r["codes"])
