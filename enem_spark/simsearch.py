@@ -593,6 +593,7 @@ def pq_codes(
     m: int = PQ_M,
     k: int = PQ_K,
     dim: int | None = None,
+    _cents: list | None = None,
 ) -> DataFrame:
     """(vec_id, q, codes array<int>): each vector compressed to m small
     codes — dim floats become m indices (the 10^9-vector memory story:
@@ -601,7 +602,9 @@ def pq_codes(
     codebook literals: zero shuffle, whole-stage codegen."""
     dim = _resolve_dim(embeddings, dim)
     sub = dim // m
-    cents = pq_codebooks(embeddings, m, k, dim)
+    # _cents: pq_topk already collected the codebooks — don't run the
+    # tiny collect job twice per search
+    cents = _cents if _cents is not None else pq_codebooks(embeddings, m, k, dim)
     qdf = _pq_quantized(embeddings)
     code_cols = []
     for s in range(m):
@@ -643,7 +646,7 @@ def pq_topk(
     dim = _resolve_dim(embeddings, dim)
     sub = dim // m
     cents = pq_codebooks(embeddings, m, n_cent, dim)
-    enc = pq_codes(embeddings, m, n_cent, dim)
+    enc = pq_codes(embeddings, m, n_cent, dim, _cents=cents)
     qrows = (
         enc.filter(F.col("vec_id").isin(*query_ids))
         .select("vec_id", "q")
