@@ -847,3 +847,47 @@ def start_ice_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_s: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the Structured Streaming
+    primitive for correlating two live event streams by key within an
+    event-time window: every LEFT row pairs with the RIGHT rows of the
+    same key where ``right_ts <= left_ts < right_ts + tolerance_s``
+    (half-open — exactly relops.range_join's containment, which is the
+    batch ground truth the tests replay the same data through).
+
+    The crawl use: enrich each fetched page (left, keyed by host) with
+    the robots/directive fetches that preceded it within the tolerance.
+
+    Why the shape matters at scale: BOTH sides carry watermarks and the
+    join condition bounds event-time distance, so Spark can expire state
+    — without the time bound, a stream-stream join buffers every row of
+    both streams forever (unbounded state is the classic failure mode).
+    State per key is O(rows inside one tolerance window). The join
+    shuffles both streams on the key; skewed hosts behave like any
+    skewed shuffle (AQE does not re-plan streaming stages — cap per-host
+    fetch rate upstream, which politeness requires anyway).
+
+    ``how``: "inner" or "leftOuter" (left rows with no directive emit
+    once with nulls AFTER the watermark passes — late-arriving matches
+    inside the watermark still pair)."""
+    lw = left.withWatermark(left_ts, f"{int(tolerance_s)} seconds")
+    rw = right.withWatermark(right_ts, f"{int(tolerance_s)} seconds")
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] <= lw[left_ts])
+        & (
+            lw[left_ts]
+            < rw[right_ts] + F.expr(f"INTERVAL {int(tolerance_s)} SECONDS")
+        )
+    )
+    return lw.join(rw, cond, how)
