@@ -386,6 +386,17 @@ def q_train_split(spark, sf_dir):
     return textops.train_split(_t(spark, sf_dir, "documents"))
 
 
+def q_shuffle_export(spark, sf_dir):
+    """Deterministic global-shuffle export manifest (textops.shuffle_export):
+    seed-keyed pseudo-random order, hash-uniform shards, per-shard
+    positions from ONE balanced shuffle. The twin recomputes the md5
+    order key, the hex-prefix shard id, and the window positions from
+    first principles — the manifest is a pure function of (seed, rows)."""
+    return textops.shuffle_export(_t(spark, sf_dir, "documents")).select(
+        "shard", "pos", "doc_id", F.md5("text").alias("text_md5")
+    )
+
+
 def q_token_histogram(spark, sf_dir):
     return textops.token_histogram(_t(spark, sf_dir, "documents"))
 
@@ -1913,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "stratified_sample": q_stratified_sample,
         "train_split": q_train_split,
+        "shuffle_export": q_shuffle_export,
         "cap_per_host": q_cap_per_host,
         "token_histogram": q_token_histogram,
         "doc_chunk": q_doc_chunk,
@@ -4745,6 +4757,28 @@ SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
 """,
         "stratified_sample": _stratified_sample_sql(),
         "train_split": _train_split_sql(),
+        # computing twin: md5 order key, hex-prefix shard, window pos —
+        # same '0x'||substr cast-to-BIGINT idiom as the bloom twin
+        "shuffle_export": f"""
+WITH keyed AS (
+  SELECT doc_id, text,
+         md5(concat('{textops.SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR)))
+           AS order_key
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, text, order_key,
+         CAST(CAST(concat('0x', substr(order_key, 1, 12)) AS BIGINT)
+              % {textops.SHUFFLE_SHARDS} AS INT) AS shard
+  FROM keyed
+)
+SELECT shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY order_key, doc_id
+       ) AS BIGINT) AS pos,
+       doc_id, md5(text) AS text_md5
+FROM sharded
+""",
         # same deterministic content-hash lottery, recomputed in SQL
         "cap_per_host": """
 WITH ranked AS (

@@ -60,6 +60,7 @@ HEADLINE = [
     "bm25_search",
     "nb_classifier",
     "train_split",
+    "shuffle_export",
     "props_extract",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -2899,3 +2899,46 @@ def cms_topk(
     sampled = toks.filter(_cms_doc_sampled(F.col("doc_id"), sample_mod))
     est = cms_estimate(sketch, sampled, ["grp"], "v", depth, width)
     return _cms_rank_topk(est, k, group_col)
+
+
+SHUFFLE_SEED = 7  # default export seed; the manifest is a pure function of it
+SHUFFLE_SHARDS = 8
+
+
+def shuffle_export(
+    documents: DataFrame,
+    n_shards: int = SHUFFLE_SHARDS,
+    seed: int = SHUFFLE_SEED,
+) -> DataFrame:
+    """Deterministic global-shuffle export manifest — the training last
+    mile: (shard, pos, doc_id, text) with documents in seed-keyed
+    pseudo-random order, sharded for parallel readers. Training wants
+    decorrelated order (a crawl's natural order clusters by host/time —
+    adjacent batches would be near-duplicates of one domain); writers and
+    re-runs want DETERMINISM, so the order key is md5(seed:doc_id) — a
+    pure function of the row, reproducible in any engine, stable under
+    appends of new docs (existing pairs never reorder within a shard).
+
+    Scale shape: the shard id is a hex-prefix hash mod n_shards (uniform
+    by construction), so the ONE shuffle — repartition by shard +
+    in-shard sort by the order key — is balanced; pos is a per-shard
+    row_number window over that same partitioning (no second exchange:
+    the window's partition key equals the shuffle key). Downstream, each
+    shard renders/writes independently (e.g. through the jsonl encoder) —
+    n_shards = writer parallelism."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 12), 16, 10).cast("long")
+        % F.lit(n_shards)
+    ).cast("int")
+    w = W.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (
+        documents.select(
+            "doc_id",
+            "text",
+            key.alias("order_key"),
+            shard.alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("shard", "pos", "doc_id", "text")
+    )
