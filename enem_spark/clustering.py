@@ -39,23 +39,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from .simsearch import _dot, with_norm
+from .simsearch import GRID_QUANT, _dot, quantize_grid, with_norm
 
 KMEANS_K = 4
 KMEANS_ITERS = 3
-QUANT = 1_000_000  # 1e-6 grid: floats become exact BIGINTs
+QUANT = GRID_QUANT  # one grid for every integer-exact embedding kernel
 SEMDEDUP_TAU = 0.9  # cosine threshold — the embedding_near_dup regime
 
-
-def _quantized(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, q array<long>) — coordinates rounded onto the 1e-6 grid."""
-    return embeddings.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * QUANT).cast("long"),
-        ).alias("q"),
-    )
+# the shared exact-integer quantizer lives in simsearch.quantize_grid —
+# PQ codes and kmeans assignments must sit on the SAME grid or their
+# twins silently diverge
+_quantized = quantize_grid
 
 
 def _sqdist(q_col, centroid: list[int]):

@@ -109,6 +109,36 @@ def with_norm(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _query_frame(base: DataFrame, query_ids: tuple[int, ...]) -> DataFrame:
+    return base.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+
+
+def _rank_exact_cosine(pairs: DataFrame, k: int) -> DataFrame:
+    """The ONE exact-rerank discipline (6-dp rounded cosine, ties to the
+    lowest neighbor_id) shared by cosine_topk and the PQ refine path —
+    ``pairs`` carries (query_id, neighbor_id, nvec, nnorm, qvec, qnorm).
+    A fix to the rounding or tie-break lands in both paths by
+    construction (both are twin/recall-gated)."""
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("nvec"), F.col("qvec"))
+            / (F.col("nnorm") * F.col("qnorm")),
+            6,
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5
 ) -> DataFrame:
@@ -117,33 +147,17 @@ def cosine_topk(
     Output: (query_id, neighbor_id, rank, cosine) — cosine rounded to 6 dp,
     ties broken by neighbor_id for cross-engine determinism."""
     base = with_norm(embeddings)
-    queries = base.filter(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("norm").alias("qnorm"),
-    )
-    scored = (
-        base.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")),
-                6,
-            ),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
+    queries = _query_frame(base, query_ids)
+    pairs = (
+        base.select(
             F.col("vec_id").alias("neighbor_id"),
-            "rank",
-            "cosine",
+            F.col("vec").alias("nvec"),
+            F.col("norm").alias("nnorm"),
         )
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
+    return _rank_exact_cosine(pairs, k)
 
 
 def srp_bucket(
@@ -530,21 +544,26 @@ def embedding_decontaminate(
 
 PQ_M = 4  # subspaces (dim must divide evenly)
 PQ_K = 8  # centroids per subspace -> one byte-ish code per subspace
-PQ_QUANT = 1_000_000  # 1e-6 grid: same exact-integer discipline as clustering
+GRID_QUANT = 1_000_000  # 1e-6 grid: floats become exact BIGINTs
+PQ_QUANT = GRID_QUANT  # twin SQL references keep their name
 
 
-def _pq_quantized(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, q array<long>): coordinates on the 1e-6 integer grid.
-    Integer arithmetic end to end is what makes the PQ codes and ADC
-    distances bit-identical across engines — float sub-distances differ
-    in the last ulp and flip argmins (the clustering.py lesson)."""
+def quantize_grid(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, q array<long>): coordinates on the 1e-6 integer grid —
+    THE exact-integer quantizer shared by PQ and clustering.kmeans
+    (integer sums are exact and order-independent; float sub-distances
+    differ across engines in the last ulp and flip argmins). One kernel:
+    a grid change desyncs every integer-exact twin at once, loudly."""
     return embeddings.select(
         "vec_id",
         F.transform(
             F.col("embedding"),
-            lambda x: F.round(x.cast("double") * PQ_QUANT).cast("long"),
+            lambda x: F.round(x.cast("double") * GRID_QUANT).cast("long"),
         ).alias("q"),
     )
+
+
+_pq_quantized = quantize_grid  # internal alias (pre-refactor name)
 
 
 def _pq_sqdist(slice_col, centroid: list[int]):
@@ -626,6 +645,7 @@ def pq_topk(
     n_cent: int = PQ_K,
     dim: int | None = None,
     refine: int = 0,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k: neighbors ranked by
     sum_s sqdist(query_subvec_s, codeword(s, code_x[s])) — the query stays
@@ -644,18 +664,41 @@ def pq_topk(
     other ANN operators). The expensive exact math touches refine*k rows
     per query instead of the corpus — codes select, vectors verify."""
     dim = _resolve_dim(embeddings, dim)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
-    cents = pq_codebooks(embeddings, m, n_cent, dim)
-    enc = pq_codes(embeddings, m, n_cent, dim, _cents=cents)
-    qrows = (
-        enc.filter(F.col("vec_id").isin(*query_ids))
-        .select("vec_id", "q")
+    # ONE tiny collect serves both the codebooks (vec_id < n_cent) and
+    # the query vectors — a separate query collect would re-scan the
+    # table for rows this job usually already holds
+    need = (
+        _pq_quantized(embeddings)
+        .filter(
+            (F.col("vec_id") < n_cent) | F.col("vec_id").isin(*query_ids)
+        )
         .collect()
     )
+    by_id = {int(r["vec_id"]): list(r["q"]) for r in need}
+    if any(j not in by_id for j in range(n_cent)):
+        raise ValueError(
+            f"pq codebook convention needs vec_ids 0..{n_cent - 1}"
+        )
+    absent = [q for q in query_ids if q not in by_id]
+    if absent:
+        raise ValueError(f"query ids not in embeddings: {absent}")
+    cents = [
+        [by_id[j][s * sub : (s + 1) * sub] for j in range(n_cent)]
+        for s in range(m)
+    ]
+    enc = pq_codes(embeddings, m, n_cent, dim, _cents=cents)
+    if persist_to is not None:
+        # persist-with-owner rule: enc feeds the ADC job AND (in refine
+        # mode) the shortlist join — the caller owns the lifetime
+        enc = enc.persist()
+        persist_to.append(enc)
     spark = embeddings.sparkSession
     qtab_rows = []
-    for r in qrows:
-        qv = list(r["q"])
+    for qid in query_ids:
+        qv = by_id[qid]
         tab = [
             [
                 sum(
@@ -666,7 +709,7 @@ def pq_topk(
             ]
             for s in range(m)
         ]
-        qtab_rows.append((int(r["vec_id"]), tab))
+        qtab_rows.append((int(qid), tab))
     queries = spark.createDataFrame(
         qtab_rows, "query_id long, qtab array<array<long>>"
     )
@@ -707,22 +750,5 @@ def pq_topk(
         ),
         "neighbor_id",
     )
-    queries = base.filter(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("norm").alias("qnorm"),
-    )
-    rescored = cand.join(F.broadcast(queries), "query_id").withColumn(
-        "cosine",
-        F.round(
-            _dot(F.col("nvec"), F.col("qvec"))
-            / (F.col("nnorm") * F.col("qnorm")),
-            6,
-        ),
-    )
-    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    pairs = cand.join(F.broadcast(_query_frame(base, query_ids)), "query_id")
+    return _rank_exact_cosine(pairs, k)

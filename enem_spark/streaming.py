@@ -857,6 +857,7 @@ def stream_interval_join(
     right_ts: str,
     tolerance_s: int = 3600,
     how: str = "inner",
+    max_lateness_s: int | None = None,
 ) -> DataFrame:
     """Watermarked stream-stream interval join — the Structured Streaming
     primitive for correlating two live event streams by key within an
@@ -879,9 +880,22 @@ def stream_interval_join(
 
     ``how``: "inner" or "leftOuter" (left rows with no directive emit
     once with nulls AFTER the watermark passes — late-arriving matches
-    inside the watermark still pair)."""
-    lw = left.withWatermark(left_ts, f"{int(tolerance_s)} seconds")
-    rw = right.withWatermark(right_ts, f"{int(tolerance_s)} seconds")
+    inside the watermark still pair).
+
+    ``max_lateness_s`` is the allowed event-time DISORDER — a separate
+    knob from the join tolerance (conflating them would silently drop
+    any row arriving more than tolerance_s out of order, and a caller
+    wanting a tight 60 s join window would be forced to accept only
+    60 s of disorder). Defaults to tolerance_s; raise it to the
+    pipeline's real reordering bound. State and emission latency grow
+    with the SUM of the two windows — that is the price of lateness.
+
+    Output carries ONE ``key`` column (the left side's, like the batch
+    range_join) — the expression-condition join would otherwise keep
+    both under the same name and break every downstream select."""
+    late = int(max_lateness_s if max_lateness_s is not None else tolerance_s)
+    lw = left.withWatermark(left_ts, f"{late} seconds")
+    rw = right.withWatermark(right_ts, f"{late} seconds")
     cond = (
         (lw[key] == rw[key])
         & (rw[right_ts] <= lw[left_ts])
@@ -890,4 +904,4 @@ def stream_interval_join(
             < rw[right_ts] + F.expr(f"INTERVAL {int(tolerance_s)} SECONDS")
         )
     )
-    return lw.join(rw, cond, how)
+    return lw.join(rw, cond, how).drop(rw[key])

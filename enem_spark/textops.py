@@ -2516,14 +2516,18 @@ BLOOM_K = 4        # hash functions
 PARITY_BLOOM_M = 2048
 
 
+def hex_prefix_mod(hex_col, m: int):
+    """First 48 bits of an md5-hex column, mod ``m`` — THE engine-portable
+    hash-position kernel (DuckDB twin spells it CAST('0x'||substr(h,1,12)
+    AS BIGINT) % m). One kernel, several users: Bloom bit positions,
+    shuffle-export shard ids."""
+    return F.conv(F.substring(hex_col, 1, 12), 16, 10).cast("long") % m
+
+
 def _bloom_pos(col, i: int, m: int):
     """Bit position of hash function ``i``: first 48 bits of md5('i:text'),
-    mod m. Engine-portable (md5 + hex parse exist on both sides)."""
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), col)), 1, 12), 16, 10)
-        .cast("long")
-        % m
-    )
+    mod m."""
+    return hex_prefix_mod(F.md5(F.concat(F.lit(f"{i}:"), col)), m)
 
 
 def bloom_build(corpus: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
@@ -2927,10 +2931,7 @@ def shuffle_export(
     shard renders/writes independently (e.g. through the jsonl encoder) —
     n_shards = writer parallelism."""
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
-    shard = (
-        F.conv(F.substring(key, 1, 12), 16, 10).cast("long")
-        % F.lit(n_shards)
-    ).cast("int")
+    shard = hex_prefix_mod(key, n_shards).cast("int")
     w = W.partitionBy("shard").orderBy("order_key", "doc_id")
     return (
         documents.select(

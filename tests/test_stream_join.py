@@ -6,8 +6,6 @@ catch-up must land exactly the batch pair set."""
 
 from __future__ import annotations
 
-import os
-
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F, types as T
