@@ -2933,13 +2933,10 @@ def shuffle_export(
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
     shard = hex_prefix_mod(key, n_shards).cast("int")
     w = W.partitionBy("shard").orderBy("order_key", "doc_id")
+    cols = documents.columns
     return (
-        documents.select(
-            "doc_id",
-            "text",
-            key.alias("order_key"),
-            shard.alias("shard"),
-        )
+        documents.withColumn("order_key", key)
+        .withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w).cast("long"))
-        .select("shard", "pos", "doc_id", "text")
+        .select("shard", "pos", *cols)
     )
