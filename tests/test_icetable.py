@@ -1366,3 +1366,38 @@ def test_rollback_snapshot_ids_stay_unique_with_branches(spark, tmp_table):
     assert t.read().count() == 5
     with pytest.raises(ValueError):
         t.publish_branch("audit")
+
+
+def test_takedown_during_audit_blocks_publish(spark, tmp_table):
+    """Safety interaction of MOR deletes and WAP: a takedown committed to
+    MAIN while an audit branch is staged moves the main head, so the
+    fast-forward check refuses the publish — the takedown can never be
+    silently lost by publishing a branch that forked before it. The
+    operator re-stages from the post-takedown head."""
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 12), schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.create_branch("audit")
+    t.append(
+        spark.createDataFrame(_toy_pdf(12, 15), schema=it.PAGES_ICE_SCHEMA),
+        sequence=20, branch="audit",
+    )
+    # legal takedown lands on main mid-audit
+    t.delete_rows(_keys_df(spark, _urls(0, 3)), sequence=30)
+    with pytest.raises(ValueError):
+        t.publish_branch("audit")
+    # main honors the takedown; re-staging from the new head publishes
+    assert t.read().count() == 9
+    t.drop_ref("audit")
+    t.create_branch("audit")
+    t.append(
+        spark.createDataFrame(_toy_pdf(12, 15), schema=it.PAGES_ICE_SCHEMA),
+        sequence=40, branch="audit",
+    )
+    t.publish_branch("audit")
+    got = _sorted_rows(t.read())
+    assert got == _expected_rows(
+        pd.concat([_toy_pdf(0, 12)[3:], _toy_pdf(12, 15)])
+    )
