@@ -15,6 +15,9 @@ documents table (doc_id, text, lang, source):
     train_split    content-hash train/val/test banding
     sinks          curated/ (parquet, partitioned by split) + audit/
                    (one row per INPUT doc: final keep + first-fail reason)
+    [--export-shards N]  last mile: the kept train split additionally
+                   lands as N seed-shuffled byte-deterministic JSONL
+                   shards under <output>/shards (enem_spark/export.py)
 
 Every drop is auditable: the audit table carries a reason per document
 (ok | dup | lang | short | low_quality | c4 | near_dup | contaminated), first
@@ -142,6 +145,12 @@ def main() -> None:
     ap.add_argument("--near-dedup", action="store_true")
     ap.add_argument("--benchmark", default=None, help="benchmark parquet for decontamination")
     ap.add_argument("--cores", default=None)
+    ap.add_argument("--export-shards", type=int, default=None, metavar="N",
+                    help="also write the kept TRAIN split as N seed-"
+                         "shuffled byte-deterministic JSONL shards under "
+                         "<output>/shards (export_job's writer — the "
+                         "pipeline's last mile in one command)")
+    ap.add_argument("--export-seed", type=int, default=7)
     args = ap.parse_args()
 
     spark = get_spark("curate_job", cores=args.cores)
@@ -187,6 +196,19 @@ def main() -> None:
         "reasons": reasons,
         "splits": splits,
     }
+    if args.export_shards:
+        from enem_spark.export import export_jsonl_shards
+
+        exp = export_jsonl_shards(
+            curated.filter(F.col("split") == "train").drop("split"),
+            os.path.join(args.output, "shards"),
+            n_shards=args.export_shards,
+            seed=args.export_seed,
+        )
+        summary["export"] = {
+            "n_docs": exp["n_docs"],
+            "n_shards": exp["n_shards"],
+        }
     audit.unpersist()
     docs.unpersist()
     print(json.dumps(summary, sort_keys=True))

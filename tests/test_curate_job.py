@@ -78,6 +78,8 @@ def test_cli_end_to_end(tmp_path):
             str(out),
             "--near-dedup",
             "--normalize",
+            "--export-shards",
+            "3",
             "--cores",
             "4",
         ],
@@ -92,6 +94,16 @@ def test_cli_end_to_end(tmp_path):
     assert summary["kept"] == summary["reasons"].get("ok", 0)
     assert summary["kept"] == sum(summary["splits"].values())
     assert (out / "curated").exists() and (out / "audit").exists()
+    # the last-mile export: train split as manifested JSONL shards
+    assert summary["export"]["n_docs"] == summary["splits"].get("train", 0)
+    shard_files = sorted(
+        f for f in (out / "shards").iterdir() if f.name.startswith("shard-")
+    )
+    assert (out / "shards" / "_MANIFEST.json").exists()
+    n_lines = sum(
+        len(f.read_text(encoding="utf-8").splitlines()) for f in shard_files
+    )
+    assert n_lines == summary["export"]["n_docs"]
 
 
 def test_c4_and_mojibake_stages(spark, docs):
