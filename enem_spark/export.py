@@ -89,8 +89,19 @@ def export_jsonl_shards(
 
     arranged.foreachPartition(write_partition)
     n_docs = docs.count()
+    # ADVICE r2: re-exporting into the same dir with a different
+    # (n_shards, seed) must not manifest stale shard files from the prior
+    # layout — readers that trust the manifest would double-read docs.
+    # Only names this export could have written are manifestable; anything
+    # else shard-like is a leftover and is deleted BEFORE the commit point.
+    expected = {f"shard-{i:05d}.jsonl" for i in range(n_shards)}
+    for f in os.listdir(out_dir):
+        if f.startswith("shard-") and f not in expected:
+            os.remove(os.path.join(out_dir, f))
     files = sorted(
-        f for f in os.listdir(out_dir) if f.startswith("shard-")
+        f
+        for f in os.listdir(out_dir)
+        if f.startswith("shard-") and f in expected
     )
     # COMMIT POINT — readers trust only manifested exports
     with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as mf:

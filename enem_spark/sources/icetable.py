@@ -666,12 +666,13 @@ class IceTable:
             if from_seq < s["sequence"] <= target["sequence"]
         ]
         # data entries only: equality-delete files are not scannable rows
-        # (their row-removal effect rides along as `target_dels` below,
+        # (their row-removal effect rides along as the delete set below,
         # sequence-scoped per data file by _read_entries)
-        files_of = {
-            s["snapshot_id"]: _split_entries(self._manifest_entries(s))[0]
+        split_of = {
+            s["snapshot_id"]: _split_entries(self._manifest_entries(s))
             for s in ordered
         }
+        files_of = {sid: data for sid, (data, _d) in split_of.items()}
         # Default-deny: only operations whose incremental meaning is known
         # are walked file-by-file. ``merge`` (COW upsert: rewritten files
         # mix changed and unchanged rows), ``rollback`` (the live row set
@@ -727,7 +728,26 @@ class IceTable:
         # added (append at 150, takedown at 200, from_seq=100), and
         # _read_entries applies each delete only to data files whose seq
         # is strictly below it — exact, and a no-op when nothing applies.
-        return kept, target_dels, report
+        #
+        # But the TARGET's delete set alone is not enough: a purge_deletes
+        # inside the window materializes the deletes (rewriting live files
+        # as a `replace` the walk rightly skips) and DROPS the delete
+        # entries from subsequent manifests — while the walk still returns
+        # the ORIGINAL pre-purge append files, which carry the deleted
+        # rows. Union in every walked rowdelete snapshot's delete entries
+        # (their delete files stay on disk until expire_snapshots, same
+        # lifetime rule as the walked append data files) so takedowns
+        # never resurrect through an incremental read. Dedup by path:
+        # un-purged deletes appear in both the walk and the target.
+        dels_by_path: dict[str, dict] = {e["path"]: e for e in target_dels}
+        if not full_rescan:
+            for s in walk:
+                if s["operation"] == "rowdelete":
+                    for e in split_of[s["snapshot_id"]][1]:
+                        dels_by_path.setdefault(e["path"], e)
+        dels = [dels_by_path[p] for p in sorted(dels_by_path)]
+        report["delete_files"] = len(dels)
+        return kept, dels, report
 
     def plan_incremental(
         self,

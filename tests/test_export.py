@@ -64,6 +64,24 @@ def test_export_is_byte_deterministic_and_round_trips(spark, docs, tmp_path):
     assert _read_bytes(out3) != _read_bytes(out1)
 
 
+def test_reexport_with_fewer_shards_drops_stale_files(spark, docs, tmp_path):
+    """ADVICE r2 (low): re-exporting into the same dir with a different
+    n_shards must not manifest (or leave behind) the prior layout's shard
+    files — readers trusting the manifest would double-read documents."""
+    out = str(tmp_path / "a")
+    export_jsonl_shards(docs, out, n_shards=8, seed=7)
+    s2 = export_jsonl_shards(docs, out, n_shards=3, seed=7)
+    on_disk = sorted(_read_bytes(out))
+    assert on_disk == [f"shard-{i:05d}.jsonl" for i in range(3)]
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["files"] == on_disk and man["n_shards"] == 3
+    # every doc exactly once across the manifested files
+    n_lines = sum(
+        len(b.decode("utf-8").splitlines()) for b in _read_bytes(out).values()
+    )
+    assert n_lines == s2["n_docs"] == docs.count()
+
+
 def test_export_cli_and_jsonl_readback(spark, docs, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")

@@ -997,6 +997,42 @@ def test_row_delete_keeps_incremental_reads_incremental(spark, tmp_table):
     assert t.read_incremental(from_seq=20).count() == 5  # just the seq-25 append
 
 
+def test_purge_in_window_does_not_resurrect_deleted_rows(spark, tmp_table):
+    """ADVICE r2 (high): purge_deletes commits as a `replace` the
+    incremental walk rightly skips, but it also DROPS the delete entries
+    from the target's manifests — so an incremental read whose window
+    spans append -> rowdelete -> purge used to return the original
+    append files with NO deletes applied, resurrecting taken-down rows.
+    The walk must union in every walked rowdelete snapshot's delete
+    entries."""
+    t = it.IceTable.create(
+        spark, tmp_table,
+        spark.createDataFrame(_toy_pdf(0, 5), schema=it.PAGES_ICE_SCHEMA),
+        TRANSFORMS, sequence=10,
+    )
+    t.append(spark.createDataFrame(_toy_pdf(5, 25), schema=it.PAGES_ICE_SCHEMA), sequence=15)
+    t.delete_rows(_keys_df(spark, _urls(5, 12)), sequence=20)
+    t.purge_deletes(sequence=30)
+
+    # window spans the append, the takedown, and the purge: the walk
+    # returns the ORIGINAL seq-15 files, so the seq-20 delete must ride
+    # along even though the post-purge target carries no delete entries
+    _files, report = t.plan_incremental(from_seq=10)
+    assert report["full_rescan"] is False
+    assert report["delete_files"] == 1
+    assert _sorted_rows(t.read_incremental(from_seq=10)) == _expected_rows(
+        _toy_pdf(12, 25)
+    )
+    # pre-window rowdelete + in-window purge: the purge-rewritten files
+    # are not in the walk (replace) and no walked delete applies; the
+    # increment is simply empty
+    assert t.read_incremental(from_seq=20).count() == 0
+    # full snapshot read stays row-exact post-purge
+    assert sorted(r.url for r in t.read().collect()) == sorted(
+        _urls(0, 5) + _urls(12, 25)
+    )
+
+
 def test_delete_rows_empty_keys_is_noop(spark, tmp_table):
     pdf = _toy_pdf(0, 10)
     t = it.IceTable.create(
