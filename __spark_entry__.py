@@ -883,14 +883,22 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_media_featurize(spark, sf_dir):
-    from enem_spark.multimodal import featurize_media
+    """Media featurization with REAL container-header metadata: the
+    deterministic mixed corpus (real PNGs via imaging.png_encode,
+    SOF-bearing JPEG vectors, raw text) flows through the Arrow
+    featurizer, whose format/width/height/channels/bit_depth come from
+    actual PNG-IHDR/JPEG-SOF parses (multimodal.sniff_media). The twin is
+    the MATERIALIZED pure-Python run of the same synth + sniff
+    (stage_media_expected), so the hash certifies the Spark plumbing over
+    identical bytes."""
+    from enem_spark.multimodal import featurize_media, synth_media_frame
 
     docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.col("doc_id").alias("media_id"), "text"
     )
-    return featurize_media(docs).select(
-        "media_id", "media_type", "n_bytes", "content_md5"
+    return featurize_media(synth_media_frame(docs)).select(
+        "media_id", "media_type", "n_bytes", "content_md5",
+        "format", "width", "height", "channels", "bit_depth",
     )
 
 
@@ -1123,6 +1131,72 @@ def q_pdf_decode(spark, sf_dir):
     return docs.mapInPandas(
         roundtrip,
         "doc_id long, page_idx long, page_text string, n_spans long",
+    )
+
+
+def q_pdf_images(spark, sf_dir):
+    """Image-XObject extraction (S3, reference enem_pdf_extractor.py:
+    306-331): deterministic image specs (gray / PNG-predictor RGB /
+    palette-indexed / CMYK / RGB+SMask) are EMBEDDED into real synthetic
+    PDF bytes per document, then extracted and pixel-decoded back by
+    pdfbin.extract_images + the imaging kernels inside one Arrow
+    crossing. The oracle is the expected table staged from the SPECS
+    before any PDF byte exists (pdfbin.expected_image_rows — direct
+    kernel composition), so matching png_md5 certifies the embed ->
+    parse -> inflate -> unpredict -> palette/CMYK->RGB -> PNG round
+    trip. The same extractor is gated on the REAL reference PDFs in
+    tests/test_pdfbin.py (golden page_images name parity)."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    from enem_spark import pdfbin
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(pdfbin.PDF_IMAGE_DOCS)
+        .select("doc_id", "text")
+    )
+
+    def roundtrip(batches):
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = pdfbin.synth_pdf(
+                    pdfbin.doc_pdf_lines(text),
+                    pdfbin.synth_doc_images(int(doc_id)),
+                )
+                for rec in pdfbin.extract_images(data):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "page_idx": rec["page_idx"],
+                            "img_index": rec["img_index"],
+                            "width": rec["width"],
+                            "height": rec["height"],
+                            "fmt": rec["fmt"],
+                            "channels": rec["channels"],
+                            "had_alpha": rec["had_alpha"],
+                            "was_cmyk": rec["was_cmyk"],
+                            "png_md5": _hashlib.md5(
+                                rec["image"]
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "page_idx", "img_index", "width", "height",
+                    "fmt", "channels", "had_alpha", "was_cmyk", "png_md5",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        "doc_id long, page_idx long, img_index long, width long, "
+        "height long, fmt string, channels long, had_alpha boolean, "
+        "was_cmyk boolean, png_md5 string",
     )
 
 
@@ -1986,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_eval": q_extraction_eval,
         "warc_ingest": q_warc_ingest,
         "pdf_decode": q_pdf_decode,
+        "pdf_images": q_pdf_images,
         "wet_export": q_wet_export,
         "wat_export": q_wat_export,
         "jsonl_ingest": q_jsonl_ingest,
@@ -3956,9 +4031,15 @@ def oracle_sql() -> dict[str, str]:
 
     warc_staged = stage_warc_files(oracle_sf)
     # pdf twin: source lines staged pre-encode (round-trip certification)
-    from enem_spark.pdfbin import stage_pdf_expected
+    from enem_spark.pdfbin import stage_pdf_expected, stage_pdfimg_expected
 
     pdf_expected = stage_pdf_expected(oracle_sf)
+    # image twin: expected rows staged from the image specs pre-embed
+    pdfimg_expected = stage_pdfimg_expected(oracle_sf)
+    # media twin: pure-Python synth+sniff over the same documents
+    from enem_spark.multimodal import stage_media_expected
+
+    media_expected = stage_media_expected(oracle_sf)
     # wet twin: shard bytes rebuilt sequentially with the SAME shared
     # encode functions — matching wet_md5 is byte-level certification of
     # the distributed export
@@ -4117,6 +4198,16 @@ FROM read_parquet('{warc_staged["expected"]}')
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(page_idx AS BIGINT) AS page_idx,
        page_text, CAST(n_spans AS BIGINT) AS n_spans
 FROM read_parquet('{pdf_expected}')
+""",
+        # image twin: expected rows staged from the image SPECS before any
+        # PDF byte exists — matching png_md5 certifies the embed -> parse
+        # -> inflate -> unpredict -> palette/CMYK->RGB -> PNG round trip
+        "pdf_images": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(page_idx AS BIGINT) AS page_idx,
+       CAST(img_index AS BIGINT) AS img_index, CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height, fmt,
+       CAST(channels AS BIGINT) AS channels, had_alpha, was_cmyk, png_md5
+FROM read_parquet('{pdfimg_expected}')
 """,
         "wet_export": f"""
 SELECT shard_id, n_records, wet_len, wet_md5
@@ -4854,12 +4945,16 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
         "embedding_decontaminate": _embedding_decon_sql(),
         "kmeans_clusters": _kmeans_sql(),
         "semdedup": _semdedup_sql(0.35),
-        "media_featurize": """
-SELECT doc_id AS media_id,
-       'image' AS media_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS content_md5
-FROM documents
+        # media twin: MATERIALIZED — the same synth+sniff composition run
+        # pure-Python (multimodal.stage_media_expected); format/dims are
+        # REAL PNG-IHDR/JPEG-SOF header fields
+        "media_featurize": f"""
+SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
+       CAST(n_bytes AS BIGINT) AS n_bytes, content_md5, format,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(channels AS BIGINT) AS channels,
+       CAST(bit_depth AS BIGINT) AS bit_depth
+FROM read_parquet('{media_expected}')
 """,
         # documents.text is pure ASCII (asserted in tests), so VARCHAR
         # substring equals the Spark side's byte slicing and md5(VARCHAR)

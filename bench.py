@@ -157,6 +157,7 @@ HEADLINE = [
     "dedup_spans_clean",
     "warc_ingest",
     "pdf_decode",
+    "pdf_images",
     "iceberg_scan",
     "iceberg_time_travel",
     "iceberg_incremental",

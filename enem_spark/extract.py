@@ -735,8 +735,12 @@ def materialize_images(pages: DataFrame) -> DataFrame:
     questions text never embeds the bytes — images are a SIDE output keyed
     by name. This operator reproduces that contract Spark-first: one binary
     ``images`` table (parquet/Iceberg-ready) whose ``image_ref`` joins the
-    questions table's ``image_refs`` entries, with the decode stand-in
-    (layout.decode_image_span) carrying the alpha/CMYK branch points.
+    questions table's ``image_refs`` entries. The decode
+    (layout.decode_image_span) runs the REAL raster kernels
+    (enem_spark.imaging: alpha strip, CMYK->RGB, PNG encode) in the
+    reference's branch order; real PDF bytes take the same kernels through
+    pdfbin.extract_images, while this synthetic span corpus feeds them
+    deterministic source pixels (spans carry no embedded pixel data).
 
     Plan shape mirrors the page stage: a JVM-side marker prefilter BELOW
     the UDF (only pages whose span payload contains an image marker reach

@@ -32,36 +32,55 @@ def count_image_spans(html: bytes | bytearray | None) -> int:
     return bytes(html).count(IMG_MARKER.encode("utf-8"))
 
 
-def decode_image_span(span: dict, ref: str) -> dict:
-    """Deterministic stand-in for the reference's xref->PNG pipeline
-    (enem_pdf_extractor.py:306-331): extract_image(xref) -> Pixmap ->
-    strip alpha if present -> CMYK(n==4) to RGB -> save PNG.
-
-    The sandbox has no PyMuPDF and the synthetic corpus has no real image
-    bytes, so the payload slice (the span's own JSON bytes) stands in for
-    ``base_image["image"]`` and channel metadata is derived from its md5 —
-    exercising BOTH branch points deterministically. The branch structure,
-    ordering (alpha first, then CMYK — the reference's order), and the
-    bytes-in/bytes-out shape are the real contract; only the pixel math is
-    faked, and a real deployment swaps this one function for fitz calls."""
+def deterministic_pixels(seed: bytes, n: int) -> bytes:
+    """n deterministic pseudo-pixel bytes from an md5 counter stream."""
     import hashlib
+
+    out = bytearray()
+    ctr = 0
+    while len(out) < n:
+        out += hashlib.md5(seed + str(ctr).encode()).digest()
+        ctr += 1
+    return bytes(out[:n])
+
+
+def decode_image_span(span: dict, ref: str) -> dict:
+    """The reference's xref->PNG pipeline (enem_pdf_extractor.py:306-331:
+    extract_image(xref) -> Pixmap -> strip alpha if present -> CMYK(n==4)
+    to RGB -> save PNG) with REAL raster math (enem_spark.imaging —
+    actual alpha-channel drop, actual CMYK->RGB arithmetic, actual PNG
+    encoding with zlib+CRC) in the reference's exact branch order.
+
+    The synthetic span corpus carries no embedded pixel data (real PDFs
+    go through pdfbin.extract_images, which feeds the same kernels real
+    samples), so the SOURCE pixels here are a deterministic md5 stream
+    seeded by the span payload, with the alpha/CMYK branch selectors
+    derived from the same digest — every byte downstream of the source
+    pixels is produced by the production kernels."""
+    import hashlib
+
+    from . import imaging
 
     payload = json.dumps(span, sort_keys=True).encode("utf-8")
     digest = hashlib.md5(payload).digest()
     has_alpha = bool(digest[0] & 1)  # ref: `if pix.alpha`
-    n_channels = 4 if digest[1] & 1 else 3  # ref: `if pix.n == 4` (CMYK)
-    img = payload
+    was_cmyk = bool(digest[1] & 1)  # ref: `if pix.n == 4` (CMYK)
+    w = max(1, int(abs(span.get("x1", 0.0) - span.get("x0", 0.0))))
+    h = max(1, int(abs(span.get("y1", 0.0) - span.get("y0", 0.0))))
+    channels = 4 if was_cmyk else 3
+    src = channels + (1 if has_alpha else 0)
+    img = deterministic_pixels(payload, w * h * src)
     if has_alpha:
-        img = img + b"|alpha_stripped"  # ref:314-321 Pixmap(pix, 0)
-    if n_channels == 4:
-        img = img + b"|cmyk_to_rgb"  # ref:323-326 Pixmap(fitz.csRGB, pix)
+        img = imaging.strip_alpha(img, src)  # ref:314-321 Pixmap(pix, 0)
+    if was_cmyk:
+        img = imaging.cmyk_to_rgb(img)  # ref:323-326 Pixmap(fitz.csRGB, pix)
     return {
         "image_ref": ref,
-        "png": b"\x89PNG\x00" + img,
-        "width": int(abs(span.get("x1", 0.0) - span.get("x0", 0.0))),
-        "height": int(abs(span.get("y1", 0.0) - span.get("y0", 0.0))),
+        "png": imaging.png_encode(w, h, img, 3),  # ref:328-329 pix.save
+        "width": w,
+        "height": h,
         "had_alpha": has_alpha,
-        "was_cmyk": n_channels == 4,
+        "was_cmyk": was_cmyk,
     }
 
 

@@ -2,7 +2,9 @@
 
 Image/audio/video payloads are carried as `binary` columns with a metadata
 struct; decode/feature-extract run as Arrow-batched functions over
-mapInPandas. The decode step itself is STUBBED (no image/audio libs in this
+mapInPandas. Container-header metadata is REAL (`sniff_media`: PNG-IHDR /
+JPEG-SOF parses from enem_spark.imaging give actual width/height/channels/
+bit depth). Only the PIXEL decode is stubbed (no image/audio libs in this
 container): `decode_stub` raises NotImplementedError unless
 `deterministic_fake=True`, in which case it derives a reproducible fake
 feature vector from the bytes — the Spark-side plumbing (schema, batching,
@@ -23,6 +25,11 @@ MEDIA_SCHEMA = T.StructType(
         T.StructField("media_type", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("content_md5", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("bit_depth", T.LongType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
     ]
 )
@@ -30,12 +37,34 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 8
 
 
-def decode_stub(payload: bytes, deterministic_fake: bool) -> list[float]:
-    """Placeholder for a real image/audio decoder.
+def sniff_media(payload: bytes) -> dict:
+    """REAL container-header metadata (no pixel decode needed): PNG IHDR
+    and JPEG SOF parses from enem_spark.imaging give actual
+    width/height/channels/bit depth; anything else is 'unknown' with
+    zeroed dims. Pure bytes-in so the same function runs in the UDF, the
+    expected staging, and unit tests."""
+    from . import imaging
 
-    Real decode would use PIL/ffmpeg — not available in this container.
-    The deterministic fake derives FEATURE_DIM floats from the digest so
-    downstream plumbing (schema, batch shape, joins) is fully exercised."""
+    hdr = imaging.png_parse(payload) or imaging.jpeg_parse(payload)
+    if hdr:
+        return {
+            "format": hdr["format"],
+            "width": hdr["width"],
+            "height": hdr["height"],
+            "channels": hdr["channels"],
+            "bit_depth": hdr["bit_depth"],
+        }
+    return {"format": "unknown", "width": 0, "height": 0, "channels": 0,
+            "bit_depth": 0}
+
+
+def decode_stub(payload: bytes, deterministic_fake: bool) -> list[float]:
+    """Placeholder for a real image/audio PIXEL decoder.
+
+    Header metadata is real (sniff_media); full pixel/sample decode would
+    use PIL/ffmpeg — not available in this container. The deterministic
+    fake derives FEATURE_DIM floats from the digest so downstream plumbing
+    (schema, batch shape, joins) is fully exercised."""
     if not deterministic_fake:
         raise NotImplementedError(
             "media decoding requires image/audio libraries not present here; "
@@ -60,6 +89,9 @@ def featurize_media(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
+            sniffed = payloads.map(
+                lambda b: sniff_media(bytes(b)) if b is not None else None
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
@@ -69,6 +101,15 @@ def featurize_media(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                         if b is not None
                         else None
+                    ),
+                    "format": sniffed.map(lambda s: s and s["format"]),
+                    "width": sniffed.map(lambda s: s["width"] if s else 0),
+                    "height": sniffed.map(lambda s: s["height"] if s else 0),
+                    "channels": sniffed.map(
+                        lambda s: s["channels"] if s else 0
+                    ),
+                    "bit_depth": sniffed.map(
+                        lambda s: s["bit_depth"] if s else 0
                     ),
                     "features": payloads.map(
                         lambda b: decode_stub(bytes(b), deterministic_fake)
@@ -150,3 +191,110 @@ def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
         "image resize requires PIL/libvips, not present in this container; "
         "the frame_sample/featurize plumbing is the tested surface"
     )
+
+
+# --- deterministic mixed-media corpus (driver twin) --------------------------
+
+
+def minimal_jpeg(width: int, height: int, channels: int) -> bytes:
+    """A SOI+SOF0+EOI JPEG header vector with real dimensions — enough
+    for any SOF-walking metadata reader (ours and exiftool alike); not a
+    decodable picture, which header featurization never needs."""
+    import struct
+
+    # per-component (id, sampling 1x1, quant table 0) triplets
+    sof = struct.pack(">BHHB", 8, height, width, channels) + bytes(
+        b for comp in range(channels) for b in (comp + 1, 0x11, 0)
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + struct.pack(">H", 2 + len(sof))
+        + sof
+        + b"\xff\xd9"
+    )
+
+
+def synth_media_payload(doc_id: int, text: str) -> bytes:
+    """Deterministic per-document media payload cycling real containers:
+    doc_id % 3 == 0 -> a REAL PNG (imaging.png_encode over seeded
+    pixels), == 1 -> a SOF-bearing JPEG vector, == 2 -> raw UTF-8 text
+    ('unknown' format). Shared by the Spark query and the pure expected
+    staging, so the twin certifies the sniff over identical bytes."""
+    from . import imaging
+    from .layout import deterministic_pixels
+
+    m = doc_id % 3
+    if m == 0:
+        w = 4 + doc_id % 7
+        h = 3 + doc_id % 5
+        ch = (1, 3, 4)[(doc_id // 3) % 3]
+        return imaging.png_encode(
+            w, h, deterministic_pixels(f"med:{doc_id}".encode(), w * h * ch), ch
+        )
+    if m == 1:
+        return minimal_jpeg(20 + doc_id % 9, 10 + doc_id % 4, 3)
+    return text.encode("utf-8")
+
+
+def synth_media_frame(
+    docs: DataFrame, id_col: str = "media_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc rows) -> (media_id, payload binary) via one Arrow crossing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        synth_media_payload(int(i), t)
+                        for i, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, "media_id long, payload binary"
+    )
+
+
+_MEDIA_EXPECTED: dict[str, str] = {}
+
+
+def stage_media_expected(sf_dir: str) -> str:
+    """Expected media_featurize parquet (memoized per sf_dir): the same
+    synth + sniff composition run pure-Python over the documents table —
+    matching hashes certify the Arrow plumbing end to end."""
+    import os
+
+    sf_dir = os.path.normpath(sf_dir)
+    if sf_dir in _MEDIA_EXPECTED:
+        return _MEDIA_EXPECTED[sf_dir]
+    import duckdb
+
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    path = os.path.join("/tmp", f"enem_media_{tag}.parquet")
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    recs = []
+    for doc_id, text in rows:
+        payload = synth_media_payload(int(doc_id), text)
+        s = sniff_media(payload)
+        recs.append(
+            {
+                "media_id": int(doc_id),
+                "media_type": "image",
+                "n_bytes": len(payload),
+                "content_md5": hashlib.md5(payload).hexdigest(),
+                **s,
+            }
+        )
+    pd.DataFrame(recs).to_parquet(path, index=False)
+    _MEDIA_EXPECTED[sf_dir] = path
+    return path

@@ -1038,13 +1038,69 @@ def _pdf_escape(s: str) -> bytes:
     return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
-def synth_pdf(pages: list[list[str]]) -> bytes:
-    """A minimal, VALID classic-xref PDF (Helvetica/WinAnsi, Flate-free)
-    placing each line as one Tj in two columns. Deterministic bytes for
-    deterministic input — no timestamps, fixed object order."""
+def _encode_predictor_up(samples: bytes, stride: int) -> bytes:
+    """PNG predictor pre-filtering with the Up filter on every row (the
+    inverse of imaging.unpredict's ft==2 branch) — used by synth_pdf to
+    plant /Predictor 15 streams the extractor must undo."""
+    out = bytearray()
+    prev = b"\x00" * stride
+    for r in range(0, len(samples) // stride * stride, stride):
+        row = samples[r : r + stride]
+        out += b"\x02" + bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        prev = row
+    return bytes(out)
+
+
+def _image_xobject_bytes(spec: dict, smask_ref: int | None) -> bytes:
+    """One image-XObject object body from a synth image spec (see
+    synth_doc_images). Samples are always FlateDecode; 'predictor' wraps
+    them in PNG-Up pre-filtering with matching /DecodeParms."""
+    w, h, kind = spec["width"], spec["height"], spec["kind"]
+    samples = spec["samples"]
+    chans = {"gray": 1, "rgb": 3, "cmyk": 4, "indexed": 1}[kind]
+    parms = b""
+    if spec.get("predictor"):
+        samples = _encode_predictor_up(samples, w * chans)
+        parms = (
+            b"/DecodeParms<</Predictor 15/Colors %d/BitsPerComponent 8"
+            b"/Columns %d>>" % (chans, w)
+        )
+    if kind == "indexed":
+        pal = spec["palette"]
+        cs = b"[/Indexed/DeviceRGB %d<%s>]" % (
+            spec["hival"],
+            pal.hex().encode("ascii"),
+        )
+    else:
+        cs = {
+            "gray": b"/DeviceGray",
+            "rgb": b"/DeviceRGB",
+            "cmyk": b"/DeviceCMYK",
+        }[kind]
+    sm = b"/SMask %d 0 R" % smask_ref if smask_ref else b""
+    z = zlib.compress(samples, 6)
+    return (
+        b"<</Type/XObject/Subtype/Image/Width %d/Height %d"
+        b"/BitsPerComponent 8/ColorSpace %s%s%s/Filter/FlateDecode"
+        b"/Length %d>>\nstream\n%s\nendstream" % (w, h, cs, parms, sm, len(z), z)
+    )
+
+
+def synth_pdf(
+    pages: list[list[str]], images: list[list[dict]] | None = None
+) -> bytes:
+    """A minimal, VALID classic-xref PDF (Helvetica/WinAnsi, Flate-free
+    text) placing each line as one Tj in two columns. Deterministic bytes
+    for deterministic input — no timestamps, fixed object order.
+
+    ``images`` (optional, aligned with ``pages``) embeds FlateDecode
+    image XObjects per page — specs per synth_doc_images — referenced
+    from the page's /Resources/XObject and painted with a cm+Do pair, so
+    both this repo's extractor and any conforming reader see them."""
     objs: list[bytes] = []  # 1-indexed
     n_pages = len(pages)
-    # obj layout: 1 Catalog, 2 Pages, 3 Font, then (Page, Contents) pairs
+    # obj layout: 1 Catalog, 2 Pages, 3 Font, then (Page, Contents) pairs,
+    # then all image (+smask) objects appended at the end
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
     objs.append(b"<</Type/Catalog/Pages 2 0 R>>")
     objs.append(
@@ -1055,6 +1111,22 @@ def synth_pdf(pages: list[list[str]]) -> bytes:
         b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica"
         b"/Encoding/WinAnsiEncoding>>"
     )
+    # pre-assign image object numbers (they are emitted AFTER the pages)
+    next_num = 3 + 2 * n_pages + 1
+    img_plan: list[tuple[int, dict, int | None]] = []  # (num, spec, smask)
+    page_imgs: list[list[tuple[bytes, int]]] = []
+    for i in range(n_pages):
+        row = []
+        for spec in (images[i] if images and i < len(images) else []):
+            smask_num = None
+            if spec.get("smask") is not None:
+                smask_num = next_num
+                next_num += 1
+            num = next_num
+            next_num += 1
+            img_plan.append((num, spec, smask_num))
+            row.append((b"/Im%d" % num, num))
+        page_imgs.append(row)
     for i, lines in enumerate(pages):
         content = bytearray(b"BT\n/F1 10 Tf\n")
         half = (len(lines) + 1) // 2
@@ -1063,13 +1135,38 @@ def synth_pdf(pages: list[list[str]]) -> bytes:
             y = 780 - 15 * (j if j < half else j - half) - (1 if j >= half else 0)
             content += b"1 0 0 1 %d %d Tm\n(%s) Tj\n" % (x, y, _pdf_escape(line))
         content += b"ET"
+        xobj = b""
+        if page_imgs[i]:
+            xobj = b"/XObject<<%s>>" % b"".join(
+                b"%s %d 0 R" % (nm, num) for nm, num in page_imgs[i]
+            )
+            for k, (nm, _num) in enumerate(page_imgs[i]):
+                content += b"\nq 40 0 0 30 %d 40 cm %s Do Q" % (
+                    50 + 60 * k,
+                    nm,
+                )
         objs.append(
-            f"<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 3 0 R>>>>"
-            f"/Contents {5 + 2 * i} 0 R>>".encode()
+            f"<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 3 0 R>>"
+            .encode()
+            + xobj
+            + f">>/Contents {5 + 2 * i} 0 R>>".encode()
         )
         objs.append(
             b"<</Length %d>>\nstream\n%s\nendstream" % (len(content), content)
         )
+    for num, spec, smask_num in img_plan:
+        if smask_num is not None:
+            sm = spec["smask"]
+            z = zlib.compress(sm["samples"], 6)
+            assert len(objs) + 1 == smask_num
+            objs.append(
+                b"<</Type/XObject/Subtype/Image/Width %d/Height %d"
+                b"/BitsPerComponent 8/ColorSpace/DeviceGray"
+                b"/Filter/FlateDecode/Length %d>>\nstream\n%s\nendstream"
+                % (sm["width"], sm["height"], len(z), z)
+            )
+        assert len(objs) + 1 == num
+        objs.append(_image_xobject_bytes(spec, smask_num))
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for num, body in enumerate(objs, start=1):
@@ -1128,4 +1225,362 @@ def stage_pdf_expected(sf_dir: str) -> str:
             )
     pd.DataFrame(recs).to_parquet(path, index=False)
     _PDF_EXPECTED[sf_dir] = path
+    return path
+
+
+# ---------------------------------------------------------------------------
+# image XObject extraction (S3 — reference enem_pdf_extractor.py:306-331)
+# ---------------------------------------------------------------------------
+
+
+def _resolve_colorspace(pdf: "PDFFile", cs) -> tuple:
+    """ColorSpace -> ('gray'|'rgb'|'cmyk', channels) or
+    ('indexed', base_kind, base_channels, hival, palette_bytes).
+
+    Name spaces map directly; ICCBased maps by /N; Indexed resolves its
+    lookup (string or stream) to raw palette bytes; Separation/DeviceN
+    render as their component count (tint transform ignored — the
+    reference's Pixmap does its own color management we don't model)."""
+    cs = pdf.get(cs)
+    if cs in (b"/DeviceGray", b"/CalGray", b"/G"):
+        return ("gray", 1)
+    if cs in (b"/DeviceRGB", b"/CalRGB", b"/RGB"):
+        return ("rgb", 3)
+    if cs in (b"/DeviceCMYK", b"/CMYK"):
+        return ("cmyk", 4)
+    if isinstance(cs, list) and cs:
+        head = pdf.get(cs[0])
+        if head == b"/ICCBased" and len(cs) > 1:
+            icc = pdf.get(cs[1])
+            n = pdf.get(icc.get(b"/N")) if isinstance(icc, dict) else 3
+            return {1: ("gray", 1), 4: ("cmyk", 4)}.get(n, ("rgb", 3))
+        if head in (b"/Indexed", b"/I") and len(cs) >= 4:
+            kind, chans = _resolve_colorspace(pdf, cs[1])[:2]
+            hival = int(pdf.get(cs[2]) or 0)
+            lut = pdf.get(cs[3])
+            if isinstance(lut, dict):  # lookup stream
+                palette = pdf.stream_data(lut)
+            elif isinstance(lut, bytes):
+                palette = lut
+            else:
+                palette = b""
+            return ("indexed", kind, chans, hival, palette)
+        if head == b"/Separation":
+            return ("gray", 1)
+        if head == b"/DeviceN" and len(cs) > 1:
+            names = pdf.get(cs[1])
+            n = len(names) if isinstance(names, list) else 1
+            return {1: ("gray", 1), 4: ("cmyk", 4)}.get(n, ("rgb", 3))
+        if head in (b"/CalRGB", b"/Lab"):
+            return ("rgb", 3)
+        if head == b"/CalGray":
+            return ("gray", 1)
+    return ("rgb", 3)  # permissive default (one bad image must not crash)
+
+
+def decode_image_xobject(pdf: "PDFFile", obj: dict) -> dict:
+    """One image XObject -> the reference's per-image record:
+    {width, height, fmt, image ('png' bytes when decodable), channels,
+    had_alpha, was_cmyk}.
+
+    Pipeline per reference :306-331: extract bytes -> (alpha strip) ->
+    (CMYK->RGB) -> PNG. DCTDecode is a JPEG passthrough (fmt='jpeg' —
+    dims/channels parsed from the SOF header, no stdlib JPEG pixel
+    decoder); JPXDecode/CCITTFaxDecode pass through raw with fmt
+    'jp2'/'ccitt'. FlateDecode/raw sample streams become REAL PNGs:
+    inflate -> predictor removal -> bit expansion -> palette expansion ->
+    CMYK->RGB -> png_encode. had_alpha means an /SMask was present and
+    was dropped (the reference's Pixmap(pix, 0) branch)."""
+    from . import imaging
+
+    w = int(pdf.get(obj.get(b"/Width")) or 0)
+    h = int(pdf.get(obj.get(b"/Height")) or 0)
+    bpc = int(pdf.get(obj.get(b"/BitsPerComponent")) or 8)
+    had_alpha = b"/SMask" in obj and pdf.get(obj.get(b"/SMask")) is not None
+    filt = pdf.get(obj.get(b"/Filter"))
+    filters = filt if isinstance(filt, list) else [filt] if filt else []
+    filters = [pdf.get(f) for f in filters]
+    last = filters[-1] if filters else None
+    base = {
+        "width": w,
+        "height": h,
+        "had_alpha": had_alpha,
+        "was_cmyk": False,
+        "channels": 0,
+    }
+    raw = obj.get(b"__stream__", b"")
+    if last == b"/DCTDecode":
+        hdr = imaging.jpeg_parse(raw) or {}
+        return {
+            **base,
+            "fmt": "jpeg",
+            "image": raw,
+            "channels": hdr.get("channels", 0),
+            "width": hdr.get("width", w),
+            "height": hdr.get("height", h),
+        }
+    if last == b"/JPXDecode":
+        return {**base, "fmt": "jp2", "image": raw}
+    if last == b"/CCITTFaxDecode":
+        return {**base, "fmt": "ccitt", "image": raw, "channels": 1}
+    samples = pdf.stream_data(obj)
+    dp = pdf.get(obj.get(b"/DecodeParms"))
+    if isinstance(dp, list):
+        dp = pdf.get(dp[-1]) if dp else None
+    if isinstance(dp, dict):
+        pred = int(pdf.get(dp.get(b"/Predictor")) or 1)
+        if pred > 1:
+            samples = imaging.unpredict(
+                samples,
+                pred,
+                int(pdf.get(dp.get(b"/Colors")) or 1),
+                int(pdf.get(dp.get(b"/BitsPerComponent")) or 8),
+                int(pdf.get(dp.get(b"/Columns")) or 1),
+            )
+    decode = pdf.get(obj.get(b"/Decode"))
+    invert = isinstance(decode, list) and len(decode) >= 2 and decode[0] == 1
+    if pdf.get(obj.get(b"/ImageMask")):
+        samples = imaging.expand_bits_gray(samples, w, h, bpc, invert=invert)
+        kind, chans = "gray", 1
+    else:
+        spec = _resolve_colorspace(pdf, obj.get(b"/ColorSpace"))
+        if spec[0] == "indexed":
+            _, kind, chans, hival, palette = spec
+            if bpc != 8:
+                samples = imaging.expand_bits_gray(samples, w, h, bpc)
+            samples = imaging.expand_indexed(samples, palette, chans, hival)
+        else:
+            kind, chans = spec
+            if bpc != 8:
+                samples = imaging.expand_bits_gray(samples, w, h, bpc)
+    if kind == "cmyk":
+        samples = imaging.cmyk_to_rgb(samples)
+        kind, chans = "rgb", 3
+        base["was_cmyk"] = True
+    return {
+        **base,
+        "fmt": "png",
+        "image": imaging.png_encode(w, h, samples, chans),
+        "channels": chans,
+    }
+
+
+def _page_image_refs(pdf: "PDFFile", res, seen_forms: set) -> list:
+    """Image XObject Refs reachable from a resource dict, in resource
+    insertion order, recursing through Form XObjects (fitz
+    ``page.get_images()`` reports these too). Dedup per page by object
+    number — a page referencing the same image twice lists it once."""
+    out: list = []
+    res = pdf.get(res)
+    if not isinstance(res, dict):
+        return out
+    xo = pdf.get(res.get(b"/XObject"))
+    if not isinstance(xo, dict):
+        return out
+    for _name, ref in xo.items():
+        obj = pdf.get(ref)
+        if not isinstance(obj, dict):
+            continue
+        sub = obj.get(b"/Subtype")
+        if sub == b"/Image":
+            out.append(ref)
+        elif sub == b"/Form":
+            key = ref.num if isinstance(ref, Ref) else id(obj)
+            if key in seen_forms:  # cycle guard
+                continue
+            seen_forms.add(key)
+            out.extend(
+                _page_image_refs(pdf, obj.get(b"/Resources"), seen_forms)
+            )
+    return out
+
+
+def extract_images(data: bytes) -> list[dict]:
+    """All page-referenced images of a PDF, decoded.
+
+    One dict per (page, image): page_idx is the 0-based fitz-style page
+    index and img_index restarts at 1 per page — matching the reference's
+    output naming ``{year}_{day}_page{page_index}_{image_index}.png``
+    (enem_pdf_extractor.py:328, enumerate(image_list, start=1) :306).
+    A structurally bad image yields fmt='error' with the raw bytes
+    instead of failing the document (the reference's ``continue`` on
+    Pixmap errors, :317-321)."""
+    try:
+        pdf = PDFFile(data)
+        pages = pdf.pages()
+    except Exception:
+        return []
+    out: list[dict] = []
+    for page_idx, (page, inh) in enumerate(pages):
+        res = page.get(b"/Resources", inh.get(b"/Resources"))
+        seen_nums: set = set()
+        refs = []
+        for ref in _page_image_refs(pdf, res, set()):
+            key = ref.num if isinstance(ref, Ref) else id(ref)
+            if key in seen_nums:
+                continue
+            seen_nums.add(key)
+            refs.append(ref)
+        for img_index, ref in enumerate(refs, start=1):
+            obj = pdf.get(ref)
+            try:
+                rec = decode_image_xobject(pdf, obj)
+            except Exception:
+                rec = {
+                    "width": int(pdf.get(obj.get(b"/Width")) or 0),
+                    "height": int(pdf.get(obj.get(b"/Height")) or 0),
+                    "fmt": "error",
+                    "image": obj.get(b"__stream__", b""),
+                    "channels": 0,
+                    "had_alpha": False,
+                    "was_cmyk": False,
+                }
+            rec["page_idx"] = page_idx
+            rec["img_index"] = img_index
+            out.append(rec)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pdf_images driver twin: deterministic image specs + expected staging
+# ---------------------------------------------------------------------------
+
+PDF_IMAGE_DOCS = 24
+
+
+def synth_doc_images(doc_id: int) -> list[list[dict]]:
+    """Deterministic per-document image specs (one list per synth page),
+    cycling the decoder's branch coverage: gray, PNG-predictor RGB,
+    palette-indexed, CMYK, and RGB-with-SMask (the reference's alpha
+    branch). Rotation by doc_id varies which page carries which variant."""
+    from .layout import deterministic_pixels
+
+    base = f"img:{doc_id}:".encode()
+    w = 8 + (doc_id % 5)
+    h = 6 + (doc_id % 3)
+    hival = 15
+    variants = [
+        {
+            "kind": "gray",
+            "width": w,
+            "height": h,
+            "samples": deterministic_pixels(base + b"g", w * h),
+        },
+        {
+            "kind": "rgb",
+            "width": w,
+            "height": h,
+            "predictor": True,
+            "samples": deterministic_pixels(base + b"p", w * h * 3),
+        },
+        {
+            "kind": "indexed",
+            "width": w,
+            "height": h,
+            "hival": hival,
+            "palette": deterministic_pixels(base + b"pal", (hival + 1) * 3),
+            "samples": bytes(
+                b % (hival + 1)
+                for b in deterministic_pixels(base + b"i", w * h)
+            ),
+        },
+        {
+            "kind": "cmyk",
+            "width": w,
+            "height": h,
+            "samples": deterministic_pixels(base + b"c", w * h * 4),
+        },
+        {
+            "kind": "rgb",
+            "width": w,
+            "height": h,
+            "samples": deterministic_pixels(base + b"a", w * h * 3),
+            "smask": {
+                "width": w,
+                "height": h,
+                "samples": deterministic_pixels(base + b"m", w * h),
+            },
+        },
+    ]
+    rot = doc_id % len(variants)
+    order = variants[rot:] + variants[:rot]
+    return [order[:3], order[3:]]
+
+
+def expected_image_rows(doc_id: int) -> list[dict]:
+    """pdf_images rows for one document computed WITHOUT any PDF byte —
+    the direct kernel composition over the same source specs. Matching
+    the Spark side's hash therefore certifies the embed -> parse ->
+    inflate -> unpredict -> palette/CMYK extraction round trip (same
+    protocol as stage_pdf_expected for text)."""
+    import hashlib
+
+    from . import imaging
+
+    rows = []
+    for page_idx, specs in enumerate(synth_doc_images(doc_id)):
+        for img_index, spec in enumerate(specs, start=1):
+            kind = spec["kind"]
+            samples = spec["samples"]
+            if kind == "indexed":
+                samples = imaging.expand_indexed(
+                    samples, spec["palette"], 3, spec["hival"]
+                )
+                chans = 3
+            elif kind == "cmyk":
+                samples = imaging.cmyk_to_rgb(samples)
+                chans = 3
+            else:
+                chans = {"gray": 1, "rgb": 3}[kind]
+            png = imaging.png_encode(
+                spec["width"], spec["height"], samples, chans
+            )
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "page_idx": page_idx,
+                    "img_index": img_index,
+                    "width": spec["width"],
+                    "height": spec["height"],
+                    "fmt": "png",
+                    "channels": chans,
+                    "had_alpha": spec.get("smask") is not None,
+                    "was_cmyk": kind == "cmyk",
+                    "png_md5": hashlib.md5(png).hexdigest(),
+                }
+            )
+    return rows
+
+
+_PDFIMG_EXPECTED: dict[str, str] = {}
+
+
+def stage_pdfimg_expected(sf_dir: str) -> str:
+    """Expected pdf_images parquet for the driver twin (memoized per
+    sf_dir) — built purely from the image SPECS, no PDF bytes."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    sf_dir = os.path.normpath(sf_dir)
+    if sf_dir in _PDFIMG_EXPECTED:
+        return _PDFIMG_EXPECTED[sf_dir]
+    import duckdb
+
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    path = os.path.join("/tmp", f"enem_pdfimg_{tag}.parquet")
+    rows = duckdb.sql(
+        "SELECT doc_id FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') "
+        f"ORDER BY doc_id LIMIT {PDF_IMAGE_DOCS}"
+    ).fetchall()
+    recs = []
+    for (doc_id,) in rows:
+        recs.extend(expected_image_rows(int(doc_id)))
+    pd.DataFrame(recs).to_parquet(path, index=False)
+    _PDFIMG_EXPECTED[sf_dir] = path
     return path

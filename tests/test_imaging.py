@@ -1,0 +1,212 @@
+"""Raster-kernel unit tests (enem_spark.imaging) — the from-scratch
+Pixmap/PNG layer behind the S3 image path (reference
+enem_pdf_extractor.py:306-331). Pure Python, no Spark."""
+
+from __future__ import annotations
+
+import glob
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from enem_spark import imaging, pdfbin
+from enem_spark.layout import deterministic_pixels
+
+
+def _rng_bytes(seed: bytes, n: int) -> bytes:
+    return deterministic_pixels(seed, n)
+
+
+def _png_idat(png: bytes) -> bytes:
+    pos, idat = 8, b""
+    while pos < len(png):
+        ln, tag = struct.unpack(">I4s", png[pos : pos + 8])
+        if tag == b"IDAT":
+            idat += png[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    return zlib.decompress(idat)
+
+
+def test_png_encode_round_trips_through_own_parse():
+    for channels in (1, 2, 3, 4):
+        w, h = 7, 5
+        samples = _rng_bytes(b"png%d" % channels, w * h * channels)
+        png = imaging.png_encode(w, h, samples, channels)
+        hdr = imaging.png_parse(png)
+        assert hdr == {
+            "width": w,
+            "height": h,
+            "bit_depth": 8,
+            "color_type": {1: 0, 2: 4, 3: 2, 4: 6}[channels],
+            "channels": channels,
+            "format": "png",
+        }
+        raw = _png_idat(png)
+        stride = w * channels
+        assert len(raw) == h * (stride + 1)
+        body = b"".join(
+            raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+            for r in range(h)
+        )
+        assert body == samples
+        assert all(raw[r * (stride + 1)] == 0 for r in range(h))
+
+
+def test_png_encode_pads_and_truncates():
+    png = imaging.png_encode(4, 4, b"\x01" * 10, 1)  # short -> zero pad
+    raw = _png_idat(png)
+    body = b"".join(raw[r * 5 + 1 : (r + 1) * 5] for r in range(4))
+    assert body == b"\x01" * 10 + b"\x00" * 6
+    with pytest.raises(ValueError):
+        imaging.png_encode(0, 4, b"", 1)
+    with pytest.raises(ValueError):
+        imaging.png_encode(2, 2, b"\x00" * 20, 5)
+
+
+def test_strip_alpha_and_cmyk():
+    rgba = bytes([10, 20, 30, 200, 40, 50, 60, 100])
+    assert imaging.strip_alpha(rgba, 4) == bytes([10, 20, 30, 40, 50, 60])
+    ga = bytes([7, 255, 9, 0])
+    assert imaging.strip_alpha(ga, 2) == bytes([7, 9])
+    # pure K=255 -> black; zero ink -> white; formula is (255-C)(255-K)/255
+    cmyk = bytes([0, 0, 0, 255, 0, 0, 0, 0, 255, 0, 0, 0])
+    assert imaging.cmyk_to_rgb(cmyk) == bytes([0, 0, 0, 255, 255, 255, 0, 255, 255])
+
+
+def test_expand_bits_gray_1_2_4():
+    # 1-bit, width 10 (stride 2 bytes, 6 pad bits/row)
+    row = 0b1010101010
+    samples = bytes([row >> 2 & 0xFF, (row & 0b11) << 6] * 2)
+    out = imaging.expand_bits_gray(samples, 10, 2, 1)
+    assert len(out) == 20
+    assert out[:4] == bytes([255, 0, 255, 0])
+    inv = imaging.expand_bits_gray(samples, 10, 2, 1, invert=True)
+    assert inv[:4] == bytes([0, 255, 0, 255])
+    # 4-bit scales by 17 (255 // 15)
+    out4 = imaging.expand_bits_gray(bytes([0x1F, 0x80]), 3, 1, 4)
+    assert out4 == bytes([17, 255, 8 * 17])
+    # 2-bit scales by 85
+    out2 = imaging.expand_bits_gray(bytes([0b00011011]), 4, 1, 2)
+    assert out2 == bytes([0, 85, 170, 255])
+
+
+def test_expand_indexed_clamps():
+    palette = bytes([255, 0, 0, 0, 255, 0])  # 2 RGB entries
+    out = imaging.expand_indexed(bytes([0, 1, 9]), palette, 3, 1)
+    assert out == bytes([255, 0, 0, 0, 255, 0, 0, 255, 0])  # 9 clamps to 1
+
+
+def _png_filter_encode(samples: bytes, stride: int, ftypes: list[int]) -> bytes:
+    """Forward-apply PNG filters (the encoder side unpredict must undo)."""
+    rows = [samples[r * stride : (r + 1) * stride] for r in range(len(ftypes))]
+    prev = b"\x00" * stride
+    out = bytearray()
+    fpp = 3
+    for row, ft in zip(rows, ftypes):
+        out.append(ft)
+        for i in range(stride):
+            a = row[i - fpp] if i >= fpp else 0
+            b = prev[i]
+            c = prev[i - fpp] if i >= fpp else 0
+            if ft == 0:
+                enc = row[i]
+            elif ft == 1:
+                enc = (row[i] - a) & 0xFF
+            elif ft == 2:
+                enc = (row[i] - b) & 0xFF
+            elif ft == 3:
+                enc = (row[i] - (a + b) // 2) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else b if pb <= pc else c
+                enc = (row[i] - pred) & 0xFF
+            out.append(enc)
+        prev = row
+    return bytes(out)
+
+
+def test_unpredict_png_all_filters():
+    w, h, colors = 6, 5, 3
+    stride = w * colors
+    samples = _rng_bytes(b"pred", stride * h)
+    enc = _png_filter_encode(samples, stride, [0, 1, 2, 3, 4])
+    assert imaging.unpredict(enc, 15, colors, 8, w) == samples
+
+
+def test_unpredict_tiff():
+    w, h, colors = 5, 3, 2
+    stride = w * colors
+    samples = _rng_bytes(b"tiff", stride * h)
+    arr = np.frombuffer(samples, np.uint8).reshape(h, w, colors).astype(np.int16)
+    diff = arr.copy()
+    diff[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % 256
+    assert (
+        imaging.unpredict(diff.astype(np.uint8).tobytes(), 2, colors, 8, w)
+        == samples
+    )
+
+
+def test_unpredict_passthrough_and_errors():
+    assert imaging.unpredict(b"abc", 1, 3, 8, 1) == b"abc"
+    with pytest.raises(ValueError):
+        imaging.unpredict(b"\x00" * 8, 15, 1, 4, 8)
+    with pytest.raises(ValueError):
+        imaging.unpredict(b"\x09" + b"\x00" * 3, 15, 3, 8, 1)
+
+
+def test_jpeg_parse_on_real_pdf_jpeg():
+    """SOF dims of a real DCTDecode stream from the shipped PDFs."""
+    pdfs = sorted(glob.glob("/root/reference/pdfs_enem/2021/*PV*D1*.pdf"))
+    if not pdfs:  # pragma: no cover - reference not mounted
+        pytest.skip("reference PDFs unavailable")
+    imgs = pdfbin.extract_images(open(pdfs[0], "rb").read())
+    jpgs = [i for i in imgs if i["fmt"] == "jpeg"]
+    assert jpgs
+    for i in jpgs:
+        hdr = imaging.jpeg_parse(i["image"])
+        assert hdr is not None
+        assert hdr["width"] == i["width"] > 0
+        assert hdr["height"] == i["height"] > 0
+        assert hdr["channels"] in (1, 3, 4)
+
+
+def test_jpeg_parse_rejects_non_jpeg():
+    assert imaging.jpeg_parse(b"") is None
+    assert imaging.jpeg_parse(b"\x89PNG\r\n\x1a\n") is None
+    assert imaging.jpeg_parse(b"\xff\xd8\xff\xe0\x00\x02") is None
+    assert imaging.png_parse(b"\xff\xd8") is None
+
+
+def test_sniff_media_real_headers():
+    from enem_spark import multimodal
+
+    png = imaging.png_encode(9, 4, _rng_bytes(b"s", 9 * 4 * 3), 3)
+    assert multimodal.sniff_media(png) == {
+        "format": "png", "width": 9, "height": 4, "channels": 3,
+        "bit_depth": 8,
+    }
+    jpg = multimodal.minimal_jpeg(33, 21, 3)
+    assert multimodal.sniff_media(jpg) == {
+        "format": "jpeg", "width": 33, "height": 21, "channels": 3,
+        "bit_depth": 8,
+    }
+    assert multimodal.sniff_media(b"plain text")["format"] == "unknown"
+
+
+def test_synth_media_payload_cycles_formats():
+    from enem_spark import multimodal
+
+    seen = set()
+    for doc_id in range(9):
+        s = multimodal.sniff_media(
+            multimodal.synth_media_payload(doc_id, "texto")
+        )
+        seen.add(s["format"])
+        if doc_id % 3 == 0:
+            assert s["format"] == "png" and s["width"] == 4 + doc_id % 7
+        elif doc_id % 3 == 1:
+            assert s["format"] == "jpeg" and s["height"] == 10 + doc_id % 4
+    assert seen == {"png", "jpeg", "unknown"}

@@ -284,3 +284,94 @@ def test_fuzz_decode_never_raises():
         pdfbin.decode_pdf_pages(base[: data.draw(st.integers(0, len(base)))])
 
     run()
+
+
+def test_extract_images_matches_golden_names_2023_d2():
+    """The one complete golden/PDF pairing: every page_images basename the
+    reference emitted for 2023 D2 (``2023_D2_page{P}_{K}.png``,
+    enem_pdf_extractor.py:328 — P is the 0-based fitz page index, K the
+    1-based per-page image index) must be exactly the (page, index) set
+    extract_images recovers from the same PDF."""
+    golden = set()
+    for f in glob.glob(f"{GOLD_DIR}/2023_D2_img/*_questions.json"):
+        for q in json.load(open(f)):
+            for img in q.get("page_images", []):
+                m = re.match(
+                    r"2023_D2_page(\d+)_(\d+)\.png", img.rsplit("/", 1)[-1]
+                )
+                assert m, img
+                golden.add((int(m.group(1)), int(m.group(2))))
+    imgs = pdfbin.extract_images(
+        open(f"{PDF_DIR}/2023/2023_PV_impresso_D2_CD7.pdf", "rb").read()
+    )
+    assert {(i["page_idx"], i["img_index"]) for i in imgs} == golden
+    assert len(golden) == 6
+
+
+def test_extract_images_real_pdfs_decode_clean():
+    """Every page-referenced image across the shipped corpus decodes
+    without the error fallback; FlateDecode images become REAL PNGs that
+    our own header parse + zlib round-trip validates, DCTDecode stays a
+    JPEG passthrough with SOF-parsed dims."""
+    import struct
+    import zlib as _z
+
+    from enem_spark import imaging
+
+    totals = {"png": 0, "jpeg": 0, "ccitt": 0}
+    for path in sorted(glob.glob(f"{PDF_DIR}/*/*.pdf")):
+        for i in pdfbin.extract_images(open(path, "rb").read()):
+            assert i["fmt"] != "error", (path, i["page_idx"])
+            totals[i["fmt"]] = totals.get(i["fmt"], 0) + 1
+            if i["fmt"] == "png":
+                hdr = imaging.png_parse(i["image"])
+                assert hdr and hdr["width"] == i["width"] > 0
+                assert hdr["height"] == i["height"] > 0
+                # inflate the IDAT stream and check exact pixel volume
+                pos, idat = 8, b""
+                data = i["image"]
+                while pos < len(data):
+                    ln, tag = struct.unpack(">I4s", data[pos : pos + 8])
+                    if tag == b"IDAT":
+                        idat += data[pos + 8 : pos + 8 + ln]
+                    pos += 12 + ln
+                raw = _z.decompress(idat)
+                assert len(raw) == i["height"] * (
+                    i["width"] * i["channels"] + 1
+                )
+            elif i["fmt"] == "jpeg":
+                assert i["image"][:2] == b"\xff\xd8"
+                assert i["width"] > 0 and i["height"] > 0
+    # the corpus-wide inventory is stable: 48 Flate->PNG, 224 JPEG, 2 CCITT
+    assert totals == {"png": 48, "jpeg": 224, "ccitt": 2}
+
+
+def test_synth_image_round_trip_all_branches():
+    """synth_pdf-embedded specs -> extract_images must reproduce the
+    direct kernel composition (expected_image_rows) bit-for-bit, covering
+    gray / predictor / indexed / CMYK / SMask across rotations."""
+    import hashlib
+
+    for doc_id in range(10):
+        data = pdfbin.synth_pdf(
+            pdfbin.doc_pdf_lines("corpo do texto " * 30),
+            pdfbin.synth_doc_images(doc_id),
+        )
+        got = [
+            {
+                "doc_id": doc_id,
+                "page_idx": r["page_idx"],
+                "img_index": r["img_index"],
+                "width": r["width"],
+                "height": r["height"],
+                "fmt": r["fmt"],
+                "channels": r["channels"],
+                "had_alpha": r["had_alpha"],
+                "was_cmyk": r["was_cmyk"],
+                "png_md5": hashlib.md5(r["image"]).hexdigest(),
+            }
+            for r in pdfbin.extract_images(data)
+        ]
+        assert got == pdfbin.expected_image_rows(doc_id)
+        # the text path is unchanged by embedded images
+        assert len(pdfbin.pdf_to_span_payloads(data)) == 2
