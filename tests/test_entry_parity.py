@@ -80,12 +80,37 @@ def _release_cache(spark):
     spark.catalog.clearCache()
 
 
+_TIMINGS: dict[str, float] = {}
+TIMINGS_PATH = "/tmp/enem_parity_timings.json"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _write_timings():
+    """Per-query Spark-side wall timings from the parity battery, written
+    as one JSON line — a free regression-attribution artifact per full
+    run (BENCH.md appendix material): when a bench number moves, this
+    pins WHICH query moved without waiting for a driver round."""
+    yield
+    if _TIMINGS:
+        import json
+
+        with open(TIMINGS_PATH, "w") as fh:
+            json.dump(
+                {"sf": 0.01, "spark_sec": dict(sorted(_TIMINGS.items()))},
+                fh,
+            )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     assert name in QUERIES, f"oracle {name} has no queries() entry"
     # ONE execution per engine: rows AND dtypes both come from the same
     # pandas frame (the heavy dedup queries would otherwise run twice)
+    import time as _time
+
+    t0 = _time.perf_counter()
     spdf = QUERIES[name](spark, SF_DIR).toPandas()
+    _TIMINGS[name] = round(_time.perf_counter() - t0, 3)
     cols = list(spdf.columns)
     odf = duck.execute(ORACLES[name]).df()
     duck_cols = list(odf.columns)

@@ -624,3 +624,67 @@ def test_cross_incarnation_refetch_serves_new_content(spark, tmp_path):
     )
     assert len(row) == 1 and row[0]["doc_id"] != target["doc_id"]
     pages.unpersist()
+
+
+def test_crash_mid_compaction_then_restart_heals(spark, tmp_path):
+    """A compaction that crashes AFTER writing its state+cursor dirs but
+    BEFORE the marker append (the commit point) must leave the store fully
+    functional: the uncommitted `..._{n}c` dirs are invisible to readers
+    (reader rule), a replayed fold still reports up_to_date, and the
+    RETRIED compaction derives the same run id and overwrites the orphan
+    dirs rather than double counting."""
+    docs = _docs(spark)
+    out = str(tmp_path / "s")
+    for m in (0, 1, 2):
+        statstore.update_corpus_stats(
+            spark, out, docs.filter(F.col("doc_id") % 3 <= m), **KW
+        )
+    before = _report_rows(spark, out)
+
+    # simulate the crash: write exactly what compact_stats writes before
+    # its commit point — the merged state and full cursor under the NEXT
+    # compaction run id — and stop before the marker append. Plant a
+    # poisoned value so a reader (or retry) that trusted the uncommitted
+    # dir would be caught.
+    crash_id = statstore.stats_run_id(P, S, 4, compaction=True)
+    spark.createDataFrame(
+        [("web", "count", 0, 10**12)],
+        "grp string, sketch string, slot long, val long",
+    ).write.mode("overwrite").parquet(
+        f"{out}/{statstore.STATS_TABLE}/run_id={crash_id}"
+    )
+    spark.createDataFrame(
+        [(-1,)], "doc_id long"
+    ).write.mode("overwrite").parquet(
+        f"{out}/{statstore.DOCS_TABLE}/run_id={crash_id}"
+    )
+
+    # restart: readers see only committed runs — report unchanged,
+    # cursor intact (replay folds nothing, commits nothing)
+    assert _report_rows(spark, out) == before
+    assert statstore.update_corpus_stats(spark, out, docs, **KW)["up_to_date"]
+
+    # the retried compaction reuses run number 4, overwriting the orphan
+    # dirs with the real merged state; report stays bit-identical
+    r = statstore.compact_stats(spark, out, **KW)
+    assert r["run_id"] == crash_id and r["compacted_runs"] == 3
+    assert _report_rows(spark, out) == before
+    for table in (statstore.STATS_TABLE, statstore.DOCS_TABLE):
+        assert os.listdir(f"{out}/{table}") == [f"run_id={crash_id}"]
+    # and the healed store keeps folding increments exactly
+    statstore.update_corpus_stats(
+        spark,
+        out,
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000),
+        **KW,
+    )
+    fresh = str(tmp_path / "fresh")
+    statstore.update_corpus_stats(
+        spark,
+        fresh,
+        docs.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        ),
+        **KW,
+    )
+    assert _report_rows(spark, out) == _report_rows(spark, fresh)
