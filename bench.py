@@ -465,6 +465,120 @@ def _pdf_files_store(sf_dir: str, mult: int) -> tuple[str, int]:
     return base, n
 
 
+def _pdf_img_files_store(sf_dir: str, mult: int) -> tuple[str, int]:
+    """Stage one synthesized 2-page PDF per (document x replica) WITH five
+    embedded image XObjects each (synth_doc_images: gray / predictor-RGB /
+    indexed / CMYK / SMask) — the images-path analogue of
+    _pdf_files_store. Separate dir: the text-only store's bytes must stay
+    stable for its own bench."""
+    import duckdb
+
+    base = f"/tmp/enem_pdfimgstore_{_sf_from_dir(sf_dir)}x{mult}"
+    done = os.path.join(base, "_DONE")
+    if os.path.isfile(done):
+        with open(done) as f:
+            return base, int(f.read())
+    from enem_spark.pdfbin import doc_pdf_lines, synth_doc_images, synth_pdf
+
+    os.makedirs(base, exist_ok=True)
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    n = 0
+    for rep in range(mult):
+        for doc_id, text in rows:
+            pdf = synth_pdf(
+                doc_pdf_lines(f"rep{rep} " + (text or "")),
+                synth_doc_images(int(doc_id) * mult + rep),
+            )
+            name = os.path.join(base, f"doc_{rep}_{int(doc_id):07d}.pdf")
+            with open(name, "wb") as f:
+                f.write(pdf)
+            n += 1
+    with open(done, "w") as f:
+        f.write(str(n))
+    return base, n
+
+
+def run_pdf_images_bench(sf_dir: str, cpus: str) -> dict:
+    """Images-path decode throughput (the reference's
+    `process_questions_with_images=True` mode, BASELINE.md anchor 1.7
+    docs/s/core): binaryFile scan over the image-bearing PDF store -> one
+    mapInPandas crossing running BOTH the text decode and the full image
+    pipeline (extract_images: inflate, unpredict, palette/CMYK->RGB, PNG
+    encode + hash) per document. Emits the same JSON keys as the other
+    *-extract-only children so run_scaling can drive it; n_pages counts
+    DOCUMENTS (files) for the per-core anchor comparison."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from enem_spark.session import get_spark
+    from enem_spark.sources.pdfsource import pdf_images_frame, pdf_pages_frame
+
+    n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    hw_probe = (
+        None
+        if os.environ.get("SPARK_GRAFT_SKIP_HW_PROBE")
+        else _mp_probe(min(n_cores, os.cpu_count() or 8))
+    )
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "4"))
+    store, n_files = _pdf_img_files_store(sf_dir, mult)
+    spark = get_spark("enem_spark_pdfimg_bench", cores=cpus)
+
+    def job() -> int:
+        # text + images in one pass — the reference's images mode does both
+        n_imgs = pdf_images_frame(spark, store).count()
+        pdf_pages_frame(spark, store).count()
+        return n_imgs
+
+    n_images = job()  # warm every worker, untimed
+    runs = []
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        job()
+        runs.append(round(time.perf_counter() - t0, 3))
+    best = min(runs)
+    return {
+        "metric": "docs/sec images-mode decode (text + real image pipeline)",
+        "value": round(n_files / best, 2),
+        "unit": "docs/sec",
+        "sf": _sf_from_dir(sf_dir),
+        "cpus": cpus,
+        "extract_runs_sec": runs,
+        "n_pages": n_files,
+        "n_images": n_images,
+        "n_files": n_files,
+        "hw_probe_mops": hw_probe,
+    }
+
+
+def update_pdfimg_bench_md(summary: dict, path: str = "BENCH.md") -> None:
+    """Insert/replace the '## Images-mode decode scaling' section."""
+    lo, hi = summary["low_cpus"], summary["high_cpus"]
+    per_core = round(summary["docs_per_sec_high"] / hi, 1)
+    section = f"""## Images-mode decode scaling (text + real image pipeline)
+
+The reference's `process_questions_with_images=True` anchor is 0.59 s/PDF
+= ~1.7 docs/s/core (BASELINE.md). This job decodes BOTH the text spans and
+every embedded image (inflate -> predictor removal -> palette/CMYK->RGB ->
+PNG encode + md5; 5 images per 2-page document, all decoder branches) over
+the image-bearing synthesized store:
+
+| config | images-mode docs/sec | raw-hardware M-ops/s |
+|---|---|---|
+| {lo} cores | {summary['docs_per_sec_low']} | {summary['hw_mhash_low']} |
+| {hi} cores | {summary['docs_per_sec_high']} | {summary['hw_mhash_high']} |
+
+scaling efficiency = **{summary['scaling_efficiency']}**, hardware ceiling
+that window = {summary['hw_scaling_efficiency']}, normalized =
+**{summary['normalized_efficiency']}** ({summary['n_pages']} documents from
+sf={summary['sf']} x{summary['scale_mult']}; ~{per_core} docs/s/core at
+{hi} cores vs the reference's ~1.7 — trial picked by the same
+credible-probe rule as the exam job).
+"""
+    _upsert_section(path, "## Images-mode decode scaling", section)
+
+
 def run_pdf_bench(sf_dir: str, cpus: str) -> dict:
     """Binary-PDF decode throughput: binaryFile scan over the staged PDF
     store -> one mapInPandas decode/explode (sources/pdfsource.py) -> page
@@ -747,6 +861,7 @@ def run_scaling(
 _BENCH_SECTIONS = [
     "## Skew evidence",
     "## Binary-PDF decode scaling",
+    "## Images-mode decode scaling",
     "## HTML main-content scaling",
     "## Icetable-input scaling",
     "## Dedup scaling",
@@ -1374,6 +1489,8 @@ def main() -> None:
     ap.add_argument("--html-extract-only", action="store_true")
     ap.add_argument("--pdf-scaling", action="store_true")
     ap.add_argument("--pdf-extract-only", action="store_true")
+    ap.add_argument("--pdf-images-scaling", action="store_true")
+    ap.add_argument("--pdfimg-extract-only", action="store_true")
     ap.add_argument("--iceberg", action="store_true")
     ap.add_argument("--zorder-skip", action="store_true",
                     help="z-order data-skipping evidence: files-kept "
@@ -1471,6 +1588,24 @@ def main() -> None:
         return
     if args.pdf_extract_only:
         print(json.dumps(run_pdf_bench(sf_dir, cpus)))
+        return
+    if args.pdf_images_scaling:
+        summary = run_scaling(
+            sf_dir,
+            args.low,
+            args.high,
+            # x2 (10k docs, 50k images): the per-doc image pipeline is
+            # ~5x the text decode, so the text store's x4 would double
+            # trial wall time without adding signal
+            args.mult if args.mult is not None else 2,
+            args.trials,
+            flag="--pdfimg-extract-only",
+        )
+        update_pdfimg_bench_md(summary)
+        print(json.dumps(summary))
+        return
+    if args.pdfimg_extract_only:
+        print(json.dumps(run_pdf_images_bench(sf_dir, cpus)))
         return
     if args.html_extract_only:
         print(json.dumps(run_html_bench(sf_dir, cpus)))

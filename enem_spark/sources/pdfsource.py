@@ -78,3 +78,65 @@ def reference_pdf_dir() -> str | None:
     """The reference repo's shipped exam PDFs, when present (tests only)."""
     d = "/root/reference/pdfs_enem"
     return d if os.path.isdir(d) else None
+
+
+IMAGES_SCHEMA = (
+    "url string, page_idx int, img_index int, width int, height int, "
+    "fmt string, channels int, had_alpha boolean, was_cmyk boolean, "
+    "n_png_bytes long, png_md5 string"
+)
+
+
+def pdf_images_frame(spark: SparkSession, path: str) -> DataFrame:
+    """All page-referenced images of every ``*.pdf`` under ``path`` as a
+    table — the distributed analogue of the reference's images output dir
+    (enem_pdf_extractor.py:306-331: one PNG file per (page, index)).
+
+    Same scale shape as pdf_pages_frame: binaryFile scan -> ONE Arrow
+    mapInPandas crossing running pdfbin.extract_images + the imaging
+    kernels per document, exploding to per-image rows. No shuffle; a
+    corrupt PDF yields zero rows (extract_images swallows structural
+    errors) and a bad individual image degrades to fmt='error' instead of
+    failing the task. Pixel bytes are hashed rather than carried so the
+    frame stays narrow; a sink that wants the PNGs re-runs the same
+    kernels inside its own writer (deterministic bytes)."""
+    import hashlib
+
+    from ..pdfbin import extract_images
+
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "url", "page_idx", "img_index", "width", "height", "fmt",
+            "channels", "had_alpha", "was_cmyk", "n_png_bytes", "png_md5",
+        ]
+        for pdf_batch in batches:
+            rows = []
+            for path_, content in pdf_batch.itertuples(index=False):
+                stem = path_[: -len(".pdf")] if path_.endswith(".pdf") else path_
+                for rec in extract_images(bytes(content)):
+                    rows.append(
+                        {
+                            "url": stem,
+                            "page_idx": rec["page_idx"],
+                            "img_index": rec["img_index"],
+                            "width": rec["width"],
+                            "height": rec["height"],
+                            "fmt": rec["fmt"],
+                            "channels": rec["channels"],
+                            "had_alpha": rec["had_alpha"],
+                            "was_cmyk": rec["was_cmyk"],
+                            "n_png_bytes": len(rec["image"]),
+                            "png_md5": hashlib.md5(rec["image"]).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return binary.mapInPandas(decode, IMAGES_SCHEMA)

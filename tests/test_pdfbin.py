@@ -375,3 +375,30 @@ def test_synth_image_round_trip_all_branches():
         assert got == pdfbin.expected_image_rows(doc_id)
         # the text path is unchanged by embedded images
         assert len(pdfbin.pdf_to_span_payloads(data)) == 2
+
+
+def test_pdf_images_frame_matches_pure_extraction(spark):
+    """The distributed images table (binaryFile -> one Arrow crossing)
+    over real reference PDFs equals the pure extract_images run per
+    file — same rows, same hashes, no shuffle in the plan."""
+    import hashlib
+
+    from enem_spark.sources.pdfsource import pdf_images_frame
+
+    df = pdf_images_frame(spark, f"{PDF_DIR}/2023")
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+    got = {
+        (r.url.rsplit("/", 1)[-1], r.page_idx, r.img_index): (
+            r.width, r.height, r.fmt, r.png_md5
+        )
+        for r in df.collect()
+    }
+    expected = {}
+    for path in glob.glob(f"{PDF_DIR}/2023/*.pdf"):
+        stem = path.rsplit("/", 1)[-1][: -len(".pdf")]
+        for rec in pdfbin.extract_images(open(path, "rb").read()):
+            expected[(stem, rec["page_idx"], rec["img_index"])] = (
+                rec["width"], rec["height"], rec["fmt"],
+                hashlib.md5(rec["image"]).hexdigest(),
+            )
+    assert got == expected and len(got) == 6
