@@ -1176,6 +1176,7 @@ def q_pdf_images(spark, sf_dir):
                             "width": rec["width"],
                             "height": rec["height"],
                             "fmt": rec["fmt"],
+                            "codec": rec["codec"],
                             "channels": rec["channels"],
                             "had_alpha": rec["had_alpha"],
                             "was_cmyk": rec["was_cmyk"],
@@ -1188,15 +1189,16 @@ def q_pdf_images(spark, sf_dir):
                 rows,
                 columns=[
                     "doc_id", "page_idx", "img_index", "width", "height",
-                    "fmt", "channels", "had_alpha", "was_cmyk", "png_md5",
+                    "fmt", "codec", "channels", "had_alpha", "was_cmyk",
+                    "png_md5",
                 ],
             )
 
     return docs.mapInPandas(
         roundtrip,
         "doc_id long, page_idx long, img_index long, width long, "
-        "height long, fmt string, channels long, had_alpha boolean, "
-        "was_cmyk boolean, png_md5 string",
+        "height long, fmt string, codec string, channels long, "
+        "had_alpha boolean, was_cmyk boolean, png_md5 string",
     )
 
 
@@ -4205,7 +4207,7 @@ FROM read_parquet('{pdf_expected}')
         "pdf_images": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(page_idx AS BIGINT) AS page_idx,
        CAST(img_index AS BIGINT) AS img_index, CAST(width AS BIGINT) AS width,
-       CAST(height AS BIGINT) AS height, fmt,
+       CAST(height AS BIGINT) AS height, fmt, codec,
        CAST(channels AS BIGINT) AS channels, had_alpha, was_cmyk, png_md5
 FROM read_parquet('{pdfimg_expected}')
 """,

@@ -1310,19 +1310,40 @@ def decode_image_xobject(pdf: "PDFFile", obj: dict) -> dict:
     }
     raw = obj.get(b"__stream__", b"")
     if last == b"/DCTDecode":
+        # the reference converts DCT streams to PNG too (fitz.Pixmap
+        # accepts JPEG bytes, :312); the from-scratch baseline decoder
+        # (imaging.jpeg_decode) covers every SOF0 stream — which is the
+        # whole shipped corpus — and non-baseline streams stay a tagged
+        # passthrough rather than an error
+        decoded = imaging.jpeg_decode(raw)
+        if decoded is not None:
+            w2, h2, ch, samples = decoded
+            return {
+                **base,
+                "fmt": "png",
+                "codec": "jpeg",
+                "image": imaging.png_encode(w2, h2, samples, ch),
+                "channels": ch,
+                "width": w2,
+                "height": h2,
+            }
         hdr = imaging.jpeg_parse(raw) or {}
         return {
             **base,
             "fmt": "jpeg",
+            "codec": "jpeg",
             "image": raw,
             "channels": hdr.get("channels", 0),
             "width": hdr.get("width", w),
             "height": hdr.get("height", h),
         }
     if last == b"/JPXDecode":
-        return {**base, "fmt": "jp2", "image": raw}
+        return {**base, "fmt": "jp2", "codec": "jp2", "image": raw}
     if last == b"/CCITTFaxDecode":
-        return {**base, "fmt": "ccitt", "image": raw, "channels": 1}
+        return {
+            **base, "fmt": "ccitt", "codec": "ccitt", "image": raw,
+            "channels": 1,
+        }
     samples = pdf.stream_data(obj)
     dp = pdf.get(obj.get(b"/DecodeParms"))
     if isinstance(dp, list):
@@ -1360,6 +1381,7 @@ def decode_image_xobject(pdf: "PDFFile", obj: dict) -> dict:
     return {
         **base,
         "fmt": "png",
+        "codec": "flate" if filters else "raw",
         "image": imaging.png_encode(w, h, samples, chans),
         "channels": chans,
     }
@@ -1430,6 +1452,7 @@ def extract_images(data: bytes) -> list[dict]:
                     "width": int(pdf.get(obj.get(b"/Width")) or 0),
                     "height": int(pdf.get(obj.get(b"/Height")) or 0),
                     "fmt": "error",
+                    "codec": "unknown",
                     "image": obj.get(b"__stream__", b""),
                     "channels": 0,
                     "had_alpha": False,
@@ -1543,6 +1566,7 @@ def expected_image_rows(doc_id: int) -> list[dict]:
                     "width": spec["width"],
                     "height": spec["height"],
                     "fmt": "png",
+                    "codec": "flate",
                     "channels": chans,
                     "had_alpha": spec.get("smask") is not None,
                     "was_cmyk": kind == "cmyk",

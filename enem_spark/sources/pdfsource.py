@@ -82,8 +82,8 @@ def reference_pdf_dir() -> str | None:
 
 IMAGES_SCHEMA = (
     "url string, page_idx int, img_index int, width int, height int, "
-    "fmt string, channels int, had_alpha boolean, was_cmyk boolean, "
-    "n_png_bytes long, png_md5 string"
+    "fmt string, codec string, channels int, had_alpha boolean, "
+    "was_cmyk boolean, n_png_bytes long, png_md5 string"
 )
 
 
@@ -115,7 +115,8 @@ def pdf_images_frame(spark: SparkSession, path: str) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "url", "page_idx", "img_index", "width", "height", "fmt",
-            "channels", "had_alpha", "was_cmyk", "n_png_bytes", "png_md5",
+            "codec", "channels", "had_alpha", "was_cmyk", "n_png_bytes",
+            "png_md5",
         ]
         for pdf_batch in batches:
             rows = []
@@ -130,6 +131,7 @@ def pdf_images_frame(spark: SparkSession, path: str) -> DataFrame:
                             "width": rec["width"],
                             "height": rec["height"],
                             "fmt": rec["fmt"],
+                            "codec": rec["codec"],
                             "channels": rec["channels"],
                             "had_alpha": rec["had_alpha"],
                             "was_cmyk": rec["was_cmyk"],

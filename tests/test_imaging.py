@@ -157,20 +157,30 @@ def test_unpredict_passthrough_and_errors():
         imaging.unpredict(b"\x09" + b"\x00" * 3, 15, 3, 8, 1)
 
 
-def test_jpeg_parse_on_real_pdf_jpeg():
-    """SOF dims of a real DCTDecode stream from the shipped PDFs."""
-    pdfs = sorted(glob.glob("/root/reference/pdfs_enem/2021/*PV*D1*.pdf"))
+def test_jpeg_decode_on_real_pdf_jpegs():
+    """Real DCTDecode streams pixel-decode to PNGs whose IHDR dims equal
+    the SOF dims, with non-degenerate pixel statistics (a broken IDCT or
+    Huffman walk collapses to flat/garbage planes)."""
+    pdfs = sorted(glob.glob("/root/reference/pdfs_enem/2023/*PV*.pdf"))
     if not pdfs:  # pragma: no cover - reference not mounted
         pytest.skip("reference PDFs unavailable")
     imgs = pdfbin.extract_images(open(pdfs[0], "rb").read())
-    jpgs = [i for i in imgs if i["fmt"] == "jpeg"]
-    assert jpgs
-    for i in jpgs:
-        hdr = imaging.jpeg_parse(i["image"])
-        assert hdr is not None
+    decoded = [i for i in imgs if i["codec"] == "jpeg"]
+    assert decoded and all(i["fmt"] == "png" for i in decoded)
+    for i in decoded:
+        hdr = imaging.png_parse(i["image"])
         assert hdr["width"] == i["width"] > 0
         assert hdr["height"] == i["height"] > 0
-        assert hdr["channels"] in (1, 3, 4)
+        raw = _png_idat(i["image"])
+        stride = i["width"] * i["channels"] + 1
+        body = np.frombuffer(
+            b"".join(
+                raw[r * stride + 1 : (r + 1) * stride]
+                for r in range(i["height"])
+            ),
+            np.uint8,
+        )
+        assert body.std() > 10  # real picture content, not a flat plane
 
 
 def test_jpeg_parse_rejects_non_jpeg():
@@ -210,3 +220,66 @@ def test_synth_media_payload_cycles_formats():
         elif doc_id % 3 == 1:
             assert s["format"] == "jpeg" and s["height"] == 10 + doc_id % 4
     assert seen == {"png", "jpeg", "unknown"}
+
+
+def test_jpeg_decode_hand_assembled_dc_only():
+    """Huffman + dequant + IDCT ground truth without any external encoder:
+    a hand-assembled single-MCU grayscale JPEG whose block is DC-only.
+    With quant=16 and DC diff +8 the dequantized DC is 128, and the IDCT
+    of a DC-only block is flat: 128/8 + 128 = 144 everywhere."""
+    import struct as _s
+
+    # Huffman DC table: one 2-bit code -> symbol 4 (category 4)
+    counts = bytes([0, 1] + [0] * 14)
+    dht_dc = b"\x00" + counts + bytes([4])
+    # AC table: one 2-bit code -> symbol 0 (EOB)
+    dht_ac = b"\x10" + counts + bytes([0])
+    dqt = b"\x00" + bytes([16] * 64)
+    sof = _s.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    # entropy: DC huff code '00' + 4 magnitude bits '1000' (=+8),
+    # then AC EOB '00' -> 0b0010000000 padded with 1s to 2 bytes
+    entropy = bytes([0b00100000, 0b00111111])
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xC0, sof)
+        + seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+    out = imaging.jpeg_decode(jpg)
+    assert out is not None
+    w, h, ch, samples = out
+    assert (w, h, ch) == (8, 8, 1)
+    expect = round(128 / 8 + 128)  # c(0)^2/4 * DC = DC/8, level-shifted
+    assert set(samples) == {expect}
+
+
+def test_idct_basis_inverts_forward_dct():
+    """The separable IDCT used per block is the exact inverse of the
+    textbook forward DCT-II (computed longhand here) on random blocks."""
+    rng = np.random.RandomState(7)
+    block = rng.randint(0, 256, (8, 8)).astype(np.float64) - 128.0
+    fwd = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        block[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            fwd[u, v] = cu * cv / 4.0 * s
+    back = imaging._IDCT_A.T @ fwd @ imaging._IDCT_A
+    assert np.abs(back - block).max() < 1e-9

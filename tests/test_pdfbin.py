@@ -310,19 +310,21 @@ def test_extract_images_matches_golden_names_2023_d2():
 
 def test_extract_images_real_pdfs_decode_clean():
     """Every page-referenced image across the shipped corpus decodes
-    without the error fallback; FlateDecode images become REAL PNGs that
-    our own header parse + zlib round-trip validates, DCTDecode stays a
-    JPEG passthrough with SOF-parsed dims."""
+    without the error fallback, and every Flate AND baseline-JPEG source
+    becomes a REAL PNG (the reference converts everything to PNG via
+    fitz.Pixmap) that our own header parse + zlib round-trip validates;
+    only the 2 CCITT masks remain a tagged passthrough."""
     import struct
     import zlib as _z
 
     from enem_spark import imaging
 
-    totals = {"png": 0, "jpeg": 0, "ccitt": 0}
+    totals = {}
     for path in sorted(glob.glob(f"{PDF_DIR}/*/*.pdf")):
         for i in pdfbin.extract_images(open(path, "rb").read()):
             assert i["fmt"] != "error", (path, i["page_idx"])
-            totals[i["fmt"]] = totals.get(i["fmt"], 0) + 1
+            key = (i["fmt"], i["codec"])
+            totals[key] = totals.get(key, 0) + 1
             if i["fmt"] == "png":
                 hdr = imaging.png_parse(i["image"])
                 assert hdr and hdr["width"] == i["width"] > 0
@@ -339,11 +341,15 @@ def test_extract_images_real_pdfs_decode_clean():
                 assert len(raw) == i["height"] * (
                     i["width"] * i["channels"] + 1
                 )
-            elif i["fmt"] == "jpeg":
-                assert i["image"][:2] == b"\xff\xd8"
-                assert i["width"] > 0 and i["height"] > 0
-    # the corpus-wide inventory is stable: 48 Flate->PNG, 224 JPEG, 2 CCITT
-    assert totals == {"png": 48, "jpeg": 224, "ccitt": 2}
+    # the corpus-wide inventory is stable: 47 Flate->PNG + 1 unfiltered
+    # raw->PNG, 224 JPEG->PNG (all baseline, all pixel-decoded), 2 CCITT
+    # passthrough
+    assert totals == {
+        ("png", "flate"): 47,
+        ("png", "raw"): 1,
+        ("png", "jpeg"): 224,
+        ("ccitt", "ccitt"): 2,
+    }
 
 
 def test_synth_image_round_trip_all_branches():
@@ -365,6 +371,7 @@ def test_synth_image_round_trip_all_branches():
                 "width": r["width"],
                 "height": r["height"],
                 "fmt": r["fmt"],
+                "codec": r["codec"],
                 "channels": r["channels"],
                 "had_alpha": r["had_alpha"],
                 "was_cmyk": r["was_cmyk"],
