@@ -466,9 +466,9 @@ def _pdf_files_store(sf_dir: str, mult: int) -> tuple[str, int]:
 
 
 def _pdf_img_files_store(sf_dir: str, mult: int) -> tuple[str, int]:
-    """Stage one synthesized 2-page PDF per (document x replica) WITH five
+    """Stage one synthesized 2-page PDF per (document x replica) WITH six
     embedded image XObjects each (synth_doc_images: gray / predictor-RGB /
-    indexed / CMYK / SMask) — the images-path analogue of
+    indexed / CMYK / SMask / CCITT-G4) — the images-path analogue of
     _pdf_files_store. Separate dir: the text-only store's bytes must stay
     stable for its own bench."""
     import duckdb
@@ -561,7 +561,7 @@ def update_pdfimg_bench_md(summary: dict, path: str = "BENCH.md") -> None:
 The reference's `process_questions_with_images=True` anchor is 0.59 s/PDF
 = ~1.7 docs/s/core (BASELINE.md). This job decodes BOTH the text spans and
 every embedded image (inflate -> predictor removal -> palette/CMYK->RGB ->
-PNG encode + md5; 5 images per 2-page document, all decoder branches) over
+PNG encode + md5; 6 images per 2-page document, all decoder branches incl. Group 4) over
 the image-bearing synthesized store:
 
 | config | images-mode docs/sec | raw-hardware M-ops/s |

@@ -536,3 +536,268 @@ def _jpeg_scan(data, pos, w_img, h_img, comps, scan, qt, huff, dri):
     )
     out = np.clip(rgb, 0, 255).astype(np.uint8)
     return w_img, h_img, 3, out.tobytes()
+
+
+# --- CCITT Group 4 (T.6) decode/encode --------------------------------------
+#
+# The last passthrough family: the corpus' two CCITTFaxDecode image masks
+# are K=-1 (pure two-dimensional MMR). From-scratch codec: modified
+# Huffman run-length tables (ITU T.4) + the T.6 vertical/horizontal/pass
+# mode coder. The encoder exists for round-trip certification — decode is
+# validated structurally on the real streams (every line's runs sum to
+# exactly /Columns for /Rows lines) and bit-exactly against the encoder
+# on random bitmaps.
+
+_T4_WHITE = {
+    0: ("00110101"), 1: ("000111"), 2: ("0111"), 3: ("1000"),
+    4: ("1011"), 5: ("1100"), 6: ("1110"), 7: ("1111"),
+    8: ("10011"), 9: ("10100"), 10: ("00111"), 11: ("01000"),
+    12: ("001000"), 13: ("000011"), 14: ("110100"), 15: ("110101"),
+    16: ("101010"), 17: ("101011"), 18: ("0100111"), 19: ("0001100"),
+    20: ("0001000"), 21: ("0010111"), 22: ("0000011"), 23: ("0000100"),
+    24: ("0101000"), 25: ("0101011"), 26: ("0010011"), 27: ("0100100"),
+    28: ("0011000"), 29: ("00000010"), 30: ("00000011"),
+    31: ("00011010"), 32: ("00011011"), 33: ("00010010"),
+    34: ("00010011"), 35: ("00010100"), 36: ("00010101"),
+    37: ("00010110"), 38: ("00010111"), 39: ("00101000"),
+    40: ("00101001"), 41: ("00101010"), 42: ("00101011"),
+    43: ("00101100"), 44: ("00101101"), 45: ("00000100"),
+    46: ("00000101"), 47: ("00001010"), 48: ("00001011"),
+    49: ("01010010"), 50: ("01010011"), 51: ("01010100"),
+    52: ("01010101"), 53: ("00100100"), 54: ("00100101"),
+    55: ("01011000"), 56: ("01011001"), 57: ("01011010"),
+    58: ("01011011"), 59: ("01001010"), 60: ("01001011"),
+    61: ("00110010"), 62: ("00110011"), 63: ("00110100"),
+    64: ("11011"), 128: ("10010"), 192: ("010111"), 256: ("0110111"),
+    320: ("00110110"), 384: ("00110111"), 448: ("01100100"),
+    512: ("01100101"), 576: ("01101000"), 640: ("01100111"),
+    704: ("011001100"), 768: ("011001101"), 832: ("011010010"),
+    896: ("011010011"), 960: ("011010100"), 1024: ("011010101"),
+    1088: ("011010110"), 1152: ("011010111"), 1216: ("011011000"),
+    1280: ("011011001"), 1344: ("011011010"), 1408: ("011011011"),
+    1472: ("010011000"), 1536: ("010011001"), 1600: ("010011010"),
+    1664: ("011000"), 1728: ("010011011"),
+}
+
+_T4_BLACK = {
+    0: ("0000110111"), 1: ("010"), 2: ("11"), 3: ("10"), 4: ("011"),
+    5: ("0011"), 6: ("0010"), 7: ("00011"), 8: ("000101"),
+    9: ("000100"), 10: ("0000100"), 11: ("0000101"), 12: ("0000111"),
+    13: ("00000100"), 14: ("00000111"), 15: ("000011000"),
+    16: ("0000010111"), 17: ("0000011000"), 18: ("0000001000"),
+    19: ("00001100111"), 20: ("00001101000"), 21: ("00001101100"),
+    22: ("00000110111"), 23: ("00000101000"), 24: ("00000010111"),
+    25: ("00000011000"), 26: ("000011001010"), 27: ("000011001011"),
+    28: ("000011001100"), 29: ("000011001101"), 30: ("000001101000"),
+    31: ("000001101001"), 32: ("000001101010"), 33: ("000001101011"),
+    34: ("000011010010"), 35: ("000011010011"), 36: ("000011010100"),
+    37: ("000011010101"), 38: ("000011010110"), 39: ("000011010111"),
+    40: ("000001101100"), 41: ("000001101101"), 42: ("000011011010"),
+    43: ("000011011011"), 44: ("000001010100"), 45: ("000001010101"),
+    46: ("000001010110"), 47: ("000001010111"), 48: ("000001100100"),
+    49: ("000001100101"), 50: ("000001010010"), 51: ("000001010011"),
+    52: ("000000100100"), 53: ("000000110111"), 54: ("000000111000"),
+    55: ("000000100111"), 56: ("000000101000"), 57: ("000001011000"),
+    58: ("000001011001"), 59: ("000000101011"), 60: ("000000101100"),
+    61: ("000001011010"), 62: ("000001100110"), 63: ("000001100111"),
+    64: ("0000001111"), 128: ("000011001000"), 192: ("000011001001"),
+    256: ("000001011011"), 320: ("000000110011"), 384: ("000000110100"),
+    448: ("000000110101"), 512: ("0000001101100"),
+    576: ("0000001101101"), 640: ("0000001001010"),
+    704: ("0000001001011"), 768: ("0000001001100"),
+    832: ("0000001001101"), 896: ("0000001110010"),
+    960: ("0000001110011"), 1024: ("0000001110100"),
+    1088: ("0000001110101"), 1152: ("0000001110110"),
+    1216: ("0000001110111"), 1280: ("0000001010010"),
+    1344: ("0000001010011"), 1408: ("0000001010100"),
+    1472: ("0000001010101"), 1536: ("0000001011010"),
+    1600: ("0000001011011"), 1664: ("0000001100100"),
+    1728: ("0000001100101"),
+}
+
+_T4_EXT = {  # makeup codes shared by both colours (T.4 §2, 1792..2560)
+    1792: ("00000001000"), 1856: ("00000001100"), 1920: ("00000001101"),
+    1984: ("000000010010"), 2048: ("000000010011"),
+    2112: ("000000010100"), 2176: ("000000010101"),
+    2240: ("000000010110"), 2304: ("000000010111"),
+    2368: ("000000011100"), 2432: ("000000011101"),
+    2496: ("000000011110"), 2560: ("000000011111"),
+}
+
+
+def _mh_decode_table(base: dict) -> dict[tuple[int, int], int]:
+    t = {}
+    for run, bits in {**base, **_T4_EXT}.items():
+        t[(len(bits), int(bits, 2))] = run
+    return t
+
+
+_MH_WHITE = _mh_decode_table(_T4_WHITE)
+_MH_BLACK = _mh_decode_table(_T4_BLACK)
+
+
+class _G4Bits:
+    """MSB-first bit reader (no byte stuffing — raw CCITT stream)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bitpos = 0
+        self.nbits = len(data) * 8
+
+    def read_bit(self) -> int:
+        if self.bitpos >= self.nbits:
+            raise ValueError("ccitt: out of bits")
+        b = (self.data[self.bitpos >> 3] >> (7 - (self.bitpos & 7))) & 1
+        self.bitpos += 1
+        return b
+
+    def read_mh_run(self, white: bool) -> int:
+        """One T.4 run length: makeup codes (>=64) are followed by a
+        terminating code; totals accumulate."""
+        table = _MH_WHITE if white else _MH_BLACK
+        total = 0
+        while True:
+            length = 0
+            code = 0
+            run = None
+            while length < 14:
+                code = (code << 1) | self.read_bit()
+                length += 1
+                run = table.get((length, code))
+                if run is not None:
+                    break
+            if run is None:
+                raise ValueError("ccitt: bad MH code")
+            total += run
+            if run < 64:
+                return total
+
+
+def _g4_b1_b2(ref: list, a0: int, color_white: bool, columns: int):
+    """b1 = first changing element on the reference line right of a0 whose
+    transition is to the colour opposite a0's colour; b2 = the next one.
+    Transitions alternate starting white->black, so w->b sits at even
+    indices."""
+    import bisect
+
+    i = bisect.bisect_right(ref, a0)
+    want = 0 if color_white else 1
+    if i % 2 != want:
+        i += 1
+    b1 = ref[i] if i < len(ref) else columns
+    b2 = ref[i + 1] if i + 1 < len(ref) else columns
+    return b1, b2
+
+
+def ccitt_g4_decode(data: bytes, columns: int, rows: int) -> bytes:
+    """Pure Group 4 (T.6, K<0) -> 8-bit gray samples (white=255, black=0),
+    row-major, ``columns * rows`` bytes. Raises on malformed input."""
+    r = _G4Bits(data)
+    ref: list[int] = []  # transition positions; starts all-white
+    out = np.full((rows, columns), 255, dtype=np.uint8)
+    for y in range(rows):
+        cur: list[int] = []
+        a0 = -1
+        while a0 < columns:
+            color_white = len(cur) % 2 == 0
+            b1, b2 = _g4_b1_b2(ref, a0, color_white, columns)
+            # mode decode: V0=1, VR1=011, VL1=010, H=001, P=0001,
+            # VR2=000011, VL2=000010, VR3=0000011, VL3=0000010
+            if r.read_bit():
+                a1 = b1  # V0
+            elif r.read_bit():
+                a1 = b1 + 1 if r.read_bit() else b1 - 1  # VR1 / VL1
+            elif r.read_bit():  # 001 = horizontal
+                start = 0 if a0 < 0 else a0
+                run1 = r.read_mh_run(color_white)
+                run2 = r.read_mh_run(not color_white)
+                a1 = min(start + run1, columns)
+                a2 = min(a1 + run2, columns)
+                cur.append(a1)
+                cur.append(a2)
+                a0 = a2
+                continue
+            elif r.read_bit():  # 0001 = pass
+                a0 = b2
+                continue
+            elif r.read_bit():
+                a1 = b1 + 2 if r.read_bit() else b1 - 2  # VR2 / VL2
+            elif r.read_bit():
+                a1 = b1 + 3 if r.read_bit() else b1 - 3  # VR3 / VL3
+            else:
+                # 0000000...: EOFB/extension — only legal at line start
+                if a0 <= 0 and not cur:
+                    raise ValueError("ccitt: EOFB before all rows")
+                raise ValueError("ccitt: bad mode code")
+            a1 = max(0, min(a1, columns))
+            cur.append(a1)
+            a0 = a1
+        # paint black runs (odd intervals) of this line
+        for k in range(0, len(cur) - 1, 2):
+            out[y, cur[k] : cur[k + 1]] = 0
+        if len(cur) % 2 == 1:
+            out[y, cur[-1] :] = 0
+        ref = cur
+    return out.tobytes()
+
+
+def ccitt_g4_encode(samples: bytes, columns: int, rows: int) -> bytes:
+    """Gray (white=255/black=0) -> pure Group 4 stream + EOFB. The
+    round-trip twin of :func:`ccitt_g4_decode` (tests encode random
+    bitmaps and require bit-exact recovery)."""
+    arr = (
+        np.frombuffer(samples, dtype=np.uint8)[: rows * columns]
+        .reshape(rows, columns)
+        < 128
+    )  # True = black
+    bits: list[str] = []
+    enc_white = {**_T4_WHITE, **_T4_EXT}
+    enc_black = {**_T4_BLACK, **_T4_EXT}
+
+    def emit_mh(run: int, white: bool) -> None:
+        table = enc_white if white else enc_black
+        while run >= 64:
+            mk = min(2560, (run // 64) * 64)
+            while mk not in table:
+                mk -= 64
+            bits.append(table[mk])
+            run -= mk
+        bits.append(table[run])
+
+    ref: list[int] = []
+    for y in range(rows):
+        row = arr[y]
+        cur = [int(p) for p in np.flatnonzero(row[1:] != row[:-1]) + 1]
+        if row[0]:
+            cur = [0] + cur
+        a0 = -1
+        idx = 0  # next transition index in cur strictly right of a0
+        while a0 < columns:
+            color_white = idx % 2 == 0
+            b1, b2 = _g4_b1_b2(ref, a0, color_white, columns)
+            a1 = cur[idx] if idx < len(cur) else columns
+            a2 = cur[idx + 1] if idx + 1 < len(cur) else columns
+            if b2 < a1:
+                bits.append("0001")  # pass
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                bits.append(
+                    {
+                        0: "1", 1: "011", -1: "010", 2: "000011",
+                        -2: "000010", 3: "0000011", -3: "0000010",
+                    }[a1 - b1]
+                )
+                a0 = a1
+                idx += 1
+            else:
+                start = 0 if a0 < 0 else a0
+                bits.append("001")
+                emit_mh(a1 - start, color_white)
+                emit_mh(a2 - a1, not color_white)
+                a0 = a2
+                idx += 2
+        ref = cur
+    bits.append("000000000001" * 2)  # EOFB
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))

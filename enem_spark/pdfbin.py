@@ -1057,6 +1057,16 @@ def _image_xobject_bytes(spec: dict, smask_ref: int | None) -> bytes:
     them in PNG-Up pre-filtering with matching /DecodeParms."""
     w, h, kind = spec["width"], spec["height"], spec["kind"]
     samples = spec["samples"]
+    if kind == "ccitt":
+        from . import imaging
+
+        z = imaging.ccitt_g4_encode(samples, w, h)
+        return (
+            b"<</Type/XObject/Subtype/Image/Width %d/Height %d"
+            b"/BitsPerComponent 1/ColorSpace/DeviceGray"
+            b"/Filter/CCITTFaxDecode/DecodeParms<</K -1/Columns %d>>"
+            b"/Length %d>>\nstream\n%s\nendstream" % (w, h, w, len(z), z)
+        )
     chans = {"gray": 1, "rgb": 3, "cmyk": 4, "indexed": 1}[kind]
     parms = b""
     if spec.get("predictor"):
@@ -1340,6 +1350,25 @@ def decode_image_xobject(pdf: "PDFFile", obj: dict) -> dict:
     if last == b"/JPXDecode":
         return {**base, "fmt": "jp2", "codec": "jp2", "image": raw}
     if last == b"/CCITTFaxDecode":
+        dp = pdf.get(obj.get(b"/DecodeParms"))
+        if isinstance(dp, list):
+            dp = pdf.get(dp[-1]) if dp else None
+        dp = dp if isinstance(dp, dict) else {}
+        k = int(pdf.get(dp.get(b"/K")) or 0)
+        cols = int(pdf.get(dp.get(b"/Columns")) or 1728)
+        if k < 0:  # pure Group 4 (T.6) — the from-scratch MMR decoder
+            try:
+                samples = imaging.ccitt_g4_decode(raw, cols, h)
+                return {
+                    **base,
+                    "fmt": "png",
+                    "codec": "ccitt",
+                    "image": imaging.png_encode(cols, h, samples, 1),
+                    "channels": 1,
+                    "width": cols,
+                }
+            except Exception:
+                pass  # malformed stream: keep the tagged passthrough
         return {
             **base, "fmt": "ccitt", "codec": "ccitt", "image": raw,
             "channels": 1,
@@ -1524,6 +1553,18 @@ def synth_doc_images(doc_id: int) -> list[list[dict]]:
                 "samples": deterministic_pixels(base + b"m", w * h),
             },
         },
+        {
+            # bilevel: Group 4 encoded at embed time, MMR-decoded on
+            # extraction — certifies the from-scratch T.6 codec in the
+            # driver twin round trip
+            "kind": "ccitt",
+            "width": w,
+            "height": h,
+            "samples": bytes(
+                255 if b & 1 else 0
+                for b in deterministic_pixels(base + b"f", w * h)
+            ),
+        },
     ]
     rot = doc_id % len(variants)
     order = variants[rot:] + variants[:rot]
@@ -1554,7 +1595,9 @@ def expected_image_rows(doc_id: int) -> list[dict]:
                 samples = imaging.cmyk_to_rgb(samples)
                 chans = 3
             else:
-                chans = {"gray": 1, "rgb": 3}[kind]
+                # ccitt's expected PNG comes straight from the SOURCE
+                # bitmap — the G4 encode/decode must be lossless
+                chans = {"gray": 1, "rgb": 3, "ccitt": 1}[kind]
             png = imaging.png_encode(
                 spec["width"], spec["height"], samples, chans
             )
@@ -1566,7 +1609,7 @@ def expected_image_rows(doc_id: int) -> list[dict]:
                     "width": spec["width"],
                     "height": spec["height"],
                     "fmt": "png",
-                    "codec": "flate",
+                    "codec": "ccitt" if kind == "ccitt" else "flate",
                     "channels": chans,
                     "had_alpha": spec.get("smask") is not None,
                     "was_cmyk": kind == "cmyk",

@@ -341,14 +341,14 @@ def test_extract_images_real_pdfs_decode_clean():
                 assert len(raw) == i["height"] * (
                     i["width"] * i["channels"] + 1
                 )
-    # the corpus-wide inventory is stable: 47 Flate->PNG + 1 unfiltered
-    # raw->PNG, 224 JPEG->PNG (all baseline, all pixel-decoded), 2 CCITT
-    # passthrough
+    # the corpus-wide inventory is stable, and EVERY image is now a real
+    # PNG: 47 Flate + 1 unfiltered raw + 224 baseline JPEG (pixel-decoded)
+    # + 2 CCITT Group 4 (MMR-decoded)
     assert totals == {
         ("png", "flate"): 47,
         ("png", "raw"): 1,
         ("png", "jpeg"): 224,
-        ("ccitt", "ccitt"): 2,
+        ("png", "ccitt"): 2,
     }
 
 
