@@ -264,6 +264,7 @@ def run_extraction(
                 "input_pages": 0,
                 "questions_written": 0,
                 "quarantined": 0,
+                "images_written": 0,
             }
 
         if n_pages:
@@ -306,6 +307,26 @@ def run_extraction(
                 f"{out_dir}/processed_docs/run_id={run_id}"
             )
 
+        n_images = 0
+        if n_pages and cfg.process_images:
+            # images mode (reference :269-334): the binary images table is
+            # a side output under the SAME run protocol; restricted to this
+            # run's documents so a resumed run never rewrites committed
+            # images (the reference writes one PNG file per (page, index)
+            # unconditionally — re-running would silently overwrite)
+            from .extract import materialize_images
+
+            imgs = materialize_images(pages)
+            if done is not None:
+                imgs = imgs.join(done, "doc_id", "left_anti")
+            imgs = imgs.persist()
+            n_images = imgs.count()
+            if n_images:
+                imgs.write.mode("overwrite").parquet(
+                    f"{out_dir}/images/run_id={run_id}"
+                )
+            imgs.unpersist()
+
         if n_quarantined:
             new_quarantine.write.mode("overwrite").parquet(
                 f"{out_dir}/quarantine/run_id={run_id}"
@@ -325,6 +346,7 @@ def run_extraction(
             "lineage": n_pages > 0,
             "processed_docs": n_pages > 0,
             "quarantine": n_quarantined > 0,
+            "images": n_pages > 0 and cfg.process_images and n_images > 0,
         }
         for table, wrote in written.items():
             stale = f"{out_dir}/{table}/run_id={run_id}"
@@ -349,6 +371,7 @@ def run_extraction(
         "input_pages": n_pages,
         "questions_written": n_questions,
         "quarantined": n_quarantined,
+        "images_written": n_images,
     }
 
 

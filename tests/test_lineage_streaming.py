@@ -786,3 +786,36 @@ def test_streaming_sessionize_timeout_keeps_seq_and_survives_late_key(
     u1 = {r["session_seq"]: r["n_events"] for r in rows if r["user_id"] == 1}
     assert u1 == {1: 2, 2: 2}  # seq 2, not a duplicated seq 1
     assert not [r for r in rows if r["user_id"] == 3]  # dropped, no crash
+
+
+def test_images_side_output_under_run_protocol(spark, pages_df):
+    """process_images=True writes the binary images table as a side
+    output under the exactly-once protocol: one row per image span,
+    committed with the run, and a resumed run (new run_id, same pages)
+    rewrites NOTHING — the reference's images dir semantics without the
+    silent-overwrite hazard."""
+    import os
+
+    from enem_spark.extract import ExtractorConfig, materialize_images
+
+    out = "/tmp/lineage_imgtest"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = ExtractorConfig(output_type="json", process_images=True)
+    s1 = run_extraction(spark, pages_df, cfg, out, run_id="i1")
+    expected = materialize_images(pages_df).count()
+    assert s1["images_written"] == expected > 0
+    imgs = spark.read.parquet(f"{out}/images")
+    assert imgs.count() == expected
+    assert set(imgs.select("run_id").distinct().toPandas()["run_id"]) == {"i1"}
+    # image_name follows the reference's output convention
+    r = imgs.select("image_name", "page_idx", "image_index").first()
+    assert r["image_name"].endswith(f"page{r['page_idx']}_{r['image_index']}.png")
+
+    # full replay under a NEW run id: nothing re-extracted, no images dir
+    s2 = run_extraction(spark, pages_df, cfg, out, run_id="i2")
+    assert s2["images_written"] == 0 and s2["input_pages"] == 0
+    assert not os.path.exists(f"{out}/images/run_id=i2")
+    assert spark.read.parquet(f"{out}/images").count() == expected
+    shutil.rmtree(out, ignore_errors=True)
