@@ -92,12 +92,8 @@ def export_jsonl_shards(
     # ADVICE r2: re-exporting into the same dir with a different
     # (n_shards, seed) must not manifest stale shard files from the prior
     # layout — readers that trust the manifest would double-read docs.
-    # Only names this export could have written are manifestable; anything
-    # else shard-like is a leftover and is deleted BEFORE the commit point.
+    # Only names this export could have written are manifestable.
     expected = {f"shard-{i:05d}.jsonl" for i in range(n_shards)}
-    for f in os.listdir(out_dir):
-        if f.startswith("shard-") and f not in expected:
-            os.remove(os.path.join(out_dir, f))
     files = sorted(
         f
         for f in os.listdir(out_dir)
@@ -116,4 +112,12 @@ def export_jsonl_shards(
             mf,
             indent=1,
         )
+    # stale-layout cleanup AFTER the commit point: a crash between a
+    # pre-manifest delete and the manifest write would leave the PRIOR
+    # committed manifest referencing files that no longer exist; deleting
+    # after, a crash merely leaves unreferenced leftovers that the next
+    # export (or this sweep on rerun) removes
+    for f in os.listdir(out_dir):
+        if f.startswith("shard-") and f not in expected:
+            os.remove(os.path.join(out_dir, f))
     return {"n_docs": n_docs, "n_shards": n_shards, "files": files}

@@ -726,7 +726,7 @@ IMAGES_SCHEMA = T.StructType(
 )
 
 
-def materialize_images(pages: DataFrame) -> DataFrame:
+def materialize_images(pages: DataFrame, pv: DataFrame | None = None) -> DataFrame:
     """S3: the reference's images-mode side output as a binary table.
 
     The reference decodes each page's image xrefs, strips alpha, converts
@@ -745,10 +745,16 @@ def materialize_images(pages: DataFrame) -> DataFrame:
     Plan shape mirrors the page stage: a JVM-side marker prefilter BELOW
     the UDF (only pages whose span payload contains an image marker reach
     Python), then ONE Arrow crossing. No shuffle at all — the operator is
-    embarrassingly parallel per page."""
-    meta = with_url_metadata(pages.filter(F.col("lang") == "pt"))
-    valid, _ = split_quarantine(meta)
-    pv = valid.filter((F.col("kind") == "PV") & (F.col("page_idx") >= 1))
+    embarrassingly parallel per page.
+
+    ``pv`` (optional) is an already-prepared valid-PV frame (metadata
+    applied, quarantine split, cover dropped, resume anti-join done) —
+    run_extraction passes its own so images mode does not re-derive URL
+    metadata over the whole input a second time per run."""
+    if pv is None:
+        meta = with_url_metadata(pages.filter(F.col("lang") == "pt"))
+        valid, _ = split_quarantine(meta)
+        pv = valid.filter((F.col("kind") == "PV") & (F.col("page_idx") >= 1))
     has_img = F.col("html").isNotNull() & F.col("html").cast("string").contains(
         IMG_MARKER
     )

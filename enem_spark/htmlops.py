@@ -1363,10 +1363,13 @@ def host_components(pages: DataFrame) -> DataFrame:
     # application with no change IS the fixpoint. 32 double-rounds keep
     # the 64-application O(log diameter) bound.
     for _ in range(32):
-        s2 = _prop_step(
-            _prop_step(labels).select("host", "component")
-        ).localCheckpoint(eager=True)
+        # persist the inner application (see textops.dedup_clusters: the
+        # outer step references it four times and only the persist keeps
+        # its joins single-execution inside the one materializing job)
+        s1 = _prop_step(labels).select("host", "component").persist()
+        s2 = _prop_step(s1).localCheckpoint(eager=True)
         changed = s2.filter(F.col("component") != F.col("prev")).count()
+        s1.unpersist()
         labels = s2.select("host", "component")
         if changed == 0:
             converged = True

@@ -155,31 +155,51 @@ def cmyk_to_rgb(samples: bytes) -> bytes:
     return rgb.astype(np.uint8).tobytes()
 
 
-def expand_bits_gray(
-    samples: bytes, width: int, height: int, bpc: int, invert: bool = False
+def expand_bits(
+    samples: bytes,
+    values_per_row: int,
+    rows: int,
+    bpc: int,
+    scale: bool = True,
+    invert: bool = False,
 ) -> bytes:
-    """1/2/4-bit-per-component gray (or image mask) -> 8-bit gray.
-    Rows are byte-aligned per the PDF spec (§7.4, stride rounds up)."""
+    """1/2/4-bit packed component values -> one byte per value. Rows are
+    byte-aligned per the PDF spec (§7.4, stride rounds up) and
+    ``values_per_row`` counts COMPONENTS (width x channels for
+    interleaved color, width for gray/indexed).
+
+    ``scale=True`` maps the value range onto 0..255 (gray levels);
+    ``scale=False`` keeps the RAW values — required for /Indexed images,
+    whose sub-8-bpc samples are palette INDICES that must not be
+    gray-scaled before the lookup."""
     if bpc == 8:
         return samples
     if bpc not in (1, 2, 4):
-        raise ValueError(f"expand_bits_gray: unsupported bpc {bpc}")
-    stride = (width * bpc + 7) // 8
-    need = stride * height
+        raise ValueError(f"expand_bits: unsupported bpc {bpc}")
+    stride = (values_per_row * bpc + 7) // 8
+    need = stride * rows
     buf = samples[:need]
     if len(buf) < need:
         buf = buf + b"\x00" * (need - len(buf))
-    rows = np.frombuffer(buf, dtype=np.uint8).reshape(height, stride)
-    bits = np.unpackbits(rows, axis=1)
+    packed = np.frombuffer(buf, dtype=np.uint8).reshape(rows, stride)
+    bits = np.unpackbits(packed, axis=1)
     per = 8 // bpc
-    vals = bits.reshape(height, stride * per, bpc)
+    vals = bits.reshape(rows, stride * per, bpc)
     weights = (1 << np.arange(bpc - 1, -1, -1)).astype(np.uint16)
-    lvl = (vals.astype(np.uint16) * weights).sum(axis=2)[:, :width]
-    scale = 255 // ((1 << bpc) - 1)
-    out = (lvl * scale).astype(np.uint8)
+    lvl = (vals.astype(np.uint16) * weights).sum(axis=2)[:, :values_per_row]
+    if scale:
+        lvl = lvl * (255 // ((1 << bpc) - 1))
+    out = lvl.astype(np.uint8)
     if invert:
         out = 255 - out
     return out.tobytes()
+
+
+def expand_bits_gray(
+    samples: bytes, width: int, height: int, bpc: int, invert: bool = False
+) -> bytes:
+    """1/2/4-bit-per-component gray (or image mask) -> 8-bit gray."""
+    return expand_bits(samples, width, height, bpc, scale=True, invert=invert)
 
 
 def expand_indexed(
@@ -362,12 +382,26 @@ class _BitReader:
         raise ValueError("jpeg: invalid Huffman code")
 
     def restart(self) -> None:
-        """Acknowledge an RSTn marker: byte-align and consume it."""
+        """Acknowledge an RSTn marker at a DRI interval boundary:
+        byte-align (drop the current byte's leftover pad bits) and consume
+        the marker. The marker usually has NOT been hit by ``_fill`` yet —
+        the decoder calls this the moment the MCU count says the interval
+        ended — so look directly at the stream position too; only a
+        FF D0-D7 pair right here is consumed (tolerant otherwise)."""
         self.bits = 0
         self.nbits = 0
-        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+        if self.marker is not None:
+            if 0xD0 <= self.marker <= 0xD7:
+                self.pos += 2
+                self.marker = None
+            return
+        d = self.data
+        if (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
             self.pos += 2
-            self.marker = None
 
 
 def _receive_extend(r: _BitReader, s: int) -> int:

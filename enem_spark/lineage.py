@@ -197,6 +197,19 @@ def committed_questions(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return spark.read.parquet(path).join(committed, "run_id", "left_semi")
 
 
+def committed_images(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Reader view of the binary images table restricted to committed
+    runs — the images analogue of :func:`committed_questions`. A crashed
+    attempt's orphan ``images/run_id=`` dir (written, never committed,
+    retried under a fresh run_id) would double-count every one of its
+    images for any reader that globs the directory raw."""
+    path = f"{out_dir}/images"
+    committed = committed_run_ids(spark, out_dir)
+    if committed is None or not _exists(path):
+        return None
+    return spark.read.parquet(path).join(committed, "run_id", "left_semi")
+
+
 def run_extraction(
     spark: SparkSession,
     pages: DataFrame,
@@ -316,10 +329,10 @@ def run_extraction(
             # unconditionally — re-running would silently overwrite)
             from .extract import materialize_images
 
-            imgs = materialize_images(pages)
-            if done is not None:
-                imgs = imgs.join(done, "doc_id", "left_anti")
-            imgs = imgs.persist()
+            # pv is already metadata-derived, quarantine-split, and
+            # resume-anti-joined — no second full-input metadata pass,
+            # and committed docs' pages never reach the image UDF
+            imgs = materialize_images(pages, pv=pv).persist()
             n_images = imgs.count()
             if n_images:
                 imgs.write.mode("overwrite").parquet(

@@ -385,6 +385,30 @@ def parse_hexstring(lx: Lexer) -> bytes:
     return bytes.fromhex(hx.decode("ascii"))
 
 
+def _apply_stream_filters(raw: bytes, filters: list) -> bytes:
+    """Apply a /Filter chain's byte-level filters in order (FlateDecode,
+    ASCIIHexDecode). Image codecs (DCT/JPX/CCITT) are NOT byte filters —
+    callers strip them off and hand the remaining chain here (a stream
+    like [/ASCIIHexDecode /DCTDecode] must be hex-decoded before the JPEG
+    decoder sees it)."""
+    for f in filters:
+        if f == b"/FlateDecode":
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                try:  # truncated stream: salvage the prefix
+                    raw = zlib.decompressobj().decompress(raw)
+                except zlib.error:
+                    return b""
+        elif f == b"/ASCIIHexDecode":
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", raw.split(b">")[0])
+            raw = bytes.fromhex(
+                hx.decode("ascii") + ("0" if len(hx) % 2 else "")
+            )
+        # image codecs (DCT etc.) are decoded by their own branch
+    return raw
+
+
 class PDFFile:
     """Object store over one PDF byte string.
 
@@ -468,22 +492,7 @@ class PDFFile:
         raw = obj.get(b"__stream__", b"")
         filt = self.get(obj.get(b"/Filter"))
         filters = filt if isinstance(filt, list) else [filt] if filt else []
-        for f in filters:
-            if f == b"/FlateDecode":
-                try:
-                    raw = zlib.decompress(raw)
-                except zlib.error:
-                    try:  # truncated stream: salvage the prefix
-                        raw = zlib.decompressobj().decompress(raw)
-                    except zlib.error:
-                        return b""
-            elif f == b"/ASCIIHexDecode":
-                hx = re.sub(rb"[^0-9A-Fa-f]", b"", raw.split(b">")[0])
-                raw = bytes.fromhex(
-                    hx.decode("ascii") + ("0" if len(hx) % 2 else "")
-                )
-            # other filters (DCT etc.) are image data — never text
-        return raw
+        return _apply_stream_filters(raw, filters)
 
     def pages(self) -> list[tuple[dict, dict]]:
         """Page-tree walk with attribute inheritance (§7.7.3.4)."""
@@ -1319,6 +1328,12 @@ def decode_image_xobject(pdf: "PDFFile", obj: dict) -> dict:
         "channels": 0,
     }
     raw = obj.get(b"__stream__", b"")
+    if last in (b"/DCTDecode", b"/JPXDecode", b"/CCITTFaxDecode") and len(
+        filters
+    ) > 1:
+        # e.g. [/ASCIIHexDecode /DCTDecode]: the byte filters wrap the
+        # image codec and must be undone before the codec sees the stream
+        raw = _apply_stream_filters(raw, filters[:-1])
     if last == b"/DCTDecode":
         # the reference converts DCT streams to PNG too (fitz.Pixmap
         # accepts JPEG bytes, :312); the from-scratch baseline decoder
@@ -1397,12 +1412,18 @@ def decode_image_xobject(pdf: "PDFFile", obj: dict) -> dict:
         if spec[0] == "indexed":
             _, kind, chans, hival, palette = spec
             if bpc != 8:
-                samples = imaging.expand_bits_gray(samples, w, h, bpc)
+                # RAW palette indices — gray-scaling them (x17 for 4-bit)
+                # would clamp nearly every pixel to the last palette row
+                samples = imaging.expand_bits(
+                    samples, w, h, bpc, scale=False
+                )
             samples = imaging.expand_indexed(samples, palette, chans, hival)
         else:
             kind, chans = spec
             if bpc != 8:
-                samples = imaging.expand_bits_gray(samples, w, h, bpc)
+                # interleaved components: the byte-aligned row carries
+                # width x channels values, not width
+                samples = imaging.expand_bits(samples, w * chans, h, bpc)
     if kind == "cmyk":
         samples = imaging.cmyk_to_rgb(samples)
         kind, chans = "rgb", 3

@@ -1156,10 +1156,15 @@ def dedup_clusters(
     # regardless of what the first changed). 32 double-rounds keep the
     # original 64-application O(log diameter) bound.
     for _ in range(32):
-        s2 = _prop_step(
-            _prop_step(labels).select("doc_id", "cluster_id")
-        ).localCheckpoint(eager=True)
+        # persist the inner application: the outer references it four
+        # times (neighbor join + both jump sides + the base frame), and
+        # ReuseExchange dedupes shuffle writes but not the join work
+        # downstream of them — without the persist each round re-executes
+        # most of the inner step's joins per reference
+        s1 = _prop_step(labels).select("doc_id", "cluster_id").persist()
+        s2 = _prop_step(s1).localCheckpoint(eager=True)
         changed = s2.filter(F.col("cluster_id") != F.col("prev")).count()
+        s1.unpersist()
         labels = s2.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True

@@ -319,3 +319,56 @@ def test_ccitt_g4_round_trip_and_real_streams():
             assert 0.05 < frac < 0.8  # a real figure mask, not noise
             checked += 1
     assert checked == 2
+
+
+def test_jpeg_decode_with_restart_markers():
+    """DRI/RSTn handling: a hand-assembled two-MCU grayscale JPEG with a
+    restart interval of 1 — the RST0 marker between the MCUs must be
+    consumed and the DC predictor reset, or every post-restart MCU decodes
+    from stuck zero bits (the bug this test pins)."""
+    import struct as _s
+
+    counts = bytes([0, 1] + [0] * 14)
+    dht_dc = b"\x00" + counts + bytes([4])  # one 2-bit code -> category 4
+    dht_ac = b"\x10" + counts + bytes([0])  # one 2-bit code -> EOB
+    dqt = b"\x00" + bytes([16] * 64)
+    sof = _s.pack(">BHHB", 8, 16, 8, 1) + bytes([1, 0x11, 0])  # 8x16 = 2 MCUs
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+
+    # MCU1: DC '00'+'1000' (+8 -> DC 128 -> pixel 144), EOB '00' = 0x20
+    # MCU2 (after RST0, predictor reset): '00'+'1111' (+15 -> DC 240 ->
+    # pixel 158), EOB '00' = 0x3C
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xDD, b"\x00\x01")  # DRI = 1 MCU
+        + seg(0xC0, sof)
+        + seg(0xDA, sos)
+        + bytes([0b00100000])
+        + b"\xff\xd0"  # RST0
+        + bytes([0b00111100])
+        + b"\xff\xd9"
+    )
+    out = imaging.jpeg_decode(jpg)
+    assert out is not None
+    w, h, ch, samples = out
+    assert (w, h, ch) == (8, 16, 1)
+    assert set(samples[: 8 * 8]) == {144}
+    assert set(samples[8 * 8 :]) == {158}
+
+
+def test_expand_bits_raw_indices_for_palettes():
+    """scale=False keeps raw sub-8-bpc values (palette indices);
+    scale=True gray-scales them — mixing the two clamps nearly every
+    indexed pixel to the last palette row (the bug this pins)."""
+    # 4-bit samples 1,2 packed into one byte
+    assert imaging.expand_bits(b"\x12", 2, 1, 4, scale=False) == bytes([1, 2])
+    assert imaging.expand_bits(b"\x12", 2, 1, 4, scale=True) == bytes([17, 34])
+    # interleaved 4-bit RGB-ish: 6 values per row = 3 bytes, not width-stride
+    vals = imaging.expand_bits(b"\x12\x34\x56", 6, 1, 4, scale=False)
+    assert vals == bytes([1, 2, 3, 4, 5, 6])

@@ -806,7 +806,9 @@ def test_images_side_output_under_run_protocol(spark, pages_df):
     s1 = run_extraction(spark, pages_df, cfg, out, run_id="i1")
     expected = materialize_images(pages_df).count()
     assert s1["images_written"] == expected > 0
-    imgs = spark.read.parquet(f"{out}/images")
+    from enem_spark.lineage import committed_images
+
+    imgs = committed_images(spark, out)
     assert imgs.count() == expected
     assert set(imgs.select("run_id").distinct().toPandas()["run_id"]) == {"i1"}
     # image_name follows the reference's output convention
@@ -817,5 +819,11 @@ def test_images_side_output_under_run_protocol(spark, pages_df):
     s2 = run_extraction(spark, pages_df, cfg, out, run_id="i2")
     assert s2["images_written"] == 0 and s2["input_pages"] == 0
     assert not os.path.exists(f"{out}/images/run_id=i2")
-    assert spark.read.parquet(f"{out}/images").count() == expected
+    assert committed_images(spark, out).count() == expected
+
+    # orphan dir from a crashed attempt: invisible to the committed reader
+    spark.read.parquet(f"{out}/images/run_id=i1").withColumn(
+        "image_index", F.col("image_index") + 1000
+    ).write.mode("overwrite").parquet(f"{out}/images/run_id=crashed")
+    assert committed_images(spark, out).count() == expected
     shutil.rmtree(out, ignore_errors=True)
