@@ -355,6 +355,28 @@ def q_langid(spark, sf_dir):
     return textops.langid(_t(spark, sf_dir, "documents"))
 
 
+def q_script_detect(spark, sf_dir):
+    """Dominant writing script per document (textops.script_detect):
+    per-script Unicode-class character counts in one codegen projection,
+    first-rule-wins tie-break. Every script branch is PLANTED
+    deterministically (doc_id % 11 selects a rule's sample text, repeated;
+    slot 9 plants a letterless doc -> 'unknown'; the rest keep the real
+    latin corpus). The DuckDB twin is GENERATED from the same
+    textops.SCRIPT_RULES table — classes, samples, and tie order cannot
+    fork."""
+    from enem_spark.textops import SCRIPT_RULES, script_detect
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 11
+    planted = F.col("text")
+    planted = F.when(m == 9, F.lit("123 456 --- !!!")).otherwise(planted)
+    for i, (_name, _cls, sample) in reversed(list(enumerate(SCRIPT_RULES))):
+        planted = F.when(m == i, F.repeat(F.lit(sample + " "), 5)).otherwise(
+            planted
+        )
+    return script_detect(docs.select("doc_id", planted.alias("text")))
+
+
 def q_quality_score(spark, sf_dir):
     return textops.quality_score(_t(spark, sf_dir, "documents"))
 
@@ -1993,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_txt_allow": q_robots_txt_allow,
         "sitemap_discover": q_sitemap_discover,
         "langid": q_langid,
+        "script_detect": q_script_detect,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "gopher_filters": q_gopher_filters,
@@ -4095,7 +4118,7 @@ def oracle_sql() -> dict[str, str]:
 
     charset_staged = stage_charset_tables(oracle_sf)
     _mime_case = mime_sql_case("hx")
-    return {
+    sqls = {
         "charset_decode": f"""
 SELECT doc_id, url, charset, method, n_bytes, n_chars,
        round(replacement_ratio, 6) AS replacement_ratio, text_md5
@@ -5197,3 +5220,44 @@ GROUP BY e.error_id, e.user_id
         # the store loses nothing
         "incr_top_terms": _CMS_SQL,
     }
+    # script_detect twin: GENERATED from textops.SCRIPT_RULES (single
+    # source of truth for the classes, samples, and tie order). Built by
+    # concatenation, not an f-string: the \x{hhhh} regex classes carry
+    # literal braces.
+    sqls["script_detect"] = _script_detect_sql()
+    return sqls
+
+
+def _script_detect_sql() -> str:
+    from enem_spark.textops import SCRIPT_RULES, script_sql_exprs
+
+    whens = "\n    ".join(
+        "WHEN %d THEN repeat('%s ', 5)" % (i, s)
+        for i, (_n, _c, s) in enumerate(SCRIPT_RULES)
+    )
+    planted = (
+        "CASE doc_id % 11\n    "
+        + whens
+        + "\n    WHEN 9 THEN '123 456 --- !!!'\n    ELSE text END"
+    )
+    ex = script_sql_exprs("t")
+    letters = " + ".join(
+        ex[name] for name, _c, _s in SCRIPT_RULES
+    )
+    m = ex["__max__"]
+    return (
+        "WITH planted AS (SELECT doc_id, "
+        + planted
+        + " AS t FROM documents)\n"
+        + "SELECT doc_id, "
+        + ex["__case__"]
+        + " AS script,\n CAST("
+        + m
+        + " AS BIGINT) AS n_script_chars,\n CAST("
+        + letters
+        + " AS BIGINT) AS n_letter_chars,\n round(("
+        + m
+        + ") / greatest(("
+        + letters
+        + "), 1), 6) AS script_frac\nFROM planted"
+    )

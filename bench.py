@@ -71,6 +71,7 @@ HEADLINE = [
     "token_budget_select",
     "compression_ratio",
     "langid",
+    "script_detect",
     "quality_score",
     "token_count",
     "gopher_filters",

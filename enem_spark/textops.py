@@ -2971,3 +2971,85 @@ def shuffle_export(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("shard", "pos", *cols)
     )
+
+
+# --- writing-script detection ------------------------------------------------
+#
+# Multilingual curation gate: the dominant Unicode SCRIPT of a document
+# (latin/cyrillic/han/...), computed by per-script character counting in
+# pure codegen — length minus length-after-class-strip, one projection, no
+# UDF, no shuffle. The rule table is the single source of truth: the
+# Spark expressions AND the DuckDB twin's SQL are both generated from it
+# (the charset.MIME_RULES discipline), and each rule carries a sample
+# string so driver queries can plant every branch deterministically.
+# Classes use \x{hhhh} escapes — the one form Java regex and RE2 share.
+# Alphabetical rule order doubles as the deterministic tie-break.
+
+SCRIPT_RULES = (
+    ("arabic", r"\x{0600}-\x{06FF}", "مرحبا بالعالم"),
+    ("cyrillic", r"\x{0400}-\x{04FF}", "привет мир"),
+    ("devanagari", r"\x{0900}-\x{097F}", "नमस्ते दुनिया"),
+    ("greek", r"\x{0370}-\x{03FF}", "γειά σου κόσμε"),
+    ("han", r"\x{4E00}-\x{9FFF}", "你好世界"),
+    ("hangul", r"\x{AC00}-\x{D7AF}", "안녕하세요 세계"),
+    ("hebrew", r"\x{0590}-\x{05FF}", "שלום עולם"),
+    ("kana", r"\x{3040}-\x{30FF}", "こんにちは せかい"),
+    ("latin", r"A-Za-z\x{00C0}-\x{024F}", "hello world"),
+)
+
+
+def script_detect(documents: DataFrame) -> DataFrame:
+    """(doc_id, script, n_script_chars, n_letter_chars, script_frac):
+    dominant writing script by per-script character counts; 'unknown'
+    when no rule matches a single character. Ties break to the
+    alphabetically-first script (fixed rule order on both engines)."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    counts = {
+        name: (
+            F.length(text)
+            - F.length(F.regexp_replace(text, f"[{cls}]", ""))
+        ).alias(f"_c_{name}")
+        for name, cls, _s in SCRIPT_RULES
+    }
+    letters = None
+    for c in counts.values():
+        letters = c if letters is None else letters + c
+    m = F.greatest(*counts.values())
+    script = F.lit("unknown")
+    # build the CASE back-to-front so the FIRST rule wins ties
+    for name, _cls, _s in reversed(SCRIPT_RULES):
+        script = F.when((m > 0) & (counts[name] == m), name).otherwise(
+            script
+        )
+    return documents.select(
+        "doc_id",
+        script.alias("script"),
+        F.when(m > 0, m).otherwise(F.lit(0)).cast("long").alias(
+            "n_script_chars"
+        ),
+        letters.cast("long").alias("n_letter_chars"),
+        F.round(
+            F.when(m > 0, m).otherwise(F.lit(0))
+            / F.greatest(letters, F.lit(1)),
+            6,
+        ).alias("script_frac"),
+    )
+
+
+def script_sql_exprs(text_expr: str) -> dict[str, str]:
+    """DuckDB twin fragments GENERATED from SCRIPT_RULES (never fork the
+    SQL): {name: count_expr}, plus '__case__' -> the dominant-script CASE
+    in the same first-rule-wins tie order."""
+    counts = {
+        name: (
+            f"(length({text_expr}) - length(regexp_replace({text_expr}, "
+            f"'[{cls}]', '', 'g')))"
+        )
+        for name, cls, _s in SCRIPT_RULES
+    }
+    m = "greatest(" + ", ".join(counts.values()) + ")"
+    whens = "\n        ".join(
+        f"WHEN {m} > 0 AND {counts[name]} = {m} THEN '{name}'"
+        for name, _cls, _s in SCRIPT_RULES
+    )
+    return {**counts, "__max__": m, "__case__": f"CASE {whens} ELSE 'unknown' END"}

@@ -354,3 +354,32 @@ def test_dedup_clusters_long_chain(spark):
     }
     assert got == {i: 0 for i in range(n)}
     spark.catalog.clearCache()
+
+
+def test_script_detect_branches(spark):
+    """Every SCRIPT_RULES branch + unknown + mixed-tie behavior, against
+    hand-computed counts."""
+    import pandas as pd
+
+    from enem_spark.textops import SCRIPT_RULES, script_detect
+
+    rows = [
+        {"doc_id": i, "text": s * 3}
+        for i, (_n, _c, s) in enumerate(SCRIPT_RULES)
+    ]
+    rows.append({"doc_id": 100, "text": "12345 --- !!!"})
+    rows.append({"doc_id": 101, "text": None})
+    # tie: one han char vs one hangul char -> alphabetical first (han)
+    rows.append({"doc_id": 102, "text": "你 안"})
+    out = {
+        r["doc_id"]: r
+        for r in script_detect(
+            spark.createDataFrame(pd.DataFrame(rows))
+        ).collect()
+    }
+    for i, (name, _c, _s) in enumerate(SCRIPT_RULES):
+        assert out[i]["script"] == name, (i, name, out[i])
+        assert out[i]["script_frac"] >= 0.75  # spaces excluded from letters
+    assert out[100]["script"] == "unknown" and out[100]["n_letter_chars"] == 0
+    assert out[101]["script"] == "unknown"
+    assert out[102]["script"] == "han" and out[102]["n_script_chars"] == 1
