@@ -52,6 +52,17 @@ def run_id_for(sequence: int) -> str:
     return f"{_RUN_PREFIX}{sequence:012d}"
 
 
+def _ice_sequences(run_ids) -> list[int]:
+    """THE ice run-id parse (prefix + all-digits; f-suffixed recovery ids
+    excluded by the digit check) — single-sourced so the watermark the
+    incremental plan trusts cannot desync between call sites."""
+    return [
+        int(i[len(_RUN_PREFIX) :])
+        for i in run_ids
+        if i.startswith(_RUN_PREFIX) and i[len(_RUN_PREFIX) :].isdigit()
+    ]
+
+
 def last_extracted_sequence(spark: SparkSession, out_dir: str) -> int | None:
     """Highest snapshot sequence with a COMMITTED ice run, None if none.
 
@@ -61,12 +72,7 @@ def last_extracted_sequence(spark: SparkSession, out_dir: str) -> int | None:
     committed = lineage.committed_run_ids(spark, out_dir)
     if committed is None:
         return None
-    seqs = [
-        int(r.run_id[len(_RUN_PREFIX) :])
-        for r in committed.collect()
-        if r.run_id.startswith(_RUN_PREFIX) and r.run_id[len(_RUN_PREFIX) :].isdigit()
-    ]
-    return max(seqs, default=None)
+    return max(_ice_sequences(r.run_id for r in committed.collect()), default=None)
 
 
 _DUP_BROADCAST_LIMIT = 2_000_000  # urls; ~100 MB broadcast worst case
@@ -135,10 +141,7 @@ def _mark_noop_run(spark: SparkSession, out_dir: str, run_id: str) -> None:
         stale = f"{out_dir}/{table}/run_id={run_id}"
         if os.path.exists(stale):
             shutil.rmtree(stale)
-    spark.createDataFrame(
-        [(run_id, 0, 0)],
-        "run_id string, input_pages long, questions_written long",
-    ).write.mode("append").parquet(f"{out_dir}/runs")
+    lineage.append_run_marker(spark, out_dir, run_id)
 
 
 def run_html_extraction_ice(
@@ -174,17 +177,18 @@ def run_html_extraction_ice(
     ``full=True`` re-plan (the anti-join then extracts exactly the
     never-processed ones). Choose the flag per corpus, not per run."""
     table = IceTable(spark, table_path)
-    tip = max(s["sequence"] for s in table.snapshots())
+    # watermark tip = the MAIN-visible max, never the global max: an
+    # unpublished WAP branch carries higher sequences whose rows a main
+    # incremental plan cannot see — a global-max watermark would commit a
+    # noop marker past them, and after publish the next run would read
+    # since >= tip as up_to_date, silently never extracting the published
+    # delta (the CLAUDE.md published-sequence invariant)
+    tip = table.published_sequence()
     committed = lineage.committed_run_ids(spark, out_dir)
     committed_ids = (
         [r.run_id for r in committed.collect()] if committed is not None else []
     )
-    seqs = [
-        int(i[len(_RUN_PREFIX) :])
-        for i in committed_ids
-        if i.startswith(_RUN_PREFIX) and i[len(_RUN_PREFIX) :].isdigit()
-    ]
-    committed_seq = max(seqs, default=None)
+    committed_seq = max(_ice_sequences(committed_ids), default=None)
     since = None if full else committed_seq
     run_id = run_id_for(tip)
     if full and committed_seq is not None and committed_seq >= tip:
@@ -307,10 +311,7 @@ def apply_takedown(
             f"{out_dir}/takedowns/run_id={run_id}"
         )
         # COMMIT POINT for the serving-side log
-        spark.createDataFrame(
-            [(run_id, 0, 0)],
-            "run_id string, input_pages long, questions_written long",
-        ).write.mode("append").parquet(f"{out_dir}/runs")
+        lineage.append_run_marker(spark, out_dir, run_id)
     summary["run_id"] = run_id
     return summary
 
@@ -359,8 +360,23 @@ def current_main_content(spark: SparkSession, out_dir: str) -> DataFrame | None:
 
     fl_path = f"{out_dir}/fetch_log"
     committed = lineage.committed_run_ids(spark, out_dir)
-    if os.path.exists(fl_path) and committed is not None:
-        fl = spark.read.parquet(fl_path).join(committed, "run_id", "left_semi")
+    # lineage._exists, NOT os.path.exists: a crashed attempt can leave a
+    # fetch_log dir holding only _temporary leftovers, and reading that
+    # throws UNABLE_TO_INFER_SCHEMA on every serve until manual cleanup —
+    # the exact wedge the _exists helper filters (CLAUDE.md invariant);
+    # with no committed log data the run-recency fallback below serves
+    if lineage._exists(fl_path) and committed is not None:
+        # mergeSchema: a dir that has ever held BOTH stream logs (with
+        # warc_ts) and ice logs (without) must not let Spark pick one
+        # footer's schema at random — merged, ice rows read warc_ts NULL
+        # and the nulls-last event-time order below serves
+        # event-time-stamped fetches preferentially (deterministic and
+        # documented, vs the silent schema lottery)
+        fl = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(fl_path)
+            .join(committed, "run_id", "left_semi")
+        )
         # stream fetch logs carry event time: micro-batch run ids are NOT
         # monotonic across checkpoint incarnations (a replay-suffixed
         # batch-0 id sorts below an older incarnation's batch-5), so
@@ -368,7 +384,7 @@ def current_main_content(spark: SparkSession, out_dir: str) -> DataFrame | None:
         # ties. Ice logs omit the column — their snapshot-sequenced ids
         # ARE monotonic.
         order = (
-            [F.col("warc_ts").desc(), F.col("run_id").desc()]
+            [F.col("warc_ts").desc_nulls_last(), F.col("run_id").desc()]
             if "warc_ts" in fl.columns
             else [F.col("run_id").desc()]
         )

@@ -161,6 +161,27 @@ def derive_replay_run_id(committed_ids, base_id: str) -> str:
     return f"{base_id}f{n:06d}"
 
 
+RUNS_MARKER_SCHEMA = "run_id string, input_pages long, questions_written long"
+
+
+def append_run_marker(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    input_pages: int = 0,
+    questions_written: int = 0,
+) -> None:
+    """THE runs-table commit point — the single spelling of the marker row
+    every exactly-once store in the engine appends LAST. One source of
+    truth: a schema or semantics change that landed in one hand-copied
+    site but not another would silently desync the commit protocol the
+    whole design hangs on (review finding, round 3)."""
+    spark.createDataFrame(
+        [(run_id, int(input_pages), int(questions_written))],
+        RUNS_MARKER_SCHEMA,
+    ).write.mode("append").parquet(f"{out_dir}/runs")
+
+
 def committed_run_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = f"{out_dir}/runs"
     if not _exists(path):
@@ -369,10 +390,7 @@ def run_extraction(
         # COMMIT POINT — everything above is invisible to resume/readers
         # until this tiny append lands. Quarantine-only runs commit too:
         # their rows must become visible to readers and to the dedup above.
-        spark.createDataFrame(
-            [(run_id, n_pages, n_questions)],
-            "run_id string, input_pages long, questions_written long",
-        ).write.mode("append").parquet(f"{out_dir}/runs")
+        append_run_marker(spark, out_dir, run_id, n_pages, n_questions)
     finally:
         paged.unpersist()
         try:
@@ -563,10 +581,7 @@ def run_html_extraction(
                 stale = f"{out_dir}/{table}/run_id={run_id}"
                 if os.path.exists(stale):
                     shutil.rmtree(stale)
-            spark.createDataFrame(
-                [(run_id, 0, 0)],
-                "run_id string, input_pages long, questions_written long",
-            ).write.mode("append").parquet(f"{out_dir}/runs")
+            append_run_marker(spark, out_dir, run_id)
             return {
                 "run_id": run_id,
                 "input_pages": 0,
@@ -627,10 +642,7 @@ def run_html_extraction(
                 shutil.rmtree(stale)
 
         # COMMIT POINT
-        spark.createDataFrame(
-            [(run_id, n_pages, n_pages)],
-            "run_id string, input_pages long, questions_written long",
-        ).write.mode("append").parquet(f"{out_dir}/runs")
+        append_run_marker(spark, out_dir, run_id, n_pages, n_pages)
     finally:
         extracted.unpersist()
     return {

@@ -158,10 +158,7 @@ def update_signature_index(
             f"{out_dir}/{SIG_TABLE}/run_id={run_id}"
         )
         # COMMIT POINT
-        spark.createDataFrame(
-            [(run_id, n, 0)],
-            "run_id string, input_pages long, questions_written long",
-        ).write.mode("append").parquet(f"{out_dir}/runs")
+        lineage.append_run_marker(spark, out_dir, run_id, n)
     finally:
         sigs.unpersist()
     return {"indexed": n, "run_id": run_id, "up_to_date": False}

@@ -410,7 +410,11 @@ def _atomic_create(path: str, payload: dict) -> None:
     loser, giving the same winner-takes-all semantics as O_EXCL but with
     the content already durable at publish time."""
     blob = json.dumps(payload, indent=1, sort_keys=True).encode("utf-8")
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # pid alone is NOT attempt-unique: two concurrent commits in one
+    # driver process (two streaming queries, ingest racing maintenance)
+    # would share the tmp file, and the O_EXCL winner could publish the
+    # LOSER's payload — a silent lost commit with no CommitConflict
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:12]}"
     with open(tmp, "wb") as fh:
         fh.write(blob)
         fh.flush()
@@ -667,12 +671,24 @@ class IceTable:
         ]
         # data entries only: equality-delete files are not scannable rows
         # (their row-removal effect rides along as the delete set below,
-        # sequence-scoped per data file by _read_entries)
-        split_of = {
-            s["snapshot_id"]: _split_entries(self._manifest_entries(s))
-            for s in ordered
-        }
-        files_of = {sid: data for sid, (data, _d) in split_of.items()}
+        # sequence-scoped per data file by _read_entries). LAZY per
+        # snapshot: each manifest parse is O(inherited live files), so
+        # parsing every retained snapshot makes an "O(delta)" tail plan
+        # cost O(history x files) in driver JSON work — only the walk
+        # members, their parents, and the target are ever needed (none on
+        # a decided full rescan).
+        by_id = {s["snapshot_id"]: s for s in ordered}
+        split_cache: dict[int, tuple[list[dict], list[dict]]] = {}
+
+        def split_for(sid) -> tuple[list[dict], list[dict]]:
+            if sid not in split_cache:
+                snap = by_id.get(sid)
+                split_cache[sid] = (
+                    _split_entries(self._manifest_entries(snap))
+                    if snap is not None
+                    else ([], [])
+                )
+            return split_cache[sid]
         # Default-deny: only operations whose incremental meaning is known
         # are walked file-by-file. ``merge`` (COW upsert: rewritten files
         # mix changed and unchanged rows), ``rollback`` (the live row set
@@ -688,9 +704,9 @@ class IceTable:
         added: dict[str, dict] = {}
         if not full_rescan:
             for s in walk:
-                own = files_of[s["snapshot_id"]]
+                own = split_for(s["snapshot_id"])[0]
                 parent_paths = (
-                    {e["path"] for e in files_of.get(s["parent_id"], [])}
+                    {e["path"] for e in split_for(s["parent_id"])[0]}
                     if s["parent_id"] is not None
                     else set()
                 )
@@ -705,12 +721,12 @@ class IceTable:
         transforms = [Transform.from_json(d) for d in meta["partition_by"]]
         filters = list(filters or [])
         entries = (
-            list(files_of[target["snapshot_id"]])
+            list(split_for(target["snapshot_id"])[0])
             if full_rescan
             else [added[p] for p in sorted(added)]
         )
         kept = [e for e in entries if _keep_file(e, filters, transforms)]
-        target_data, target_dels = _split_entries(self._manifest_entries(target))
+        target_data, target_dels = split_for(target["snapshot_id"])
         report = {
             "snapshot_id": target["snapshot_id"],
             "sequence": target["sequence"],
@@ -743,7 +759,7 @@ class IceTable:
         if not full_rescan:
             for s in walk:
                 if s["operation"] == "rowdelete":
-                    for e in split_of[s["snapshot_id"]][1]:
+                    for e in split_for(s["snapshot_id"])[1]:
                         dels_by_path.setdefault(e["path"], e)
         dels = [dels_by_path[p] for p in sorted(dels_by_path)]
         report["delete_files"] = len(dels)
@@ -2045,11 +2061,18 @@ def _write_data_pandas(
 ) -> list[dict]:
     """Write a pandas frame as one parquet file per partition tuple with
     deterministic names — the Spark-free twin of ``IceTable._write_data``.
-    Deterministic content + naming keeps re-staging idempotent (a second
-    stage of the same frames overwrites byte-identical files).  Unlike the
-    Spark path there is no dir glob: the manifest lists EXACTLY the files
-    this call wrote, so a concurrent writer attempt sharing the target
-    version can never leak its files into this commit's manifest."""
+    Deterministic content + CONTENT-ADDRESSED naming keeps re-staging
+    idempotent (a second stage of the same frames rewrites byte-identical
+    files under the same names) while keeping racing writers safe: two
+    attempts for the same target version with DIFFERENT rows write
+    different part names, so the version-race loser's bytes can never
+    clobber a path the winner's committed manifest references (the Spark
+    path gets the same property from _attempt_dir's uuid — here a random
+    name would break the byte-identical re-staging the sf staging relies
+    on).  Unlike the Spark path there is no dir glob: the manifest lists
+    EXACTLY the files this call wrote, so a concurrent writer attempt
+    sharing the target version can never leak extra files into this
+    commit's manifest."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -2075,8 +2098,15 @@ def _write_data_pandas(
         tbl = pa.Table.from_pandas(
             group[cols].reset_index(drop=True), schema=arrow_schema, preserve_index=False
         )
-        out_path = os.path.join(out_dir, "part-00000.parquet")
-        pq.write_table(tbl, out_path)
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(tbl, buf)
+        blob = buf.getvalue()
+        digest = hashlib.md5(blob).hexdigest()[:12]
+        out_path = os.path.join(out_dir, f"part-{digest}.parquet")
+        with open(out_path, "wb") as fh:
+            fh.write(blob)
         written.append(out_path)
     entries = [_file_entry(p, table_path, transforms) for p in written]
     entries.sort(key=lambda e: e["path"])

@@ -262,10 +262,7 @@ def update_corpus_stats(
             f"{out_dir}/{DOCS_TABLE}/run_id={run_id}"
         )
         # COMMIT POINT
-        spark.createDataFrame(
-            [(run_id, n, 0)],
-            "run_id string, input_pages long, questions_written long",
-        ).write.mode("append").parquet(f"{out_dir}/runs")
+        lineage.append_run_marker(spark, out_dir, run_id, n)
     finally:
         docs.unpersist()
     return {"folded": n, "run_id": run_id, "up_to_date": False}
@@ -321,10 +318,7 @@ def compact_stats(
         f"{out_dir}/{DOCS_TABLE}/run_id={run_id}"
     )
     # COMMIT POINT
-    spark.createDataFrame(
-        [(run_id, len(active), 0)],
-        "run_id string, input_pages long, questions_written long",
-    ).write.mode("append").parquet(f"{out_dir}/runs")
+    lineage.append_run_marker(spark, out_dir, run_id, len(active))
     _sweep_below(out_dir, (STATS_TABLE, DOCS_TABLE), _RUN_RE, 3, n_new)
     return {"compacted_runs": len(active), "run_id": run_id}
 
@@ -538,10 +532,7 @@ def update_term_sketch(
             f"{out_dir}/{TERM_DOCS_TABLE}/run_id={run_id}"
         )
         # COMMIT POINT
-        spark.createDataFrame(
-            [(run_id, n, 0)],
-            "run_id string, input_pages long, questions_written long",
-        ).write.mode("append").parquet(f"{out_dir}/runs")
+        lineage.append_run_marker(spark, out_dir, run_id, n)
     finally:
         docs.unpersist()
     return {"folded": n, "run_id": run_id, "up_to_date": False}
@@ -625,10 +616,7 @@ def compact_terms(
         .parquet(f"{out_dir}/{TERM_DOCS_TABLE}/run_id={run_id}")
     )
     # COMMIT POINT
-    spark.createDataFrame(
-        [(run_id, len(active), 0)],
-        "run_id string, input_pages long, questions_written long",
-    ).write.mode("append").parquet(f"{out_dir}/runs")
+    lineage.append_run_marker(spark, out_dir, run_id, len(active))
     _sweep_below(
         out_dir,
         (TERMS_TABLE, CANDS_TABLE, TERM_DOCS_TABLE),

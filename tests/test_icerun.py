@@ -530,3 +530,58 @@ def test_apply_takedown_end_to_end(spark, table_and_out):
     # for the legal/opt-out case than auto-reinstating on re-crawl
     assert "https://ex.org/d/1" not in served3
     assert "https://ex.org/d/4" not in served3
+
+
+def test_watermark_ignores_unpublished_branch_sequences(spark, table_and_out):
+    """Review finding (r3): the extraction watermark must be the
+    MAIN-visible max sequence, never the global max — an unpublished WAP
+    branch carries higher sequences whose rows a main incremental plan
+    cannot see, and a global-max watermark would mark them extracted
+    before publish, silently skipping the published delta forever."""
+    tbl, out = table_and_out
+    t = _create(spark, tbl, _rows(range(10), it.EPOCH_S), seq=10)
+    icerun.run_html_extraction_ice(spark, tbl, out)
+
+    # stage a crawl batch on an audit branch, sequence ABOVE the tip
+    t.create_branch("audit")
+    _frame_rows = _rows(range(10, 16), it.EPOCH_S + 5000)
+    t.append(
+        spark.createDataFrame(_frame(_frame_rows), schema=it.PAGES_ICE_SCHEMA),
+        sequence=20,
+        branch="audit",
+    )
+
+    # pre-publish run: main has nothing new, and the watermark must NOT
+    # advance to the branch's sequence
+    s = icerun.run_html_extraction_ice(spark, tbl, out)
+    assert s["up_to_date"] and s["sequence"] == 10
+    assert icerun.last_extracted_sequence(spark, out) == 10
+
+    # publish, then the next run extracts exactly the published delta
+    t.publish_branch("audit")
+    s2 = icerun.run_html_extraction_ice(spark, tbl, out)
+    assert not s2["up_to_date"] and s2["input_pages"] == 6
+    assert icerun.last_extracted_sequence(spark, out) == 20
+    assert len(_current(spark, out)) == 16
+
+
+def test_serving_survives_temporary_only_fetch_log(spark, table_and_out):
+    """Review finding (r3): a crashed attempt can leave fetch_log/ holding
+    only Spark _temporary leftovers; the serving view must fall back to
+    the run-recency proxy instead of throwing UNABLE_TO_INFER_SCHEMA on
+    every call until manual cleanup."""
+    import os
+
+    tbl, out = table_and_out
+    _create(spark, tbl, _rows(range(8), it.EPOCH_S), seq=10)
+    icerun.run_html_extraction_ice(spark, tbl, out)
+    # the ice path writes a real fetch_log; simulate the wedge by
+    # replacing it with a _temporary-only husk
+    import shutil
+
+    fl = f"{out}/fetch_log"
+    shutil.rmtree(fl)
+    os.makedirs(f"{fl}/run_id=crashed/_temporary/0", exist_ok=True)
+    open(f"{fl}/run_id=crashed/_temporary/0/part-x", "wb").write(b"junk")
+    cur = _current(spark, out)
+    assert len(cur) == 8

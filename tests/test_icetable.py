@@ -1437,3 +1437,27 @@ def test_takedown_during_audit_blocks_publish(spark, tmp_table):
     assert got == _expected_rows(
         pd.concat([_toy_pdf(0, 12)[3:], _toy_pdf(12, 15)])
     )
+
+
+def test_pandas_writer_content_addressed_parts(spark, tmp_table):
+    """Review finding (r3): pandas part files are content-addressed —
+    identical frames re-stage byte-identically under the SAME names
+    (staging idempotency), while different rows for the same target
+    version get DIFFERENT names, so a version-race loser can never
+    clobber bytes a winner's committed manifest references."""
+    from enem_spark.sources.icetable import _write_data_pandas
+
+    pdf = _toy_pdf(0, 6)
+    e1 = _write_data_pandas(tmp_table, pdf, it.PAGES_ICE_SCHEMA, [], 1)
+    bytes1 = {
+        e["path"]: open(os.path.join(tmp_table, e["path"]), "rb").read()
+        for e in e1
+    }
+    e2 = _write_data_pandas(tmp_table, pdf, it.PAGES_ICE_SCHEMA, [], 1)
+    assert [e["path"] for e in e1] == [e["path"] for e in e2]
+    for e in e2:
+        assert open(os.path.join(tmp_table, e["path"]), "rb").read() == bytes1[e["path"]]
+    # different content, same target version -> disjoint part names
+    other = _toy_pdf(50, 56)
+    e3 = _write_data_pandas(tmp_table, other, it.PAGES_ICE_SCHEMA, [], 1)
+    assert not ({e["path"] for e in e3} & set(bytes1))
