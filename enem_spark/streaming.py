@@ -81,19 +81,29 @@ def start_extraction_stream(
 
     from .extract import build_answer_keys, with_url_metadata
 
+    # per-incarnation token: batch ids restart at 0 under a fresh
+    # checkpoint, and a raw batch_id dir key would let incarnation 2's
+    # batch 0 overwrite incarnation 1's staged batch 0 (different data,
+    # silent loss). Same-incarnation replays reuse the token from this
+    # closure, keeping the crash-retry overwrite idempotent.
+    import uuid as _uuid
+
+    incarnation = _uuid.uuid4().hex[:8]
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         from .extract import url_kind
+        from .lineage import _exists
 
         gb_batch = batch_df.filter(url_kind(F.col("url")).eqNullSafe("GB"))
         if not gb_batch.isEmpty():
             gb_batch.write.mode("overwrite").parquet(
-                f"{out_dir}/gb_store/batch_id={batch_id}"
+                f"{out_dir}/gb_store/batch_id={incarnation}-{batch_id}"
             )
         keys = None
-        if os.path.exists(f"{out_dir}/gb_store"):
+        if _exists(f"{out_dir}/gb_store"):
             gb_all = spark.read.parquet(f"{out_dir}/gb_store").drop("batch_id")
             keys = build_answer_keys(with_url_metadata(gb_all))
         persisted: list = []
@@ -102,7 +112,7 @@ def start_extraction_stream(
                 extract_questions(batch_df, cfg, keys=keys, persist_to=persisted)
                 .write.mode("overwrite")
                 .partitionBy("year", "day")
-                .parquet(f"{out_dir}/questions/batch_id={batch_id}")
+                .parquet(f"{out_dir}/questions/batch_id={incarnation}-{batch_id}")
             )
         finally:
             # the salted-numbering cache is per-batch scratch: release it
@@ -192,7 +202,12 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30):
 
     def epoch_ms(ts) -> int:
         if ts.tzinfo is None:
-            ts = ts.tz_localize(tz)
+            # explicit DST policy: the fall-back hour's ambiguous wall
+            # times read as the FIRST occurrence and spring-forward gap
+            # times shift forward — a bare tz_localize raises Ambiguous/
+            # NonExistentTimeError inside the state UDF and kills the
+            # whole query on such events in non-UTC sessions
+            ts = ts.tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
         return int(ts.timestamp() * 1000)
 
     def update(key, pdfs, state):
@@ -287,13 +302,20 @@ def windowed_page_counts(
 
 
 def _has_batches(path: str) -> bool:
-    """True iff the dir holds at least one batch_id= partition (a staging
-    dir whose batches were all compacted away must not be passed to the
-    parquet reader — an empty dir cannot infer a schema)."""
+    """True iff the dir holds at least one batch_id= partition WITH real
+    data files (a staging dir whose batches were all compacted away, or
+    one holding only a crashed attempt's _temporary leftovers, must not
+    be passed to the parquet reader — either wedges it in
+    UNABLE_TO_INFER_SCHEMA; lineage._exists is the repo-wide convention
+    for exactly this)."""
     import os
 
-    return os.path.exists(path) and any(
-        d.startswith("batch_id=") for d in os.listdir(path)
+    from .lineage import _exists
+
+    return (
+        os.path.exists(path)
+        and any(d.startswith("batch_id=") for d in os.listdir(path))
+        and _exists(path)
     )
 
 
@@ -463,15 +485,42 @@ def start_document_stream(
     whose (year, day, color) has no staged GB page is held back for an
     extra ``key_grace_s`` of event time before being released with the
     MISSING_ANSWER literal (the reference's own no-key behavior)."""
-    from .lineage import run_extraction
+    from .lineage import (
+        committed_run_ids,
+        derive_replay_run_id,
+        run_extraction,
+    )
 
     staging = f"{out_dir}/staging"
     gb_store = f"{out_dir}/gb_store"
+    # per-incarnation token (see start_extraction_stream): batch ids
+    # restart at 0 under a fresh checkpoint, so raw batch_id staging dirs
+    # would let a new incarnation's batch 0 overwrite an old incarnation's
+    # still-unsettled staged pages and its answer-key store — silent,
+    # unrecoverable loss. Same-incarnation crash replays reuse the token
+    # (idempotent overwrite); old incarnations' dirs stay readable (the
+    # readers glob every batch dir and drop the key).
+    import uuid as _uuid
+
+    incarnation = _uuid.uuid4().hex[:8]
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
         spark = batch_df.sparkSession
+        # one scan for the whole batch: the kind split + two isEmpty
+        # probes + two writes below are four actions over this frame,
+        # and unpersisted each would re-read the micro-batch's source
+        # files (persist-with-owner: released in the finally)
+        batch_df = batch_df.persist()
+        try:
+            _process_document_batch(spark, batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _process_document_batch(
+        spark: SparkSession, batch_df: DataFrame, batch_id: int
+    ) -> None:
         if not batch_df.isEmpty():
             # per-batch overwrite directories: foreachBatch is at-least-once,
             # and a blind append would duplicate every page of the batch on
@@ -488,11 +537,11 @@ def start_document_stream(
             rest = batch_df.filter(~is_gb)
             if not gb_batch.isEmpty():
                 gb_batch.write.mode("overwrite").parquet(
-                    f"{gb_store}/batch_id={batch_id}"
+                    f"{gb_store}/batch_id={incarnation}-{batch_id}"
                 )
             if not rest.isEmpty():
                 rest.write.mode("overwrite").parquet(
-                    f"{staging}/batch_id={batch_id}"
+                    f"{staging}/batch_id={incarnation}-{batch_id}"
                 )
 
         staged = _read_staged(spark, staging, gb_store)
@@ -510,7 +559,15 @@ def start_document_stream(
         if horizon is None:
             return
         cutoff = F.lit(horizon) - F.expr(f"INTERVAL {completeness_delay_s} SECONDS")
+        # keyless-release grace: defaulting it to a ZERO completeness
+        # delay (the availableNow catch-up default) would bake
+        # MISSING_ANSWER irreversibly whenever a GB file lands one
+        # trigger after its PV docs — exactly-once never revisits them.
+        # So with delay 0 the default HOLDS keyless docs (the end-of-
+        # stream flush extracts them with every key that arrived); an
+        # explicit key_grace_s keeps full control.
         grace = completeness_delay_s if key_grace_s is None else key_grace_s
+        hold_keyless = key_grace_s is None and completeness_delay_s == 0
         key_cutoff = F.lit(horizon) - F.expr(
             f"INTERVAL {completeness_delay_s + grace} SECONDS"
         )
@@ -532,16 +589,15 @@ def start_document_stream(
         # key present -> release at the completeness horizon; key absent ->
         # hold for key_grace_s more event time, then release anyway (the
         # reference emits its MISSING_ANSWER literal when the key is gone)
-        settled = (
-            pv_docs.join(keys_avail, ["year", "day", "color"], "left_semi")
-            .filter(F.col("newest") <= cutoff)
-            .select("doc_id")
-            .unionByName(
+        settled = pv_docs.join(
+            keys_avail, ["year", "day", "color"], "left_semi"
+        ).filter(F.col("newest") <= cutoff).select("doc_id")
+        if not hold_keyless:
+            settled = settled.unionByName(
                 pv_docs.join(keys_avail, ["year", "day", "color"], "left_anti")
                 .filter(F.col("newest") <= key_cutoff)
                 .select("doc_id")
             )
-        )
         # no broadcast hint — the settled set is unbounded over a stream's
         # lifetime; AQE broadcasts while small.
         # unresolved-kind pages ride along every batch: run_extraction
@@ -553,12 +609,24 @@ def start_document_stream(
             .unionByName(meta.filter(F.col("kind") == "GB"))
             .unionByName(meta.filter(F.col("kind").isNull()))
         )
+        # never reuse a COMMITTED run id: a fresh checkpoint incarnation
+        # restarts batch ids at 0, and run_extraction's overwrite-dir
+        # protocol is for retrying CRASHED attempts only — reusing
+        # batch_0 would overwrite the old incarnation's committed
+        # questions/processed_docs while its marker still stands (the
+        # html stream's documented derive_replay_run_id hazard)
+        committed = committed_run_ids(spark, out_dir)
+        ids = (
+            {r.run_id for r in committed.collect()}
+            if committed is not None
+            else set()
+        )
         run_extraction(
             spark,
             ready.select(*[f.name for f in PAGES_SCHEMA.fields]),
             cfg,
             out_dir,
-            run_id=f"batch_{batch_id}",
+            run_id=derive_replay_run_id(ids, f"batch_{batch_id}"),
         )
         if compact:
             compact_staging(spark, out_dir)

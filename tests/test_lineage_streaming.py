@@ -827,3 +827,59 @@ def test_images_side_output_under_run_protocol(spark, pages_df):
     ).write.mode("overwrite").parquet(f"{out}/images/run_id=crashed")
     assert committed_images(spark, out).count() == expected
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_fresh_checkpoint_incarnation_never_clobbers_committed_state(
+    spark, pages_df, tmp_path
+):
+    """Review finding (r3): batch ids restart at 0 under a fresh
+    checkpoint. Incarnation 2's batch 0 must neither overwrite
+    incarnation 1's committed batch_0 run (derive_replay_run_id) nor its
+    staged/gb_store batch dirs (per-incarnation dir token) — both were
+    silent-loss paths."""
+    from enem_spark.streaming import flush_staging, start_document_stream
+
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    out = str(tmp_path / "out")
+    cfg = ExtractorConfig(output_type="json")
+
+    pv_docs = sorted(
+        r["d"]
+        for r in pages_df.select(
+            F.regexp_extract("url", r"^(.*)/page/\d+$", 1).alias("d")
+        ).distinct().collect()
+        if "PV" in r["d"]
+    )
+    first = pv_docs[: len(pv_docs) // 2]
+    is_first = F.lit(False)
+    for d in first:
+        is_first = is_first | F.col("url").startswith(d)
+    half1 = pages_df.filter(F.col("url").contains("GB") | is_first)
+    half2 = pages_df.filter(~F.col("url").contains("GB") & ~is_first)
+    half1.coalesce(1).write.parquet(f"{src1}/a")
+    half2.coalesce(1).write.parquet(f"{src2}/a")
+
+    # incarnation 1: fresh checkpoint, extracts half1 as its batch 0
+    q = start_document_stream(
+        spark.readStream.schema(pages_df.schema).parquet(f"{src1}/*"),
+        cfg, out, str(tmp_path / "ck1"), completeness_delay_s=0,
+        key_grace_s=0,
+    )
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(f"{out}/questions").count()
+    assert n1 > 0
+
+    # incarnation 2: NEW checkpoint dir, batch ids restart at 0 with
+    # DIFFERENT data
+    q2 = start_document_stream(
+        spark.readStream.schema(pages_df.schema).parquet(f"{src2}/*"),
+        cfg, out, str(tmp_path / "ck2"), completeness_delay_s=0,
+        key_grace_s=0,
+    )
+    q2.awaitTermination(300)
+    flush_staging(spark, cfg, out)
+
+    got = spark.read.parquet(f"{out}/questions")
+    # incarnation 1's questions survived AND incarnation 2's landed:
+    # together they equal the one-shot batch extraction
+    assert got.count() == extract_questions(pages_df, cfg).count()
