@@ -2277,10 +2277,11 @@ newdocs AS (
 _INCR_EXACT_SQL = f"""
 WITH {_INCR_NEW_CTE},
 store AS (
-  SELECT md5(text) AS h, min(doc_id) AS dup_of FROM documents GROUP BY 1
+  SELECT md5(coalesce(text, '')) AS h, min(doc_id) AS dup_of
+  FROM documents GROUP BY 1
 )
 SELECT n.doc_id, s.dup_of
-FROM (SELECT doc_id, md5(text) AS h FROM newdocs) n
+FROM (SELECT doc_id, md5(coalesce(text, '')) AS h FROM newdocs) n
 JOIN store s USING (h)
 """
 
@@ -4492,13 +4493,13 @@ FROM read_parquet('{textops.stage_mojibake_expected(oracle_sf)}')
 WITH seeds AS (SELECT * FROM (VALUES ('0:'), ('1:'), ('2:'), ('3:')) AS s(i)),
 bits AS (
   SELECT DISTINCT
-    CAST(concat('0x', substr(md5(concat(s.i, text)), 1, 12)) AS BIGINT)
+    CAST(concat('0x', substr(md5(concat(s.i, coalesce(text, ''))), 1, 12)) AS BIGINT)
       % {textops.PARITY_BLOOM_M} AS pos, 1 AS hit
   FROM documents, seeds s WHERE doc_id % 2 = 0
 ),
 ppos AS (
   SELECT doc_id,
-    CAST(concat('0x', substr(md5(concat(s.i, text)), 1, 12)) AS BIGINT)
+    CAST(concat('0x', substr(md5(concat(s.i, coalesce(text, ''))), 1, 12)) AS BIGINT)
       % {textops.PARITY_BLOOM_M} AS pos
   FROM documents, seeds s
 )

@@ -107,11 +107,21 @@ def committed_signatures(
     path = f"{out_dir}/{SIG_TABLE}"
     if not runs or not os.path.exists(path):
         return None
-    return (
-        spark.read.parquet(path)
-        .join(committed, "run_id", "left_semi")
-        .drop("run_id")
-    )
+    # read EXACTLY the committed run dirs, never the whole table dir: a
+    # crashed first attempt under a DIFFERENT (perms, bands) config leaves
+    # an orphan run dir _check_config cannot see (it validates committed
+    # runs only), and a bare directory read would let schema inference
+    # resolve that orphan's narrower/wider mh column set — an
+    # AnalysisException on mh{perms-1}, or silently null-padded signatures
+    run_ids = {r.run_id for r in committed.select("run_id").collect()}
+    paths = [
+        os.path.join(path, d)
+        for d in sorted(os.listdir(path))
+        if d.startswith("run_id=") and d.split("=", 1)[1] in run_ids
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
 
 
 def update_signature_index(

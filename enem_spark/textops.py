@@ -95,13 +95,19 @@ def incremental_exact_dedup(
     co-located; here it is a plain hash shuffle on a near-uniform key."""
     store = (
         existing_docs.select(
-            F.md5(F.col("text")).alias("text_hash"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash"),
             F.col("doc_id").alias("dup_of"),
         )
         .groupBy("text_hash")
         .agg(F.min("dup_of").alias("dup_of"))
     )
-    new_hashed = new_docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    # coalesce BEFORE hashing: md5(NULL) is NULL and NULL join keys never
+    # match, so two NULL-text docs would silently not deduplicate (the
+    # corpus_curate docstring's documented bug class)
+    new_hashed = new_docs.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash"),
+    )
     return new_hashed.join(store, "text_hash").select("doc_id", "dup_of")
 
 
@@ -158,14 +164,40 @@ def _estimate_new_vs_existing(
         .select(
             F.col("n.doc_id").alias("doc_id"), F.col("e.doc_id").alias("dup_of")
         )
+        # a doc present on BOTH sides (the documented maintenance flow:
+        # extract increment -> update_signature_index -> probe the same
+        # increment) band-joins itself with est 1.0 — a self-"duplicate"
+        # that would make a dedup consumer drop the whole batch
+        .filter(F.col("doc_id") != F.col("dup_of"))
         .distinct()
     )
-    a = sig_new.select(
-        F.col("doc_id"),
+    return _signature_agreement(
+        sig_new, sig_ex, candidates, perms, "doc_id", "dup_of"
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
+def _signature_agreement(
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    candidates: DataFrame,
+    perms: int,
+    a_key: str,
+    b_key: str,
+) -> DataFrame:
+    """THE MinHash agreement estimator, single-sourced: join the two
+    signature frames onto the candidate pairs and append
+    ``est_jaccard`` = round(fraction of agreeing components, 6). Keeps
+    every candidate column, so callers filter or carry extra columns
+    (e.g. the calibration query's exact jaccard) themselves. Three call
+    sites (new-vs-existing probe, self-estimate, calibration) share this
+    definition — the rounding, the when/otherwise shape, and the alias
+    scheme can never drift apart."""
+    a = sig_a.select(
+        F.col("doc_id").alias(a_key),
         *[F.col(f"mh{s}").alias(f"a{s}") for s in range(perms)],
     )
-    b = sig_ex.select(
-        F.col("doc_id").alias("dup_of"),
+    b = sig_b.select(
+        F.col("doc_id").alias(b_key),
         *[F.col(f"mh{s}").alias(f"b{s}") for s in range(perms)],
     )
     agree = sum(
@@ -175,15 +207,11 @@ def _estimate_new_vs_existing(
         ),
         F.lit(0),
     )
+    keep = list(candidates.columns)
     return (
-        candidates.join(a, "doc_id")
-        .join(b, "dup_of")
-        .select(
-            "doc_id",
-            "dup_of",
-            F.round(agree / perms, 6).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= threshold)
+        candidates.join(a, a_key)
+        .join(b, b_key)
+        .select(*keep, F.round(agree / perms, 6).alias("est_jaccard"))
     )
 
 
@@ -391,6 +419,7 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     sh: DataFrame | None = None,
     sig: DataFrame | None = None,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
 
@@ -408,17 +437,25 @@ def minhash_lsh_pairs(
     The sig frame is persisted too: the band self-join reads it twice, and
     with no exchange in the zero-shuffle build there is no ReuseExchange to
     dedupe the per-seed md5 work (the narrow doc_id+hashes rows are tiny).
-    ContextCleaner reclaims the blocks once the plan is garbage collected
-    (same ownership story shingle_table(cache=True) documents)."""
+
+    Persist-with-owner: pass ``persist_to`` and unpersist after consuming —
+    the SQL CacheManager holds unowned entries for the SESSION lifetime
+    (the ContextCleaner only reclaims them if the cached plan itself is
+    collected, which a long-lived session's repeated calls never
+    guarantee); the bench/parity harnesses clearCache between queries."""
     sizes = None
     if sh is None:
         from pyspark import StorageLevel
 
         arr = _shingle_arrays(documents).persist(StorageLevel.MEMORY_AND_DISK)
+        if persist_to is not None:
+            persist_to.append(arr)
         if sig is None:
             sig = _signatures_from_arrays(arr, perms).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
+            if persist_to is not None:
+                persist_to.append(sig)
         sh = arr.select("doc_id", F.explode("shingles").alias("shingle"))
         sizes = arr.select("doc_id", F.size("shingles").alias("n_shingles"))
     elif sig is None:
@@ -456,31 +493,9 @@ def minhash_estimate_pairs(
     if persist_to is not None:
         persist_to.append(sig)
     candidates = _band_candidates(sig, perms, bands)
-    a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(perms)],
-    )
-    b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(perms)],
-    )
-    agree = sum(
-        (
-            F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
-            for s in range(perms)
-        ),
-        F.lit(0),
-    )
-    return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(agree / perms, 6).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= threshold)
-    )
+    return _signature_agreement(
+        sig, sig, candidates, perms, "doc_a", "doc_b"
+    ).filter(F.col("est_jaccard") >= threshold)
 
 
 def _verified_jaccard(
@@ -521,7 +536,10 @@ def _verified_jaccard(
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.5, block_col: str = "source"
+    documents: DataFrame,
+    threshold: float = 0.5,
+    block_col: str = "source",
+    persist_to: list | None = None,
 ) -> DataFrame:
     """Exact pairwise shingle-Jaccard within a blocking key (e.g. source).
 
@@ -642,6 +660,7 @@ def simhash_near_dup(
     max_hamming: int = 3,
     bands: int = 4,
     bits: int = SIMHASH_BITS,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via banded hamming pigeonhole.
 
@@ -699,6 +718,8 @@ def simhash_near_dup(
         .repartition(F.col("doc_id"))
         .persist()
     )
+    if persist_to is not None:
+        persist_to.append(sigs)
     banded = sigs.select(
         "doc_id",
         *[f"half{h}" for h in range(n_half)],
@@ -1095,9 +1116,10 @@ def dedup_clusters(
     (same fix as htmlops.host_components, where it was measured 5x).
     Output: (doc_id, cluster_id) for EVERY doc (singletons map to
     themselves)."""
-    pairs = minhash_lsh_pairs(documents, threshold, perms, bands).select(
-        "doc_a", "doc_b"
-    )
+    owned: list = []
+    pairs = minhash_lsh_pairs(
+        documents, threshold, perms, bands, persist_to=owned
+    ).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -1170,6 +1192,8 @@ def dedup_clusters(
             converged = True
             break
     edges.unpersist()
+    for df in owned:  # the LSH stage's shingle/signature caches: the
+        df.unpersist()  # checkpointed labels no longer reference them
     # the returned plan reads the final round's checkpoint blocks; the
     # ContextCleaner reclaims them once the caller drops the DataFrame
     if not converged:
@@ -1532,6 +1556,7 @@ def minhash_jaccard_estimate(
     documents: DataFrame,
     perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """CALIBRATION query: sketch estimate NEXT TO the exact Jaccard for every
     LSH candidate pair, so the sketch's error is itself observable. This
@@ -1543,6 +1568,8 @@ def minhash_jaccard_estimate(
     # four consumers (band self-join twice + both agreement sides) and no
     # exchange in the array build -> persist, or the md5 work runs 4x
     sig = _signatures_from_arrays(arr, perms).persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_to is not None:
+        persist_to.extend((arr, sig))
     sh = arr.select("doc_id", F.explode("shingles").alias("shingle"))
     pairs = _verified_jaccard(
         sh,
@@ -1550,31 +1577,9 @@ def minhash_jaccard_estimate(
         0.0,
         sizes=arr.select("doc_id", F.size("shingles").alias("n_shingles")),
     )
-    a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(perms)],
-    )
-    b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(perms)],
-    )
-    agree = sum(
-        (
-            F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
-            for s in range(perms)
-        ),
-        F.lit(0),
-    )
-    return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(agree / perms, 6).alias("est_jaccard"),
-            "jaccard",
-        )
-    )
+    return _signature_agreement(
+        sig, sig, pairs, perms, "doc_a", "doc_b"
+    ).select("doc_a", "doc_b", "est_jaccard", "jaccard")
 
 
 def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
@@ -1981,6 +1986,11 @@ def doc_chunk(
     length and the explode fan-out is bounded by n/stride."""
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # gaps: tokens between window and stride would land in NO chunk
+        # and trailing chunks would slice past end-of-doc into empties —
+        # silently truncated training data, never what a caller means
+        raise ValueError("stride > window leaves uncovered token gaps")
     docs = documents.filter(F.trim(F.col("text")) != "").select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     )
@@ -2387,10 +2397,16 @@ def c4_filters(
     n_sent = (
         F.length(kept_text) - F.length(F.translate(kept_text, ".!?", ""))
     ).cast("int")
-    bad_re = "(?i)\\b(" + "|".join(badwords) + ")\\b"
     r_lorem = ~F.lower(text).contains("lorem ipsum")
     r_brace = ~text.contains("{")
-    r_badword = ~text.rlike(bad_re)
+    if badwords:
+        bad_re = "(?i)\\b(" + "|".join(badwords) + ")\\b"
+        r_badword = ~text.rlike(bad_re)
+    else:
+        # an empty blocklist means NO blocklist rule — joining it would
+        # build '\b()\b', which matches every word boundary and silently
+        # drops the whole corpus
+        r_badword = F.lit(True)
     r_min_sent = n_sent >= 3
     return documents.select(
         "doc_id",
@@ -2557,8 +2573,13 @@ def hex_prefix_mod(hex_col, m: int):
 
 def _bloom_pos(col, i: int, m: int):
     """Bit position of hash function ``i``: first 48 bits of md5('i:text'),
-    mod m."""
-    return hex_prefix_mod(F.md5(F.concat(F.lit(f"{i}:"), col)), m)
+    mod m. NULL text coalesces to '' BEFORE hashing (symmetrically on
+    build and probe): md5 of NULL is NULL, whose positions vanish from the
+    explode — a NULL-text member would otherwise produce bloom_hit=false
+    for its NULL-text twin, a false NEGATIVE the contract forbids."""
+    return hex_prefix_mod(
+        F.md5(F.concat(F.lit(f"{i}:"), F.coalesce(col, F.lit("")))), m
+    )
 
 
 def bloom_build(corpus: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:

@@ -217,3 +217,47 @@ def test_steady_state_over_icetable(spark, tmp_path):
         recrawl.select("doc_id", "orig"), "doc_id"
     ).filter(F.col("dup_of") == F.col("orig")).collect():
         assert r.est_jaccard == 1.0
+
+
+def test_probing_already_indexed_increment_yields_no_self_dups(spark, tmp_path):
+    """Review finding (r3): the documented maintenance flow (extract an
+    increment, sign it, probe) puts the SAME docs on both sides of the
+    band join — every doc used to report itself as a duplicate with
+    est 1.0, and a dedup consumer would drop the whole batch."""
+    out = str(tmp_path / "idx")
+    docs = _docs(spark).limit(120)
+    sigindex.update_signature_index(spark, out, source=docs, perms=P, bands=B)
+    hits = sigindex.probe_near_dups(
+        spark, out, docs, threshold=0.5, perms=P, bands=B
+    )
+    self_pairs = hits.filter(F.col("doc_id") == F.col("dup_of")).count()
+    assert self_pairs == 0
+    # genuine cross-doc near-dups (if any) still surface
+    assert hits.filter(F.col("doc_id") != F.col("dup_of")).count() >= 0
+
+
+def test_crashed_foreign_config_orphan_does_not_poison_reads(spark, tmp_path):
+    """Review finding (r3): a first maintenance attempt under a DIFFERENT
+    (perms, bands) config that crashes pre-commit leaves an orphan run dir
+    whose schema a bare directory read could resolve — the committed-path
+    read must ignore it entirely."""
+    out = str(tmp_path / "idx")
+    docs = _docs(spark).limit(80)
+    # orphan from a crashed 4-perm attempt (no commit marker)
+    orphan = sigindex.sig_run_id(4, 2, 1)
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "mh0": ["x"], "mh1": ["x"],
+                      "mh2": ["x"], "mh3": ["x"]})
+    ).write.mode("overwrite").parquet(
+        f"{out}/{sigindex.SIG_TABLE}/run_id={orphan}"
+    )
+    # real maintenance under the engine parity config commits fine
+    r = sigindex.update_signature_index(spark, out, source=docs, perms=P, bands=B)
+    assert r["indexed"] == 80
+    sig = sigindex.committed_signatures(spark, out, perms=P, bands=B)
+    assert sig.count() == 80 and f"mh{P-1}" in sig.columns
+    # and probing still works end-to-end
+    probe = sigindex.probe_near_dups(
+        spark, out, docs.limit(10), threshold=0.5, perms=P, bands=B
+    )
+    assert probe.filter(F.col("doc_id") == F.col("dup_of")).count() == 0
