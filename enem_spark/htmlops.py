@@ -413,14 +413,19 @@ def _scan_blocks(s: str) -> list[tuple[str, int]]:
         # its closing quote); end/bogus/decl scans use the plain next-'>'.
         gt = part.find(">")
         if is_start:
-            # fast path: if both quote chars appear an EVEN number of times
-            # before the first '>', that '>' cannot be inside a quote (an
-            # enclosing quote's opener would be before it, unclosed) — the
-            # plain end is exact and the tolerant regex can be skipped
+            # fast path ONLY when no quote char appears before the first
+            # '>': then that '>' cannot be inside an attribute value and
+            # the plain end is exact. The former even-parity shortcut was
+            # UNSOUND — quote chars nested in the OTHER quote's value keep
+            # both counts even while a '>' sits inside an open value
+            # (<a x='"' y="z>w"> ends at the z'>' under parity), diverging
+            # from html.parser on balanced-quote input. Any quoted tag
+            # takes the slow path, whose _TAGEND_RE is the exact
+            # quote-state scan at C regex speed.
             if gt != -1:
                 head = part[:gt]
-                if head.count("'") % 2 or head.count('"') % 2:
-                    gt = -1  # quote spans the '>': take the slow path
+                if "'" in head or '"' in head:
+                    gt = -1  # quotes present: take the exact slow path
             if gt == -1:
                 m = _TAGEND_RE.match(part)
                 stitched = False
@@ -1195,7 +1200,11 @@ def host_edges(pages: DataFrame) -> DataFrame:
     )
     return (
         links.select("src", F.regexp_extract("link", _HOST_RE, 1).alias("dst"))
-        .filter(F.col("dst") != "")
+        # BOTH endpoints: a url not matching ^cc:// extracts src='' — one
+        # shared pseudo-host that would bridge unrelated sites into a
+        # single component (and, being the lexicographic minimum, become
+        # its label) and inject a phantom pagerank node
+        .filter((F.col("dst") != "") & (F.col("src") != ""))
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("weight"))
     )
@@ -1209,6 +1218,7 @@ def host_pagerank(
     pages: DataFrame,
     iterations: int = PAGERANK_ITERATIONS,
     damping: float = PAGERANK_DAMPING,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """Damped PageRank over the outlink host graph — the standard web-corpus
     quality prior (hosts linked by many ranked hosts score high).
@@ -1231,6 +1241,8 @@ def host_pagerank(
         .distinct()
         .persist()
     )
+    if persist_to is not None:
+        persist_to.append(nodes)
     n = nodes.count()
     if n == 0:
         # a page set with no matching outlinks (e.g. single-quoted hrefs)
@@ -1261,10 +1273,10 @@ def host_pagerank(
                 9,
             ).alias("rank"),
         )
-    # nodes stays persisted: it appears 2x per unrolled iteration in the
-    # returned lazy plan, and the caller materializes AFTER this returns —
-    # the repo convention (see tests/test_entry_parity.py::_release_cache,
-    # bench.py) is that harnesses clearCache() between queries.
+    # nodes persists because it appears 2x per unrolled iteration in the
+    # returned lazy plan, and the caller materializes AFTER this returns.
+    # Persist-with-owner: pass persist_to and unpersist after consuming;
+    # unowned calls rely on the harnesses' clearCache() between queries.
     return ranks.select("host", F.round("rank", 6).alias("pagerank"))
 
 
@@ -1403,6 +1415,7 @@ def curate_main_content(
     min_chars: int = CURATE_MIN_CHARS,
     min_blocks: int = CURATE_MIN_BLOCKS,
     rank_floor_mult: float = CURATE_RANK_FLOOR_MULT,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """End-to-end web curation: DOM extraction + host-graph quality prior
     -> per-document keep decision. This is the composition a corpus builder
@@ -1419,7 +1432,13 @@ def curate_main_content(
     and broadcast-joins back; the threshold is an in-plan scalar aggregate
     over the rank table (no driver action)."""
     main = extract_main_content(pages)
-    ranks = host_pagerank(pages)
+    # persist ranks: it feeds TWO independent consumers (the broadcast
+    # rank join and the threshold aggregate), and without a cache the
+    # whole unrolled pagerank iteration tree — including the pages scan
+    # under it — executes twice per materialization
+    ranks = host_pagerank(pages, persist_to=persist_to).persist()
+    if persist_to is not None:
+        persist_to.append(ranks)
     # empty host graph (host_pagerank's graceful no-edges frame) must
     # DISABLE the rank gate, not make it unpassable: c/0 is +Infinity in
     # double arithmetic (no ANSI error), and coalesce(pagerank,0) >= Inf

@@ -156,13 +156,17 @@ def _maybe_gunzip(data: bytes) -> tuple[bytes, str | None]:
     if data[:2] != b"\x1f\x8b":
         return data, None
     out: list[bytes] = []
+    view = memoryview(data)  # slicing a memoryview is O(1), not a copy:
+    # CC files hold one gzip member per record, and a bytes slice per
+    # member makes decompression QUADRATIC in member count (measured 22x
+    # wall for 4x members) — an hour of pure byte copying per 1 GiB shard
     pos, n = 0, len(data)
     while pos < n:
-        if data[pos : pos + 2] != b"\x1f\x8b":
+        if view[pos : pos + 2] != b"\x1f\x8b":
             return b"".join(out), "gzip_trailing_garbage"
         d = zlib.decompressobj(wbits=31)
         try:
-            chunk = d.decompress(data[pos:])
+            chunk = d.decompress(view[pos:])
         except zlib.error:
             return b"".join(out), "bad_gzip_member"
         if not d.eof:
@@ -223,6 +227,12 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> list[dict]:
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError):
+            clen = -1  # unify with the negative-length reject below
+        if clen < 0:
+            # a negative length would put body_end at or BEFORE the
+            # record start — the loop would re-parse the same record
+            # forever, appending error rows unboundedly (one hostile
+            # record = a wedged executor). Reject and resync forward.
             err(start, "bad_content_length")
             nxt = data.find(WARC_MAGIC, head_end)
             if nxt < 0:
@@ -568,11 +578,15 @@ def stage_warc_files(
     from ..htmlops import html_for, page_url
 
     sf_dir = os.path.normpath(sf_dir)
-    if sf_dir in _STAGED:
-        return _STAGED[sf_dir]
+    # memo AND on-disk layout keyed by the FULL parameterization (the
+    # _WET_STAGED discipline): keyed on sf_dir alone, a second call with
+    # different n_files/gzip_members silently got the first call's store
+    key = f"{sf_dir}|{n_files}|{gzip_members}"
+    if key in _STAGED:
+        return _STAGED[key]
     tag = (
         f"{os.path.basename(sf_dir)}_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"{hashlib.md5(key.encode()).hexdigest()[:8]}"
     )
     base = os.path.join("/tmp", f"enem_warc_{tag}")
     os.makedirs(base, exist_ok=True)
@@ -616,8 +630,8 @@ def stage_warc_files(
         {"html_len": "int64", "http_status": "int32"}
     ).to_parquet(expected_path, index=False)
 
-    _STAGED[sf_dir] = {"warc_dir": warc_dir, "expected": expected_path}
-    return _STAGED[sf_dir]
+    _STAGED[key] = {"warc_dir": warc_dir, "expected": expected_path}
+    return _STAGED[key]
 
 
 _WET_STAGED: dict[str, str] = {}

@@ -808,3 +808,20 @@ def test_extraction_eval_strip_vs_dom_signal(spark):
     assert (ev["recall"] == 1.0).all()
     assert (ev["precision"] < 1.0).all()
     assert ((ev["f1"] > 0.0) & (ev["f1"] < 1.0)).all()
+
+
+def test_scanner_balanced_quote_nesting_matches_reference():
+    """Review finding (r3): the old even-parity fast path ended a tag at a
+    '>' INSIDE a double-quoted value whenever a prior single-quoted value
+    contained a double quote (both counts even) — a balanced-quote input
+    where the fast scanner diverged from html.parser, violating the
+    declared divergence envelope (only UNBALANCED quotes may differ)."""
+    from enem_spark.htmlops import _blocks_reference, _scan_blocks
+
+    cases = [
+        "<a x='\"' y=\"z>w\">hello um dois tres quatro cinco</a>",
+        "<p onclick=\"if(a>b)c()\" alt='it\"s'>body text here now ok</p>",
+        "<div data-x='>' title=\"a>b\">plain words in the block</div>",
+    ]
+    for h in cases:
+        assert list(_scan_blocks(h)) == list(_blocks_reference(h)), h

@@ -131,3 +131,20 @@ def test_truncated_gzip_salvages_leading_members(records, cut):
     gz_errs = [r["error"] for r in rows if r["error"] in
                ("truncated_gzip_member", "bad_gzip_member", "gzip_trailing_garbage")]
     assert len(gz_errs) == 1
+
+
+def test_negative_content_length_terminates():
+    """Review finding (r3): a record claiming a negative Content-Length
+    put body_end at/before the record start, so the parse loop re-parsed
+    the same record forever, appending error rows unboundedly — one
+    hostile record wedged the executor. Must terminate with one error row
+    and keep parsing whatever follows."""
+    import time
+
+    from enem_spark.sources.warc import parse_warc_bytes
+
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -82\r\n\r\nx"
+    t0 = time.perf_counter()
+    rows = parse_warc_bytes(bad, "f")
+    assert time.perf_counter() - t0 < 5
+    assert [r["error"] for r in rows] == ["bad_content_length"]
