@@ -241,6 +241,16 @@ def normalize_encoding(pages: DataFrame) -> DataFrame:
     shuffle."""
     if "html" not in pages.columns:
         raise ValueError("normalize_encoding needs an `html` binary column")
+    clash = [c for c in ("charset", "method") if c in pages.columns]
+    if clash:
+        # a second normalization pass (or a frame joined with decode_stats
+        # output) would duplicate these names in the output schema and
+        # fail deep inside the Arrow conversion with a column-count
+        # mismatch — fail fast with the actual cause instead
+        raise ValueError(
+            f"normalize_encoding output columns already present: {clash} "
+            "(input looks already normalized)"
+        )
     out_schema = T.StructType(
         list(pages.schema.fields)
         + [

@@ -86,7 +86,11 @@ def asof_join(
         F.col(right_ts).alias("asof_ts"),
         *[F.col(c) for c in rpay],
     )
-    r_side = right.select(
+    # NULL-ts right rows are droppable, not sortable: NULLS FIRST would
+    # put them at the partition head where last(_r, ignorenulls) hands
+    # them to every left row with no real predecessor — a bogus non-NULL
+    # match where native ASOF (NULL compares to nothing) returns no-match
+    r_side = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
@@ -136,6 +140,11 @@ def asof_join(
         F.col("_m")["asof_ts"].alias("asof_ts"),
         *[F.col("_m")[c].alias(c) for c in rpay],
     )
+
+
+# one interval may explode into at most this many bucket rows; a span
+# wider than this is corrupt input by contract (see range_join body)
+RANGE_JOIN_MAX_BUCKETS = 100_000
 
 
 def range_join(
@@ -195,16 +204,28 @@ def range_join(
     # bucket's opening instants).
     end_sec = _epoch(end_ts, intervals)
     if isinstance(intervals.schema[end_ts].dataType, NumericType):
-        last_bkt = F.floor((end_sec - 1) / bucket_s)
+        # ceil(e/b)-1, not floor((e-1)/b): identical on integer ends but
+        # correct for FRACTIONAL numerics too (end 100.5, bucket 100 must
+        # reach bucket 1 — floor((e-1)/b) stopped at 0 and silently
+        # dropped every match in the final bucket)
+        last_bkt = F.ceil(end_sec / bucket_s) - 1
     else:
         whole_second = F.col(end_ts) == F.date_trunc("second", F.col(end_ts))
         last_bkt = F.floor(
             (end_sec - F.when(whole_second, 1).otherwise(0)) / bucket_s
         )
-    span = F.sequence(F.floor(_epoch(start_ts, intervals) / bucket_s), last_bkt)
-    iv = intervals.filter(F.col(end_ts) > F.col(start_ts)).withColumn(
-        "_bkt", F.explode(span)
-    )
+    start_bkt = F.floor(_epoch(start_ts, intervals) / bucket_s)
+    span = F.sequence(start_bkt, last_bkt)
+    iv = intervals.filter(
+        (F.col(end_ts) > F.col(start_ts))
+        # symmetric corruption guard: the inverted-interval filter above
+        # bounds |negative| fan-out, but ONE far-future end (year 9999,
+        # bucket_s=600 -> ~4e8-element sequence, ~3 GB on one executor)
+        # would OOM the task and kill the job. Such a span is corrupt by
+        # contract — real windows are bounded — so drop it like the
+        # inverted case rather than dying on it.
+        & (last_bkt - start_bkt < RANGE_JOIN_MAX_BUCKETS)
+    ).withColumn("_bkt", F.explode(span))
     contained = (F.col(point_ts) >= F.col(start_ts)) & (
         F.col(point_ts) < F.col(end_ts)
     )

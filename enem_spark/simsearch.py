@@ -78,7 +78,13 @@ def _resolve_dim(embeddings: DataFrame, dim: int | None) -> int:
     the default — nothing will hash anyway."""
     if dim is not None:
         return dim
-    row = embeddings.select(F.size("embedding").alias("d")).first()
+    # skip NULL embeddings: size(NULL) is NULL and int(None) would crash
+    # the probe even though the pipeline tolerates (drops) such rows
+    row = (
+        embeddings.select(F.size("embedding").alias("d"))
+        .filter(F.col("d").isNotNull())
+        .first()
+    )
     return SRP_DIM if row is None else int(row["d"])
 
 
@@ -110,11 +116,23 @@ def with_norm(embeddings: DataFrame) -> DataFrame:
 
 
 def _query_frame(base: DataFrame, query_ids: tuple[int, ...]) -> DataFrame:
-    return base.filter(F.col("vec_id").isin(*query_ids)).select(
+    """Query-side projection, VALIDATED: every requested id must exist in
+    the (zero-norm-filtered) base — a typo'd or all-zero query otherwise
+    returns an empty result indistinguishable from "no neighbors" (the
+    silent misconfiguration class pq_topk/ivf_assignments already raise
+    on; one helper makes all four search operators consistent)."""
+    q = base.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
     )
+    found = {r["query_id"] for r in q.select("query_id").collect()}
+    absent = sorted(set(query_ids) - found)
+    if absent:
+        raise ValueError(
+            f"query ids absent (or zero-norm) in embeddings: {absent}"
+        )
+    return q
 
 
 def _rank_exact_cosine(pairs: DataFrame, k: int) -> DataFrame:
@@ -281,7 +299,12 @@ IVF_CELLS = 8
 IVF_PROBE = 2
 
 
-def ivf_assignments(embeddings: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
+def ivf_assignments(
+    embeddings: DataFrame,
+    n_cells: int = IVF_CELLS,
+    base: DataFrame | None = None,
+    cents: DataFrame | None = None,
+) -> DataFrame:
     """IVF coarse quantization with deterministic centroids.
 
     Centroids are the vectors with vec_id < n_cells (seeded corpus => a fixed
@@ -293,12 +316,14 @@ def ivf_assignments(embeddings: DataFrame, n_cells: int = IVF_CELLS) -> DataFram
     would otherwise yield zero (or too few) centroids and ivf_topk would
     return empty/degraded results indistinguishable from 'no neighbors'
     (same misconfiguration class clustering.initial_centroids raises on)."""
-    base = with_norm(embeddings)
-    cents = base.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("vec").alias("cvec"),
-        F.col("norm").alias("cnorm"),
-    )
+    if base is None:
+        base = with_norm(embeddings)
+    if cents is None:
+        cents = base.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
     n_found = cents.count()
     if n_found < n_cells:
         raise ValueError(
@@ -323,6 +348,7 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = IVF_CELLS,
     n_probe: int = IVF_PROBE,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """IVF-style ANN: probe the n_probe nearest centroid cells per query.
 
@@ -330,13 +356,19 @@ def ivf_topk(
     full table to ~n_probe/n_cells of it, the cell assignment is a shuffle on
     a low-cardinality near-uniform key, and the per-query probe is a
     broadcast join. Same output shape as cosine_topk (recall < 1)."""
-    assigned = ivf_assignments(embeddings, n_cells)
+    # ONE with_norm pass + ONE centroid frame shared with the assignment
+    # stage: rebuilding them here ran the full-corpus norm scan twice per
+    # search (ivf_assignments also validates cents with its own count)
     base = with_norm(embeddings)
+    if persist_to is not None:
+        base = base.persist()
+        persist_to.append(base)
     cents = base.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cent_id"),
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
+    assigned = ivf_assignments(embeddings, n_cells, base=base, cents=cents)
     queries = base.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -468,18 +500,27 @@ def embedding_decontaminate(
     # the embedding dimensionality for the projection set
     probe = embeddings.agg(
         F.collect_set(
-            F.when(F.col("vec_id").isin(ids), F.col("vec_id"))
+            # presence is not enough: a ZERO-NORM benchmark vector (failed
+            # encoder) is dropped by with_norm and silently matches
+            # nothing — the corpus would be reported clean against it
+            F.when(
+                F.col("vec_id").isin(ids)
+                & (_dot(_as_double(F.col("embedding")),
+                        _as_double(F.col("embedding"))) > 0),
+                F.col("vec_id"),
+            )
         ).alias("present"),
-        F.first(F.size("embedding")).alias("d"),
+        F.first(F.size("embedding"), ignorenulls=True).alias("d"),
     ).first()
     missing = sorted(set(ids) - set(probe["present"] or []))
     if missing:
-        # a benchmark set that is not actually in the table would make the
+        # a benchmark set that is not actually searchable would make the
         # operator report the ENTIRE corpus clean — the one answer a
         # decontamination gate must never give by accident (same
         # misconfiguration class clustering.initial_centroids raises on)
         raise ValueError(
-            f"benchmark_ids absent from embeddings table: {missing}"
+            "benchmark_ids absent from embeddings table (or zero-norm): "
+            f"{missing}"
         )
     if dim is None:
         dim = SRP_DIM if probe["d"] is None else int(probe["d"])
@@ -742,6 +783,12 @@ def pq_topk(
         "query_id", F.col("vec_id").alias("neighbor_id")
     )
     base = with_norm(embeddings)
+    if persist_to is not None:
+        # base feeds BOTH the candidate re-rank join and the query frame
+        # (plus _query_frame's validation collect) — unpersisted, the
+        # full-corpus norm scan runs per consumer
+        base = base.persist()
+        persist_to.append(base)
     cand = shortlist.join(
         base.select(
             F.col("vec_id").alias("neighbor_id"),
