@@ -4832,9 +4832,11 @@ FROM documents d LEFT JOIN ent e USING (doc_id)
         "bucketed_join": """
 SELECT doc_id, source,
        CAST(length(text) AS BIGINT) AS text_len,
-       CAST((doc_id * 2654435761) % 1000 AS BIGINT) AS score
+       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+            AS BIGINT) % 1000 AS score
 FROM documents
-WHERE (doc_id * 2654435761) % 1000 < 500
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+           AS BIGINT) % 1000 < 500
 """,
         "dup_span_stats": _dup_span_stats_sql(textops.PARITY_SPAN_W),
         "dedup_spans_clean": _dup_span_clean_sql(textops.PARITY_SPAN_W),

@@ -37,6 +37,7 @@ import os
 import re
 from typing import Sequence
 
+from . import textops
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -139,9 +140,15 @@ def stage_bucketed_pair(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         write_bucketed(
             docs.select(
                 "doc_id",
-                (
-                    F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000))
-                ).cast("long").alias("score"),
+                # md5-prefix score, NOT a Knuth multiply: content-addressed
+                # doc_ids (xxhash64, negative ~half the time, |id| up to
+                # 2^63) overflow the BIGINT multiply under Spark 4 ANSI,
+                # and pmod vs DuckDB's sign-preserving % diverges on
+                # negatives — the hex_prefix_mod kernel is the engine-
+                # portable hash every other lottery in the repo uses
+                textops.hex_prefix_mod(
+                    F.md5(F.col("doc_id").cast("string")), 1000
+                ).alias("score"),
             ),
             names["scores"],
             os.path.join(base, "scores"),

@@ -110,14 +110,23 @@ def initial_centroids(qdf: DataFrame, k: int) -> list[list[int]]:
     DuckDB twin keys its seed clusters by vec_id, so EVERY id in [0, k)
     must exist — a gap would make Spark relabel by list position while the
     twin keeps the true ids, silently diverging from round 1 on. Validate
-    instead of assuming."""
+    instead of assuming — including SHAPE: a NULL or ragged seed vector
+    would null-pad every zip_with distance and crash the first _update on
+    an empty collect."""
     rows = qdf.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     got = [int(r["vec_id"]) for r in rows]
     if got != list(range(k)):
         raise ValueError(
             f"kmeans seed needs vec_ids 0..{k - 1} present; got {got[:10]}"
         )
-    return [list(r["q"]) for r in rows]
+    cents = [list(r["q"]) if r["q"] is not None else [] for r in rows]
+    dims = {len(c) for c in cents}
+    if len(dims) != 1 or 0 in dims:
+        raise ValueError(
+            f"kmeans seed vectors must share one non-zero dimensionality; "
+            f"got sizes {sorted(len(c) for c in cents)}"
+        )
+    return cents
 
 
 def kmeans_clusters(
@@ -125,16 +134,22 @@ def kmeans_clusters(
 ) -> DataFrame:
     """(vec_id, cluster, dist_sq): final assignment after `iters` Lloyd
     rounds from the vec_id<k seed. dist_sq is the exact quantized-grid
-    squared distance to the winning centroid."""
-    qdf = _quantized(embeddings).persist()
+    squared distance to the winning centroid.
+
+    Dirty rows (NULL or wrong-dimensionality embeddings — failed-encoder
+    artifacts) are DROPPED, matching the DuckDB twin, whose per-dimension
+    unnest emits nothing for them; carried through, they would null-pad
+    zip_with and emit (id, NULL, NULL) rows the twin never has."""
+    cached = _quantized(embeddings).persist()
     try:
-        qdf.count()
-        cents = initial_centroids(qdf, k)
+        cached.count()
+        cents = initial_centroids(cached, k)
+        qdf = cached.filter(F.size("q") == len(cents[0]))
         for _ in range(iters):
             cents = _update(_assign(qdf, cents), k)
         return _assign(qdf, cents).select("vec_id", "cluster", "dist_sq")
     finally:
-        qdf.unpersist()
+        cached.unpersist()
 
 
 def semdedup(
@@ -142,6 +157,7 @@ def semdedup(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     tau: float = SEMDEDUP_TAU,
+    persist_to: list | None = None,
 ) -> DataFrame:
     """SemDeDup: (vec_id, cluster, is_kept). A vector is dropped when some
     LOWER-id vector in the same k-means cluster has cosine >= tau with it
@@ -149,6 +165,13 @@ def semdedup(
     SemDeDup recipe). Cosine uses the shared rounded-double discipline of
     the simsearch family, so the twin ranks the identical value."""
     clusters = kmeans_clusters(embeddings, k, iters).select("vec_id", "cluster")
+    if persist_to is not None:
+        # `clusters` feeds the base join AND the final output join, with
+        # kmeans' own cache already released — unpersisted, one action
+        # re-runs the whole quantize+assign subtree twice
+        # (persist-with-owner rule)
+        clusters = clusters.persist()
+        persist_to.append(clusters)
     base = with_norm(embeddings).join(clusters, "vec_id")
     left = base.select(
         F.col("cluster"),
