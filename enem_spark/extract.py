@@ -460,7 +460,13 @@ def dedup_latest_per_url(pages: DataFrame) -> DataFrame:
     be legitimately NULL on synthetic/test frames, so hash the text bytes
     then; identical-content ties are interchangeable either way."""
     tie = F.md5(F.coalesce(F.col("html"), F.encode(F.col("text"), "UTF-8")))
-    w_dedup = W.partitionBy("url").orderBy(F.desc("warc_ts"), tie.asc())
+    # nulls LAST: a content-free duplicate (html and text both NULL — a
+    # blank re-delivery) has a NULL hash, and plain asc() is nulls-first,
+    # which would let the blank row beat the real page at an equal
+    # warc_ts — silently dropping its q_count from the numbering window
+    w_dedup = W.partitionBy("url").orderBy(
+        F.desc("warc_ts"), tie.asc_nulls_last()
+    )
     return (
         pages.withColumn("_rn", F.row_number().over(w_dedup))
         .filter(F.col("_rn") == 1)
@@ -469,14 +475,17 @@ def dedup_latest_per_url(pages: DataFrame) -> DataFrame:
 
 
 def extract_pages(
-    pages: DataFrame, cfg: ExtractorConfig, persist_to: list | None = None
+    pages: DataFrame,
+    cfg: ExtractorConfig,
+    persist_to: list | None = None,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """Per-page stage: metadata, quarantine, layout+parse UDF, numbering.
 
     Returns one row per kept PV page with page_text (the per-url extracted
     main content — the byte-identity invariant), q_count, candidate
     questions, page_first_question."""
-    if cfg.dedup_pages:
+    if cfg.dedup_pages and not pre_deduped:
         pages = dedup_latest_per_url(pages)
     meta = with_url_metadata(pages.filter(F.col("lang") == "pt"))
     valid, _ = split_quarantine(meta)
@@ -527,7 +536,16 @@ def extract_questions(
     the key table must come from ALL answer-key pages seen so far, not just
     the current micro-batch (a GB page arriving in a different batch than
     its PV pages would otherwise silently turn into MISSING_ANSWER)."""
-    counted = extract_pages(pages, cfg, persist_to=persist_to)
+    if cfg.dedup_pages:
+        # dedup ONCE, up front, so the answer-key build sees the same
+        # newest-wins view as the page stage — keys built from the raw
+        # frame could pick a superseded GB page's text while
+        # lineage.run_extraction (which dedups before both) picks the
+        # re-crawled one: the two entry points must agree (CLAUDE.md)
+        pages = dedup_latest_per_url(pages)
+    counted = extract_pages(
+        pages, cfg, persist_to=persist_to, pre_deduped=cfg.dedup_pages
+    )
     if keys is None:
         keys = build_answer_keys(with_url_metadata(pages))
     return questions_from_counted(counted, keys, cfg)
@@ -586,6 +604,9 @@ def questions_from_counted(
         subject = F.when(cond, subj) if subject is None else subject.when(cond, subj)
     for subj, lo, hi in oracle.DAY2_RANGES:
         subject = subject.when(~day_one & n.between(lo, hi), subj)
+    # mirrors oracle.remap_number (the semantics anchor) as a Catalyst
+    # expression; equality over the full range is pinned by
+    # tests/test_oracle_properties.py::test_remap_expression_matches_oracle
     out_num = F.when(day_one, F.when(n < 6, n).otherwise(n - 5)).otherwise(n + 90)
     result = (
         joined.withColumn("subject", subject)
@@ -665,6 +686,13 @@ def render_sink_files(questions: DataFrame, cfg: ExtractorConfig) -> DataFrame:
         year = int(year)
         day_one = day == "D1"
         ranges = oracle.DAY1_RANGES if day_one else oracle.DAY2_RANGES
+        # the sinks render the REFERENCE's output, which never contains
+        # F6-dropped candidates: under cfg.keep_unparsed the questions
+        # frame carries parse_ok=False rows (debug/lineage), and
+        # format_string would render their NULL text as the literal
+        # 'null' inside byte-identity-contracted files
+        if "parse_ok" in pdf.columns:
+            pdf = pdf[pdf["parse_ok"].fillna(False)]
         pdf = pdf.sort_values("seq")
         rows = []
         for subj, _, _ in ranges:

@@ -24,12 +24,18 @@ MIDLINE = PAGE_WIDTH / 2.0
 
 
 def count_image_spans(html: bytes | bytearray | None) -> int:
-    """Image-span count without reconstruction: a raw byte scan for the
-    marker. Exact because the marker glyphs are a synthetic sentinel that
-    appears in the span payload only as an image span's text."""
+    """Image-span count: a raw byte scan screens marker-free pages (the
+    overwhelming majority) for free; marker-bearing pages pay the exact
+    parsed count. The byte count alone disagreed with the parsed paths on
+    corrupt payloads (invalid JSON containing the marker bytes counted
+    >0 while image_spans/reconstruct_page degraded to zero), producing
+    dangling image_refs and a has_images flag that depended on which code
+    path looked."""
     if html is None:
         return 0
-    return bytes(html).count(IMG_MARKER.encode("utf-8"))
+    if bytes(html).count(IMG_MARKER.encode("utf-8")) == 0:
+        return 0
+    return sum(1 for s in _parse_spans(html) if s["text"] == IMG_MARKER)
 
 
 def deterministic_pixels(seed: bytes, n: int) -> bytes:
@@ -65,8 +71,11 @@ def decode_image_span(span: dict, ref: str) -> dict:
     digest = hashlib.md5(payload).digest()
     has_alpha = bool(digest[0] & 1)  # ref: `if pix.alpha`
     was_cmyk = bool(digest[1] & 1)  # ref: `if pix.n == 4` (CMYK)
-    w = max(1, int(abs(span.get("x1", 0.0) - span.get("x0", 0.0))))
-    h = max(1, int(abs(span.get("y1", 0.0) - span.get("y0", 0.0))))
+    # clamp to a sane page-scale bound: span coordinates are untrusted
+    # payload data, and one corrupt x1=1e9 would make the deterministic
+    # pixel stream try to materialize gigabytes inside the UDF
+    w = min(4096, max(1, int(abs(span.get("x1", 0.0) - span.get("x0", 0.0)))))
+    h = min(4096, max(1, int(abs(span.get("y1", 0.0) - span.get("y0", 0.0)))))
     channels = 4 if was_cmyk else 3
     src = channels + (1 if has_alpha else 0)
     img = deterministic_pixels(payload, w * h * src)
@@ -114,7 +123,27 @@ def _parse_spans(html: bytes | bytearray) -> list[dict]:
         return []
     if not isinstance(spans, list):
         return []
-    return [s for s in spans if isinstance(s, dict) and "text" in s]
+
+    def _ok(s) -> bool:
+        # VALUE types too, not just key presence: a span with text=null,
+        # a string coordinate, or a mixed-type seq would raise TypeError
+        # deep inside the UDF's join/sort/arithmetic — the exact
+        # job-killing leniency gap this function exists to close. NaN
+        # coordinates (json.loads accepts bare NaN) are rejected with the
+        # x != x test: they poison midpoint comparisons and the image
+        # dimension math.
+        if not (isinstance(s, dict) and isinstance(s.get("text"), str)):
+            return False
+        for k in ("x0", "y0", "x1", "y1", "seq"):
+            if k in s:
+                v = s[k]
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    return False
+                if v != v:  # NaN
+                    return False
+        return True
+
+    return [s for s in spans if _ok(s)]
 
 
 def reconstruct_page(html: bytes | bytearray | None) -> tuple[str, int]:

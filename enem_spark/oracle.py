@@ -195,6 +195,16 @@ def md_insert_alternatives_header(question: str) -> str:
     return question[:i] + "\n# alternativas: \n" + question[i:]
 
 
+def remap_number(number: int, day_one: bool) -> int:
+    """THE output-number remap (enem_pdf_extractor.py:443-454): D1 keeps
+    1-5 (EN/ES share them) and shifts the rest down 5; D2 adds 90.
+    Single-sourced — extract.questions_from_counted's Catalyst expression
+    mirrors this and is pinned equal over the full range by
+    tests/test_oracle_properties.py; change BOTH or the questions table's
+    question_num/ID desyncs from the rendered JSON payloads."""
+    return (number if number < 6 else number - 5) if day_one else number + 90
+
+
 def question_json(
     question: str,
     day_one: bool,
@@ -213,7 +223,7 @@ def question_json(
     if image_list is None:
         image_list = [None]
     day = "D1" if day_one else "D2"
-    number = (number if number < 6 else number - 5) if day_one else number + 90
+    number = remap_number(number, day_one)
     head = {"question_text": question, "correct_answer": correct_answer}
     tail = {
         "ID": f"{year}_{day}_N{number}",

@@ -103,13 +103,17 @@ def stage_line_shards(
     import duckdb
 
     sf_dir = os.path.normpath(sf_dir)
-    key = f"{sf_dir}|{n_files}"
-    if key in memo:
-        return memo[key]
+    # the input fingerprint is part of the MEMO key too, not just the dir
+    # tag: an in-process corpus rebuild (bench store delete + regenerate)
+    # would otherwise hit the memo and certify against stale staging —
+    # the stat is a few microseconds per call
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     fp = hashlib.md5(
         f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v{version}".encode()
     ).hexdigest()[:8]
+    key = f"{sf_dir}|{n_files}|{fp}"
+    if key in memo:
+        return memo[key]
     tag = f"{os.path.basename(sf_dir)}_{fp}_{n_files}"
     base = os.path.join("/tmp", f"enem_{prefix}_{tag}")
     os.makedirs(base, exist_ok=True)

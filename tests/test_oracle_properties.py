@@ -132,3 +132,29 @@ def test_answer_probe_total(number, day_one):
         number -= 90
     ans = oracle.find_correct_answer(key_text, number, day_one, is_spanish=False)
     assert ans == oracle.MISSING_ANSWER or len(ans) == 1
+
+
+def test_remap_expression_matches_oracle(spark):
+    """extract.questions_from_counted's Catalyst remap expression must
+    equal oracle.remap_number over the whole number range — the remap is
+    single-sourced in the oracle and mirrored as an expression (review
+    finding r3: a hand-copied fork would silently desync question_num/ID
+    between the questions table and the rendered JSON payloads)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from enem_spark import oracle
+
+    rows = [(n, d) for n in range(1, 200) for d in ("D1", "D2")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["abs_num", "day"]))
+    n = F.col("abs_num")
+    day_one = F.col("day") == "D1"
+    out_num = F.when(day_one, F.when(n < 6, n).otherwise(n - 5)).otherwise(
+        n + 90
+    )
+    got = {
+        (r["abs_num"], r["day"]): r["m"]
+        for r in df.withColumn("m", out_num).collect()
+    }
+    for num, day in rows:
+        assert got[(num, day)] == oracle.remap_number(num, day == "D1")
