@@ -1239,9 +1239,13 @@ def host_pagerank(
         edges.select(F.col("src").alias("host"))
         .unionByName(edges.select(F.col("dst").alias("host")))
         .distinct()
-        .persist()
     )
+    # persist-with-owner: cache only when the caller owns the lifetime.
+    # Unowned calls lean on ReuseExchange (the distinct ends in an
+    # aggregate Exchange, deduped across the unrolled iterations) instead
+    # of pinning an orphan cache block for the session.
     if persist_to is not None:
+        nodes = nodes.persist()
         persist_to.append(nodes)
     n = nodes.count()
     if n == 0:
@@ -1249,7 +1253,6 @@ def host_pagerank(
         # has an empty host graph — emit an empty ranks frame instead of
         # dividing by zero on the driver (one bad batch must not kill a
         # job: the quarantine philosophy, and the CLAUDE.md division rule)
-        nodes.unpersist()
         # same schema as the populated path ('pagerank', not 'rank'):
         # curate_main_content selects by name and would otherwise fail
         # resolution on exactly the degenerate batch this branch protects
@@ -1432,12 +1435,13 @@ def curate_main_content(
     and broadcast-joins back; the threshold is an in-plan scalar aggregate
     over the rank table (no driver action)."""
     main = extract_main_content(pages)
-    # persist ranks: it feeds TWO independent consumers (the broadcast
-    # rank join and the threshold aggregate), and without a cache the
-    # whole unrolled pagerank iteration tree — including the pages scan
-    # under it — executes twice per materialization
-    ranks = host_pagerank(pages, persist_to=persist_to).persist()
+    # ranks feeds TWO independent consumers (the broadcast rank join and
+    # the threshold aggregate); persist-with-owner: cache only when the
+    # caller passes persist_to (unowned calls recompute the iteration
+    # tree twice — bounded, and no orphan cache block outlives the call)
+    ranks = host_pagerank(pages, persist_to=persist_to)
     if persist_to is not None:
+        ranks = ranks.persist()
         persist_to.append(ranks)
     # empty host graph (host_pagerank's graceful no-edges frame) must
     # DISABLE the rank gate, not make it unpassable: c/0 is +Infinity in

@@ -109,6 +109,11 @@ def jpeg_parse(data: bytes) -> dict | None:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
+        if marker in (0xDA, 0xD9):
+            # SOS/EOI before any SOF: past here is entropy-coded data whose
+            # stuffed 0xFF bytes are not segments — dims are unknowable
+            # (mirrors _jpeg_decode's explicit handling).
+            return None
         if i + 4 > n:
             return None
         seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]

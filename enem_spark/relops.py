@@ -216,17 +216,20 @@ def range_join(
         )
     start_bkt = F.floor(_epoch(start_ts, intervals) / bucket_s)
     span = F.sequence(start_bkt, last_bkt)
-    iv = intervals.filter(
-        (F.col(end_ts) > F.col(start_ts))
-        # symmetric corruption guard: the inverted-interval filter above
-        # bounds |negative| fan-out, but ONE far-future end (year 9999,
-        # bucket_s=600 -> ~4e8-element sequence, ~3 GB on one executor)
-        # would OOM the task and kill the job. Such a span is corrupt by
-        # contract — real windows are bounded — so drop it like the
-        # inverted case rather than dying on it.
-        & (last_bkt - start_bkt < RANGE_JOIN_MAX_BUCKETS)
-    ).withColumn("_bkt", F.explode(span))
+    valid = F.col(end_ts) > F.col(start_ts)
+    # Fan-out guard: ONE far-future end (year 9999, bucket_s=600 ->
+    # ~4e8-element sequence, ~3 GB on one executor) would OOM the task.
+    # But a wide interval can be LEGITIMATE (1 year at bucket_s=60 is
+    # ~525k buckets), so over-cap rows are not dropped: they take a
+    # non-exploded fallback join on the key columns alone + containment
+    # filter. Wide windows are rare by construction (the cap is 100k
+    # buckets), so the fallback side stays small and usually broadcasts.
+    narrow = last_bkt - start_bkt < RANGE_JOIN_MAX_BUCKETS
+    iv = intervals.filter(valid & narrow).withColumn("_bkt", F.explode(span))
     contained = (F.col(point_ts) >= F.col(start_ts)) & (
         F.col(point_ts) < F.col(end_ts)
     )
-    return iv.join(p, on + ["_bkt"], "inner").filter(contained).drop("_bkt")
+    out = iv.join(p, on + ["_bkt"], "inner").filter(contained).drop("_bkt")
+    wide = intervals.filter(valid & ~narrow)
+    wide_out = wide.join(points, on, "inner").filter(contained)
+    return out.unionByName(wide_out)

@@ -190,6 +190,21 @@ def test_jpeg_parse_rejects_non_jpeg():
     assert imaging.png_parse(b"\xff\xd8") is None
 
 
+def test_jpeg_parse_stops_at_sos_without_sof():
+    # SOS before any SOF: the walk must NOT continue into entropy-coded
+    # data (stuffed 0xFF bytes look like segments and once yielded garbage
+    # dims); dims are unknowable -> None. Same for a stray EOI.
+    sos_first = (
+        b"\xff\xd8"
+        + b"\xff\xda\x00\x08" + b"\x01\x01\x00\x00\x3f\x00"  # SOS segment
+        # entropy data containing a fake "SOF" pattern with a bogus size
+        + b"\x12\xff\xc0\x00\x11\x08\x30\x39\x30\x39\x03"
+    )
+    assert imaging.jpeg_parse(sos_first) is None
+    eoi_first = b"\xff\xd8" + b"\xff\xd9" + b"\xff\xc0\x00\x11\x08\x00\x09\x00\x09\x03"
+    assert imaging.jpeg_parse(eoi_first) is None
+
+
 def test_sniff_media_real_headers():
     from enem_spark import multimodal
 

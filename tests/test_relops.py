@@ -255,6 +255,32 @@ def test_range_join_inverted_interval_yields_nothing(spark):
     assert relops.range_join(pts, iv, on=["k"], bucket_s=600).count() == 0
 
 
+def test_range_join_wide_interval_matches_via_fallback(spark):
+    # a legitimate window wider than RANGE_JOIN_MAX_BUCKETS buckets (2 years
+    # at bucket_s=60 ≈ 1.05M) must still match its points — through the
+    # non-exploded fallback join, never a 1M-element sequence explode
+    iv = spark.createDataFrame(
+        [(1, 1, "2022-01-01 00:00:00", "2024-01-01 00:00:00"),
+         (2, 1, "2023-06-01 00:00:00", "2023-06-01 01:00:00")],
+        "iid int, k int, s string, e string",
+    ).select(
+        "iid", "k",
+        F.col("s").cast("timestamp").alias("start_ts"),
+        F.col("e").cast("timestamp").alias("end_ts"),
+    )
+    pts = spark.createDataFrame(
+        [(1, "2023-06-01 00:30:00"), (1, "2025-01-01 00:00:00")],
+        "k int, t string",
+    ).select("k", F.col("t").cast("timestamp").alias("ts"))
+    got = sorted(
+        (r["iid"], str(r["ts"]))
+        for r in relops.range_join(pts, iv, on=["k"], bucket_s=60).collect()
+    )
+    # the in-window point pairs with BOTH the wide and the narrow interval;
+    # the out-of-window point matches nothing
+    assert got == [(1, "2023-06-01 00:30:00"), (2, "2023-06-01 00:30:00")]
+
+
 def test_asof_tolerance_exact_to_the_microsecond(spark):
     # staleness 3600.5 s vs tolerance 3600: must be nulled (second-level
     # truncation would keep it)
