@@ -905,14 +905,16 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_media_featurize(spark, sf_dir):
-    """Media featurization with REAL container-header metadata: the
-    deterministic mixed corpus (real PNGs via imaging.png_encode,
-    SOF-bearing JPEG vectors, raw text) flows through the Arrow
-    featurizer, whose format/width/height/channels/bit_depth come from
-    actual PNG-IHDR/JPEG-SOF parses (multimodal.sniff_media). The twin is
-    the MATERIALIZED pure-Python run of the same synth + sniff
-    (stage_media_expected), so the hash certifies the Spark plumbing over
-    identical bytes."""
+    """Media featurization with REAL container-header metadata AND real
+    pixel statistics: the deterministic mixed corpus (real PNGs via
+    imaging.png_encode, SOF-bearing JPEG vectors, raw text) flows through
+    the Arrow featurizer; format/width/height/channels/bit_depth come from
+    actual PNG-IHDR/JPEG-SOF parses (multimodal.sniff_media), and
+    px_mean/px_std/px_entropy come from DECODED pixels for the PNG third
+    (imaging.png_decode -> multimodal.pixel_features; digest fallback for
+    the non-decodable rest). The twin is the MATERIALIZED pure-Python run
+    of the same synth + sniff + feature composition (stage_media_expected),
+    so the hash certifies the pixel path over identical bytes."""
     from enem_spark.multimodal import featurize_media, synth_media_frame
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -921,6 +923,9 @@ def q_media_featurize(spark, sf_dir):
     return featurize_media(synth_media_frame(docs)).select(
         "media_id", "media_type", "n_bytes", "content_md5",
         "format", "width", "height", "channels", "bit_depth",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("px_mean"),
+        F.round(F.element_at("features", 2).cast("double"), 6).alias("px_std"),
+        F.round(F.element_at("features", 5).cast("double"), 6).alias("px_entropy"),
     )
 
 
@@ -4981,7 +4986,10 @@ SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
        CAST(n_bytes AS BIGINT) AS n_bytes, content_md5, format,
        CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
        CAST(channels AS BIGINT) AS channels,
-       CAST(bit_depth AS BIGINT) AS bit_depth
+       CAST(bit_depth AS BIGINT) AS bit_depth,
+       ROUND(CAST(px_mean AS DOUBLE), 6) AS px_mean,
+       ROUND(CAST(px_std AS DOUBLE), 6) AS px_std,
+       ROUND(CAST(px_entropy AS DOUBLE), 6) AS px_entropy
 FROM read_parquet('{media_expected}')
 """,
         # documents.text is pure ASCII (asserted in tests), so VARCHAR

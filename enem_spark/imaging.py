@@ -95,6 +95,56 @@ def png_parse(data: bytes) -> dict | None:
     }
 
 
+def png_decode(data: bytes):
+    """PNG -> (width, height, channels, 8-bit interleaved samples), or None
+    when not decodable here (sub-8-bit depth, 16-bit, interlaced,
+    truncated). Composes the kernels the PDF image path already certifies:
+    zlib inflate + :func:`unpredict` (PNG row filters ARE predictor-15
+    rows) + :func:`expand_indexed` for palette images. Palette output is
+    expanded to RGB; tRNS alpha is ignored (features never need it)."""
+    hdr = png_parse(data)
+    if hdr is None or hdr["bit_depth"] != 8:
+        return None
+    interlace = data[28]
+    if interlace != 0:
+        return None
+    w, h, ctype = hdr["width"], hdr["height"], hdr["color_type"]
+    if ctype not in _PNG_CHANNELS or w <= 0 or h <= 0:
+        return None
+    idat = []
+    plte = b""
+    i = 8
+    n = len(data)
+    while i + 8 <= n:
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        seg = data[i + 8 : i + 8 + length]
+        if len(seg) < length:
+            return None
+        if tag == b"IDAT":
+            idat.append(seg)
+        elif tag == b"PLTE":
+            plte = seg
+        elif tag == b"IEND":
+            break
+        i += 12 + length
+    if not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    ch = _PNG_CHANNELS[ctype]  # bytes per pixel in the FILTERED stream
+    if len(raw) < h * (w * ch + 1):
+        return None
+    samples = unpredict(raw, 15, ch, 8, w)
+    if ctype == 3:
+        if not plte:
+            return None
+        return w, h, 3, expand_indexed(samples, plte, 3, len(plte) // 3 - 1)
+    return w, h, ch, samples
+
+
 def jpeg_parse(data: bytes) -> dict | None:
     """Width/height/channels from the first JPEG SOF marker, or None."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":

@@ -3,12 +3,14 @@
 Image/audio/video payloads are carried as `binary` columns with a metadata
 struct; decode/feature-extract run as Arrow-batched functions over
 mapInPandas. Container-header metadata is REAL (`sniff_media`: PNG-IHDR /
-JPEG-SOF parses from enem_spark.imaging give actual width/height/channels/
-bit depth). Only the PIXEL decode is stubbed (no image/audio libs in this
-container): `decode_stub` raises NotImplementedError unless
-`deterministic_fake=True`, in which case it derives a reproducible fake
-feature vector from the bytes — the Spark-side plumbing (schema, batching,
-partitioning, UDF signature) is real and tested either way.
+JPEG-SOF parses from enem_spark.imaging), and PIXEL features are REAL for
+every codec the repo decodes (`decode_pixels`: PNG via imaging.png_decode,
+baseline JPEG via imaging.jpeg_decode — the same from-scratch kernels the
+PDF image path certifies). Codecs outside that set (progressive JPEG,
+video) fall back to `decode_stub`: a reproducible digest-derived vector
+when `deterministic_fake=True`, else None (quarantine, not crash) — the
+Spark-side plumbing (schema, batching, partitioning, UDF signature) is
+identical on both paths.
 """
 
 from __future__ import annotations
@@ -58,18 +60,76 @@ def sniff_media(payload: bytes) -> dict:
             "bit_depth": 0}
 
 
-def decode_stub(payload: bytes, deterministic_fake: bool) -> list[float]:
-    """Placeholder for a real image/audio PIXEL decoder.
+def decode_pixels(payload: bytes):
+    """REAL pixel decode via the in-repo codecs: PNG through
+    imaging.png_decode (inflate + row unfilter + palette expand) and
+    baseline JPEG through imaging.jpeg_decode (from-scratch SOF0 Huffman +
+    IDCT). Returns (width, height, channels, 8-bit samples) or None for
+    codecs the repo can't decode (progressive JPEG, 16-bit PNG, non-image
+    bytes)."""
+    from . import imaging
 
-    Header metadata is real (sniff_media); full pixel/sample decode would
-    use PIL/ffmpeg — not available in this container. The deterministic
-    fake derives FEATURE_DIM floats from the digest so downstream plumbing
-    (schema, batch shape, joins) is fully exercised."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return imaging.png_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        return imaging.jpeg_decode(payload)
+    return None
+
+
+def pixel_features(width: int, height: int, channels: int,
+                   samples: bytes) -> list[float]:
+    """FEATURE_DIM pixel statistics from decoded 8-bit samples: overall
+    mean/std/min/max (0..1), 256-bin histogram entropy (bits/8), and the
+    first three channel means (absent channels report 0). Integer inputs +
+    fixed reduction order + round(6) keep the vector bit-deterministic, so
+    the pure expected staging reproduces it exactly."""
+    import numpy as np
+
+    arr = np.frombuffer(samples, dtype=np.uint8)
+    n = width * height * channels
+    arr = arr[:n]
+    if arr.size == 0:
+        return [0.0] * FEATURE_DIM
+    hist = np.bincount(arr, minlength=256).astype(np.float64)
+    p = hist[hist > 0] / arr.size
+    entropy = float(-(p * np.log2(p)).sum())
+    px = arr.reshape(-1, channels)
+    ch_means = [
+        float(px[:, c].mean()) / 255.0 if c < channels else 0.0
+        for c in range(3)
+    ]
+    feats = [
+        float(arr.mean()) / 255.0,
+        float(arr.std()) / 255.0,
+        float(arr.min()) / 255.0,
+        float(arr.max()) / 255.0,
+        entropy / 8.0,
+        *ch_means,
+    ]
+    return [round(f, 6) for f in feats]
+
+
+def media_feature_vector(
+    payload: bytes, deterministic_fake: bool = True
+) -> list[float] | None:
+    """Feature vector for one payload: REAL pixel stats whenever the
+    in-repo codecs decode it (PNG, baseline JPEG); otherwise the
+    deterministic digest fake when ``deterministic_fake`` (plumbing
+    exercised end to end), else None (quarantine semantics — one
+    undecodable payload must not kill the job)."""
+    dec = decode_pixels(payload)
+    if dec is not None:
+        return pixel_features(*dec)
+    return decode_stub(payload, deterministic_fake)
+
+
+def decode_stub(payload: bytes, deterministic_fake: bool) -> list[float] | None:
+    """Fallback for codecs the in-repo decoders don't cover (progressive
+    JPEG, video containers): a deterministic digest-derived vector when
+    ``deterministic_fake``, else None. Real pixel decode lives in
+    :func:`decode_pixels` / :func:`pixel_features`."""
     if not deterministic_fake:
-        raise NotImplementedError(
-            "media decoding requires image/audio libraries not present here; "
-            "run with deterministic_fake=True for plumbing tests"
-        )
+        return None
     digest = hashlib.sha256(payload).digest()
     return [round(b / 255.0, 6) for b in digest[:FEATURE_DIM]]
 
@@ -112,7 +172,9 @@ def featurize_media(
                         lambda s: s["bit_depth"] if s else 0
                     ),
                     "features": payloads.map(
-                        lambda b: decode_stub(bytes(b), deterministic_fake)
+                        lambda b: media_feature_vector(
+                            bytes(b), deterministic_fake
+                        )
                         if b is not None
                         else None
                     ),
@@ -286,6 +348,9 @@ def stage_media_expected(sf_dir: str) -> str:
     for doc_id, text in rows:
         payload = synth_media_payload(int(doc_id), text)
         s = sniff_media(payload)
+        # the SAME shared feature function the Spark UDF runs — pixel-real
+        # for the PNG third of the corpus, digest fake for the rest
+        feats = media_feature_vector(payload, deterministic_fake=True)
         recs.append(
             {
                 "media_id": int(doc_id),
@@ -293,6 +358,9 @@ def stage_media_expected(sf_dir: str) -> str:
                 "n_bytes": len(payload),
                 "content_md5": hashlib.md5(payload).hexdigest(),
                 **s,
+                "px_mean": feats[0],
+                "px_std": feats[1],
+                "px_entropy": feats[4],
             }
         )
     pd.DataFrame(recs).to_parquet(path, index=False)

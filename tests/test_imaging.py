@@ -190,6 +190,68 @@ def test_jpeg_parse_rejects_non_jpeg():
     assert imaging.png_parse(b"\xff\xd8") is None
 
 
+def test_png_decode_roundtrips_png_encode():
+    # decode is the exact inverse of the repo's own writer for every
+    # channel count the writer emits (gray, gray+A, RGB, RGBA)
+    for ch in (1, 2, 3, 4):
+        w, h = 11, 7
+        src = _rng_bytes(f"rt{ch}".encode(), w * h * ch)
+        got = imaging.png_decode(imaging.png_encode(w, h, src, ch))
+        assert got is not None
+        gw, gh, gch, samples = got
+        assert (gw, gh, gch) == (w, h, ch)
+        assert samples == src
+
+
+def test_png_decode_palette_and_rejects():
+    import struct as st
+    import zlib
+
+    # hand-built 3x2 palette PNG (color type 3): indices 0..5 -> palette
+    pal = bytes(range(18))  # 6 RGB entries
+    ihdr = st.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    rows = b"\x00\x00\x01\x02" + b"\x00\x03\x04\x05"  # filter-0 rows
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + imaging._chunk(b"IHDR", ihdr)
+        + imaging._chunk(b"PLTE", pal)
+        + imaging._chunk(b"IDAT", zlib.compress(rows))
+        + imaging._chunk(b"IEND", b"")
+    )
+    got = imaging.png_decode(png)
+    assert got == (3, 2, 3, pal)  # indices 0..5 expand to the palette
+    # 16-bit and interlaced are out of scope -> None, never a crash
+    ihdr16 = st.pack(">IIBBBBB", 3, 2, 16, 2, 0, 0, 0)
+    assert imaging.png_decode(
+        b"\x89PNG\r\n\x1a\n" + imaging._chunk(b"IHDR", ihdr16)
+    ) is None
+    assert imaging.png_decode(b"\x89PNG\r\n\x1a\ntrunc") is None
+
+
+def test_media_feature_vector_real_pixels_for_png():
+    from enem_spark import multimodal
+
+    w, h, ch = 9, 5, 3
+    src = _rng_bytes(b"feat", w * h * ch)
+    png = imaging.png_encode(w, h, src, ch)
+    feats = multimodal.media_feature_vector(png)
+    # identical to featurizing the source pixels directly: the vector is
+    # pixel-derived, not a digest fake
+    assert feats == multimodal.pixel_features(w, h, ch, src)
+    assert feats != multimodal.decode_stub(png, True)
+    import numpy as np
+
+    arr = np.frombuffer(src, np.uint8)
+    assert feats[0] == round(float(arr.mean()) / 255.0, 6)
+    assert feats[2] == round(float(arr.min()) / 255.0, 6)
+    assert feats[3] == round(float(arr.max()) / 255.0, 6)
+    assert 0.0 < feats[4] <= 1.0  # histogram entropy, bits/8
+    # non-decodable payloads: digest fake when allowed, None otherwise
+    txt = b"plain text payload"
+    assert multimodal.media_feature_vector(txt) == multimodal.decode_stub(txt, True)
+    assert multimodal.media_feature_vector(txt, deterministic_fake=False) is None
+
+
 def test_jpeg_parse_stops_at_sos_without_sof():
     # SOS before any SOF: the walk must NOT continue into entropy-coded
     # data (stuffed 0xFF bytes look like segments and once yielded garbage
