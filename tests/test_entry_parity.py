@@ -80,25 +80,34 @@ def _release_cache(spark):
     spark.catalog.clearCache()
 
 
-_TIMINGS: dict[str, float] = {}
+_RESULTS: dict[str, dict] = {}
 TIMINGS_PATH = "/tmp/enem_parity_timings.json"
+RESULTS_PATH = "/tmp/enem_parity_results.json"
 
 
 @pytest.fixture(scope="module", autouse=True)
 def _write_timings():
-    """Per-query Spark-side wall timings from the parity battery, written
-    as one JSON line — a free regression-attribution artifact per full
-    run (BENCH.md appendix material): when a bench number moves, this
-    pins WHICH query moved without waiting for a driver round."""
+    """Two artifacts per full battery run: per-query Spark wall timings
+    (regression attribution without a driver round), and a
+    CORRECTNESS_r{N}.json-shaped record per query (rows/schema/hash/err) —
+    the committed PARITY_r{N}.json that covers every pair whether or not
+    the driver's fixed 50-query sample reached it."""
     yield
-    if _TIMINGS:
+    if _RESULTS:
         import json
 
         with open(TIMINGS_PATH, "w") as fh:
             json.dump(
-                {"sf": 0.01, "spark_sec": dict(sorted(_TIMINGS.items()))},
+                {
+                    "sf": 0.01,
+                    "spark_sec": {
+                        k: v["spark_sec"] for k, v in sorted(_RESULTS.items())
+                    },
+                },
                 fh,
             )
+        with open(RESULTS_PATH, "w") as fh:
+            json.dump(dict(sorted(_RESULTS.items())), fh, indent=1)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -108,19 +117,28 @@ def test_query_matches_oracle(spark, duck, name):
     # pandas frame (the heavy dedup queries would otherwise run twice)
     import time as _time
 
-    t0 = _time.perf_counter()
-    spdf = QUERIES[name](spark, SF_DIR).toPandas()
-    _TIMINGS[name] = round(_time.perf_counter() - t0, 3)
-    cols = list(spdf.columns)
-    odf = duck.execute(ORACLES[name]).df()
+    rec = _RESULTS[name] = {
+        "rows_match": False,
+        "schema_match": False,
+        "hash_match": False,
+        "spark_rows": None,
+        "oracle_rows": None,
+        "err": None,
+        "spark_sec": None,
+    }
+    try:
+        t0 = _time.perf_counter()
+        spdf = QUERIES[name](spark, SF_DIR).toPandas()
+        rec["spark_sec"] = round(_time.perf_counter() - t0, 3)
+        cols = list(spdf.columns)
+        odf = duck.execute(ORACLES[name]).df()
+    except Exception as ex:  # recorded, then surfaced as the test failure
+        rec["err"] = f"{type(ex).__name__}: {ex}"[:300]
+        raise
     duck_cols = list(odf.columns)
-    assert sorted(duck_cols) == sorted(cols), (
-        f"{name}: column mismatch spark={cols} duck={duck_cols}"
-    )
-    spark_rows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
-    duck_rows = [
-        tuple(r) for r in odf[cols].itertuples(index=False, name=None)
-    ]
+    rec["spark_rows"] = len(spdf)
+    rec["oracle_rows"] = len(odf)
+    rec["rows_match"] = len(spdf) == len(odf)
 
     # The driver compares via pandas, where dtype KIND matters: DuckDB
     # HUGEINT (sum of INT/BIGINT) becomes float64 while Spark's bigint stays
@@ -129,14 +147,25 @@ def test_query_matches_oracle(spark, duck, name):
     sp_kinds = {c: _kind(d) for c, d in spdf.dtypes.items()}
     du_kinds = {c: _kind(d) for c, d in odf.dtypes.items()}
     kind_mism = {
-        c: (sp_kinds[c], du_kinds[c]) for c in cols if sp_kinds[c] != du_kinds[c]
+        c: (sp_kinds.get(c), du_kinds.get(c))
+        for c in set(cols) | set(duck_cols)
+        if sp_kinds.get(c) != du_kinds.get(c)
     }
+    rec["schema_match"] = sorted(duck_cols) == sorted(cols) and not kind_mism
+    assert sorted(duck_cols) == sorted(cols), (
+        f"{name}: column mismatch spark={cols} duck={duck_cols}"
+    )
+    spark_rows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    duck_rows = [
+        tuple(r) for r in odf[cols].itertuples(index=False, name=None)
+    ]
     assert not kind_mism, (
         f"{name}: pandas dtype-kind mismatch (driver hash would differ): {kind_mism}"
     )
 
     got = normalize(spark_rows, list(range(len(cols))))
     exp = normalize(duck_rows, list(range(len(cols))))
+    rec["hash_match"] = got == exp
     assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
     mism = [(g, e) for g, e in zip(got, exp) if g != e]
     assert not mism, f"{name}: {len(mism)} mismatching rows; first: {mism[0]}"
