@@ -929,6 +929,29 @@ def q_media_featurize(spark, sf_dir):
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """Distributed image resize on the in-repo codecs: every decodable
+    payload (the real-PNG third of the mixed corpus) comes back as an 8x8
+    nearest-neighbor PNG (multimodal.resize_media -> imaging.png_decode /
+    png_encode); undecodable payloads yield NULL (quarantine). The twin is
+    the MATERIALIZED pure-Python run of the same synth + resize kernels
+    (stage_media_expected), so the md5 match certifies decode -> resample
+    -> re-encode byte-for-byte over identical inputs."""
+    from enem_spark.multimodal import (
+        RESIZE_PARITY_H,
+        RESIZE_PARITY_W,
+        resize_media,
+        synth_media_frame,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    return resize_media(
+        synth_media_frame(docs), RESIZE_PARITY_W, RESIZE_PARITY_H
+    ).select("media_id", "resized_md5", "n_resized_bytes")
+
+
 def q_media_frame_sample(spark, sf_dir):
     from enem_spark.multimodal import frame_sample
 
@@ -2074,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "media_featurize": q_media_featurize,
+        "media_resize": q_media_resize,
         "media_frame_sample": q_media_frame_sample,
         "html_main_content": q_html_main_content,
         "html_strip_tags": q_html_strip_tags,
@@ -4990,6 +5014,13 @@ SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
        ROUND(CAST(px_mean AS DOUBLE), 6) AS px_mean,
        ROUND(CAST(px_std AS DOUBLE), 6) AS px_std,
        ROUND(CAST(px_entropy AS DOUBLE), 6) AS px_entropy
+FROM read_parquet('{media_expected}')
+""",
+        # resize twin: MATERIALIZED from the same staged parquet — the
+        # pure-Python resize_image run over identical synth payloads
+        "media_resize": f"""
+SELECT CAST(media_id AS BIGINT) AS media_id, resized_md5,
+       CAST(n_resized_bytes AS BIGINT) AS n_resized_bytes
 FROM read_parquet('{media_expected}')
 """,
         # documents.text is pure ASCII (asserted in tests), so VARCHAR

@@ -74,6 +74,12 @@ class ExtractorConfig:
     # dropDuplicatesWithinWatermark, and the extra url shuffle is not free —
     # enable for batch runs over raw re-crawled corpora.
     dedup_pages: bool = False
+    # plain-window variant: number on a narrow (doc_id, page_idx, q_count)
+    # projection and broadcast the numbers back so wide page rows never
+    # shuffle (see with_page_numbering). Opt-in: the broadcast bounds it
+    # to driver-sized page-count tables; benched in BENCH.md "Numbering
+    # shuffle A/B". Ignored when salting engages.
+    numbering_narrow: bool = False
 
     def __post_init__(self):
         if self.output_type not in ("txt", "json", "markdown"):
@@ -301,6 +307,7 @@ def with_page_numbering(
     salt_chunk_size: int = 0,
     cache: bool = True,
     persist_to: list | None = None,
+    narrow_window: bool = False,
 ) -> DataFrame:
     """page_first_question = 1 + questions on earlier pages of the document.
 
@@ -310,7 +317,18 @@ def with_page_numbering(
     reproduce the same value without ever sorting a whole pathological
     document inside one task. The input is persisted in salted mode because
     it feeds both sides of the offsets join — without it the page-UDF
-    subtree upstream would execute twice."""
+    subtree upstream would execute twice.
+
+    ``narrow_window`` (plain mode only): evaluate the window on a
+    (doc_id, page_idx, q_count) projection and broadcast-join the numbers
+    back, so the WIDE page rows (text + candidate structs) never cross an
+    exchange — the doc_id shuffle ships 3 ints per page instead of whole
+    pages. Bandwidth-bound hosts win; the explicit broadcast bounds the
+    mode to corpora whose (doc_id, page_idx) table fits the driver
+    (~12 bytes/page — hundreds of millions of pages), so it stays opt-in
+    rather than the 10^12-scale default. The input feeds both join sides:
+    pass persist_to (same ownership contract as salted mode) or the page
+    UDF runs twice."""
     if salt_chunk_size == AUTO_SALT:
         # direct callers get the probe on this frame; extract_pages /
         # lineage pre-resolve on a cheaper (pre-UDF or persisted) frame
@@ -321,6 +339,23 @@ def with_page_numbering(
             .orderBy("page_idx")
             .rowsBetween(W.unboundedPreceding, -1)
         )
+        if narrow_window:
+            if cache and persist_to is not None:
+                from pyspark import StorageLevel
+
+                pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
+                persist_to.append(pages)
+            nums = (
+                pages.select("doc_id", "page_idx", "q_count")
+                .withColumn(
+                    "page_first_question",
+                    (
+                        F.coalesce(F.sum("q_count").over(w), F.lit(0)) + 1
+                    ).cast("int"),
+                )
+                .drop("q_count")
+            )
+            return pages.join(F.broadcast(nums), ["doc_id", "page_idx"])
         return pages.withColumn(
             "page_first_question",
             (F.coalesce(F.sum("q_count").over(w), F.lit(0)) + 1).cast("int"),
@@ -520,7 +555,10 @@ def extract_pages(
     # resolve AUTO salting on the PRE-UDF frame: the probe then scans only
     # the url-derived doc_id column, never the page UDF subtree
     chunk = resolve_salt_chunk(pv, cfg.salt_chunk_size)
-    counted = with_page_numbering(paged, chunk, persist_to=persist_to)
+    counted = with_page_numbering(
+        paged, chunk, persist_to=persist_to,
+        narrow_window=cfg.numbering_narrow,
+    )
     return counted
 
 

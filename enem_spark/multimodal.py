@@ -37,6 +37,10 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_DIM = 8
+# driver-parity resize target: small enough that the 8x8 PNG re-encode is
+# cheap per row, big enough to exercise both axes of the resampler
+RESIZE_PARITY_W = 8
+RESIZE_PARITY_H = 8
 
 
 def sniff_media(payload: bytes) -> dict:
@@ -244,14 +248,79 @@ def frame_sample(
     )
 
 
-def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """Image-resize placeholder: real impl needs PIL (absent here).
+def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes | None:
+    """REAL image resize on the in-repo codecs: decode (PNG/baseline JPEG
+    via decode_pixels), deterministic nearest-neighbor resample (center
+    sampling, pure integer index math — no interpolation-rounding drift
+    between platforms), re-encode as PNG via imaging.png_encode. Returns
+    None for payloads the repo can't decode (quarantine semantics)."""
+    import numpy as np
 
-    The deterministic stand-in keeps the contract (binary -> binary whose
-    length encodes target dims) so pipeline plumbing stays testable."""
-    raise NotImplementedError(
-        "image resize requires PIL/libvips, not present in this container; "
-        "the frame_sample/featurize plumbing is the tested surface"
+    from . import imaging
+
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError("resize_image: target dims must be positive")
+    dec = decode_pixels(payload)
+    if dec is None:
+        return None
+    w, h, ch, samples = dec
+    arr = np.frombuffer(samples, dtype=np.uint8)
+    n = w * h * ch
+    if arr.size < n:
+        arr = np.concatenate([arr, np.zeros(n - arr.size, dtype=np.uint8)])
+    arr = arr[:n].reshape(h, w, ch)
+    ys = ((np.arange(target_h) * 2 + 1) * h) // (2 * target_h)
+    xs = ((np.arange(target_w) * 2 + 1) * w) // (2 * target_w)
+    out = arr[ys][:, xs]
+    return imaging.png_encode(target_w, target_h, out.tobytes(), ch)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("n_resized_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas batch resize: decodable payloads come back as
+    target-sized PNGs (resize_image), undecodable ones as NULL rows —
+    one Arrow pass, no shuffle, same partitioning contract as
+    featurize_media."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf[payload_col].map(
+                lambda b: resize_image(bytes(b), target_w, target_h)
+                if b is not None
+                else None
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "resized": resized,
+                    "resized_md5": resized.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                        if b is not None
+                        else None
+                    ),
+                    "n_resized_bytes": resized.map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                }
+            )
+
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, RESIZE_SCHEMA
     )
 
 
@@ -351,6 +420,7 @@ def stage_media_expected(sf_dir: str) -> str:
         # the SAME shared feature function the Spark UDF runs — pixel-real
         # for the PNG third of the corpus, digest fake for the rest
         feats = media_feature_vector(payload, deterministic_fake=True)
+        rz = resize_image(payload, RESIZE_PARITY_W, RESIZE_PARITY_H)
         recs.append(
             {
                 "media_id": int(doc_id),
@@ -361,6 +431,8 @@ def stage_media_expected(sf_dir: str) -> str:
                 "px_mean": feats[0],
                 "px_std": feats[1],
                 "px_entropy": feats[4],
+                "resized_md5": hashlib.md5(rz).hexdigest() if rz else None,
+                "n_resized_bytes": len(rz) if rz else 0,
             }
         )
     pd.DataFrame(recs).to_parquet(path, index=False)

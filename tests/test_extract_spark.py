@@ -238,6 +238,32 @@ def test_salted_numbering_equals_plain(spark, pages_df):
     )
 
 
+def test_narrow_numbering_equals_plain(spark, pages_df):
+    """The narrow-projection + broadcast-join variant must be value-identical
+    to the plain window (it is a pure shuffle-payload optimization), and the
+    broadcast join must not drop or duplicate pages."""
+    plain = ExtractorConfig(output_type="json", salt_chunk_size=0)
+    narrow = ExtractorConfig(
+        output_type="json", salt_chunk_size=0, numbering_narrow=True
+    )
+    a = extract_pages(pages_df, plain).select(
+        "url", "page_first_question"
+    ).collect()
+    owned = []
+    b = extract_pages(pages_df, narrow, persist_to=owned).select(
+        "url", "page_first_question"
+    ).collect()
+    for df in owned:
+        df.unpersist()
+    assert sorted((r["url"], r["page_first_question"]) for r in a) == sorted(
+        (r["url"], r["page_first_question"]) for r in b
+    )
+    # end-to-end: full question extraction agrees too
+    qa = extract_questions(pages_df, plain).select("ID", "question_text").collect()
+    qb = extract_questions(pages_df, narrow).select("ID", "question_text").collect()
+    assert sorted(map(tuple, qa)) == sorted(map(tuple, qb))
+
+
 def test_extracted_page_text_per_url(spark, docs, pages_df):
     """north_rule per-row invariant: byte-identical extracted text per url."""
     cfg = ExtractorConfig()

@@ -252,6 +252,31 @@ def test_media_feature_vector_real_pixels_for_png():
     assert multimodal.media_feature_vector(txt, deterministic_fake=False) is None
 
 
+def test_resize_image_nearest_neighbor_exact():
+    from enem_spark import multimodal
+    import numpy as np
+
+    # 4x2 RGB with distinct per-pixel values: downsample to 2x1 must pick
+    # the center-sampled pixels exactly (ys=[1], xs=[1,3] for h 2->1, w 4->2)
+    src = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    png = imaging.png_encode(4, 2, src.tobytes(), 3)
+    out = multimodal.resize_image(png, 2, 1)
+    w, h, ch, samples = imaging.png_decode(out)
+    assert (w, h, ch) == (2, 1, 3)
+    got = np.frombuffer(samples, np.uint8).reshape(1, 2, 3)
+    assert (got[0, 0] == src[1, 1]).all() and (got[0, 1] == src[1, 3]).all()
+    # upscale round-trips through the same integer map (no crash, exact dims)
+    up = multimodal.resize_image(png, 9, 5)
+    assert imaging.png_parse(up)["width"] == 9
+    assert imaging.png_parse(up)["height"] == 5
+    # undecodable -> None (quarantine), bad target -> error
+    assert multimodal.resize_image(b"not an image", 2, 2) is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.resize_image(png, 0, 2)
+
+
 def test_jpeg_parse_stops_at_sos_without_sof():
     # SOS before any SOF: the walk must NOT continue into entropy-coded
     # data (stuffed 0xFF bytes look like segments and once yielded garbage
