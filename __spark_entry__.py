@@ -1037,7 +1037,9 @@ def q_html_host_pagerank(spark, sf_dir):
     # semantics, not just the row count
     from enem_spark import htmlops
 
-    return htmlops.host_pagerank(_html_pages(spark, sf_dir))
+    # driver-owned persist: the harness clearCache between queries is the
+    # unpersist (persist-with-owner — the owner here is the driver run)
+    return htmlops.host_pagerank(_html_pages(spark, sf_dir), persist_to=[])
 
 
 def q_html_host_components(spark, sf_dir):
@@ -1055,7 +1057,8 @@ def q_html_curate(spark, sf_dir):
     # side) + unrolled-PageRank host prior (computing side) + keep rule
     from enem_spark import htmlops
 
-    return htmlops.curate_main_content(_html_pages(spark, sf_dir))
+    # driver-owned persist (released by the harness clearCache per query)
+    return htmlops.curate_main_content(_html_pages(spark, sf_dir), persist_to=[])
 
 
 def q_html_anchor_texts(spark, sf_dir):
