@@ -203,6 +203,24 @@ def test_png_decode_roundtrips_png_encode():
         assert samples == src
 
 
+def test_png_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        ch=st.integers(1, 4),
+        seed=st.binary(min_size=1, max_size=8),
+    )
+    def check(w, h, ch, seed):
+        src = _rng_bytes(seed, w * h * ch)
+        got = imaging.png_decode(imaging.png_encode(w, h, src, ch))
+        assert got == (w, h, ch, src)
+
+    check()
+
+
 def test_png_decode_palette_and_rejects():
     import struct as st
     import zlib
@@ -362,6 +380,39 @@ def test_jpeg_decode_hand_assembled_dc_only():
     assert (w, h, ch) == (8, 8, 1)
     expect = round(128 / 8 + 128)  # c(0)^2/4 * DC = DC/8, level-shifted
     assert set(samples) == {expect}
+
+
+def test_media_feature_vector_real_pixels_for_jpeg():
+    """decode_pixels' JPEG branch: the hand-assembled DC-only JPEG above
+    decodes to a flat 144 plane, so the feature vector must be the exact
+    pixel stats (mean 144/255, std 0, entropy 0) — not the digest fake."""
+    import struct as _s
+
+    from enem_spark import multimodal
+
+    counts = bytes([0, 1] + [0] * 14)
+    dht_dc = b"\x00" + counts + bytes([4])
+    dht_ac = b"\x10" + counts + bytes([0])
+    dqt = b"\x00" + bytes([16] * 64)
+    sof = _s.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    entropy = bytes([0b00100000, 0b00111111])
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+
+    jpg = (
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC4, dht_dc) + seg(0xC4, dht_ac)
+        + seg(0xC0, sof) + seg(0xDA, sos) + entropy + b"\xff\xd9"
+    )
+    feats = multimodal.media_feature_vector(jpg)
+    assert feats == multimodal.pixel_features(8, 8, 1, bytes([144]) * 64)
+    assert feats[0] == round(144 / 255.0, 6)
+    assert feats[1] == 0.0 and feats[4] == 0.0
+    assert feats != multimodal.decode_stub(jpg, True)
+    # resize rides the same decode: 8x8 gray -> 2x2 flat PNG
+    rz = multimodal.resize_image(jpg, 2, 2)
+    assert imaging.png_decode(rz) == (2, 2, 1, bytes([144]) * 4)
 
 
 def test_idct_basis_inverts_forward_dct():
