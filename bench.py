@@ -728,7 +728,8 @@ def run_bench(sf_dir: str, cpus: str, extract_only: bool = False) -> dict:
         output_type="json",
         # A/B hook for the numbering-shuffle experiment (BENCH.md): ship
         # 3 ints per page through the doc_id exchange instead of whole rows
-        numbering_narrow=bool(os.environ.get("SPARK_GRAFT_NUMBERING_NARROW")),
+        numbering_narrow=os.environ.get("SPARK_GRAFT_NUMBERING_NARROW", "")
+        not in ("", "0"),
     )
     # warm EVERY core's Python worker + the broadcast machinery with one full
     # untimed pass (a limit() warmup only touches one partition, leaving the
@@ -954,7 +955,10 @@ def run_numbering_ab(
             cells = {}
             probe_before = _mp_probe(min(cpus, os.cpu_count() or 8))
             for mode, env in (
-                ("plain", {}),
+                # plain explicitly CLEARS the flag: a value exported in the
+                # parent shell would otherwise leak through dict(os.environ)
+                # and silently turn the A/B into narrow-vs-narrow
+                ("plain", {"SPARK_GRAFT_NUMBERING_NARROW": ""}),
                 ("narrow", {"SPARK_GRAFT_NUMBERING_NARROW": "1"}),
             ):
                 r = _one_config(sf_dir, cpus, mult, extra_env=env)
@@ -1012,11 +1016,14 @@ def update_numbering_ab_md(summary: dict, path: str = "BENCH.md") -> None:
         "",
         "Matched-probe verdict (most probe-stable trial per level): "
         + ", ".join(f"{k} cores -> {x}x" for k, x in v.items())
-        + ". Adoption rule: flip the default only if narrow wins >=1.10x;",
-        "the broadcast bounds the mode to driver-sized page-count tables,",
-        "so the 10^12-page default stays the plain/salted window either way.",
+        + ". Adoption rule: flip the default only if narrow wins >=1.10x",
+        "(the broadcast additionally bounds the mode to driver-sized",
+        "page-count tables, so it can never be the 10^12-page default).",
         (
-            "Outcome: ADOPTED as default."
+            "Outcome: threshold MET at every level — flip"
+            " ExtractorConfig.numbering_narrow to True for bounded corpora"
+            " and update this line once the default lands (the flag itself"
+            " is NOT flipped by this bench)."
             if adopted
             else "Outcome: NOT adopted — plain window stays the default; the"
             " owned MEMORY_AND_DISK persist of the post-UDF frame (needed so"
@@ -1688,7 +1695,7 @@ def main() -> None:
     # None = per-mode default (exam 48 / html 8 / ice 16 / dedup 4); an
     # explicit value is honored by EVERY mode (no sentinel-on-the-default)
     ap.add_argument("--mult", type=int, default=None)
-    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--trials", type=int, default=None)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1697,7 +1704,7 @@ def main() -> None:
     if args.scaling:
         summary = run_scaling(
             sf_dir, args.low, args.high,
-            args.mult if args.mult is not None else 48, args.trials,
+            args.mult if args.mult is not None else 48, args.trials if args.trials is not None else 3,
         )
         write_bench_md(summary)
         print(json.dumps(summary))
@@ -1708,7 +1715,7 @@ def main() -> None:
             args.low,
             args.high,
             args.mult if args.mult is not None else 8,
-            args.trials,
+            args.trials if args.trials is not None else 3,
             flag="--html-extract-only",
         )
         update_html_bench_md(summary)
@@ -1731,7 +1738,7 @@ def main() -> None:
     if args.ice_scaling:
         summary = run_scaling(
             sf_dir, args.low, args.high,
-            args.mult if args.mult is not None else 16, args.trials,
+            args.mult if args.mult is not None else 16, args.trials if args.trials is not None else 3,
             flag="--ice-extract-only",
         )
         update_ice_bench_md(summary)
@@ -1744,7 +1751,7 @@ def main() -> None:
             # the per-page UDF cost, so the exam job's x48 would take an
             # hour per trial without adding signal
             args.mult if args.mult is not None else 4,
-            args.trials,
+            args.trials if args.trials is not None else 3,
             flag="--dedup-extract-only",
         )
         update_dedup_bench_md(summary)
@@ -1759,7 +1766,7 @@ def main() -> None:
             args.low,
             args.high,
             args.mult if args.mult is not None else 4,
-            args.trials,
+            args.trials if args.trials is not None else 3,
             flag="--pdf-extract-only",
         )
         update_pdf_bench_md(summary)
@@ -1777,7 +1784,7 @@ def main() -> None:
             # ~5x the text decode, so the text store's x4 would double
             # trial wall time without adding signal
             args.mult if args.mult is not None else 2,
-            args.trials,
+            args.trials if args.trials is not None else 3,
             flag="--pdfimg-extract-only",
         )
         update_pdfimg_bench_md(summary)
@@ -1796,7 +1803,7 @@ def main() -> None:
         summary = run_numbering_ab(
             sf_dir,
             mult=args.mult if args.mult is not None else 24,
-            trials=args.trials if args.trials != 3 else 2,
+            trials=args.trials if args.trials is not None else 2,
         )
         update_numbering_ab_md(summary)
         print(json.dumps(summary))

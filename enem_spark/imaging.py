@@ -98,10 +98,20 @@ def png_parse(data: bytes) -> dict | None:
 def png_decode(data: bytes):
     """PNG -> (width, height, channels, 8-bit interleaved samples), or None
     when not decodable here (sub-8-bit depth, 16-bit, interlaced,
-    truncated). Composes the kernels the PDF image path already certifies:
-    zlib inflate + :func:`unpredict` (PNG row filters ARE predictor-15
-    rows) + :func:`expand_indexed` for palette images. Palette output is
-    expanded to RGB; tRNS alpha is ignored (features never need it)."""
+    truncated, corrupt). Composes the kernels the PDF image path already
+    certifies: zlib inflate + :func:`unpredict` (PNG row filters ARE
+    predictor-15 rows) + :func:`expand_indexed` for palette images.
+    Palette output is expanded to RGB; tRNS alpha is ignored (features
+    never need it). Quarantine contract: corrupt streams (bad filter
+    bytes, undersized palettes) return None, never raise — one bad
+    payload must not kill a media job."""
+    try:
+        return _png_decode(data)
+    except Exception:
+        return None
+
+
+def _png_decode(data: bytes):
     hdr = png_parse(data)
     if hdr is None or hdr["bit_depth"] != 8:
         return None
@@ -139,7 +149,7 @@ def png_decode(data: bytes):
         return None
     samples = unpredict(raw, 15, ch, 8, w)
     if ctype == 3:
-        if not plte:
+        if len(plte) < 3:  # a palette with zero complete RGB entries
             return None
         return w, h, 3, expand_indexed(samples, plte, 3, len(plte) // 3 - 1)
     return w, h, ch, samples

@@ -244,6 +244,29 @@ def test_png_decode_palette_and_rejects():
         b"\x89PNG\r\n\x1a\n" + imaging._chunk(b"IHDR", ihdr16)
     ) is None
     assert imaging.png_decode(b"\x89PNG\r\n\x1a\ntrunc") is None
+    # quarantine contract: corrupt streams return None, never raise —
+    # a bad filter byte (5) and an undersized palette both previously
+    # threw out of the mapInPandas task and would kill the whole job
+    ihdr_g = st.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bad_filter = (
+        b"\x89PNG\r\n\x1a\n"
+        + imaging._chunk(b"IHDR", ihdr_g)
+        + imaging._chunk(b"IDAT", zlib.compress(b"\x05\x00"))
+        + imaging._chunk(b"IEND", b"")
+    )
+    assert imaging.png_decode(bad_filter) is None
+    tiny_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + imaging._chunk(b"IHDR", st.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + imaging._chunk(b"PLTE", b"\x01\x02")  # <1 full RGB entry
+        + imaging._chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + imaging._chunk(b"IEND", b"")
+    )
+    assert imaging.png_decode(tiny_plte) is None
+    from enem_spark import multimodal
+
+    assert multimodal.media_feature_vector(bad_filter, False) is None
+    assert multimodal.resize_image(bad_filter, 2, 2) is None
 
 
 def test_media_feature_vector_real_pixels_for_png():
