@@ -826,6 +826,28 @@ def q_url_filter(spark, sf_dir):
     return textops.crawl_url_filter(urls)
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """Crawl-url canonicalization (textops.url_canonicalize): 6
+    deterministic variants per doc cycling every rule — tracking params +
+    unsorted query + fragment, default :80/:443 ports, uppercase
+    scheme/host, empty path, fragment containing '?', non-http
+    passthrough, duplicate param names. The DuckDB twin COMPUTES the same
+    rule chain (regexp extracts + list_filter/list_sort), so the hash
+    certifies the normalization itself, not staged output."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM:443/Path/"), sid, F.lit("?utm_source=x&b=2&a=1#frag")))
+        .when(v == 1, F.concat(F.lit("http://"), F.col("source"), F.lit(".example.com:80?z=1&utm_campaign=spring&&y="), sid))
+        .when(v == 2, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/a/"), sid, F.lit("?gclid=abc")))
+        .when(v == 3, F.concat(F.lit("ftp://Files."), F.col("source"), F.lit(".com/"), sid))
+        .when(v == 4, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/b/"), sid, F.lit("#sec?notaquery")))
+        .otherwise(F.concat(F.lit("http://"), F.col("source"), F.lit(".example.com/c/"), sid, F.lit("?b=2&a=1&a=0")))
+    )
+    return textops.url_canonicalize(docs.select("doc_id", url.alias("url")))
+
+
 def q_dedup_clusters(spark, sf_dir):
     # parity LSH config — must mirror the DuckDB twin's candidate set
     return textops.dedup_clusters(
@@ -2072,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_probe_near_dup": q_sig_probe_near_dup,
         "url_canonicalize": q_url_canonicalize,
         "url_filter": q_url_filter,
+        "url_canonicalize": q_url_canonicalize,
         "boilerplate_strip": q_boilerplate_strip,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
@@ -2646,6 +2669,60 @@ classified AS (
   FROM parts
 )
 SELECT doc_id, url, (reason = 'ok') AS keep, reason FROM classified
+"""
+
+
+def _url_canon_sql() -> str:
+    """Computing twin of textops.url_canonicalize over the same 6
+    synthetic variants: every rule re-derived in DuckDB (regexp extracts,
+    list_filter with the same anchored tracking-param regex, binary
+    list_sort mirroring Spark's array_sort)."""
+    trk = textops.URL_TRACKING_PARAM_RE
+    return rf"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/' || CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
+      WHEN 1 THEN 'http://' || source || '.example.com:80?z=1&utm_campaign=spring&&y=' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://' || source || '.example.com/a/' || CAST(doc_id AS VARCHAR) || '?gclid=abc'
+      WHEN 3 THEN 'ftp://Files.' || source || '.com/' || CAST(doc_id AS VARCHAR)
+      WHEN 4 THEN 'https://' || source || '.example.com/b/' || CAST(doc_id AS VARCHAR) || '#sec?notaquery'
+      ELSE 'http://' || source || '.example.com/c/' || CAST(doc_id AS VARCHAR) || '?b=2&a=1&a=0'
+    END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    regexp_matches(url, '^[Hh][Tt][Tt][Pp][Ss]?://') AS is_http,
+    split_part(url, '#', 1) AS pre
+  FROM urls
+),
+comp AS (
+  SELECT doc_id, url, is_http,
+    lower(regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(pre, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS rawhost,
+    regexp_extract(pre, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(pre, '\?(.*)', 1) AS query
+  FROM parts
+),
+norm AS (
+  SELECT doc_id, url, is_http, scheme,
+    CASE
+      WHEN scheme = 'http' AND rawhost LIKE '%:80' THEN regexp_replace(rawhost, ':80$', '')
+      WHEN scheme = 'https' AND rawhost LIKE '%:443' THEN regexp_replace(rawhost, ':443$', '')
+      ELSE rawhost
+    END AS host,
+    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+    list_sort(list_filter(str_split(query, '&'),
+              p -> p <> '' AND NOT regexp_matches(p, '{trk}'))) AS kept
+  FROM comp
+)
+SELECT doc_id, url,
+  CASE WHEN is_http THEN
+    scheme || '://' || host || path ||
+    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+  ELSE url END AS canon_url
+FROM norm
 """
 
 
@@ -4968,6 +5045,7 @@ FROM read_parquet('{pack_expected}')
         "sig_probe_near_dup": _incr_minhash_sql(0.5),
         "url_canonicalize": _URL_CANON_SQL,
         "url_filter": _url_filter_sql(),
+        "url_canonicalize": _url_canon_sql(),
         "boilerplate_strip": _BOILER_SQL,
         "pii_scrub": _PII_SQL,
         "decontaminate": _DECON_SQL,

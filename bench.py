@@ -155,6 +155,7 @@ HEADLINE = [
     "numbering_gaps",
     "unicode_normalize",
     "url_filter",
+    "url_canonicalize",
     "dup_span_stats",
     "dedup_spans_clean",
     "warc_ingest",

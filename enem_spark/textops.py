@@ -1698,6 +1698,66 @@ def crawl_url_filter(
     )
 
 
+# tracking params stripped by url_canonicalize: the industry-standard
+# click/campaign identifiers that fragment one logical page into millions
+# of distinct crawl urls. Matched as whole param NAMES (before '=').
+URL_TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|ref_src|mc_cid|mc_eid)(=.*)?$"
+
+
+def url_canonicalize(urls: DataFrame) -> DataFrame:
+    """(doc_id, url) -> (doc_id, url, canon_url): the crawl-frontier /
+    dedup-key normalization every CC-scale pipeline runs before exact
+    URL dedup — without it one logical page appears under millions of
+    tracking-param / fragment / port variants and survives url-level
+    dedup.
+
+    Rules (deterministic, order-independent output): lowercase scheme and
+    host; drop the fragment; drop default ports (:80 http, :443 https);
+    empty path -> '/'; drop tracking params (URL_TRACKING_PARAM_RE) and
+    empty params; SORT surviving params byte-wise (param order never
+    distinguishes pages); drop the '?' when nothing survives. Non-http(s)
+    urls pass through verbatim (canonicalizing mailto:/ftp: is not this
+    operator's contract).
+
+    Scale: pure projection — regexp extracts + one array filter/sort over
+    the (short) query params, all whole-stage codegen; no shuffle, no UDF,
+    free at 10^12 urls. The DuckDB twin re-computes every rule with the
+    same regexes (list_filter + list_sort mirror filter + array_sort), so
+    the hash certifies the rule chain itself."""
+    url = F.col("url")
+    is_http = url.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://")
+    pre = F.substring_index(url, "#", 1)  # fragment gone
+    scheme = F.lower(F.regexp_extract(pre, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(pre, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, r":80$", ""),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, r":443$", ""),
+    ).otherwise(host)
+    path = F.regexp_extract(pre, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    # pre is already fragment-free, so the query is everything after the
+    # FIRST '?' (leftmost match in both regex engines)
+    query = F.regexp_extract(pre, r"\?(.*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(URL_TRACKING_PARAM_RE),
+        )
+    )
+    qtail = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), host, path, qtail)
+    return urls.select(
+        "doc_id",
+        "url",
+        F.when(is_http, canon).otherwise(url).alias("canon_url"),
+    )
+
+
 # Exact-substring dedup window (token granularity). 50 tokens is the
 # operating point of Lee et al. 2022, "Deduplicating Training Data Makes
 # Language Models Better" (their suffix-array threshold, rebuilt here as a

@@ -412,6 +412,47 @@ def test_crawl_url_filter_hand_cases(spark):
         assert got[i] == (keep, reason), (i, got[i], keep, reason)
 
 
+def test_url_canonicalize_hand_cases(spark):
+    """Every normalization rule, one hand case each."""
+    cases = [
+        # lowercase scheme+host, drop :443, drop fragment, strip utm_*,
+        # sort survivors
+        (0, "HTTPS://WWW.Example.COM:443/Path/1?utm_source=x&b=2&a=1#frag",
+         "https://www.example.com/Path/1?a=1&b=2"),
+        # :80 dropped for http, empty path -> '/', empty param dropped
+        (1, "http://h.example.com:80?z=1&utm_campaign=s&&y=2",
+         "http://h.example.com/?y=2&z=1"),
+        # all params tracking -> no '?'
+        (2, "https://h.com/a/1?gclid=abc", "https://h.com/a/1"),
+        # non-http passthrough VERBATIM
+        (3, "ftp://Files.x.com/1", "ftp://Files.x.com/1"),
+        # '?' inside the fragment is not a query
+        (4, "https://h.com/b/1#sec?notaquery", "https://h.com/b/1"),
+        # duplicate names sort byte-wise; :443 kept on http (not default)
+        (5, "http://h.com:443/c?b=2&a=1&a=0", "http://h.com:443/c?a=0&a=1&b=2"),
+        # path casing preserved, non-default port preserved
+        (6, "https://H.com:8443/CaSe", "https://h.com:8443/CaSe"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    got = {
+        r["doc_id"]: r["canon_url"]
+        for r in textops.url_canonicalize(df).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+    # idempotence: canonicalizing the canonical form is a no-op
+    df2 = spark.createDataFrame(
+        [(i, c) for i, c in got.items()], "doc_id long, url string"
+    )
+    got2 = {
+        r["doc_id"]: r["canon_url"]
+        for r in textops.url_canonicalize(df2).collect()
+    }
+    assert got2 == got
+
+
 def test_cap_per_host_quota_and_determinism(spark):
     from enem_spark import textops
 
