@@ -195,6 +195,22 @@ def bpe_encode_stats(
     )
 
 
+def _apply_merge(syms, a: str, b: str) -> list:
+    """One greedy left-to-right non-overlapping application of merge
+    (a, b) — THE merge kernel, shared by the learn twin and the encode
+    twin so an edge-case fix can never desync them."""
+    out: list = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def bpe_reference(word_freqs: dict[str, int], rounds: int = BPE_ROUNDS):
     """Pure-Python reference BPE (test twin): same marker, same greedy
     left-to-right merge, same (count desc, pair asc) tiebreak."""
@@ -212,15 +228,7 @@ def bpe_reference(word_freqs: dict[str, int], rounds: int = BPE_ROUNDS):
         merges.append((rnd, a, b, a + b, cnt))
         new_vocab: dict[tuple[str, ...], int] = {}
         for syms, f in vocab.items():
-            out: list[str] = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
+            out = _apply_merge(syms, a, b)
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
         vocab = new_vocab
     return merges
@@ -237,20 +245,17 @@ def encode_reference(
     where the engine keeps one."""
     import re
 
-    words = [w for w in re.split(r"[ \t\n\f\r]+", text.strip(" \t\n\f\r")) if w]
+    from .textops import TOKEN_WS_RE
+
+    # the strip set is the literal characters of the class (the pattern
+    # string itself holds escape SEQUENCES, so it can't be sliced for
+    # strip); stripping more than the engine's space-only F.trim is
+    # masked by the `if w` filter, which both sides apply
+    words = [w for w in re.split(TOKEN_WS_RE, text.strip(" \t\n\f\r")) if w]
     n_sub = 0
     for w in words:
-        syms = list(w) + ["</w>"]
+        syms: list[str] = list(w) + ["</w>"]
         for a, b in merges:
-            out: list[str] = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
+            syms = _apply_merge(syms, a, b)
         n_sub += len(syms)
     return len(words), n_sub

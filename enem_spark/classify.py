@@ -43,9 +43,23 @@ def nb_classifier(
         "doc_id", "y", F.explode(_tokens(F.col("text"))).alias("term")
     ).filter(F.col("term") != "")
 
-    per_term = tok.groupBy("term").agg(
-        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("cnt_pos"),
-        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("long").alias("cnt_neg"),
+    # ONE aggregation over the exploded stream; per_term re-aggregates the
+    # (doc, y, term) counts, so both consumers sit on the IDENTICAL
+    # hash-partition exchange and ReuseExchange runs the scan + explode
+    # once (grouping straight from `tok` twice built two different
+    # exchanges and re-ran the corpus explode for each — measured 2x the
+    # heaviest stage). y is constant per doc, so the extra grouping key
+    # adds no rows.
+    tf = tok.groupBy("doc_id", "y", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    per_term = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("y"), F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("cnt_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(F.col("tf")))
+        .cast("long")
+        .alias("cnt_neg"),
     )
     totals = per_term.agg(
         F.sum("cnt_pos").cast("long").alias("tot_pos"),
@@ -60,9 +74,6 @@ def nb_classifier(
         ).alias("lr"),
     )
 
-    tf = tok.groupBy("doc_id", "term").agg(
-        F.count("*").cast("long").alias("tf")
-    )
     doc_sum = (
         tf.join(model, "term")
         .groupBy("doc_id")

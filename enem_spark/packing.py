@@ -66,6 +66,12 @@ def pack_bins(
 
 
 def _shard_token_counts(documents: DataFrame, n_shards: int) -> DataFrame:
+    # NOTE: empty/whitespace-only docs count as 1 token (split('') ==
+    # ['']) — the DELIBERATE family-wide convention shared by token_count,
+    # the histograms, the statstore registers, and every DuckDB twin
+    # (changing it would desync committed sketch stores); quality filters
+    # drop empty docs before packing in any real pipeline, so the 1-slot
+    # cost never materializes at scale.
     return documents.select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("long").alias("shard"),
@@ -134,7 +140,9 @@ def stage_pack_expected(
         ORDER BY shard, doc_id
         """
     ).df()
-    frames = []
+    frames = [pd.DataFrame(columns=_PACK_COLS)]  # 0-row base: an empty
+    # documents table stages an empty parquet instead of crashing
+    # pd.concat([]) where the Spark side succeeds
     for shard, grp in counts.groupby("shard"):
         rows = pack_bins(list(zip(grp["doc_id"], grp["n_tokens"])), capacity)
         frames.append(

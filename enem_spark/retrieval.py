@@ -42,7 +42,21 @@ def bm25_search(
     score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
 
     Output: (doc_id, score, rank) — rank 1..k by (score desc, doc_id asc),
-    ties on the ROUNDED score so ranking is engine-portable."""
+    ties on the ROUNDED score so ranking is engine-portable.
+
+    Bag semantics: a term repeated in the query weights its contribution
+    by its multiplicity (standard BM25 — the pure reference in
+    tests/test_retrieval.py loops over terms and counts duplicates), so
+    ['spark', 'spark'] scores spark-heavy docs twice as high as
+    ['spark']. Distinct-term queries are unaffected (weight 1.0 is exact
+    in float multiplication)."""
+    from collections import Counter
+
+    qweights = Counter(query_terms)
+    weights = documents.sparkSession.createDataFrame(
+        [(t, float(c)) for t, c in qweights.items()],
+        "term string, qweight double",
+    )
     dl = documents.select(
         "doc_id", F.size(_tokens(F.col("text"))).alias("dl")
     )
@@ -53,7 +67,7 @@ def bm25_search(
         documents.select(
             "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
         )
-        .filter(F.col("term").isin(list(query_terms)))
+        .filter(F.col("term").isin(list(qweights)))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
@@ -61,13 +75,17 @@ def bm25_search(
         tf.groupBy("term")
         .agg(F.count("*").cast("long").alias("df"))
         .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(weights), "term")
         .select(
             "term",
             "avgdl",
-            F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.col("qweight")
             ).alias("idf"),
         )
     )

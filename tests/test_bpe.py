@@ -11,7 +11,7 @@ from __future__ import annotations
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
-from enem_spark import bpe
+from enem_spark import bpe, textops
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -56,7 +56,10 @@ def test_corpus_merges_match_reference(spark):
     freqs = {
         r.w: r.freq
         for r in docs.select(
-            F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+            # the EXPLICIT class, never \s+ (CLAUDE.md tokenizer rule):
+            # Java \s includes \x0B and would desync this reference freq
+            # table from the engine's split if the corpus ever carries one
+            F.explode(F.split(F.trim("text"), textops.TOKEN_WS_RE)).alias("w")
         )
         .filter(F.col("w") != "")
         .groupBy("w")

@@ -73,3 +73,21 @@ def test_nb_default_label_is_lang_en(spark):
     )
     got = {r.doc_id: r.pred for r in nb_classifier(df).collect()}
     assert got[1] and not got[2]
+
+
+def test_nb_explode_shuffle_reused(spark):
+    """The corpus explode must feed ONE exchange consumed by both the
+    vocabulary counts and the per-doc tf table (per_term re-aggregates the
+    (doc, y, term) counts): AQE's final plan must contain a ReusedExchange,
+    or the heaviest stage (scan + split + explode) runs twice."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("pt")
+    )
+    out = nb_classifier(docs)
+    out.collect()  # finalize the adaptive plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, "explode exchange not shared"

@@ -57,6 +57,32 @@ def test_bm25_matches_reference(spark):
     assert order == [d for d in sorted(exp, key=lambda d: (-exp[d], d))][:4]
 
 
+def test_bm25_duplicate_query_terms_weight_by_multiplicity(spark):
+    """Bag semantics: ['hash','hash','spark'] weights hash's contribution
+    2x — matching the reference loop, which visits the duplicate — instead
+    of silently collapsing to the distinct set."""
+    texts = {
+        1: "spark shuffles the hash join across the cluster",
+        2: "hash hash hash everywhere",
+        4: "the spark window hash trio appears once each",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    terms = ["hash", "hash", "spark"]
+    got = {
+        r.doc_id: r.score for r in retrieval.bm25_search(df, terms, k=3).collect()
+    }
+    exp = _bm25_reference(texts, terms)
+    assert set(got) == set(exp)
+    for d in exp:
+        assert abs(got[d] - exp[d]) < 1e-6, (d, got[d], exp[d])
+    # and the weighting really changed the outcome vs the distinct query
+    got_distinct = {
+        r.doc_id: r.score
+        for r in retrieval.bm25_search(df, ["hash", "spark"], k=3).collect()
+    }
+    assert got[2] > got_distinct[2]
+
+
 def test_bm25_topk_truncates(spark):
     df = spark.createDataFrame(
         [(i, "common term text") for i in range(20)], ["doc_id", "text"]
