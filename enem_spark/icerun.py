@@ -135,12 +135,9 @@ def _mark_noop_run(spark: SparkSession, out_dir: str, run_id: str) -> None:
     marker would make those orphan rows committed-visible (the CLAUDE.md
     stale-dir invariant), so clear them first, exactly like
     lineage.run_extraction does for tables an attempt did not write."""
-    import shutil
-
-    for table in ("main_content", "anchors", "processed_docs", "lineage"):
-        stale = f"{out_dir}/{table}/run_id={run_id}"
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    lineage.clear_stale_run_dirs(
+        out_dir, run_id, ("main_content", "anchors", "processed_docs", "lineage")
+    )
     lineage.append_run_marker(spark, out_dir, run_id)
 
 

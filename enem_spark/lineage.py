@@ -66,19 +66,6 @@ INSTRUMENTED_SCHEMA = T.StructType(
     ]
 )
 
-LINEAGE_SCHEMA = T.StructType(
-    [
-        T.StructField("run_id", T.StringType()),
-        T.StructField("part_id", T.IntegerType()),
-        T.StructField("input_pages", T.LongType()),
-        T.StructField("marker_pages", T.LongType()),
-        T.StructField("q_candidates", T.LongType()),
-        T.StructField("parse_failures", T.LongType()),
-        T.StructField("wall_ms", T.DoubleType()),
-    ]
-)
-
-
 def instrumented_page_stage(pv: DataFrame, cfg: ExtractorConfig) -> DataFrame:
     """Page UDF + metrics in ONE Arrow crossing.
 
@@ -125,6 +112,29 @@ def partition_lineage(paged: DataFrame) -> DataFrame:
     )
 
 
+def require_local_store(out_dir: str) -> None:
+    """The commit protocol (runs-marker gating, stale-dir clearing, the
+    icetable O_EXCL version files) runs on DRIVER-LOCAL filesystem
+    semantics. On a URI-schemed store (s3://, hdfs://) `os.path` calls
+    silently return False and the exactly-once layer would DEGRADE to
+    re-extracting everything with no resume — so refuse loudly instead.
+    Deploying against an object store means porting `_exists`/the dir
+    clears to the Hadoop FileSystem API and the icetable version file to
+    a conditional-put catalog (the standard Iceberg-on-S3 answer); a
+    shared POSIX mount (NFS/EFS/Lustre — the usual on-prem layout) works
+    as-is."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", out_dir)
+    if m and m.group(1) != "file":
+        raise ValueError(
+            f"run store '{out_dir}' uses scheme '{m.group(1)}://': the "
+            "commit/resume protocol needs a POSIX path (local disk or a "
+            "shared mount); object-store deployment requires the Hadoop "
+            "FS port described in lineage.require_local_store"
+        )
+
+
 def _exists(path: str) -> bool:
     """True iff the dir holds COMMITTED parquet data Spark will read.
     Files under Spark's in-flight `_temporary` (or any other _-/.-prefixed)
@@ -159,6 +169,21 @@ def derive_replay_run_id(committed_ids, base_id: str) -> str:
         return base_id
     n = 1 + sum(1 for i in committed_ids if i.startswith(f"{base_id}f"))
     return f"{base_id}f{n:06d}"
+
+
+def clear_stale_run_dirs(out_dir: str, run_id: str, tables) -> None:
+    """Delete ``<table>/run_id=<id>`` dirs a crashed prior attempt of the
+    SAME id may have written but this attempt did not — the other half of
+    the commit protocol beside :func:`append_run_marker`, single-sourced
+    for the same reason (a per-site hand copy that misses a table makes a
+    crashed attempt's orphan rows committed-visible). Call immediately
+    BEFORE the marker append with the tables this attempt did NOT write."""
+    import shutil
+
+    for table in tables:
+        stale = f"{out_dir}/{table}/run_id={run_id}"
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
 
 
 RUNS_MARKER_SCHEMA = "run_id string, input_pages long, questions_written long"
@@ -245,10 +270,22 @@ def run_extraction(
     a crashed run (same run_id — what foreachBatch retries do) is
     idempotent; the ``runs`` marker append is the commit point, and resume
     (`processed_doc_ids`) plus readers (`committed_questions`) only trust
-    committed runs. run_id must be unique per logical unit of work.
+    committed runs. run_id must be unique per logical unit of work —
+    enforced here: a run_id that is ALREADY COMMITTED is re-derived to the
+    deterministic replay scheme (`derive_replay_run_id`) instead of
+    overwriting the committed run's outputs in place (re-running a CLI
+    command over grown input previously destroyed the first run's rows);
+    crashed attempts (uncommitted id) keep their id and overwrite, which
+    is the retry protocol. The summary reports the EFFECTIVE run_id.
 
     Calling again over the same pages with a NEW run_id is a no-op: every
     document already committed is anti-joined away and nothing is written."""
+    require_local_store(out_dir)
+    prior = committed_run_ids(spark, out_dir)
+    if prior is not None:
+        run_id = derive_replay_run_id(
+            {r["run_id"] for r in prior.collect()}, run_id
+        )
     if cfg.dedup_pages:
         # the batch entry point must honor the flag exactly like
         # extract_pages does — a duplicated re-crawl page otherwise doubles
@@ -373,8 +410,6 @@ def run_extraction(
         # nothing). Committing below without clearing would make the stale
         # rows visible as this run's output — the overwrite used to do this
         # implicitly, but an empty write writes no files.
-        import shutil
-
         written = {
             "questions": n_pages > 0 and n_questions > 0,
             "lineage": n_pages > 0,
@@ -382,10 +417,9 @@ def run_extraction(
             "quarantine": n_quarantined > 0,
             "images": n_pages > 0 and cfg.process_images and n_images > 0,
         }
-        for table, wrote in written.items():
-            stale = f"{out_dir}/{table}/run_id={run_id}"
-            if not wrote and os.path.exists(stale):
-                shutil.rmtree(stale)
+        clear_stale_run_dirs(
+            out_dir, run_id, [t for t, wrote in written.items() if not wrote]
+        )
 
         # COMMIT POINT — everything above is invisible to resume/readers
         # until this tiny append lands. Quarantine-only runs commit too:
@@ -538,7 +572,19 @@ def run_html_extraction(
     mis-ranks replay-suffixed run ids (stream batch ids are NOT monotonic
     across checkpoint incarnations — warc_ts is, which is why the stream
     log carries it while icerun's snapshot-sequenced log does not need
-    to)."""
+    to).
+
+    Same committed-id guard as run_extraction: an already-COMMITTED
+    run_id re-derives to the replay scheme instead of overwriting that
+    run's outputs (callers that pre-derive — the html stream, icerun —
+    always pass an uncommitted id, so the guard is an identity for them
+    and their pre-written fetch_log dirs keep their names)."""
+    require_local_store(out_dir)
+    prior = committed_run_ids(spark, out_dir)
+    if prior is not None:
+        run_id = derive_replay_run_id(
+            {r["run_id"] for r in prior.collect()}, run_id
+        )
     work = pages.select("doc_id", "url", "html")
     done = processed_doc_ids(spark, out_dir)
     # definitely-missing detection: prior committed runs exist and the
@@ -574,13 +620,10 @@ def run_html_extraction(
             # run_id's dirs visible, so clear stale orphans a crashed
             # prior attempt of an abandoned incarnation may have left for
             # tables this attempt did not write.
-            import shutil
-
-            for table in ("main_content", "anchors", "lineage",
-                          "processed_docs"):
-                stale = f"{out_dir}/{table}/run_id={run_id}"
-                if os.path.exists(stale):
-                    shutil.rmtree(stale)
+            clear_stale_run_dirs(
+                out_dir, run_id,
+                ("main_content", "anchors", "lineage", "processed_docs"),
+            )
             append_run_marker(spark, out_dir, run_id)
             return {
                 "run_id": run_id,
@@ -635,11 +678,7 @@ def run_html_extraction(
         # attempt's log (its callers never flip the flag between attempts
         # of one run id).
         if not with_anchors:
-            import shutil
-
-            stale = f"{out_dir}/anchors/run_id={run_id}"
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
+            clear_stale_run_dirs(out_dir, run_id, ("anchors",))
 
         # COMMIT POINT
         append_run_marker(spark, out_dir, run_id, n_pages, n_pages)

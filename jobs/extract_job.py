@@ -5,8 +5,13 @@ On a real cluster:
 
     spark-submit --master yarn --deploy-mode cluster \
         --py-files enem_spark.zip \
-        jobs/extract_job.py --input s3://bucket/pages --output s3://bucket/out \
+        jobs/extract_job.py --input s3://bucket/pages --output /mnt/shared/out \
         --run-id 2026-08-17 --salt-chunk-size 4096
+
+(--input may be any Spark-readable URI; --output must be a POSIX path —
+local disk or a shared mount — because the commit/resume protocol uses
+driver-local filesystem semantics. An object-store output raises with
+the porting note in lineage.require_local_store.)
 
 In this sandbox (no cluster manager) the same script runs under plain
 python; the session factory builds local[N] and ships the package zip to
@@ -56,11 +61,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="pages parquet path")
     ap.add_argument("--output", required=True, help="run output dir")
-    ap.add_argument("--run-id", default="run1")
-    ap.add_argument("--output-type", default="json", choices=["txt", "json", "markdown"])
+    ap.add_argument("--run-id", default=None,
+                    help="batch run id (default run1). A run id that is "
+                         "already COMMITTED in --output is automatically "
+                         "re-derived to the replay scheme instead of "
+                         "overwriting the committed run")
+    ap.add_argument("--output-type", default=None, choices=["txt", "json", "markdown"])
     ap.add_argument("--process-images", action="store_true")
     # -1 = auto (skew-probe decides); 0 = plain window; >0 = fixed chunk
-    ap.add_argument("--salt-chunk-size", type=int, default=-1)
+    ap.add_argument("--salt-chunk-size", type=int, default=None)
+    ap.add_argument("--dedup-pages", action="store_true",
+                    help="newest-wins per-url dedup before extraction — "
+                         "enable for batch runs over raw re-crawled "
+                         "corpora (exam pipeline; the html modes dedup "
+                         "by content address / watermark already)")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--html", action="store_true")
     ap.add_argument("--anchors", action="store_true",
@@ -107,11 +121,33 @@ def main() -> None:
     spark = get_spark("enem_spark_extract_job", cores=args.cores)
     spark.sparkContext.setLogLevel("WARN")
     cfg = ExtractorConfig(
-        output_type=args.output_type,
+        output_type=args.output_type or "json",
         process_images=args.process_images,
-        salt_chunk_size=args.salt_chunk_size,
+        salt_chunk_size=(
+            args.salt_chunk_size if args.salt_chunk_size is not None else -1
+        ),
+        dedup_pages=args.dedup_pages,
     )
 
+    # exam-pipeline flags under --html (and --run-id under --streaming,
+    # where batch ids come from the checkpoint) would be silently ignored
+    # while the job prints a success summary — same guard class as the
+    # mode-scoped flags below: error loudly instead
+    if args.html and (
+        args.process_images
+        or args.dedup_pages
+        or args.output_type is not None
+        or args.salt_chunk_size is not None
+    ):
+        ap.error("--process-images/--dedup-pages/--output-type/"
+                 "--salt-chunk-size configure the exam pipeline and do "
+                 "nothing under --html")
+    if args.anchors and not args.html:
+        ap.error("--anchors writes the html pipeline's per-anchor table: "
+                 "--html mode only")
+    if args.streaming and args.run_id is not None:
+        ap.error("--run-id is ignored under --streaming (micro-batch ids "
+                 "derive from the checkpoint); drop the flag")
     if args.iceberg and (args.streaming or not args.html):
         ap.error("--iceberg requires --html batch mode (the snapshot "
                  "watermark IS the tail: re-invoke after each commit)")
@@ -212,13 +248,21 @@ def main() -> None:
                 warc_pages_df = warc_pages(read_warc(spark, args.input))
                 if args.wat_out:
                     warc_pages_df.persist()
+                # duplicate captures inside ONE archive drop (re-dropped
+                # or replayed containers) share the content address; the
+                # resume anti-join only absorbs replays ACROSS committed
+                # runs, so collapse them here or one run commits the same
+                # document twice. Rows with equal doc_id are identical in
+                # every column extraction consumes (url, html), so the
+                # pick is deterministic. WAT export (--wat-out) reads the
+                # RAW frame — the crawl record keeps its duplicates.
                 pages = warc_pages_df.withColumn(
                     "doc_id", F.xxhash64("url", F.md5("html"))
-                )
+                ).dropDuplicates(["doc_id"])
             else:
                 pages = spark.read.parquet(args.input)
             summary = run_html_extraction(
-                spark, pages, args.output, args.run_id,
+                spark, pages, args.output, args.run_id or "run1",
                 with_anchors=args.anchors,
             )
         if args.sig_index:
@@ -351,7 +395,9 @@ def main() -> None:
         from enem_spark.lineage import run_extraction
 
         pages = spark.read.parquet(args.input)
-        summary = run_extraction(spark, pages, cfg, args.output, args.run_id)
+        summary = run_extraction(
+            spark, pages, cfg, args.output, args.run_id or "run1"
+        )
 
     print(json.dumps(summary))
     spark.stop()

@@ -102,6 +102,48 @@ def test_replay_same_run_id_is_idempotent(spark, pages_df, tmp_path):
     assert dups == 0
 
 
+def test_committed_run_id_reuse_never_destroys(spark, pages_df, tmp_path):
+    """Re-running a CLI command with the same --run-id over GROWN input
+    must not overwrite the committed run's outputs: the id re-derives to
+    the replay scheme and the first run's rows survive."""
+    from enem_spark.lineage import committed_questions
+
+    out = str(tmp_path / "reuse")
+    cfg = ExtractorConfig(output_type="json")
+    s1 = run_extraction(spark, pages_df, cfg, out, run_id="r1")
+    n1 = spark.read.parquet(f"{out}/questions").count()
+    assert s1["run_id"] == "r1" and n1 > 0
+
+    bigger = corpus.CorpusConfig(
+        seed=11, n_exams=6, pages_per_exam=6, questions_per_page=2
+    )
+    pages2 = corpus.pages_dataframe(spark, bigger)
+    s2 = run_extraction(spark, pages2, cfg, out, run_id="r1")  # same id!
+    assert s2["run_id"] == "r1f000001"  # re-derived, not overwritten
+    assert s2["input_pages"] > 0
+    combined = committed_questions(spark, out)
+    # run 1's rows survive AND the union equals a fresh full extraction
+    assert combined.count() > n1
+    assert _question_keys(combined) == _question_keys(
+        extract_questions(pages2, cfg)
+    )
+    # third reuse over unchanged input: fresh derived id, nothing to do
+    s3 = run_extraction(spark, pages2, cfg, out, run_id="r1")
+    assert s3["input_pages"] == 0
+
+
+def test_require_local_store_rejects_object_store(spark, pages_df):
+    import pytest as _pytest
+
+    from enem_spark.lineage import require_local_store
+
+    cfg = ExtractorConfig(output_type="json")
+    with _pytest.raises(ValueError, match="s3"):
+        run_extraction(spark, pages_df, cfg, "s3://bucket/out", "r1")
+    require_local_store("/plain/posix/path")  # no raise
+    require_local_store("relative/path")
+
+
 def test_quarantine_table_written(spark, pages_df, tmp_path):
     import pandas as pd
 
