@@ -2708,8 +2708,8 @@ comp AS (
 norm AS (
   SELECT doc_id, url, is_http, scheme,
     CASE
-      WHEN scheme = 'http' AND rawhost LIKE '%:80' THEN regexp_replace(rawhost, ':80$', '')
-      WHEN scheme = 'https' AND rawhost LIKE '%:443' THEN regexp_replace(rawhost, ':443$', '')
+      WHEN scheme = 'http' AND rawhost LIKE '%:80' THEN regexp_replace(rawhost, '(:80)+$', '')
+      WHEN scheme = 'https' AND rawhost LIKE '%:443' THEN regexp_replace(rawhost, '(:443)+$', '')
       ELSE rawhost
     END AS host,
     CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,

@@ -1729,12 +1729,15 @@ def url_canonicalize(urls: DataFrame) -> DataFrame:
     pre = F.substring_index(url, "#", 1)  # fragment gone
     scheme = F.lower(F.regexp_extract(pre, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(pre, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    # (:80)+ / (:443)+, not a single group: junk double-port hosts
+    # ('h.com:80:80') must canonicalize in ONE application or the op
+    # loses idempotence (property-tested)
     host = F.when(
         (scheme == "http") & host.endswith(":80"),
-        F.regexp_replace(host, r":80$", ""),
+        F.regexp_replace(host, r"(:80)+$", ""),
     ).when(
         (scheme == "https") & host.endswith(":443"),
-        F.regexp_replace(host, r":443$", ""),
+        F.regexp_replace(host, r"(:443)+$", ""),
     ).otherwise(host)
     path = F.regexp_extract(pre, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)

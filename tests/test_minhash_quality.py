@@ -453,6 +453,43 @@ def test_url_canonicalize_hand_cases(spark):
     assert got2 == got
 
 
+def test_url_canonicalize_idempotent_and_total_on_junk(spark):
+    """Property sweep in ONE Spark job: for a pile of adversarial URL-ish
+    strings, canonicalization never raises, never yields NULL, and is
+    idempotent (canon(canon(x)) == canon(x))."""
+    junk = [
+        "https://h.com/??a=1?b=2",  # '?' inside the query stays literal
+        "http://h.com#?",  # fragment-only, empty path
+        "HTTP://H.COM:80:80/x",  # malformed double port
+        "https://:443/x",  # empty host
+        "http:///path",  # empty host, path only
+        "https://h.com/a?&&&",  # only empty params
+        "https://h.com/a?utm_source=&ref",  # tracking with/without '='
+        "noscheme/just/a/path",
+        "://bare",
+        "",
+        "https://h.com/%20?b<>=|&a=^",  # unencoded junk chars
+        "ftp://x/../y?utm_source=keepme",  # non-http: verbatim, params kept
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(junk)], "doc_id long, url string"
+    )
+    once = textops.url_canonicalize(df)
+    rows1 = {r["doc_id"]: r["canon_url"] for r in once.collect()}
+    assert all(v is not None for v in rows1.values())
+    again = textops.url_canonicalize(
+        spark.createDataFrame(
+            [(i, c) for i, c in rows1.items()], "doc_id long, url string"
+        )
+    )
+    rows2 = {r["doc_id"]: r["canon_url"] for r in again.collect()}
+    assert rows2 == rows1
+    # the non-http rows really are verbatim
+    for i, u in enumerate(junk):
+        if not u.lower().startswith("http"):
+            assert rows1[i] == u
+
+
 def test_cap_per_host_quota_and_determinism(spark):
     from enem_spark import textops
 
