@@ -487,6 +487,18 @@ def _term_tokens(docs: DataFrame, group_col: str) -> DataFrame:
     )
 
 
+def folded_term_doc_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """(doc_id) cursor of everything the TERM store has folded — the term
+    twin of :func:`folded_doc_ids` (own cursor table and run namespace;
+    the stores share only the runs marker table). Lets callers pre-filter
+    a corpus frame to the unfolded delta before materializing text."""
+    committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_term_runs(spark, out_dir, committed)
+    return _active_table(
+        spark, out_dir, TERM_DOCS_TABLE, _active_term_ids(runs)
+    )
+
+
 def update_term_sketch(
     spark: SparkSession,
     out_dir: str,

@@ -65,13 +65,22 @@ def curate(
     lang: str = "en",
     mojibake: bool = False,
     c4: bool = False,
+    persist_to: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated, audit). curated = surviving documents + split;
-    audit = every input doc_id with (keep, reason, split|NULL)."""
+    audit = every input doc_id with (keep, reason, split|NULL).
+
+    When ``mojibake``/``normalize`` are requested, pass ``persist_to``
+    (persist-with-owner): the repaired frame feeds ~8 downstream stages,
+    and without a cache the Arrow repair kernel re-executes per subtree
+    — main() owns the persist on the CLI path the same way."""
     if mojibake:
         docs = textops.with_repaired_text(docs)
     if normalize:
         docs = textops.with_normalized_text(docs)
+    if (mojibake or normalize) and persist_to is not None:
+        docs = docs.persist()
+        persist_to.append(docs)
 
     base = textops.corpus_curate(docs, lang=lang).select(
         "doc_id", "keep", "reason"
@@ -108,7 +117,12 @@ def curate(
         )
 
     if benchmark is not None:
-        flagged = textops.decontaminate(docs, benchmark).select(
+        # gate on CURRENT survivors: documents the earlier rules dropped
+        # would only waste the 8-gram hash + dedup shuffle (their flag is
+        # discarded — reason applies when keep was still true), same
+        # optimization the c4 comment states for the LSH stage
+        ct_in = docs.join(base.filter(F.col("keep")).select("doc_id"), "doc_id")
+        flagged = textops.decontaminate(ct_in, benchmark).select(
             "doc_id", F.lit("contaminated").alias("ct_reason")
         )
         base = base.join(flagged, "doc_id", "left").select(

@@ -160,6 +160,21 @@ def main() -> None:
         ap.error("--delete-keys needs --delete-seq for its commit sequence")
     if args.zorder is not None and args.zorder_seq is None:
         ap.error("--zorder needs --zorder-seq for its commit sequence")
+    if args.takedown_out and args.delete_keys is None:
+        # silently skipping a requested takedown propagation would leave
+        # the serving view serving the urls while the job reports success
+        ap.error("--takedown-out propagates a takedown: pass "
+                 "--delete-keys/--delete-seq alongside it")
+    # validate --zorder-filter specs at PARSE time: a malformed spec must
+    # not crash the ladder after delete/purge/compact already committed
+    zfilters = []
+    for spec in args.zorder_filter:
+        parts = spec.split(":", 2)
+        if len(parts) != 3:
+            ap.error(f"--zorder-filter '{spec}': expected COL:OP:VALUE")
+        zfilters.append(tuple(parts))
+    if zfilters and args.zorder is None:
+        ap.error("--zorder-filter scopes a --zorder rewrite: pass --zorder")
     if not any(
         [args.compact is not None, args.expire_from is not None,
          args.rollback is not None, args.orphans, args.stats, args.terms,
@@ -233,13 +248,21 @@ def main() -> None:
         )
     if args.compact is not None:
         snap = t.compact(sequence=args.compact)
-        summary["compact"] = {
-            "snapshot_id": snap["snapshot_id"],
-            "compacted_from_files": snap["summary"].get(
-                "compacted_from_files", 0
-            ),
-            "added_files": snap["summary"]["added_files"],
-        }
+        # every-partition-already-one-file: compact() returns the CURRENT
+        # snapshot untouched (whatever operation last committed it) — an
+        # unguarded summary would report that unrelated snapshot's id and
+        # added_files as the compaction's result
+        summary["compact"] = (
+            {"operation": "noop"}
+            if "compacted_from_files" not in snap.get("summary", {})
+            else {
+                "snapshot_id": snap["snapshot_id"],
+                "compacted_from_files": snap["summary"][
+                    "compacted_from_files"
+                ],
+                "added_files": snap["summary"]["added_files"],
+            }
+        )
     if args.zorder is not None:
         def _lit(v: str):
             for cast in (int, float):
@@ -249,14 +272,10 @@ def main() -> None:
                     pass
             return v
 
-        zfilters = []
-        for spec in args.zorder_filter:
-            col, op, val = spec.split(":", 2)
-            zfilters.append((col, op, _lit(val)))
         snap = t.cluster_files(
             [c.strip() for c in args.zorder.split(",") if c.strip()],
             sequence=args.zorder_seq,
-            filters=zfilters or None,
+            filters=[(c, op, _lit(v)) for c, op, v in zfilters] or None,
         )
         summary["zorder"] = (
             snap
@@ -284,21 +303,55 @@ def main() -> None:
         # content-addressed doc_id (icerun's identity): a re-crawl that
         # changes a page folds the new version as a new doc; an unchanged
         # or replayed page is absorbed by the store's cursor anti-join.
-        # dropDuplicates guards against duplicate rows WITHIN a snapshot —
-        # identical doc_id means identical content, so any row serves.
-        # CLI owns the persist (persist-with-owner rule): the O(table)
-        # content-hash + per-doc reduce would otherwise run once per
-        # store when both flags are on. The per-doc pick is min(), not an
-        # arbitrary dropDuplicates row, so reruns and the twin tests
-        # derive identical labels for a duplicated doc_id.
-        docs = (
+        # The identity scan (url + md5(html)) is unavoidably O(table) —
+        # content addressing needs the bytes — but TEXT must only
+        # materialize for the UNFOLDED delta: pre-anti-join the narrow
+        # (doc_id, group) frame against the cursors of the stores being
+        # updated (a doc folded by EVERY one of them can be dropped here;
+        # each update still anti-joins its OWN cursor, so this filter is
+        # purely cost, never correctness), then join text back for the
+        # survivors. Caching the full corpus text per nightly tick — the
+        # previous shape — contradicted the O(delta) contract above.
+        # The per-doc pick is min(), not an arbitrary dropDuplicates row,
+        # so reruns and the twin tests derive identical labels for a
+        # duplicated doc_id.
+        ids = (
             pages.select(
                 F.xxhash64("url", F.md5("html")).alias("doc_id"),
                 F.coalesce(
                     F.col(args.stats_group).cast("string"), F.lit("und")
                 ).alias(args.stats_group),
+            )
+            .groupBy("doc_id")
+            .agg(F.min(args.stats_group).alias(args.stats_group))
+        )
+        cursors = []
+        if args.stats:
+            cursors.append(statstore.folded_doc_ids(spark, args.stats))
+        if args.terms:
+            cursors.append(statstore.folded_term_doc_ids(spark, args.terms))
+        if any(c is None for c in cursors):
+            # some active store is empty: it needs every doc — no pre-drop
+            folded_everywhere = None
+        else:
+            folded_everywhere = cursors[0]
+            for cursor in cursors[1:]:
+                folded_everywhere = folded_everywhere.join(
+                    cursor, "doc_id", "left_semi"
+                )
+        new_ids = (
+            ids
+            if folded_everywhere is None
+            else ids.join(
+                folded_everywhere.select("doc_id"), "doc_id", "left_anti"
+            )
+        )
+        docs = (
+            pages.select(
+                F.xxhash64("url", F.md5("html")).alias("doc_id"),
                 F.coalesce(F.col("text"), F.lit("")).alias("text"),
             )
+            .join(new_ids, "doc_id")
             .groupBy("doc_id")
             .agg(
                 F.min(args.stats_group).alias(args.stats_group),

@@ -247,6 +247,24 @@ def test_ice_maintenance_stats_cli(spark, tmp_path):
     )
     assert sorted(s3["report"], key=lambda r: r["grp"]) == expected
 
+    # asymmetric stores: stats is fully folded, terms starts FRESH — the
+    # CLI's delta pre-filter (drop docs folded by EVERY active store) must
+    # not starve the empty term store of the corpus
+    tstore2 = str(tmp_path / "terms_fresh")
+    p = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "jobs", "ice_maintenance.py"),
+            "--table", tbl, "--stats", store, "--cores", "2",
+            "--terms", tstore2, "--terms-k", "3",
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    o4 = json.loads(p.stdout.strip().splitlines()[-1])
+    assert o4["stats"]["folded"] == 0  # own cursor absorbs everything
+    assert o4["terms"]["folded"] == 11  # fresh store folds the whole corpus
+    assert o4["terms"]["report"] == t3["report"]
+
 
 TKW = dict(
     depth=textops.PARITY_CMS_DEPTH,
