@@ -29,7 +29,7 @@ import random
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
 
-from .layout import IMG_MARKER, PAGE_WIDTH  # one convention, one definition
+from .layout import IMG_MARKER, MIDLINE  # one convention, one definition
 EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 WORDS = (
@@ -232,12 +232,17 @@ def _spans_for_page(rng: random.Random, text: str, has_images: bool) -> list[dic
     lines = text.split("\n")
     half = (len(lines) + 1) // 2
     spans = []
+    # derive column geometry from the ONE midline definition so a layout
+    # constant change moves the corpus with it: left column starts at
+    # MIDLINE-266 (=40), right at MIDLINE+24 (=330); width 240 keeps both
+    # columns' midpoints strictly on their own side of MIDLINE
+    left_x0, right_x0, span_w = MIDLINE - 266.0, MIDLINE + 24.0, 240.0
     for i, line in enumerate(lines):
         col = 0 if i < half else 1
-        x0 = 40.0 if col == 0 else 330.0
+        x0 = left_x0 if col == 0 else right_x0
         y0 = 40.0 + 12.0 * (i if col == 0 else i - half)
         spans.append(
-            {"text": line, "x0": x0, "y0": y0, "x1": x0 + 240.0, "y1": y0 + 10.0}
+            {"text": line, "x0": x0, "y0": y0, "x1": x0 + span_w, "y1": y0 + 10.0}
         )
     if has_images:
         spans.append(

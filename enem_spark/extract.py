@@ -821,8 +821,12 @@ def materialize_images(pages: DataFrame, pv: DataFrame | None = None) -> DataFra
         meta = with_url_metadata(pages.filter(F.col("lang") == "pt"))
         valid, _ = split_quarantine(meta)
         pv = valid.filter((F.col("kind") == "PV") & (F.col("page_idx") >= 1))
-    has_img = F.col("html").isNotNull() & F.col("html").cast("string").contains(
-        IMG_MARKER
+    # both marker forms: raw UTF-8 AND the ensure_ascii JSON escape
+    # (⟦...) — the prefilter must agree with count_image_spans or a
+    # page gets image_refs from the text path with no images row here
+    has_img = F.col("html").isNotNull() & (
+        F.col("html").cast("string").contains(IMG_MARKER)
+        | F.lower(F.col("html").cast("string")).contains("\\u27e6")
     )
     pv = pv.filter(has_img).select("url", "doc_id", "page_idx", "year", "day", "html")
 

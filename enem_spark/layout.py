@@ -17,6 +17,7 @@ Arrow crossing) and be unit-tested without Spark.
 from __future__ import annotations
 
 import json
+import math
 
 IMG_MARKER = "⟦IMG⟧"
 PAGE_WIDTH = 612.0
@@ -33,7 +34,16 @@ def count_image_spans(html: bytes | bytearray | None) -> int:
     path looked."""
     if html is None:
         return 0
-    if bytes(html).count(IMG_MARKER.encode("utf-8")) == 0:
+    raw = bytes(html)
+    # the screen must also pass JSON-ESCAPED markers (ensure_ascii=True
+    # producers emit \u27e6IMG\u27e7): a byte screen blind to the escape
+    # form disagreed with the parsed paths on such payloads — has_images
+    # False here while reconstruct_page counted 1 (dangling image_refs,
+    # the exact divergence this function exists to prevent)
+    if (
+        raw.count(IMG_MARKER.encode("utf-8")) == 0
+        and rb"\u27e6" not in raw.lower()
+    ):
         return 0
     return sum(1 for s in _parse_spans(html) if s["text"] == IMG_MARKER)
 
@@ -50,7 +60,15 @@ def deterministic_pixels(seed: bytes, n: int) -> bytes:
     return bytes(out[:n])
 
 
-def decode_image_span(span: dict, ref: str) -> dict:
+# per-PAGE pixel budget for the stand-in decode: the per-span 4096 clamp
+# bounds one allocation, but hundreds of marker spans each claiming
+# 4096x4096 would still materialize tens of GB in one task — spans past
+# the budget degrade to 1x1 (ref mapping stays 1:1 with the text path's
+# image_refs; only the corrupt page's pixel content degrades)
+PAGE_PIXEL_BUDGET = 4096 * 4096
+
+
+def decode_image_span(span: dict, ref: str, max_pixels: int | None = None) -> dict:
     """The reference's xref->PNG pipeline (enem_pdf_extractor.py:306-331:
     extract_image(xref) -> Pixmap -> strip alpha if present -> CMYK(n==4)
     to RGB -> save PNG) with REAL raster math (enem_spark.imaging —
@@ -74,8 +92,20 @@ def decode_image_span(span: dict, ref: str) -> dict:
     # clamp to a sane page-scale bound: span coordinates are untrusted
     # payload data, and one corrupt x1=1e9 would make the deterministic
     # pixel stream try to materialize gigabytes inside the UDF
-    w = min(4096, max(1, int(abs(span.get("x1", 0.0) - span.get("x0", 0.0)))))
-    h = min(4096, max(1, int(abs(span.get("y1", 0.0) - span.get("y0", 0.0)))))
+    def _dim(a: str, b: str) -> int:
+        d = abs(span.get(b, 0.0) - span.get(a, 0.0))
+        # non-finite deltas (inf coords pass json.loads; inf-inf is NaN)
+        # would raise on int() — degrade to the 1px floor instead of
+        # killing the task (_ok also rejects them upstream; this is the
+        # direct-call guard)
+        if d != d or d == float("inf"):
+            return 1
+        return min(4096, max(1, int(d)))
+
+    w = _dim("x0", "x1")
+    h = _dim("y0", "y1")
+    if max_pixels is not None and w * h > max_pixels:
+        w = h = 1
     channels = 4 if was_cmyk else 3
     src = channels + (1 if has_alpha else 0)
     img = deterministic_pixels(payload, w * h * src)
@@ -102,9 +132,12 @@ def image_spans(html: bytes | bytearray | None, url: str) -> list[dict]:
     spans = _parse_spans(html)
     out = []
     k = 0
+    budget = PAGE_PIXEL_BUDGET
     for s in spans:
         if s["text"] == IMG_MARKER:
-            out.append(decode_image_span(s, f"{url}#img{k}"))
+            rec = decode_image_span(s, f"{url}#img{k}", max_pixels=budget)
+            budget -= rec["width"] * rec["height"]
+            out.append(rec)
             k += 1
     return out
 
@@ -119,7 +152,10 @@ def _parse_spans(html: bytes | bytearray) -> list[dict]:
     crashing the stage."""
     try:
         spans = json.loads(bytes(html).decode("utf-8", "replace"))
-    except ValueError:
+    except (ValueError, RecursionError):
+        # RecursionError: deeply-nested valid JSON (b'['*3000...) blows
+        # the parser's stack — a RuntimeError subclass the bare
+        # ValueError catch let through to kill the stage
         return []
     if not isinstance(spans, list):
         return []
@@ -139,7 +175,10 @@ def _parse_spans(html: bytes | bytearray) -> list[dict]:
                 v = s[k]
                 if isinstance(v, bool) or not isinstance(v, (int, float)):
                     return False
-                if v != v:  # NaN
+                if isinstance(v, float) and not math.isfinite(v):
+                    # NaN poisons comparisons; +-inf overflows the image
+                    # dimension int() — both are valid strict/lenient
+                    # JSON values, both job-killing downstream
                     return False
         return True
 

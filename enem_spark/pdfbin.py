@@ -1000,10 +1000,34 @@ def pdf_to_span_payloads(data: bytes) -> list[bytes]:
     surrogate that slipped through every decode guard (e.g. via a
     ToUnicode dst decoded with utf-16 "replace" semantics) must become
     U+FFFD in the payload, never an executor-killing UnicodeEncodeError."""
-    return [
-        json.dumps(spans, ensure_ascii=False).encode("utf-8", "replace")
-        for spans in decode_pdf_pages(data)
-    ]
+    return [payload for payload, _ in pdf_to_pages(data)]
+
+
+def pdf_to_pages(data: bytes) -> list[tuple[bytes, str]]:
+    """Per-page (span-JSON payload, reading-order text) in ONE decode pass.
+
+    The text equals layout.reconstruct_page(payload)[0] BY CONSTRUCTION
+    (same seq sort, same marker drop, and the span text is round-tripped
+    through the same utf-8 "replace" encode the payload gets, so a
+    surrogate that became U+FFFD in the payload becomes U+FFFD here too
+    — equality is pinned in test_pdfbin). pdfsource previously re-parsed
+    + re-validated the JSON it had just serialized for every page; this
+    derives both columns from the in-memory span list."""
+    from .layout import IMG_MARKER
+
+    out = []
+    for spans in decode_pdf_pages(data):
+        payload = json.dumps(spans, ensure_ascii=False).encode(
+            "utf-8", "replace"
+        )
+        ordered = sorted(spans, key=lambda s: s["seq"])
+        text = "\n".join(
+            s["text"].encode("utf-8", "replace").decode("utf-8")
+            for s in ordered
+            if s["text"] != IMG_MARKER
+        )
+        out.append((payload, text))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -27,8 +27,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..layout import reconstruct_page
-from ..pdfbin import pdf_to_span_payloads
+from ..pdfbin import pdf_to_pages
 from .documents_bridge import PAGES_SCHEMA
 
 
@@ -53,8 +52,8 @@ def pdf_pages_frame(spark: SparkSession, path: str) -> DataFrame:
             rows = []
             for path_, mtime, content in pdf_batch.itertuples(index=False):
                 stem = path_[: -len(".pdf")] if path_.endswith(".pdf") else path_
-                for idx, payload in enumerate(
-                    pdf_to_span_payloads(bytes(content))
+                for idx, (payload, text) in enumerate(
+                    pdf_to_pages(bytes(content))
                 ):
                     rows.append(
                         {
@@ -62,8 +61,10 @@ def pdf_pages_frame(spark: SparkSession, path: str) -> DataFrame:
                             "warc_ts": mtime,
                             "html": payload,
                             # the pages contract's pre-extracted text field
-                            # (build_answer_keys reads it for GB pages)
-                            "text": reconstruct_page(payload)[0],
+                            # (build_answer_keys reads it for GB pages) —
+                            # derived in the same decode pass, equal to
+                            # reconstruct_page(payload)[0] by construction
+                            "text": text,
                             "lang": "pt",
                         }
                     )

@@ -483,3 +483,63 @@ def test_corrupt_span_payload_degrades_not_crashes(spark, pages_df):
     base = extract_questions(pages_df, ExtractorConfig()).count()
     got = extract_questions(noisy, ExtractorConfig()).count()
     assert got == base  # corrupt rows contributed nothing and killed nothing
+
+
+def test_hostile_span_payloads_never_crash(spark):
+    """The review-reproduced crash classes: infinite coordinates (valid
+    JSON, previously OverflowError in the image decode), deeply-nested
+    JSON (previously RecursionError through the 'lenient' parser), and a
+    page claiming hundreds of 4096x4096 images (executor-OOM class —
+    degrades to 1x1 past the page pixel budget)."""
+    import json as _json
+
+    from enem_spark.layout import (
+        PAGE_PIXEL_BUDGET,
+        count_image_spans,
+        image_spans,
+        reconstruct_page,
+    )
+
+    inf_span = (
+        b'[{"text":"\xe2\x9f\xa6IMG\xe2\x9f\xa7","x0":0.0,"y0":0.0,'
+        b'"x1":1e309,"y1":10.0}]'
+    )
+    assert reconstruct_page(inf_span) == ("", 0)  # non-finite rejected
+    assert image_spans(inf_span, "u") == []
+    assert count_image_spans(inf_span) == 0
+
+    nested = b"[" * 3000 + b"]" * 3000
+    assert reconstruct_page(nested) == ("", 0)
+    assert count_image_spans(nested) == 0
+
+    bomb = _json.dumps(
+        [
+            {"text": "⟦IMG⟧", "x0": 0.0, "y0": 0.0, "x1": 4096.0, "y1": 4096.0}
+            for _ in range(8)
+        ]
+    ).encode()
+    imgs = image_spans(bomb, "u")
+    assert len(imgs) == 8  # ref mapping stays 1:1 with the text path
+    total_px = sum(i["width"] * i["height"] for i in imgs)
+    assert total_px <= PAGE_PIXEL_BUDGET + len(imgs) - 1  # 1px floors
+    assert imgs[0]["width"] == 4096 and imgs[1]["width"] == 1  # degrade
+
+
+def test_escaped_marker_agrees_across_paths(spark):
+    """ensure_ascii=True producers escape the marker (\\u27e6IMG\\u27e7):
+    the byte screen, the parsed count, and the reconstruct path must all
+    agree or has_images/image_refs dangle."""
+    import json as _json
+
+    from enem_spark.layout import count_image_spans, reconstruct_page
+
+    payload = _json.dumps(
+        [
+            {"text": "corpo", "x0": 40.0, "y0": 40.0, "x1": 280.0, "y1": 50.0},
+            {"text": "⟦IMG⟧", "x0": 100.0, "y0": 400.0, "x1": 200.0, "y1": 500.0},
+        ],
+        ensure_ascii=True,  # marker becomes \\u27e6IMG\\u27e7 in the bytes
+    ).encode()
+    assert b"\\u27e6" in payload  # escaped form really exercised
+    assert count_image_spans(payload) == 1
+    assert reconstruct_page(payload) == ("corpo", 1)

@@ -142,6 +142,21 @@ def test_seq_mode_preserves_document_order():
     assert text2 == "left col\nright col"  # same here: distinct columns
 
 
+def test_pdf_to_pages_text_equals_reconstruct():
+    """pdf_to_pages derives text in the decode pass; it must equal
+    reconstruct_page over its own payload byte-for-byte — on synthetic
+    PDFs AND every page of a real reference exam."""
+    pages = [["linha um", "linha dois"], ["QUESTÃO 1", "corpo A) x B) y"]]
+    for payload, text in pdfbin.pdf_to_pages(pdfbin.synth_pdf(pages)):
+        assert text == reconstruct_page(payload)[0]
+    with open(f"{PDF_DIR}/2022/2022_GB_impresso_D1_CD1.pdf", "rb") as f:
+        data = f.read()
+    out = pdfbin.pdf_to_pages(data)
+    assert out  # real document decoded
+    for payload, text in out:
+        assert text == reconstruct_page(payload)[0]
+
+
 def test_corrupt_pdf_degrades_to_empty():
     assert pdfbin.decode_pdf_pages(b"not a pdf at all") == []
     assert pdfbin.pdf_to_span_payloads(b"%PDF-1.4\ngarbage\n%%EOF") == []
