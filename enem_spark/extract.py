@@ -254,7 +254,11 @@ AUTO_SALT = -1
 # a heuristic, not a correctness input (salted and plain outputs are
 # byte-identical), so memoizing per logical plan is safe: repeated runs over
 # the same table (benchmarks, retries, resume) pay the sampling job once.
+# Streaming foreachBatch plans hash differently per batch, so those calls
+# MISS by design (each batch's data is new — re-probing is correct there);
+# the bound below keeps a long-lived stream from growing the dict forever.
 _SALT_PROBE_CACHE: dict[tuple, int] = {}
+_SALT_PROBE_CACHE_MAX = 256
 
 
 def resolve_salt_chunk(
@@ -298,6 +302,8 @@ def resolve_salt_chunk(
         0 if m is None else (chunk_target if m / sample_fraction > skew_threshold else 0)
     )
     if key is not None:
+        if len(_SALT_PROBE_CACHE) >= _SALT_PROBE_CACHE_MAX:
+            _SALT_PROBE_CACHE.clear()
         _SALT_PROBE_CACHE[key] = resolved
     return resolved
 
@@ -340,22 +346,32 @@ def with_page_numbering(
             .rowsBetween(W.unboundedPreceding, -1)
         )
         if narrow_window:
+            # join back by a per-ROW uid, never by (doc_id, page_idx):
+            # duplicate page keys (raw re-crawled corpora with
+            # dedup_pages off) would fan out quadratically under a key
+            # join and diverge from the plain window. The uid is
+            # deterministic given the input partitioning (partition id +
+            # row position), identical on both branches of the same
+            # (ideally persisted) frame.
+            pages = pages.withColumn(
+                "_nw_uid", F.monotonically_increasing_id()
+            )
             if cache and persist_to is not None:
                 from pyspark import StorageLevel
 
                 pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
                 persist_to.append(pages)
             nums = (
-                pages.select("doc_id", "page_idx", "q_count")
+                pages.select("_nw_uid", "doc_id", "page_idx", "q_count")
                 .withColumn(
                     "page_first_question",
                     (
                         F.coalesce(F.sum("q_count").over(w), F.lit(0)) + 1
                     ).cast("int"),
                 )
-                .drop("q_count")
+                .select("_nw_uid", "page_first_question")
             )
-            return pages.join(F.broadcast(nums), ["doc_id", "page_idx"])
+            return pages.join(F.broadcast(nums), "_nw_uid").drop("_nw_uid")
         return pages.withColumn(
             "page_first_question",
             (F.coalesce(F.sum("q_count").over(w), F.lit(0)) + 1).cast("int"),
@@ -705,7 +721,7 @@ def render_sink_files(questions: DataFrame, cfg: ExtractorConfig) -> DataFrame:
     is only unique WITHIN a document — the reference writes each exam into
     its own output directory (extract_pdf's extracted_data_path). Sinks must
     therefore key on (doc_id, filename); doc_id is the directory analogue."""
-    ext = {"txt": "txt", "markdown": "md", "json": "json"}[cfg.output_type]
+    ext = oracle.SINK_EXTENSIONS[cfg.output_type]
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.StringType()),
@@ -757,7 +773,7 @@ def render_sink_files(questions: DataFrame, cfg: ExtractorConfig) -> DataFrame:
                     "year": year,
                     "day": day,
                     "subject": subj,
-                    "filename": f"{year}_{subj}_questions.{ext}",
+                    "filename": oracle.sink_filename(year, subj, ext),
                     "content": content,
                 }
             )

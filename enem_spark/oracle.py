@@ -58,7 +58,13 @@ DAY2_RANGES = (("natu", 1, 45), ("math", 46, 91))
 
 
 def iter_marker_positions(text: str, marker: str = QUESTION_MARKER) -> Iterator[int]:
-    """Non-overlapping occurrence offsets (enem_pdf_extractor.py:178-185)."""
+    """Non-overlapping occurrence offsets (enem_pdf_extractor.py:178-185).
+
+    The reference guards the empty marker (`sub_str = sub_str or "*"`,
+    :179) — without it `find("", start)` returns `start` with step 0 and
+    the generator yields the same offset forever (an executor hang, not
+    an error)."""
+    marker = marker or "*"
     start = 0
     step = len(marker)
     while True:
@@ -325,17 +331,28 @@ def extract_document(
     return rows
 
 
+# single-sourced sink filename convention (reference :511-544): the Spark
+# sink (extract.render_sink_files) references THESE, never re-spells them —
+# a convention change landing in one renderer but not the other would
+# silently desync the byte-identity oracle
+SINK_EXTENSIONS = {"txt": "txt", "markdown": "md", "json": "json"}
+
+
+def sink_filename(year: int, subject: str, ext: str) -> str:
+    return f"{year}_{subject}_questions.{ext}"
+
+
 def render_sink_files(
     rows: list[QuestionRow], year: int, day_one: bool, output_type: str
 ) -> dict[str, str]:
     """Per-(year, subject) file contents, byte-identical to the reference sinks
     (:511-544 etc.): txt/md = in-order concat; json = indent-4 array dump."""
-    ext = {"txt": "txt", "markdown": "md", "json": "json"}[output_type]
+    ext = SINK_EXTENSIONS[output_type]
     subjects = [s for s, _, _ in (DAY1_RANGES if day_one else DAY2_RANGES)]
     out: dict[str, str] = {}
     for subject in subjects:
         payloads = [r.payload for r in rows if r.subject == subject]
-        name = f"{year}_{subject}_questions.{ext}"
+        name = sink_filename(year, subject, ext)
         if output_type == "json":
             out[name] = json.dumps(payloads, indent=4, ensure_ascii=False)
         else:

@@ -77,6 +77,14 @@ def test_preprocess_invariants(text):
     assert rec.text[: -len(f" {MARKER}")] == stripped
 
 
+def test_empty_marker_never_hangs():
+    # the reference's own guard (enem_pdf_extractor.py:179: sub_str or "*"):
+    # find("", i) == i with step 0 previously looped forever in an executor
+    assert list(oracle.iter_marker_positions("abc", "")) == []
+    assert oracle.count_markers("a*b*c", "") == 2  # "" degrades to "*"
+    assert oracle.count_markers("", "")== 0
+
+
 @given(page_texts)
 @settings(max_examples=300, deadline=None)
 def test_segments_partition_page_text(text):
