@@ -826,8 +826,9 @@ def q_url_filter(spark, sf_dir):
     return textops.crawl_url_filter(urls)
 
 
-def q_url_canonicalize(spark, sf_dir):
-    """Crawl-url canonicalization (textops.url_canonicalize): 6
+def q_url_normalize(spark, sf_dir):
+    """Crawl-url normalization (textops.url_normalize, the param-sorting
+    DataFrame sibling of q:`url_canonicalize`'s column helper): 6
     deterministic variants per doc cycling every rule — tracking params +
     unsorted query + fragment, default :80/:443 ports, uppercase
     scheme/host, empty path, fragment containing '?', non-http
@@ -845,7 +846,7 @@ def q_url_canonicalize(spark, sf_dir):
         .when(v == 4, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/b/"), sid, F.lit("#sec?notaquery")))
         .otherwise(F.concat(F.lit("http://"), F.col("source"), F.lit(".example.com/c/"), sid, F.lit("?b=2&a=1&a=0")))
     )
-    return textops.url_canonicalize(docs.select("doc_id", url.alias("url")))
+    return textops.url_normalize(docs.select("doc_id", url.alias("url")))
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -2094,7 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_probe_near_dup": q_sig_probe_near_dup,
         "url_canonicalize": q_url_canonicalize,
         "url_filter": q_url_filter,
-        "url_canonicalize": q_url_canonicalize,
+        "url_normalize": q_url_normalize,
         "boilerplate_strip": q_boilerplate_strip,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
@@ -2672,8 +2673,8 @@ SELECT doc_id, url, (reason = 'ok') AS keep, reason FROM classified
 """
 
 
-def _url_canon_sql() -> str:
-    """Computing twin of textops.url_canonicalize over the same 6
+def _url_normalize_sql() -> str:
+    """Computing twin of textops.url_normalize over the same 6
     synthetic variants: every rule re-derived in DuckDB (regexp extracts,
     list_filter with the same anchored tracking-param regex, binary
     list_sort mirroring Spark's array_sort)."""
@@ -5045,7 +5046,7 @@ FROM read_parquet('{pack_expected}')
         "sig_probe_near_dup": _incr_minhash_sql(0.5),
         "url_canonicalize": _URL_CANON_SQL,
         "url_filter": _url_filter_sql(),
-        "url_canonicalize": _url_canon_sql(),
+        "url_normalize": _url_normalize_sql(),
         "boilerplate_strip": _BOILER_SQL,
         "pii_scrub": _PII_SQL,
         "decontaminate": _DECON_SQL,

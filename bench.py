@@ -155,7 +155,7 @@ HEADLINE = [
     "numbering_gaps",
     "unicode_normalize",
     "url_filter",
-    "url_canonicalize",
+    "url_normalize",
     "dup_span_stats",
     "dedup_spans_clean",
     "warc_ingest",

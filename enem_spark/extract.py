@@ -346,32 +346,44 @@ def with_page_numbering(
             .rowsBetween(W.unboundedPreceding, -1)
         )
         if narrow_window:
-            # join back by a per-ROW uid, never by (doc_id, page_idx):
-            # duplicate page keys (raw re-crawled corpora with
-            # dedup_pages off) would fan out quadratically under a key
-            # join and diverge from the plain window. The uid is
-            # deterministic given the input partitioning (partition id +
-            # row position), identical on both branches of the same
-            # (ideally persisted) frame.
-            pages = pages.withColumn(
-                "_nw_uid", F.monotonically_increasing_id()
-            )
             if cache and persist_to is not None:
                 from pyspark import StorageLevel
 
                 pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
                 persist_to.append(pages)
+            # the join-back key must be UNIQUE: duplicate (doc_id,
+            # page_idx) rows would fan out quadratically (and a
+            # synthetic row-uid is not stable across branch recomputes
+            # of an unpersisted/evicted frame — monotonically_increasing_id
+            # depends on shuffle-fetch order). Numbering over duplicate
+            # page keys is undefined anyway (the plain window serializes
+            # the copies in nondeterministic tie order), so the mode
+            # REFUSES them: run dedup_latest_per_url / dedup_pages first.
+            dup = (
+                pages.groupBy("doc_id", "page_idx")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    "numbering_narrow requires unique (doc_id, page_idx) "
+                    f"rows; found duplicates (e.g. {dup[0]['doc_id']}/"
+                    f"{dup[0]['page_idx']}) — dedup pages first "
+                    "(cfg.dedup_pages) or use the plain/salted window"
+                )
             nums = (
-                pages.select("_nw_uid", "doc_id", "page_idx", "q_count")
+                pages.select("doc_id", "page_idx", "q_count")
                 .withColumn(
                     "page_first_question",
                     (
                         F.coalesce(F.sum("q_count").over(w), F.lit(0)) + 1
                     ).cast("int"),
                 )
-                .select("_nw_uid", "page_first_question")
+                .drop("q_count")
             )
-            return pages.join(F.broadcast(nums), "_nw_uid").drop("_nw_uid")
+            return pages.join(F.broadcast(nums), ["doc_id", "page_idx"])
         return pages.withColumn(
             "page_first_question",
             (F.coalesce(F.sum("q_count").over(w), F.lit(0)) + 1).cast("int"),

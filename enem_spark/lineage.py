@@ -126,12 +126,16 @@ def require_local_store(out_dir: str) -> None:
     import re
 
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", out_dir)
-    if m and m.group(1) != "file":
+    if m:
+        # file:// included: os.path treats 'file:///x' as a RELATIVE path,
+        # silently degrading the protocol just like s3:// — pass the plain
+        # /x path instead
         raise ValueError(
             f"run store '{out_dir}' uses scheme '{m.group(1)}://': the "
-            "commit/resume protocol needs a POSIX path (local disk or a "
-            "shared mount); object-store deployment requires the Hadoop "
-            "FS port described in lineage.require_local_store"
+            "commit/resume protocol needs a PLAIN POSIX path (local disk "
+            "or a shared mount; for file:// just drop the prefix); "
+            "object-store deployment requires the Hadoop FS port "
+            "described in lineage.require_local_store"
         )
 
 
@@ -346,7 +350,8 @@ def run_extraction(
             # read, no UDF re-execution)
             chunk = resolve_salt_chunk(paged, cfg.salt_chunk_size)
             counted = with_page_numbering(
-                paged.filter(F.col("q_count") > 0), chunk, cache=False
+                paged.filter(F.col("q_count") > 0), chunk, cache=False,
+                narrow_window=cfg.numbering_narrow,
             )
             # keys from ALL pages (no lang filter), matching
             # extract_questions: an answer-key page is mostly digit/letter

@@ -36,6 +36,7 @@ page UDF (auto-salt downstream).
 from __future__ import annotations
 
 import json
+import math
 import re
 import zlib
 
@@ -886,6 +887,16 @@ def _assemble_spans(runs, page_w: float, page_h: float) -> list[dict]:
     letters) becomes its OWN span just before its line, which is what
     fitz produced ("A\\nA body") and what the oracle's DOUBLED_LETTER
     collapse (:111) parses."""
+    def _r2(v: float) -> float:
+        # content streams parse coords with bare float(): '1e999 0 Td'
+        # yields inf, json round-trips it as Infinity, and the payload
+        # validator (layout._parse_spans) then DROPS the span — the
+        # pages-table text column would keep text every payload consumer
+        # loses. Clamp non-finite to 0.0 at emission so payload spans are
+        # finite BY CONSTRUCTION (pdf_to_pages == reconstruct_page).
+        v = round(v, 2)
+        return v if math.isfinite(v) else 0.0
+
     img_spans: list[tuple[int, dict]] = []
     lines: dict[float, list] = {}
     for idx, (x, y, text, size, width) in enumerate(runs):
@@ -896,10 +907,10 @@ def _assemble_spans(runs, page_w: float, page_h: float) -> list[dict]:
                     idx,
                     {
                         "text": text,
-                        "x0": round(x, 2),
-                        "y0": round(y_top, 2),
-                        "x1": round(x + max(width, 1.0), 2),
-                        "y1": round(y_top + size, 2),
+                        "x0": _r2(x),
+                        "y0": _r2(y_top),
+                        "x1": _r2(x + max(width, 1.0)),
+                        "y1": _r2(y_top + size),
                     },
                 )
             )
@@ -961,10 +972,10 @@ def _assemble_spans(runs, page_w: float, page_h: float) -> list[dict]:
             y_top = page_h - grp[0][1] - sz
             span = {
                 "text": text,
-                "x0": round(x0, 2),
-                "y0": round(y_top, 2),
-                "x1": round(x1, 2),
-                "y1": round(y_top + sz, 2),
+                "x0": _r2(x0),
+                "y0": _r2(y_top),
+                "x1": _r2(x1),
+                "y1": _r2(y_top + sz),
             }
             # a duplicate glyph inside this segment's x range becomes a
             # standalone span ordered just BEFORE the line (tiebreak 0<1)
@@ -977,10 +988,10 @@ def _assemble_spans(runs, page_w: float, page_h: float) -> list[dict]:
                             0,
                             {
                                 "text": dt,
-                                "x0": round(dx, 2),
-                                "y0": round(dy_top, 2),
-                                "x1": round(dx + max(dw, 0.0), 2),
-                                "y1": round(dy_top + ds, 2),
+                                "x0": _r2(dx),
+                                "y0": _r2(dy_top),
+                                "x1": _r2(dx + max(dw, 0.0)),
+                                "y1": _r2(dy_top + ds),
                             },
                         )
                     )

@@ -1698,18 +1698,31 @@ def crawl_url_filter(
     )
 
 
-# tracking params stripped by url_canonicalize: the industry-standard
+# tracking params stripped by url_normalize: the industry-standard
 # click/campaign identifiers that fragment one logical page into millions
 # of distinct crawl urls. Matched as whole param NAMES (before '=').
-URL_TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|ref_src|mc_cid|mc_eid)(=.*)?$"
+# \z, not $: Java's $ matches BEFORE a trailing newline while RE2's is
+# true end-of-text — a tracking param ending in a raw \n (dirty crawl
+# data) would be stripped by Spark and kept by DuckDB. \z means the same
+# thing in both engines.
+URL_TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|ref_src|mc_cid|mc_eid)(=.*)?\z"
 
 
-def url_canonicalize(urls: DataFrame) -> DataFrame:
+def url_normalize(urls: DataFrame) -> DataFrame:
     """(doc_id, url) -> (doc_id, url, canon_url): the crawl-frontier /
     dedup-key normalization every CC-scale pipeline runs before exact
     URL dedup — without it one logical page appears under millions of
     tracking-param / fragment / port variants and survives url-level
     dedup.
+
+    Relationship to :func:`canonicalize_url` (the COLUMN-expression
+    sibling, q:`url_canonicalize`): that one is the light in-plan helper
+    (scheme/host case, default ports, fragment, utm_* strip, trailing
+    slash); THIS op additionally SORTS surviving params (param order
+    never distinguishes pages), drops empty params, strips the broader
+    tracking list (URL_TRACKING_PARAM_RE), and maps the empty path to
+    '/'. Use the column helper inside other plans; use this op when the
+    canon key itself is the deliverable.
 
     Rules (deterministic, order-independent output): lowercase scheme and
     host; drop the fragment; drop default ports (:80 http, :443 https);

@@ -247,19 +247,20 @@ def main() -> None:
             }
         )
     if args.compact is not None:
-        snap = t.compact(sequence=args.compact)
         # every-partition-already-one-file: compact() returns the CURRENT
-        # snapshot untouched (whatever operation last committed it) — an
-        # unguarded summary would report that unrelated snapshot's id and
-        # added_files as the compaction's result
+        # snapshot untouched — detect the noop by ID (a real compaction
+        # always commits a NEW snapshot; keying on the summary fields
+        # misfired when the current snapshot was itself a past compaction)
+        before_ids = {s_["snapshot_id"] for s_ in t.snapshots()}
+        snap = t.compact(sequence=args.compact)
         summary["compact"] = (
             {"operation": "noop"}
-            if "compacted_from_files" not in snap.get("summary", {})
+            if snap["snapshot_id"] in before_ids
             else {
                 "snapshot_id": snap["snapshot_id"],
-                "compacted_from_files": snap["summary"][
-                    "compacted_from_files"
-                ],
+                "compacted_from_files": snap["summary"].get(
+                    "compacted_from_files", 0
+                ),
                 "added_files": snap["summary"]["added_files"],
             }
         )
@@ -331,35 +332,48 @@ def main() -> None:
         if args.terms:
             cursors.append(statstore.folded_term_doc_ids(spark, args.terms))
         if any(c is None for c in cursors):
-            # some active store is empty: it needs every doc — no pre-drop
-            folded_everywhere = None
+            # some active store is empty: it needs every doc — no pre-drop,
+            # and the two-pass shape below would only pay the content-hash
+            # scan twice for nothing, so fall back to ONE combined select
+            docs = (
+                pages.select(
+                    F.xxhash64("url", F.md5("html")).alias("doc_id"),
+                    F.coalesce(
+                        F.col(args.stats_group).cast("string"), F.lit("und")
+                    ).alias(args.stats_group),
+                    F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                )
+                .groupBy("doc_id")
+                .agg(
+                    F.min(args.stats_group).alias(args.stats_group),
+                    F.min("text").alias("text"),
+                )
+                .withColumn("n_chars", F.length("text"))
+                .persist()
+            )
         else:
             folded_everywhere = cursors[0]
             for cursor in cursors[1:]:
                 folded_everywhere = folded_everywhere.join(
                     cursor, "doc_id", "left_semi"
                 )
-        new_ids = (
-            ids
-            if folded_everywhere is None
-            else ids.join(
+            new_ids = ids.join(
                 folded_everywhere.select("doc_id"), "doc_id", "left_anti"
             )
-        )
-        docs = (
-            pages.select(
-                F.xxhash64("url", F.md5("html")).alias("doc_id"),
-                F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            docs = (
+                pages.select(
+                    F.xxhash64("url", F.md5("html")).alias("doc_id"),
+                    F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                )
+                .join(new_ids, "doc_id")
+                .groupBy("doc_id")
+                .agg(
+                    F.min(args.stats_group).alias(args.stats_group),
+                    F.min("text").alias("text"),
+                )
+                .withColumn("n_chars", F.length("text"))
+                .persist()
             )
-            .join(new_ids, "doc_id")
-            .groupBy("doc_id")
-            .agg(
-                F.min(args.stats_group).alias(args.stats_group),
-                F.min("text").alias("text"),
-            )
-            .withColumn("n_chars", F.length("text"))
-            .persist()
-        )
 
         # compaction rewrites the full cursor (O(corpus) doc_ids), so the
         # nightly tick amortizes it over ~a week of delta runs instead of

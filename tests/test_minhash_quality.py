@@ -412,7 +412,7 @@ def test_crawl_url_filter_hand_cases(spark):
         assert got[i] == (keep, reason), (i, got[i], keep, reason)
 
 
-def test_url_canonicalize_hand_cases(spark):
+def test_url_normalize_hand_cases(spark):
     """Every normalization rule, one hand case each."""
     cases = [
         # lowercase scheme+host, drop :443, drop fragment, strip utm_*,
@@ -438,7 +438,7 @@ def test_url_canonicalize_hand_cases(spark):
     )
     got = {
         r["doc_id"]: r["canon_url"]
-        for r in textops.url_canonicalize(df).collect()
+        for r in textops.url_normalize(df).collect()
     }
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
@@ -448,12 +448,12 @@ def test_url_canonicalize_hand_cases(spark):
     )
     got2 = {
         r["doc_id"]: r["canon_url"]
-        for r in textops.url_canonicalize(df2).collect()
+        for r in textops.url_normalize(df2).collect()
     }
     assert got2 == got
 
 
-def test_url_canonicalize_idempotent_and_total_on_junk(spark):
+def test_url_normalize_idempotent_and_total_on_junk(spark):
     """Property sweep in ONE Spark job: for a pile of adversarial URL-ish
     strings, canonicalization never raises, never yields NULL, and is
     idempotent (canon(canon(x)) == canon(x))."""
@@ -474,10 +474,10 @@ def test_url_canonicalize_idempotent_and_total_on_junk(spark):
     df = spark.createDataFrame(
         [(i, u) for i, u in enumerate(junk)], "doc_id long, url string"
     )
-    once = textops.url_canonicalize(df)
+    once = textops.url_normalize(df)
     rows1 = {r["doc_id"]: r["canon_url"] for r in once.collect()}
     assert all(v is not None for v in rows1.values())
-    again = textops.url_canonicalize(
+    again = textops.url_normalize(
         spark.createDataFrame(
             [(i, c) for i, c in rows1.items()], "doc_id long, url string"
         )
