@@ -171,6 +171,28 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mism, f"{name}: {len(mism)} mismatching rows; first: {mism[0]}"
 
 
+def test_no_duplicate_registry_keys():
+    """Python dict literals SILENTLY drop duplicate keys (later wins):
+    a re-registered query name shadows the old pair without any error and
+    parity keeps passing by luck of ordering — the round-4 operator
+    collision. Parse the driver module's AST and reject any duplicate
+    string key in a dict literal."""
+    import ast
+
+    src = open(entry_mod.__file__).read()
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.Dict):
+            keys = [
+                k.value
+                for k in node.keys
+                if isinstance(k, ast.Constant) and isinstance(k.value, str)
+            ]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, (
+                f"duplicate dict keys at line {node.lineno}: {sorted(dupes)}"
+            )
+
+
 def test_every_query_has_oracle_or_is_declared():
     # every queries() entry now has an oracle twin — the flagship pair is
     # checked against the MATERIALIZED pure-Python expected tables
