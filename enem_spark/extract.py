@@ -359,27 +359,48 @@ def with_page_numbering(
             # page keys is undefined anyway (the plain window serializes
             # the copies in nondeterministic tie order), so the mode
             # REFUSES them: run dedup_latest_per_url / dedup_pages first.
-            dup = (
-                pages.groupBy("doc_id", "page_idx")
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .collect()
+            # The guard lives IN the plan (a per-key count window feeding
+            # raise_error) rather than an eager driver collect: an
+            # unowned caller (persist_to=None) would otherwise execute
+            # the full page-UDF subtree one extra time per call just to
+            # check uniqueness. Consequence: the refusal surfaces at
+            # ACTION time as a SparkRuntimeException wrapping the
+            # "unique (doc_id, page_idx)" message, not at plan build.
+            # Both windows partition-compatibly on doc_id, so the guard
+            # adds no exchange.
+            dupcnt = F.count("*").over(
+                W.partitionBy("doc_id", "page_idx")
             )
-            if dup:
-                raise ValueError(
-                    "numbering_narrow requires unique (doc_id, page_idx) "
-                    f"rows; found duplicates (e.g. {dup[0]['doc_id']}/"
-                    f"{dup[0]['page_idx']}) — dedup pages first "
-                    "(cfg.dedup_pages) or use the plain/salted window"
-                )
             nums = (
                 pages.select("doc_id", "page_idx", "q_count")
                 .withColumn(
                     "page_first_question",
-                    (
-                        F.coalesce(F.sum("q_count").over(w), F.lit(0)) + 1
-                    ).cast("int"),
+                    F.when(
+                        dupcnt > 1,
+                        F.raise_error(
+                            F.concat_ws(
+                                "",
+                                F.lit(
+                                    "numbering_narrow requires unique "
+                                    "(doc_id, page_idx) rows; found "
+                                    "duplicate "
+                                ),
+                                F.col("doc_id").cast("string"),
+                                F.lit("/"),
+                                F.col("page_idx").cast("string"),
+                                F.lit(
+                                    " — dedup pages first "
+                                    "(cfg.dedup_pages) or use the "
+                                    "plain/salted window"
+                                ),
+                            )
+                        ).cast("int"),
+                    ).otherwise(
+                        (
+                            F.coalesce(F.sum("q_count").over(w), F.lit(0))
+                            + 1
+                        ).cast("int")
+                    ),
                 )
                 .drop("q_count")
             )

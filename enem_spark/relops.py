@@ -230,6 +230,17 @@ def range_join(
         F.col(point_ts) < F.col(end_ts)
     )
     out = iv.join(p, on + ["_bkt"], "inner").filter(contained).drop("_bkt")
+    # The wide side is small by construction (legitimately-wide windows
+    # are rare; the cap is 100k buckets), so BROADCAST it explicitly: a
+    # shuffled key join would reintroduce exactly the hot-key skew the
+    # bucketing exists to avoid — one adversarial far-future interval on
+    # a hot key would hash every point of that key through a single task
+    # and materialize the fan-out at the shuffle. Broadcast keeps points
+    # un-shuffled and fuses the containment filter into the probe
+    # (streaming through codegen, nothing materialized before the
+    # filter). If the wide side ever exceeds broadcastable size that is
+    # an input-corruption signal, and the driver-side OOM it provokes is
+    # loud — preferable to the silent hot-task stall.
     wide = intervals.filter(valid & ~narrow)
-    wide_out = wide.join(points, on, "inner").filter(contained)
+    wide_out = points.join(F.broadcast(wide), on, "inner").filter(contained)
     return out.unionByName(wide_out)

@@ -268,13 +268,32 @@ def update_corpus_stats(
     return {"folded": n, "run_id": run_id, "up_to_date": False}
 
 
+def _require_single_config(configs: set, what: str) -> None:
+    """Cursor-side mirror of the update entry points' config validation.
+    A cursor function has no requested config to compare against, so the
+    equivalent check is UNIQUENESS: every committed run must carry one and
+    the same config. A store whose one-config invariant was ever violated
+    (only possible by forging run ids around the entry points) would
+    otherwise hand callers a cursor that silently drops unfolded docs
+    from their delta (advice finding, round 4 — ice_maintenance's
+    pre-drop path trusts these cursors)."""
+    if len(configs) > 1:
+        raise ValueError(
+            f"{what} store holds mixed configs {sorted(configs)} — the "
+            "one-store-one-config invariant is violated; its cursor "
+            "cannot be trusted (re-profile into a fresh out_dir)"
+        )
+
+
 def folded_doc_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """(doc_id) cursor of everything the stats store has folded — the
     cheap completeness probe: comparing its count with the corpus the
     store is supposed to profile detects a backfill gap (runs committed
-    before profiling was turned on)."""
+    before profiling was turned on). Refuses a mixed-config store
+    (:func:`_require_single_config`)."""
     committed = lineage.committed_run_ids(spark, out_dir)
     runs = _committed_stats_runs(spark, out_dir, committed)
+    _require_single_config({(p, s) for p, s, _, _ in runs}, "stats")
     return _active_table(spark, out_dir, DOCS_TABLE, _active_run_ids(runs))
 
 
@@ -491,9 +510,11 @@ def folded_term_doc_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """(doc_id) cursor of everything the TERM store has folded — the term
     twin of :func:`folded_doc_ids` (own cursor table and run namespace;
     the stores share only the runs marker table). Lets callers pre-filter
-    a corpus frame to the unfolded delta before materializing text."""
+    a corpus frame to the unfolded delta before materializing text.
+    Refuses a mixed-config store (:func:`_require_single_config`)."""
     committed = lineage.committed_run_ids(spark, out_dir)
     runs = _committed_term_runs(spark, out_dir, committed)
+    _require_single_config({r[:3] for r in runs}, "term")
     return _active_table(
         spark, out_dir, TERM_DOCS_TABLE, _active_term_ids(runs)
     )

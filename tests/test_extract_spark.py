@@ -274,8 +274,12 @@ def test_narrow_numbering_equals_plain(spark, pages_df):
     assert len(with_page_numbering(dup, 0).collect()) == 4  # plain copes
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="unique"):
-        with_page_numbering(dup, 0, narrow_window=True)
+    # the guard is IN the plan (raise_error under a per-key count window,
+    # not an eager driver collect — advice finding, round 4), so the
+    # refusal surfaces at ACTION time as a Spark execution error wrapping
+    # the message
+    with _pytest.raises(Exception, match="unique"):
+        with_page_numbering(dup, 0, narrow_window=True).collect()
 
 
 def test_extracted_page_text_per_url(spark, docs, pages_df):

@@ -116,6 +116,40 @@ def test_config_is_pinned(spark, tmp_path):
         statstore.corpus_stat_report(spark, str(tmp_path / "empty"))
 
 
+def test_mixed_config_store_poisons_cursor(spark, tmp_path):
+    """The folded-docs cursors must refuse a store whose one-config
+    invariant was ever violated (only reachable by forging run ids
+    around the entry points): ice_maintenance's pre-drop path trusts
+    them, and a silently-wrong cursor would drop unfolded docs from the
+    delta forever (advice finding, round 4)."""
+    from enem_spark import lineage
+
+    docs = _docs(spark)
+    out = str(tmp_path / "s")
+    statstore.update_corpus_stats(spark, out, docs, **KW)
+    assert statstore.folded_doc_ids(spark, out).count() == docs.count()
+    # forge a second-config marker straight into the runs table — the
+    # only way the invariant can break, since every entry point validates
+    lineage.append_run_marker(
+        spark, out, statstore.stats_run_id(P + 1, S, 2)
+    )
+    with pytest.raises(ValueError, match="mixed configs"):
+        statstore.folded_doc_ids(spark, out)
+
+    # term-store twin
+    tout = str(tmp_path / "t")
+    statstore.update_term_sketch(
+        spark, tout, docs, group_col="source",
+        depth=2, width=64, sample_mod=1,
+    )
+    assert statstore.folded_term_doc_ids(spark, tout).count() == docs.count()
+    lineage.append_run_marker(
+        spark, tout, statstore.term_run_id(2, 128, 1, 2)
+    )
+    with pytest.raises(ValueError, match="mixed configs"):
+        statstore.folded_term_doc_ids(spark, tout)
+
+
 def test_empty_delta_writes_nothing(spark, tmp_path):
     """An empty increment must not write run directories (an empty
     overwrite of a reused run id would erase a previous attempt's
