@@ -40,7 +40,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from . import lineage
+from . import lineage, runfs
 from .sources.icetable import IceTable
 
 _RUN_PREFIX = "ice"
@@ -233,7 +233,7 @@ def run_html_extraction_ice(
         # every side output), so a crash here leaves an invisible orphan
         # that the deterministic run_id retry overwrites.
         work.select("url", "doc_id").write.mode("overwrite").parquet(
-            f"{out_dir}/fetch_log/run_id={run_id}"
+            runfs.spark_path(f"{out_dir}/fetch_log/run_id={run_id}")
         )
         extract_in = work
         if mime_filter:
@@ -305,7 +305,7 @@ def apply_takedown(
     )
     if run_id not in committed_ids:
         keys.select("url").dropDuplicates().write.mode("overwrite").parquet(
-            f"{out_dir}/takedowns/run_id={run_id}"
+            runfs.spark_path(f"{out_dir}/takedowns/run_id={run_id}")
         )
         # COMMIT POINT for the serving-side log
         lineage.append_run_marker(spark, out_dir, run_id)
@@ -319,7 +319,7 @@ def _committed_takedowns(spark: SparkSession, out_dir: str) -> DataFrame | None:
     if committed is None or not lineage._exists(path):
         return None
     return (
-        spark.read.parquet(path)
+        spark.read.parquet(runfs.spark_path(path))
         .join(committed, "run_id", "left_semi")
         .select("url")
         .dropDuplicates()
@@ -371,7 +371,7 @@ def current_main_content(spark: SparkSession, out_dir: str) -> DataFrame | None:
         # documented, vs the silent schema lottery)
         fl = (
             spark.read.option("mergeSchema", "true")
-            .parquet(fl_path)
+            .parquet(runfs.spark_path(fl_path))
             .join(committed, "run_id", "left_semi")
         )
         # stream fetch logs carry event time: micro-batch run ids are NOT

@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from . import runfs
 from .extract import (
     ExtractorConfig,
     PAGE_STRUCT,
@@ -112,31 +113,22 @@ def partition_lineage(paged: DataFrame) -> DataFrame:
     )
 
 
-def require_local_store(out_dir: str) -> None:
-    """The commit protocol (runs-marker gating, stale-dir clearing, the
-    icetable O_EXCL version files) runs on DRIVER-LOCAL filesystem
-    semantics. On a URI-schemed store (s3://, hdfs://) `os.path` calls
-    silently return False and the exactly-once layer would DEGRADE to
-    re-extracting everything with no resume — so refuse loudly instead.
-    Deploying against an object store means porting `_exists`/the dir
-    clears to the Hadoop FileSystem API and the icetable version file to
-    a conditional-put catalog (the standard Iceberg-on-S3 answer); a
-    shared POSIX mount (NFS/EFS/Lustre — the usual on-prem layout) works
-    as-is."""
-    import re
+def require_supported_store(out_dir: str) -> None:
+    """Capability check: raises iff no runfs control-plane implementation
+    exists for the store's scheme (plain POSIX paths and file:// are
+    built in; object-store schemes must be registered — see
+    enem_spark/runfs.py for the six-primitive port contract). Until
+    round 5 this was `require_local_store`, a blanket POSIX-only refusal:
+    the protocol's control plane called `os` directly, so on s3:// every
+    probe silently returned False and exactly-once degraded to
+    re-extracting everything with no resume. The control plane now runs
+    through `runfs.fs_for(out_dir)` everywhere, so the only thing left
+    to check is that such an implementation exists."""
+    runfs.require_supported_store(out_dir)
 
-    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", out_dir)
-    if m:
-        # file:// included: os.path treats 'file:///x' as a RELATIVE path,
-        # silently degrading the protocol just like s3:// — pass the plain
-        # /x path instead
-        raise ValueError(
-            f"run store '{out_dir}' uses scheme '{m.group(1)}://': the "
-            "commit/resume protocol needs a PLAIN POSIX path (local disk "
-            "or a shared mount; for file:// just drop the prefix); "
-            "object-store deployment requires the Hadoop FS port "
-            "described in lineage.require_local_store"
-        )
+
+# backward-compat alias (docs/jobs referenced the old name)
+require_local_store = require_supported_store
 
 
 def _exists(path: str) -> bool:
@@ -145,18 +137,19 @@ def _exists(path: str) -> bool:
     directories must not count: a crash mid-write leaves only those, and
     treating them as data makes the read-back throw UNABLE_TO_INFER_SCHEMA
     on every retry — wedging the exactly-once resume this module exists
-    for. Spark's own readers skip _-/.-prefixed paths; mirror that."""
-    if not os.path.exists(path):
+    for. Spark's own readers skip _-/.-prefixed paths; mirror that.
+    Runs on the store's runfs control plane (a recursive prefix listing),
+    so URI-schemed stores probe correctly."""
+    fs = runfs.fs_for(path)
+    if not fs.exists(path):
         return False
-    for dirpath, dirnames, fs in os.walk(path):
-        dirnames[:] = [
-            d for d in dirnames if not d.startswith(("_", "."))
-        ]
-        for f in fs:
-            if f.startswith(("_", ".")):
-                continue
-            if f.endswith(".parquet") or f.startswith("part-"):
-                return True
+    for rel in fs.list_files(path):
+        parts = rel.split("/")
+        if any(p.startswith(("_", ".")) for p in parts):
+            continue
+        f = parts[-1]
+        if f.endswith(".parquet") or f.startswith("part-"):
+            return True
     return False
 
 
@@ -182,12 +175,9 @@ def clear_stale_run_dirs(out_dir: str, run_id: str, tables) -> None:
     for the same reason (a per-site hand copy that misses a table makes a
     crashed attempt's orphan rows committed-visible). Call immediately
     BEFORE the marker append with the tables this attempt did NOT write."""
-    import shutil
-
+    fs = runfs.fs_for(out_dir)
     for table in tables:
-        stale = f"{out_dir}/{table}/run_id={run_id}"
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+        fs.delete_prefix(f"{out_dir}/{table}/run_id={run_id}")
 
 
 RUNS_MARKER_SCHEMA = "run_id string, input_pages long, questions_written long"
@@ -208,14 +198,14 @@ def append_run_marker(
     spark.createDataFrame(
         [(run_id, int(input_pages), int(questions_written))],
         RUNS_MARKER_SCHEMA,
-    ).write.mode("append").parquet(f"{out_dir}/runs")
+    ).write.mode("append").parquet(runfs.spark_path(f"{out_dir}/runs"))
 
 
 def committed_run_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = f"{out_dir}/runs"
     if not _exists(path):
         return None
-    return spark.read.parquet(path).select("run_id").distinct()
+    return spark.read.parquet(runfs.spark_path(path)).select("run_id").distinct()
 
 
 def processed_doc_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -231,7 +221,7 @@ def processed_doc_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
     if committed is None or not _exists(path):
         return None
     return (
-        spark.read.parquet(path)
+        spark.read.parquet(runfs.spark_path(path))
         .join(committed, "run_id", "left_semi")
         .select("doc_id")
         .distinct()
@@ -244,7 +234,7 @@ def committed_questions(spark: SparkSession, out_dir: str) -> DataFrame | None:
     committed = committed_run_ids(spark, out_dir)
     if committed is None or not _exists(path):
         return None
-    return spark.read.parquet(path).join(committed, "run_id", "left_semi")
+    return spark.read.parquet(runfs.spark_path(path)).join(committed, "run_id", "left_semi")
 
 
 def committed_images(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -257,7 +247,7 @@ def committed_images(spark: SparkSession, out_dir: str) -> DataFrame | None:
     committed = committed_run_ids(spark, out_dir)
     if committed is None or not _exists(path):
         return None
-    return spark.read.parquet(path).join(committed, "run_id", "left_semi")
+    return spark.read.parquet(runfs.spark_path(path)).join(committed, "run_id", "left_semi")
 
 
 def run_extraction(
@@ -284,7 +274,7 @@ def run_extraction(
 
     Calling again over the same pages with a NEW run_id is a no-op: every
     document already committed is anti-joined away and nothing is written."""
-    require_local_store(out_dir)
+    require_supported_store(out_dir)
     prior = committed_run_ids(spark, out_dir)
     if prior is not None:
         run_id = derive_replay_run_id(
@@ -321,7 +311,7 @@ def run_extraction(
             # under the new run_id, or the orphan rows would stay invisible
             # to every committed-gated reader forever
             seen = (
-                spark.read.parquet(f"{out_dir}/quarantine")
+                spark.read.parquet(runfs.spark_path(f"{out_dir}/quarantine"))
                 .join(committed, "run_id", "left_semi")
                 .select("url")
             )
@@ -372,15 +362,17 @@ def run_extraction(
             if n_questions:
                 questions.write.mode("overwrite").partitionBy(
                     "year", "day"
-                ).parquet(f"{out_dir}/questions/run_id={run_id}")
+                ).parquet(
+                    runfs.spark_path(f"{out_dir}/questions/run_id={run_id}")
+                )
             questions.unpersist()
 
             partition_lineage(paged).write.mode("overwrite").parquet(
-                f"{out_dir}/lineage/run_id={run_id}"
+                runfs.spark_path(f"{out_dir}/lineage/run_id={run_id}")
             )
 
             paged.select("doc_id").distinct().write.mode("overwrite").parquet(
-                f"{out_dir}/processed_docs/run_id={run_id}"
+                runfs.spark_path(f"{out_dir}/processed_docs/run_id={run_id}")
             )
 
         n_images = 0
@@ -399,13 +391,13 @@ def run_extraction(
             n_images = imgs.count()
             if n_images:
                 imgs.write.mode("overwrite").parquet(
-                    f"{out_dir}/images/run_id={run_id}"
+                    runfs.spark_path(f"{out_dir}/images/run_id={run_id}")
                 )
             imgs.unpersist()
 
         if n_quarantined:
             new_quarantine.write.mode("overwrite").parquet(
-                f"{out_dir}/quarantine/run_id={run_id}"
+                runfs.spark_path(f"{out_dir}/quarantine/run_id={run_id}")
             )
 
         # Clear stale run_id dirs this ATTEMPT did not write: a crashed
@@ -527,7 +519,7 @@ def committed_main_content(spark: SparkSession, out_dir: str) -> DataFrame | Non
     committed = committed_run_ids(spark, out_dir)
     if committed is None or not _exists(path):
         return None
-    return spark.read.parquet(path).join(committed, "run_id", "left_semi")
+    return spark.read.parquet(runfs.spark_path(path)).join(committed, "run_id", "left_semi")
 
 
 def committed_anchors(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -536,7 +528,7 @@ def committed_anchors(spark: SparkSession, out_dir: str) -> DataFrame | None:
     committed = committed_run_ids(spark, out_dir)
     if committed is None or not _exists(path):
         return None
-    return spark.read.parquet(path).join(committed, "run_id", "left_semi")
+    return spark.read.parquet(runfs.spark_path(path)).join(committed, "run_id", "left_semi")
 
 
 def run_html_extraction(
@@ -584,7 +576,7 @@ def run_html_extraction(
     run's outputs (callers that pre-derive — the html stream, icerun —
     always pass an uncommitted id, so the guard is an identity for them
     and their pre-written fetch_log dirs keep their names)."""
-    require_local_store(out_dir)
+    require_supported_store(out_dir)
     prior = committed_run_ids(spark, out_dir)
     if prior is not None:
         run_id = derive_replay_run_id(
@@ -607,7 +599,9 @@ def run_html_extraction(
         if fetch_log is not None:
             fetch_log.select("url", "warc_ts", "doc_id").write.mode(
                 "overwrite"
-            ).parquet(f"{out_dir}/fetch_log/run_id={run_id}")
+            ).parquet(
+                runfs.spark_path(f"{out_dir}/fetch_log/run_id={run_id}")
+            )
         if n_pages == 0:
             if fetch_log is None:
                 # nothing to do — write nothing (an empty overwrite of a
@@ -639,7 +633,7 @@ def run_html_extraction(
 
         body = extracted.drop("part_id", "wall_ms", "anchors")
         body.write.mode("overwrite").parquet(
-            f"{out_dir}/main_content/run_id={run_id}"
+            runfs.spark_path(f"{out_dir}/main_content/run_id={run_id}")
         )
         if with_anchors:
             (
@@ -649,7 +643,9 @@ def run_html_extraction(
                 .filter(F.col("a").isNotNull())
                 .select("doc_id", "url", "a.pos", "a.href", "a.anchor_text")
                 .write.mode("overwrite")
-                .parquet(f"{out_dir}/anchors/run_id={run_id}")
+                .parquet(
+                    runfs.spark_path(f"{out_dir}/anchors/run_id={run_id}")
+                )
             )
         (
             extracted.groupBy("part_id")
@@ -665,10 +661,10 @@ def run_html_extraction(
                 F.round(F.sum("wall_ms"), 3).alias("wall_ms"),
             )
             .write.mode("overwrite")
-            .parquet(f"{out_dir}/lineage/run_id={run_id}")
+            .parquet(runfs.spark_path(f"{out_dir}/lineage/run_id={run_id}"))
         )
         extracted.select("doc_id").distinct().write.mode("overwrite").parquet(
-            f"{out_dir}/processed_docs/run_id={run_id}"
+            runfs.spark_path(f"{out_dir}/processed_docs/run_id={run_id}")
         )
 
         # n_pages > 0 here, so this attempt wrote every unconditional table

@@ -38,12 +38,11 @@ choices under this exact protocol.
 
 from __future__ import annotations
 
-import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import lineage, textops
+from . import lineage, runfs, textops
 
 SIG_TABLE = "minhash_sigs"
 _RUN_RE = re.compile(r"^sig(\d+)x(\d+)_(\d{6,})$")  # {6,}: :06d PADS, never
@@ -105,7 +104,8 @@ def committed_signatures(
     runs = _committed_sig_runs(spark, out_dir, committed)
     _check_config(runs, perms, bands)
     path = f"{out_dir}/{SIG_TABLE}"
-    if not runs or not os.path.exists(path):
+    fs = runfs.fs_for(out_dir)
+    if not runs or not fs.exists(path):
         return None
     # read EXACTLY the committed run dirs, never the whole table dir: a
     # crashed first attempt under a DIFFERENT (perms, bands) config leaves
@@ -115,8 +115,8 @@ def committed_signatures(
     # AnalysisException on mh{perms-1}, or silently null-padded signatures
     run_ids = {r.run_id for r in committed.select("run_id").collect()}
     paths = [
-        os.path.join(path, d)
-        for d in sorted(os.listdir(path))
+        runfs.spark_path(f"{path}/{d}")
+        for d in fs.list_names(path)
         if d.startswith("run_id=") and d.split("=", 1)[1] in run_ids
     ]
     if not paths:
@@ -165,7 +165,7 @@ def update_signature_index(
         if n == 0:
             return {"indexed": 0, "run_id": run_id, "up_to_date": True}
         sigs.write.mode("overwrite").parquet(
-            f"{out_dir}/{SIG_TABLE}/run_id={run_id}"
+            runfs.spark_path(f"{out_dir}/{SIG_TABLE}/run_id={run_id}")
         )
         # COMMIT POINT
         lineage.append_run_marker(spark, out_dir, run_id, n)

@@ -75,6 +75,8 @@ from typing import Any, Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from .. import runfs
+
 FORMAT_VERSION = 1
 _PART_DIR = "__part"  # synthetic partition dir level (see module docstring)
 
@@ -190,12 +192,31 @@ def _json_safe_bound(v: Any) -> Any:
 
 
 def _file_entry(
-    abs_path: str, table_root: str, transforms: Sequence[Transform]
+    table_root: str,
+    rel: str,
+    transforms: Sequence[Transform],
+    fs=None,
 ) -> dict:
+    """Manifest entry for the table-relative file ``rel``. Footer stats
+    come from a local read when the data plane is POSIX-accessible
+    (`fs.local_data_path`), else from a whole-object `read_bytes` — the
+    shape a real object-store port keeps (a production port would use
+    ranged GETs for the footer; at manifest-build time the file was just
+    written, so the bytes are warm either way)."""
+    import io
+
     import pyarrow.parquet as pq
 
-    rel = os.path.relpath(abs_path, table_root)
-    meta = pq.ParquetFile(abs_path).metadata
+    fs = fs if fs is not None else runfs.fs_for(table_root)
+    full = f"{table_root}/{rel}"
+    local = fs.local_data_path(full)
+    if local is not None:
+        meta = pq.ParquetFile(local).metadata
+        nbytes = os.path.getsize(local)
+    else:
+        blob = fs.read_bytes(full)
+        meta = pq.ParquetFile(io.BytesIO(blob)).metadata
+        nbytes = len(blob)
     bounds: dict[str, list] = {}
     for rg in range(meta.num_row_groups):
         group = meta.row_group(rg)
@@ -216,7 +237,7 @@ def _file_entry(
     return {
         "path": rel,
         "records": meta.num_rows,
-        "bytes": os.path.getsize(abs_path),
+        "bytes": nbytes,
         "partition": _parse_partition_dir(rel, transforms),
         "bounds": bounds,
     }
@@ -255,15 +276,19 @@ def _delete_applies(data_entry: dict, delete_entry: dict) -> bool:
 
 
 def _scan_commit_dir(
-    commit_dir: str, table_root: str, transforms: Sequence[Transform]
+    commit_dir: str, table_root: str, transforms: Sequence[Transform], fs=None
 ) -> list[dict]:
+    fs = fs if fs is not None else runfs.fs_for(table_root)
+    root = table_root.rstrip("/")
+    if not commit_dir.startswith(root + "/"):
+        raise ValueError(f"commit dir {commit_dir!r} outside table {root!r}")
+    prefix = commit_dir[len(root) + 1 :]
     entries = []
-    for dirpath, _dirnames, filenames in os.walk(commit_dir):
-        for fname in sorted(filenames):
-            if fname.endswith(".parquet"):
-                entries.append(
-                    _file_entry(os.path.join(dirpath, fname), table_root, transforms)
-                )
+    for rel in sorted(fs.list_files(commit_dir)):
+        if rel.endswith(".parquet"):
+            entries.append(
+                _file_entry(root, f"{prefix}/{rel}", transforms, fs)
+            )
     entries.sort(key=lambda e: e["path"])
     return entries
 
@@ -383,12 +408,11 @@ def _version_file(path: str, v: int) -> str:
 def current_version(path: str) -> int:
     """Highest committed version, -1 if the table doesn't exist yet.
 
-    O(#versions) metadata listing — never touches the data prefix."""
+    O(#versions) metadata listing (a delimiter list on the metadata
+    prefix) — never touches the data prefix."""
     md = _meta_dir(path)
-    if not os.path.isdir(md):
-        return -1
     best = -1
-    for name in os.listdir(md):
+    for name in runfs.fs_for(path).list_names(md):
         if name.startswith("v") and name.endswith(".json"):
             try:
                 best = max(best, int(name[1:-5]))
@@ -401,35 +425,22 @@ def _atomic_create(path: str, payload: dict) -> None:
     """Content-atomic exclusive create — the commit point. Loser raises
     CommitConflict.
 
-    The version file must appear with its FULL content in one step: an
-    O_EXCL create-then-write window would let a concurrent reader observe
-    (or a crash leave behind) an empty/truncated version file that every
-    later metadata() read chokes on. So the JSON is written and fsynced to
-    a private tmp name first, then ``os.link`` publishes it under the
-    version name — link(2) is atomic and fails with EEXIST for the race
-    loser, giving the same winner-takes-all semantics as O_EXCL but with
-    the content already durable at publish time."""
+    The version file must appear with its FULL content in one step, and
+    the first writer must win: exactly the CONDITIONAL-PUT primitive of
+    the runfs control plane (`create_exclusive` — If-None-Match on an
+    object store, tmp + fsync + link(2) locally, where link is atomic
+    and fails with EEXIST for the race loser with the content already
+    durable at publish time). A create-then-write window would let a
+    concurrent reader observe (or a crash leave behind) an empty/
+    truncated version file that every later metadata() read chokes on;
+    the runfs implementations all publish whole-object-or-nothing."""
     blob = json.dumps(payload, indent=1, sort_keys=True).encode("utf-8")
-    # pid alone is NOT attempt-unique: two concurrent commits in one
-    # driver process (two streaming queries, ingest racing maintenance)
-    # would share the tmp file, and the O_EXCL winner could publish the
-    # LOSER's payload — a silent lost commit with no CommitConflict
-    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:12]}"
-    with open(tmp, "wb") as fh:
-        fh.write(blob)
-        fh.flush()
-        os.fsync(fh.fileno())
     try:
-        os.link(tmp, path)
+        runfs.fs_for(path).create_exclusive(path, blob)
     except FileExistsError:
-        raise CommitConflict(f"lost commit race for {os.path.basename(path)}")
-    finally:
-        os.unlink(tmp)
-    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
-    try:
-        os.fsync(dfd)  # make the new directory entry itself durable
-    finally:
-        os.close(dfd)
+        raise CommitConflict(
+            f"lost commit race for {path.rsplit('/', 1)[-1]}"
+        ) from None
 
 
 def _merge_schema(old: T.StructType, new: T.StructType) -> T.StructType:
@@ -457,7 +468,26 @@ class IceTable:
 
     def __init__(self, spark: SparkSession | None, path: str):
         self.spark = spark
-        self.path = os.path.normpath(path)
+        # normpath only plain paths: it would collapse a URI's '//'
+        self.path = (
+            path.rstrip("/")
+            if runfs.scheme_of(path)
+            else os.path.normpath(path)
+        )
+        self._fs = runfs.fs_for(self.path)
+
+    def _dp(self, rel: str) -> str:
+        """Data-plane (Spark/Hadoop) address of a table-relative path."""
+        return self._fs.spark_path(f"{self.path}/{rel}")
+
+    def _rel_of_uri(self, uri: str) -> str:
+        """Table-relative path of a Spark ``input_file_name()`` URI —
+        resolved against the DATA-PLANE root, which differs from
+        ``self.path`` on stores whose spark_path translates."""
+        p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+        sp_root = self._fs.spark_path(self.path)
+        root_local = urllib.parse.urlparse(sp_root).path or sp_root
+        return os.path.relpath(p, root_local)
 
     # -- metadata ----------------------------------------------------------
 
@@ -468,8 +498,7 @@ class IceTable:
         v = current_version(self.path) if version is None else version
         if v < 0:
             raise FileNotFoundError(f"no icetable at {self.path}")
-        with open(_version_file(self.path, v)) as fh:
-            return json.load(fh)
+        return json.loads(self._fs.read_bytes(_version_file(self.path, v)))
 
     def snapshots(self) -> list[dict]:
         return self.metadata()["snapshots"]
@@ -552,8 +581,11 @@ class IceTable:
     def _manifest_entries(self, snap: dict) -> list[dict]:
         out = []
         for mpath in snap["manifests"]:
-            with open(os.path.join(self.path, mpath)) as fh:
-                out.extend(json.load(fh)["entries"])
+            out.extend(
+                json.loads(self._fs.read_bytes(f"{self.path}/{mpath}"))[
+                    "entries"
+                ]
+            )
         return out
 
     # -- scan planning -----------------------------------------------------
@@ -600,7 +632,7 @@ class IceTable:
         pre-delete rows — row-exact reads go through ``read``, which
         anti-joins the applicable deletes."""
         kept, _dels, report = self._plan_entries(filters, snapshot_id, as_of)
-        return [os.path.join(self.path, e["path"]) for e in kept], report
+        return [self._dp(e["path"]) for e in kept], report
 
     def _plan_incremental_entries(
         self,
@@ -778,7 +810,7 @@ class IceTable:
         kept, _dels, report = self._plan_incremental_entries(
             from_seq, filters, snapshot_id, as_of
         )
-        return [os.path.join(self.path, e["path"]) for e in kept], report
+        return [self._dp(e["path"]) for e in kept], report
 
     def read_incremental(
         self,
@@ -852,7 +884,7 @@ class IceTable:
         which is the whole point of MOR at 10^12 rows."""
         if not delete_entries:
             return self._read_files(
-                [os.path.join(self.path, e["path"]) for e in data_entries],
+                [self._dp(e["path"]) for e in data_entries],
                 filters,
                 schema=schema,
             )
@@ -873,7 +905,7 @@ class IceTable:
         out: DataFrame | None = None
         for key in sorted(groups):
             df = self._read_files(
-                [os.path.join(self.path, e["path"]) for e in groups[key]],
+                [self._dp(e["path"]) for e in groups[key]],
                 filters,
                 schema=schema,
             )
@@ -884,7 +916,7 @@ class IceTable:
                 )
             for cols, group in sorted(by_cols.items()):
                 paths = tuple(
-                    sorted(os.path.join(self.path, d["path"]) for d in group)
+                    sorted(self._dp(d["path"]) for d in group)
                 )
                 ck = (cols, paths)
                 if ck not in key_cache:
@@ -1008,24 +1040,29 @@ class IceTable:
             else:
                 # rewrite manifests dropping filtered files (metadata-only)
                 for i, mpath in enumerate(parent["manifests"]):
-                    with open(os.path.join(self.path, mpath)) as fh:
-                        entries = json.load(fh)["entries"]
+                    entries = json.loads(
+                        self._fs.read_bytes(f"{self.path}/{mpath}")
+                    )["entries"]
                     survivors = [e for e in entries if manifest_filter(e)]
                     if len(survivors) == len(entries):
                         manifests.append(mpath)
                         continue
                     if not survivors:
                         continue
-                    rel = os.path.join(
-                        "metadata", f"manifest-{snap_id:05d}-r{i:03d}-{token}.json"
+                    rel = (
+                        f"metadata/manifest-{snap_id:05d}-r{i:03d}-{token}.json"
                     )
-                    with open(os.path.join(self.path, rel), "w") as fh:
-                        json.dump({"entries": survivors}, fh, indent=1)
+                    self._fs.write_bytes(
+                        f"{self.path}/{rel}",
+                        json.dumps({"entries": survivors}, indent=1).encode(),
+                    )
                     manifests.append(rel)
         if new_entries:
-            rel = os.path.join("metadata", f"manifest-{snap_id:05d}-{token}.json")
-            with open(os.path.join(self.path, rel), "w") as fh:
-                json.dump({"entries": new_entries}, fh, indent=1)
+            rel = f"metadata/manifest-{snap_id:05d}-{token}.json"
+            self._fs.write_bytes(
+                f"{self.path}/{rel}",
+                json.dumps({"entries": new_entries}, indent=1).encode(),
+            )
             manifests.append(rel)
 
         snap = {
@@ -1084,12 +1121,16 @@ class IceTable:
             staged = df.withColumn(
                 _PART_DIR, F.concat_ws("|", *parts)
             ).repartition(_PART_DIR)
-            staged.write.mode("overwrite").partitionBy(_PART_DIR).parquet(commit_dir)
+            staged.write.mode("overwrite").partitionBy(_PART_DIR).parquet(
+                self._fs.spark_path(commit_dir)
+            )
         else:
-            staged.write.mode("overwrite").parquet(commit_dir)
+            staged.write.mode("overwrite").parquet(
+                self._fs.spark_path(commit_dir)
+            )
         # partition dirs written by Spark are url-encoded already for the
         # synthetic column; entries are parsed back from the path
-        return _scan_commit_dir(commit_dir, self.path, transforms)
+        return _scan_commit_dir(commit_dir, self.path, transforms, self._fs)
 
     @classmethod
     def create(
@@ -1101,7 +1142,7 @@ class IceTable:
         sequence: int = 0,
     ) -> "IceTable":
         t = cls(spark, path)
-        os.makedirs(_meta_dir(path), exist_ok=True)
+        t._fs.ensure_dir(_meta_dir(t.path))
         if current_version(path) >= 0:
             raise FileExistsError(f"icetable already exists at {path}")
         meta0 = {
@@ -1367,7 +1408,7 @@ class IceTable:
         if missing:
             row = (
                 self.spark.read.schema(schema)
-                .parquet(*[os.path.join(self.path, e["path"]) for e in entries])
+                .parquet(*[self._dp(e["path"]) for e in entries])
                 .agg(
                     *[F.min(c).alias(f"lo_{c}") for c in missing],
                     *[F.max(c).alias(f"hi_{c}") for c in missing],
@@ -1529,7 +1570,7 @@ class IceTable:
                 .drop("_ice_z")
             )
             staged.write.mode("overwrite").partitionBy(_PART_DIR).parquet(
-                commit_dir
+                self._fs.spark_path(commit_dir)
             )
         else:
             staged = (
@@ -1537,8 +1578,12 @@ class IceTable:
                 .sortWithinPartitions("_ice_z")
                 .drop("_ice_z")
             )
-            staged.write.mode("overwrite").parquet(commit_dir)
-        new_entries = _scan_commit_dir(commit_dir, self.path, transforms)
+            staged.write.mode("overwrite").parquet(
+                self._fs.spark_path(commit_dir)
+            )
+        new_entries = _scan_commit_dir(
+            commit_dir, self.path, transforms, self._fs
+        )
         out = self._commit(
             "replace", new_entries, sequence, None, True,
             manifest_filter=lambda e: e["path"] not in drop_paths,
@@ -1600,10 +1645,7 @@ class IceTable:
         # past the commit point: physical deletes (a crash here leaves only
         # unreferenced orphans — harmless, re-deleted by the next expire)
         for rel in sorted(dead_paths | dead_manifests):
-            try:
-                os.unlink(os.path.join(self.path, rel))
-            except FileNotFoundError:
-                pass
+            self._fs.delete_file(f"{self.path}/{rel}")
         return {
             "expired_snapshots": len(dropped),
             "deleted_files": len(dead_paths),
@@ -1726,19 +1768,18 @@ class IceTable:
         import time as _time
 
         cutoff = _time.time() - older_than_s
-        data_root = os.path.join(self.path, "data")
+        data_root = f"{self.path}/data"
         on_disk: set[str] = set()
-        for dirpath, _dirnames, filenames in os.walk(data_root):
-            for fname in filenames:
-                if not fname.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, fname)
-                try:
-                    if os.path.getmtime(full) > cutoff:
-                        continue  # too young: possibly an in-flight attempt
-                except FileNotFoundError:
-                    continue
-                on_disk.add(os.path.relpath(full, self.path))
+        for rel in self._fs.list_files(data_root):
+            if not rel.endswith(".parquet"):
+                continue
+            full = f"{data_root}/{rel}"
+            try:
+                if self._fs.mtime(full) > cutoff:
+                    continue  # too young: possibly an in-flight attempt
+            except FileNotFoundError:
+                continue
+            on_disk.add(f"data/{rel}")
         meta = self.metadata()
         referenced = {
             e["path"]
@@ -1747,10 +1788,7 @@ class IceTable:
         }
         orphans = on_disk - referenced
         for rel in sorted(orphans):
-            try:
-                os.unlink(os.path.join(self.path, rel))
-            except FileNotFoundError:
-                pass
+            self._fs.delete_file(f"{self.path}/{rel}")
         return {"deleted_orphans": len(orphans), "live_files": len(referenced)}
 
     def merge(
@@ -1837,9 +1875,7 @@ class IceTable:
             # 2. key-column-only scan of the candidates -> touched file list
             touched_rel: set[str] = set()
             if candidates:
-                cand_paths = [
-                    os.path.join(self.path, e["path"]) for e in candidates
-                ]
+                cand_paths = [self._dp(e["path"]) for e in candidates]
                 keyed = (
                     self.spark.read.schema(schema)
                     .parquet(*cand_paths)
@@ -1853,8 +1889,7 @@ class IceTable:
                     .collect()
                 )
                 for (uri,) in uris:
-                    p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
-                    touched_rel.add(os.path.relpath(p, self.path))
+                    touched_rel.add(self._rel_of_uri(uri))
 
             # 3. rewrite touched survivors + source into new files.
             # Survivors are read DELETE-AWARE: a raw file read would
@@ -1916,14 +1951,12 @@ class IceTable:
         # one file: delete key lists are small by contract (a big delete
         # wants overwrite/merge); coalesce keeps the manifest one entry
         keys.dropDuplicates().coalesce(1).write.mode("overwrite").parquet(
-            commit_dir
+            self._fs.spark_path(commit_dir)
         )
-        entries = _scan_commit_dir(commit_dir, self.path, [])
+        entries = _scan_commit_dir(commit_dir, self.path, [], self._fs)
         n_keys = sum(e["records"] for e in entries)
         if n_keys == 0:
-            import shutil
-
-            shutil.rmtree(commit_dir, ignore_errors=True)
+            self._fs.delete_prefix(commit_dir)
             return {"operation": "noop", "deleted_keys": 0}
         for e in entries:
             e["content"] = _EQ_DELETES
@@ -1976,16 +2009,14 @@ class IceTable:
                 continue
             keys = (
                 self.spark.read.parquet(
-                    *[os.path.join(self.path, d["path"]) for d in group]
+                    *[self._dp(d["path"]) for d in group]
                 )
                 .select(*cols)
                 .dropDuplicates()
             )
             keyed = (
                 self.spark.read.schema(schema)
-                .parquet(
-                    *[os.path.join(self.path, e["path"]) for e in applicable]
-                )
+                .parquet(*[self._dp(e["path"]) for e in applicable])
                 .select(*cols)
                 .withColumn("_ice_file", F.input_file_name())
             )
@@ -2003,8 +2034,7 @@ class IceTable:
                 .collect()
             )
             for (uri,) in uris:
-                p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
-                touched_rel.add(os.path.relpath(p, self.path))
+                touched_rel.add(self._rel_of_uri(uri))
         touched_entries = [e for e in data if e["path"] in touched_rel]
         drop = touched_rel | {d["path"] for d in dels}
         new_entries = (
@@ -2079,7 +2109,7 @@ def _write_data_pandas(
     arrow_schema = pa.schema(
         [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
     )
-    commit_dir = os.path.join(table_path, "data", f"c{snap_hint:05d}")
+    commit_dir = f"{table_path.rstrip('/')}/data/c{snap_hint:05d}"
     cols = [f.name for f in schema.fields]
     if transforms:
         keys = pdf.apply(
@@ -2091,10 +2121,12 @@ def _write_data_pandas(
         groups = pdf.groupby(keys, sort=True)
     else:
         groups = [("", pdf)]
+    fs = runfs.fs_for(table_path)
+    root = table_path.rstrip("/")
+    commit_rel = commit_dir[len(root) + 1 :]
     written: list[str] = []
     for dirname, group in groups:
-        out_dir = os.path.join(commit_dir, dirname) if dirname else commit_dir
-        os.makedirs(out_dir, exist_ok=True)
+        rel_dir = f"{commit_rel}/{dirname}" if dirname else commit_rel
         tbl = pa.Table.from_pandas(
             group[cols].reset_index(drop=True), schema=arrow_schema, preserve_index=False
         )
@@ -2104,11 +2136,10 @@ def _write_data_pandas(
         pq.write_table(tbl, buf)
         blob = buf.getvalue()
         digest = hashlib.md5(blob).hexdigest()[:12]
-        out_path = os.path.join(out_dir, f"part-{digest}.parquet")
-        with open(out_path, "wb") as fh:
-            fh.write(blob)
-        written.append(out_path)
-    entries = [_file_entry(p, table_path, transforms) for p in written]
+        rel = f"{rel_dir}/part-{digest}.parquet"
+        fs.write_bytes(f"{root}/{rel}", blob)
+        written.append(rel)
+    entries = [_file_entry(root, rel, transforms, fs) for rel in written]
     entries.sort(key=lambda e: e["path"])
     return entries
 
@@ -2121,7 +2152,7 @@ def create_pandas(
     sequence: int = 0,
 ) -> IceTable:
     """Spark-free ``IceTable.create`` for deterministic staging."""
-    os.makedirs(_meta_dir(path), exist_ok=True)
+    runfs.fs_for(path).ensure_dir(_meta_dir(path))
     if current_version(path) >= 0:
         raise FileExistsError(f"icetable already exists at {path}")
     meta0 = {

@@ -45,7 +45,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import lineage, textops
+from . import lineage, runfs, textops
 
 STATS_TABLE = "corpus_stats"
 DOCS_TABLE = "stats_docs"
@@ -125,7 +125,7 @@ def _active_table(
     if not active_ids or not lineage._exists(path):
         return None
     return (
-        spark.read.parquet(path)
+        spark.read.parquet(runfs.spark_path(path))
         .filter(F.col("run_id").isin(active_ids))
         .drop("run_id")
     )
@@ -209,20 +209,18 @@ def committed_stats(
 def _sweep_below(
     out_dir: str, tables: tuple, run_re: re.Pattern, n_group: int, n_new: int
 ) -> None:
-    """Delete every run dir on DISK numbered below a compaction (markers
-    or not — this is where crash-orphaned garbage goes away). Shared by
-    both namespaces' compactions."""
-    import os
-    import shutil
-
+    """Delete every run dir in the STORE numbered below a compaction
+    (markers or not — this is where crash-orphaned garbage goes away).
+    Shared by both namespaces' compactions; runs on the store's runfs
+    control plane (delimiter list + prefix delete) so URI-schemed stores
+    sweep correctly."""
+    fs = runfs.fs_for(out_dir)
     for table in tables:
         base = f"{out_dir}/{table}"
-        if not os.path.isdir(base):
-            continue
-        for d in os.listdir(base):
+        for d in fs.list_names(base):
             m = run_re.match(d.removeprefix("run_id="))
             if m and int(m.group(n_group)) < n_new:
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                fs.delete_prefix(f"{base}/{d}")
 
 
 def update_corpus_stats(
@@ -257,9 +255,9 @@ def update_corpus_stats(
             return {"folded": 0, "run_id": run_id, "up_to_date": True}
         _delta_state(docs, group_col, p, sub_bits).write.mode(
             "overwrite"
-        ).parquet(f"{out_dir}/{STATS_TABLE}/run_id={run_id}")
+        ).parquet(runfs.spark_path(f"{out_dir}/{STATS_TABLE}/run_id={run_id}"))
         docs.select("doc_id").write.mode("overwrite").parquet(
-            f"{out_dir}/{DOCS_TABLE}/run_id={run_id}"
+            runfs.spark_path(f"{out_dir}/{DOCS_TABLE}/run_id={run_id}")
         )
         # COMMIT POINT
         lineage.append_run_marker(spark, out_dir, run_id, n)
@@ -331,10 +329,10 @@ def compact_stats(
     state = committed_stats(spark, out_dir, p, sub_bits, committed)
     cursor = _active_table(spark, out_dir, DOCS_TABLE, active)
     state.write.mode("overwrite").parquet(
-        f"{out_dir}/{STATS_TABLE}/run_id={run_id}"
+        runfs.spark_path(f"{out_dir}/{STATS_TABLE}/run_id={run_id}")
     )
     cursor.write.mode("overwrite").parquet(
-        f"{out_dir}/{DOCS_TABLE}/run_id={run_id}"
+        runfs.spark_path(f"{out_dir}/{DOCS_TABLE}/run_id={run_id}")
     )
     # COMMIT POINT
     lineage.append_run_marker(spark, out_dir, run_id, len(active))
@@ -555,14 +553,14 @@ def update_term_sketch(
         toks = _term_tokens(docs, group_col)
         textops.cms_sketch(toks, ["grp"], "v", depth, width).write.mode(
             "overwrite"
-        ).parquet(f"{out_dir}/{TERMS_TABLE}/run_id={run_id}")
+        ).parquet(runfs.spark_path(f"{out_dir}/{TERMS_TABLE}/run_id={run_id}"))
         toks.filter(
             textops._cms_doc_sampled(F.col("doc_id"), sample_mod)
         ).select("grp", "v").distinct().write.mode("overwrite").parquet(
-            f"{out_dir}/{CANDS_TABLE}/run_id={run_id}"
+            runfs.spark_path(f"{out_dir}/{CANDS_TABLE}/run_id={run_id}")
         )
         docs.select("doc_id").write.mode("overwrite").parquet(
-            f"{out_dir}/{TERM_DOCS_TABLE}/run_id={run_id}"
+            runfs.spark_path(f"{out_dir}/{TERM_DOCS_TABLE}/run_id={run_id}")
         )
         # COMMIT POINT
         lineage.append_run_marker(spark, out_dir, run_id, n)
@@ -635,18 +633,18 @@ def compact_terms(
     (
         _merged_term_sketch(spark, out_dir, active)
         .write.mode("overwrite")
-        .parquet(f"{out_dir}/{TERMS_TABLE}/run_id={run_id}")
+        .parquet(runfs.spark_path(f"{out_dir}/{TERMS_TABLE}/run_id={run_id}"))
     )
     (
         _active_table(spark, out_dir, CANDS_TABLE, active)
         .distinct()
         .write.mode("overwrite")
-        .parquet(f"{out_dir}/{CANDS_TABLE}/run_id={run_id}")
+        .parquet(runfs.spark_path(f"{out_dir}/{CANDS_TABLE}/run_id={run_id}"))
     )
     (
         _active_table(spark, out_dir, TERM_DOCS_TABLE, active)
         .write.mode("overwrite")
-        .parquet(f"{out_dir}/{TERM_DOCS_TABLE}/run_id={run_id}")
+        .parquet(runfs.spark_path(f"{out_dir}/{TERM_DOCS_TABLE}/run_id={run_id}"))
     )
     # COMMIT POINT
     lineage.append_run_marker(spark, out_dir, run_id, len(active))

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from . import runfs
 from .extract import ExtractorConfig, extract_questions
 from .sources.documents_bridge import PAGES_SCHEMA
 
@@ -100,11 +101,15 @@ def start_extraction_stream(
         gb_batch = batch_df.filter(url_kind(F.col("url")).eqNullSafe("GB"))
         if not gb_batch.isEmpty():
             gb_batch.write.mode("overwrite").parquet(
-                f"{out_dir}/gb_store/batch_id={incarnation}-{batch_id}"
+                runfs.spark_path(
+                    f"{out_dir}/gb_store/batch_id={incarnation}-{batch_id}"
+                )
             )
         keys = None
         if _exists(f"{out_dir}/gb_store"):
-            gb_all = spark.read.parquet(f"{out_dir}/gb_store").drop("batch_id")
+            gb_all = spark.read.parquet(
+                runfs.spark_path(f"{out_dir}/gb_store")
+            ).drop("batch_id")
             keys = build_answer_keys(with_url_metadata(gb_all))
         persisted: list = []
         try:
@@ -112,7 +117,11 @@ def start_extraction_stream(
                 extract_questions(batch_df, cfg, keys=keys, persist_to=persisted)
                 .write.mode("overwrite")
                 .partitionBy("year", "day")
-                .parquet(f"{out_dir}/questions/batch_id={incarnation}-{batch_id}")
+                .parquet(
+                    runfs.spark_path(
+                        f"{out_dir}/questions/batch_id={incarnation}-{batch_id}"
+                    )
+                )
             )
         finally:
             # the salted-numbering cache is per-batch scratch: release it
@@ -308,13 +317,12 @@ def _has_batches(path: str) -> bool:
     be passed to the parquet reader — either wedges it in
     UNABLE_TO_INFER_SCHEMA; lineage._exists is the repo-wide convention
     for exactly this)."""
-    import os
-
     from .lineage import _exists
 
+    fs = runfs.fs_for(path)
     return (
-        os.path.exists(path)
-        and any(d.startswith("batch_id=") for d in os.listdir(path))
+        fs.exists(path)
+        and any(d.startswith("batch_id=") for d in fs.list_names(path))
         and _exists(path)
     )
 
@@ -326,7 +334,7 @@ def _read_staged(
     dropped. Loaded per-root (Spark refuses multi-root partition
     discovery) — None when neither holds a batch."""
     frames = [
-        spark.read.parquet(p).drop("batch_id")
+        spark.read.parquet(runfs.spark_path(p)).drop("batch_id")
         for p in (staging, gb_store)
         if _has_batches(p)
     ]
@@ -403,24 +411,24 @@ def compact_staging(spark: SparkSession, out_dir: str) -> int:
     against foreachBatch replays: a replayed batch rewrites its dir with
     identical content (overwrite mode) and the next compaction re-drops it.
 
-    Local-FS deletes via shutil; on HDFS/S3 this would be the FileSystem
-    API — the decision logic (one Spark aggregate) is storage-agnostic.
-    Returns the number of directories dropped."""
-    import os
-    import shutil
-
+    Deletes and listings run on the store's runfs control plane, so the
+    decision logic (one Spark aggregate) and the cleanup are both
+    storage-agnostic. Returns the number of directories dropped."""
     from .lineage import committed_run_ids, processed_doc_ids, _exists
 
+    fs = runfs.fs_for(out_dir)
     staging = f"{out_dir}/staging"
-    if not os.path.exists(staging):
-        return 0
-    batch_dirs = [d for d in os.listdir(staging) if d.startswith("batch_id=")]
+    batch_dirs = [
+        d for d in fs.list_names(staging) if d.startswith("batch_id=")
+    ]
     if not batch_dirs:
         return 0
 
     from .extract import with_url_metadata
 
-    staged = spark.read.parquet(staging)  # batch_id from partition dirs
+    staged = spark.read.parquet(
+        runfs.spark_path(staging)
+    )  # batch_id from partition dirs
     live = with_url_metadata(staged.filter(F.col("lang") == "pt"))
     committed = committed_run_ids(spark, out_dir)
     if committed is not None and _exists(f"{out_dir}/quarantine"):
@@ -429,7 +437,7 @@ def compact_staging(spark: SparkSession, out_dir: str) -> int:
         # processed_docs, so without this filter it would pin its staging
         # dir forever
         qurls = (
-            spark.read.parquet(f"{out_dir}/quarantine")
+            spark.read.parquet(runfs.spark_path(f"{out_dir}/quarantine"))
             .join(committed, "run_id", "left_semi")
             .select("url")
         )
@@ -451,7 +459,7 @@ def compact_staging(spark: SparkSession, out_dir: str) -> int:
     dropped = 0
     for d in batch_dirs:
         if d.split("=", 1)[1] not in live_batches:
-            shutil.rmtree(os.path.join(staging, d))
+            fs.delete_prefix(f"{staging}/{d}")
             dropped += 1
     return dropped
 
@@ -537,11 +545,15 @@ def start_document_stream(
             rest = batch_df.filter(~is_gb)
             if not gb_batch.isEmpty():
                 gb_batch.write.mode("overwrite").parquet(
-                    f"{gb_store}/batch_id={incarnation}-{batch_id}"
+                    runfs.spark_path(
+                        f"{gb_store}/batch_id={incarnation}-{batch_id}"
+                    )
                 )
             if not rest.isEmpty():
                 rest.write.mode("overwrite").parquet(
-                    f"{staging}/batch_id={incarnation}-{batch_id}"
+                    runfs.spark_path(
+                        f"{staging}/batch_id={incarnation}-{batch_id}"
+                    )
                 )
 
         staged = _read_staged(spark, staging, gb_store)
@@ -794,7 +806,7 @@ def start_html_stream(
             if summary["input_pages"] > 0:
                 family.add(run_id)
             dirs = [
-                d
+                runfs.spark_path(d)
                 for i in sorted(family)
                 if lineage._exists(d := f"{out_dir}/main_content/run_id={i}")
             ]

@@ -8,10 +8,13 @@ On a real cluster:
         jobs/extract_job.py --input s3://bucket/pages --output /mnt/shared/out \
         --run-id 2026-08-17 --salt-chunk-size 4096
 
-(--input may be any Spark-readable URI; --output must be a POSIX path —
-local disk or a shared mount — because the commit/resume protocol uses
-driver-local filesystem semantics. An object-store output raises with
-the porting note in lineage.require_local_store.)
+(--input may be any Spark-readable URI; --output takes a plain POSIX
+path, a file:// URI, or any URI scheme with a registered runfs
+control-plane implementation — the commit/resume protocol runs its
+probes/clears/commits through enem_spark/runfs.py's six primitives, so
+an object-store deployment registers a conditional-put client for its
+scheme (see the runfs module docstring). An unregistered scheme raises
+loudly instead of silently degrading exactly-once.)
 
 In this sandbox (no cluster manager) the same script runs under plain
 python; the session factory builds local[N] and ships the package zip to
