@@ -411,6 +411,150 @@ def run_dedup_bench(sf_dir: str, cpus: str) -> dict:
     }
 
 
+def run_sig_store_ab(sf_dir: str, cpus: str, mult: int = 4, trials: int = 2) -> dict:
+    """A/B the LSH pair stage re-signing the corpus per query (fresh)
+    against reading the committed signature index (``sig_store=`` — the
+    r4-verdict ask): minhash_estimate_pairs and dedup_clusters, engine
+    config, over the same replicated dedup store. The index build is
+    UNTIMED setup (``sig_setup_sec`` — it is the amortized maintenance
+    step update_signature_index runs after each extraction); outputs are
+    checksum-compared so the A and B legs provably compute the same
+    answer; hardware probes bracket each trial."""
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from enem_spark import sigindex, textops
+    from enem_spark.session import get_spark
+
+    n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    spark = get_spark("enem_spark_sigab", cores=cpus)
+    store, n_docs = _dedup_docs_store(spark, sf_dir, mult)
+    docs = spark.read.parquet(store)
+    sf = _sf_from_dir(sf_dir)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"enem_sigidx_sf{sf}x{mult}_p{textops.MINHASH_PERMS}b{textops.LSH_BANDS}",
+    )
+    t0 = time.perf_counter()
+    setup = sigindex.update_signature_index(spark, idx, source=docs)
+    sig_setup_sec = round(time.perf_counter() - t0, 3)
+
+    def _checksum(df, cols):
+        # decimal(38,0) sum: ANSI mode overflows a long sum of xxhash64s
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("chk"),
+        ).first()
+        return (row["n"], int(row["chk"] or 0))
+
+    def est(sig_store):
+        holders: list = []
+        try:
+            out = textops.minhash_estimate_pairs(
+                docs, threshold=0.5, persist_to=holders, sig_store=sig_store
+            )
+            return _checksum(
+                out, ["doc_a", "doc_b", F.round("est_jaccard", 6).cast("string")]
+            )
+        finally:
+            for h in holders:
+                h.unpersist(blocking=True)
+
+    def clusters(sig_store):
+        return _checksum(
+            textops.dedup_clusters(docs, threshold=0.5, sig_store=sig_store),
+            ["doc_id", "cluster_id"],
+        )
+
+    jobs = {
+        "est_fresh": lambda: est(None),
+        "est_store": lambda: est(idx),
+        "clusters_fresh": lambda: clusters(None),
+        "clusters_store": lambda: clusters(idx),
+    }
+    for j in jobs.values():
+        j()  # warm codegen/workers, untimed
+    rows = []
+    checks: dict = {}
+    for t in range(trials):
+        probe_before = _mp_probe(min(n_cores, os.cpu_count() or 8))
+        cell = {}
+        for name, j in jobs.items():
+            t1 = time.perf_counter()
+            checks[name] = j()
+            cell[name] = round(time.perf_counter() - t1, 3)
+        probe_after = _mp_probe(min(n_cores, os.cpu_count() or 8))
+        rows.append(
+            {
+                "trial": t,
+                **cell,
+                "est_speedup": round(cell["est_fresh"] / cell["est_store"], 3),
+                "clusters_speedup": round(
+                    cell["clusters_fresh"] / cell["clusters_store"], 3
+                ),
+                "hw_probe_before": probe_before,
+                "hw_probe_after": probe_after,
+                "probe_drift": round(probe_after / probe_before, 3),
+            }
+        )
+    outputs_identical = (
+        checks["est_fresh"] == checks["est_store"]
+        and checks["clusters_fresh"] == checks["clusters_store"]
+    )
+    best = min(rows, key=lambda r: abs(1 - r["probe_drift"]))
+    return {
+        "n_docs": n_docs,
+        "mult": mult,
+        "cpus": cpus,
+        "sig_setup_sec": sig_setup_sec,
+        "index_up_to_date": setup["up_to_date"],
+        "rows": rows,
+        "outputs_identical": outputs_identical,
+        "verdict": {
+            "est_speedup": best["est_speedup"],
+            "clusters_speedup": best["clusters_speedup"],
+        },
+    }
+
+
+def update_sig_ab_md(summary: dict, path: str = "BENCH.md") -> None:
+    lines = [
+        "## Signature-store A/B (LSH pair stage: re-sign vs committed index)",
+        "",
+        "`minhash_estimate_pairs` / `dedup_clusters` at the engine config",
+        f"(128 perms / 16 bands) over the replicated dedup store ({summary['n_docs']}",
+        f"docs, mult {summary['mult']}, local[{summary['cpus']}]): fresh per-query",
+        "signing vs `sig_store=` reading the committed `minhash_sigs` index",
+        f"(index build untimed: {summary['sig_setup_sec']} s one-off maintenance,",
+        "amortized across every LSH query and crawl increment). Outputs",
+        f"checksum-identical across legs: **{summary['outputs_identical']}**.",
+        "",
+        "| trial | est fresh s | est store s | est speedup | clusters fresh s | clusters store s | clusters speedup | probe drift |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in summary["rows"]:
+        lines.append(
+            f"| {r['trial']} | {r['est_fresh']} | {r['est_store']} | "
+            f"{r['est_speedup']} | {r['clusters_fresh']} | "
+            f"{r['clusters_store']} | {r['clusters_speedup']} | "
+            f"{r['probe_drift']} |"
+        )
+    v = summary["verdict"]
+    lines += [
+        "",
+        f"Matched-probe verdict: estimate pairs {v['est_speedup']}x, clusters "
+        f"{v['clusters_speedup']}x faster reading the store. The store leg's",
+        "plan touches document text zero times (narrow signature rows only),",
+        "so the speedup grows with document size — at web-scale text the",
+        "fresh leg re-shingles the corpus per query while the store leg is",
+        "join-only, which is the whole point of maintaining the index.",
+        "",
+    ]
+    _upsert_section(path, "## Signature-store A/B (LSH pair stage: re-sign vs committed index)", "\n".join(lines))
+
+
 def update_dedup_bench_md(summary: dict, path: str = "BENCH.md") -> None:
     """Insert/replace the '## Dedup scaling' section in BENCH.md."""
     lo, hi = summary["low_cpus"], summary["high_cpus"]
@@ -1050,6 +1194,7 @@ _BENCH_SECTIONS = [
     "## HTML main-content scaling",
     "## Icetable-input scaling",
     "## Dedup scaling",
+    "## Signature-store A/B (LSH pair stage: re-sign vs committed index)",
     "## Iceberg-path extraction",
     "## Headline timings",
 ]
@@ -1687,6 +1832,8 @@ def main() -> None:
     ap.add_argument("--dedup-extract-only", action="store_true")
     ap.add_argument("--numbering-ab", action="store_true",
                     help="plain vs narrow numbering window A/B -> BENCH.md")
+    ap.add_argument("--sig-store-ab", action="store_true",
+                    help="LSH re-sign vs committed signature index A/B -> BENCH.md")
     # N=2 / 4N=8 is the measurement-valid range on this host: CLAUDE.md's
     # scaling discipline — above ~8-16 busy cores the hypervisor throttle
     # (not the job) caps efficiency near 0.5, so an 8->32 default would
@@ -1799,6 +1946,15 @@ def main() -> None:
         return
     if args.skew:
         print(json.dumps(run_skew(cpus)))
+        return
+    if args.sig_store_ab:
+        summary = run_sig_store_ab(
+            sf_dir, cpus,
+            mult=args.mult if args.mult is not None else 4,
+            trials=args.trials if args.trials is not None else 2,
+        )
+        update_sig_ab_md(summary)
+        print(json.dumps(summary))
         return
     if args.numbering_ab:
         summary = run_numbering_ab(

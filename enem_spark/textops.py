@@ -368,6 +368,31 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _store_signatures(
+    documents: DataFrame, perms: int, bands: int, sig_store: str
+) -> DataFrame:
+    """Signatures for ``documents`` read from a committed signature index
+    (sigindex protocol — (perms, bands) validated against every committed
+    sig run), signing on the fly ONLY the docs the store does not cover.
+    The union makes store-backed output IDENTICAL to a fresh computation
+    at any coverage level, so callers can adopt the store without a
+    semantics flag day; at full coverage (the steady state — every
+    extraction run is followed by update_signature_index) the text column
+    is never touched, which at 10^12 docs is the dominant cost of every
+    LSH query. Falls back to fresh signing when the store has no
+    committed sig run yet."""
+    from . import sigindex
+
+    spark = documents.sparkSession
+    stored = sigindex.committed_signatures(spark, sig_store, perms, bands)
+    if stored is None:
+        return minhash_signatures(documents, None, perms)
+    ids = documents.select("doc_id").distinct()
+    have = stored.join(ids, "doc_id", "left_semi")
+    missing = documents.join(stored.select("doc_id"), "doc_id", "left_anti")
+    return have.unionByName(minhash_signatures(missing, None, perms))
+
+
 def _band_table(sig: DataFrame, perms: int, n_bands: int) -> DataFrame:
     """Signature table -> (doc_id, band, sig) rows for band-bucket joining."""
     rows_per_band = perms // n_bands
@@ -420,6 +445,7 @@ def minhash_lsh_pairs(
     sh: DataFrame | None = None,
     sig: DataFrame | None = None,
     persist_to: list | None = None,
+    sig_store: str | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
 
@@ -442,7 +468,15 @@ def minhash_lsh_pairs(
     the SQL CacheManager holds unowned entries for the SESSION lifetime
     (the ContextCleaner only reclaims them if the cached plan itself is
     collected, which a long-lived session's repeated calls never
-    guarantee); the bench/parity harnesses clearCache between queries."""
+    guarantee); the bench/parity harnesses clearCache between queries.
+
+    ``sig_store``: path of a committed signature index (sigindex
+    protocol); signatures are READ from it instead of recomputed, with
+    uncovered docs signed on the fly (`_store_signatures`) — output is
+    identical either way. The shingle table is still built for the exact
+    verification join; callers that can live with estimated Jaccard use
+    minhash_estimate_pairs(sig_store=...), which then touches text only
+    for uncovered docs."""
     sizes = None
     if sh is None:
         from pyspark import StorageLevel
@@ -451,9 +485,11 @@ def minhash_lsh_pairs(
         if persist_to is not None:
             persist_to.append(arr)
         if sig is None:
-            sig = _signatures_from_arrays(arr, perms).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            sig = (
+                _store_signatures(documents, perms, bands, sig_store)
+                if sig_store is not None
+                else _signatures_from_arrays(arr, perms)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             if persist_to is not None:
                 persist_to.append(sig)
         sh = arr.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -470,6 +506,7 @@ def minhash_estimate_pairs(
     perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
     persist_to: list | None = None,
+    sig_store: str | None = None,
 ) -> DataFrame:
     """THE scale path for near-dup detection: banded candidates + Jaccard
     estimated from signature agreement alone — O(k) per pair, NO shingle
@@ -480,16 +517,24 @@ def minhash_estimate_pairs(
 
     Output: (doc_a, doc_b, est_jaccard >= threshold). Estimation error vs
     exact Jaccard is measured in tests/test_minhash_quality.py; the
-    calibration query `minhash_jaccard_estimate` keeps both side by side."""
+    calibration query `minhash_jaccard_estimate` keeps both side by side.
+
+    ``sig_store``: committed signature index to read signatures from
+    (uncovered docs signed on the fly — identical output at any
+    coverage). With full coverage this operator never touches text at
+    all: the whole near-dup pass is narrow-row joins over the persisted
+    store, which is the 10^12-doc steady state the index exists for."""
     from pyspark import StorageLevel
 
     # persisted: feeds the band explode AND both sides of the estimate join.
     # Callers that run many operators in one session pass persist_to and
     # unpersist after their action; otherwise the ContextCleaner reclaims
     # the blocks when the plan is garbage collected.
-    sig = minhash_signatures(documents, None, perms).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sig = (
+        _store_signatures(documents, perms, bands, sig_store)
+        if sig_store is not None
+        else minhash_signatures(documents, None, perms)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if persist_to is not None:
         persist_to.append(sig)
     candidates = _band_candidates(sig, perms, bands)
@@ -1101,6 +1146,7 @@ def dedup_clusters(
     threshold: float = 0.5,
     perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
+    sig_store: str | None = None,
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph: every doc in
     a cluster gets the cluster's minimum doc_id as its cluster_id.
@@ -1115,10 +1161,14 @@ def dedup_clusters(
     logical plan grows 3^rounds and Catalyst planning would dominate
     (same fix as htmlops.host_components, where it was measured 5x).
     Output: (doc_id, cluster_id) for EVERY doc (singletons map to
-    themselves)."""
+    themselves). ``sig_store``: committed signature index — the pair
+    stage reads persisted signatures instead of re-signing the corpus
+    per call (the dominant residual cost after the r4 double-step
+    propagation fix)."""
     owned: list = []
     pairs = minhash_lsh_pairs(
-        documents, threshold, perms, bands, persist_to=owned
+        documents, threshold, perms, bands, persist_to=owned,
+        sig_store=sig_store,
     ).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

@@ -261,3 +261,65 @@ def test_crashed_foreign_config_orphan_does_not_poison_reads(spark, tmp_path):
         spark, out, docs.limit(10), threshold=0.5, perms=P, bands=B
     )
     assert probe.filter(F.col("doc_id") == F.col("dup_of")).count() == 0
+
+
+def _pair_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_lsh_family_consumes_sig_store(spark, tmp_path):
+    """minhash_lsh_pairs / minhash_estimate_pairs / dedup_clusters with
+    ``sig_store=`` must produce IDENTICAL rows to the from-text path, at
+    full AND partial coverage (uncovered docs are signed on the fly) —
+    the r4-verdict ask: the pair stage reads persisted signatures
+    instead of re-signing the corpus per query."""
+    docs = _docs(spark)
+    # plant near-dups so the pair set is non-trivial
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tail tail")).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+
+    full = str(tmp_path / "full")
+    sigindex.update_signature_index(spark, full, source=corpus, perms=P, bands=B)
+    partial = str(tmp_path / "partial")
+    sigindex.update_signature_index(
+        spark, partial, source=corpus.filter(F.col("doc_id") % 2 == 0),
+        perms=P, bands=B,
+    )
+
+    base_est = _pair_rows(
+        textops.minhash_estimate_pairs(corpus, 0.3, perms=P, bands=B)
+    )
+    assert base_est  # non-vacuous
+    for store in (full, partial):
+        assert base_est == _pair_rows(
+            textops.minhash_estimate_pairs(
+                corpus, 0.3, perms=P, bands=B, sig_store=store
+            )
+        )
+
+    base_exact = _pair_rows(
+        textops.minhash_lsh_pairs(corpus, 0.3, perms=P, bands=B)
+    )
+    assert base_exact == _pair_rows(
+        textops.minhash_lsh_pairs(
+            corpus, 0.3, perms=P, bands=B, sig_store=full
+        )
+    )
+
+    base_clusters = _pair_rows(
+        textops.dedup_clusters(corpus, 0.3, perms=P, bands=B)
+    )
+    assert base_clusters == _pair_rows(
+        textops.dedup_clusters(
+            corpus, 0.3, perms=P, bands=B, sig_store=full
+        )
+    )
+
+    # config mismatch surfaces loudly through the sigindex validation
+    with pytest.raises(ValueError, match="one index, one config"):
+        textops.minhash_estimate_pairs(
+            corpus, 0.3, perms=P + 8, bands=B, sig_store=full
+        ).count()
