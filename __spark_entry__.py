@@ -930,14 +930,16 @@ def q_embedding_near_dup(spark, sf_dir):
 def q_media_featurize(spark, sf_dir):
     """Media featurization with REAL container-header metadata AND real
     pixel statistics: the deterministic mixed corpus (real PNGs via
-    imaging.png_encode, SOF-bearing JPEG vectors, raw text) flows through
-    the Arrow featurizer; format/width/height/channels/bit_depth come from
-    actual PNG-IHDR/JPEG-SOF parses (multimodal.sniff_media), and
-    px_mean/px_std/px_entropy come from DECODED pixels for the PNG third
-    (imaging.png_decode -> multimodal.pixel_features; digest fallback for
-    the non-decodable rest). The twin is the MATERIALIZED pure-Python run
-    of the same synth + sniff + feature composition (stage_media_expected),
-    so the hash certifies the pixel path over identical bytes."""
+    imaging.png_encode, real PROGRESSIVE JPEGs via
+    imaging.jpeg_encode_progressive, raw text) flows through the Arrow
+    featurizer; format/width/height/channels/bit_depth come from actual
+    PNG-IHDR/JPEG-SOF parses (multimodal.sniff_media), and
+    px_mean/px_std/px_entropy come from DECODED pixels for BOTH image
+    thirds (imaging.png_decode / imaging.jpeg_decode incl. SOF2;
+    digest fallback only for the text third). The twin is the
+    MATERIALIZED pure-Python run of the same synth + sniff + feature
+    composition (stage_media_expected), so the hash certifies both
+    pixel decoders over identical bytes."""
     from enem_spark.multimodal import featurize_media, synth_media_frame
 
     docs = _t(spark, sf_dir, "documents").select(

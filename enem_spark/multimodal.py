@@ -349,9 +349,11 @@ def minimal_jpeg(width: int, height: int, channels: int) -> bytes:
 def synth_media_payload(doc_id: int, text: str) -> bytes:
     """Deterministic per-document media payload cycling real containers:
     doc_id % 3 == 0 -> a REAL PNG (imaging.png_encode over seeded
-    pixels), == 1 -> a SOF-bearing JPEG vector, == 2 -> raw UTF-8 text
-    ('unknown' format). Shared by the Spark query and the pure expected
-    staging, so the twin certifies the sniff over identical bytes."""
+    pixels), == 1 -> a REAL PROGRESSIVE JPEG (imaging.
+    jpeg_encode_progressive), == 2 -> raw UTF-8 text ('unknown' format).
+    Shared by the Spark query and the pure expected staging, so the twin
+    certifies sniff AND pixel decode (both codecs) over identical
+    bytes."""
     from . import imaging
     from .layout import deterministic_pixels
 
@@ -364,7 +366,17 @@ def synth_media_payload(doc_id: int, text: str) -> bytes:
             w, h, deterministic_pixels(f"med:{doc_id}".encode(), w * h * ch), ch
         )
     if m == 1:
-        return minimal_jpeg(20 + doc_id % 9, 10 + doc_id % 4, 3)
+        # REAL progressive (SOF2) JPEG — spectral-selection + successive-
+        # approximation scans over seeded pixels (round 5; previously a
+        # header-only SOF0 vector that fell to the digest fake). CC media
+        # is majority-progressive, so the certified twin hash now covers
+        # the progressive pixel decoder, not just its unit tests.
+        w = 20 + doc_id % 9
+        h = 10 + doc_id % 4
+        return imaging.jpeg_encode_progressive(
+            w, h, 3,
+            deterministic_pixels(f"jmed:{doc_id}".encode(), w * h * 3),
+        )
     return text.encode("utf-8")
 
 

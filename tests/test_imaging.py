@@ -548,3 +548,114 @@ def test_expand_bits_raw_indices_for_palettes():
     # interleaved 4-bit RGB-ish: 6 values per row = 3 bytes, not width-stride
     vals = imaging.expand_bits(b"\x12\x34\x56", 6, 1, 4, scale=False)
     assert vals == bytes([1, 2, 3, 4, 5, 6])
+
+
+# --- progressive JPEG (SOF2) certification -----------------------------------
+
+
+def _test_image(w, h, channels, seed=0):
+    """Deterministic busy test image: gradients + md5-derived noise so
+    every spectral band carries energy (flat images would leave the AC
+    refinement paths vacuous)."""
+    import hashlib
+
+    rng = np.frombuffer(
+        hashlib.md5(f"{w}x{h}x{channels}x{seed}".encode()).digest() * (
+            (w * h * channels) // 16 + 1
+        ),
+        dtype=np.uint8,
+    )[: w * h * channels].reshape(h, w, channels).astype(np.int32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = ((xx * 255) // max(w - 1, 1) + (yy * 128) // max(h - 1, 1)) % 256
+    out = (grad[:, :, None] * 3 + rng) // 4
+    return np.clip(out, 0, 255).astype(np.uint8).tobytes()
+
+
+@pytest.mark.parametrize(
+    "w,h,ch",
+    [(8, 8, 1), (16, 16, 3), (13, 9, 1), (35, 22, 3), (64, 48, 3), (7, 7, 3)],
+)
+def test_progressive_decodes_identical_to_baseline(w, h, ch):
+    """THE certification: a baseline and a progressive encode of the SAME
+    quantized coefficients must decode byte-identically — the scan order
+    differs, the data does not. Exercises spectral selection, successive
+    approximation (DC and AC first + refinement), and EOB runs."""
+    px = _test_image(w, h, ch)
+    base = imaging.jpeg_encode_baseline(w, h, ch, px)
+    prog = imaging.jpeg_encode_progressive(w, h, ch, px)
+    # stream-level markers: really SOF0 vs SOF2, multiple scans
+    assert b"\xff\xc0" in base and b"\xff\xc2" not in base
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+    assert prog.count(b"\xff\xda") > base.count(b"\xff\xda")
+    out_b = imaging.jpeg_decode(base)
+    out_p = imaging.jpeg_decode(prog)
+    assert out_b is not None and out_p is not None
+    assert out_b[:3] == (w, h, ch) and out_p[:3] == (w, h, ch)
+    assert out_b[3] == out_p[3]  # byte-identical pixels
+    # and the encode is a faithful (lossy-bounded) image: quantization
+    # error at _CERT_Q magnitudes stays far from garbage
+    a = np.frombuffer(px, dtype=np.uint8).astype(np.int32)
+    b = np.frombuffer(out_b[3], dtype=np.uint8).astype(np.int32)
+    assert float(np.mean(np.abs(a - b))) < 12.0
+
+
+def test_progressive_flat_image_eob_runs():
+    """A flat image drives maximal EOB-run accumulation (every AC block
+    empty across many blocks): the decoder's eobrun skip path must
+    reconstruct it exactly."""
+    w, h = 80, 40  # 50 blocks per component
+    px = bytes([77]) * (w * h * 3)
+    prog = imaging.jpeg_encode_progressive(w, h, 3, px)
+    out = imaging.jpeg_decode(prog)
+    assert out is not None
+    base = imaging.jpeg_decode(imaging.jpeg_encode_baseline(w, h, 3, px))
+    assert out[3] == base[3]
+    vals = set(out[3])
+    assert all(abs(v - 77) <= 2 for v in vals)
+
+
+def test_progressive_corpus_jpegs_roundtrip():
+    """Real corpus JPEGs (baseline streams extracted from the reference
+    PDFs): re-encode their decoded pixels progressively; the progressive
+    decode must equal the baseline re-encode's decode byte-for-byte."""
+    corpus = sorted(glob.glob("/root/reference/**/*.pdf", recursive=True))
+    checked = 0
+    for path in corpus:
+        if checked >= 3:
+            break
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for img in pdfbin.extract_images(data):
+            if checked >= 3:
+                break
+            raw = img.get("image")
+            if not raw or img.get("fmt") != "png":
+                continue
+            decoded = imaging.png_decode(bytes(raw))
+            if decoded is None:
+                continue
+            w, h, ch, px = decoded
+            if ch not in (1, 3) or w * h < 64 or w * h > 40000:
+                continue
+            base = imaging.jpeg_decode(
+                imaging.jpeg_encode_baseline(w, h, ch, px)
+            )
+            prog = imaging.jpeg_decode(
+                imaging.jpeg_encode_progressive(w, h, ch, px)
+            )
+            assert base is not None and prog is not None
+            assert base[3] == prog[3]
+            checked += 1
+    assert checked == 3
+
+
+def test_jpeg_parse_reads_progressive_dims():
+    prog = imaging.jpeg_encode_progressive(24, 17, 3, _test_image(24, 17, 3))
+    meta = imaging.jpeg_parse(prog)
+    assert meta == {
+        "width": 24,
+        "height": 17,
+        "bit_depth": 8,
+        "channels": 3,
+        "format": "jpeg",
+    }
