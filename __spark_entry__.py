@@ -715,6 +715,26 @@ def q_dedup_minhash_estimate(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_sig_store(spark, sf_dir):
+    """Round-5 sig_store path certified through the driver gate: the SAME
+    estimate-only near-dup as `dedup_minhash_estimate`, but signatures
+    come from the COMMITTED signature index (staged by _sig_store_dir —
+    the same store sig_probe_near_dup reads) instead of per-query
+    re-signing. The DuckDB twin is deliberately the FRESH-computation SQL
+    (_minhash_est_only_sql): hash equality IS the store-path identity
+    guarantee (textops._store_signatures contract — stored signatures
+    plus on-the-fly signing of uncovered docs must be indistinguishable
+    from signing everything)."""
+    out = _sig_store_dir(spark, sf_dir)
+    return textops.minhash_estimate_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.25,
+        perms=textops.PARITY_PERMS,
+        bands=textops.PARITY_BANDS,
+        sig_store=out,
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"))
 
@@ -2092,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": q_nb_classifier,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
+        "dedup_minhash_sig_store": q_dedup_minhash_sig_store,
         "incr_dedup_exact": q_incr_dedup_exact,
         "incr_dedup_minhash": q_incr_dedup_minhash,
         "sig_probe_near_dup": q_sig_probe_near_dup,
@@ -5039,6 +5060,9 @@ FROM read_parquet('{pack_expected}')
         "nb_classifier": _nb_sql(),
         "minhash_jaccard_estimate": _minhash_est_sql(),
         "dedup_minhash_estimate": _minhash_est_only_sql(0.25),
+        # the sig_store leg's twin is the SAME fresh-computation SQL:
+        # store-backed output must be identical (see q_ docstring)
+        "dedup_minhash_sig_store": _minhash_est_only_sql(0.25),
         "incr_dedup_exact": _INCR_EXACT_SQL,
         "incr_dedup_minhash": _incr_minhash_sql(0.5),
         # store-backed probe is semantically identical to the recompute

@@ -157,6 +157,7 @@ HEADLINE = [
     "url_filter",
     "url_normalize",
     "dup_span_stats",
+    "dedup_minhash_sig_store",
     "dedup_spans_clean",
     "warc_ingest",
     "pdf_decode",
