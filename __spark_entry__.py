@@ -962,9 +962,15 @@ def q_media_featurize(spark, sf_dir):
     pixel decoders over identical bytes."""
     from enem_spark.multimodal import featurize_media, synth_media_frame
 
+    # repartition BEFORE the UDF chain: the toy sf dir is one parquet
+    # file -> one scan partition, and since the jpeg third became a real
+    # progressive encode/decode (~20 ms/row) a single-core Arrow stage
+    # was the whole query wall (r5 bench finding). Deploy-scale inputs
+    # are many-file tables, where this stage is a no-op concern; the
+    # shuffle moves ~5 MB of text here.
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), "text"
-    )
+    ).repartition(64)
     return featurize_media(synth_media_frame(docs)).select(
         "media_id", "media_type", "n_bytes", "content_md5",
         "format", "width", "height", "channels", "bit_depth",
@@ -989,9 +995,10 @@ def q_media_resize(spark, sf_dir):
         synth_media_frame,
     )
 
+    # same single-file -> single-core hazard as q_media_featurize
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), "text"
-    )
+    ).repartition(64)
     return resize_media(
         synth_media_frame(docs), RESIZE_PARITY_W, RESIZE_PARITY_H
     ).select("media_id", "resized_md5", "n_resized_bytes")
