@@ -895,6 +895,64 @@ def q_ann_ivf_topk(spark, sf_dir):
     return simsearch.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
+_IVF_STAGED: set[str] = set()
+
+
+def _ivf_store_dir(spark, sf_dir):
+    """Stage (memoized per process; idempotent on disk across processes) a
+    committed IVF index over the embeddings table, built in TWO
+    maintenance runs — the centroid ids + evens first, then everyone —
+    so the staging itself exercises the pinned-centroid resume path
+    (run 2 assigns against STORED centroids). The probe query below then
+    hash-matching the fresh-assignment SQL twin certifies the store's
+    write -> commit-gate -> read round trip, sig-store style."""
+    import hashlib
+    import os
+
+    from enem_spark import vecindex
+
+    sf_dir = os.path.normpath(sf_dir)
+    tag = (
+        f"{os.path.basename(sf_dir)}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    out = f"/tmp/enem_ivfidx_{tag}"
+    if out in _IVF_STAGED:
+        return out
+    emb = _t(spark, sf_dir, "embeddings")
+    c, d = simsearch.IVF_CELLS, simsearch.SRP_DIM
+    # first run must carry vec_id < n_cells: the creation run derives and
+    # pins the centroids from its own source (validated convention)
+    vecindex.update_ivf_index(
+        spark,
+        out,
+        emb.filter((F.col("vec_id") < c) | (F.col("vec_id") % 2 == 0)),
+        n_cells=c,
+        dim=d,
+    )
+    vecindex.update_ivf_index(spark, out, emb, n_cells=c, dim=d)
+    _IVF_STAGED.add(out)
+    return out
+
+
+def q_ann_ivf_store(spark, sf_dir):
+    """Store-backed IVF ANN certified through the driver gate: the SAME
+    search as `ann_ivf_topk`, but centroids and cell assignments come
+    from the COMMITTED vecindex (staged by _ivf_store_dir in two
+    exactly-once maintenance runs) instead of re-scoring the corpus per
+    query. The DuckDB twin is deliberately the FRESH-assignment SQL
+    (_ivf_sql): hash equality IS the store-path identity guarantee
+    (simsearch._store_assignments contract — stored cells plus
+    on-the-fly assignment of uncovered vectors must be indistinguishable
+    from assigning everything)."""
+    out = _ivf_store_dir(spark, sf_dir)
+    return simsearch.ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        index_store=out,
+        dim=simsearch.SRP_DIM,
+    )
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN (simsearch.pq_topk): the corpus compressed
     to m=4 integer codes per vector (the memory-bounded scale path — dim
@@ -2148,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_bucket": q_ann_srp_bucket,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_store": q_ann_ivf_store,
         "ann_pq_topk": q_ann_pq_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_decontaminate": q_embedding_decontaminate,
@@ -5112,6 +5171,9 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
         "ann_cosine_topk": _cosine_topk_sql(),
         "ann_srp_bucket": _srp_sql(),
         "ann_ivf_topk": _ivf_sql(),
+        # the store leg's twin is the SAME fresh-assignment SQL: hash
+        # equality certifies the committed index's write->read round trip
+        "ann_ivf_store": _ivf_sql(),
         "ann_pq_topk": _pq_sql(),
         "embedding_near_dup": _near_dup_sql(0.35),
         "embedding_decontaminate": _embedding_decon_sql(),

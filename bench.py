@@ -158,6 +158,7 @@ HEADLINE = [
     "url_normalize",
     "dup_span_stats",
     "dedup_minhash_sig_store",
+    "ann_ivf_store",
     "dedup_spans_clean",
     "warc_ingest",
     "pdf_decode",
@@ -1337,6 +1338,17 @@ def run_bench(sf_dir: str, cpus: str, extract_only: bool = False) -> dict:
         t0 = time.perf_counter()
         bucketstore.stage_bucketed_pair(spark, sf_dir)
         ice_setup["stage_bucketed_pair"] = round(time.perf_counter() - t0, 3)
+        # same split for the committed sig/ivf index stores: on a cold
+        # /tmp their first query invocation would otherwise pay the
+        # two-run staging inside its timed cell (warm /tmp collapses the
+        # maintenance runs to anti-join no-ops, but cross-round numbers
+        # must not depend on /tmp warmth)
+        t0 = time.perf_counter()
+        entry_mod._sig_store_dir(spark, sf_dir)
+        ice_setup["stage_sig_store"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        entry_mod._ivf_store_dir(spark, sf_dir)
+        ice_setup["stage_ivf_store"] = round(time.perf_counter() - t0, 3)
         hw_probe_before_queries = probe()
         for name in HEADLINE[1:]:
             t0 = time.perf_counter()

@@ -342,6 +342,38 @@ def ivf_assignments(
     )
 
 
+def _store_assignments(
+    base: DataFrame, index_store: str, n_cells: int, dim: int
+) -> tuple[DataFrame, DataFrame]:
+    """(cents, assigned) for ivf_topk from a committed vecindex store:
+    stored (vec_id, cell) rows joined back to the corpus vectors, plus
+    on-the-fly assignment (same `ivf_assignments` kernel, STORED
+    centroids) for corpus vectors the store does not cover — the
+    `textops._store_signatures` contract: store-backed output must be
+    indistinguishable from assigning everything, at any coverage.
+    Raises when the store has no committed ivf run: a search that
+    silently fell back to full re-scoring would hide exactly the cost
+    the store exists to remove."""
+    from . import vecindex  # lazy: vecindex imports this module
+
+    spark = base.sparkSession
+    cents = vecindex.committed_centroids(spark, index_store, n_cells, dim)
+    stored = vecindex.committed_assignments(spark, index_store, n_cells, dim)
+    if cents is None or stored is None:
+        raise ValueError(f"no committed ivf index under {index_store}")
+    # inner join restricts the index to the current corpus (stored ids the
+    # corpus no longer holds drop out — the fresh path never saw them
+    # either); the store side is narrow (two longs), the join key is the
+    # corpus' primary key
+    covered = base.join(stored, "vec_id")
+    missing = base.join(stored.select("vec_id"), "vec_id", "left_anti")
+    fresh = ivf_assignments(missing, n_cells, base=missing, cents=cents)
+    assigned = covered.select("vec_id", "vec", "norm", "cell").unionByName(
+        fresh.select("vec_id", "vec", "norm", "cell")
+    )
+    return cents, assigned
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
@@ -349,13 +381,24 @@ def ivf_topk(
     n_cells: int = IVF_CELLS,
     n_probe: int = IVF_PROBE,
     persist_to: list | None = None,
+    index_store: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: probe the n_probe nearest centroid cells per query.
 
     The scale path for 10^9+ vectors: the candidate scan shrinks from the
     full table to ~n_probe/n_cells of it, the cell assignment is a shuffle on
     a low-cardinality near-uniform key, and the per-query probe is a
-    broadcast join. Same output shape as cosine_topk (recall < 1)."""
+    broadcast join. Same output shape as cosine_topk (recall < 1).
+
+    ``index_store``: a committed vecindex out_dir ((n_cells, dim)
+    validated per its protocol) — centroids and cell assignments are READ
+    from the store instead of re-scoring the corpus, with vectors the
+    store does not cover assigned on the fly against the STORED centroids
+    (`_store_assignments`): output is IDENTICAL to the fresh path at any
+    coverage level. At 10^9 vectors the full-corpus assignment scan is
+    the dominant query cost; the store amortizes it to index-maintenance
+    time, the sig_store pattern applied to ANN."""
     # ONE with_norm pass + ONE centroid frame shared with the assignment
     # stage: rebuilding them here ran the full-corpus norm scan twice per
     # search (ivf_assignments also validates cents with its own count)
@@ -363,12 +406,17 @@ def ivf_topk(
     if persist_to is not None:
         base = base.persist()
         persist_to.append(base)
-    cents = base.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("vec").alias("cvec"),
-        F.col("norm").alias("cnorm"),
-    )
-    assigned = ivf_assignments(embeddings, n_cells, base=base, cents=cents)
+    if index_store is not None:
+        cents, assigned = _store_assignments(
+            base, index_store, n_cells, _resolve_dim(embeddings, dim)
+        )
+    else:
+        cents = base.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
+        assigned = ivf_assignments(embeddings, n_cells, base=base, cents=cents)
     queries = base.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),

@@ -1,0 +1,217 @@
+"""Persisted IVF coarse-quantization index, maintained exactly-once.
+
+`simsearch.ivf_topk` re-assigns the WHOLE corpus to centroid cells on
+every search — a full-corpus scan of dim-length dot products that at
+10^9+ vectors is the dominant cost of the query, exactly the way
+per-query re-signing was the dominant cost of the LSH family before the
+signature store (sigindex.py). This module is the same amortization for
+ANN: an `ivf_assign` side table of narrow (vec_id, cell) rows plus the
+pinned `ivf_cents` centroid table, living under an ``out_dir`` governed
+by the SAME run protocol as every other lineage table (CLAUDE.md
+exactly-once invariant) —
+
+  * each index-maintenance run writes its assignment rows to
+    ``ivf_assign/run_id=<id>`` with overwrite (the creation run also
+    writes ``ivf_cents/run_id=<id>``), then appends the tiny ``runs``
+    marker LAST (the commit point);
+  * readers trust only committed runs, so a crashed attempt's directory
+    is invisible; a retry derives the same next run id from COMMITTED
+    ids only and overwrites the orphan;
+  * centroids are written ONCE by the creation run and pinned for the
+    index's lifetime — assignments from different centroid sets cannot
+    mix (the cell ids would be incomparable), so later runs assign new
+    vectors against the STORED centroids, never recomputed ones.
+
+Steady state at 10^9 vectors: each embedding batch appends, one
+maintenance run assigns ONLY the vectors not yet in the committed index
+(anti-join on vec_id — append-only because vec_id is content-addressed:
+changed content is a new unit, never a mutation), and a search reads the
+narrow committed (vec_id, cell) table instead of re-scoring the corpus.
+The index holds two longs per vector; the vectors themselves stay in the
+corpus table and are only ever read for the ~n_probe/n_cells slice a
+query actually probes.
+
+The (n_cells, dim) config is part of every run id
+(``ivf{C}d{D}_{n:06d}``): mixing configs in one index would silently
+corrupt probes (cell ids shift meaning), so every entry point validates
+the requested config against all committed runs and raises on mismatch
+— the sigindex discipline, one index, one config.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import lineage, runfs, simsearch
+
+ASSIGN_TABLE = "ivf_assign"
+CENT_TABLE = "ivf_cents"
+_RUN_RE = re.compile(r"^ivf(\d+)d(\d+)_(\d{6,})$")  # {6,}: :06d PADS, never
+# truncates — a {6} anchor would hide run 1,000,000 from the committed list,
+# re-deriving (and overwriting) the same run_id
+
+
+def ivf_run_id(n_cells: int, dim: int, n: int) -> str:
+    return f"ivf{n_cells}d{dim}_{n:06d}"
+
+
+def _committed_ivf_runs(
+    spark: SparkSession,
+    out_dir: str,
+    committed: DataFrame | None = None,
+) -> list[tuple[int, int, int]]:
+    """(n_cells, dim, n) per COMMITTED ivf run — driver-side metadata work
+    over the tiny runs table, same class as sigindex._committed_sig_runs."""
+    if committed is None:
+        committed = lineage.committed_run_ids(spark, out_dir)
+    if committed is None:
+        return []
+    out = []
+    for r in committed.collect():
+        m = _RUN_RE.match(r.run_id)
+        if m:
+            out.append((int(m.group(1)), int(m.group(2)), int(m.group(3))))
+    return out
+
+
+def _check_config(
+    runs: list[tuple[int, int, int]], n_cells: int, dim: int
+) -> None:
+    bad = sorted({(c, d) for c, d, _ in runs if (c, d) != (n_cells, dim)})
+    if bad:
+        raise ValueError(
+            f"ivf index holds config(s) {bad}, requested ({n_cells}, {dim})"
+            " — one index, one config; use a fresh out_dir to re-index"
+            " under a new config"
+        )
+
+
+def _committed_run_dirs(
+    spark: SparkSession,
+    out_dir: str,
+    table: str,
+    committed: DataFrame,
+) -> list[str]:
+    """Spark paths of ``table``'s run dirs restricted to COMMITTED run ids
+    — never a bare directory read: a crashed attempt under a different
+    config leaves an orphan dir whose schema inference could resolve
+    (the sigindex committed_signatures finding)."""
+    path = f"{out_dir}/{table}"
+    fs = runfs.fs_for(out_dir)
+    if not fs.exists(path):
+        return []
+    run_ids = {r.run_id for r in committed.select("run_id").collect()}
+    return [
+        runfs.spark_path(f"{path}/{d}")
+        for d in fs.list_names(path)
+        if d.startswith("run_id=") and d.split("=", 1)[1] in run_ids
+    ]
+
+
+def committed_centroids(
+    spark: SparkSession,
+    out_dir: str,
+    n_cells: int = simsearch.IVF_CELLS,
+    dim: int = simsearch.SRP_DIM,
+    committed: DataFrame | None = None,
+) -> DataFrame | None:
+    """The pinned centroid table (cent_id, cvec, cnorm), or None when no
+    committed ivf run exists. Written once by the creation run (n=1);
+    doubles round-trip parquet exactly, so scores against stored
+    centroids are bit-identical to scores against fresh ones."""
+    if committed is None:
+        committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_ivf_runs(spark, out_dir, committed)
+    _check_config(runs, n_cells, dim)
+    if not runs:
+        return None
+    paths = _committed_run_dirs(spark, out_dir, CENT_TABLE, committed)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def committed_assignments(
+    spark: SparkSession,
+    out_dir: str,
+    n_cells: int = simsearch.IVF_CELLS,
+    dim: int = simsearch.SRP_DIM,
+    committed: DataFrame | None = None,
+) -> DataFrame | None:
+    """Reader view of the assignment store restricted to committed runs:
+    (vec_id, cell), or None when no committed ivf run exists."""
+    if committed is None:
+        committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_ivf_runs(spark, out_dir, committed)
+    _check_config(runs, n_cells, dim)
+    if not runs:
+        return None
+    paths = _committed_run_dirs(spark, out_dir, ASSIGN_TABLE, committed)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def update_ivf_index(
+    spark: SparkSession,
+    out_dir: str,
+    source: DataFrame,
+    n_cells: int = simsearch.IVF_CELLS,
+    dim: int | None = None,
+) -> dict:
+    """One exactly-once index-maintenance run: assign every source vector
+    absent from the committed index and commit the batch. ``source`` is
+    any (vec_id, embedding) frame. The CREATION run derives centroids
+    from the source under the ivf_assignments convention (vec_id <
+    n_cells, validated — a source without them raises rather than build
+    a degenerate index) and pins them; later runs read the pinned
+    centroids back and assign only the anti-joined remainder.
+
+    Returns {"indexed": n, "run_id": id, "up_to_date": bool}. Empty
+    deltas write nothing and commit nothing (lineage invariant); the
+    anti-join IS the resume cursor."""
+    dim = simsearch._resolve_dim(source, dim)
+    committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_ivf_runs(spark, out_dir, committed)
+    _check_config(runs, n_cells, dim)
+    creating = not runs
+    base = simsearch.with_norm(source)
+    if creating:
+        cents = base.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
+        todo = base
+    else:
+        cents = committed_centroids(spark, out_dir, n_cells, dim, committed)
+        existing = committed_assignments(spark, out_dir, n_cells, dim, committed)
+        # unbounded across runs -> no broadcast hint; AQE handles small case
+        todo = base.join(existing.select("vec_id"), "vec_id", "left_anti")
+    run_id = ivf_run_id(
+        n_cells, dim, max((n for _, _, n in runs), default=0) + 1
+    )
+    # ivf_assignments validates the centroid set (count >= n_cells) and is
+    # THE assignment kernel — store-built cells must be bit-identical to
+    # fresh ones, so there is exactly one scoring implementation
+    assigned = simsearch.ivf_assignments(
+        todo, n_cells, base=todo, cents=cents
+    ).select("vec_id", "cell").persist()
+    try:
+        n = assigned.count()
+        if n == 0:
+            return {"indexed": 0, "run_id": run_id, "up_to_date": True}
+        if creating:
+            cents.write.mode("overwrite").parquet(
+                runfs.spark_path(f"{out_dir}/{CENT_TABLE}/run_id={run_id}")
+            )
+        assigned.write.mode("overwrite").parquet(
+            runfs.spark_path(f"{out_dir}/{ASSIGN_TABLE}/run_id={run_id}")
+        )
+        # COMMIT POINT
+        lineage.append_run_marker(spark, out_dir, run_id, n)
+    finally:
+        assigned.unpersist()
+    return {"indexed": n, "run_id": run_id, "up_to_date": False}

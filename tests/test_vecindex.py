@@ -1,0 +1,175 @@
+"""Persisted IVF index (vecindex.py): exactly-once maintenance runs,
+commit-gated reads, config pinning, centroid pinning across runs, orphan
+invisibility with replay-overwrite, and store-backed search == fresh
+search at any coverage (the sig-store contract applied to ANN)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from enem_spark import simsearch, vecindex
+
+SF_DIR = "/root/testdata/sf0.001"
+C, D = simsearch.IVF_CELLS, simsearch.SRP_DIM
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _first_batch(emb):
+    # must carry vec_id < C: the creation run pins centroids from its source
+    return emb.filter((F.col("vec_id") < C) | (F.col("vec_id") % 2 == 0))
+
+
+def test_build_resume_noop(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    emb = _emb(spark)
+    n_total = emb.count()
+    first = _first_batch(emb)
+    n_first = first.count()
+
+    r1 = vecindex.update_ivf_index(spark, out, first, n_cells=C, dim=D)
+    assert r1 == {
+        "indexed": n_first,
+        "run_id": vecindex.ivf_run_id(C, D, 1),
+        "up_to_date": False,
+    }
+    r2 = vecindex.update_ivf_index(spark, out, emb, n_cells=C, dim=D)
+    assert r2["indexed"] == n_total - n_first and not r2["up_to_date"]
+    r3 = vecindex.update_ivf_index(spark, out, emb, n_cells=C, dim=D)
+    assert r3["indexed"] == 0 and r3["up_to_date"]
+
+    store = vecindex.committed_assignments(spark, out, C, D)
+    assert store.count() == n_total
+    assert store.select("vec_id").distinct().count() == n_total
+    assert set(store.columns) == {"vec_id", "cell"}
+    # the no-op third run committed no marker
+    assert spark.read.parquet(f"{out}/runs").count() == 2
+    # centroids written ONCE, by the creation run
+    cent_runs = os.listdir(f"{out}/{vecindex.CENT_TABLE}")
+    assert cent_runs == [f"run_id={vecindex.ivf_run_id(C, D, 1)}"]
+
+
+def test_assignments_match_fresh_kernel(spark, tmp_path):
+    """Stored cells (built across TWO runs — run 2 assigns against STORED
+    centroids) must equal a one-shot fresh assignment of the whole corpus:
+    the pinned-centroid path and the fresh path are the same kernel."""
+    out = str(tmp_path / "idx")
+    emb = _emb(spark)
+    vecindex.update_ivf_index(spark, out, _first_batch(emb), n_cells=C, dim=D)
+    vecindex.update_ivf_index(spark, out, emb, n_cells=C, dim=D)
+    stored = {
+        (r.vec_id, r.cell)
+        for r in vecindex.committed_assignments(spark, out, C, D).collect()
+    }
+    fresh = {
+        (r.vec_id, r.cell)
+        for r in simsearch.ivf_assignments(emb, C)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert stored == fresh
+
+
+def test_store_backed_topk_equals_fresh(spark, tmp_path):
+    """ivf_topk(index_store=) must return EXACTLY the fresh rows, at full
+    AND partial coverage (uncovered vectors assigned on the fly against
+    the stored centroids)."""
+    emb = _emb(spark)
+    base = sorted(tuple(r) for r in simsearch.ivf_topk(emb).collect())
+    assert base  # non-vacuous
+
+    full = str(tmp_path / "full")
+    vecindex.update_ivf_index(spark, full, emb, n_cells=C, dim=D)
+    partial = str(tmp_path / "partial")
+    vecindex.update_ivf_index(
+        spark, partial, _first_batch(emb), n_cells=C, dim=D
+    )
+    for store in (full, partial):
+        got = sorted(
+            tuple(r)
+            for r in simsearch.ivf_topk(
+                emb, index_store=store, dim=D
+            ).collect()
+        )
+        assert got == base
+
+
+def test_config_is_pinned(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    emb = _emb(spark)
+    vecindex.update_ivf_index(spark, out, emb, n_cells=C, dim=D)
+    with pytest.raises(ValueError, match="one index, one config"):
+        vecindex.update_ivf_index(spark, out, emb, n_cells=C * 2, dim=D)
+    with pytest.raises(ValueError, match="one index, one config"):
+        vecindex.committed_assignments(spark, out, C, D + 1)
+    with pytest.raises(ValueError, match="one index, one config"):
+        simsearch.ivf_topk(emb, index_store=out, n_cells=4, dim=D)
+
+
+def test_missing_store_raises_not_falls_back(spark, tmp_path):
+    """A search pointed at an empty store must raise — a silent fallback
+    to full re-scoring would hide exactly the cost the store removes."""
+    with pytest.raises(ValueError, match="no committed ivf index"):
+        simsearch.ivf_topk(
+            _emb(spark), index_store=str(tmp_path / "nope"), dim=D
+        )
+
+
+def test_orphan_invisible_then_replay_overwrites(spark, tmp_path):
+    """A crashed attempt's directory (no marker) is invisible to readers;
+    the retry derives the SAME run id from committed ids, overwrites the
+    junk, and the final store matches the fresh kernel."""
+    out = str(tmp_path / "idx")
+    emb = _emb(spark)
+    vecindex.update_ivf_index(spark, out, _first_batch(emb), n_cells=C, dim=D)
+
+    orphan_id = vecindex.ivf_run_id(C, D, 2)
+    junk = pd.DataFrame({"vec_id": [1, 3, 5], "cell": [99, 99, 99]})
+    spark.createDataFrame(junk).write.mode("overwrite").parquet(
+        f"{out}/{vecindex.ASSIGN_TABLE}/run_id={orphan_id}"
+    )
+
+    store = vecindex.committed_assignments(spark, out, C, D)
+    assert store.filter(F.col("cell") == 99).count() == 0  # orphan invisible
+
+    r = vecindex.update_ivf_index(spark, out, emb, n_cells=C, dim=D)
+    assert r["run_id"] == orphan_id  # replay reuses the orphan's id
+    stored = {
+        (r.vec_id, r.cell)
+        for r in vecindex.committed_assignments(spark, out, C, D).collect()
+    }
+    fresh = {
+        (r.vec_id, r.cell)
+        for r in simsearch.ivf_assignments(emb, C)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert stored == fresh
+
+
+def test_empty_update_writes_nothing(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    emb = _emb(spark)
+    vecindex.update_ivf_index(spark, out, emb, n_cells=C, dim=D)
+    r = vecindex.update_ivf_index(
+        spark, out, emb.filter(F.lit(False)), n_cells=C, dim=D
+    )
+    assert r["indexed"] == 0 and r["up_to_date"]
+    assert spark.read.parquet(f"{out}/runs").count() == 1
+
+
+def test_creation_without_centroid_ids_raises(spark, tmp_path):
+    """A creation source missing the vec_id < n_cells convention must
+    raise (ivf_assignments' validation) BEFORE anything is written — a
+    degenerate index would poison every later probe."""
+    out = str(tmp_path / "idx")
+    emb = _emb(spark).filter(F.col("vec_id") >= C)
+    with pytest.raises(ValueError, match="centroid convention"):
+        vecindex.update_ivf_index(spark, out, emb, n_cells=C, dim=D)
+    assert not os.path.exists(f"{out}/runs")
