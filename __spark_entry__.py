@@ -931,6 +931,16 @@ def _ivf_store_dir(spark, sf_dir):
         dim=d,
     )
     vecindex.update_ivf_index(spark, out, emb, n_cells=c, dim=d)
+    # the srp tag family shares the dir (and its runs table) — two-run
+    # staging exercises its anti-join resume the same way
+    vecindex.update_srp_index(
+        spark, out, emb.filter(F.col("vec_id") % 2 == 0),
+        bits=simsearch.SRP_BITS, tables=simsearch.SRP_TABLES, dim=d,
+    )
+    vecindex.update_srp_index(
+        spark, out, emb,
+        bits=simsearch.SRP_BITS, tables=simsearch.SRP_TABLES, dim=d,
+    )
     _IVF_STAGED.add(out)
     return out
 
@@ -950,6 +960,21 @@ def q_ann_ivf_store(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"),
         index_store=out,
         dim=simsearch.SRP_DIM,
+    )
+
+
+def q_ann_srp_store(spark, sf_dir):
+    """Store-backed SRP ANN certified through the driver gate: the SAME
+    search as `ann_srp_bucket`, but the bits*tables projection tags come
+    from the COMMITTED vecindex srp family (staged by _ivf_store_dir)
+    instead of re-hashing the corpus per query. Twin = the fresh-tagging
+    SQL (_srp_sql): hash equality IS the store-path identity guarantee
+    (simsearch._store_tags contract)."""
+    out = _ivf_store_dir(spark, sf_dir)
+    return simsearch.srp_bucket_topk(
+        _t(spark, sf_dir, "embeddings"),
+        dim=simsearch.SRP_DIM,
+        index_store=out,
     )
 
 
@@ -2207,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_bucket": q_ann_srp_bucket,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_store": q_ann_ivf_store,
+        "ann_srp_store": q_ann_srp_store,
         "ann_pq_topk": q_ann_pq_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_decontaminate": q_embedding_decontaminate,
@@ -5171,9 +5197,10 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
         "ann_cosine_topk": _cosine_topk_sql(),
         "ann_srp_bucket": _srp_sql(),
         "ann_ivf_topk": _ivf_sql(),
-        # the store leg's twin is the SAME fresh-assignment SQL: hash
+        # the store legs' twins are the SAME fresh-computation SQL: hash
         # equality certifies the committed index's write->read round trip
         "ann_ivf_store": _ivf_sql(),
+        "ann_srp_store": _srp_sql(),
         "ann_pq_topk": _pq_sql(),
         "embedding_near_dup": _near_dup_sql(0.35),
         "embedding_decontaminate": _embedding_decon_sql(),

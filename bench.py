@@ -159,6 +159,7 @@ HEADLINE = [
     "dup_span_stats",
     "dedup_minhash_sig_store",
     "ann_ivf_store",
+    "ann_srp_store",
     "dedup_spans_clean",
     "warc_ingest",
     "pdf_decode",

@@ -228,6 +228,47 @@ def _srp_exploded(
     ).select("vec_id", "vec", "norm", "tb.table", "tb.bucket")
 
 
+def _store_tags(
+    base: DataFrame, index_store: str, bits: int, tables: int, dim: int
+) -> DataFrame:
+    """The tagged frame (vec_id, vec, norm, table, bucket) for the SRP
+    family from a committed vecindex srp store: stored tags joined back
+    to the corpus vectors, plus on-the-fly tagging (same `_srp_exploded`
+    kernel) for corpus vectors the store does not cover — output must be
+    indistinguishable from tagging everything, at any coverage (the
+    `_store_assignments` contract). Raises when the store has no
+    committed srp run: a silent fallback to full re-tagging would hide
+    exactly the bits*tables-projections-per-vector cost the store
+    removes."""
+    from . import vecindex  # lazy: vecindex imports this module
+
+    spark = base.sparkSession
+    stored = vecindex.committed_srp_tags(spark, index_store, bits, tables, dim)
+    if stored is None:
+        raise ValueError(f"no committed srp index under {index_store}")
+    covered = base.join(stored, "vec_id").select(
+        "vec_id", "vec", "norm", "table", "bucket"
+    )
+    missing = base.join(
+        stored.select("vec_id").distinct(), "vec_id", "left_anti"
+    )
+    return covered.unionByName(_srp_exploded(missing, bits, tables, dim))
+
+
+def _tagged_frame(
+    base: DataFrame,
+    bits: int,
+    tables: int,
+    dim: int,
+    index_store: str | None,
+) -> DataFrame:
+    """ONE dispatch point for the three SRP consumers: fresh kernel, or
+    committed store + on-the-fly remainder."""
+    if index_store is None:
+        return _srp_exploded(base, bits, tables, dim)
+    return _store_tags(base, index_store, bits, tables, dim)
+
+
 def srp_bucket_topk(
     embeddings: DataFrame,
     query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
@@ -236,16 +277,19 @@ def srp_bucket_topk(
     tables: int = SRP_TABLES,
     persist_to: list | None = None,
     dim: int | None = None,
+    index_store: str | None = None,
 ) -> DataFrame:
     """Multi-table LSH approximate top-k: candidates share ANY table bucket
     with the query. Same output shape as cosine_topk; recall < 1 by design
     (the scale path — the shuffle key (table, bucket) is near-uniform).
     ``persist_to``: see embedding_near_dup — base/tagged feed the query
     side, the candidate side, AND scoring; owned persistence avoids the
-    recompute."""
+    recompute. ``index_store``: committed vecindex srp store — tags are
+    READ instead of recomputed (uncovered vectors tag on the fly; output
+    identical at any coverage)."""
     dim = _resolve_dim(embeddings, dim)
     base = with_norm(embeddings)
-    tagged = _srp_exploded(base, bits, tables, dim)
+    tagged = _tagged_frame(base, bits, tables, dim, index_store)
     if persist_to is not None:
         base, tagged = base.persist(), tagged.persist()
         persist_to.extend([base, tagged])
@@ -464,6 +508,7 @@ def embedding_near_dup(
     tables: int = SRP_TABLES,
     persist_to: list | None = None,
     dim: int | None = None,
+    index_store: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table SRP blocking.
 
@@ -475,10 +520,11 @@ def embedding_near_dup(
     norm + bits*tables projection hashing would otherwise execute twice —
     pass ``persist_to`` (a list; caller unpersists after consuming) to pin
     them for the join's duration. Left unowned, the plan recomputes
-    (bounded, but ~2x the dominant stage at 10^9 vectors)."""
+    (bounded, but ~2x the dominant stage at 10^9 vectors).
+    ``index_store``: committed vecindex srp store — see srp_bucket_topk."""
     dim = _resolve_dim(embeddings, dim)
     base = with_norm(embeddings)
-    tagged = _srp_exploded(base, bits, tables, dim)
+    tagged = _tagged_frame(base, bits, tables, dim, index_store)
     if persist_to is not None:
         base, tagged = base.persist(), tagged.persist()
         persist_to.extend([base, tagged])
@@ -530,6 +576,7 @@ def embedding_decontaminate(
     tables: int = SRP_TABLES,
     persist_to: list | None = None,
     dim: int | None = None,
+    index_store: str | None = None,
 ) -> DataFrame:
     """Semantic decontamination: flag corpus vectors sitting at cosine >=
     threshold to ANY benchmark vector — the embedding-space complement of
@@ -573,7 +620,7 @@ def embedding_decontaminate(
     if dim is None:
         dim = SRP_DIM if probe["d"] is None else int(probe["d"])
     base = with_norm(embeddings)
-    tagged = _srp_exploded(base, bits, tables, dim)
+    tagged = _tagged_frame(base, bits, tables, dim, index_store)
     if persist_to is not None:
         base, tagged = base.persist(), tagged.persist()
         persist_to.extend([base, tagged])

@@ -36,6 +36,16 @@ The (n_cells, dim) config is part of every run id
 corrupt probes (cell ids shift meaning), so every entry point validates
 the requested config against all committed runs and raises on mismatch
 — the sigindex discipline, one index, one config.
+
+The module maintains a SECOND family in the same out_dir: ``srp_tags``
+(vec_id, table, bucket) rows under ``srp{B}x{T}d{D}_{n:06d}`` run ids —
+the sign-random-projection buckets that `srp_bucket_topk`,
+`embedding_near_dup`, and `embedding_decontaminate` otherwise recompute
+(bits*tables projection dot products per vector) on every call. The two
+families share the one runs table without interacting (each family's
+run-id regex ignores the other's ids — the statstore stats/terms
+pattern), so one maintenance tail can keep both warm per embedding
+batch.
 """
 
 from __future__ import annotations
@@ -48,13 +58,19 @@ from . import lineage, runfs, simsearch
 
 ASSIGN_TABLE = "ivf_assign"
 CENT_TABLE = "ivf_cents"
+SRP_TABLE = "srp_tags"
 _RUN_RE = re.compile(r"^ivf(\d+)d(\d+)_(\d{6,})$")  # {6,}: :06d PADS, never
 # truncates — a {6} anchor would hide run 1,000,000 from the committed list,
 # re-deriving (and overwriting) the same run_id
+_SRP_RUN_RE = re.compile(r"^srp(\d+)x(\d+)d(\d+)_(\d{6,})$")
 
 
 def ivf_run_id(n_cells: int, dim: int, n: int) -> str:
     return f"ivf{n_cells}d{dim}_{n:06d}"
+
+
+def srp_run_id(bits: int, tables: int, dim: int, n: int) -> str:
+    return f"srp{bits}x{tables}d{dim}_{n:06d}"
 
 
 def _committed_ivf_runs(
@@ -215,3 +231,112 @@ def update_ivf_index(
     finally:
         assigned.unpersist()
     return {"indexed": n, "run_id": run_id, "up_to_date": False}
+
+
+# ---------------------------------------------------------------------------
+# SRP tag family — persisted sign-random-projection buckets
+# ---------------------------------------------------------------------------
+
+
+def _committed_srp_runs(
+    spark: SparkSession,
+    out_dir: str,
+    committed: DataFrame | None = None,
+) -> list[tuple[int, int, int, int]]:
+    """(bits, tables, dim, n) per COMMITTED srp run; ivf-family ids fall
+    through the regex, so the two families never see each other."""
+    if committed is None:
+        committed = lineage.committed_run_ids(spark, out_dir)
+    if committed is None:
+        return []
+    out = []
+    for r in committed.collect():
+        m = _SRP_RUN_RE.match(r.run_id)
+        if m:
+            out.append(tuple(int(m.group(i)) for i in (1, 2, 3, 4)))
+    return out
+
+
+def _check_srp_config(
+    runs: list[tuple[int, int, int, int]], bits: int, tables: int, dim: int
+) -> None:
+    bad = sorted(
+        {(b, t, d) for b, t, d, _ in runs if (b, t, d) != (bits, tables, dim)}
+    )
+    if bad:
+        raise ValueError(
+            f"srp index holds config(s) {bad}, requested "
+            f"({bits}, {tables}, {dim}) — one index, one config; use a "
+            "fresh out_dir to re-tag under a new config"
+        )
+
+
+def committed_srp_tags(
+    spark: SparkSession,
+    out_dir: str,
+    bits: int = simsearch.SRP_BITS,
+    tables: int = simsearch.SRP_TABLES,
+    dim: int = simsearch.SRP_DIM,
+    committed: DataFrame | None = None,
+) -> DataFrame | None:
+    """Reader view of the tag store restricted to committed runs:
+    (vec_id, table, bucket), bits*tables rows per vector, or None when
+    no committed srp run exists."""
+    if committed is None:
+        committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_srp_runs(spark, out_dir, committed)
+    _check_srp_config(runs, bits, tables, dim)
+    if not runs:
+        return None
+    paths = _committed_run_dirs(spark, out_dir, SRP_TABLE, committed)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def update_srp_index(
+    spark: SparkSession,
+    out_dir: str,
+    source: DataFrame,
+    bits: int = simsearch.SRP_BITS,
+    tables: int = simsearch.SRP_TABLES,
+    dim: int | None = None,
+) -> dict:
+    """One exactly-once srp-tag maintenance run: bucket every source
+    vector absent from the committed tag store and commit the batch.
+    Unlike the ivf family there is no pinned state beyond the config —
+    the projection vectors are deterministic per (bits, tables, dim)
+    (simsearch.srp_config_vectors), which is exactly what the run-id
+    config pin guarantees the store was built with."""
+    dim = simsearch._resolve_dim(source, dim)
+    committed = lineage.committed_run_ids(spark, out_dir)
+    runs = _committed_srp_runs(spark, out_dir, committed)
+    _check_srp_config(runs, bits, tables, dim)
+    base = simsearch.with_norm(source)
+    existing = committed_srp_tags(spark, out_dir, bits, tables, dim, committed)
+    if existing is not None:
+        base = base.join(
+            existing.select("vec_id").distinct(), "vec_id", "left_anti"
+        )
+    run_id = srp_run_id(
+        bits, tables, dim, max((n for *_, n in runs), default=0) + 1
+    )
+    # _srp_exploded is THE tagging kernel (shared with every fresh-path
+    # consumer) — store-built buckets must be bit-identical to fresh ones
+    tags = (
+        simsearch._srp_exploded(base, bits, tables, dim)
+        .select("vec_id", "table", "bucket")
+        .persist()
+    )
+    try:
+        n_vec = tags.select("vec_id").distinct().count()
+        if n_vec == 0:
+            return {"indexed": 0, "run_id": run_id, "up_to_date": True}
+        tags.write.mode("overwrite").parquet(
+            runfs.spark_path(f"{out_dir}/{SRP_TABLE}/run_id={run_id}")
+        )
+        # COMMIT POINT
+        lineage.append_run_marker(spark, out_dir, run_id, n_vec)
+    finally:
+        tags.unpersist()
+    return {"indexed": n_vec, "run_id": run_id, "up_to_date": False}

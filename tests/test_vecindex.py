@@ -164,6 +164,93 @@ def test_empty_update_writes_nothing(spark, tmp_path):
     assert spark.read.parquet(f"{out}/runs").count() == 1
 
 
+B, T = simsearch.SRP_BITS, simsearch.SRP_TABLES
+
+
+def test_srp_build_resume_noop_and_config_pin(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    emb = _emb(spark)
+    n_total = emb.count()
+    n_even = emb.filter(F.col("vec_id") % 2 == 0).count()
+    r1 = vecindex.update_srp_index(
+        spark, out, emb.filter(F.col("vec_id") % 2 == 0), bits=B, tables=T, dim=D
+    )
+    assert r1 == {
+        "indexed": n_even,
+        "run_id": vecindex.srp_run_id(B, T, D, 1),
+        "up_to_date": False,
+    }
+    r2 = vecindex.update_srp_index(spark, out, emb, bits=B, tables=T, dim=D)
+    assert r2["indexed"] == n_total - n_even and not r2["up_to_date"]
+    r3 = vecindex.update_srp_index(spark, out, emb, bits=B, tables=T, dim=D)
+    assert r3["indexed"] == 0 and r3["up_to_date"]
+
+    tags = vecindex.committed_srp_tags(spark, out, B, T, D)
+    assert tags.count() == n_total * T  # one bucket row per (vector, table)
+    assert set(tags.columns) == {"vec_id", "table", "bucket"}
+    with pytest.raises(ValueError, match="one index, one config"):
+        vecindex.committed_srp_tags(spark, out, B + 1, T, D)
+    with pytest.raises(ValueError, match="one index, one config"):
+        vecindex.update_srp_index(spark, out, emb, bits=B, tables=T * 2, dim=D)
+
+
+def test_srp_store_backed_ops_equal_fresh(spark, tmp_path):
+    """All three SRP consumers with ``index_store=`` must return EXACTLY
+    the fresh rows, at full AND partial coverage."""
+    emb = _emb(spark)
+    full = str(tmp_path / "full")
+    vecindex.update_srp_index(spark, full, emb, bits=B, tables=T, dim=D)
+    partial = str(tmp_path / "partial")
+    vecindex.update_srp_index(
+        spark, partial, emb.filter(F.col("vec_id") % 2 == 0),
+        bits=B, tables=T, dim=D,
+    )
+
+    cases = [
+        (lambda **kw: simsearch.srp_bucket_topk(emb, dim=D, **kw)),
+        (lambda **kw: simsearch.embedding_near_dup(
+            emb, threshold=0.35, dim=D, **kw)),
+        (lambda **kw: simsearch.embedding_decontaminate(emb, dim=D, **kw)),
+    ]
+    for op in cases:
+        fresh = sorted(tuple(r) for r in op().collect())
+        assert fresh  # non-vacuous
+        for store in (full, partial):
+            got = sorted(tuple(r) for r in op(index_store=store).collect())
+            assert got == fresh
+
+
+def test_srp_missing_store_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no committed srp index"):
+        simsearch.srp_bucket_topk(
+            _emb(spark), dim=D, index_store=str(tmp_path / "nope")
+        ).collect()
+
+
+def test_families_share_runs_table_without_interference(spark, tmp_path):
+    """ivf and srp runs coexist in ONE out_dir/runs table: each family's
+    readers see only their own committed runs, and each family's config
+    pin ignores the other's ids (the statstore stats/terms pattern)."""
+    out = str(tmp_path / "idx")
+    emb = _emb(spark)
+    vecindex.update_ivf_index(spark, out, emb, n_cells=C, dim=D)
+    vecindex.update_srp_index(spark, out, emb, bits=B, tables=T, dim=D)
+    runs = {r.run_id for r in spark.read.parquet(f"{out}/runs").collect()}
+    assert runs == {
+        vecindex.ivf_run_id(C, D, 1),
+        vecindex.srp_run_id(B, T, D, 1),
+    }
+    n = emb.count()
+    assert vecindex.committed_assignments(spark, out, C, D).count() == n
+    assert vecindex.committed_srp_tags(spark, out, B, T, D).count() == n * T
+    # a foreign ivf config would raise even though srp runs exist, and
+    # vice versa — neither family's check sees the other's ids
+    with pytest.raises(ValueError, match="one index, one config"):
+        vecindex.committed_assignments(spark, out, C * 2, D)
+    with pytest.raises(ValueError, match="one index, one config"):
+        vecindex.committed_srp_tags(spark, out, B * 2, T, D)
+
+
 def test_creation_without_centroid_ids_raises(spark, tmp_path):
     """A creation source missing the vec_id < n_cells convention must
     raise (ivf_assignments' validation) BEFORE anything is written — a
