@@ -1040,14 +1040,32 @@ def run_ivf_store_ab(sf_dir: str, cpus: str, mult: int = 8, trials: int = 2) -> 
     store, n_vecs = _vec_store(spark, sf_dir, mult)
     emb = spark.read.parquet(store)
     sf = _sf_from_dir(sf_dir)
+    # both families' configs in the dir name: a config change must land in
+    # a FRESH store dir (the one-index-one-config validation would
+    # otherwise refuse the warm dir loudly)
     idx = os.path.join(
-        tempfile.gettempdir(), f"enem_ivfidx_ab_sf{sf}x{mult}_c{n_cells}"
+        tempfile.gettempdir(),
+        f"enem_ivfidx_ab_sf{sf}x{mult}_c{n_cells}"
+        f"s{simsearch.ENGINE_SRP_BITS}x{simsearch.ENGINE_SRP_TABLES}",
     )
     t0 = time.perf_counter()
     setup = vecindex.update_ivf_index(
         spark, idx, emb, n_cells=n_cells, dim=simsearch.SRP_DIM
     )
     ivf_setup_sec = round(time.perf_counter() - t0, 3)
+    # the srp tag family shares the index dir; ENGINE config (8 bits x 32
+    # tables = 256 projections/vector — the hashing load a deployment
+    # actually carries, where the parity 4x4 understates it)
+    srp_bits, srp_tables = (
+        simsearch.ENGINE_SRP_BITS,
+        simsearch.ENGINE_SRP_TABLES,
+    )
+    t0 = time.perf_counter()
+    vecindex.update_srp_index(
+        spark, idx, emb,
+        bits=srp_bits, tables=srp_tables, dim=simsearch.SRP_DIM,
+    )
+    srp_setup_sec = round(time.perf_counter() - t0, 3)
 
     def _checksum(df):
         row = df.agg(
@@ -1073,9 +1091,27 @@ def run_ivf_store_ab(sf_dir: str, cpus: str, mult: int = 8, trials: int = 2) -> 
             )
         )
 
+    def srp(index_store):
+        holders: list = []
+        try:
+            out = simsearch.srp_bucket_topk(
+                emb,
+                bits=srp_bits,
+                tables=srp_tables,
+                dim=simsearch.SRP_DIM,
+                persist_to=holders,
+                index_store=index_store,
+            )
+            return _checksum(out)
+        finally:
+            for h in holders:
+                h.unpersist(blocking=True)
+
     jobs = {
         "topk_fresh": lambda: topk(None),
         "topk_store": lambda: topk(idx),
+        "srp_fresh": lambda: srp(None),
+        "srp_store": lambda: srp(idx),
     }
     for j in jobs.values():
         j()  # warm codegen/workers, untimed
@@ -1094,6 +1130,7 @@ def run_ivf_store_ab(sf_dir: str, cpus: str, mult: int = 8, trials: int = 2) -> 
                 "trial": t,
                 **cell,
                 "speedup": round(cell["topk_fresh"] / cell["topk_store"], 3),
+                "srp_speedup": round(cell["srp_fresh"] / cell["srp_store"], 3),
                 "hw_probe_before": probe_before,
                 "hw_probe_after": probe_after,
                 "probe_drift": round(probe_after / probe_before, 3),
@@ -1104,45 +1141,60 @@ def run_ivf_store_ab(sf_dir: str, cpus: str, mult: int = 8, trials: int = 2) -> 
         "n_vecs": n_vecs,
         "mult": mult,
         "n_cells": n_cells,
+        "srp_config": [srp_bits, srp_tables],
         "cpus": cpus,
         "ivf_setup_sec": ivf_setup_sec,
+        "srp_setup_sec": srp_setup_sec,
         "index_up_to_date": setup["up_to_date"],
         "rows": rows,
-        "outputs_identical": checks["topk_fresh"] == checks["topk_store"],
-        "verdict": {"topk_speedup": best["speedup"]},
+        "outputs_identical": (
+            checks["topk_fresh"] == checks["topk_store"]
+            and checks["srp_fresh"] == checks["srp_store"]
+        ),
+        "verdict": {
+            "topk_speedup": best["speedup"],
+            "srp_speedup": best["srp_speedup"],
+        },
     }
 
 
 def update_ivf_ab_md(summary: dict, path: str = "BENCH.md") -> None:
+    sb, st = summary["srp_config"]
     lines = [
         "## IVF-store A/B (ANN assignment stage: re-score vs committed index)",
         "",
-        f"`ivf_topk` at {summary['n_cells']} cells over the rotated-replica",
-        f"vector store ({summary['n_vecs']} vectors, mult {summary['mult']},",
-        f"local[{summary['cpus']}]): fresh per-search corpus assignment vs",
-        "`index_store=` reading the committed `ivf_assign` table (index",
-        f"build untimed: {summary['ivf_setup_sec']} s one-off maintenance,",
-        "amortized across every search and embedding batch). Outputs",
-        f"checksum-identical across legs: **{summary['outputs_identical']}**.",
+        f"`ivf_topk` at {summary['n_cells']} cells and `srp_bucket_topk` at",
+        f"the engine SRP config ({sb} bits x {st} tables) over the",
+        f"rotated-replica vector store ({summary['n_vecs']} vectors, mult",
+        f"{summary['mult']}, local[{summary['cpus']}]): fresh per-search",
+        "corpus assignment/tagging vs `index_store=` reading the committed",
+        "`ivf_assign`/`srp_tags` tables (index builds untimed:",
+        f"{summary['ivf_setup_sec']} s ivf + {summary['srp_setup_sec']} s srp",
+        "one-off maintenance, amortized across every search and embedding",
+        "batch). Outputs checksum-identical across legs:",
+        f"**{summary['outputs_identical']}**.",
         "",
-        "| trial | fresh s | store s | speedup | probe drift |",
-        "|---|---|---|---|---|",
+        "| trial | ivf fresh s | ivf store s | ivf speedup | srp fresh s | srp store s | srp speedup | probe drift |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in summary["rows"]:
         lines.append(
             f"| {r['trial']} | {r['topk_fresh']} | {r['topk_store']} | "
-            f"{r['speedup']} | {r['probe_drift']} |"
+            f"{r['speedup']} | {r['srp_fresh']} | {r['srp_store']} | "
+            f"{r['srp_speedup']} | {r['probe_drift']} |"
         )
     v = summary["verdict"]
     lines += [
         "",
-        f"Matched-probe verdict: {v['topk_speedup']}x faster reading the",
-        "store. The fresh leg shuffles corpus x n_cells WIDE rows (the",
-        "64-double vectors ride through the per-vector rank window); the",
-        "store leg's assignment input is two longs per vector, so the gap",
-        "grows with both corpus size and cell count — at 10^9 vectors the",
-        "assignment scan is the search's dominant cost and the committed",
-        "index removes it entirely.",
+        f"Matched-probe verdict: ivf {v['topk_speedup']}x, srp",
+        f"{v['srp_speedup']}x faster reading the store. The ivf fresh leg",
+        "shuffles corpus x n_cells WIDE rows (the 64-double vectors ride",
+        "through the per-vector rank window) and the srp fresh leg computes",
+        f"{sb * st} projection dots per vector; the store legs' inputs are",
+        "narrow (vec_id, cell)/(vec_id, table, bucket) rows, so the gap",
+        "grows with corpus size, cell count, and table count — at 10^9",
+        "vectors the assignment/tagging scan is the search's dominant cost",
+        "and the committed index removes it entirely.",
         "",
     ]
     _upsert_section(path, "## IVF-store A/B (ANN assignment stage: re-score vs committed index)", "\n".join(lines))
