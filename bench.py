@@ -1194,7 +1194,12 @@ def update_ivf_ab_md(summary: dict, path: str = "BENCH.md") -> None:
         "narrow (vec_id, cell)/(vec_id, table, bucket) rows, so the gap",
         "grows with corpus size, cell count, and table count — at 10^9",
         "vectors the assignment/tagging scan is the search's dominant cost",
-        "and the committed index removes it entirely.",
+        "and the committed index removes it entirely. The srp store leg",
+        "additionally drops the projection expression from its PLAN at",
+        "full coverage (a narrow id-probe skips the empty on-the-fly",
+        "branch — simsearch._store_tags): before that skip the leg paid",
+        "the engine-config expression's multi-second codegen/compile floor",
+        "even with zero uncovered vectors, and the A/B measured ~1.0x.",
         "",
     ]
     _upsert_section(path, "## IVF-store A/B (ANN assignment stage: re-score vs committed index)", "\n".join(lines))

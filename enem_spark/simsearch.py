@@ -252,6 +252,15 @@ def _store_tags(
     missing = base.join(
         stored.select("vec_id").distinct(), "vec_id", "left_anti"
     )
+    # the fresh-tagging branch embeds bits*tables*dim projection literals
+    # — at engine config a plan whose codegen/compile alone costs seconds,
+    # paid even when the branch is EMPTY. One narrow id-only probe action
+    # (no projection math anywhere in its plan) drops the branch in the
+    # steady state (full coverage — every maintenance tail run precedes
+    # queries); deliberate exception to the no-eager-actions-in-plan-
+    # building rule, same class as _query_frame's validation collect.
+    if missing.select("vec_id").limit(1).count() == 0:
+        return covered
     return covered.unionByName(_srp_exploded(missing, bits, tables, dim))
 
 
