@@ -167,6 +167,31 @@ def test_empty_update_writes_nothing(spark, tmp_path):
 B, T = simsearch.SRP_BITS, simsearch.SRP_TABLES
 
 
+def test_pure_delta_batch_without_centroid_ids(spark, tmp_path):
+    """The steady-state maintenance shape: after creation, every new
+    embedding batch carries ONLY new vec_ids (no vec_id < n_cells rows) —
+    the run must assign it against the STORED centroids, and the result
+    must equal the fresh kernel over the union corpus."""
+    out = str(tmp_path / "idx")
+    emb = _emb(spark)
+    old = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)  # no centroid ids at all
+    vecindex.update_ivf_index(spark, out, old, n_cells=C, dim=D)
+    r = vecindex.update_ivf_index(spark, out, delta, n_cells=C, dim=D)
+    assert r["indexed"] == delta.count() and not r["up_to_date"]
+    stored = {
+        (r.vec_id, r.cell)
+        for r in vecindex.committed_assignments(spark, out, C, D).collect()
+    }
+    fresh = {
+        (r.vec_id, r.cell)
+        for r in simsearch.ivf_assignments(emb, C)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert stored == fresh
+
+
 def test_srp_build_resume_noop_and_config_pin(spark, tmp_path):
     out = str(tmp_path / "idx")
     emb = _emb(spark)
