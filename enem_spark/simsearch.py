@@ -135,6 +135,23 @@ def _query_frame(base: DataFrame, query_ids: tuple[int, ...]) -> DataFrame:
     return q
 
 
+def _require_query_ids(
+    queries: DataFrame, query_ids: tuple[int, ...], col: str = "query_id"
+) -> None:
+    """Raise when any requested query id is absent from the built query
+    frame (typo'd id, or zero-norm vector dropped by with_norm) — the
+    silent-empty-result misconfiguration class _query_frame kills for
+    cosine_topk/pq_topk, applied to the filter-built query frames of
+    srp_bucket_topk/ivf_topk so all four search operators actually are
+    consistent. One tiny collect over an already-tiny frame."""
+    found = {r[col] for r in queries.select(col).distinct().collect()}
+    absent = sorted(set(query_ids) - found)
+    if absent:
+        raise ValueError(
+            f"query ids absent (or zero-norm) in embeddings: {absent}"
+        )
+
+
 def _rank_exact_cosine(pairs: DataFrame, k: int) -> DataFrame:
     """The ONE exact-rerank discipline (6-dp rounded cosine, ties to the
     lowest neighbor_id) shared by cosine_topk and the PQ refine path —
@@ -220,16 +237,42 @@ def _srp_exploded(
     tables: int = SRP_TABLES,
     dim: int = SRP_DIM,
 ) -> DataFrame:
+    # in-plan dim assertion (fires at action time, costs one size() per
+    # row): a configured dim longer than the vectors makes every
+    # projection dot NULL and every bucket bit '0' — the whole corpus in
+    # ONE bucket, LSH degenerated to O(n^2), silently (the
+    # srp_config_vectors poison warning). With the persistent tag store
+    # that poison would be COMMITTED, so the kernel refuses loudly on
+    # both the fresh and store-maintenance paths.
+    guarded = F.when(
+        F.size(F.col("vec")) == dim,
+        srp_buckets(F.col("vec"), bits, tables, dim),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"srp projection dim mismatch: configured {dim}, "
+                    "embedding has "
+                ),
+                F.size(F.col("vec")).cast("string"),
+            )
+        )
+    )
     return base.select(
         "vec_id",
         "vec",
         "norm",
-        F.explode(srp_buckets(F.col("vec"), bits, tables, dim)).alias("tb"),
+        F.explode(guarded).alias("tb"),
     ).select("vec_id", "vec", "norm", "tb.table", "tb.bucket")
 
 
 def _store_tags(
-    base: DataFrame, index_store: str, bits: int, tables: int, dim: int
+    base: DataFrame,
+    ids: DataFrame,
+    index_store: str,
+    bits: int,
+    tables: int,
+    dim: int,
 ) -> DataFrame:
     """The tagged frame (vec_id, vec, norm, table, bucket) for the SRP
     family from a committed vecindex srp store: stored tags joined back
@@ -246,25 +289,30 @@ def _store_tags(
     stored = vecindex.committed_srp_tags(spark, index_store, bits, tables, dim)
     if stored is None:
         raise ValueError(f"no committed srp index under {index_store}")
+    stored_ids = stored.select("vec_id").distinct()
     covered = base.join(stored, "vec_id").select(
         "vec_id", "vec", "norm", "table", "bucket"
     )
-    missing = base.join(
-        stored.select("vec_id").distinct(), "vec_id", "left_anti"
-    )
+    missing = base.join(stored_ids, "vec_id", "left_anti")
     # the fresh-tagging branch embeds bits*tables*dim projection literals
     # — at engine config a plan whose codegen/compile alone costs seconds,
-    # paid even when the branch is EMPTY. One narrow id-only probe action
-    # (no projection math anywhere in its plan) drops the branch in the
-    # steady state (full coverage — every maintenance tail run precedes
-    # queries); deliberate exception to the no-eager-actions-in-plan-
-    # building rule, same class as _query_frame's validation collect.
-    if missing.select("vec_id").limit(1).count() == 0:
+    # paid even when the branch is EMPTY. One id-only probe action drops
+    # the branch in the steady state (full coverage — every maintenance
+    # tail run precedes queries). The probe anti-joins ``ids`` (the RAW
+    # id column, NOT the norm-filtered base, whose norm>0 filter would
+    # force a dim-length dot per row into the probe's plan) against the
+    # stored ids: narrow longs only. Conservative by construction —
+    # zero-norm rows are never stored, so a corpus containing them keeps
+    # the branch (over a frame the norm filter empties anyway).
+    # Deliberate exception to the no-eager-actions-in-plan-building rule,
+    # same class as _query_frame's validation collect.
+    if ids.join(stored_ids, "vec_id", "left_anti").limit(1).count() == 0:
         return covered
     return covered.unionByName(_srp_exploded(missing, bits, tables, dim))
 
 
 def _tagged_frame(
+    embeddings: DataFrame,
     base: DataFrame,
     bits: int,
     tables: int,
@@ -272,10 +320,13 @@ def _tagged_frame(
     index_store: str | None,
 ) -> DataFrame:
     """ONE dispatch point for the three SRP consumers: fresh kernel, or
-    committed store + on-the-fly remainder."""
+    committed store + on-the-fly remainder (``embeddings`` feeds the
+    store path's narrow id probe only)."""
     if index_store is None:
         return _srp_exploded(base, bits, tables, dim)
-    return _store_tags(base, index_store, bits, tables, dim)
+    return _store_tags(
+        base, embeddings.select("vec_id"), index_store, bits, tables, dim
+    )
 
 
 def srp_bucket_topk(
@@ -298,7 +349,7 @@ def srp_bucket_topk(
     identical at any coverage)."""
     dim = _resolve_dim(embeddings, dim)
     base = with_norm(embeddings)
-    tagged = _tagged_frame(base, bits, tables, dim, index_store)
+    tagged = _tagged_frame(embeddings, base, bits, tables, dim, index_store)
     if persist_to is not None:
         base, tagged = base.persist(), tagged.persist()
         persist_to.extend([base, tagged])
@@ -309,6 +360,7 @@ def srp_bucket_topk(
         F.col("table").alias("qtable"),
         F.col("bucket").alias("qbucket"),
     )
+    _require_query_ids(queries, query_ids)
     # dedup (query, candidate) on narrow ids first — a pair can collide in
     # several tables, and hashing vector arrays through distinct would
     # dominate — then attach vectors back for scoring
@@ -409,9 +461,19 @@ def _store_assignments(
     the store exists to remove."""
     from . import vecindex  # lazy: vecindex imports this module
 
+    from . import lineage
+
     spark = base.sparkSession
-    cents = vecindex.committed_centroids(spark, index_store, n_cells, dim)
-    stored = vecindex.committed_assignments(spark, index_store, n_cells, dim)
+    # ONE committed-runs snapshot for both readers: halves the runs-table
+    # metadata jobs per query AND pins cents + assignments to the same
+    # commit point (two default-None reads each re-collect the table)
+    committed = lineage.committed_run_ids(spark, index_store)
+    cents = vecindex.committed_centroids(
+        spark, index_store, n_cells, dim, committed
+    )
+    stored = vecindex.committed_assignments(
+        spark, index_store, n_cells, dim, committed
+    )
     if cents is None or stored is None:
         raise ValueError(f"no committed ivf index under {index_store}")
     # inner join restricts the index to the current corpus (stored ids the
@@ -475,6 +537,7 @@ def ivf_topk(
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
     )
+    _require_query_ids(queries, query_ids)
     qcells = queries.crossJoin(F.broadcast(cents)).withColumn(
         "ccos",
         F.round(
@@ -533,7 +596,7 @@ def embedding_near_dup(
     ``index_store``: committed vecindex srp store — see srp_bucket_topk."""
     dim = _resolve_dim(embeddings, dim)
     base = with_norm(embeddings)
-    tagged = _tagged_frame(base, bits, tables, dim, index_store)
+    tagged = _tagged_frame(embeddings, base, bits, tables, dim, index_store)
     if persist_to is not None:
         base, tagged = base.persist(), tagged.persist()
         persist_to.extend([base, tagged])
@@ -629,7 +692,7 @@ def embedding_decontaminate(
     if dim is None:
         dim = SRP_DIM if probe["d"] is None else int(probe["d"])
     base = with_norm(embeddings)
-    tagged = _tagged_frame(base, bits, tables, dim, index_store)
+    tagged = _tagged_frame(embeddings, base, bits, tables, dim, index_store)
     if persist_to is not None:
         base, tagged = base.persist(), tagged.persist()
         persist_to.extend([base, tagged])

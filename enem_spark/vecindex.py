@@ -204,6 +204,16 @@ def update_ivf_index(
     else:
         cents = committed_centroids(spark, out_dir, n_cells, dim, committed)
         existing = committed_assignments(spark, out_dir, n_cells, dim, committed)
+        if cents is None or existing is None:
+            # committed run ids exist but a table dir is gone (store
+            # half-copied or hand-pruned): cents=None would silently fall
+            # through to re-deriving centroids from the DELTA and blame
+            # the centroid convention; existing=None would crash opaquely
+            raise ValueError(
+                f"ivf index under {out_dir} has committed runs but no "
+                "readable ivf_cents/ivf_assign run dirs — store corrupted "
+                "or moved; refusing to rebuild over it"
+            )
         # unbounded across runs -> no broadcast hint; AQE handles small case
         todo = base.join(existing.select("vec_id"), "vec_id", "left_anti")
     run_id = ivf_run_id(
@@ -280,8 +290,9 @@ def committed_srp_tags(
     committed: DataFrame | None = None,
 ) -> DataFrame | None:
     """Reader view of the tag store restricted to committed runs:
-    (vec_id, table, bucket), bits*tables rows per vector, or None when
-    no committed srp run exists."""
+    (vec_id, table, bucket) — ``tables`` rows per vector, each bucket a
+    ``bits``-char sign string — or None when no committed srp run
+    exists."""
     if committed is None:
         committed = lineage.committed_run_ids(spark, out_dir)
     runs = _committed_srp_runs(spark, out_dir, committed)

@@ -276,6 +276,47 @@ def test_families_share_runs_table_without_interference(spark, tmp_path):
         vecindex.committed_srp_tags(spark, out, B * 2, T, D)
 
 
+def test_srp_dim_mismatch_refuses_loudly(spark, tmp_path):
+    """Review finding (r5): a configured dim that mismatches the real
+    embedding length NULLs every projection dot and every bucket bit
+    falls to '0' — the whole corpus in ONE bucket, LSH degenerated to
+    O(n^2), silently; with the persistent store that poison would be
+    COMMITTED. The tagging kernel's in-plan guard must refuse on both
+    the store-maintenance and fresh query paths."""
+    out = str(tmp_path / "idx")
+    emb = _emb(spark)
+    with pytest.raises(Exception, match="dim mismatch"):
+        vecindex.update_srp_index(spark, out, emb, bits=B, tables=T, dim=32)
+    assert not os.path.exists(f"{out}/runs")  # nothing committed
+    with pytest.raises(Exception, match="dim mismatch"):
+        simsearch.srp_bucket_topk(emb, dim=48).collect()
+
+
+def test_search_query_id_validation(spark, tmp_path):
+    """Review finding (r5): srp_bucket_topk/ivf_topk silently returned no
+    rows for absent query ids — the misconfiguration class _query_frame
+    kills for cosine_topk/pq_topk; all four operators must raise."""
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="query ids absent"):
+        simsearch.srp_bucket_topk(emb, query_ids=(0, 1, 99999), dim=D)
+    with pytest.raises(ValueError, match="query ids absent"):
+        simsearch.ivf_topk(emb, query_ids=(99999,))
+
+
+def test_corrupted_store_refuses_update(spark, tmp_path):
+    """Review finding (r5): committed run ids with missing table dirs
+    (half-copied store) must refuse the next maintenance run loudly, not
+    blame the centroid convention or crash opaquely."""
+    import shutil
+
+    out = str(tmp_path / "idx")
+    emb = _emb(spark)
+    vecindex.update_ivf_index(spark, out, emb, n_cells=C, dim=D)
+    shutil.rmtree(f"{out}/{vecindex.CENT_TABLE}")
+    with pytest.raises(ValueError, match="corrupted or moved"):
+        vecindex.update_ivf_index(spark, out, emb, n_cells=C, dim=D)
+
+
 def test_creation_without_centroid_ids_raises(spark, tmp_path):
     """A creation source missing the vec_id < n_cells convention must
     raise (ivf_assignments' validation) BEFORE anything is written — a
