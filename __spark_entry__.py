@@ -912,15 +912,19 @@ def _ivf_store_dir(spark, sf_dir):
     from enem_spark import vecindex
 
     sf_dir = os.path.normpath(sf_dir)
+    c, d = simsearch.IVF_CELLS, simsearch.SRP_DIM
+    # both families' configs in the dir name: a constant change must land
+    # in a FRESH store dir, or the one-index-one-config validation would
+    # refuse every warm-/tmp parity/bench run until a hand-delete
     tag = (
         f"{os.path.basename(sf_dir)}_"
         f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_c{c}s{simsearch.SRP_BITS}x{simsearch.SRP_TABLES}d{d}"
     )
     out = f"/tmp/enem_ivfidx_{tag}"
     if out in _IVF_STAGED:
         return out
     emb = _t(spark, sf_dir, "embeddings")
-    c, d = simsearch.IVF_CELLS, simsearch.SRP_DIM
     # first run must carry vec_id < n_cells: the creation run derives and
     # pins the centroids from its own source (validated convention)
     vecindex.update_ivf_index(

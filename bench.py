@@ -982,6 +982,11 @@ def _vec_store(spark, sf_dir: str, mult: int = 1) -> tuple[str, int]:
 
     from pyspark.sql import functions as F
 
+    if mult > 64:
+        # rep % 64 would collide rotations: replica 64 duplicates replica
+        # 0's directions (including the default query vectors) and the
+        # A/B would silently measure mult-way cosine-tie sort cost again
+        raise ValueError("ivf vector store supports mult <= 64")
     sf = _sf_from_dir(sf_dir)
     suffix = f"x{mult}" if mult > 1 else ""
     store = os.path.join(tempfile.gettempdir(), f"enem_ivfvec_sf{sf}{suffix}")
@@ -1117,6 +1122,7 @@ def run_ivf_store_ab(sf_dir: str, cpus: str, mult: int = 8, trials: int = 2) -> 
         j()  # warm codegen/workers, untimed
     rows = []
     checks: dict = {}
+    identical = True
     for t in range(trials):
         probe_before = _mp_probe(min(n_cores, os.cpu_count() or 8))
         cell = {}
@@ -1136,6 +1142,12 @@ def run_ivf_store_ab(sf_dir: str, cpus: str, mult: int = 8, trials: int = 2) -> 
                 "probe_drift": round(probe_after / probe_before, 3),
             }
         )
+        # identity verified PER TRIAL (a later-trial match must not mask
+        # an earlier divergence) and accumulated across trials
+        identical = identical and (
+            checks["topk_fresh"] == checks["topk_store"]
+            and checks["srp_fresh"] == checks["srp_store"]
+        )
     best = min(rows, key=lambda r: abs(1 - r["probe_drift"]))
     return {
         "n_vecs": n_vecs,
@@ -1147,10 +1159,7 @@ def run_ivf_store_ab(sf_dir: str, cpus: str, mult: int = 8, trials: int = 2) -> 
         "srp_setup_sec": srp_setup_sec,
         "index_up_to_date": setup["up_to_date"],
         "rows": rows,
-        "outputs_identical": (
-            checks["topk_fresh"] == checks["topk_store"]
-            and checks["srp_fresh"] == checks["srp_store"]
-        ),
+        "outputs_identical": identical,
         "verdict": {
             "topk_speedup": best["speedup"],
             "srp_speedup": best["srp_speedup"],
@@ -1159,6 +1168,15 @@ def run_ivf_store_ab(sf_dir: str, cpus: str, mult: int = 8, trials: int = 2) -> 
 
 
 def update_ivf_ab_md(summary: dict, path: str = "BENCH.md") -> None:
+    if not summary["outputs_identical"]:
+        # the section's premise is 'both legs provably compute the same
+        # answer' — never commit a speedup verdict whose checksums diverge
+        # (stale /tmp store, kernel drift); purge the store dirs named in
+        # CLAUDE.md and re-run
+        raise ValueError(
+            "ivf-store A/B outputs diverged across legs; refusing to "
+            "write BENCH.md evidence"
+        )
     sb, st = summary["srp_config"]
     lines = [
         "## IVF-store A/B (ANN assignment stage: re-score vs committed index)",
