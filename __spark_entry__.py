@@ -967,6 +967,24 @@ def q_ann_ivf_store(spark, sf_dir):
     )
 
 
+def q_ann_ivf_probe(spark, sf_dir):
+    """The SERVING shape certified through the driver gate: EXTERNAL
+    query vectors (a (query_id, embedding) frame) searched against the
+    corpus through the COMMITTED vecindex (simsearch.ivf_probe_topk —
+    the vecindex analog of sig_probe_near_dup). The driver derives the
+    query frame from the same 5 vectors ivf_topk uses, so the twin is
+    the SAME fresh _ivf_sql: hash equality certifies that serving an
+    external batch through the store equals the in-corpus search."""
+    out = _ivf_store_dir(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    ext = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.ivf_probe_topk(
+        emb, ext, index_store=out, dim=simsearch.SRP_DIM
+    )
+
+
 def q_ann_srp_store(spark, sf_dir):
     """Store-backed SRP ANN certified through the driver gate: the SAME
     search as `ann_srp_bucket`, but the bits*tables projection tags come
@@ -2237,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_store": q_ann_ivf_store,
         "ann_srp_store": q_ann_srp_store,
+        "ann_ivf_probe": q_ann_ivf_probe,
         "ann_pq_topk": q_ann_pq_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_decontaminate": q_embedding_decontaminate,
@@ -5205,6 +5224,7 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
         # equality certifies the committed index's write->read round trip
         "ann_ivf_store": _ivf_sql(),
         "ann_srp_store": _srp_sql(),
+        "ann_ivf_probe": _ivf_sql(),
         "ann_pq_topk": _pq_sql(),
         "embedding_near_dup": _near_dup_sql(0.35),
         "embedding_decontaminate": _embedding_decon_sql(),

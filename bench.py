@@ -160,6 +160,7 @@ HEADLINE = [
     "dedup_minhash_sig_store",
     "ann_ivf_store",
     "ann_srp_store",
+    "ann_ivf_probe",
     "dedup_spans_clean",
     "warc_ingest",
     "pdf_decode",

@@ -126,12 +126,7 @@ def _query_frame(base: DataFrame, query_ids: tuple[int, ...]) -> DataFrame:
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
     )
-    found = {r["query_id"] for r in q.select("query_id").collect()}
-    absent = sorted(set(query_ids) - found)
-    if absent:
-        raise ValueError(
-            f"query ids absent (or zero-norm) in embeddings: {absent}"
-        )
+    _require_query_ids(q, query_ids)
     return q
 
 
@@ -538,6 +533,22 @@ def ivf_topk(
         F.col("norm").alias("qnorm"),
     )
     _require_query_ids(queries, query_ids)
+    return _ivf_search(assigned, cents, queries, k, n_probe)
+
+
+def _ivf_search(
+    assigned: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """THE IVF probe/score tail shared by ivf_topk (corpus-internal query
+    ids) and ivf_probe_topk (external query vectors): rank centroids per
+    query, keep the n_probe nearest cells, score only those cells'
+    assigned vectors, window to top-k. ``queries`` is (query_id, qvec,
+    qnorm); self-matches (query_id == vec_id) are excluded — external
+    callers use a fresh id namespace, making the filter a no-op."""
     qcells = queries.crossJoin(F.broadcast(cents)).withColumn(
         "ccos",
         F.round(
@@ -571,6 +582,50 @@ def ivf_topk(
             "cosine",
         )
     )
+
+
+def ivf_probe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+    index_store: str | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """The SERVING shape of IVF ANN: search EXTERNAL query vectors — a
+    (query_id, embedding) frame that need not exist in the corpus —
+    against the corpus, the vecindex analog of sigindex.probe_near_dups.
+    With ``index_store`` (the steady state) the corpus side is the
+    committed narrow (vec_id, cell) table + pinned centroids: a search
+    batch costs query-side centroid ranking (|queries| x n_cells,
+    broadcast) plus scoring the ~n_probe/n_cells slice of the corpus it
+    probes — the corpus is never re-scored. Same output shape and
+    semantics as ivf_topk (shared `_ivf_search` tail); zero-norm or
+    dropped query vectors raise rather than silently return no rows.
+    Query ids share the corpus id namespace for the self-match exclusion
+    — use fresh ids for genuinely external vectors."""
+    dim = _resolve_dim(corpus, dim)
+    base = with_norm(corpus)
+    if index_store is not None:
+        cents, assigned = _store_assignments(base, index_store, n_cells, dim)
+    else:
+        cents = base.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
+        assigned = ivf_assignments(corpus, n_cells, base=base, cents=cents)
+    want = [r["query_id"] for r in queries.select("query_id").collect()]
+    qframe = with_norm(
+        queries.select(F.col("query_id").alias("vec_id"), "embedding")
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    _require_query_ids(qframe, tuple(want))
+    return _ivf_search(assigned, cents, qframe, k, n_probe)
 
 
 def embedding_near_dup(

@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_topk",  # simsearch.py:294/331 — broadcast centroid table
     "ann_ivf_store",  # same shape: broadcast STORED centroid table (the
     # corpus-side assignment crossJoin only runs for store-uncovered rows)
+    "ann_ivf_probe",  # serving shape — external queries x broadcast cents
     "ann_pq_topk",  # simsearch.py pq_topk — broadcast per-query ADC tables
     # (5 rows x m*n_cent ints; the corpus side streams as codes)
     "bm25_search",  # retrieval.py:63 — broadcast corpus stats (1 row)

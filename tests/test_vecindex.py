@@ -276,6 +276,46 @@ def test_families_share_runs_table_without_interference(spark, tmp_path):
         vecindex.committed_srp_tags(spark, out, B * 2, T, D)
 
 
+def test_ivf_probe_serving_path(spark, tmp_path):
+    """ivf_probe_topk (external query vectors) must equal ivf_topk when
+    the queries are the corpus' own vectors, fresh AND store-backed; a
+    genuinely external vector (fresh id, known direction) must find its
+    corpus original at cosine 1.0 rank 1; zero-norm queries raise."""
+    emb = _emb(spark)
+    internal = sorted(tuple(r) for r in simsearch.ivf_topk(emb).collect())
+    ext = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert internal == sorted(
+        tuple(r) for r in simsearch.ivf_probe_topk(emb, ext).collect()
+    )
+    out = str(tmp_path / "idx")
+    vecindex.update_ivf_index(spark, out, emb, n_cells=C, dim=D)
+    assert internal == sorted(
+        tuple(r)
+        for r in simsearch.ivf_probe_topk(
+            emb, ext, index_store=out, dim=D
+        ).collect()
+    )
+    # truly external: corpus vectors under fresh ids find their originals
+    fresh_ext = emb.filter(F.col("vec_id").isin(10, 20, 30)).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"), "embedding"
+    )
+    hits = simsearch.ivf_probe_topk(
+        emb, fresh_ext, index_store=out, dim=D
+    ).collect()
+    top = {r.query_id: (r.neighbor_id, r.cosine) for r in hits if r.rank == 1}
+    assert top == {
+        1_000_010: (10, 1.0), 1_000_020: (20, 1.0), 1_000_030: (30, 1.0)
+    }
+    # a zero-norm query vector must raise, not silently return no rows
+    zero = spark.createDataFrame(
+        [(5_000_000, [0.0] * D)], "query_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="query ids absent"):
+        simsearch.ivf_probe_topk(emb, zero, index_store=out, dim=D)
+
+
 def test_srp_dim_mismatch_refuses_loudly(spark, tmp_path):
     """Review finding (r5): a configured dim that mismatches the real
     embedding length NULLs every projection dot and every bucket bit
