@@ -879,6 +879,26 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_store(spark, sf_dir):
+    """The clustering rung of the committed-index story: identical
+    semantics to `dedup_clusters`, but the LSH pair stage reads the
+    COMMITTED signature index (the same store `dedup_minhash_sig_store`
+    and `sig_probe_near_dup` consume) instead of re-signing the corpus
+    per call. The twin is deliberately the FRESH recursive-components
+    SQL — hash equality certifies that stored signatures plus on-the-fly
+    signing of uncovered docs are indistinguishable from signing
+    everything (textops._store_signatures contract), all the way through
+    the connected-components labels."""
+    out = _sig_store_dir(spark, sf_dir)
+    return textops.dedup_clusters(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        perms=textops.PARITY_PERMS,
+        bands=textops.PARITY_BANDS,
+        sig_store=out,
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return simsearch.cosine_topk(_t(spark, sf_dir, "embeddings"))
 
@@ -1049,6 +1069,36 @@ def q_embedding_near_dup(spark, sf_dir):
     # ~0.95 for true near-dups
     return simsearch.embedding_near_dup(
         _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=simsearch.SRP_DIM
+    )
+
+
+def q_embedding_near_dup_store(spark, sf_dir):
+    """`embedding_near_dup` with SRP tags read from the COMMITTED vector
+    index (the same store `ann_srp_store` reads, staged untimed by
+    _ivf_store_dir) instead of re-hashing the corpus through bits*tables
+    projections per call. Twin = the fresh _near_dup_sql — hash equality
+    certifies simsearch._tagged_frame's store-path identity through the
+    pair join and exact cosine re-rank."""
+    out = _ivf_store_dir(spark, sf_dir)
+    return simsearch.embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        dim=simsearch.SRP_DIM,
+        index_store=out,
+    )
+
+
+def q_embedding_decontaminate_store(spark, sf_dir):
+    """`embedding_decontaminate` over the COMMITTED SRP tag store — the
+    steady-state decontamination shape at 100 TB: benchmark vectors are
+    tiny and broadcast, the corpus side's bucket tags come from the
+    persisted index, so a new benchmark sweep never re-projects the
+    corpus. Twin = the fresh _embedding_decon_sql."""
+    out = _ivf_store_dir(spark, sf_dir)
+    return simsearch.embedding_decontaminate(
+        _t(spark, sf_dir, "embeddings"),
+        dim=simsearch.SRP_DIM,
+        index_store=out,
     )
 
 
@@ -2250,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "dedup_spans_clean": q_dedup_spans_clean,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_store": q_dedup_clusters_store,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_bucket": q_ann_srp_bucket,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2258,7 +2309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_probe": q_ann_ivf_probe,
         "ann_pq_topk": q_ann_pq_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_store": q_embedding_near_dup_store,
         "embedding_decontaminate": q_embedding_decontaminate,
+        "embedding_decontaminate_store": q_embedding_decontaminate_store,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "media_featurize": q_media_featurize,
@@ -4367,6 +4420,23 @@ def oracle_sql() -> dict[str, str]:
 
     charset_staged = stage_charset_tables(oracle_sf)
     _mime_case = mime_sql_case("hx")
+    # shared by the fresh and sig-store dedup_clusters legs (store path
+    # must hash-match the fresh computation — _store_signatures contract)
+    _dedup_clusters_twin = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_minhash_lsh_sql(0.5)})
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.doc_a, r.r FROM edges e JOIN reach r ON r.doc_id = e.doc_b
+)
+SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+"""
     sqls = {
         "charset_decode": f"""
 SELECT doc_id, url, charset, method, n_bytes, n_chars,
@@ -5107,21 +5177,11 @@ FROM marked
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
-        "dedup_clusters": f"""
-WITH RECURSIVE pairs AS MATERIALIZED (
-  SELECT doc_a, doc_b FROM ({_minhash_lsh_sql(0.5)})
-),
-edges AS (
-  SELECT doc_a, doc_b FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-),
-reach(doc_id, r) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.doc_a, r.r FROM edges e JOIN reach r ON r.doc_id = e.doc_b
-)
-SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
-""",
+        "dedup_clusters": _dedup_clusters_twin,
+        # store leg's twin is the SAME fresh recursive-components SQL:
+        # hash equality certifies the committed signature index through
+        # the pair stage AND the propagation labels
+        "dedup_clusters_store": _dedup_clusters_twin,
         "stratified_sample": _stratified_sample_sql(),
         "train_split": _train_split_sql(),
         # computing twin: md5 order key, hex-prefix shard, window pos —
@@ -5227,7 +5287,9 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
         "ann_ivf_probe": _ivf_sql(),
         "ann_pq_topk": _pq_sql(),
         "embedding_near_dup": _near_dup_sql(0.35),
+        "embedding_near_dup_store": _near_dup_sql(0.35),
         "embedding_decontaminate": _embedding_decon_sql(),
+        "embedding_decontaminate_store": _embedding_decon_sql(),
         "kmeans_clusters": _kmeans_sql(),
         "semdedup": _semdedup_sql(0.35),
         # media twin: MATERIALIZED — the same synth+sniff composition run

@@ -158,6 +158,9 @@ HEADLINE = [
     "url_normalize",
     "dup_span_stats",
     "dedup_minhash_sig_store",
+    "dedup_clusters_store",
+    "embedding_near_dup_store",
+    "embedding_decontaminate_store",
     "ann_ivf_store",
     "ann_srp_store",
     "ann_ivf_probe",
