@@ -1295,6 +1295,89 @@ def run_html_bench(sf_dir: str, cpus: str) -> dict:
     }
 
 
+def run_streaming_bench(sf_dir: str, cpus: str) -> dict:
+    """Streaming-ingest throughput: the SAME stored html pages table as
+    run_html_bench, but driven through `start_html_stream`'s exactly-once
+    foreachBatch protocol — availableNow catch-up in ~8 micro-batches,
+    each paying extraction + the event-time fetch_log + the run-marker
+    commit, with url dedup state held inside the watermark. Every timed
+    run uses a FRESH output + checkpoint: the protocol's resume would
+    otherwise anti-join the second run to a no-op (that resume IS the
+    correctness contract, certified in tests/test_lineage_streaming.py —
+    here the steady-state ingest cost is what's measured). Emits the same
+    JSON keys as run_html_bench so run_scaling can drive the N/4N
+    streaming evidence."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from enem_spark.lineage import committed_main_content
+    from enem_spark.session import get_spark
+    from enem_spark.streaming import read_html_pages_stream, start_html_stream
+
+    n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    hw_probe = (
+        None
+        if os.environ.get("SPARK_GRAFT_SKIP_HW_PROBE")
+        else _mp_probe(min(n_cores, os.cpu_count() or 8))
+    )
+    spark = get_spark("enem_spark_stream_bench", cores=cpus)
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
+    store, n_rows = _html_pages_store(spark, sf_dir, mult)
+    n_files = len(
+        [f for f in os.listdir(store) if f.endswith(".parquet")]
+    )
+    # micro-batch count trades protocol coverage against serial fraction:
+    # each batch pays fixed commit actions (fetch_log + marker + the
+    # extraction job's launch), so the scaling evidence wants batches
+    # large enough that extraction dominates — 4 by default, overridable
+    # for the amortization A/B
+    target = max(1, int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "4")))
+    per_trigger = max(1, n_files // target)
+    n_batches = -(-n_files // per_trigger)
+    runs = []
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    base = tempfile.mkdtemp(prefix="enem_streambench_")
+    n_main = 0
+    try:
+        # run 0 is the untimed warmup (worker spin-up, codegen, Arrow)
+        for i in range(n_runs + 1):
+            out = os.path.join(base, f"run{i}")
+            stream = read_html_pages_stream(
+                spark, store, max_files_per_trigger=per_trigger
+            )
+            t0 = time.perf_counter()
+            q = start_html_stream(stream, out, f"{out}/_checkpoint")
+            q.awaitTermination()
+            wall = round(time.perf_counter() - t0, 3)
+            main = committed_main_content(spark, out)
+            n_main = main.count() if main is not None else 0
+            if n_main <= 0:
+                # a zero-commit "run" would report infinite throughput
+                raise RuntimeError("streaming run committed no rows")
+            if i > 0:
+                runs.append(wall)
+            shutil.rmtree(out, ignore_errors=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    best = min(runs)
+    return {
+        "metric": (
+            "documents/sec exactly-once streaming DOM extraction "
+            "(availableNow catch-up)"
+        ),
+        "value": round(n_rows / best, 2),
+        "unit": "docs/sec",
+        "sf": _sf_from_dir(sf_dir),
+        "cpus": cpus,
+        "extract_runs_sec": runs,
+        "n_pages": n_rows,
+        "n_main_rows": n_main,
+        "micro_batches": n_batches,
+        "hw_probe_mops": hw_probe,
+    }
+
+
 def _pdf_files_store(sf_dir: str, mult: int) -> tuple[str, int]:
     """Stage one synthesized 2-page PDF per (document x replica) under
     /tmp (written once; _DONE marker carries the file count). Replica
@@ -2019,6 +2102,38 @@ no serial stage.
     _upsert_section(path, "## HTML main-content scaling", section)
 
 
+def update_streaming_bench_md(summary: dict, path: str = "BENCH.md") -> None:
+    """Insert/replace the '## Streaming-ingest scaling' section in BENCH.md
+    (leaving every other section untouched)."""
+    lo, hi = summary["low_cpus"], summary["high_cpus"]
+    section = f"""## Streaming-ingest scaling (exactly-once availableNow catch-up)
+
+The same stored html pages table as the DOM-extraction row, driven
+through `start_html_stream`'s foreachBatch protocol — per micro-batch:
+main-content extraction, the event-time `(url, warc_ts, doc_id)`
+fetch_log, and the run-marker commit, with url-dedup state bounded by
+the watermark. Each timed run starts from a fresh checkpoint (the
+protocol's resume anti-joins a replay to a no-op, so a warm rerun would
+measure the resume, not the ingest):
+
+| config | streaming ingest docs/sec | raw-hardware M-ops/s |
+|---|---|---|
+| {lo} cores | {summary['docs_per_sec_low']} | {summary['hw_mhash_low']} |
+| {hi} cores | {summary['docs_per_sec_high']} | {summary['hw_mhash_high']} |
+
+scaling efficiency = **{summary['scaling_efficiency']}**, hardware ceiling
+that window = {summary['hw_scaling_efficiency']}, normalized =
+**{summary['normalized_efficiency']}** ({summary['n_pages']} stored html
+pages, sf={summary['sf']} x{summary['scale_mult']}; trial picked by the
+same credible-probe rule as the exam job). The per-batch commit actions
+(fetch_log + marker writes) are fixed-cost serial work that a larger
+batch amortizes — at deployment scale the trigger interval, not the
+commit latency, sets the floor; the extraction plan inside each batch is
+the same shuffle-free mapInPandas as the batch path.
+"""
+    _upsert_section(path, "## Streaming-ingest scaling", section)
+
+
 def run_skew(cpus: str = "8") -> dict:
     """Skew evidence (SURVEY.md §5.3(5)): one pathological 4096-page document
     among 2048 small ones. Compares the plain doc_id numbering window (whole
@@ -2525,6 +2640,8 @@ def main() -> None:
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--html-scaling", action="store_true")
     ap.add_argument("--html-extract-only", action="store_true")
+    ap.add_argument("--streaming-scaling", action="store_true")
+    ap.add_argument("--streaming-extract-only", action="store_true")
     ap.add_argument("--pdf-scaling", action="store_true")
     ap.add_argument("--pdf-extract-only", action="store_true")
     ap.add_argument("--pdf-images-scaling", action="store_true")
@@ -2657,6 +2774,24 @@ def main() -> None:
         return
     if args.html_extract_only:
         print(json.dumps(run_html_bench(sf_dir, cpus)))
+        return
+    if args.streaming_scaling:
+        summary = run_scaling(
+            sf_dir,
+            args.low,
+            args.high,
+            # larger default replication than the batch DOM row: each
+            # micro-batch pays fixed commit actions, so batches must be
+            # big enough that extraction dominates the timed wall
+            args.mult if args.mult is not None else 16,
+            args.trials if args.trials is not None else 3,
+            flag="--streaming-extract-only",
+        )
+        update_streaming_bench_md(summary)
+        print(json.dumps(summary))
+        return
+    if args.streaming_extract_only:
+        print(json.dumps(run_streaming_bench(sf_dir, cpus)))
         return
     if args.skew:
         print(json.dumps(run_skew(cpus)))
