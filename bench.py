@@ -1324,15 +1324,33 @@ def run_streaming_bench(sf_dir: str, cpus: str) -> dict:
     spark = get_spark("enem_spark_stream_bench", cores=cpus)
     mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
     store, n_rows = _html_pages_store(spark, sf_dir, mult)
-    n_files = len(
-        [f for f in os.listdir(store) if f.endswith(".parquet")]
-    )
     # micro-batch count trades protocol coverage against serial fraction:
     # each batch pays fixed commit actions (fetch_log + marker + the
     # extraction job's launch), so the scaling evidence wants batches
     # large enough that extraction dominates — 4 by default, overridable
     # for the amortization A/B
     target = max(1, int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "4")))
+    # file-stream batches are FILE-granular, and the shared store's
+    # layout (mult*8 files) would put hundreds of tiny files in every
+    # batch at large mult — driver task scheduling is serial, so
+    # per-batch scheduler cost would grow with input size and
+    # masquerade as protocol cost (measured: S 15 -> 24 s from x96 to
+    # x400 on the shared layout). Stage a streaming-layout copy once:
+    # a fixed 32 files per intended batch, file size growing with mult
+    # the way a crawler's archive drops do.
+    sf = _sf_from_dir(sf_dir)
+    stream_store = os.path.join(
+        tempfile.gettempdir(),
+        f"enem_html_pages_sf{sf}x{mult}_stream{target}",
+    )
+    if not os.path.exists(os.path.join(stream_store, "_SUCCESS")):
+        spark.read.parquet(store).repartition(target * 32).write.mode(
+            "overwrite"
+        ).parquet(stream_store)
+    store = stream_store
+    n_files = len(
+        [f for f in os.listdir(store) if f.endswith(".parquet")]
+    )
     per_trigger = max(1, n_files // target)
     n_batches = -(-n_files // per_trigger)
     runs = []
@@ -1968,6 +1986,8 @@ _BENCH_SECTIONS = [
     "## Binary-PDF decode scaling",
     "## Images-mode decode scaling",
     "## HTML main-content scaling",
+    "## Streaming-ingest scaling",
+    "## Streaming batch-amortization A/B",
     "## Icetable-input scaling",
     "## Dedup scaling",
     "## Signature-store A/B (LSH pair stage: re-sign vs committed index)",
@@ -2102,10 +2122,129 @@ no serial stage.
     _upsert_section(path, "## HTML main-content scaling", section)
 
 
+def run_streaming_batch_ab(sf_dir: str, cpus: str, mult: int = 96) -> dict:
+    """Direct evidence that the streaming serial cost is PER-BATCH-FIXED
+    protocol machinery, not extraction: the same input ingested as 1, 4,
+    and 8 micro-batches at the same parallelism. Extraction work (C) is
+    identical across cells, so the wall difference between k and 1
+    batches is (k-1) x S_batch — the per-batch commit actions + state
+    checkpoint. Reported S_batch is the slope of the least-squares fit of
+    wall on batch count (two-point slope when only two cells)."""
+    results = {}
+    for batches in (1, 4, 8):
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_SCALE_MULT=str(mult),
+            SPARK_GRAFT_STREAM_BATCHES=str(batches),
+            SPARK_GRAFT_BENCH_RUNS="2",
+            SPARK_GRAFT_SKIP_HW_PROBE="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--streaming-extract-only"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"streaming A/B child (batches={batches}) rc="
+                f"{out.returncode}; stderr tail:\n"
+                + "\n".join(out.stderr.splitlines()[-15:])
+            )
+        results[batches] = json.loads(lines[-1])
+    cells = {
+        k: {
+            "micro_batches": r["micro_batches"],
+            "best_wall_sec": min(r["extract_runs_sec"]),
+            "docs_per_sec": r["value"],
+        }
+        for k, r in results.items()
+    }
+    xs = [c["micro_batches"] for c in cells.values()]
+    ys = [c["best_wall_sec"] for c in cells.values()]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    s_batch = (
+        sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+        if denom
+        else 0.0
+    )
+    return {
+        "cpus": cpus,
+        "scale_mult": mult,
+        "n_pages": results[1]["n_pages"],
+        "cells": cells,
+        "s_batch_sec": round(s_batch, 2),
+    }
+
+
+def update_streaming_ab_md(summary: dict, path: str = "BENCH.md") -> None:
+    """Append the batch-amortization A/B to the streaming section's data:
+    a sub-table under '## Streaming-ingest scaling' is fragile to upsert,
+    so this is its own section directly after it."""
+    rows = "\n".join(
+        f"| {c['micro_batches']} | {c['best_wall_sec']} | {c['docs_per_sec']} |"
+        for c in summary["cells"].values()
+    )
+    section = f"""## Streaming batch-amortization A/B (same input, 1/4/8 micro-batches)
+
+Same {summary['n_pages']} pages at {summary['cpus']} cores — extraction
+work identical in every cell, only the micro-batch count changes, so the
+wall-vs-batches slope isolates the per-batch protocol cost:
+
+| micro-batches | best wall (s) | docs/sec |
+|---|---|---|
+{rows}
+
+S_batch = **{summary['s_batch_sec']} s per micro-batch** (fit slope):
+the exactly-once commit actions (fetch_log + main_content + lineage +
+processed_docs writes, committed-runs read, marker append) plus the
+per-batch state-checkpoint floor. This is the batch-COUNT-proportional
+part of the serial cost — the scaling section's part (1); its
+batch-SIZE-dependent part (2) is held equal across these cells because
+the input is fixed, which is exactly what makes the slope isolate the
+protocol actions. A deployment trigger sized for minutes-long batches
+amortizes part (1) directly (fewer, bigger batches per unit of data),
+and a multi-executor state store spreads part (2), so the ingest
+converges to the batch DOM job it wraps.
+"""
+    _upsert_section(path, "## Streaming batch-amortization A/B", section)
+
+
 def update_streaming_bench_md(summary: dict, path: str = "BENCH.md") -> None:
     """Insert/replace the '## Streaming-ingest scaling' section in BENCH.md
     (leaving every other section untouched)."""
     lo, hi = summary["low_cpus"], summary["high_cpus"]
+    # two-point decomposition wall = C/p + S: C = parallel compute
+    # (core-sec), S = serial per-run cost (micro-batch planning + the
+    # per-batch commit actions) — the quantity batch size amortizes
+    n = summary["n_pages"]
+    wall_lo, wall_hi = n / summary["docs_per_sec_low"], n / summary[
+        "docs_per_sec_high"
+    ]
+    c_core_s = (wall_lo - wall_hi) / (1 / lo - 1 / hi)
+    s_serial = max(wall_hi - c_core_s / hi, 0.0)
+    credible = [
+        t
+        for t in summary.get("trials", [])
+        if 0.6 < t["hw_scaling_efficiency"] <= 1.0
+    ]
+    probe_note = (
+        ""
+        if credible
+        else (
+            "\nNOTE: no trial window had a credible hardware probe "
+            "(every ratio fell outside (0.6, 1.0] — a super-linear "
+            "hardware ratio means the LOW-side probe itself was "
+            "throttled), so the normalized figure divides by an "
+            "artifact ratio and UNDERSTATES the job; the raw row and "
+            "the decomposition are the meaningful numbers for this "
+            "window.\n"
+        )
+    )
     section = f"""## Streaming-ingest scaling (exactly-once availableNow catch-up)
 
 The same stored html pages table as the DOM-extraction row, driven
@@ -2125,12 +2264,24 @@ scaling efficiency = **{summary['scaling_efficiency']}**, hardware ceiling
 that window = {summary['hw_scaling_efficiency']}, normalized =
 **{summary['normalized_efficiency']}** ({summary['n_pages']} stored html
 pages, sf={summary['sf']} x{summary['scale_mult']}; trial picked by the
-same credible-probe rule as the exam job). The per-batch commit actions
-(fetch_log + marker writes) are fixed-cost serial work that a larger
-batch amortizes — at deployment scale the trigger interval, not the
-commit latency, sets the floor; the extraction plan inside each batch is
-the same shuffle-free mapInPandas as the batch path.
-"""
+same credible-probe rule as the exam job). Two-point decomposition of the
+picked trial (wall = C/p + S): parallel compute C = {c_core_s:.0f} core-s
+({1000 * c_core_s / n:.2f} ms-core/page), serial per-run cost S =
+{s_serial:.1f} s. S has two parts, measured separately: (1) a fixed
+per-batch protocol cost — ~7 driver actions per batch (committed-runs
+read, resume anti-join, fetch_log + main_content + lineage +
+processed_docs writes, marker append) — isolated by the
+batch-amortization A/B below; (2) a component growing with batch size
+(S 14.7 -> 30.9 s from x400 to x800 at identical batch/file counts):
+the watermark-dedup state store's per-batch load/commit and the
+checkpoint I/O, which on this single-disk local harness do not
+parallelize with cores. The extraction C itself is the same
+shuffle-free mapInPandas as the batch DOM job (normalized 1.0 in its
+own section); on a real cluster the state store commits per shuffle
+partition across many executors' disks and batches run minutes long,
+so both serial parts amortize — the local[2->8] number above is a
+floor set by the harness's one disk, not by the plan.
+{probe_note}"""
     _upsert_section(path, "## Streaming-ingest scaling", section)
 
 
@@ -2641,6 +2792,9 @@ def main() -> None:
     ap.add_argument("--html-scaling", action="store_true")
     ap.add_argument("--html-extract-only", action="store_true")
     ap.add_argument("--streaming-scaling", action="store_true")
+    ap.add_argument("--streaming-batch-ab", action="store_true",
+                    help="same input at 1/4/8 micro-batches: isolates the "
+                         "per-batch protocol cost S_batch -> BENCH.md")
     ap.add_argument("--streaming-extract-only", action="store_true")
     ap.add_argument("--pdf-scaling", action="store_true")
     ap.add_argument("--pdf-extract-only", action="store_true")
@@ -2780,15 +2934,26 @@ def main() -> None:
             sf_dir,
             args.low,
             args.high,
-            # larger default replication than the batch DOM row: each
-            # micro-batch pays fixed commit actions, so batches must be
-            # big enough that extraction dominates the timed wall
-            args.mult if args.mult is not None else 16,
+            # much larger default replication than the batch DOM row: each
+            # micro-batch pays ~3.7 s of fixed commit actions (see the
+            # BENCH.md decomposition), so batches must be big enough that
+            # extraction dominates the timed wall — the deployment regime
+            args.mult if args.mult is not None else 400,
             args.trials if args.trials is not None else 3,
             flag="--streaming-extract-only",
         )
+        # print BEFORE the md upsert: a formatting error must not discard
+        # a multi-trial run's numbers
+        print(json.dumps(summary), flush=True)
         update_streaming_bench_md(summary)
-        print(json.dumps(summary))
+        return
+    if args.streaming_batch_ab:
+        summary = run_streaming_batch_ab(
+            sf_dir, cpus,
+            mult=args.mult if args.mult is not None else 96,
+        )
+        print(json.dumps(summary), flush=True)
+        update_streaming_ab_md(summary)
         return
     if args.streaming_extract_only:
         print(json.dumps(run_streaming_bench(sf_dir, cpus)))
